@@ -1,0 +1,581 @@
+"""Relational query surface (SURVEY.md §2.2-2.8) — all Catalyst-native.
+
+Every query here is a declarative DataFrame plan: filters and projections
+sit above the scan so Catalyst pushes them into the parquet reader, small
+dimensions are explicitly broadcast, and aggregates run partial+final
+automatically. No Python executes per-row in any of these.
+
+Parity rules (see ``functions.numeric``): per-row double arithmetic is
+emitted raw (IEEE-identical across engines); aggregates over money columns
+run in exact DECIMAL and cast to DOUBLE at output, so value hashes match
+the DuckDB oracle bit-for-bit regardless of summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.numeric import davg, dec, dsum, dsum_expr
+from ..sources.tables import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship (Phase 0): revenue by region — J3 star join + A4 agg + O5 sort
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "flagship_revenue_by_region",
+    oracle="""
+    SELECT r.r_name AS region_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS line_count
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY revenue DESC
+    """,
+)
+def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema revenue rollup: lineitem⋈orders⋈customer⋈nation⋈region.
+
+    Scale shape: the fact table is never shuffled — the dimension chain
+    (customer→nation→region) is resolved first and broadcast down to the
+    fact join; aggregation is partial (map-side) then final on 5 keys.
+    """
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+
+    cust_region = (
+        customer.select("c_custkey", "c_nationkey")
+        .join(F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+              customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    order_region = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(F.broadcast(cust_region), orders.o_custkey == cust_region.c_custkey)
+        .select("o_orderkey", "r_name")
+    )
+    revenue = lineitem.select(
+        "l_orderkey",
+        (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias("rev"),
+    )
+    return (
+        revenue.join(F.broadcast(order_region),
+                     revenue.l_orderkey == order_region.o_orderkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            dsum_expr(F.col("rev")).alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+        .orderBy(F.desc("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4: TPC-H Q1-style pricing summary (hash aggregation, partial+final)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)   AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)      AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)      AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape over lineitem (REF A4 hash aggregation).
+
+    The shipdate filter is pushed into the parquet scan; groupBy keys have
+    tiny cardinality so the final shuffle moves only partial-agg rows.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    charge = disc_price * (F.lit(1) + dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum_expr(disc_price).alias("sum_disc_price"),
+            dsum_expr(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1-P3: projections, predicates, point lookup (reference db.rs:109-138)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_point_lookup",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey = 42 LIMIT 1
+    """,
+)
+def filter_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REF P2: equality point lookup (`WHERE id = ? LIMIT 1`, db.rs:109-120).
+
+    Maps to a pushed-down parquet predicate; at scale, id-partitioned or
+    bucketed layout turns this into partition pruning instead of a scan.
+    """
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") == 42)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .limit(1)
+    )
+
+
+@register(
+    "filter_type_predicate",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 50000
+    """,
+)
+def filter_type_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REF P3 enum-equality + range predicate, projected (REF P1).
+
+    Both predicates and the 3-column projection reach the parquet scan
+    (PushedFilters + pruned ReadSchema).
+    """
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 50000))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "filter_suffix_predicate",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE lower(source) LIKE '%web' AND n_chars >= 200
+    """,
+)
+def filter_suffix_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REF P4/P5/F12 shape: case-folded suffix test + numeric predicate."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.lower(F.col("source")).endswith("web") & (F.col("n_chars") >= 200))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3-J4: joins (broadcast star join, semi, anti)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_order_customer_nation",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name, n.n_name AS nation_name,
+           o.o_totalprice AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_totalprice > 100000
+    """,
+)
+def join_order_customer_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT J3 equi-join chain with explicit broadcast of both dims."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            "o_orderkey",
+            "c_name",
+            F.col("n_name").alias("nation_name"),
+            F.col("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "join_semi_customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+    """,
+)
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT J4 left-semi join (existence check)."""
+    customer = _t(spark, sf_dir, "customer")
+    big_orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return customer.join(
+        big_orders, customer.c_custkey == big_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT J4 left-anti join — the sink-dedup primitive (SURVEY.md §1.4)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# A5-A6: distinct cardinality, rollup/cube
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_distinct_counts",
+    oracle="""
+    SELECT COUNT(DISTINCT o_custkey) AS n_customers_with_orders,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities,
+           COUNT(*) AS n_orders
+    FROM orders
+    """,
+)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT A5 exact distinct counts (expand + two-phase agg in Spark)."""
+    return _t(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_custkey").alias("n_customers_with_orders"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "agg_rollup_status_priority",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS order_status,
+           COALESCE(o_orderpriority, 'ALL') AS order_priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT A6 rollup with COALESCE'd grouping keys for oracle parity."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("order_status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("order_priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1-W3: window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, total_price, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice AS total_price,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT W1 ranking window; tie-broken by orderkey for determinism."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").alias("total_price"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "window_running_revenue_by_date",
+    oracle="""
+    SELECT order_date,
+           CAST(daily_revenue AS DOUBLE) AS daily_revenue,
+           CAST(SUM(daily_revenue) OVER (ORDER BY order_date
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_revenue
+    FROM (
+      SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS daily_revenue
+      FROM orders GROUP BY 1
+    )
+    """,
+)
+def window_running_revenue_by_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT W3 frame-spec running sum over a pre-aggregated (small) input.
+
+    The global window runs on already-reduced daily rows — never the raw
+    fact table — so the single-partition window stage sees only
+    |distinct dates| rows regardless of SF. The running sum itself stays
+    in exact decimal (window sum order is engine-internal otherwise).
+
+    Date keys are emitted as 'yyyy-MM-dd' strings — DATE-typed outputs
+    surface as different Python types from Spark vs DuckDB and break
+    value-hash parity.
+    """
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))
+        .agg(F.sum(dec("o_totalprice")).alias("daily_revenue_dec"))
+    )
+    w = Window.orderBy("order_date").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "order_date",
+        F.col("daily_revenue_dec").cast("double").alias("daily_revenue"),
+        F.sum("daily_revenue_dec").over(w).cast("double").alias("running_revenue"),
+    )
+
+
+@register(
+    "window_lag_user_event_value",
+    oracle="""
+    SELECT event_id, user_id, value,
+           LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+    FROM events
+    """,
+)
+def window_lag_user_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT W2 analytic lag per user ordered by event time."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("prev_value", F.lag("value").over(w))
+        .select("event_id", "user_id", "value", "prev_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O5: order-by / top-k (TakeOrderedAndProject)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_orders_by_price",
+    oracle="""
+    SELECT o_orderkey, o_totalprice AS total_price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def topk_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT O5 top-k: Spark plans TakeOrderedAndProject (no full sort)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.col("o_totalprice").alias("total_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_union_high_value_keys",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
+    UNION
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+    """,
+)
+def set_union_high_value_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT set op: UNION (distinct) of two key sets."""
+    a = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 200000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    b = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return a.union(b).distinct()
+
+
+@register(
+    "set_intersect_buyer_segments",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_intersect_buyer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT set op: INTERSECT — customers with both open and filled orders."""
+    orders = _t(spark, sf_dir, "orders")
+    open_k = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    filled_k = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return open_k.intersect(filled_k)
+
+
+# ---------------------------------------------------------------------------
+# F17-F19: date/math/json scalar surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_date_parts_orders",
+    oracle="""
+    SELECT CAST(YEAR(o_orderdate) AS INT) AS order_year,
+           CAST(MONTH(o_orderdate) AS INT) AS order_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def scalar_date_parts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT F17 date scalars feeding an aggregation."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "scalar_math_lineitem",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           ABS(l_discount - 0.05) AS disc_dev,
+           SQRT(l_quantity) AS qty_sqrt
+    FROM lineitem
+    WHERE l_linenumber <= 2
+    """,
+)
+def scalar_math_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT F18 arithmetic scalars, fully codegen'd; raw IEEE doubles
+    (identical expression tree on both engines ⇒ identical bits)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 2)
+    charge = (
+        F.col("l_extendedprice")
+        * (F.lit(1) - F.col("l_discount"))
+        * (F.lit(1) + F.col("l_tax"))
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        charge.alias("charge"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+    )
+
+
+@register(
+    "scalar_json_props_events",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def scalar_json_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT F19 / REF F7 JSON point access (`$.k`) feeding an aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+            "value",
+        )
+        .filter(F.col("k_value").isNotNull())
+        .groupBy("k_value")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )

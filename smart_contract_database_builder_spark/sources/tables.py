@@ -1,0 +1,59 @@
+"""Parquet scans of the driver-generated testdata tables (SURVEY.md S13).
+
+All loaders declare the schema explicitly — no inference pass — so the
+scan plans show full column pruning (``ReadSchema``) and predicate
+pushdown (``PushedFilters``) when queries project/filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import TABLE_NAMES, TESTDATA_SCHEMAS
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark cannot decode as a
+    timestamp. With ``spark.sql.legacy.parquet.nanosAsLong`` (set in
+    session.py) we read it as LONG nanoseconds and floor-convert to a µs
+    TimestampType — matching how the ns value truncates elsewhere."""
+    # Defensive: the conf is runtime-settable, and sessions built outside
+    # session.get_spark (e.g. the driver's harness) won't have it.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", T.LongType())
+            for f in TESTDATA_SCHEMAS["events"].fields
+        ]
+    )
+    raw = spark.read.schema(raw_schema).parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
+        *[f.name for f in TESTDATA_SCHEMAS["events"].fields]
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table from ``{sf_dir}/{name}.parquet``."""
+    if name not in TESTDATA_SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
+    # Schema is passed for contract/pruning clarity; parquet is self-describing
+    # so this also acts as an assertion that the file matches expectations.
+    return (
+        spark.read.schema(TESTDATA_SCHEMAS[name])
+        .parquet(f"{sf_dir}/{name}.parquet")
+    )
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every testdata table."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each table as a temp view for ``spark.sql`` queries."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
