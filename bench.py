@@ -1,0 +1,93 @@
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line on stdout:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": <float>}
+
+Each query is executed to completion with the ``noop`` sink (full plan
+runs on the executors, nothing is shipped to the driver), which is the
+honest way to measure a distributed plan — ``collect()`` would add a
+driver-transfer term that a real 100 TB job never pays per-query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+# Representative slice of the registry: the flagship star join, the heavy
+# aggregations/windows, and one of each operator family that moves data.
+HEADLINE = [
+    "flagship_revenue_by_region",
+    "agg_pricing_summary",
+    "filter_type_predicate",
+    "join_order_customer_nation",
+    "join_semi_customers_with_orders",
+    "agg_distinct_counts",
+    "agg_rollup_status_priority",
+    "window_top3_orders_per_customer",
+    "window_lag_user_event_value",
+    "topk_orders_by_price",
+    "scalar_math_lineitem",
+    "scalar_json_props_events",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    n_cpus = int(cpus) if str(cpus).isdigit() else 8
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("smart-contract-database-builder-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(n_cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from smart_contract_database_builder_spark import plans
+
+    qs = plans.queries()
+
+    # Warm the JVM / codegen paths outside the timed region.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

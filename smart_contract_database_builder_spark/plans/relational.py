@@ -50,9 +50,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star-schema revenue rollup: lineitem⋈orders⋈customer⋈nation⋈region.
 
-    Scale shape: the fact table is never shuffled — the dimension chain
-    (customer→nation→region) is resolved first and broadcast down to the
-    fact join; aggregation is partial (map-side) then final on 5 keys.
+    Scale shape: explicit ``broadcast()`` only on the genuinely bounded
+    dims (nation: 25 rows, region: 5 rows — constant at any SF). The
+    scaling tables (customer, orders, lineitem) join without hints: AQE /
+    the autoBroadcastJoinThreshold pick broadcast while they fit and fall
+    back to shuffle joins at cluster scale, where orders⋈customer shuffles
+    on o_custkey and lineitem⋈orders on l_orderkey. Aggregation is partial
+    (map-side) then final on 5 region keys, so the last shuffle is tiny.
     """
     lineitem = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
@@ -69,7 +73,7 @@ def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     order_region = (
         orders.select("o_orderkey", "o_custkey")
-        .join(F.broadcast(cust_region), orders.o_custkey == cust_region.c_custkey)
+        .join(cust_region, orders.o_custkey == cust_region.c_custkey)
         .select("o_orderkey", "r_name")
     )
     revenue = lineitem.select(
@@ -77,7 +81,7 @@ def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias("rev"),
     )
     return (
-        revenue.join(F.broadcast(order_region),
+        revenue.join(order_region,
                      revenue.l_orderkey == order_region.o_orderkey)
         .groupBy(F.col("r_name").alias("region_name"))
         .agg(
@@ -196,14 +200,19 @@ def filter_type_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id, lang, n_chars
     FROM documents
-    WHERE lower(source) LIKE '%web' AND n_chars >= 200
+    WHERE lower(source) LIKE '%3' AND n_chars >= 200
     """,
 )
 def filter_suffix_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REF P4/P5/F12 shape: case-folded suffix test + numeric predicate."""
+    """REF P4/P5/F12 shape: case-folded suffix test + numeric predicate.
+
+    The suffix '3' selects a non-empty strict subset of the corpus
+    (sources are 'src0'..'src19', so 'src3'/'src13' match) — a 0-row
+    result would make the oracle comparison vacuous.
+    """
     return (
         _t(spark, sf_dir, "documents")
-        .filter(F.lower(F.col("source")).endswith("web") & (F.col("n_chars") >= 200))
+        .filter(F.lower(F.col("source")).endswith("3") & (F.col("n_chars") >= 200))
         .select("doc_id", "lang", "n_chars")
     )
 
@@ -225,12 +234,17 @@ def filter_suffix_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_order_customer_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXT J3 equi-join chain with explicit broadcast of both dims."""
+    """EXT J3 equi-join chain.
+
+    Only nation (25 rows, SF-constant) gets an explicit broadcast hint;
+    customer scales with SF, so its join is left to the size threshold /
+    AQE — broadcast while small, shuffle on o_custkey at cluster scale.
+    """
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .select(
             "o_orderkey",
@@ -264,15 +278,23 @@ def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
     SELECT c_custkey, c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 250000)
     """,
 )
 def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXT J4 left-anti join — the sink-dedup primitive (SURVEY.md §1.4)."""
+    """EXT J4 left-anti join — the sink-dedup primitive (SURVEY.md §1.4).
+
+    Anti-joins against the *high-value* order subset so both sides of the
+    predicate are exercised: some customers survive, some are filtered —
+    an all-customers anti-join is empty (every customer has orders) and
+    would pass vacuously.
+    """
     customer = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    big_orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
     return customer.join(
-        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        big_orders, customer.c_custkey == big_orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
 
 
@@ -556,7 +578,7 @@ def scalar_math_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "scalar_json_props_events",
     oracle="""
-    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+    SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events
@@ -565,14 +587,18 @@ def scalar_math_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scalar_json_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXT F19 / REF F7 JSON point access (`$.k`) feeding an aggregation."""
+    """EXT F19 / REF F7 JSON point access (`$.k`) feeding an aggregation.
+
+    Filters on the *pre-cast* extracted string (both engines agree on
+    extraction); the numeric cast is null-on-failure on both sides
+    (Spark CAST ≙ DuckDB TRY_CAST), so a non-numeric props.k groups
+    under NULL identically instead of silently diverging.
+    """
     ev = _t(spark, sf_dir, "events")
+    extracted = F.get_json_object("props", "$.k")
     return (
-        ev.select(
-            F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
-            "value",
-        )
-        .filter(F.col("k_value").isNotNull())
+        ev.filter(extracted.isNotNull())
+        .select(extracted.cast("bigint").alias("k_value"), "value")
         .groupBy("k_value")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -34,10 +34,23 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Pin runtime-settable confs the engine's semantics depend on.
+
+    The driver's harness imports ``__spark_entry__`` with a vanilla
+    session (no ``session.get_spark`` defaults), so timestamp semantics
+    (year/month/date_format, timestamp-literal casts) would otherwise
+    follow the host JVM timezone and diverge from DuckDB's naive
+    timestamps on non-UTC hosts.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table from ``{sf_dir}/{name}.parquet``."""
     if name not in TESTDATA_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    _ensure_session_confs(spark)
     if name == "events":
         return _load_events(spark, sf_dir)
     # Schema is passed for contract/pruning clarity; parquet is self-describing
