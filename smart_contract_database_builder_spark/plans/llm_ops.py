@@ -1,1 +1,693 @@
-"""LLM-pipeline EXT operators (dedup/similarity/text) — filled in Phase 4."""
+"""LLM-data-pipeline operators (SURVEY.md J6, A2/A7, F19-F21, O4-O5 EXT).
+
+Dedup, text analysis, and similarity search over the ``documents`` and
+``embeddings`` corpora — the north-star extension surface. Everything
+here is Catalyst expressions (higher-order array functions, hash
+aggregates, banded self-joins); no Python runs per row.
+
+Float-parity strategy for vector math: Spark and DuckDB may sum doubles
+in different orders, so dot products / norms are computed in EXACT
+arithmetic — per-element products as DECIMAL(18,9)² summed losslessly
+(order-independent), integer-scaled fixed point where a stable fold type
+is needed — and only converted to DOUBLE for the final per-row
+cosine/sqrt, where IEEE-754 guarantees bitwise-equal results on equal
+inputs.
+
+Scale notes are on each query: the dedup/LSH designs are the banded
+kind that survive 100 TB (shuffle by band key / hash prefix), never
+all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Shared text expressions
+# ---------------------------------------------------------------------------
+
+
+def _tokens(c: Column | str = "text") -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+#: DuckDB twin of ``_tokens`` over the ``text`` column.
+_SQL_TOKENS = r"string_split_regex(trim(lower(text)), '\s+')"
+
+
+def _word_ngrams(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles; empty when the doc has < n tokens.
+
+    The ``when`` guard matters: Spark's ``sequence(1, k)`` DESCENDS for
+    k < 1 instead of returning an empty array.
+    """
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _sql_word_ngrams(t: str = "t", n: int = 3) -> str:
+    parts = " || ' ' || ".join(f"{t}[i+{j}]" if j else f"{t}[i]" for j in range(n))
+    return (
+        f"CASE WHEN len({t}) >= {n} "
+        f"THEN list_transform(range(1, len({t}) - {n - 2}), i -> {parts}) "
+        f"ELSE [] END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact & fingerprint dedup (A2 EXT over documents)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_exact_dedup_documents",
+    oracle=r"""
+    SELECT content_key,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS canonical_doc_id,
+           MIN(n_chars) AS min_chars
+    FROM (
+      SELECT doc_id, n_chars,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_key
+      FROM documents
+    )
+    GROUP BY content_key
+    """,
+)
+def llm_exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on canonicalized text (lowercase, trim, collapse
+    whitespace) — the standard first pass of an LLM data pipeline.
+
+    Scale shape: one shuffle keyed by a uniform 128-bit hash (no skew);
+    map-side partial aggregation collapses duplicates early.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "))
+    return (
+        docs.select("doc_id", "n_chars", key.alias("content_key"))
+        .groupBy("content_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.min("n_chars").alias("min_chars"),
+        )
+    )
+
+
+@register(
+    "llm_fingerprint_dedup_prefix",
+    oracle=rf"""
+    SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc_id
+    FROM (
+      SELECT doc_id,
+             md5(array_to_string(({_SQL_TOKENS})[1:4], ' ')) AS fp
+      FROM documents
+    )
+    GROUP BY fp
+    HAVING COUNT(*) > 1
+    """,
+)
+def llm_fingerprint_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-fingerprint dedup: md5 of the first 4 tokens — a cheap
+    boilerplate-header collapse pass. Returns only collapsing groups
+    (n_docs > 1) so the comparison is non-vacuous.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.slice(_tokens(), 1, 4)))
+    return (
+        docs.select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (A7 / F20)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_text_stats_by_lang",
+    oracle=rf"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def llm_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: per-language corpus statistics (doc counts, char/token
+    volume) — the shape of a training-data composition report."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", "n_chars", "source", F.size(_tokens()).alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on")
+_SQL_STOPWORDS = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@register(
+    "llm_quality_scores",
+    oracle=rf"""
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           len(list_distinct(t)) AS n_uniq_tokens,
+           CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS type_token_ratio,
+           len(list_filter(t, x -> x IN ({_SQL_STOPWORDS}))) AS n_stopwords,
+           CAST(len(list_filter(t, x -> x IN ({_SQL_STOPWORDS}))) AS DOUBLE)
+             / len(t) AS stopword_ratio,
+           CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE)
+             / len(t) AS avg_token_len
+    FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+    WHERE len(t) > 0
+    """,
+)
+def llm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20: per-document quality signals (token counts, type-token
+    ratio, stopword ratio, mean token length) — the standard heuristics
+    for corpus filtering. Pure per-row array expressions; no shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = _tokens()
+    stop = F.filter(t, lambda x: x.isin(*_STOPWORDS))
+    tok_len_sum = F.aggregate(
+        F.transform(t, F.length), F.lit(0).cast("long"), lambda a, v: a + v
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(t).alias("n_tokens"),
+            F.size(F.array_distinct(t)).alias("n_uniq_tokens"),
+            F.size(stop).alias("n_stopwords"),
+            tok_len_sum.alias("tok_len_sum"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_uniq_tokens",
+            (F.col("n_uniq_tokens").cast("double") / F.col("n_tokens")).alias(
+                "type_token_ratio"
+            ),
+            "n_stopwords",
+            (F.col("n_stopwords").cast("double") / F.col("n_tokens")).alias(
+                "stopword_ratio"
+            ),
+            (F.col("tok_len_sum").cast("double") / F.col("n_tokens")).alias(
+                "avg_token_len"
+            ),
+        )
+    )
+
+
+_LEXICONS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "on"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "une", "pas"),
+    "es": ("el", "los", "y", "es", "una", "que", "no"),
+}
+
+
+def _sql_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _LEXICONS[lang])
+    return f"len(list_filter(t, x -> x IN ({words})))"
+
+
+@register(
+    "llm_langid_stopword",
+    oracle=rf"""
+    SELECT doc_id, lang AS labeled_lang,
+           {_sql_hits('en')} AS en_hits,
+           {_sql_hits('de')} AS de_hits,
+           {_sql_hits('fr')} AS fr_hits,
+           {_sql_hits('es')} AS es_hits,
+           CASE
+             WHEN {_sql_hits('en')} = 0 AND {_sql_hits('de')} = 0
+              AND {_sql_hits('fr')} = 0 AND {_sql_hits('es')} = 0 THEN 'unknown'
+             WHEN {_sql_hits('en')} >= {_sql_hits('de')}
+              AND {_sql_hits('en')} >= {_sql_hits('fr')}
+              AND {_sql_hits('en')} >= {_sql_hits('es')} THEN 'en'
+             WHEN {_sql_hits('de')} >= {_sql_hits('fr')}
+              AND {_sql_hits('de')} >= {_sql_hits('es')} THEN 'de'
+             WHEN {_sql_hits('fr')} >= {_sql_hits('es')} THEN 'fr'
+             ELSE 'es'
+           END AS predicted_lang
+    FROM (SELECT doc_id, lang, {_SQL_TOKENS} AS t FROM documents)
+    """,
+)
+def llm_langid_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20: stopword-lexicon language ID heuristic with a deterministic
+    argmax tie-break (en > de > fr > es), 'unknown' when no lexicon
+    hits. Per-row array expressions only."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = _tokens()
+
+    def _lexicon_hits(words: tuple[str, ...]) -> Column:
+        # factory (not a default-arg lambda): higher-order-function
+        # lambdas must be unary — an extra parameter would be bound to
+        # the element index by PySpark
+        return F.size(F.filter(t, lambda x: x.isin(*words)))
+
+    hits = {lang: _lexicon_hits(words) for lang, words in _LEXICONS.items()}
+    base = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        hits["en"].alias("en_hits"),
+        hits["de"].alias("de_hits"),
+        hits["fr"].alias("fr_hits"),
+        hits["es"].alias("es_hits"),
+    )
+    en, de, fr, es = (F.col(f"{c}_hits") for c in ("en", "de", "fr", "es"))
+    predicted = (
+        F.when((en == 0) & (de == 0) & (fr == 0) & (es == 0), F.lit("unknown"))
+        .when((en >= de) & (en >= fr) & (en >= es), F.lit("en"))
+        .when((de >= fr) & (de >= es), F.lit("de"))
+        .when(fr >= es, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return base.withColumn("predicted_lang", predicted)
+
+
+@register(
+    "llm_token_count_regex",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+             AS n_bpe_tokens,
+           len(string_split_regex(trim(lower(text)), '\s+')) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def llm_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20: token counting two ways — whitespace split and a BPE-ish
+    lexer regex (word / number / single symbol runs), the standard cheap
+    proxy for LLM token budgeting."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+            )
+        ).alias("n_bpe_tokens"),
+        F.size(_tokens()).alias("n_ws_tokens"),
+    )
+
+
+@register(
+    "llm_doc_fingerprint_winnow",
+    oracle=r"""
+    SELECT doc_id,
+           CASE WHEN length(text) >= 8
+                THEN list_aggregate(
+                       list_transform(range(1, length(text) - 6),
+                                      i -> md5(substr(text, i, 8))), 'min')
+                ELSE md5(text) END AS fingerprint
+    FROM documents
+    """,
+)
+def llm_doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20: winnowing-style document fingerprint — the minimum hash over
+    all character 8-gram shingles (one representative hash per doc, the
+    building block of containment detection). Short docs fall back to a
+    whole-text hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    idx = F.sequence(F.lit(1), F.length(text) - 7)
+    shingle_hashes = F.transform(idx, lambda i: F.md5(text.substr(i, F.lit(8))))
+    fp = F.when(F.length(text) >= 8, F.array_min(shingle_hashes)).otherwise(
+        F.md5(text)
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash LSH near-dup (J6) + n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+_N_HASHES = 8
+_BAND_ROWS = 2  # 4 bands × 2 rows
+
+
+@register(
+    "llm_minhash_lsh_pairs",
+    oracle=rf"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_sql_word_ngrams("t")}) AS s
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+    ),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(md5('{i}|' || s)) AS m{i}" for i in range(_N_HASHES))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(m{2*b} || m{2*b+1}) AS key FROM sig"
+        for b in range(_N_HASHES // _BAND_ROWS)
+      )}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key
+                AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: MinHash-LSH near-duplicate candidate pairs over word 3-gram
+    shingles — 8 hash functions banded 4×2.
+
+    Scale design (the one that survives 100 TB): signatures are 8 MIN
+    aggregates in ONE groupBy(doc) pass (no per-seed explosion); the
+    candidate join shuffles by (band, band_key) so only same-bucket docs
+    ever meet — never an all-pairs comparison. Buckets are md5 keys, so
+    the shuffle is skew-free unless the data genuinely contains massive
+    duplicate clusters (AQE skew-join handles those).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    sh = docs.select("doc_id", F.explode(_word_ngrams(toks)).alias("s"))
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"m{i}")
+            for i in range(_N_HASHES)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(F.concat(f"m{2 * b}", f"m{2 * b + 1}")).alias("key"),
+                    )
+                    for b in range(_N_HASHES // _BAND_ROWS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+@register(
+    "llm_ngram_jaccard_topk",
+    oracle=rf"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM (
+        SELECT doc_id, unnest({_sql_word_ngrams("t")}) AS s
+        FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents WHERE doc_id < 100)
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared,
+           CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    ORDER BY jaccard DESC, doc_a, doc_b
+    LIMIT 50
+    """,
+)
+def llm_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: exact word-3-gram Jaccard similarity, top-50 pairs over a
+    bounded doc subset (doc_id < 100 keeps the inverted-index self-join
+    quadratic term test-sized; the production path runs this only on
+    LSH candidates from ``llm_minhash_lsh_pairs``).
+
+    The join is inverted-index shaped — shuffle by shingle, pairs
+    generated only within a shingle's posting list — not all-pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sh = (
+        docs.select("doc_id", F.explode(_word_ngrams(_tokens())).alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vector similarity (F21) + ANN bucketing
+# ---------------------------------------------------------------------------
+
+_QUERY_VEC_ID = 7
+
+
+#: Fixed-point scale for exact vector arithmetic: each component is
+#: quantized to 1e-6 (via a deterministic double→DECIMAL(18,6) cast that
+#: Spark and DuckDB agree on bit-for-bit), then all dot products / norms
+#: are EXACT int64 sums. The resulting integers stay far below 2^53, so
+#: the final int→double conversion is exact on both engines and the
+#: cosine/sqrt math is bitwise-reproducible IEEE-754.
+_FP = 1_000_000
+
+_SQL_ISCALE = (
+    f"CAST(CAST(CAST({{v}} AS DOUBLE) AS DECIMAL(18,6)) * {_FP} AS BIGINT)"
+)
+
+
+def _iscale(c: Column) -> Column:
+    return (c.cast("double").cast("decimal(18,6)") * _FP).cast("long")
+
+
+def _int_dot(a: Column | str, b: Column | str) -> Column:
+    """Exact fixed-point dot product as int64 (type-stable fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: _iscale(x) * _iscale(y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _sql_int_dot(a: str, b: str) -> str:
+    xa = _SQL_ISCALE.format(v="x[1]")
+    xb = _SQL_ISCALE.format(v="x[2]")
+    return (
+        f"CAST(list_aggregate(list_transform(list_zip({a}, {b}), "
+        f"x -> {xa} * {xb}), 'sum') AS BIGINT)"
+    )
+
+
+@register(
+    "llm_cosine_topk_bruteforce",
+    oracle=rf"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
+    d AS (
+      SELECT e.vec_id, e.label,
+             {_sql_int_dot("e.embedding", "q.qe")} AS dot,
+             {_sql_int_dot("e.embedding", "e.embedding")} AS na,
+             {_sql_int_dot("q.qe", "q.qe")} AS nq
+      FROM embeddings e, q
+      WHERE e.vec_id <> {_QUERY_VEC_ID}
+    )
+    SELECT vec_id, label,
+           CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE))) AS cosine
+    FROM d
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def llm_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F21+O5: brute-force cosine top-k against a query vector — the
+    exact ANN baseline (fixed-point: see ``_FP``).
+
+    Scale shape: the 1-row query vector broadcasts; every candidate is
+    scored in a single map stage (type-stable int64 ``aggregate`` fold,
+    no explode, no shuffle) and only the 10-row TakeOrderedAndProject
+    moves data. At 100 TB the same plan holds — or the scoring moves to
+    an Arrow-batched pandas UDF for raw throughput with the identical
+    dataflow.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            _int_dot("embedding", "qe").alias("dot"),
+            _int_dot("embedding", "embedding").alias("na"),
+            _int_dot("qe", "qe").alias("nq"),
+        )
+    )
+    cosine = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nq").cast("double"))
+    )
+    return (
+        scored.select("vec_id", "label", cosine.alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "llm_embedding_norms",
+    oracle=rf"""
+    SELECT vec_id, label,
+           len(embedding) AS n_dims,
+           sqrt(CAST({_sql_int_dot("embedding", "embedding")} AS DOUBLE)) / {_FP}
+             AS l2_norm
+    FROM embeddings
+    """,
+)
+def llm_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19: per-vector L2 norm — exact fixed-point sum of squares
+    (int64, order-free), sqrt + rescale in doubles at the end. Pure map
+    stage, no shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("n_dims"),
+        (F.sqrt(_int_dot("embedding", "embedding").cast("double")) / _FP).alias(
+            "l2_norm"
+        ),
+    )
+
+
+_N_PLANES = 4
+_SCALE = 1_000_000_000  # fixed-point 1e-9 — exact from DECIMAL(18,9)
+
+
+def _plane_weight(plane: int, d: Column) -> Column:
+    """Deterministic pseudo-random ±1 hyperplane weight: parity of the
+    first hex digit of md5('<plane>-<dim>')."""
+    digit = F.md5(F.concat(F.lit(f"{plane}-"), d.cast("string"))).substr(1, 1)
+    return F.when(F.lit("02468ace").contains(digit), F.lit(1)).otherwise(F.lit(-1))
+
+
+def _sql_plane_dot(plane: int) -> str:
+    return (
+        "list_aggregate(list_transform(range(1, 65), d -> "
+        f"(CASE WHEN contains('02468ace', substr(md5('{plane}-' || d), 1, 1)) "
+        "THEN 1 ELSE -1 END) * "
+        f"CAST(CAST(embedding[d] AS DECIMAL(18,9)) * {_SCALE} AS BIGINT)), 'sum')"
+    )
+
+
+@register(
+    "llm_ann_hyperplane_buckets",
+    oracle=rf"""
+    SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id
+    FROM (
+      SELECT vec_id,
+             {" || ".join(
+               f"(CASE WHEN {_sql_plane_dot(p)} >= 0 THEN '1' ELSE '0' END)"
+               for p in range(_N_PLANES)
+             )} AS bucket
+      FROM embeddings
+    )
+    GROUP BY bucket
+    """,
+)
+def llm_ann_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F21/J6: random-hyperplane LSH bucket assignment — the scale path
+    for ANN: vectors land in 2^4 sign buckets; at query time only the
+    query's bucket (plus neighbors) is scanned instead of the full
+    corpus.
+
+    Determinism: plane weights are ±1 from md5 parity (no RNG), dots are
+    integer fixed-point (1e-9 from DECIMAL(18,9) — exact, order-free
+    long sums), so bucket ids are engine-independent.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def plane_dot(p: int) -> Column:
+        terms = F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda d: _plane_weight(p, d)
+            * (F.element_at("embedding", d).cast("decimal(18,9)") * _SCALE).cast(
+                "long"
+            ),
+        )
+        return F.aggregate(terms, F.lit(0).cast("long"), lambda a, v: a + v)
+
+    bucket = F.concat(
+        *[
+            F.when(plane_dot(p) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for p in range(_N_PLANES)
+        ]
+    )
+    return (
+        emb.select("vec_id", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
+    )
