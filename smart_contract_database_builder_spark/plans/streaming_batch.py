@@ -1,1 +1,218 @@
-"""Batch-equivalent views of streaming operators — filled in Phase 5."""
+"""Streaming operators, batch-equivalent form (SURVEY.md T1-T5 EXT).
+
+Structured Streaming transformations are ordinary DataFrame plans — the
+same ``F.window`` / ``F.session_window`` / join expressions run under
+``readStream`` unchanged. These queries declare the T2/T3/T4/T5
+semantics over the batch ``events`` table so the DuckDB oracle can check
+them exactly; ``streaming/jobs.py`` runs the *same shared
+transformations* as true streams (watermarks, availableNow triggers,
+memory sink) with tests asserting stream == batch.
+
+Alignment note: Spark tumbling/sliding windows align to the Unix epoch,
+DuckDB ``time_bucket`` to 2000-01-03; both grids coincide for
+minute-divisible widths since the offset is a whole number of days.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.numeric import dsum
+from ..sources.tables import load_table
+from ..streaming import jobs
+from .registry import register
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_SQL_TS_FMT = "%Y-%m-%d %H:%M:%S"
+_TS_FMT_US = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_SQL_TS_FMT_US = "%Y-%m-%d %H:%M:%S.%f"
+
+
+@register(
+    "stream_tumbling_window_counts",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '{_SQL_TS_FMT}')
+             AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: 5-minute tumbling-window aggregate per event type — the
+    canonical streaming rollup (identical code runs under readStream
+    with a watermark; see streaming/jobs.py).
+
+    Scale shape: shuffle keyed by (window, type) — time-uniform keys, no
+    skew; partial aggregation bounds state.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return jobs.tumbling_counts(ev).select(
+        F.date_format("window_start", _TS_FMT).alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@register(
+    "stream_sliding_window_avg",
+    oracle=f"""
+    SELECT strftime(ws, '{_SQL_TS_FMT}') AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             AS avg_value
+    FROM (
+      SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                     time_bucket(INTERVAL '5 minutes', ts)
+                       - INTERVAL '5 minutes']) AS ws,
+             value
+      FROM events
+    )
+    GROUP BY ws
+    """,
+)
+def stream_sliding_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: 10-minute window sliding every 5 — each event lands in two
+    overlapping windows (the oracle expands the membership explicitly)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+             / F.count(F.lit(1))).alias("avg_value"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+@register(
+    "stream_session_windows",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+      SELECT *,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{_SQL_TS_FMT_US}') AS session_start,
+           strftime(MAX(ts) + INTERVAL '30 minutes', '{_SQL_TS_FMT_US}')
+             AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: per-user session windows with a 30-minute inactivity gap.
+    Spark's session_window spans [first event, last event + gap); the
+    oracle reproduces it with the gaps-and-islands pattern (a session
+    splits when the gap is >= the timeout, matching the half-open
+    window).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", _TS_FMT_US).alias("session_start"),
+            F.date_format("w.end", _TS_FMT_US).alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "stream_dedup_first_event",
+    oracle=f"""
+    SELECT user_id, event_type, event_id AS first_event_id,
+           strftime(ts, '{_SQL_TS_FMT_US}') AS first_ts, value AS first_value
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) = 1
+    """,
+)
+def stream_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 batch equivalent: keep the earliest event per (user, type) —
+    deterministic dedup via a ranking window (the streaming form is
+    ``dropDuplicatesWithinWatermark``, exercised in streaming tests;
+    this batch form pins the keep-first semantics the oracle can check).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.date_format("ts", _TS_FMT_US).alias("first_ts"),
+            F.col("value").alias("first_value"),
+        )
+    )
+
+
+@register(
+    "stream_static_enrich_segments",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: stream-static enrichment join — events against the customer
+    dimension, rolled up by market segment. Under readStream the same
+    join runs per micro-batch with the static side broadcast; see
+    streaming/jobs.py.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    return jobs.enrich_with_customers(ev, cust)
+
+
+@register("stream_true_tumbling_availablenow", oracle=None)
+def stream_true_tumbling_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1+T2 true streaming smoke: reads events as an unbounded stream
+    (parquet file source), applies a 10-minute watermark and the shared
+    tumbling-window aggregation, drains it with an availableNow trigger
+    into a memory sink, and returns the materialized result (rows-only
+    check; the oracle-checked twin is ``stream_tumbling_window_counts``).
+    """
+    ev = jobs.read_events_stream(spark, sf_dir)
+    windowed = jobs.tumbling_counts(ev.withWatermark("ts", "10 minutes"))
+    out = windowed.select(
+        F.date_format("window_start", _TS_FMT).alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+    return jobs.run_to_memory(out, "tumbling_availablenow_smoke")

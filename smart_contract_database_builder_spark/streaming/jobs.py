@@ -1,0 +1,116 @@
+"""Structured Streaming jobs over the events table (SURVEY.md T1-T5).
+
+The transformations here are plain DataFrame functions shared with the
+batch-equivalent queries in ``plans/streaming_batch.py`` — under Spark's
+unified model the identical plan runs bounded or unbounded. The
+streaming-only concerns live here:
+
+- ``read_events_stream``: the parquet file source as an unbounded
+  stream (at 100 TB this is the landing-zone directory new files drop
+  into; locally it's the one testdata file);
+- watermarks (T1) bound state for window aggs and dedup;
+- ``dropDuplicatesWithinWatermark`` (T4) — keyed state dedup;
+- stream-static join (T5) — the static dim is re-broadcast per
+  micro-batch;
+- ``run_to_memory``: drain with an availableNow trigger into a memory
+  sink — exactly-once over the current input, used by tests to assert
+  stream results equal their batch twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.numeric import dsum
+from ..schemas import TESTDATA_SCHEMAS
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as an unbounded stream (S14): parquet file source with the
+    explicit raw schema (ts as LONG nanos — file-source streams require
+    a user schema) converted to µs timestamps like the batch loader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", T.LongType())
+            for f in TESTDATA_SCHEMAS["events"].fields
+        ]
+    )
+    # the file-source base path must be a DIRECTORY; select the events
+    # file(s) within it via glob — in production this is the landing
+    # zone new event files drop into
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events*.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
+        *[f.name for f in TESTDATA_SCHEMAS["events"].fields]
+    )
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """T2: 5-minute tumbling windows per event type (shared batch/stream)."""
+    return (
+        events.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_events_within_watermark(events: DataFrame, delay: str = "1 hour") -> DataFrame:
+    """T4: stateful streaming dedup on event_id — state is dropped once
+    the watermark passes, so memory stays bounded on an infinite stream."""
+    return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def enrich_with_customers(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """T5: stream-static join — events enriched with the customer dim,
+    rolled up by market segment (shared batch/stream shape)."""
+    return (
+        events.join(
+            F.broadcast(customers.select("c_custkey", "c_mktsegment")),
+            events.user_id == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    """Drain a streaming DataFrame with an availableNow trigger into a
+    memory sink and return the materialized table (complete mode for
+    aggregates, append otherwise)."""
+    mode = "complete" if stream_df.isStreaming and _has_aggregate(stream_df) else "append"
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+def _has_aggregate(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return "Aggregate" in plan

@@ -1,0 +1,50 @@
+"""True Structured Streaming runs (availableNow → memory sink) asserted
+equal to their batch twins — the unified-model guarantee the engine
+relies on (SURVEY.md T1-T5)."""
+
+from __future__ import annotations
+
+from smart_contract_database_builder_spark.sources.tables import load_table
+from smart_contract_database_builder_spark.streaming import jobs
+
+from conftest import SF_ORACLE
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_stream_tumbling_equals_batch(spark):
+    ev_stream = jobs.read_events_stream(spark, SF_ORACLE)
+    got = jobs.run_to_memory(
+        jobs.tumbling_counts(ev_stream.withWatermark("ts", "10 minutes")),
+        "t_tumbling",
+    )
+    ev_batch = load_table(spark, SF_ORACLE, "events")
+    want = jobs.tumbling_counts(ev_batch)
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_stream_dedup_within_watermark(spark):
+    ev_stream = jobs.read_events_stream(spark, SF_ORACLE)
+    got = jobs.run_to_memory(
+        jobs.dedup_events_within_watermark(ev_stream), "t_dedup"
+    )
+    ev_batch = load_table(spark, SF_ORACLE, "events")
+    # event_id is unique in the corpus: dedup must be a no-op in count,
+    # and ids must round-trip exactly
+    assert got.count() == ev_batch.count()
+    assert _sorted_rows(got.select("event_id")) == _sorted_rows(
+        ev_batch.select("event_id")
+    )
+
+
+def test_stream_static_join_equals_batch(spark):
+    ev_stream = jobs.read_events_stream(spark, SF_ORACLE)
+    cust = load_table(spark, SF_ORACLE, "customer")
+    got = jobs.run_to_memory(
+        jobs.enrich_with_customers(ev_stream, cust), "t_enrich"
+    )
+    ev_batch = load_table(spark, SF_ORACLE, "events")
+    want = jobs.enrich_with_customers(ev_batch, cust)
+    assert _sorted_rows(got) == _sorted_rows(want)
