@@ -1,0 +1,345 @@
+"""Relational surface extensions (SURVEY.md J5, A5-A6, O4, W1-W2, SET,
+F19) — the gaps beyond ``relational.py``'s core: as-of and band joins,
+cube/grouping sets, EXCEPT ALL, full ranking/analytic window variants,
+seeded sampling, approximate distinct, and the events props map surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.numeric import dsum
+from ..sources.tables import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Set ops: EXCEPT ALL
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_except_all_status_keys",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_except_all_status_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET: EXCEPT ALL — multiset difference (a custkey appearing 3× as
+    'F' and 1× as 'O' survives twice), the exact bag semantics DuckDB's
+    EXCEPT ALL defines."""
+    orders = _t(spark, sf_dir, "orders")
+    f_keys = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    o_keys = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return f_keys.exceptAll(o_keys)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations: cube, grouping sets, approx distinct
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_cube_status_priority",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS order_status,
+           COALESCE(o_orderpriority, 'ALL') AS order_priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: CUBE — all 4 grouping combinations in one pass (Catalyst
+    plans a single Expand + aggregate, not 4 scans)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("order_status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("order_priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets_status_priority",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS order_status,
+           COALESCE(o_orderpriority, 'ALL') AS order_priority,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: explicit GROUPING SETS ((status), (priority)) — two
+    independent rollups in one Expand-based aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    grouped = orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"]],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    return grouped.select(
+        F.coalesce("o_orderstatus", F.lit("ALL")).alias("order_status"),
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("order_priority"),
+        "n_orders",
+    )
+
+
+@register("agg_approx_distinct_users", oracle=None)
+def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: HyperLogLog++ approximate distinct (rows-only: HLL sketches
+    are implementation-specific, so no cross-engine hash check — the
+    test asserts the estimate lands within the configured rsd of the
+    exact count)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("event_id", rsd=0.02).alias("approx_events"),
+    )
+
+
+@register("sample_orders_seeded", oracle=None)
+def sample_orders_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: seeded Bernoulli sampling (reference db.rs:123-145 picks
+    random rows). Deterministic for a fixed seed+partitioning within
+    Spark, but RNG streams differ across engines — rows-only check."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .sample(fraction=0.1, seed=42)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window variants: full ranking + analytic families
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank_variants",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 full family: rank / dense_rank / ntile / percent_rank over a
+    totally-ordered window (orderkey tie-break ⇒ deterministic)."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+@register(
+    "window_lead_first_last",
+    oracle="""
+    SELECT event_id, user_id, value,
+           LEAD(value) OVER w AS next_value,
+           FIRST_VALUE(value) OVER w AS first_value,
+           LAST_VALUE(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lead_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 full family: lead / first / last per user ordered by event
+    time (last over an explicit whole-partition frame — the default
+    frame would degenerate to the current row)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(w).alias("first_value"),
+        F.last("value").over(w_full).alias("last_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5: as-of join + band (range) join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_asof_latest_order",
+    oracle="""
+    WITH od AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+      FROM orders
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                 ORDER BY o_orderkey DESC) = 1
+    )
+    SELECT e.event_id, e.user_id,
+           o.o_orderkey AS order_key, o.o_totalprice AS order_price
+    FROM events e
+    ASOF JOIN od o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def join_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: as-of join — for each event, the user's most recent order at
+    or before the event time.
+
+    Spark has no ASOF JOIN operator; the scalable equivalent is the
+    union + running-``last`` trick: tag both streams, sort within user
+    by (time, tag), and carry the latest order forward with
+    ``last(..., ignorenulls)`` over a running frame. ONE shuffle on the
+    join key (same as a sort-merge join would pay) and no point-in-time
+    subquery per row — this is the plan that survives 100 TB. Orders are
+    first deduped per (custkey, date) so ties can't make the match
+    nondeterministic (the oracle dedupes identically).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    events = _t(spark, sf_dir, "events")
+    w_dedup = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.desc("o_orderkey")
+    )
+    od = (
+        orders.withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("t"),
+            F.struct("o_orderkey", "o_totalprice").alias("ord"),
+        )
+        .withColumn("tag", F.lit(0))
+        .withColumn("event_id", F.lit(None).cast("long"))
+    )
+    ev = events.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(None).cast("struct<o_orderkey:bigint,o_totalprice:double>").alias(
+            "ord"
+        ),
+        F.lit(1).alias("tag"),
+        "event_id",
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "tag", F.col("ord.o_orderkey").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = od.unionByName(ev).withColumn(
+        "matched", F.last("ord", ignorenulls=True).over(w_run)
+    )
+    return (
+        merged.filter((F.col("tag") == 1) & F.col("matched").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.col("matched.o_orderkey").alias("order_key"),
+            F.col("matched.o_totalprice").alias("order_price"),
+        )
+    )
+
+
+@register(
+    "join_range_event_pairs",
+    oracle="""
+    SELECT a.user_id, COUNT(*) AS n_pairs
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL '1 minute'
+    GROUP BY a.user_id
+    """,
+)
+def join_range_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: band (interval) self-join — pairs of same-user events within
+    one minute.
+
+    The equi key (user_id) carries the shuffle, so Spark plans a
+    sort-merge join with the band predicates as post-join filters —
+    per-user buckets only, never a cartesian across users. At 100 TB
+    the refinement is bucketing both sides by time window (join on
+    user × window, window ∈ {w, w+1}) to bound the per-key scan.
+    """
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    a, b = ev.alias("a"), ev.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1 MINUTE")),
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# F19: events props as a typed map
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_map_explode_props",
+    oracle="""
+    SELECT k AS prop_key,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT json_extract_string(props, '$.' || k)) AS n_values,
+           MIN(TRY_CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS min_v,
+           MAX(TRY_CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS max_v
+    FROM events, unnest(json_keys(props)) u(k)
+    GROUP BY k
+    """,
+)
+def scalar_map_explode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9/F19: props JSON decoded as a typed map and exploded to
+    key-level stats — ``from_json(MapType)`` + ``explode``, the full
+    map surface (vs. the point access in scalar_json_props_events)."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return (
+        ev.select(F.explode(m).alias("prop_key", "v"))
+        .groupBy("prop_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("v").alias("n_values"),
+            F.min(F.col("v").try_cast("bigint")).alias("min_v"),
+            F.max(F.col("v").try_cast("bigint")).alias("max_v"),
+        )
+    )
