@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import fixtures
+from ..compilestage import stage
 from ..schemas import METADATA_SCHEMA
 from ..sources import contracts as C
 from ..sources.tables import load_table
@@ -325,6 +326,19 @@ def ref_metadata_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m")["OptimizationUsed"].alias("optimization_used"),
         F.col("m")["BytecodeHash"].alias("bytecode_hash"),
     )
+
+
+@register("ref_extract_functions", oracle=None)
+def ref_extract_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U3+F4-F6+F14: the compile/extract stage over the fixture
+    corpus — vyper filtered pre-stage (P6), Arrow-batched function
+    extraction with keccak selectors and byte-exact body slices,
+    conflict-ignore dedup on the function id (rows-only: keccak is not
+    computable in the SQL oracle; goldens live in
+    tests/test_compilestage.py).
+    """
+    parsed = C.parse_folder_contracts(fixtures.contract_files_df(spark))
+    return stage.extract_functions(parsed)
 
 
 @register(

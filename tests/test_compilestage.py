@@ -1,0 +1,207 @@
+"""Compile/extract stage goldens: keccak selectors (public Ethereum
+vectors), byte-offset body slicing, getter-miss semantics, AST walking,
+and the end-to-end mapInPandas stage over the fixture corpus."""
+
+from __future__ import annotations
+
+import pytest
+
+from smart_contract_database_builder_spark import fixtures
+from smart_contract_database_builder_spark.compilestage import stage
+from smart_contract_database_builder_spark.compilestage.solidity import (
+    canonical_type,
+    extract_file_functions,
+    function_source_from_ast,
+)
+from smart_contract_database_builder_spark.functions.keccak import (
+    keccak256,
+    selector,
+)
+from smart_contract_database_builder_spark.sources import contracts as C
+
+# ---------------------------------------------------------------------------
+# F5: keccak-256 selectors — public Ethereum golden vectors
+# ---------------------------------------------------------------------------
+
+
+def test_keccak256_empty_string_vector():
+    assert (
+        keccak256(b"").hex()
+        == "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470"
+    )
+
+
+@pytest.mark.parametrize(
+    "sig,expected",
+    [
+        ("transfer(address,uint256)", "0xa9059cbb"),
+        ("balanceOf(address)", "0x70a08231"),
+        ("approve(address,uint256)", "0x095ea7b3"),
+        ("transferFrom(address,address,uint256)", "0x23b872dd"),
+        ("totalSupply()", "0x18160ddd"),
+        ("allowance(address,address)", "0xdd62ed3e"),
+    ],
+)
+def test_erc20_selectors(sig, expected):
+    assert selector(sig) == expected
+
+
+def test_canonical_type_aliases():
+    assert canonical_type("uint") == "uint256"
+    assert canonical_type("int") == "int256"
+    assert canonical_type("uint256[]") == "uint256[]"
+    assert canonical_type("address") == "address"
+
+
+# ---------------------------------------------------------------------------
+# Scanner: signatures, byte slicing, getters, interfaces
+# ---------------------------------------------------------------------------
+
+_ERC20ISH = """// SPDX-License-Identifier: MIT
+pragma solidity ^0.8.0;
+
+contract MiniToken {
+    uint256 public totalSupply;
+
+    function transfer(address to, uint256 amount) public returns (bool) {
+        return to != address(0) && amount > 0;
+    }
+
+    function burn(uint256 amount) internal {
+        totalSupply -= amount;
+    }
+}
+"""
+
+
+def test_scanner_signature_and_selector():
+    fns = {f.function_name: f for f in extract_file_functions(_ERC20ISH)}
+    assert fns["transfer"].signature == "transfer(address,uint256)"
+    assert fns["transfer"].selector == "0xa9059cbb"  # public golden
+
+
+def test_scanner_slices_exact_body():
+    fns = {f.function_name: f for f in extract_file_functions(_ERC20ISH)}
+    body = fns["transfer"].source_code
+    assert body.startswith("function transfer(address to, uint256 amount)")
+    assert body.endswith("}")
+    assert body in _ERC20ISH  # exact substring of the original source
+
+
+def test_scanner_excludes_internal_functions():
+    fns = {f.function_name for f in extract_file_functions(_ERC20ISH)}
+    assert "burn" not in fns
+
+
+def test_scanner_public_var_getter_has_empty_source():
+    """The reference documents that getters can't be sliced from the AST
+    (plain_contract.rs:565-573) — source_code must be ''."""
+    fns = {f.function_name: f for f in extract_file_functions(_ERC20ISH)}
+    assert fns["totalSupply"].signature == "totalSupply()"
+    assert fns["totalSupply"].selector == "0x18160ddd"  # public golden
+    assert fns["totalSupply"].source_code == ""
+
+
+def test_scanner_byte_offsets_with_multibyte_prefix():
+    """F14: offsets are BYTE offsets — a multibyte char before the
+    function must not shift the slice (plain_contract.rs:462-469)."""
+    src = "// café notes — unicode ahead\ncontract A {\n    function f() public { uint256 x = 1; }\n}\n"
+    fns = {f.function_name: f for f in extract_file_functions(src)}
+    assert fns["f"].source_code == "function f() public { uint256 x = 1; }"
+    data = src.encode("utf-8")
+    start, length = fns["f"].src_start, fns["f"].src_length
+    assert data[start : start + length].decode() == fns["f"].source_code
+
+
+def test_scanner_interface_functions_bodyless():
+    src = "interface I {\n    function ping(uint256 v) external returns (bool);\n}\n"
+    fns = {f.function_name: f for f in extract_file_functions(src)}
+    assert fns["ping"].signature == "ping(uint256)"
+    assert fns["ping"].source_code == ""
+
+
+# ---------------------------------------------------------------------------
+# U2: AST walk + slice
+# ---------------------------------------------------------------------------
+
+_AST_SRC = "contract C { function go() public {}\n}"
+_AST = {
+    "nodeType": "SourceUnit",
+    "nodes": [
+        {
+            "nodeType": "ContractDefinition",
+            "name": "C",
+            "nodes": [
+                {
+                    "nodeType": "FunctionDefinition",
+                    "name": "go",
+                    "src": f"{_AST_SRC.index('function')}:23:0",
+                }
+            ],
+        }
+    ],
+}
+
+
+def test_ast_slicer_hits():
+    assert (
+        function_source_from_ast(_AST_SRC, _AST, "C", "go")
+        == "function go() public {}"
+    )
+
+
+def test_ast_slicer_misses_return_empty():
+    assert function_source_from_ast(_AST_SRC, _AST, "C", "missing") == ""
+    assert function_source_from_ast(_AST_SRC, _AST, "Other", "go") == ""
+
+
+def test_solc_path_gated():
+    with pytest.raises(NotImplementedError):
+        stage.compile_standard_json("{}", "0.8.19")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end stage over the fixture corpus
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def extracted(spark):
+    parsed = C.parse_folder_contracts(fixtures.contract_files_df(spark))
+    return stage.extract_functions(parsed).collect()
+
+
+def test_stage_extracts_fixture_functions(extracted):
+    by_contract = {}
+    for r in extracted:
+        by_contract.setdefault(r["contract_name"], set()).add(r["function_name"])
+    assert {"bump", "drop", "total"} <= by_contract["Tally"]
+    assert {"deposit", "withdraw", "balances"} <= by_contract["Vault"]
+    assert "unwrap" in by_contract["Wrapped"]  # from embedded standard-json
+    # vyper contracts are filtered before the stage (P6)
+    assert "LiquidityPool" not in by_contract
+
+
+def test_stage_function_ids_are_reference_shaped(extracted):
+    import hashlib
+
+    r = next(x for x in extracted if x["contract_name"] == "Tally"
+             and x["function_name"] == "bump")
+    expect = hashlib.md5(
+        (r["contract_id"] + r["filename"] + r["selector"]).encode()
+    ).hexdigest()
+    assert r["id"] == expect
+    assert r["selector"].startswith("0x") and len(r["selector"]) == 10
+
+
+def test_stage_slices_are_substrings_of_sources(extracted):
+    # filenames repeat across fixture dirs (several main.sol) — a slice
+    # must be an exact substring of at least one same-named source
+    contents: dict[str, list[str]] = {}
+    for _, f, c in fixtures.CONTRACT_FILES:
+        contents.setdefault(f, []).append(c)
+    for r in extracted:
+        if r["source_code"] and r["filename"] in contents:
+            assert any(
+                r["source_code"] in c for c in contents[r["filename"]]
+            ), (r["contract_name"], r["function_name"])
