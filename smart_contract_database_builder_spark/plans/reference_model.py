@@ -341,6 +341,35 @@ def ref_extract_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stage.extract_functions(parsed)
 
 
+@register("ref_sink_roundtrip", oracle=None)
+def ref_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7-S10: staged-parquet single-writer DuckDB sink round-trip —
+    bootstrap DDL, conflict-ignoring bulk load inside the checkpoint
+    pragma window, idempotent re-load, read back per-type counts
+    (rows-only: the sink DB is a temp file the oracle can't see;
+    assertions live in tests/test_duckdb_sink.py).
+    """
+    import tempfile
+
+    from pyspark.sql import functions as SF
+
+    from ..sinks import duckdb_sink as sink
+
+    parsed = C.parse_folder_contracts(fixtures.contract_files_df(spark))
+    with tempfile.TemporaryDirectory(prefix="scdb_sink_q_") as d:
+        db = f"{d}/roundtrip.duckdb"
+        first = sink.store_contracts(parsed, db)
+        second = sink.store_contracts(parsed, db)  # must be a no-op
+        back = sink.read_contracts(spark, db)
+        return (
+            back.groupBy("source_type")
+            .agg(SF.count(SF.lit(1)).alias("n_contracts"))
+            .withColumn("first_load_rows", SF.lit(first))
+            .withColumn("second_load_rows", SF.lit(second))
+            .localCheckpoint()  # materialize before the temp dir vanishes
+        )
+
+
 @register(
     "ref_crlf_normalize",
     oracle=rf"""
