@@ -623,6 +623,33 @@ def llm_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Multimodal columns (binary payload + typed metadata, mapInPandas stages)
+# ---------------------------------------------------------------------------
+
+
+@register("llm_multimodal_image_features", oracle=None)
+def llm_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal EXT: Arrow-batched image feature extraction over a
+    deterministic synthetic media corpus — binary payload column +
+    typed metadata struct, kind-filter pushed before the Python
+    boundary (rows-only: binary/codec stages have no SQL oracle;
+    goldens in tests/test_multimodal.py)."""
+    from ..sources import multimodal as mm
+
+    return mm.extract_image_features(mm.synth_media_df(spark, 64))
+
+
+@register("llm_multimodal_frame_sampling", oracle=None)
+def llm_multimodal_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal EXT: video frame sampling — 1→N fan-out inside one
+    Arrow pass (every 500 ms), frame payloads stubbed deterministically
+    pending a real codec (rows-only)."""
+    from ..sources import multimodal as mm
+
+    return mm.sample_video_frames(mm.synth_media_df(spark, 64), every_ms=500)
+
+
 _N_PLANES = 4
 _SCALE = 1_000_000_000  # fixed-point 1e-9 — exact from DECIMAL(18,9)
 

@@ -1,0 +1,156 @@
+"""Multimodal columns: opaque binary media + typed metadata (EXT).
+
+The 100 TB training-data pattern: image/audio/video payloads ride as
+``binary`` columns next to typed metadata structs; decode / feature
+extraction / resize / frame sampling run as Arrow-batched
+``mapInPandas`` stages so each executor processes whole record batches
+without per-row Python overhead, and fan-out stages (frame sampling)
+change the batch shape 1→N inside the same Arrow pass.
+
+No image/audio codec libraries exist in this environment, so the
+decode kernels are import-gated: the real path raises
+``NotImplementedError`` without Pillow, and a **deterministic fake
+decoder** (metadata + hash-derived statistics) stands in for tests —
+the Spark-side plumbing (schemas, UDF signatures, Arrow batch shapes,
+partitioning) is the real, tested part.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+try:  # pragma: no cover - not installed in this environment
+    from PIL import Image  # type: ignore
+except ImportError:
+    Image = None
+
+#: Media corpus schema: opaque payload + typed metadata (never decode
+#: into columns until a stage needs to).
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("data", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                    T.StructField("format", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("content_hash", T.StringType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("ts_ms", T.IntegerType(), False),
+        T.StructField("frame_hash", T.StringType(), False),
+    ]
+)
+
+
+def synth_media_df(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic synthetic media corpus: payload bytes are a
+    hash-chain keyed by media_id (stable across runs/engines), metadata
+    follows from the id — no RNG anywhere."""
+    rows = []
+    kinds = ("image", "audio", "video")
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = b"".join(
+            hashlib.md5(f"{i}:{j}".encode()).digest() for j in range(8 + i % 5)
+        )
+        meta = {
+            "width": 64 + (i % 8) * 16 if kind == "image" else None,
+            "height": 48 + (i % 8) * 12 if kind == "image" else None,
+            "sample_rate": 16000 if kind == "audio" else None,
+            "duration_ms": 1000 + (i % 10) * 500 if kind != "image" else None,
+            "format": {"image": "png", "audio": "wav", "video": "mp4"}[kind],
+        }
+        rows.append((i, kind, payload, meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_image(data: bytes):  # pragma: no cover - requires Pillow
+    """Real decode path — import-gated on Pillow."""
+    if Image is None:
+        raise NotImplementedError(
+            "no image codec available in this environment; stages use "
+            "fake_image_stats for deterministic tests"
+        )
+    import io
+
+    return Image.open(io.BytesIO(data))
+
+
+def fake_image_stats(data: bytes) -> tuple[float, str]:
+    """Deterministic stand-in for pixel statistics: mean payload byte
+    and a content hash — same dataflow, no codec."""
+    mean = sum(data) / len(data) if data else 0.0
+    return mean, hashlib.md5(data).hexdigest()
+
+
+def extract_image_features(media: DataFrame) -> DataFrame:
+    """Feature-extraction stage: images only, Arrow-batched. The filter
+    sits BEFORE the Python boundary so non-image rows never cross."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "media_id": pdf["media_id"],
+                "width": pdf["meta"].map(lambda m: m["width"]),
+                "height": pdf["meta"].map(lambda m: m["height"]),
+                "n_bytes": pdf["data"].map(len),
+                "mean_byte": pdf["data"].map(lambda d: fake_image_stats(d)[0]),
+                "content_hash": pdf["data"].map(lambda d: fake_image_stats(d)[1]),
+            }
+            yield pd.DataFrame(out)
+
+    images = media.filter(media.kind == "image").select("media_id", "data", "meta")
+    return images.mapInPandas(batches, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def sample_video_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
+    """Frame-sampling stage: 1→N fan-out inside the Arrow pass — one
+    output row per sampled timestamp, frame payload stubbed as a
+    deterministic hash of (payload, ts)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, data, meta in zip(
+                pdf["media_id"], pdf["data"], pdf["meta"]
+            ):
+                duration = meta["duration_ms"] or 0
+                for idx, ts in enumerate(range(0, duration, every_ms)):
+                    fh = hashlib.md5(bytes(data) + ts.to_bytes(4, "little"))
+                    rows.append((int(media_id), idx, ts, fh.hexdigest()))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "ts_ms", "frame_hash"]
+            )
+
+    videos = media.filter(media.kind == "video").select("media_id", "data", "meta")
+    return videos.mapInPandas(batches, schema=FRAME_SCHEMA)
