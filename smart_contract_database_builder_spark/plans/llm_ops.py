@@ -198,8 +198,10 @@ def llm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio, stopword ratio, mean token length) — the standard heuristics
     for corpus filtering. Pure per-row array expressions; no shuffle.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    t = _tokens()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("t")
+    )
+    t = F.col("t")
     stop = F.filter(t, lambda x: x.isin(*_STOPWORDS))
     tok_len_sum = F.aggregate(
         F.transform(t, F.length), F.lit(0).cast("long"), lambda a, v: a + v
@@ -270,8 +272,10 @@ def llm_langid_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F20: stopword-lexicon language ID heuristic with a deterministic
     argmax tie-break (en > de > fr > es), 'unknown' when no lexicon
     hits. Per-row array expressions only."""
-    docs = load_table(spark, sf_dir, "documents")
-    t = _tokens()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", _tokens().alias("t")
+    )
+    t = F.col("t")
 
     def _lexicon_hits(words: tuple[str, ...]) -> Column:
         # factory (not a default-arg lambda): higher-order-function
@@ -390,15 +394,22 @@ def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles — 8 hash functions banded 4×2.
 
     Scale design (the one that survives 100 TB): signatures are 8 MIN
-    aggregates in ONE groupBy(doc) pass (no per-seed explosion); the
-    candidate join shuffles by (band, band_key) so only same-bucket docs
-    ever meet — never an all-pairs comparison. Buckets are md5 keys, so
-    the shuffle is skew-free unless the data genuinely contains massive
-    duplicate clusters (AQE skew-join handles those).
+    aggregates in ONE groupBy(doc) pass (no per-seed explosion);
+    candidates shuffle by (band, band_key) so only same-bucket docs ever
+    meet — never an all-pairs comparison. Pair generation is
+    bucket-local (sorted doc list per bucket → pair expansion as an
+    array expression), which evaluates the signature pipeline once — a
+    band self-join would recompute it per side. Buckets are md5 keys,
+    so the shuffle is skew-free; a pathological all-duplicates cluster
+    makes one bucket quadratic, which is inherent to LSH and the reason
+    production pipelines cap bucket size before pairing.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens()
-    sh = docs.select("doc_id", F.explode(_word_ngrams(toks)).alias("s"))
+    # materialize the token array BEFORE shingling: the n-gram lambda
+    # indexes it per element, and an inline split() expression would be
+    # re-evaluated per index — O(tokens^2) per document
+    toked = docs.select("doc_id", _tokens().alias("t"))
+    sh = toked.select("doc_id", F.explode(_word_ngrams(F.col("t"))).alias("s"))
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"m{i}")
@@ -419,17 +430,24 @@ def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.key")
-    a, b = bands.alias("a"), bands.alias("b")
+    buckets = (
+        bands.groupBy("band_idx", "key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    ds = F.col("ds")
+    pairs = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        buckets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
 
@@ -469,8 +487,9 @@ def llm_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated only within a shingle's posting list — not all-pairs.
     """
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toked = docs.select("doc_id", _tokens().alias("t"))
     sh = (
-        docs.select("doc_id", F.explode(_word_ngrams(_tokens())).alias("s"))
+        toked.select("doc_id", F.explode(_word_ngrams(F.col("t"))).alias("s"))
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
