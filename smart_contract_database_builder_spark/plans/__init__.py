@@ -13,5 +13,6 @@ from .registry import QUERIES, oracle_sql, queries, register  # noqa: F401
 from . import relational  # noqa: E402,F401
 from . import relational_ext  # noqa: E402,F401
 from . import reference_model  # noqa: E402,F401
+from . import reference_ext  # noqa: E402,F401
 from . import llm_ops  # noqa: E402,F401
 from . import streaming_batch  # noqa: E402,F401

@@ -1,0 +1,290 @@
+"""Reference-surface extensions: ABI rendering (F6), error routing
+(P8), and the custom-aggregation surface (U5) with its oracle-checkable
+fixed-point twin.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# F6: ABI signature render — pure expressions over parsed ABI structs
+# ---------------------------------------------------------------------------
+
+#: Small fixture of contract ABI JSON (the solc output shape the
+#: reference iterates via alloy's Function::signature, functions.rs:30).
+_ABI_FIXTURE: list[tuple[str, str]] = [
+    (
+        "MiniToken",
+        json.dumps(
+            [
+                {"type": "function", "name": "transfer",
+                 "inputs": [{"name": "to", "type": "address"},
+                            {"name": "amount", "type": "uint256"}]},
+                {"type": "function", "name": "totalSupply", "inputs": []},
+                {"type": "event", "name": "Transfer",
+                 "inputs": [{"name": "from", "type": "address"}]},
+                {"type": "constructor",
+                 "inputs": [{"name": "supply", "type": "uint256"}]},
+            ]
+        ),
+    ),
+    (
+        "Registry",
+        json.dumps(
+            [
+                {"type": "function", "name": "register",
+                 "inputs": [{"name": "who", "type": "address"},
+                            {"name": "tags", "type": "bytes32[]"}]},
+                {"type": "fallback", "inputs": []},
+            ]
+        ),
+    ),
+]
+
+
+def _abi_values_sql(alias: str = "abis") -> str:
+    rows = ",\n".join(
+        "('{}', '{}')".format(c, j.replace("'", "''")) for c, j in _ABI_FIXTURE
+    )
+    return f"(VALUES\n{rows}) AS {alias}(contract_name, abi)"
+
+
+@register(
+    "ref_abi_signature_render",
+    oracle=f"""
+    SELECT contract_name,
+           json_extract_string(e.value, '$.name') AS function_name,
+           json_extract_string(e.value, '$.name') || '(' ||
+             -- array_to_string([]) is NULL in DuckDB — coalesce to ''
+             COALESCE(array_to_string(
+               COALESCE(list_transform(
+                 CAST(json_extract(e.value, '$.inputs') AS JSON[]),
+                 x -> json_extract_string(x, '$.type')), []),
+               ','), '') || ')' AS signature
+    FROM (
+      SELECT contract_name, u.v AS value
+      FROM {_abi_values_sql()}, unnest(CAST(abi AS JSON[])) u(v)
+    ) e
+    WHERE json_extract_string(e.value, '$.type') = 'function'
+    """,
+)
+def ref_abi_signature_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: canonical ``name(type1,type2,…)`` rendered with pure
+    expressions over the typed ABI array — explode entries, keep
+    ``type = 'function'`` (alloy's functions() view excludes
+    constructor/fallback/events, functions.rs:24-27), join input types.
+    """
+    schema = (
+        "array<struct<type:string,name:string,"
+        "inputs:array<struct<name:string,type:string>>>>"
+    )
+    abis = spark.createDataFrame(_ABI_FIXTURE, "contract_name string, abi string")
+    entries = abis.select(
+        "contract_name", F.explode(F.from_json("abi", schema)).alias("e")
+    ).filter(F.col("e.type") == "function")
+    signature = F.concat(
+        F.col("e.name"),
+        F.lit("("),
+        F.concat_ws(
+            ",",
+            F.transform(F.coalesce("e.inputs", F.array()), lambda i: i["type"]),
+        ),
+        F.lit(")"),
+    )
+    return entries.select(
+        "contract_name",
+        F.col("e.name").alias("function_name"),
+        signature.alias("signature"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8: error-row routing (PERMISSIVE vs strict)
+# ---------------------------------------------------------------------------
+
+_DIRTY_JSON_ROWS: list[tuple[int, str]] = [
+    (1, '{"ContractName": "Good1", "Runs": 200}'),
+    (2, '{"ContractName": "Good2", "Runs": 500}'),
+    (3, "pragma solidity ^0.8.0; // not json at all"),
+    (4, '{"ContractName": "Trunc'),
+    (5, '{"ContractName": "Good3", "Runs": "not-a-number"}'),
+]
+
+
+def _dirty_values_sql(alias: str = "raw") -> str:
+    rows = ",\n".join(
+        "({}, '{}')".format(i, c.replace("'", "''")) for i, c in _DIRTY_JSON_ROWS
+    )
+    return f"(VALUES\n{rows}) AS {alias}(row_id, content)"
+
+
+@register(
+    "ref_error_routing_permissive",
+    oracle=f"""
+    SELECT row_id,
+           CASE WHEN json_valid(content)
+                THEN json_extract_string(content, '$.ContractName') END AS name,
+           CASE WHEN json_valid(content)
+                THEN TRY_CAST(json_extract_string(content, '$.Runs') AS INT)
+                END AS runs,
+           NOT json_valid(content) AS is_corrupt
+    FROM {_dirty_values_sql()}
+    """,
+)
+def ref_error_routing_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: PERMISSIVE-mode parse — malformed rows route to a corrupt
+    flag instead of failing the job (the reference's ``--ignore-errors``
+    log-and-drop, main.rs:106-111; strict mode ≙ FAILFAST, the panic
+    path). Null-on-failure from_json + try_cast keep the lenient
+    scalar semantics.
+    """
+    raw = spark.createDataFrame(_DIRTY_JSON_ROWS, "row_id int, content string")
+    # PERMISSIVE from_json never nulls the struct — corrupt input routes
+    # to the declared corrupt-record column instead
+    parsed = F.from_json(
+        "content",
+        "struct<ContractName:string,Runs:string,_corrupt_record:string>",
+        {"columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    return raw.select(
+        "row_id",
+        parsed["ContractName"].alias("name"),
+        parsed["Runs"].try_cast("int").alias("runs"),
+        parsed["_corrupt_record"].isNotNull().alias("is_corrupt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U5: centroid aggregation over embeddings
+# ---------------------------------------------------------------------------
+
+_FP = 1_000_000
+
+
+@register(
+    "llm_centroid_by_label",
+    oracle=f"""
+    SELECT label, d AS dim,
+           CAST(SUM(CAST(CAST(CAST(embedding[d] AS DOUBLE) AS DECIMAL(18,6))
+                         * {_FP} AS BIGINT)) AS DOUBLE)
+             / ({_FP} * COUNT(*)) AS centroid
+    FROM embeddings, range(1, 65) r(d)
+    GROUP BY label, d
+    """,
+)
+def llm_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5: per-label centroid of embeddings — the custom-UDAF shape,
+    expressed as posexplode + fixed-point integer sums so the result is
+    exact and engine-independent (mean = int sum / (scale × count), all
+    in one shuffle keyed by (label, dim)). The applyInPandas UDAF
+    variant computes the same centroids vectorized; its equivalence is
+    pinned in tests/test_centroid_udaf.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    scaled = F.transform(
+        "embedding",
+        lambda x: (x.cast("double").cast("decimal(18,6)") * _FP).cast("long"),
+    )
+    exploded = emb.select("label", F.posexplode(scaled).alias("pos", "v"))
+    return (
+        exploded.groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(
+            (
+                F.sum("v").cast("double") / (F.lit(_FP) * F.count(F.lit(1)))
+            ).alias("centroid")
+        )
+    )
+
+
+def centroid_udaf(emb: DataFrame) -> DataFrame:
+    """U5 proper: the same centroid as an Arrow-batched applyInPandas
+    aggregation — one group per label, numpy mean over the stacked
+    vectors. The production path for wide aggregations Spark's built-in
+    functions can't express."""
+    import numpy as np
+    import pandas as pd
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(pdf["embedding"].values)
+        centroid = mat.mean(axis=0)
+        return pd.DataFrame(
+            {
+                "label": pdf["label"].iloc[:1],
+                "centroid": [centroid.tolist()],
+                "n_vectors": [len(pdf)],
+            }
+        )
+
+    return emb.select("label", "embedding").groupBy("label").applyInPandas(
+        agg, schema="label int, centroid array<double>, n_vectors long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (dedup family completeness)
+# ---------------------------------------------------------------------------
+
+_SIM_BITS = 16
+
+
+@register(
+    "llm_simhash_documents",
+    oracle=rf"""
+    SELECT doc_id,
+           array_to_string(
+             list_transform(range(1, {_SIM_BITS + 1}), j ->
+               CASE WHEN list_aggregate(
+                 list_transform(hs, h ->
+                   CASE WHEN contains('13579bdf', substr(h, j, 1))
+                        THEN 1 ELSE -1 END), 'sum') >= 0
+               THEN '1' ELSE '0' END),
+             '') AS simhash
+    FROM (
+      SELECT doc_id,
+             list_transform(list_distinct({{tokens}}), x -> md5(x)) AS hs
+      FROM documents
+    )
+    WHERE len(hs) > 0
+    """.format(tokens=r"string_split_regex(trim(lower(text)), '\s+')"),
+)
+def llm_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprints: per token-set hash, vote ±1 on
+    each of 16 bit positions (hex-digit parity of the token's md5), the
+    sign vector is the fingerprint — near-identical docs land within a
+    small Hamming distance. Pure array expressions; one md5 per distinct
+    token, then 16 cheap digit tests."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+")), F.md5
+        ).alias("hs"),
+    )
+    hs = F.col("hs")
+    bits = F.transform(
+        F.sequence(F.lit(1), F.lit(_SIM_BITS)),
+        lambda j: F.when(
+            F.aggregate(
+                F.transform(
+                    hs,
+                    lambda h: F.when(
+                        F.lit("13579bdf").contains(h.substr(j, F.lit(1))),
+                        F.lit(1),
+                    ).otherwise(F.lit(-1)),
+                ),
+                F.lit(0).cast("long"),
+                lambda a, v: a + v,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0")),
+    )
+    return docs.filter(F.size(hs) > 0).select(
+        "doc_id", F.concat_ws("", bits).alias("simhash")
+    )
