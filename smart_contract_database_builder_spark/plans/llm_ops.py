@@ -685,7 +685,168 @@ def _sql_plane_dot(plane: int) -> str:
         "list_aggregate(list_transform(range(1, 65), d -> "
         f"(CASE WHEN contains('02468ace', substr(md5('{plane}-' || d), 1, 1)) "
         "THEN 1 ELSE -1 END) * "
-        f"CAST(CAST(embedding[d] AS DECIMAL(18,9)) * {_SCALE} AS BIGINT)), 'sum')"
+        f"CAST(CAST(CAST(embedding[d] AS DOUBLE) AS DECIMAL(18,9)) * {_SCALE} AS BIGINT)), 'sum')"
+    )
+
+
+def _bucket_expr() -> Column:
+    """The 4-plane sign bucket as a reusable expression (Spark side)."""
+
+    def plane_dot(p: int) -> Column:
+        terms = F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda d: _plane_weight(p, d)
+            * (F.element_at("embedding", d).cast("decimal(18,9)") * _SCALE).cast(
+                "long"
+            ),
+        )
+        return F.aggregate(terms, F.lit(0).cast("long"), lambda a, v: a + v)
+
+    return F.concat(
+        *[
+            F.when(plane_dot(p) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for p in range(_N_PLANES)
+        ]
+    )
+
+
+_NEAR_DUP_COSINE = 0.3
+
+
+@register(
+    "llm_ann_bucketed_cosine_pairs",
+    oracle=rf"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {" || ".join(
+               f"(CASE WHEN {_sql_plane_dot(p)} >= 0 THEN '1' ELSE '0' END)"
+               for p in range(_N_PLANES)
+             )} AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+             CAST({_sql_int_dot("x.embedding", "y.embedding")} AS DOUBLE)
+               / (sqrt(CAST({_sql_int_dot("x.embedding", "x.embedding")} AS DOUBLE))
+                  * sqrt(CAST({_sql_int_dot("y.embedding", "y.embedding")} AS DOUBLE)))
+               AS cosine
+      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    )
+    SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= {_NEAR_DUP_COSINE}
+    """,
+)
+def llm_ann_bucketed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: embedding-cosine near-duplicate JOIN, the complete scale
+    path — hyperplane-LSH bucket assignment, exact fixed-point cosine
+    only WITHIN buckets, similarity threshold filter. The equi-join on
+    the bucket id carries the shuffle, so candidate generation is
+    bucket-quadratic, never corpus-quadratic; recall is tuned by plane
+    count (more planes → smaller buckets → faster, lower recall)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.select("vec_id", "embedding", _bucket_expr().alias("bucket"))
+    x, y = b.alias("x"), b.alias("y")
+    cosine = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        x.join(
+            y,
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            _int_dot("x.embedding", "y.embedding").alias("dot"),
+            _int_dot("x.embedding", "x.embedding").alias("na"),
+            _int_dot("y.embedding", "y.embedding").alias("nb"),
+        )
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= _NEAR_DUP_COSINE)
+    )
+
+
+@register("llm_ivf_topk", oracle=None)
+def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F21/J6: IVF-style ANN — vectors are inverted-indexed by nearest
+    label-centroid; the query probes only its own cell and brute-forces
+    cosine there. At 100 TB the cell assignment is a write-time
+    partition key, so a query touches 1/k of the corpus (rows-only:
+    recall behavior is asserted in tests, not hash-compared)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = centroid_udaf_cells(emb)
+    q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    q_cell = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(_cell_dist(F.col("qe")).alias("d2"), "cell")
+        .orderBy("d2")
+        .limit(1)
+        .select("cell")
+    )
+    assigned = (
+        emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("d2", _cell_dist(F.col("embedding")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("vec_id")
+                .orderBy("d2", "cell")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+    in_cell = assigned.join(F.broadcast(q_cell), "cell").join(F.broadcast(q))
+    cosine = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nq").cast("double"))
+    )
+    return (
+        in_cell.select(
+            "vec_id",
+            "cell",
+            _int_dot("embedding", "qe").alias("dot"),
+            _int_dot("embedding", "embedding").alias("na"),
+            _int_dot("qe", "qe").alias("nq"),
+        )
+        .select("vec_id", "cell", cosine.alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )
+
+
+def centroid_udaf_cells(emb: DataFrame) -> DataFrame:
+    """Per-label centroids as (cell, centroid array) — the IVF cell
+    table (labels stand in for k-means cells on this corpus)."""
+    sums = emb.select(
+        F.col("label").alias("cell"),
+        F.posexplode(F.transform("embedding", lambda x: _iscale(x))).alias(
+            "pos", "v"
+        ),
+    ).groupBy("cell", "pos").agg(
+        (F.sum("v").cast("double") / (F.count(F.lit(1)) * _FP)).alias("c")
+    )
+    return (
+        sums.groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("centroid")
+        )
+    )
+
+
+def _cell_dist(vec: Column) -> Column:
+    """Squared L2 distance between a float vector and a double centroid
+    array (per-row doubles — used only for argmin cell assignment)."""
+    return F.aggregate(
+        F.zip_with(vec, F.col("centroid"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda a, v: a + v,
     )
 
 

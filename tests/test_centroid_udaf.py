@@ -27,3 +27,16 @@ def test_centroid_udaf_matches_expression_form(spark):
         assert got == pytest.approx(r["centroid"], abs=2e-6)
     n_total = emb.count()
     assert sum(r["n_vectors"] for r in udaf.values()) == n_total
+
+
+def test_ivf_topk_probes_single_cell(spark):
+    from smart_contract_database_builder_spark import plans
+
+    rows = plans.QUERIES["llm_ivf_topk"].fn(spark, SF_ORACLE).collect()
+    assert len(rows) == 10
+    # IVF contract: every candidate comes from the query's own cell
+    assert len({r["cell"] for r in rows}) == 1
+    # scores are valid cosines, descending
+    scores = [r["cosine"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(-1.0 <= s <= 1.0 for s in scores)
