@@ -41,9 +41,13 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     session (no ``session.get_spark`` defaults), so timestamp semantics
     (year/month/date_format, timestamp-literal casts) would otherwise
     follow the host JVM timezone and diverge from DuckDB's naive
-    timestamps on non-UTC hosts.
+    timestamps on non-UTC hosts. Memoized per session so repeated
+    ``load_table`` calls don't re-issue conf RPCs.
     """
+    if getattr(spark, "_scdb_confs_pinned", False):
+        return
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark._scdb_confs_pinned = True
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -1,0 +1,98 @@
+"""Parity against the reference's OWN test fixtures (read as input data
+from /root/reference/contracts — nothing is copied into this repo).
+
+The reference pins two goldens (reference src/plain_contract.rs:542-588):
+the sliced source of ``Counter.decrement`` from the demo folder, and a
+parse+extract pass over a real 192 KB Etherscan standard-json dump.
+These tests replay both against this engine's scanner/parsers.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+
+import pytest
+
+from smart_contract_database_builder_spark.compilestage.solidity import (
+    extract_file_functions,
+)
+from smart_contract_database_builder_spark.sources import contracts as C
+
+_DEMO = "/root/reference/contracts/demo"
+_ETHERSCAN = (
+    "/root/reference/contracts/"
+    "0x9ca84eacf0d0775782ab5b34d01187b37f1ceea4_Bueno721Drop.json"
+)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(_DEMO), reason="reference fixtures not available"
+)
+
+
+def test_counter_decrement_slice_matches_reference_golden():
+    """The reference's golden test (plain_contract.rs:560-563) asserts
+    the sliced body of Counter.decrement verbatim; recompute the
+    expected slice from the fixture file itself (keyword through the
+    matching brace — the body has no nested braces) and require an
+    exact match."""
+    src = open(f"{_DEMO}/Counter.sol", encoding="utf-8").read()
+    fns = {f.function_name: f for f in extract_file_functions(src)}
+    i = src.index("function decrement")
+    j = src.index("}", i)
+    assert fns["decrement"].source_code == src[i : j + 1]
+    assert fns["decrement"].signature == "decrement()"
+
+
+def test_counter_getter_miss_semantics():
+    """plain_contract.rs:570-573: the public-var getter Counter.count
+    has no function body to slice — source_code must be ''."""
+    src = open(f"{_DEMO}/Counter.sol", encoding="utf-8").read()
+    fns = {f.function_name: f for f in extract_file_functions(src)}
+    assert fns["count"].source_code == ""
+    assert fns["count"].signature == "count()"
+
+
+def test_demo_folder_resolves_multi_sol_with_reference_id(spark):
+    """S1/S3 over the reference demo folder: resolves multi_sol (no
+    contract.json/main.sol/main.vy, several *.sol) and the id equals
+    the sorted-digest hash computed independently in Python
+    (utils.rs:12-17 + plain_contract.rs:166-181)."""
+    rows = []
+    for fn in sorted(os.listdir(_DEMO)):
+        content = open(os.path.join(_DEMO, fn), encoding="utf-8").read()
+        rows.append(("demo", fn, content))
+    files_df = spark.createDataFrame(rows, "dir string, filename string, content string")
+    parsed = {r["dir"]: r.asDict() for r in C.parse_folder_contracts(files_df).collect()}
+    demo = parsed["demo"]
+    assert demo["source_type"] == "multi_sol"
+    hashes = sorted(
+        hashlib.md5(re.sub(r"\s+", "", c).encode()).hexdigest()
+        for d, f, c in rows
+        if f.endswith(".sol")
+    )
+    expect = hashlib.md5("".join(hashes).encode()).hexdigest()
+    assert demo["id"] == expect
+
+
+def test_etherscan_real_dump_parses(spark):
+    """S2/S4 over the reference's real Etherscan fixture (192 KB
+    OpenZeppelin multi-source standard-json, plain_contract.rs:578-588):
+    must parse as standard-json with a multi-file source map."""
+    content = open(_ETHERSCAN, encoding="utf-8").read()
+    raw = spark.createDataFrame(
+        [("0x9ca84eacf0d0775782ab5b34d01187b37f1ceea4", content)],
+        "address string, content string",
+    )
+    row = C.parse_etherscan_contracts(raw).collect()[0]
+    assert row["source_type"] == "json"
+    assert row["contract_name"] == "Bueno721Drop"
+    # independent oracle: count sources via plain-Python json parse
+    fields = json.loads(content)
+    sc = fields["SourceCode"]
+    if sc.startswith("{{"):
+        sc = sc[1:-1]
+    expect_sources = len(json.loads(sc)["sources"])
+    assert row["n_sources"] == expect_sources > 1
