@@ -642,6 +642,82 @@ def llm_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_tfidf_top_terms",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf,
+           tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS tfidf
+    FROM tf JOIN df USING (term), n
+    ORDER BY tfidf DESC, doc_id, term
+    LIMIT 20
+    """,
+)
+def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20: TF-IDF scoring — term frequency per doc × smoothed inverse
+    document frequency, top-20 scores. Exactness: tf/df/N are integer
+    aggregates; the ln/multiply runs per-row IEEE on identical integer
+    inputs, so scores are bitwise-reproducible across engines.
+
+    Scale shape: two shuffles (tf on (doc,term), df on term), df joins
+    back via the term key (broadcast while the vocabulary is small,
+    shuffle-join on term otherwise — AQE decides), N broadcasts as a
+    1-row frame.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tfidf = F.col("tf") * (
+        F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+        + F.lit(1.0)
+    )
+    return (
+        tf.join(df, "term")
+        .join(F.broadcast(n))
+        .select("doc_id", "term", "tf", tfidf.alias("tfidf"))
+        .orderBy(F.desc("tfidf"), "doc_id", "term")
+        .limit(20)
+    )
+
+
+@register("llm_ml_minhash_join", oracle=None)
+def llm_ml_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 via spark.ml: HashingTF token features → MinHashLSH →
+    approxSimilarityJoin under a Jaccard-distance threshold — the
+    built-in LSH operator as a cross-check of the custom banded
+    implementation (rows-only: ml hash seeds are engine-internal).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("toks")
+    )
+    tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 14)
+    feats = tf.transform(docs).filter(
+        F.expr("aggregate(toks, 0, (a, x) -> a + 1) >= 3")
+    )
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=4, seed=42
+    )
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+    return (
+        joined.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            "jaccard_dist",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns (binary payload + typed metadata, mapInPandas stages)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,66 @@
+"""Scale-layout evidence: strict-mode parse failure (P8 FAILFAST ≙ the
+reference's panic path), partition pruning on a type-partitioned
+contract store, and predicate pushdown on point lookups."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from smart_contract_database_builder_spark import fixtures
+from smart_contract_database_builder_spark.sinks.duckdb_sink import (
+    contracts_storage_shape,
+)
+from smart_contract_database_builder_spark.sources import contracts as C
+
+
+def _explain(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_failfast_mode_raises_on_corrupt_row(spark):
+    """P8 strict mode: without --ignore-errors the reference panics on a
+    parse failure (main.rs:106-111); FAILFAST from_json is the Spark
+    equivalent."""
+    df = spark.createDataFrame(
+        [(1, '{"a": 1}'), (2, "not json")], "id int, content string"
+    )
+    strict = df.select(
+        F.from_json("content", "struct<a:int>", {"mode": "FAILFAST"}).alias("p")
+    )
+    with pytest.raises(Exception, match="FAILFAST|Malformed|malformed"):
+        strict.collect()
+
+
+def test_partitioned_contract_store_prunes(spark, tmp_path):
+    """Writing the contract store partitioned by source_type turns type
+    predicates into partition pruning — the scan plan must show the
+    partition filter and a pruned partition count, not a full scan."""
+    parsed = C.parse_folder_contracts(fixtures.contract_files_df(spark))
+    out = str(tmp_path / "contracts")
+    contracts_storage_shape(parsed).write.partitionBy("source_type").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("source_type") == "single_sol")
+    plan = _explain(back)
+    assert "PartitionFilters" in plan
+    assert back.count() == 2
+    # only the single_sol partition directory is read
+    scan_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "source_type" in scan_line
+
+
+def test_point_lookup_predicate_reaches_scan(spark, tmp_path):
+    """P2: the id-equality point lookup must push into the parquet scan
+    (PushedFilters), mirroring the reference's PK index lookup
+    (db.rs:109-120)."""
+    parsed = C.parse_folder_contracts(fixtures.contract_files_df(spark))
+    out = str(tmp_path / "flat")
+    contracts_storage_shape(parsed).write.parquet(out)
+    some_id = contracts_storage_shape(parsed).take(1)[0]["id"]
+    q = spark.read.parquet(out).filter(F.col("id") == some_id).limit(1)
+    plan = _explain(q)
+    assert "PushedFilters" in plan
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "id" in pushed and "IsNotNull" in pushed or "EqualTo" in pushed
+    assert q.count() == 1
