@@ -1,0 +1,49 @@
+"""Plan-hygiene lint: every registered query's physical plan is checked
+for scale red flags. A CartesianProduct anywhere, or a nested-loop join
+outside the explicit allowlist, fails the build — this is the
+regression guard for the 100 TB design rules (broadcast only bounded
+sides, equi-keys carry every large join)."""
+
+from __future__ import annotations
+
+import pytest
+
+from smart_contract_database_builder_spark import plans
+
+from conftest import SF_ORACLE
+
+#: Queries where a BroadcastNestedLoopJoin is the INTENDED plan: the
+#: broadcast side is provably tiny (a 1-row query vector / scalar count
+#: or a k-row centroid table), so the "nested loop" is a constant-cost
+#: map-side enrich, not a quadratic join.
+_NESTED_LOOP_ALLOWED = {
+    "llm_cosine_topk_bruteforce",  # 1-row query vector broadcast
+    "llm_ivf_topk",                # 1-row query + k-cell centroid broadcast
+    "llm_tfidf_top_terms",         # 1-row corpus-size scalar broadcast
+}
+
+#: Queries whose fn() triggers side effects/execution rather than just
+#: building a plan worth linting.
+_SKIP = {
+    "ref_sink_roundtrip",               # materialized via localCheckpoint
+    "stream_true_tumbling_availablenow",  # executes a streaming query
+}
+
+
+def _explain(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n in plans.QUERIES if n not in _SKIP)
+)
+def test_no_unexpected_cartesian_or_nested_loop(spark, name):
+    df = plans.QUERIES[name].fn(spark, SF_ORACLE)
+    plan = _explain(df)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+    if name not in _NESTED_LOOP_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: nested-loop join outside the allowlist"
+        )
