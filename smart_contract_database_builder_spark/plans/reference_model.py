@@ -30,6 +30,7 @@ from ..sources.tables import load_table
 from .registry import register
 
 _FILES = fixtures.contract_files_values_sql()
+_WS = C.SQL_WS_PATTERN  # Rust-\s-compatible class (see sources/contracts.py)
 _ESCAN = fixtures.etherscan_values_sql()
 
 
@@ -40,9 +41,9 @@ _ESCAN = fixtures.etherscan_values_sql()
 
 @register(
     "ref_content_id_documents",
-    oracle=r"""
+    oracle=rf"""
     SELECT doc_id,
-           md5(regexp_replace(text, '\s+', '', 'g')) AS content_id
+           md5(regexp_replace(text, '{_WS}', '', 'g')) AS content_id
     FROM documents
     """,
 )
@@ -59,12 +60,12 @@ def ref_content_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ref_dedup_documents",
-    oracle=r"""
+    oracle=rf"""
     SELECT content_id,
            COUNT(*) AS n_copies,
            MIN(doc_id) AS canonical_doc_id
     FROM (
-      SELECT doc_id, md5(regexp_replace(text, '\s+', '', 'g')) AS content_id
+      SELECT doc_id, md5(regexp_replace(text, '{_WS}', '', 'g')) AS content_id
       FROM documents
     )
     GROUP BY content_id
@@ -92,12 +93,12 @@ def ref_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ref_bundle_hash_by_source",
-    oracle=r"""
+    oracle=rf"""
     SELECT source,
            md5(string_agg(h, '' ORDER BY h)) AS bundle_id,
            COUNT(*) AS n_files
     FROM (
-      SELECT source, md5(regexp_replace(text, '\s+', '', 'g')) AS h
+      SELECT source, md5(regexp_replace(text, '{_WS}', '', 'g')) AS h
       FROM documents
     )
     GROUP BY source
@@ -151,7 +152,7 @@ def ref_bundle_hash_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sel AS (
       SELECT t.dir, t.source_type, t.meta,
-             md5(regexp_replace(f.content, '\s+', '', 'g')) AS h
+             md5(regexp_replace(f.content, '{_WS}', '', 'g')) AS h
       FROM typed t
       JOIN {fixtures.contract_files_values_sql("f")}
         ON f.dir = t.dir
@@ -224,11 +225,11 @@ def ref_ingest_folder_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
                SELECT md5(regexp_replace(
                         json_extract_string(t.source_code,
                           '$.sources."' || u.k || '".content'),
-                        '\s+', '', 'g')) AS h
+                        '{_WS}', '', 'g')) AS h
                FROM unnest(t.ks) u(k)
              ) x
            )
-           ELSE md5(regexp_replace(source_code, '\s+', '', 'g')) END AS id,
+           ELSE md5(regexp_replace(source_code, '{_WS}', '', 'g')) END AS id,
            CASE WHEN len(ks) > 0 THEN len(ks) ELSE 1 END AS n_sources,
            runs, optimization_used
     FROM typed t
@@ -274,7 +275,7 @@ def ref_etherscan_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT k.address, u.k AS path,
            md5(regexp_replace(
              json_extract_string(k.sc, '$.sources."' || u.k || '".content'),
-             '\s+', '', 'g')) AS file_id
+             '{_WS}', '', 'g')) AS file_id
     FROM keyed k, unnest(k.ks) u(k)
     """,
 )
@@ -379,7 +380,7 @@ def ref_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS norm_len,
            md5(regexp_replace(
              regexp_replace(content, chr(13) || chr(10), chr(10), 'g'),
-             '\s+', '', 'g')) AS norm_id
+             '{_WS}', '', 'g')) AS norm_id
     FROM {_FILES}
     WHERE filename LIKE '%.sol'
     """,

@@ -32,11 +32,36 @@ from ..schemas import ETHERSCAN_RAW_SCHEMA, STANDARD_JSON_SOURCES_SCHEMA
 # src/plain_contract.rs:166-181, src/functions.rs:31
 # ---------------------------------------------------------------------------
 
+#: The reference normalizes with Rust's ``\s``, which matches the
+#: Unicode White_Space property — but Java's and RE2's ``\s`` are
+#: ASCII-only, so a contract containing e.g. a no-break space would
+#: hash DIFFERENTLY from the reference. Both engines therefore use this
+#: explicit White_Space character class (U+0009-U+000D, space, NEL,
+#: NBSP, ogham, the U+2000 block, LS/PS, NNBSP, MMSP, ideographic).
+WS_PATTERN = (
+    "[\\t\\n\\x0B\\f\\r \\u0085\\u00A0\\u1680\\u2000-\\u200A"
+    "\\u2028\\u2029\\u202F\\u205F\\u3000]+"
+)
+
+#: RE2 spelling of the same class for the DuckDB oracles (``\x{…}``
+#: escapes; embed in a standard SQL string — backslashes pass through).
+SQL_WS_PATTERN = (
+    "[\\t\\n\\x{000B}\\f\\r \\x{0085}\\x{00A0}\\x{1680}"
+    "\\x{2000}-\\x{200A}\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]+"
+)
+
+#: The same class as a Python regex for test oracles (Python's own
+#: ``\s`` additionally matches U+001C-001F, which White_Space does not).
+PY_WS_PATTERN = (
+    "[\\t\\n\\x0b\\f\\r \\x85\\xa0\\u1680\\u2000-\\u200a"
+    "\\u2028\\u2029\\u202f\\u205f\\u3000]+"
+)
+
 
 def normalized(content: Column | str) -> Column:
-    """F1: strip ALL whitespace (regex ``\\s+`` → empty)."""
+    """F1: strip ALL whitespace (Rust-``\\s``-compatible class → empty)."""
     c = F.col(content) if isinstance(content, str) else content
-    return F.regexp_replace(c, r"\s+", "")
+    return F.regexp_replace(c, WS_PATTERN, "")
 
 
 def contract_id(content: Column | str) -> Column:

@@ -69,7 +69,7 @@ def test_demo_folder_resolves_multi_sol_with_reference_id(spark):
     demo = parsed["demo"]
     assert demo["source_type"] == "multi_sol"
     hashes = sorted(
-        hashlib.md5(re.sub(r"\s+", "", c).encode()).hexdigest()
+        hashlib.md5(re.sub(C.PY_WS_PATTERN, "", c).encode()).hexdigest()
         for d, f, c in rows
         if f.endswith(".sol")
     )

@@ -20,7 +20,7 @@ from smart_contract_database_builder_spark.sources import contracts as C
 
 
 def py_contract_id(content: str) -> str:
-    return hashlib.md5(re.sub(r"\s+", "", content).encode()).hexdigest()
+    return hashlib.md5(re.sub(C.PY_WS_PATTERN, "", content).encode()).hexdigest()
 
 
 def py_multifile_id(contents: list[str]) -> str:
