@@ -64,3 +64,72 @@ def test_point_lookup_predicate_reaches_scan(spark, tmp_path):
     pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
     assert "id" in pushed and "IsNotNull" in pushed or "EqualTo" in pushed
     assert q.count() == 1
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Bucketing both join sides on the key makes the sort-merge join
+    shuffle-free — the co-location technique for repeated big-big joins
+    at scale. The joined plan must contain NO Exchange above the scans."""
+    from smart_contract_database_builder_spark.sources.tables import load_table
+    from conftest import SF_ORACLE
+
+    orders = load_table(spark, SF_ORACLE, "orders").limit(2000)
+    lineitem = load_table(spark, SF_ORACLE, "lineitem").limit(5000)
+    # force the sort-merge path: at test size the tables would
+    # auto-broadcast, hiding the bucketing effect under scrutiny
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        (orders.write.mode("overwrite")
+         .option("path", str(tmp_path / "b_orders"))
+         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+         .saveAsTable("b_orders"))
+        (lineitem.write.mode("overwrite")
+         .option("path", str(tmp_path / "b_lineitem"))
+         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+         .saveAsTable("b_lineitem"))
+        bo = spark.table("b_orders")
+        bl = spark.table("b_lineitem")
+        joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey).select(
+            "l_orderkey", "o_totalprice"
+        )
+        plan = _explain(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join still shuffles"
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_aggregation_matches_plain(spark):
+    """Salted two-phase aggregation returns exactly the plain groupBy
+    result — the skew-mitigation rewrite must be value-neutral."""
+    from pyspark.sql import functions as SF
+
+    from smart_contract_database_builder_spark.functions.skew import salted_agg
+    from smart_contract_database_builder_spark.sources.tables import load_table
+    from conftest import SF_ORACLE
+
+    orders = load_table(spark, SF_ORACLE, "orders")
+    plain = {
+        r["o_orderstatus"]: (r["n"], r["total"])
+        for r in orders.groupBy("o_orderstatus")
+        .agg(SF.count(SF.lit(1)).alias("n"),
+             SF.sum(SF.col("o_totalprice").cast("decimal(18,2)")).alias("total"))
+        .collect()
+    }
+    salted = {
+        r["_key"]: (r["n"], r["total"])
+        for r in salted_agg(
+            orders,
+            "o_orderstatus",
+            {
+                "n": SF.count(SF.lit(1)),
+                "total": SF.sum(SF.col("o_totalprice").cast("decimal(18,2)")),
+            },
+            n_salts=8,
+        ).collect()
+    }
+    assert plain == salted
