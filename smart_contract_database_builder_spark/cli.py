@@ -76,24 +76,6 @@ def _etherscan_storage_shape(raw, parsed):
 
     fields = F.from_json("content", ETHERSCAN_RAW_SCHEMA)
     src = unwrap_double_brace(fields["SourceCode"])
-    sources = F.from_json(
-        src, "struct<sources: map<string, struct<content: string>>>"
-    )["sources"]
-    files = F.when(
-        sources.isNotNull(),
-        F.transform(
-            F.map_entries(sources),
-            lambda e: F.struct(
-                e["key"].alias("name"), e["value"]["content"].alias("content")
-            ),
-        ),
-    ).otherwise(
-        F.array(
-            F.struct(
-                F.lit("main.sol").alias("name"), src.alias("content")
-            )
-        )
-    )
     meta = F.to_json(
         F.struct(
             fields["ContractName"].alias("ContractName"),
@@ -103,17 +85,33 @@ def _etherscan_storage_shape(raw, parsed):
         )
     )
     with_files = raw.select(
-        "address", meta.alias("metadata"), files.alias("raw_files")
+        "address", meta.alias("metadata"), src.alias("source_code")
     )
     joined = with_files.join(
         parsed.select("address", "id", "contract_name", "source_type"), "address"
     )
+    # Storage parity with the reference's tagged union: standard-json is
+    # ONE Json source file named contract.json holding the whole
+    # unwrapped container (plain_contract.rs:265-271); the fallback is a
+    # SingleSolidity file named main.sol (:272-280).
     tagged = F.when(
         F.col("source_type") == "json",
-        F.to_json(F.struct(F.col("raw_files").alias("MultiSolidity"))),
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.lit("contract.json").alias("name"),
+                    F.col("source_code").alias("content"),
+                ).alias("Json")
+            )
+        ),
     ).otherwise(
         F.to_json(
-            F.struct(F.element_at("raw_files", 1).alias("SingleSolidity"))
+            F.struct(
+                F.struct(
+                    F.lit("main.sol").alias("name"),
+                    F.col("source_code").alias("content"),
+                ).alias("SingleSolidity")
+            )
         )
     )
     return joined.select(
@@ -141,11 +139,23 @@ def cmd_index_functions(args: argparse.Namespace) -> int:
         "Vyper:struct<name:string,content:string>,"
         "Json:struct<name:string,content:string>>",
     )
+    # The Json variant holds the whole standard-json container as one
+    # file; explode its sources map into real source files at read time,
+    # like the reference's get_source_files (plain_contract.rs:188-200).
+    json_sources = F.from_json(
+        variant["Json"]["content"],
+        "struct<sources: map<string, struct<content: string>>>",
+    )["sources"]
+    json_files = F.transform(
+        F.map_entries(json_sources),
+        lambda e: F.struct(
+            e["key"].alias("name"), e["value"]["content"].alias("content")
+        ),
+    )
     files = F.coalesce(
         variant["MultiSolidity"],
-        F.array(
-            F.coalesce(variant["SingleSolidity"], variant["Vyper"], variant["Json"])
-        ),
+        F.when(variant["Json"].isNotNull(), json_files),
+        F.array(F.coalesce(variant["SingleSolidity"], variant["Vyper"])),
     )
     processing = contracts.select(
         "id",

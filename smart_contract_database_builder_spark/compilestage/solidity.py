@@ -33,6 +33,7 @@ from ..functions.keccak import selector as keccak_selector
 _CONTRACT_RE = re.compile(
     rb"\b(contract|interface|library)\s+([A-Za-z_$][\w$]*)"
 )
+_BASE_NAME_RE = re.compile(rb"[A-Za-z_$][\w$]*")
 _FUNCTION_RE = re.compile(rb"\bfunction\s+([A-Za-z_$][\w$]*)\s*\(")
 _PUBLIC_VAR_RE = re.compile(
     rb"\b((?:mapping\s*\([^;{]*?\)|[A-Za-z_$][\w$]*)(?:\s*\[[^\]]*\])*)\s+public\s+"
@@ -56,6 +57,20 @@ class ExtractedFunction:
     source_code: str
 
 
+@dataclass
+class ScannedContract:
+    """One contract/interface/library block: its ABI-visible members
+    plus the base names from its ``is`` clause (for U3 inheritance
+    resolution at the bundle level — alloy's ``functions()`` over a
+    compiled artifact includes inherited public members,
+    reference src/functions.rs:24-27)."""
+
+    name: str
+    kind: str  # contract | interface | library
+    bases: list[str]
+    functions: list[ExtractedFunction]
+
+
 def _skip_to(data: bytes, i: int, end: int) -> int:
     """Advance past a comment or string literal starting at ``i``;
     return the index after it (or ``i+1`` if not at one)."""
@@ -77,6 +92,32 @@ def _skip_to(data: bytes, i: int, end: int) -> int:
             j += 1
         return end
     return i + 1
+
+
+def _mask_noncode(data: bytes) -> bytes:
+    """Blank out comments and string literals with spaces, preserving
+    length (and newlines) so every byte offset into the masked buffer is
+    valid in the original. The scanners run on the masked buffer —
+    commented-out code like ``// function ghost(uint x) public {}`` must
+    not produce phantom function rows — while body slices are always
+    taken from the original bytes."""
+    out = bytearray(data)
+    i, end = 0, len(data)
+    while i < end:
+        c = data[i : i + 1]
+        if (
+            data.startswith(b"//", i)
+            or data.startswith(b"/*", i)
+            or c in (b'"', b"'")
+        ):
+            j = _skip_to(data, i, end)
+            for k in range(i, j):
+                if data[k] != 0x0A:  # keep \n
+                    out[k] = 0x20
+            i = j
+        else:
+            i += 1
+    return bytes(out)
 
 
 def _match_brace(data: bytes, open_idx: int, end: int) -> int:
@@ -130,19 +171,38 @@ def extract_file_functions(source: str) -> list[ExtractedFunction]:
     byte-offset body slices, plus public-variable getters (which the
     AST slicing pass cannot locate — emitted with ``source_code = ""``
     to mirror the reference's documented miss semantics)."""
+    return [f for c in scan_file_contracts(source) for f in c.functions]
+
+
+def scan_file_contracts(source: str) -> list[ScannedContract]:
+    """Scan one Solidity source file → per-contract ABI members and
+    inheritance lists. All pattern matching runs over a comment/string
+    **masked** copy of the bytes (same length, so offsets carry over);
+    body slices come from the original bytes."""
     data = source.encode("utf-8")
-    results: list[ExtractedFunction] = []
-    for cm in _CONTRACT_RE.finditer(data):
+    masked = _mask_noncode(data)
+    contracts: list[ScannedContract] = []
+    for cm in _CONTRACT_RE.finditer(masked):
         kind = cm.group(1).decode()
         cname = cm.group(2).decode()
-        body_open = data.find(b"{", cm.end())
+        body_open = masked.find(b"{", cm.end())
         if body_open == -1:
             continue
-        body_close = _match_brace(data, body_open, len(data))
+        # base names from the `is` clause between the name and the body
+        header = masked[cm.end() : body_open]
+        bases: list[str] = []
+        is_at = re.search(rb"\bis\b", header)
+        if is_at:
+            for part in header[is_at.end() :].split(b","):
+                m = _BASE_NAME_RE.search(part)
+                if m:
+                    bases.append(m.group(0).decode())
+        body_close = _match_brace(masked, body_open, len(masked))
         if body_close == -1:
             continue
-        body = data[body_open:body_close]
+        body = masked[body_open:body_close]
         base = body_open
+        results: list[ExtractedFunction] = []
 
         for fm in _FUNCTION_RE.finditer(body):
             fname = fm.group(1).decode()
@@ -213,7 +273,10 @@ def extract_file_functions(source: str) -> list[ExtractedFunction]:
                         source_code="",  # getter: no function body exists
                     )
                 )
-    return results
+        contracts.append(
+            ScannedContract(name=cname, kind=kind, bases=bases, functions=results)
+        )
+    return contracts
 
 
 def _getter_params(vtype: str) -> str:

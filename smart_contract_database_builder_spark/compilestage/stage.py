@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -32,7 +33,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..schemas import FUNCTION_SCHEMA
-from .solidity import extract_file_functions
+from ..sources.contracts import PY_WS_PATTERN
+from .solidity import scan_file_contracts
+
+#: Rust-``\s``-compatible (Unicode White_Space) class — the same one the
+#: id expressions use, so function ids match simple_hash (utils.rs:12-17).
+_WS_RE = re.compile(PY_WS_PATTERN)
 
 try:  # pragma: no cover - not installed in this environment
     import solcx  # type: ignore
@@ -54,13 +60,15 @@ def compile_standard_json(standard_json: str, version: str) -> dict:
 
 
 def _function_rows(contract_id: str, files: list[dict]) -> Iterator[tuple]:
+    # Pass 1 — scan every file in the bundle: (filename, ScannedContract)
+    scanned: list[tuple[str, object]] = []
     for f in files:
         name, content = f.get("filename") or f.get("name"), f.get("content")
         if not name or content is None:
             continue
         if name.endswith(".json"):
             # standard-json container (source_type 'json'): extract from
-            # its embedded sources map
+            # its embedded sources map — its own bundle scope
             try:
                 std = json.loads(content)
                 inner = [
@@ -73,21 +81,58 @@ def _function_rows(contract_id: str, files: list[dict]) -> Iterator[tuple]:
             continue
         if not name.endswith(".sol"):
             continue
-        for fn in extract_file_functions(content):
-            # F4: md5(contract_id ‖ filename ‖ selector) — functions.rs:31
+        for c in scan_file_contracts(content):
+            scanned.append((name, c))
+
+    # Pass 2 — resolve inheritance within the bundle: the ABI view of a
+    # compiled contract includes inherited public members
+    # (reference src/functions.rs:24-27 iterates alloy's functions()
+    # over the artifact), attributed to the DERIVED contract's file.
+    # Their bodies live in the base contract, which the reference's AST
+    # slicer does not search — source_code = "" (plain_contract.rs:
+    # 454-456, asserted at :565-573).
+    by_name = {}
+    for _, c in scanned:
+        by_name.setdefault(c.name, c)
+
+    def inherited_members(c) -> Iterator[object]:
+        seen_bases: set[str] = set()
+        stack = list(c.bases)
+        while stack:
+            b = stack.pop()
+            if b in seen_bases or b not in by_name:
+                continue
+            seen_bases.add(b)
+            basec = by_name[b]
+            yield from basec.functions
+            stack.extend(basec.bases)
+
+    for name, c in scanned:
+        emitted: set[str] = set()
+
+        def row(fn, filename: str, source_code: str, cname: str) -> tuple:
+            # F4: simple_hash(contract_id ‖ filename ‖ selector) —
+            # functions.rs:31 via utils.rs:12-17, which strips the
+            # White_Space class before md5 (filenames can contain
+            # spaces in Etherscan standard-json paths).
             fid = hashlib.md5(
-                (contract_id + name + fn.selector).encode()
+                _WS_RE.sub("", contract_id + filename + fn.selector).encode()
             ).hexdigest()
-            yield (
-                fid,
-                contract_id,
-                fn.contract_name,
-                fn.function_name,
-                name,
-                fn.signature,
-                fn.selector,
-                fn.source_code,
+            return (
+                fid, contract_id, cname, fn.function_name,
+                filename, fn.signature, fn.selector, source_code,
             )
+
+        for fn in c.functions:
+            emitted.add(fn.selector)
+            yield row(fn, name, fn.source_code, c.name)
+        if c.kind == "interface":
+            continue  # interfaces list only their own declarations
+        for fn in inherited_members(c):
+            if fn.selector in emitted:
+                continue  # overridden/implemented locally
+            emitted.add(fn.selector)
+            yield row(fn, name, "", c.name)
 
 
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

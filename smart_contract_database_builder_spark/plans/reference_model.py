@@ -219,17 +219,9 @@ def ref_ingest_folder_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT address, contract_name,
            CASE WHEN len(ks) > 0 THEN 'json' ELSE 'single_sol' END AS source_type,
-           CASE WHEN len(ks) > 0 THEN (
-             SELECT md5(string_agg(x.h, '' ORDER BY x.h))
-             FROM (
-               SELECT md5(regexp_replace(
-                        json_extract_string(t.source_code,
-                          '$.sources."' || u.k || '".content'),
-                        '{_WS}', '', 'g')) AS h
-               FROM unnest(t.ks) u(k)
-             ) x
-           )
-           ELSE md5(regexp_replace(source_code, '{_WS}', '', 'g')) END AS id,
+           -- Json variant: id = simple_hash of the WHOLE unwrapped
+           -- container (plain_contract.rs:265-271, hash() Json arm :179)
+           md5(regexp_replace(source_code, '{_WS}', '', 'g')) AS id,
            CASE WHEN len(ks) > 0 THEN len(ks) ELSE 1 END AS n_sources,
            runs, optimization_used
     FROM typed t
@@ -239,7 +231,9 @@ def ref_etherscan_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4+F10: Etherscan JSON parse over the fixture — double-brace
     unwrap, standard-json parse with raw-Solidity fallback
     (plain_contract.rs:252-281), lenient Runs/OptimizationUsed casts
-    (plain_contract.rs:57-58).
+    (plain_contract.rs:57-58). Standard-json ids hash the whole
+    unwrapped container (the ``Json`` variant, plain_contract.rs:179),
+    keeping them dedup-compatible with folder ``contract.json`` rows.
     """
     parsed = C.parse_etherscan_contracts(fixtures.etherscan_df(spark))
     return parsed.select(

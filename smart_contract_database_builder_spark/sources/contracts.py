@@ -79,9 +79,13 @@ def multifile_contract_id(per_file_hashes: Column) -> Column:
 
 
 def function_id(contract_id_col: Column, filename: Column, selector: Column) -> Column:
-    """F4: ``md5(contract_id ‖ filename ‖ selector)`` (functions.rs:31) —
-    note contract_name is NOT part of the key."""
-    return F.md5(F.concat(contract_id_col, filename, selector))
+    """F4: ``simple_hash(contract_id ‖ filename ‖ selector)``
+    (functions.rs:31) — note contract_name is NOT part of the key, and
+    the reference routes the concatenation through ``simple_hash`` which
+    strips whitespace before md5 (utils.rs:12-17); filenames containing
+    whitespace (possible in Etherscan standard-json paths) must hash
+    identically to the reference's stored rows."""
+    return F.md5(normalized(F.concat(contract_id_col, filename, selector)))
 
 
 def unwrap_double_brace(c: Column) -> Column:
@@ -252,11 +256,18 @@ def parse_etherscan_contracts(raw_df: DataFrame) -> DataFrame:
     """S4: Etherscan row → contract row with lenient fallbacks.
 
     ``SourceCode`` is (a) ``{{…}}``-wrapped standard-json, (b) bare
-    standard-json, or (c) raw Solidity. (a)/(b) explode the sources map
-    into a multi-file contract; (c) falls back to single_sol — the same
-    parse-failure fallback as the reference (plain_contract.rs:265-280).
-    Lenient scalar semantics: ``Runs`` parses null→0, ``OptimizationUsed``
-    is the string ``"1"`` (plain_contract.rs:57-58).
+    standard-json, or (c) raw Solidity. (a)/(b) become the ``json``
+    variant — the reference stores the WHOLE unwrapped container as one
+    ``Json`` source file named ``contract.json``
+    (plain_contract.rs:265-271), so the id is
+    ``simple_hash(container)`` (the ``Json`` arm of ``hash()``,
+    plain_contract.rs:179), NOT the multi-file sorted-digest re-hash.
+    (c) falls back to single_sol — the same parse-failure fallback as
+    the reference (plain_contract.rs:272-280). This keeps
+    Etherscan-ingested ids dedup-compatible with folder-ingested
+    ``contract.json`` layouts. Lenient scalar semantics: ``Runs``
+    parses null→0, ``OptimizationUsed`` is the string ``"1"``
+    (plain_contract.rs:57-58).
 
     Input: (address, content). Output: (address, contract_name,
     source_type, id, n_sources, runs, optimization_used).
@@ -284,16 +295,10 @@ def parse_etherscan_contracts(raw_df: DataFrame) -> DataFrame:
         F.when(is_std, F.lit("json")).otherwise(F.lit("single_sol")).alias(
             "source_type"
         ),
-        F.when(
-            is_std,
-            multifile_contract_id(
-                F.transform(
-                    F.map_values("sources"), lambda v: contract_id(v["content"])
-                )
-            ),
-        )
-        .otherwise(contract_id(F.col("source_code")))
-        .alias("id"),
+        # Both branches hash the whole (unwrapped) SourceCode: the Json
+        # variant is one source file holding the container
+        # (plain_contract.rs:265-271; hash() Json arm :179).
+        contract_id(F.col("source_code")).alias("id"),
         F.when(is_std, F.size(F.map_keys("sources"))).otherwise(F.lit(1)).alias(
             "n_sources"
         ),

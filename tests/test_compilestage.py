@@ -185,10 +185,19 @@ def test_stage_extracts_fixture_functions(extracted):
 def test_stage_function_ids_are_reference_shaped(extracted):
     import hashlib
 
+    import re
+
+    from smart_contract_database_builder_spark.sources.contracts import (
+        PY_WS_PATTERN,
+    )
+
     r = next(x for x in extracted if x["contract_name"] == "Tally"
              and x["function_name"] == "bump")
+    # simple_hash semantics (functions.rs:31, utils.rs:12-17): the
+    # concatenated key is whitespace-stripped before md5
     expect = hashlib.md5(
-        (r["contract_id"] + r["filename"] + r["selector"]).encode()
+        re.sub(PY_WS_PATTERN, "",
+               r["contract_id"] + r["filename"] + r["selector"]).encode()
     ).hexdigest()
     assert r["id"] == expect
     assert r["selector"].startswith("0x") and len(r["selector"]) == 10

@@ -55,6 +55,39 @@ def test_counter_getter_miss_semantics():
     assert fns["count"].signature == "count()"
 
 
+def test_advanced_counter_inherits_reference_abi_view():
+    """U3 inheritance resolution pinned to the reference's golden
+    (plain_contract.rs:560-573 + functions.rs:24-27): alloy's
+    ``functions()`` over the compiled AdvancedCounter artifact includes
+    the public members inherited from Counter, but the AST slicer only
+    searches the derived contract — so ``decrement`` must be PRESENT in
+    AdvancedCounter's rows with ``source_code == ''`` (the reference's
+    slice lookup errs), while its own ``reset`` carries a real body."""
+    from smart_contract_database_builder_spark.compilestage.stage import (
+        _function_rows,
+    )
+
+    files = [
+        {"filename": fn, "content": open(os.path.join(_DEMO, fn), encoding="utf-8").read()}
+        for fn in sorted(os.listdir(_DEMO))
+        if fn.endswith(".sol")
+    ]
+    rows = list(_function_rows("cid-demo", files))
+    adv = {r[3]: r for r in rows if r[2] == "AdvancedCounter"}
+    # own member: real sliced body
+    assert "reset" in adv and "count = 0" in adv["reset"][7]
+    # inherited public members surface in the ABI view, bodiless
+    for inherited in ("decrement", "increment", "getCount", "count"):
+        assert inherited in adv, f"missing inherited member {inherited}"
+        assert adv[inherited][7] == ""
+    # the interface lists only its own declarations (no inherited fanout)
+    icounter = {r[3] for r in rows if r[2] == "ICounter"}
+    assert icounter == {"increment", "decrement", "getCount"}
+    # Counter itself still slices decrement verbatim (reference golden)
+    counter = {r[3]: r for r in rows if r[2] == "Counter"}
+    assert counter["decrement"][7].startswith("function decrement() public override")
+
+
 def test_demo_folder_resolves_multi_sol_with_reference_id(spark):
     """S1/S3 over the reference demo folder: resolves multi_sol (no
     contract.json/main.sol/main.vy, several *.sol) and the id equals

@@ -83,13 +83,47 @@ def test_etherscan_parse_variants(spark):
     assert fallback["optimization_used"] is False
 
 
+def test_etherscan_json_id_is_container_hash(spark):
+    """Standard-json Etherscan contracts are the Json variant: id =
+    simple_hash of the WHOLE unwrapped container (plain_contract.rs:
+    265-271; hash() Json arm :179) — NOT the multi-file sorted-digest
+    re-hash. Pinned against a Python md5 oracle, and against the
+    folder-ingested contract.json layout so cross-source dedup holds."""
+    rows = {
+        r["address"]: r.asDict()
+        for r in C.parse_etherscan_contracts(fixtures.etherscan_df(spark)).collect()
+    }
+    container = fixtures._WRAPPED_STD_JSON
+    expect = hashlib.md5(
+        re.sub(C.PY_WS_PATTERN, "", container).encode()
+    ).hexdigest()
+    assert rows["0xaaaa00000000000000000000000000000000aa01"]["id"] == expect
+
+    # The demo_json folder layout holds the identical container in
+    # contract.json — same content, same id across ingestion sources.
+    folder = {
+        r["dir"]: r.asDict()
+        for r in C.parse_folder_contracts(
+            fixtures.contract_files_df(spark)
+        ).collect()
+    }
+    assert folder["demo_json"]["id"] == expect
+
+
 def test_function_id_composition(spark):
-    """F4: md5(contract_id ‖ filename ‖ selector) — functions.rs:31."""
+    """F4: simple_hash(contract_id ‖ filename ‖ selector) — functions.rs:31
+    via utils.rs:12-17: whitespace in the key (e.g. an Etherscan source
+    path containing a space) is stripped before md5."""
     df = spark.createDataFrame(
-        [("cid123", "Tally.sol", "0xdeadbeef")], "cid string, fn string, sel string"
+        [
+            ("cid123", "Tally.sol", "0xdeadbeef"),
+            ("cid123", "src dir/My Token.sol", "0xdeadbeef"),
+        ],
+        "cid string, fn string, sel string",
     ).select(C.function_id(F.col("cid"), F.col("fn"), F.col("sel")).alias("fid"))
-    expect = hashlib.md5(b"cid123Tally.sol0xdeadbeef").hexdigest()
-    assert df.collect()[0]["fid"] == expect
+    got = [r["fid"] for r in df.collect()]
+    assert got[0] == hashlib.md5(b"cid123Tally.sol0xdeadbeef").hexdigest()
+    assert got[1] == hashlib.md5(b"cid123srcdir/MyToken.sol0xdeadbeef").hexdigest()
 
 
 def test_filesystem_folder_scan_matches_inmemory(spark, tmp_path):
