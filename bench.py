@@ -30,11 +30,11 @@ HEADLINE = [
     "agg_pricing_summary",
     "filter_type_predicate",
     "join_order_customer_nation",
-    "join_semi_customers_with_orders",
+    "join_semi_anti_customers",
     "agg_distinct_counts",
-    "agg_rollup_status_priority",
+    "agg_grouping_shapes",
     "window_top3_orders_per_customer",
-    "window_lag_user_event_value",
+    "window_lag_lead_first_last",
     "window_rank_variants",
     "topk_orders_by_price",
     "scalar_math_lineitem",
@@ -45,6 +45,8 @@ HEADLINE = [
     "ref_bundle_hash_by_source",
     "llm_exact_dedup_documents",
     "llm_minhash_lsh_pairs",
+    "llm_ngram_jaccard_topk",
+    "llm_tfidf_top_terms",
     "llm_cosine_topk_bruteforce",
     "llm_ann_hyperplane_buckets",
     "stream_tumbling_window_counts",
@@ -53,6 +55,7 @@ HEADLINE = [
     "llm_simhash_documents",
     "llm_centroid_by_label",
     "llm_quality_scores",
+    "ref_sink_roundtrip",
 ]
 
 

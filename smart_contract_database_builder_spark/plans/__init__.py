@@ -4,7 +4,13 @@ Every operator from SURVEY.md §2 lands here as a named query: a function
 ``(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible) a DuckDB
 oracle SQL string the driver runs side-by-side for the correctness gate.
 
-Import order populates the registry.
+Import order populates the registry; the explicit reorder below controls
+the order ``queries()`` exposes. The correctness driver processes
+queries in registration order and records only the FIRST 50, so the
+registry is curated to hold every oracle-carrying query inside that
+window: the similarity/streaming family (unchecked in round 2 purely by
+position) leads, and the handful of genuinely rows-only queries
+(impl-specific RNG/sketches/codecs — pytest-asserted instead) sit last.
 """
 
 from .registry import QUERIES, oracle_sql, queries, register  # noqa: F401
@@ -16,3 +22,44 @@ from . import reference_model  # noqa: E402,F401
 from . import reference_ext  # noqa: E402,F401
 from . import llm_ops  # noqa: E402,F401
 from . import streaming_batch  # noqa: E402,F401
+
+#: Queries the driver window must cover first (similarity + streaming +
+#: the upgraded golden-oracle stage/sink queries).
+_PRIORITY = [
+    "llm_minhash_lsh_pairs",
+    "llm_ann_bucketed_cosine_pairs",
+    "llm_cosine_topk_bruteforce",
+    "llm_tfidf_top_terms",
+    "llm_ngram_jaccard_topk",
+    "llm_ann_hyperplane_buckets",
+    "stream_tumbling_window_counts",
+    "stream_sliding_window_avg",
+    "stream_session_windows",
+    "stream_dedup_first_event",
+    "stream_static_enrich_segments",
+    "stream_true_tumbling_availablenow",
+    "ref_extract_functions",
+    "ref_sink_roundtrip",
+]
+
+#: Genuinely rows-only queries (no cross-engine oracle can exist:
+#: engine-internal RNG streams, HLL sketch internals, spark.ml hash
+#: seeds, binary codec stubs) — registered last, beyond the driver
+#: window; their assertions live in pytest.
+_TAIL = [
+    "agg_approx_distinct_users",
+    "sample_orders_seeded",
+    "llm_ml_minhash_join",
+    "llm_multimodal_image_features",
+    "llm_multimodal_frame_sampling",
+    "llm_ivf_topk",
+]
+
+_order = (
+    [n for n in _PRIORITY if n in QUERIES]
+    + [n for n in QUERIES if n not in _PRIORITY and n not in _TAIL]
+    + [n for n in _TAIL if n in QUERIES]
+)
+_resorted = {n: QUERIES[n] for n in _order}
+QUERIES.clear()
+QUERIES.update(_resorted)

@@ -182,6 +182,8 @@ _SQL_STOPWORDS = ", ".join(f"'{w}'" for w in _STOPWORDS)
     oracle=rf"""
     SELECT doc_id,
            len(t) AS n_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+             AS n_bpe_tokens,
            len(list_distinct(t)) AS n_uniq_tokens,
            CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS type_token_ratio,
            len(list_filter(t, x -> x IN ({_SQL_STOPWORDS}))) AS n_stopwords,
@@ -189,27 +191,35 @@ _SQL_STOPWORDS = ", ".join(f"'{w}'" for w in _STOPWORDS)
              / len(t) AS stopword_ratio,
            CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE)
              / len(t) AS avg_token_len
-    FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+    FROM (SELECT doc_id, text, {_SQL_TOKENS} AS t FROM documents)
     WHERE len(t) > 0
     """,
 )
 def llm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F20: per-document quality signals (token counts, type-token
-    ratio, stopword ratio, mean token length) — the standard heuristics
-    for corpus filtering. Pure per-row array expressions; no shuffle.
+    """F20: per-document quality signals — whitespace and BPE-ish token
+    counts (the lexer regex word/number/symbol-run proxy for LLM token
+    budgeting), type-token ratio, stopword ratio, mean token length: the
+    standard heuristics for corpus filtering. Pure per-row array
+    expressions; no shuffle.
     """
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", _tokens().alias("t")
+        "doc_id", "text", _tokens().alias("t")
     )
     t = F.col("t")
     stop = F.filter(t, lambda x: x.isin(*_STOPWORDS))
     tok_len_sum = F.aggregate(
         F.transform(t, F.length), F.lit(0).cast("long"), lambda a, v: a + v
     )
+    bpe = F.size(
+        F.regexp_extract_all(
+            F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+        )
+    )
     return (
         docs.select(
             "doc_id",
             F.size(t).alias("n_tokens"),
+            bpe.alias("n_bpe_tokens"),
             F.size(F.array_distinct(t)).alias("n_uniq_tokens"),
             F.size(stop).alias("n_stopwords"),
             tok_len_sum.alias("tok_len_sum"),
@@ -218,6 +228,7 @@ def llm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_tokens",
+            "n_bpe_tokens",
             "n_uniq_tokens",
             (F.col("n_uniq_tokens").cast("double") / F.col("n_tokens")).alias(
                 "type_token_ratio"
@@ -303,59 +314,6 @@ def llm_langid_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.withColumn("predicted_lang", predicted)
 
 
-@register(
-    "llm_token_count_regex",
-    oracle=r"""
-    SELECT doc_id,
-           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
-             AS n_bpe_tokens,
-           len(string_split_regex(trim(lower(text)), '\s+')) AS n_ws_tokens
-    FROM documents
-    """,
-)
-def llm_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F20: token counting two ways — whitespace split and a BPE-ish
-    lexer regex (word / number / single symbol runs), the standard cheap
-    proxy for LLM token budgeting."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.size(
-            F.regexp_extract_all(
-                F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
-            )
-        ).alias("n_bpe_tokens"),
-        F.size(_tokens()).alias("n_ws_tokens"),
-    )
-
-
-@register(
-    "llm_doc_fingerprint_winnow",
-    oracle=r"""
-    SELECT doc_id,
-           CASE WHEN length(text) >= 8
-                THEN list_aggregate(
-                       list_transform(range(1, length(text) - 6),
-                                      i -> md5(substr(text, i, 8))), 'min')
-                ELSE md5(text) END AS fingerprint
-    FROM documents
-    """,
-)
-def llm_doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F20: winnowing-style document fingerprint — the minimum hash over
-    all character 8-gram shingles (one representative hash per doc, the
-    building block of containment detection). Short docs fall back to a
-    whole-text hash."""
-    docs = load_table(spark, sf_dir, "documents")
-    text = F.col("text")
-    idx = F.sequence(F.lit(1), F.length(text) - 7)
-    shingle_hashes = F.transform(idx, lambda i: F.md5(text.substr(i, F.lit(8))))
-    fp = F.when(F.length(text) >= 8, F.array_min(shingle_hashes)).otherwise(
-        F.md5(text)
-    )
-    return docs.select("doc_id", fp.alias("fingerprint"))
-
-
 # ---------------------------------------------------------------------------
 # MinHash LSH near-dup (J6) + n-gram Jaccard
 # ---------------------------------------------------------------------------
@@ -363,35 +321,21 @@ def llm_doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_HASHES = 8
 _BAND_ROWS = 2  # 4 bands × 2 rows
 
+#: Max docs per LSH bucket before pair expansion. A mass-duplicate
+#: cluster (every boilerplate page hashing to one bucket) would
+#: otherwise build one row holding the whole cluster AND its quadratic
+#: pair array — the classic LSH executor-OOM. Buckets over the cap are
+#: dropped whole (their members still pair through their other bands
+#: unless those also overflow); the cap bounds any single row to
+#: O(cap²) pairs regardless of corpus skew.
+_LSH_BUCKET_CAP = 64
 
-@register(
-    "llm_minhash_lsh_pairs",
-    oracle=rf"""
-    WITH sh AS (
-      SELECT doc_id, unnest({_sql_word_ngrams("t")}) AS s
-      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
-    ),
-    sig AS (
-      SELECT doc_id,
-             {", ".join(f"MIN(md5('{i}|' || s)) AS m{i}" for i in range(_N_HASHES))}
-      FROM sh GROUP BY doc_id
-    ),
-    bands AS (
-      {" UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_idx, md5(m{2*b} || m{2*b+1}) AS key FROM sig"
-        for b in range(_N_HASHES // _BAND_ROWS)
-      )}
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
-    FROM bands a
-    JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key
-                AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
-    """,
-)
-def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J6: MinHash-LSH near-duplicate candidate pairs over word 3-gram
-    shingles — 8 hash functions banded 4×2.
+
+def minhash_candidate_pairs(
+    toked: DataFrame, bucket_cap: int = _LSH_BUCKET_CAP
+) -> DataFrame:
+    """Banded MinHash-LSH candidate pairs over (doc_id, t: array<string>)
+    token rows — the reusable operator behind ``llm_minhash_lsh_pairs``.
 
     Scale design (the one that survives 100 TB): signatures are 8 MIN
     aggregates in ONE groupBy(doc) pass (no per-seed explosion);
@@ -400,15 +344,9 @@ def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-local (sorted doc list per bucket → pair expansion as an
     array expression), which evaluates the signature pipeline once — a
     band self-join would recompute it per side. Buckets are md5 keys,
-    so the shuffle is skew-free; a pathological all-duplicates cluster
-    makes one bucket quadratic, which is inherent to LSH and the reason
-    production pipelines cap bucket size before pairing.
+    so the shuffle is skew-free; ``bucket_cap`` bounds the one remaining
+    hazard (a mass-duplicate mega-bucket going quadratic).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    # materialize the token array BEFORE shingling: the n-gram lambda
-    # indexes it per element, and an inline split() expression would be
-    # re-evaluated per index — O(tokens^2) per document
-    toked = docs.select("doc_id", _tokens().alias("t"))
     sh = toked.select("doc_id", F.explode(_word_ngrams(F.col("t"))).alias("s"))
     sig = sh.groupBy("doc_id").agg(
         *[
@@ -433,7 +371,7 @@ def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = (
         bands.groupBy("band_idx", "key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") > 1)
+        .filter((F.size("ds") > 1) & (F.size("ds") <= bucket_cap))
     )
     ds = F.col("ds")
     pairs = F.flatten(
@@ -450,6 +388,50 @@ def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
+
+
+@register(
+    "llm_minhash_lsh_pairs",
+    oracle=rf"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_sql_word_ngrams("t")}) AS s
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+    ),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(md5('{i}|' || s)) AS m{i}" for i in range(_N_HASHES))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(m{2*b} || m{2*b+1}) AS key FROM sig"
+        for b in range(_N_HASHES // _BAND_ROWS)
+      )}
+    ),
+    bsz AS (
+      SELECT band_idx, key FROM bands
+      GROUP BY band_idx, key
+      HAVING COUNT(*) BETWEEN 2 AND {_LSH_BUCKET_CAP}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+    FROM bands a
+    JOIN bsz USING (band_idx, key)
+    JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key
+                AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: MinHash-LSH near-duplicate candidate pairs over word 3-gram
+    shingles — 8 hash functions banded 4×2, buckets capped at
+    ``_LSH_BUCKET_CAP`` before pair expansion (see
+    ``minhash_candidate_pairs`` for the full scale rationale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # materialize the token array BEFORE shingling: the n-gram lambda
+    # indexes it per element, and an inline split() expression would be
+    # re-evaluated per index — O(tokens^2) per document
+    toked = docs.select("doc_id", _tokens().alias("t"))
+    return minhash_candidate_pairs(toked)
 
 
 @register(
@@ -567,13 +549,15 @@ def _sql_int_dot(a: str, b: str) -> str:
     WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
     d AS (
       SELECT e.vec_id, e.label,
+             len(e.embedding) AS n_dims,
              {_sql_int_dot("e.embedding", "q.qe")} AS dot,
              {_sql_int_dot("e.embedding", "e.embedding")} AS na,
              {_sql_int_dot("q.qe", "q.qe")} AS nq
       FROM embeddings e, q
       WHERE e.vec_id <> {_QUERY_VEC_ID}
     )
-    SELECT vec_id, label,
+    SELECT vec_id, label, n_dims,
+           sqrt(CAST(na AS DOUBLE)) / {_FP} AS l2_norm,
            CAST(dot AS DOUBLE)
              / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE))) AS cosine
     FROM d
@@ -582,8 +566,10 @@ def _sql_int_dot(a: str, b: str) -> str:
     """,
 )
 def llm_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F21+O5: brute-force cosine top-k against a query vector — the
-    exact ANN baseline (fixed-point: see ``_FP``).
+    """F21+O5 (+F19 vector scalars): brute-force cosine top-k against a
+    query vector — the exact ANN baseline (fixed-point: see ``_FP``) —
+    with each hit's dimensionality and exact L2 norm (int64 sum of
+    squares, order-free; sqrt + rescale in doubles at the end).
 
     Scale shape: the 1-row query vector broadcasts; every candidate is
     scored in a single map stage (type-stable int64 ``aggregate`` fold,
@@ -602,6 +588,7 @@ def llm_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
+            F.size("embedding").alias("n_dims"),
             _int_dot("embedding", "qe").alias("dot"),
             _int_dot("embedding", "embedding").alias("na"),
             _int_dot("qe", "qe").alias("nq"),
@@ -610,35 +597,13 @@ def llm_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine = F.col("dot").cast("double") / (
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nq").cast("double"))
     )
+    l2 = F.sqrt(F.col("na").cast("double")) / _FP
     return (
-        scored.select("vec_id", "label", cosine.alias("cosine"))
+        scored.select(
+            "vec_id", "label", "n_dims", l2.alias("l2_norm"), cosine.alias("cosine")
+        )
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(10)
-    )
-
-
-@register(
-    "llm_embedding_norms",
-    oracle=rf"""
-    SELECT vec_id, label,
-           len(embedding) AS n_dims,
-           sqrt(CAST({_sql_int_dot("embedding", "embedding")} AS DOUBLE)) / {_FP}
-             AS l2_norm
-    FROM embeddings
-    """,
-)
-def llm_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F19: per-vector L2 norm — exact fixed-point sum of squares
-    (int64, order-free), sqrt + rescale in doubles at the end. Pure map
-    stage, no shuffle."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return emb.select(
-        "vec_id",
-        "label",
-        F.size("embedding").alias("n_dims"),
-        (F.sqrt(_int_dot("embedding", "embedding").cast("double")) / _FP).alias(
-            "l2_norm"
-        ),
     )
 
 
@@ -745,8 +710,20 @@ def llm_multimodal_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame
     return mm.sample_video_frames(mm.synth_media_df(spark, 64), every_ms=500)
 
 
-_N_PLANES = 4
+#: Hyperplane count for the sign-bucket LSH. Buckets = 2^planes, and
+#: candidate generation is bucket-quadratic, so planes must grow with
+#: the corpus: planes ≈ log2(N / target_bucket_size). 8 planes (256
+#: buckets) is the floor for the test corpora; a 100 TB corpus with
+#: ~1e9 vectors targeting ~1e4-vector buckets wants ~17 planes — set
+#: this (or shard by a key prefix) before scaling up.
+_N_PLANES = 8
 _SCALE = 1_000_000_000  # fixed-point 1e-9 — exact from DECIMAL(18,9)
+
+#: Max vectors per hyperplane bucket admitted to the pair join — the
+#: same mega-bucket guard as ``_LSH_BUCKET_CAP``: a degenerate corpus
+#: (many identical embeddings) lands in one bucket and would go
+#: quadratic regardless of plane count. Overflowing buckets drop whole.
+_ANN_BUCKET_CAP = 1024
 
 
 def _plane_weight(plane: int, d: Column) -> Column:
@@ -809,30 +786,50 @@ _NEAR_DUP_COSINE = 0.3
                'sum') AS BIGINT) AS DOUBLE)) AS nrm
       FROM b
     ),
+    ok AS (
+      SELECT bucket FROM b GROUP BY bucket
+      HAVING COUNT(*) BETWEEN 2 AND {_ANN_BUCKET_CAP}
+    ),
     pairs AS (
       SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
              CAST(CAST(list_aggregate(
                list_transform(list_zip(x.sv, y.sv), p -> p[1] * p[2]),
                'sum') AS BIGINT) AS DOUBLE) / (x.nrm * y.nrm) AS cosine
-      FROM n x JOIN n y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+      FROM n x
+      JOIN ok USING (bucket)
+      JOIN n y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
     )
     SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= {_NEAR_DUP_COSINE}
     """,
 )
 def llm_ann_bucketed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6: embedding-cosine near-duplicate JOIN, the complete scale
-    path — hyperplane-LSH bucket assignment, exact fixed-point cosine
-    only WITHIN buckets, similarity threshold filter. The equi-join on
-    the bucket id carries the shuffle, so candidate generation is
-    bucket-quadratic, never corpus-quadratic; recall is tuned by plane
-    count (more planes → smaller buckets → faster, lower recall).
+    path (see ``ann_cosine_pairs``) at ``_N_PLANES`` planes with the
+    ``_ANN_BUCKET_CAP`` mega-bucket guard."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_cosine_pairs(emb)
+
+
+def ann_cosine_pairs(
+    emb: DataFrame, bucket_cap: int = _ANN_BUCKET_CAP
+) -> DataFrame:
+    """Hyperplane-LSH bucketed cosine near-duplicate pairs over
+    (vec_id, embedding) rows — the reusable operator behind
+    ``llm_ann_bucketed_cosine_pairs``.
+
+    The complete scale path: hyperplane-LSH bucket assignment, exact
+    fixed-point cosine only WITHIN buckets, similarity threshold filter.
+    The equi-join on the bucket id carries the shuffle, so candidate
+    generation is bucket-quadratic, never corpus-quadratic; recall is
+    tuned by plane count (more planes → smaller buckets → faster, lower
+    recall) and ``bucket_cap`` drops degenerate mega-buckets whole.
 
     Pair-loop hygiene: the fixed-point scaled vector and its norm are
     computed ONCE per vector before the join — inside the pair loop
     only a single int64 zip-dot runs (recomputing casts/norms per pair
-    costs ~6× at any scale).
+    costs ~6× at any scale). The bucket-size side input is ≤ 2^planes
+    rows, so its join is an explicit broadcast.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
     sv = F.transform("embedding", _iscale)
     b = emb.select("vec_id", sv.alias("sv"), _bucket_expr().alias("bucket"))
     dot_self = F.aggregate(
@@ -843,7 +840,14 @@ def llm_ann_bucketed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     n = b.select(
         "vec_id", "sv", "bucket", F.sqrt(dot_self.cast("double")).alias("nrm")
     )
-    x, y = n.alias("x"), n.alias("y")
+    ok = (
+        n.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter((F.col("bsz") >= 2) & (F.col("bsz") <= bucket_cap))
+        .select("bucket")
+    )
+    x = n.join(F.broadcast(ok), "bucket").alias("x")
+    y = n.alias("y")
     pair_dot = F.aggregate(
         F.zip_with("x.sv", "y.sv", lambda a_, b_: a_ * b_),
         F.lit(0).cast("long"),

@@ -245,9 +245,14 @@ _SIM_BITS = 16
                    CASE WHEN contains('13579bdf', substr(h, j, 1))
                         THEN 1 ELSE -1 END), 'sum') >= 0
                THEN '1' ELSE '0' END),
-             '') AS simhash
+             '') AS simhash,
+           CASE WHEN length(text) >= 8
+                THEN list_aggregate(
+                       list_transform(range(1, length(text) - 6),
+                                      i -> md5(substr(text, i, 8))), 'min')
+                ELSE md5(text) END AS winnow_fp
     FROM (
-      SELECT doc_id,
+      SELECT doc_id, text,
              list_transform(list_distinct({{tokens}}), x -> md5(x)) AS hs
       FROM documents
     )
@@ -255,13 +260,28 @@ _SIM_BITS = 16
     """.format(tokens=r"string_split_regex(trim(lower(text)), '\s+')"),
 )
 def llm_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash document fingerprints: per token-set hash, vote ±1 on
-    each of 16 bit positions (hex-digit parity of the token's md5), the
-    sign vector is the fingerprint — near-identical docs land within a
-    small Hamming distance. Pure array expressions; one md5 per distinct
-    token, then 16 cheap digit tests."""
+    """Document fingerprints, two families in one pass.
+
+    SimHash: per token-set hash, vote ±1 on each of 16 bit positions
+    (hex-digit parity of the token's md5), the sign vector is the
+    fingerprint — near-identical docs land within a small Hamming
+    distance. Pure array expressions; one md5 per distinct token, then
+    16 cheap digit tests.
+
+    Winnowing-style min-shingle hash: the minimum md5 over all character
+    8-gram shingles (one representative hash per doc, the building block
+    of containment detection; short docs fall back to a whole-text
+    hash). O(n_chars) md5s per doc, still a pure map stage.
+    """
+    text = F.col("text")
+    idx = F.sequence(F.lit(1), F.length(text) - 7)
+    shingle_hashes = F.transform(idx, lambda i: F.md5(text.substr(i, F.lit(8))))
+    winnow = F.when(F.length(text) >= 8, F.array_min(shingle_hashes)).otherwise(
+        F.md5(text)
+    )
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
+        winnow.alias("winnow_fp"),
         F.transform(
             F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+")), F.md5
         ).alias("hs"),
@@ -286,5 +306,5 @@ def llm_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit("0")),
     )
     return docs.filter(F.size(hs) > 0).select(
-        "doc_id", F.concat_ws("", bits).alias("simhash")
+        "doc_id", F.concat_ws("", bits).alias("simhash"), "winnow_fp"
     )

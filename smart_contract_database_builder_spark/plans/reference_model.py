@@ -166,25 +166,40 @@ def ref_bundle_hash_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN source_type = 'multi_sol'
                 THEN md5(string_agg(h, '' ORDER BY h))
                 ELSE MIN(h) END AS id,
-           COUNT(*) AS n_files
+           COUNT(*) AS n_files,
+           json_extract_string(meta, '$.CompilerVersion') AS compiler_version,
+           regexp_extract(json_extract_string(meta, '$.CompilerVersion'),
+                          'v?(\d+\.\d+\.\d+)', 1) AS compiler_semver,
+           CAST(json_extract_string(meta, '$.Runs') AS INT) AS runs,
+           CAST(json_extract_string(meta, '$.OptimizationUsed') AS BOOLEAN)
+             AS optimization_used,
+           json_extract_string(meta, '$.BytecodeHash') AS bytecode_hash
     FROM sel
     GROUP BY dir, source_type, meta
     """,
 )
 def ref_ingest_folder_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3: folder-layout resolution over the fixture corpus — the
-    reference's 4-layout priority cascade (plain_contract.rs:284-320)
+    """S3+S6+F7+F11: folder-layout resolution over the fixture corpus —
+    the reference's 4-layout priority cascade (plain_contract.rs:284-320)
     with content-addressed ids; the orphan dir (no metadata.json) is
     dropped, the whitespace-variant duplicate resolves to the same id
-    as its original.
+    as its original. Each contract carries its typed metadata decode
+    (``from_json``, db.rs:35-49 semantics) with semver normalization
+    (plain_contract.rs:334-337).
     """
     parsed = C.parse_folder_contracts(fixtures.contract_files_df(spark))
+    m = F.from_json("metadata", METADATA_SCHEMA)
     return parsed.select(
         "dir",
         "source_type",
         "contract_name",
         "id",
         F.col("n_files").cast("long").alias("n_files"),
+        m["CompilerVersion"].alias("compiler_version"),
+        C.normalize_version(m["CompilerVersion"]).alias("compiler_semver"),
+        m["Runs"].alias("runs"),
+        m["OptimizationUsed"].alias("optimization_used"),
+        m["BytecodeHash"].alias("bytecode_hash"),
     )
 
 
@@ -281,68 +296,151 @@ def ref_sources_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.explode_standard_json_sources(fixtures.etherscan_df(spark))
 
 
+def _py_parse_folder() -> list[dict]:
+    """Driver-side pure-Python replica of the folder parse over the
+    fixture corpus: layout cascade (plain_contract.rs:284-320) +
+    content-addressed ids (utils.rs:12-17). Used to derive the golden
+    VALUES oracles for the extract/sink queries — an execution path with
+    no Spark in it, so the mapInPandas plumbing, schema mapping, and
+    dedup are all checked against an independent driver-side run."""
+    import hashlib
+    import re as _re
+    from collections import OrderedDict
+
+    dirs: "OrderedDict[str, OrderedDict[str, str]]" = OrderedDict()
+    for d, fn, content in fixtures.CONTRACT_FILES:
+        dirs.setdefault(d, OrderedDict())[fn] = content
+
+    def h(s: str) -> str:
+        return hashlib.md5(_re.sub(C.PY_WS_PATTERN, "", s).encode()).hexdigest()
+
+    out = []
+    for d, files in dirs.items():
+        if "metadata.json" not in files:
+            continue
+        if "contract.json" in files:
+            st, sel = "json", ["contract.json"]
+        elif "main.sol" in files:
+            st, sel = "single_sol", ["main.sol"]
+        elif "main.vy" in files:
+            st, sel = "vyper", ["main.vy"]
+        else:
+            st = "multi_sol"
+            sel = [f for f in files if f.endswith(".sol")]
+        if st == "multi_sol":
+            cid = hashlib.md5(
+                "".join(sorted(h(files[f]) for f in sel)).encode()
+            ).hexdigest()
+        else:
+            cid = h(files[sel[0]])
+        out.append(
+            {
+                "dir": d,
+                "source_type": st,
+                "id": cid,
+                "files": [
+                    {"filename": f, "content": files[f]} for f in sel
+                ],
+            }
+        )
+    return out
+
+
+def _sql_values_rows(rows: list[tuple], alias: str, cols: list[str]) -> str:
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    body = ",\n".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    return f"(VALUES\n{body}) AS {alias}({', '.join(cols)})"
+
+
+def _extract_golden_rows() -> list[tuple]:
+    """The expected `function` table over the fixture corpus, computed
+    with plain driver-side Python (no Spark): parse replica → scanner →
+    conflict-ignore dedup on the function id, first occurrence wins
+    (db.rs:208)."""
+    seen: dict[str, tuple] = {}
+    for contract in _py_parse_folder():
+        if contract["source_type"] == "vyper":
+            continue  # P6: vyper skip, main.rs:298-300
+        for row in stage._function_rows(contract["id"], contract["files"]):
+            seen.setdefault(row[0], row)
+    return list(seen.values())
+
+
+_EXTRACT_GOLDEN = _extract_golden_rows()
+
+
 @register(
-    "ref_metadata_decode",
-    oracle=rf"""
-    SELECT dir,
-           json_extract_string(m, '$.ContractName') AS contract_name,
-           json_extract_string(m, '$.CompilerVersion') AS compiler_version,
-           regexp_extract(json_extract_string(m, '$.CompilerVersion'),
-                          'v?(\d+\.\d+\.\d+)', 1) AS compiler_semver,
-           CAST(json_extract_string(m, '$.Runs') AS INT) AS runs,
-           CAST(json_extract_string(m, '$.OptimizationUsed') AS BOOLEAN)
-             AS optimization_used,
-           json_extract_string(m, '$.BytecodeHash') AS bytecode_hash
-    FROM (
-      SELECT dir,
-             MAX(CASE WHEN filename = 'metadata.json' THEN content END) AS m
-      FROM {_FILES}
-      GROUP BY dir
-    )
-    WHERE m IS NOT NULL
-    """,
+    "ref_extract_functions",
+    oracle="SELECT * FROM "
+    + _sql_values_rows(
+        _EXTRACT_GOLDEN,
+        "fn",
+        [
+            "id",
+            "contract_id",
+            "contract_name",
+            "function_name",
+            "filename",
+            "signature",
+            "selector",
+            "source_code",
+        ],
+    ),
 )
-def ref_metadata_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S6+F7+F11: typed decode of the metadata JSON column with
-    ``from_json`` (db.rs:35-49 semantics) plus semver normalization
-    (plain_contract.rs:334-337).
-    """
-    files = fixtures.contract_files_df(spark)
-    meta = (
-        files.filter(F.col("filename") == "metadata.json")
-        .select("dir", F.from_json("content", METADATA_SCHEMA).alias("m"))
-    )
-    return meta.select(
-        "dir",
-        F.col("m")["ContractName"].alias("contract_name"),
-        F.col("m")["CompilerVersion"].alias("compiler_version"),
-        C.normalize_version(F.col("m")["CompilerVersion"]).alias("compiler_semver"),
-        F.col("m")["Runs"].alias("runs"),
-        F.col("m")["OptimizationUsed"].alias("optimization_used"),
-        F.col("m")["BytecodeHash"].alias("bytecode_hash"),
-    )
-
-
-@register("ref_extract_functions", oracle=None)
 def ref_extract_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1/U3+F4-F6+F14: the compile/extract stage over the fixture
     corpus — vyper filtered pre-stage (P6), Arrow-batched function
     extraction with keccak selectors and byte-exact body slices,
-    conflict-ignore dedup on the function id (rows-only: keccak is not
-    computable in the SQL oracle; goldens live in
-    tests/test_compilestage.py).
+    conflict-ignore dedup on the function id.
+
+    Oracle: a golden VALUES relation recomputed at import time by a
+    pure driver-side Python pass (no Spark involved), so the Spark-side
+    parse → mapInPandas → dedup pipeline is checked end-to-end against
+    an independent execution path; the keccak selectors themselves are
+    pinned to public ERC-20 vectors in tests/test_compilestage.py.
     """
     parsed = C.parse_folder_contracts(fixtures.contract_files_df(spark))
     return stage.extract_functions(parsed)
 
 
-@register("ref_sink_roundtrip", oracle=None)
+def _sink_golden_rows() -> list[tuple]:
+    """Expected sink round-trip result: contracts per source_type after
+    conflict-ignore dedup on id (the whitespace-variant duplicate
+    collapses), with first-load = distinct ids and second-load = 0."""
+    by_id: dict[str, str] = {}
+    for contract in _py_parse_folder():
+        by_id.setdefault(contract["id"], contract["source_type"])
+    counts: dict[str, int] = {}
+    for st in by_id.values():
+        counts[st] = counts.get(st, 0) + 1
+    total = len(by_id)
+    return [(st, n, total, 0) for st, n in sorted(counts.items())]
+
+
+@register(
+    "ref_sink_roundtrip",
+    oracle="SELECT source_type, CAST(n_contracts AS BIGINT) AS n_contracts, "
+    "CAST(first_load_rows AS BIGINT) AS first_load_rows, "
+    "CAST(second_load_rows AS BIGINT) AS second_load_rows FROM "
+    + _sql_values_rows(
+        _sink_golden_rows(),
+        "sink",
+        ["source_type", "n_contracts", "first_load_rows", "second_load_rows"],
+    ),
+)
 def ref_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7-S10: staged-parquet single-writer DuckDB sink round-trip —
     bootstrap DDL, conflict-ignoring bulk load inside the checkpoint
-    pragma window, idempotent re-load, read back per-type counts
-    (rows-only: the sink DB is a temp file the oracle can't see;
-    assertions live in tests/test_duckdb_sink.py).
+    pragma window, idempotent re-load, read back per-type counts.
+    Oracle: golden VALUES derived by the driver-side parse replica
+    (``_sink_golden_rows``); deeper assertions live in
+    tests/test_duckdb_sink.py.
     """
     import tempfile
 
@@ -359,38 +457,13 @@ def ref_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             back.groupBy("source_type")
             .agg(SF.count(SF.lit(1)).alias("n_contracts"))
-            .withColumn("first_load_rows", SF.lit(first))
-            .withColumn("second_load_rows", SF.lit(second))
+            .withColumn("first_load_rows", SF.lit(first).cast("long"))
+            .withColumn("second_load_rows", SF.lit(second).cast("long"))
             .localCheckpoint()  # materialize before the temp dir vanishes
         )
 
 
-@register(
-    "ref_crlf_normalize",
-    oracle=rf"""
-    SELECT dir, filename,
-           length(content) AS raw_len,
-           length(regexp_replace(content, chr(13) || chr(10), chr(10), 'g'))
-             AS norm_len,
-           md5(regexp_replace(
-             regexp_replace(content, chr(13) || chr(10), chr(10), 'g'),
-             '{_WS}', '', 'g')) AS norm_id
-    FROM {_FILES}
-    WHERE filename LIKE '%.sol'
-    """,
-)
-def ref_crlf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F13: CRLF → LF normalization (plain_contract.rs:434) ahead of any
-    offset math; the CRLF fixture file shrinks, LF-only files don't.
-    """
-    files = fixtures.contract_files_df(spark).filter(
-        F.col("filename").endswith(".sol")
-    )
-    norm = C.normalize_crlf(F.col("content"))
-    return files.select(
-        "dir",
-        "filename",
-        F.length("content").alias("raw_len"),
-        F.length(norm).alias("norm_len"),
-        C.contract_id(norm).alias("norm_id"),
-    )
+# F13 (CRLF → LF normalization, plain_contract.rs:434) is exercised by
+# the ingest queries above (the CRLF fixture file resolves to the same
+# content id as its LF twin) and unit-tested in tests/test_contracts.py;
+# it no longer carries a standalone registry entry.

@@ -256,46 +256,38 @@ def join_order_customer_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_semi_customers_with_orders",
+    "join_semi_anti_customers",
     oracle="""
-    SELECT c_custkey, c_name
+    SELECT 'with_big_orders' AS rel, c_custkey, c_name
     FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o
-                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
-    """,
-)
-def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXT J4 left-semi join (existence check)."""
-    customer = _t(spark, sf_dir, "customer")
-    big_orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
-    return customer.join(
-        big_orders, customer.c_custkey == big_orders.o_custkey, "left_semi"
-    ).select("c_custkey", "c_name")
-
-
-@register(
-    "join_anti_customers_without_orders",
-    oracle="""
-    SELECT c_custkey, c_name
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
+    UNION ALL
+    SELECT 'without_big_orders' AS rel, c_custkey, c_name
     FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_totalprice > 250000)
     """,
 )
-def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXT J4 left-anti join — the sink-dedup primitive (SURVEY.md §1.4).
+def join_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT J4 left-semi + left-anti joins in one tagged result — the
+    existence check and its complement (the sink-dedup primitive,
+    SURVEY.md §1.4) over the same high-value order subset.
 
-    Anti-joins against the *high-value* order subset so both sides of the
-    predicate are exercised: some customers survive, some are filtered —
-    an all-customers anti-join is empty (every customer has orders) and
-    would pass vacuously.
+    The >250000 threshold keeps BOTH partitions non-empty (every
+    customer has *some* order, so an unfiltered anti-join would be
+    vacuously empty); semi + anti rows partition the customer table.
     """
     customer = _t(spark, sf_dir, "customer")
     big_orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
-    return customer.join(
+    semi = customer.join(
+        big_orders, customer.c_custkey == big_orders.o_custkey, "left_semi"
+    ).select(F.lit("with_big_orders").alias("rel"), "c_custkey", "c_name")
+    anti = customer.join(
         big_orders, customer.c_custkey == big_orders.o_custkey, "left_anti"
-    ).select("c_custkey", "c_name")
+    ).select(F.lit("without_big_orders").alias("rel"), "c_custkey", "c_name")
+    return semi.unionByName(anti)
 
 
 # ---------------------------------------------------------------------------
@@ -321,33 +313,71 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GROUPING_AGGS_SQL = """COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price"""
+
+
 @register(
-    "agg_rollup_status_priority",
-    oracle="""
-    SELECT COALESCE(o_orderstatus, 'ALL') AS order_status,
+    "agg_grouping_shapes",
+    oracle=f"""
+    SELECT 'rollup' AS shape,
+           COALESCE(o_orderstatus, 'ALL') AS order_status,
            COALESCE(o_orderpriority, 'ALL') AS order_priority,
-           COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+           {_GROUPING_AGGS_SQL}
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    UNION ALL
+    SELECT 'cube' AS shape,
+           COALESCE(o_orderstatus, 'ALL') AS order_status,
+           COALESCE(o_orderpriority, 'ALL') AS order_priority,
+           {_GROUPING_AGGS_SQL}
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    UNION ALL
+    SELECT 'sets' AS shape,
+           COALESCE(o_orderstatus, 'ALL') AS order_status,
+           COALESCE(o_orderpriority, 'ALL') AS order_priority,
+           {_GROUPING_AGGS_SQL}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
     """,
 )
-def agg_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXT A6 rollup with COALESCE'd grouping keys for oracle parity."""
-    return (
-        _t(spark, sf_dir, "orders")
-        .rollup("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            dsum("o_totalprice").alias("total_price"),
+def agg_grouping_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT A6, all three multi-grouping shapes in one tagged result:
+    ROLLUP, CUBE, and explicit GROUPING SETS ((status), (priority)).
+    Each shape is a single Expand + aggregate in Catalyst (never one
+    scan per grouping combination); keys are COALESCE'd for oracle
+    parity."""
+    orders = _t(spark, sf_dir, "orders")
+    shaped = []
+    for tag, grouped in (
+        ("rollup", orders.rollup("o_orderstatus", "o_orderpriority")),
+        ("cube", orders.cube("o_orderstatus", "o_orderpriority")),
+        (
+            "sets",
+            orders.groupingSets(
+                [["o_orderstatus"], ["o_orderpriority"]],
+                "o_orderstatus",
+                "o_orderpriority",
+            ),
+        ),
+    ):
+        shaped.append(
+            grouped.agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                dsum("o_totalprice").alias("total_price"),
+            ).select(
+                F.lit(tag).alias("shape"),
+                F.coalesce("o_orderstatus", F.lit("ALL")).alias("order_status"),
+                F.coalesce("o_orderpriority", F.lit("ALL")).alias("order_priority"),
+                "n_orders",
+                "total_price",
+            )
         )
-        .select(
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("order_status"),
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("order_priority"),
-            "n_orders",
-            "total_price",
-        )
-    )
+    out = shaped[0]
+    for df in shaped[1:]:
+        out = out.unionByName(df)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -426,20 +456,34 @@ def window_running_revenue_by_date(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
-    "window_lag_user_event_value",
+    "window_lag_lead_first_last",
     oracle="""
     SELECT event_id, user_id, value,
-           LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+           LAG(value) OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value,
+           FIRST_VALUE(value) OVER w AS first_value,
+           LAST_VALUE(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_value
     FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
 )
-def window_lag_user_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXT W2 analytic lag per user ordered by event time."""
+def window_lag_lead_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT W2, the full analytic family in one pass: lag / lead / first /
+    last per user ordered by event time (last over an explicit
+    whole-partition frame — the default frame would degenerate to the
+    current row). One shuffle on user_id serves all four functions."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return (
-        _t(spark, sf_dir, "events")
-        .withColumn("prev_value", F.lag("value").over(w))
-        .select("event_id", "user_id", "value", "prev_value")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(w).alias("first_value"),
+        F.last("value").over(w_full).alias("last_value"),
     )
 
 
@@ -473,46 +517,60 @@ def topk_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "set_union_high_value_keys",
+    "set_ops_customer_keys",
     oracle="""
-    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
-    UNION
-    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+    SELECT 'union' AS op, custkey FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
+      UNION
+      SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+    )
+    UNION ALL
+    SELECT 'intersect' AS op, custkey FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+      INTERSECT
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    UNION ALL
+    SELECT 'except_all' AS op, custkey FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT ALL
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    )
     """,
 )
-def set_union_high_value_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXT set op: UNION (distinct) of two key sets."""
-    a = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.col("o_totalprice") > 200000)
-        .select(F.col("o_custkey").alias("custkey"))
-    )
-    b = (
-        _t(spark, sf_dir, "customer")
-        .filter(F.col("c_acctbal") > 9000)
-        .select(F.col("c_custkey").alias("custkey"))
-    )
-    return a.union(b).distinct()
-
-
-@register(
-    "set_intersect_buyer_segments",
-    oracle="""
-    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
-    INTERSECT
-    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
-    """,
-)
-def set_intersect_buyer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXT set op: INTERSECT — customers with both open and filled orders."""
+def set_ops_customer_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT set ops, all three families tagged in one result: UNION
+    (distinct) of high-value key sets, INTERSECT of open∩filled buyers,
+    and EXCEPT ALL with exact multiset semantics (a custkey appearing
+    3× as 'F' and 1× as 'O' survives twice, matching DuckDB's bag
+    difference)."""
     orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    union_k = (
+        orders.filter(F.col("o_totalprice") > 200000)
+        .select(F.col("o_custkey").alias("custkey"))
+        .union(
+            customer.filter(F.col("c_acctbal") > 9000).select(
+                F.col("c_custkey").alias("custkey")
+            )
+        )
+        .distinct()
+    )
     open_k = orders.filter(F.col("o_orderstatus") == "O").select(
         F.col("o_custkey").alias("custkey")
     )
     filled_k = orders.filter(F.col("o_orderstatus") == "F").select(
         F.col("o_custkey").alias("custkey")
     )
-    return open_k.intersect(filled_k)
+    tagged = [
+        union_k.select(F.lit("union").alias("op"), "custkey"),
+        open_k.intersect(filled_k).select(F.lit("intersect").alias("op"), "custkey"),
+        filled_k.exceptAll(open_k).select(F.lit("except_all").alias("op"), "custkey"),
+    ]
+    out = tagged[0]
+    for df in tagged[1:]:
+        out = out.unionByName(df)
+    return out
 
 
 # ---------------------------------------------------------------------------

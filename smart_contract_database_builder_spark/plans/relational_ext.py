@@ -20,91 +20,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Set ops: EXCEPT ALL
+# Aggregations: approx distinct (CUBE / GROUPING SETS / EXCEPT ALL merged
+# into relational.py's agg_grouping_shapes / set_ops_customer_keys)
 # ---------------------------------------------------------------------------
-
-
-@register(
-    "set_except_all_status_keys",
-    oracle="""
-    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
-    EXCEPT ALL
-    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
-    """,
-)
-def set_except_all_status_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SET: EXCEPT ALL — multiset difference (a custkey appearing 3× as
-    'F' and 1× as 'O' survives twice), the exact bag semantics DuckDB's
-    EXCEPT ALL defines."""
-    orders = _t(spark, sf_dir, "orders")
-    f_keys = orders.filter(F.col("o_orderstatus") == "F").select(
-        F.col("o_custkey").alias("custkey")
-    )
-    o_keys = orders.filter(F.col("o_orderstatus") == "O").select(
-        F.col("o_custkey").alias("custkey")
-    )
-    return f_keys.exceptAll(o_keys)
-
-
-# ---------------------------------------------------------------------------
-# Aggregations: cube, grouping sets, approx distinct
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "agg_cube_status_priority",
-    oracle="""
-    SELECT COALESCE(o_orderstatus, 'ALL') AS order_status,
-           COALESCE(o_orderpriority, 'ALL') AS order_priority,
-           COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
-    FROM orders
-    GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-)
-def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6: CUBE — all 4 grouping combinations in one pass (Catalyst
-    plans a single Expand + aggregate, not 4 scans)."""
-    return (
-        _t(spark, sf_dir, "orders")
-        .cube("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            dsum("o_totalprice").alias("total_price"),
-        )
-        .select(
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("order_status"),
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("order_priority"),
-            "n_orders",
-            "total_price",
-        )
-    )
-
-
-@register(
-    "agg_grouping_sets_status_priority",
-    oracle="""
-    SELECT COALESCE(o_orderstatus, 'ALL') AS order_status,
-           COALESCE(o_orderpriority, 'ALL') AS order_priority,
-           COUNT(*) AS n_orders
-    FROM orders
-    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
-    """,
-)
-def agg_grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6: explicit GROUPING SETS ((status), (priority)) — two
-    independent rollups in one Expand-based aggregate."""
-    orders = _t(spark, sf_dir, "orders")
-    grouped = orders.groupingSets(
-        [["o_orderstatus"], ["o_orderpriority"]],
-        "o_orderstatus",
-        "o_orderpriority",
-    ).agg(F.count(F.lit(1)).alias("n_orders"))
-    return grouped.select(
-        F.coalesce("o_orderstatus", F.lit("ALL")).alias("order_status"),
-        F.coalesce("o_orderpriority", F.lit("ALL")).alias("order_priority"),
-        "n_orders",
-    )
 
 
 @register("agg_approx_distinct_users", oracle=None)
@@ -164,35 +82,6 @@ def window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w).alias("drnk"),
         F.ntile(4).over(w).alias("quartile"),
         F.percent_rank().over(w).alias("pct_rank"),
-    )
-
-
-@register(
-    "window_lead_first_last",
-    oracle="""
-    SELECT event_id, user_id, value,
-           LEAD(value) OVER w AS next_value,
-           FIRST_VALUE(value) OVER w AS first_value,
-           LAST_VALUE(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-             AS last_value
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    """,
-)
-def window_lead_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W2 full family: lead / first / last per user ordered by event
-    time (last over an explicit whole-partition frame — the default
-    frame would degenerate to the current row)."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    return _t(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        "value",
-        F.lead("value").over(w).alias("next_value"),
-        F.first("value").over(w).alias("first_value"),
-        F.last("value").over(w_full).alias("last_value"),
     )
 
 

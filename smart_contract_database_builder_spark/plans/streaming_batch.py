@@ -30,9 +30,7 @@ _TS_FMT_US = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 _SQL_TS_FMT_US = "%Y-%m-%d %H:%M:%S.%f"
 
 
-@register(
-    "stream_tumbling_window_counts",
-    oracle=f"""
+_TUMBLING_ORACLE = f"""
     SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '{_SQL_TS_FMT}')
              AS window_start,
            event_type,
@@ -40,8 +38,10 @@ _SQL_TS_FMT_US = "%Y-%m-%d %H:%M:%S.%f"
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
-    """,
-)
+    """
+
+
+@register("stream_tumbling_window_counts", oracle=_TUMBLING_ORACLE)
 def stream_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2: 5-minute tumbling-window aggregate per event type — the
     canonical streaming rollup (identical code runs under readStream
@@ -199,13 +199,14 @@ def stream_static_enrich_segments(spark: SparkSession, sf_dir: str) -> DataFrame
     return jobs.enrich_with_customers(ev, cust)
 
 
-@register("stream_true_tumbling_availablenow", oracle=None)
+@register("stream_true_tumbling_availablenow", oracle=_TUMBLING_ORACLE)
 def stream_true_tumbling_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1+T2 true streaming smoke: reads events as an unbounded stream
+    """T1+T2 true streaming: reads events as an unbounded stream
     (parquet file source), applies a 10-minute watermark and the shared
     tumbling-window aggregation, drains it with an availableNow trigger
-    into a memory sink, and returns the materialized result (rows-only
-    check; the oracle-checked twin is ``stream_tumbling_window_counts``).
+    into a memory sink, and returns the materialized result. Because the
+    drained stream must equal the batch aggregation exactly, it shares
+    the batch twin's oracle — a genuine stream==batch equivalence gate.
     """
     ev = jobs.read_events_stream(spark, sf_dir)
     windowed = jobs.tumbling_counts(ev.withWatermark("ts", "10 minutes"))
