@@ -40,22 +40,68 @@ def _spark() -> SparkSession:
     return get_spark(app_name="scdb-cli")
 
 
+def _first_corrupt_json(df, content_col: str, key_col: str):
+    """Rows whose ``content_col`` is not valid JSON (the P8
+    corrupt-record probe): returns up to one offending key for the
+    strict-mode error message."""
+    from pyspark.sql import functions as F
+
+    probe = F.from_json(
+        content_col,
+        "struct<_corrupt_record:string>",
+        {"columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    return df.filter(probe["_corrupt_record"].isNotNull()).select(key_col).take(1)
+
+
 def cmd_pre_process(args: argparse.Namespace) -> int:
+    from pyspark.sql import functions as F
+
     from .sinks import duckdb_sink as sink
     from .sources import contracts as C
 
     spark = _spark()
+    if args.chunk_size:
+        # The reference's --chunk-size bounds rows held in RAM per chunk
+        # (main.rs:170-258). Spark's analogue is the scan split budget:
+        # bound bytes per task up front instead of paying a full extra
+        # pass over the corpus (df.count()) just to derive a partition
+        # number. ~16 KiB approximates a verified-contract bundle; the
+        # 1 MiB floor keeps splits sane for tiny chunk sizes.
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes",
+            str(max(args.chunk_size * 16 * 1024, 1 << 20)),
+        )
     if args.etherscan:
         raw = C.read_etherscan_files(spark, args.contracts_root)
+        if not args.ignore_errors:
+            # strict default ≙ the reference's panic on malformed input
+            # (main.rs:107); --ignore-errors keeps the lenient fallbacks
+            bad = _first_corrupt_json(raw, "content", "address")
+            if bad:
+                print(
+                    f"malformed Etherscan dump for address {bad[0][0]!r} "
+                    "(use --ignore-errors to fall back to raw-source parse)",
+                    file=sys.stderr,
+                )
+                return 1
         parsed = C.parse_etherscan_contracts(raw)
         # storage shape: etherscan rows carry no files array — rebuild the
         # processing shape via the explode path for multi-source entries
         stored = _etherscan_storage_shape(raw, parsed)
     else:
         files = C.read_contract_files(spark, args.contracts_root)
+        if not args.ignore_errors:
+            meta = files.filter(F.col("filename") == "metadata.json")
+            bad = _first_corrupt_json(meta, "content", "dir")
+            if bad:
+                print(
+                    f"malformed metadata.json under {bad[0][0]!r} "
+                    "(use --ignore-errors to skip malformed dirs)",
+                    file=sys.stderr,
+                )
+                return 1
         parsed = C.parse_folder_contracts(files)
-        if args.chunk_size:
-            parsed = parsed.repartition(max(1, parsed.count() // args.chunk_size))
         stored = None
     if stored is None:
         n = sink.store_contracts(parsed, args.db_file)
@@ -168,8 +214,17 @@ def cmd_index_functions(args: argparse.Namespace) -> int:
         ).alias("files"),
     )
     if args.chunk_size:
+        # partition count from the sink's own (local, instant) row count
+        # — never a Spark job over the parse pipeline
+        import duckdb
+
+        con = duckdb.connect(args.db_file, read_only=True)
+        try:
+            n_rows = con.execute("SELECT COUNT(*) FROM contract").fetchone()[0]
+        finally:
+            con.close()
         processing = processing.repartition(
-            max(1, processing.count() // args.chunk_size)
+            max(1, -(-n_rows // args.chunk_size))
         )
     fns = stage.extract_functions(processing)
     n = sink.store_functions(fns, args.db_file)

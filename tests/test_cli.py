@@ -78,6 +78,48 @@ def test_cli_etherscan_path(spark, tmp_path):
     assert types == {"json": 2, "single_sol": 1}
 
 
+def test_cli_strict_mode_fails_on_corrupt_metadata(spark, contract_tree, tmp_path):
+    """Default (no flag) ≙ the reference's panic on malformed input
+    (main.rs:107): a broken metadata.json fails the job with a nonzero
+    exit; --ignore-errors keeps the lenient skip-and-continue path."""
+    import pathlib
+
+    broken = pathlib.Path(contract_tree) / "broken_dir"
+    broken.mkdir()
+    (broken / "metadata.json").write_text('{"ContractName": "Trunc')
+    (broken / "main.sol").write_text("contract X {}")
+    db = str(tmp_path / "strict.duckdb")
+
+    rc = cli.main(
+        ["pre-process", "--contracts-root", contract_tree, "--db-file", db]
+    )
+    assert rc == 1
+
+    rc = cli.main(
+        ["pre-process", "--contracts-root", contract_tree, "--db-file", db,
+         "--ignore-errors"]
+    )
+    assert rc == 0
+    con = duckdb.connect(db)
+    n = con.execute("SELECT COUNT(*) FROM contract").fetchone()[0]
+    con.close()
+    assert n >= 5  # lenient path still loads the healthy dirs
+
+
+def test_cli_strict_mode_fails_on_corrupt_etherscan_dump(spark, tmp_path):
+    root = tmp_path / "escan"
+    addr = "0xdeadbeef00000000000000000000000000000001"
+    d = root / addr
+    d.mkdir(parents=True)
+    (d / f"{addr}.json").write_text('{"ContractName": "nope"')  # truncated
+    db = str(tmp_path / "strict_escan.duckdb")
+    rc = cli.main(
+        ["pre-process", "--etherscan", "--contracts-root", str(root),
+         "--db-file", db]
+    )
+    assert rc == 1
+
+
 def test_cli_export_missing_contract(tmp_path):
     db = str(tmp_path / "empty.duckdb")
     rc = cli.main(
