@@ -345,17 +345,31 @@ _GROUPING_AGGS_SQL = """COUNT(*) AS n_orders,
 def agg_grouping_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT A6, all three multi-grouping shapes in one tagged result:
     ROLLUP, CUBE, and explicit GROUPING SETS ((status), (priority)).
-    Each shape is a single Expand + aggregate in Catalyst (never one
-    scan per grouping combination); keys are COALESCE'd for oracle
-    parity."""
-    orders = _t(spark, sf_dir, "orders")
+
+    Scale shape: the fact table is reduced ONCE to the full
+    (status, priority) grain — |statuses|×|priorities| ≈ 30 rows at any
+    SF — and each shape re-aggregates that tiny frame (sum-of-partial-
+    sums in exact decimal, so results are identical to direct
+    aggregation). The three union branches share a byte-identical
+    pre-aggregation subplan, which Spark's ReuseExchange collapses to a
+    single scan + partial agg; a naive per-shape aggregate would scan
+    the fact table three times. Keys are COALESCE'd for oracle parity.
+    """
+    pre = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(dec("o_totalprice")).alias("pt"),  # stay exact decimal
+        )
+    )
     shaped = []
     for tag, grouped in (
-        ("rollup", orders.rollup("o_orderstatus", "o_orderpriority")),
-        ("cube", orders.cube("o_orderstatus", "o_orderpriority")),
+        ("rollup", pre.rollup("o_orderstatus", "o_orderpriority")),
+        ("cube", pre.cube("o_orderstatus", "o_orderpriority")),
         (
             "sets",
-            orders.groupingSets(
+            pre.groupingSets(
                 [["o_orderstatus"], ["o_orderpriority"]],
                 "o_orderstatus",
                 "o_orderpriority",
@@ -364,8 +378,8 @@ def agg_grouping_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         shaped.append(
             grouped.agg(
-                F.count(F.lit(1)).alias("n_orders"),
-                dsum("o_totalprice").alias("total_price"),
+                F.sum("pn").alias("n_orders"),
+                F.sum("pt").cast("double").alias("total_price"),
             ).select(
                 F.lit(tag).alias("shape"),
                 F.coalesce("o_orderstatus", F.lit("ALL")).alias("order_status"),
