@@ -53,6 +53,7 @@ _TAIL = [
     "llm_multimodal_image_features",
     "llm_multimodal_frame_sampling",
     "llm_ivf_topk",
+    "stream_stateful_running_totals",
 ]
 
 _order = (

@@ -217,3 +217,26 @@ def stream_true_tumbling_availablenow(spark: SparkSession, sf_dir: str) -> DataF
         "total_value",
     )
     return jobs.run_to_memory(out, "tumbling_availablenow_smoke")
+
+
+@register("stream_stateful_running_totals", oracle=None)
+def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-EXT custom stateful streaming: per-user running totals via
+    ``applyInPandasWithState`` (arbitrary Python state transitions over
+    Arrow batches — the operator family built-in streaming aggregates
+    can't express). The memory sink holds one update row per user per
+    micro-batch; the final emission per user (max n_events) must equal
+    the batch aggregation exactly — asserted in tests/test_streaming.py
+    (rows-only here: custom stateful streaming is non-SQL-expressible,
+    per the driver contract's carve-out).
+    """
+    ev = jobs.read_events_stream(spark, sf_dir)
+    updates = jobs.run_to_memory(
+        jobs.running_user_totals(ev), "stateful_running_totals_q", mode="update"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        updates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )

@@ -94,11 +94,62 @@ def enrich_with_customers(events: DataFrame, customers: DataFrame) -> DataFrame:
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """T-EXT: custom stateful operator via ``applyInPandasWithState`` —
+    per-user running (event count, exact value total), the operator
+    family Spark's built-in streaming aggregates can't express (the
+    state transition is arbitrary Python over Arrow batches).
+
+    Exactness: values are 2-decimal; state accumulates integer cents
+    (int64), so the emitted double equals the batch twin's
+    decimal-sum-to-double bit-for-bit regardless of batch boundaries.
+
+    Scale shape: state is keyed by user_id (the shuffle key), one small
+    fixed-size tuple per user; Arrow moves each group's batch rows once
+    per trigger. Unbounded-key growth is the deployment concern — wire
+    a timeout (``GroupStateTimeout.ProcessingTimeTimeout``) when user
+    cardinality is open-ended.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, total_value double"
+    state_schema = "n bigint, cents bigint"
+
+    def update(key, pdfs, state):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, mode: str | None = None) -> DataFrame:
     """Drain a streaming DataFrame with an availableNow trigger into a
     memory sink and return the materialized table (complete mode for
-    aggregates, append otherwise)."""
-    mode = "complete" if stream_df.isStreaming and _has_aggregate(stream_df) else "append"
+    aggregates, append otherwise; pass ``mode`` explicitly for stateful
+    operators that declare their own output mode)."""
+    if mode is None:
+        mode = (
+            "complete"
+            if stream_df.isStreaming and _has_aggregate(stream_df)
+            else "append"
+        )
     query = (
         stream_df.writeStream.format("memory")
         .queryName(name)

@@ -39,6 +39,33 @@ def test_stream_dedup_within_watermark(spark):
     )
 
 
+def test_stream_stateful_running_totals_equals_batch(spark):
+    """applyInPandasWithState per-user running totals: the final
+    emission per user must equal the batch aggregation bit-for-bit
+    (integer-cent state ⇒ decimal-exact doubles)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from smart_contract_database_builder_spark.functions.numeric import dsum
+
+    ev_stream = jobs.read_events_stream(spark, SF_ORACLE)
+    updates = jobs.run_to_memory(
+        jobs.running_user_totals(ev_stream), "t_stateful", mode="update"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    got = (
+        updates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+    ev_batch = load_table(spark, SF_ORACLE, "events")
+    want = ev_batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+    )
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
 def test_stream_static_join_equals_batch(spark):
     ev_stream = jobs.read_events_stream(spark, SF_ORACLE)
     cust = load_table(spark, SF_ORACLE, "customer")
