@@ -275,10 +275,18 @@ def llm_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     text = F.col("text")
     idx = F.sequence(F.lit(1), F.length(text) - 7)
-    shingle_hashes = F.transform(idx, lambda i: F.md5(text.substr(i, F.lit(8))))
-    winnow = F.when(F.length(text) >= 8, F.array_min(shingle_hashes)).otherwise(
-        F.md5(text)
-    )
+    # running-min fold, NOT transform+array_min: materializing n_chars
+    # 32-char hash strings per row is an executor-memory hazard on long
+    # documents (a 1 MB doc would build a ~32 MB array); the fold keeps
+    # one hash in flight. 'g' > any hex digit, so it's a safe identity.
+    winnow = F.when(
+        F.length(text) >= 8,
+        F.aggregate(
+            idx,
+            F.lit("g"),
+            lambda acc, i: F.least(acc, F.md5(text.substr(i, F.lit(8)))),
+        ),
+    ).otherwise(F.md5(text))
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         winnow.alias("winnow_fp"),

@@ -133,3 +133,16 @@ def test_salted_aggregation_matches_plain(spark):
         ).collect()
     }
     assert plain == salted
+
+
+def test_grouping_shapes_shares_one_preagg_exchange(spark):
+    """agg_grouping_shapes pre-aggregates the fact table once; the three
+    union branches (rollup/cube/sets) must reuse that exchange instead
+    of re-scanning — pinned so the single-scan plan can't regress."""
+    from smart_contract_database_builder_spark import plans
+    from conftest import SF_SMOKE
+
+    df = plans.QUERIES["agg_grouping_shapes"].fn(spark, SF_SMOKE)
+    df.collect()  # AQE inserts ReusedExchange in the FINAL adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 2, plan
