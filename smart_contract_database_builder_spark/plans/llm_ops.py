@@ -726,11 +726,22 @@ _SCALE = 1_000_000_000  # fixed-point 1e-9 — exact from DECIMAL(18,9)
 _ANN_BUCKET_CAP = 1024
 
 
-def _plane_weight(plane: int, d: Column) -> Column:
-    """Deterministic pseudo-random ±1 hyperplane weight: parity of the
-    first hex digit of md5('<plane>-<dim>')."""
-    digit = F.md5(F.concat(F.lit(f"{plane}-"), d.cast("string"))).substr(1, 1)
-    return F.when(F.lit("02468ace").contains(digit), F.lit(1)).otherwise(F.lit(-1))
+def _plane_weights(plane: int, dims: int = 64) -> list[int]:
+    """Deterministic pseudo-random ±1 hyperplane weights: parity of the
+    first hex digit of md5('<plane>-<dim>'). Computed ONCE in driver
+    Python and embedded as array literals — the weights are constants,
+    and deriving them with per-row md5 expressions costs
+    planes×dims (512) hash calls per ROW for identical output. The
+    DuckDB oracle keeps the md5 derivation inline, so hash parity
+    proves the literal weights equal the definitional ones."""
+    import hashlib
+
+    return [
+        1
+        if hashlib.md5(f"{plane}-{d}".encode()).hexdigest()[0] in "02468ace"
+        else -1
+        for d in range(1, dims + 1)
+    ]
 
 
 def _sql_plane_dot(plane: int) -> str:
@@ -742,22 +753,22 @@ def _sql_plane_dot(plane: int) -> str:
     )
 
 
+def _plane_dot(p: int) -> Column:
+    """Exact fixed-point dot of the embedding with plane p's ±1 weights."""
+    warr = F.array(*[F.lit(w) for w in _plane_weights(p)])
+    terms = F.zip_with(
+        "embedding",
+        warr,
+        lambda x, w: w * (x.cast("decimal(18,9)") * _SCALE).cast("long"),
+    )
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda a, v: a + v)
+
+
 def _bucket_expr() -> Column:
-    """The 4-plane sign bucket as a reusable expression (Spark side)."""
-
-    def plane_dot(p: int) -> Column:
-        terms = F.transform(
-            F.sequence(F.lit(1), F.lit(64)),
-            lambda d: _plane_weight(p, d)
-            * (F.element_at("embedding", d).cast("decimal(18,9)") * _SCALE).cast(
-                "long"
-            ),
-        )
-        return F.aggregate(terms, F.lit(0).cast("long"), lambda a, v: a + v)
-
+    """The _N_PLANES-plane sign bucket as a reusable expression."""
     return F.concat(
         *[
-            F.when(plane_dot(p) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            F.when(_plane_dot(p) >= 0, F.lit("1")).otherwise(F.lit("0"))
             for p in range(_N_PLANES)
         ]
     )
@@ -979,25 +990,8 @@ def llm_ann_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     long sums), so bucket ids are engine-independent.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-
-    def plane_dot(p: int) -> Column:
-        terms = F.transform(
-            F.sequence(F.lit(1), F.lit(64)),
-            lambda d: _plane_weight(p, d)
-            * (F.element_at("embedding", d).cast("decimal(18,9)") * _SCALE).cast(
-                "long"
-            ),
-        )
-        return F.aggregate(terms, F.lit(0).cast("long"), lambda a, v: a + v)
-
-    bucket = F.concat(
-        *[
-            F.when(plane_dot(p) >= 0, F.lit("1")).otherwise(F.lit("0"))
-            for p in range(_N_PLANES)
-        ]
-    )
     return (
-        emb.select("vec_id", bucket.alias("bucket"))
+        emb.select("vec_id", _bucket_expr().alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
     )
