@@ -51,6 +51,7 @@ _TAIL = [
     "sample_orders_seeded",
     "llm_ml_minhash_join",
     "llm_multimodal_image_features",
+    "llm_multimodal_audio_features",
     "llm_multimodal_frame_sampling",
     "llm_ivf_topk",
     "stream_stateful_running_totals",

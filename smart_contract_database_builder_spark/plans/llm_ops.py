@@ -700,6 +700,17 @@ def llm_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame
     return mm.extract_image_features(mm.synth_media_df(spark, 64))
 
 
+@register("llm_multimodal_audio_features", oracle=None)
+def llm_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal EXT: windowed audio amplitude statistics over the
+    synthetic media corpus — binary payload + typed metadata,
+    kind-filter pushed before the Arrow boundary (rows-only: codec
+    stages have no SQL oracle; goldens in tests/test_multimodal.py)."""
+    from ..sources import multimodal as mm
+
+    return mm.extract_audio_features(mm.synth_media_df(spark, 64))
+
+
 @register("llm_multimodal_frame_sampling", oracle=None)
 def llm_multimodal_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal EXT: video frame sampling — 1→N fan-out inside one

@@ -133,6 +133,59 @@ def extract_image_features(media: DataFrame) -> DataFrame:
     return images.mapInPandas(batches, schema=IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("n_windows", T.IntegerType(), False),
+        T.StructField("mean_amplitude", T.DoubleType(), False),
+        T.StructField("peak_window", T.IntegerType(), False),
+    ]
+)
+
+
+def fake_audio_windows(data: bytes, window_bytes: int = 32) -> list[float]:
+    """Deterministic stand-in for per-window RMS amplitude: mean byte of
+    each fixed-size payload window (a real decoder would emit PCM RMS
+    per hop — same dataflow, no codec)."""
+    return [
+        sum(w) / len(w)
+        for i in range(0, len(data), window_bytes)
+        if (w := data[i : i + window_bytes])
+    ]
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Audio feature-extraction stage: windowed amplitude statistics,
+    Arrow-batched, kind-filter pushed before the Python boundary (same
+    contract as the image stage — the codec is stubbed, the Spark-side
+    schema/partitioning/batch shape is real)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            win = pdf["data"].map(lambda d: fake_audio_windows(bytes(d)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": pdf["meta"].map(lambda m: m["sample_rate"]),
+                    "duration_ms": pdf["meta"].map(lambda m: m["duration_ms"]),
+                    "n_windows": win.map(len),
+                    "mean_amplitude": win.map(
+                        lambda ws: sum(ws) / len(ws) if ws else 0.0
+                    ),
+                    "peak_window": win.map(
+                        lambda ws: max(range(len(ws)), key=ws.__getitem__)
+                        if ws
+                        else 0
+                    ),
+                }
+            )
+
+    audio = media.filter(media.kind == "audio").select("media_id", "data", "meta")
+    return audio.mapInPandas(batches, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def sample_video_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
     """Frame-sampling stage: 1→N fan-out inside the Arrow pass — one
     output row per sampled timestamp, frame payload stubbed as a

@@ -38,6 +38,20 @@ def test_image_features_match_python_oracle(media):
         assert got["mean_byte"] == pytest.approx(sum(data) / len(data))
 
 
+def test_audio_features_match_python_oracle(media):
+    feats = {r["media_id"]: r for r in mm.extract_audio_features(media).collect()}
+    audio_rows = media.filter(media.kind == "audio").collect()
+    assert len(feats) == len(audio_rows) > 0
+    for row in audio_rows:
+        data = bytes(row["data"])
+        windows = mm.fake_audio_windows(data)
+        got = feats[row["media_id"]]
+        assert got["sample_rate"] == 16000
+        assert got["n_windows"] == len(windows)
+        assert got["mean_amplitude"] == pytest.approx(sum(windows) / len(windows))
+        assert got["peak_window"] == max(range(len(windows)), key=windows.__getitem__)
+
+
 def test_frame_sampling_fan_out(media):
     frames = mm.sample_video_frames(media, every_ms=500).collect()
     videos = {r["media_id"]: r for r in media.filter(media.kind == "video").collect()}

@@ -146,3 +146,27 @@ def test_grouping_shapes_shares_one_preagg_exchange(spark):
     df.collect()  # AQE inserts ReusedExchange in the FINAL adaptive plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ReusedExchange") >= 2, plan
+
+
+def test_ann_bucket_partitioned_layout_prunes(spark, tmp_path):
+    """The ANN scale story: the hyperplane bucket (or IVF cell) becomes
+    a WRITE-TIME partition key, so a query probing one bucket reads
+    1/2^planes of the corpus via partition pruning — assert the pruning
+    actually happens in the plan and in the rows read."""
+    from smart_contract_database_builder_spark.plans.llm_ops import _bucket_expr
+    from smart_contract_database_builder_spark.sources.tables import load_table
+    from conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    out = str(tmp_path / "emb_by_bucket")
+    emb.select("vec_id", "embedding", _bucket_expr().alias("bucket")).write.partitionBy(
+        "bucket"
+    ).parquet(out)
+
+    layout = spark.read.parquet(out)
+    one = layout.filter(F.col("bucket") == layout.select("bucket").first()[0])
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan
+    n_total = layout.count()
+    n_one = one.count()
+    assert 0 < n_one < n_total
