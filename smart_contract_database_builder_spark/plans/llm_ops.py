@@ -441,13 +441,38 @@ def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT doc_id, s
       FROM (
         SELECT doc_id, unnest({_sql_word_ngrams("t")}) AS s
-        FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents WHERE doc_id < 100)
+        FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
       )
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(md5('{i}|' || s)) AS m{i}" for i in range(_N_HASHES))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(m{2*b} || m{2*b+1}) AS key FROM sig"
+        for b in range(_N_HASHES // _BAND_ROWS)
+      )}
+    ),
+    bsz AS (
+      SELECT band_idx, key FROM bands
+      GROUP BY band_idx, key
+      HAVING COUNT(*) BETWEEN 2 AND {_LSH_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bsz USING (band_idx, key)
+      JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key
+                  AND a.doc_id < b.doc_id
+    ),
     shared AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b, n_shared,
@@ -460,26 +485,36 @@ def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J6: exact word-3-gram Jaccard similarity, top-50 pairs over a
-    bounded doc subset (doc_id < 100 keeps the inverted-index self-join
-    quadratic term test-sized; the production path runs this only on
-    LSH candidates from ``llm_minhash_lsh_pairs``).
+    """J6, the complete two-stage near-dup pipeline: exact word-3-gram
+    Jaccard computed ONLY on MinHash-LSH candidate pairs, top-50.
 
-    The join is inverted-index shaped — shuffle by shingle, pairs
-    generated only within a shingle's posting list — not all-pairs.
+    This is the production composition (LSH recall stage → exact
+    verification stage): the quadratic term is bounded by the banded
+    candidate generation (see ``minhash_candidate_pairs``), and the
+    verification join touches |candidates| × |shingles-per-doc| rows,
+    never the corpus square. Candidate pairs whose shingle sets are
+    actually disjoint (pure band-hash collisions) drop out in the inner
+    intersection join — identical semantics on both engines. MIN
+    signatures over the DISTINCT shingle set equal those over the raw
+    multiset, so the dedup'd inverted index feeds both stages.
     """
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    docs = load_table(spark, sf_dir, "documents")
     toked = docs.select("doc_id", _tokens().alias("t"))
     sh = (
         toked.select("doc_id", F.explode(_word_ngrams(F.col("t"))).alias("s"))
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    cand = minhash_candidate_pairs(toked).select("doc_a", "doc_b")
+    x, y = sh.alias("x"), sh.alias("y")
     shared = (
-        a.join(b, (F.col("a.s") == F.col("b.s"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        cand.join(x, F.col("doc_a") == F.col("x.doc_id"))
+        .join(
+            y,
+            (F.col("doc_b") == F.col("y.doc_id"))
+            & (F.col("y.s") == F.col("x.s")),
+        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     sa = sizes.alias("sa")

@@ -5,6 +5,8 @@ and the end-to-end mapInPandas stage over the fixture corpus."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from smart_contract_database_builder_spark import fixtures
 from smart_contract_database_builder_spark.compilestage import stage
@@ -180,6 +182,66 @@ def test_stage_extracts_fixture_functions(extracted):
     assert "unwrap" in by_contract["Wrapped"]  # from embedded standard-json
     # vyper contracts are filtered before the stage (P6)
     assert "LiquidityPool" not in by_contract
+
+
+_GHOST_CARRIERS = [
+    "// function {name}(uint256 x) public {{ }}\n",
+    "/* function {name}(uint256 x) public {{ }} */\n",
+    "/**\n * function {name}(uint256 x) public {{ }}\n */\n",
+    'string constant DOC = "function {name}(uint256 x) public {{ }}";\n',
+]
+
+
+@pytest.mark.parametrize("carrier", _GHOST_CARRIERS)
+def test_masked_scanner_emits_no_phantom_functions(carrier):
+    """Comments and string literals are masked before pattern matching:
+    function-shaped text inside them must produce NO rows, while the
+    real member and its byte-exact slice are unaffected."""
+    from smart_contract_database_builder_spark.compilestage.solidity import (
+        extract_file_functions,
+    )
+
+    ghost = carrier.format(name="ghost")
+    src = (
+        "// SPDX-License-Identifier: MIT\n"
+        "contract Carrier {\n"
+        f"    {ghost}"
+        "    function real() public returns (uint256) {\n"
+        "        return 7; // function inline_ghost() public {}\n"
+        "    }\n"
+        "}\n"
+    )
+    fns = extract_file_functions(src)
+    names = {f.function_name for f in fns}
+    assert names == {"real"}
+    real = next(f for f in fns if f.function_name == "real")
+    assert real.source_code.startswith("function real()")
+    assert real.source_code.endswith("}")
+    assert "ghost" not in real.signature
+
+
+@given(
+    name=st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=12
+    ),
+    ws=st.sampled_from([" ", "  ", "\t"]),  # a newline would END a // comment
+)
+@settings(max_examples=40, deadline=None)
+def test_masked_scanner_property_ghosts_never_leak(name, ws):
+    """Property: for any identifier and whitespace shape, a commented-out
+    function declaration never produces a row."""
+    from smart_contract_database_builder_spark.compilestage.solidity import (
+        extract_file_functions,
+    )
+
+    src = (
+        "contract P {\n"
+        f"    //{ws}function {name}(uint256 v) public {{}}\n"
+        f"    /* function {name}_b() external {{ }} */\n"
+        "    function keep() public {}\n"
+        "}\n"
+    )
+    assert {f.function_name for f in extract_file_functions(src)} == {"keep"}
 
 
 def test_stage_function_ids_are_reference_shaped(extracted):
