@@ -110,6 +110,35 @@ def test_demo_folder_resolves_multi_sol_with_reference_id(spark):
     assert demo["id"] == expect
 
 
+def test_etherscan_real_dump_extracts_inherited_abi():
+    """Full extraction over the reference's real 192 KB dump: the Json
+    variant (whole standard-json container as one file) explodes into
+    its 23 OpenZeppelin sources, and Bueno721Drop's ABI view resolves
+    inheritance across the bundle — inherited ERC-721/Ownable members
+    surface bodiless with their canonical public selectors."""
+    from smart_contract_database_builder_spark.compilestage.stage import (
+        _function_rows,
+    )
+
+    content = open(_ETHERSCAN, encoding="utf-8").read()
+    sc = json.loads(content)["SourceCode"]
+    if sc.startswith("{{"):
+        sc = sc[1:-1]
+    rows = list(
+        _function_rows("cid-bueno", [{"filename": "contract.json", "content": sc}])
+    )
+    assert len(rows) > 100
+    drop = {r[3]: r for r in rows if r[2] == "Bueno721Drop"}
+    # members declared elsewhere in the bundle resolve into the ABI view
+    assert drop["balanceOf"][6] == "0x70a08231"  # ERC-721 canonical
+    assert drop["owner"][6] == "0x8da5cb5b"  # Ownable canonical
+    assert drop["transferFrom"][6] == "0x23b872dd"
+    # inherited members carry no local body (the documented slice miss)
+    assert drop["owner"][7] == ""
+    # every selector is a well-formed 4-byte hex id
+    assert all(r[6].startswith("0x") and len(r[6]) == 10 for r in rows)
+
+
 def test_etherscan_real_dump_parses(spark):
     """S2/S4 over the reference's real Etherscan fixture (192 KB
     OpenZeppelin multi-source standard-json, plain_contract.rs:578-588):
