@@ -20,6 +20,7 @@ all-pairs.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -684,6 +685,36 @@ def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", tfidf.alias("tfidf"))
         .orderBy(F.desc("tfidf"), "doc_id", "term")
         .limit(20)
+    )
+
+
+def cosine_topk_pandas(emb: DataFrame, query_vec: list[float], k: int = 10) -> DataFrame:
+    """The documented scale-path twin of ``llm_cosine_topk_bruteforce``:
+    scoring via an Arrow-batched pandas UDF (numpy matrix-vector dot per
+    record batch) with the IDENTICAL dataflow — broadcast query, one map
+    stage, TakeOrderedAndProject. Use when raw Python-side throughput
+    beats expression evaluation (very wide vectors); the expression
+    version stays the oracle-checked reference. Equivalence (same ids,
+    same cosines to float tolerance) is pinned in
+    tests/test_llm_pandas_twin.py.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt(q @ q))
+
+    @pandas_udf("double")
+    def score(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # (batch, dims) float matrix
+        dots = m @ q
+        norms = np.sqrt((m * m).sum(axis=1))
+        return pd.Series(dots / (norms * qn))
+
+    return (
+        emb.select("vec_id", "label", score("embedding").alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k)
     )
 
 
