@@ -295,23 +295,29 @@ def llm_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hs"),
     )
     hs = F.col("hs")
+    # ONE fold over the token hashes accumulating all 16 bit-position
+    # vote counters as an int array — a per-bit fold would traverse the
+    # token array 16 times (measured ~4× slower at sf0.1)
+    acc0 = F.array(*[F.lit(0).cast("long") for _ in range(_SIM_BITS)])
+    votes = F.aggregate(
+        hs,
+        acc0,
+        lambda a, h: F.zip_with(
+            a,
+            F.transform(
+                F.sequence(F.lit(1), F.lit(_SIM_BITS)),
+                lambda j: F.when(
+                    F.lit("13579bdf").contains(h.substr(j, F.lit(1))),
+                    F.lit(1),
+                )
+                .otherwise(F.lit(-1))
+                .cast("long"),
+            ),
+            lambda x, y: x + y,
+        ),
+    )
     bits = F.transform(
-        F.sequence(F.lit(1), F.lit(_SIM_BITS)),
-        lambda j: F.when(
-            F.aggregate(
-                F.transform(
-                    hs,
-                    lambda h: F.when(
-                        F.lit("13579bdf").contains(h.substr(j, F.lit(1))),
-                        F.lit(1),
-                    ).otherwise(F.lit(-1)),
-                ),
-                F.lit(0).cast("long"),
-                lambda a, v: a + v,
-            )
-            >= 0,
-            F.lit("1"),
-        ).otherwise(F.lit("0")),
+        votes, lambda v: F.when(v >= 0, F.lit("1")).otherwise(F.lit("0"))
     )
     return docs.filter(F.size(hs) > 0).select(
         "doc_id", F.concat_ws("", bits).alias("simhash"), "winnow_fp"
