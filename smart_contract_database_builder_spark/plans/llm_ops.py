@@ -23,6 +23,7 @@ from __future__ import annotations
 import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources.tables import load_table
 from .registry import register
@@ -983,9 +984,7 @@ def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "rn",
             F.row_number().over(
-                __import__("pyspark.sql.window", fromlist=["Window"])
-                .Window.partitionBy("vec_id")
-                .orderBy("d2", "cell")
+                Window.partitionBy("vec_id").orderBy("d2", "cell")
             ),
         )
         .filter(F.col("rn") == 1)

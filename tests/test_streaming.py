@@ -39,6 +39,31 @@ def test_stream_dedup_within_watermark(spark):
     )
 
 
+def test_stream_session_windows_equal_batch(spark):
+    """T3 true streaming: session windows (30-min gap) drained with
+    availableNow must equal the batch session_window aggregation."""
+    from pyspark.sql import functions as F
+
+    from smart_contract_database_builder_spark.functions.numeric import dsum
+
+    def sessions(ev):
+        return (
+            ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dsum("value").alias("total_value"),
+            )
+            .select("user_id", "w.start", "w.end", "n_events", "total_value")
+        )
+
+    ev_stream = jobs.read_events_stream(spark, SF_ORACLE)
+    got = jobs.run_to_memory(
+        sessions(ev_stream.withWatermark("ts", "1 hour")), "t_sessions"
+    )
+    ev_batch = load_table(spark, SF_ORACLE, "events")
+    assert _sorted_rows(got) == _sorted_rows(sessions(ev_batch))
+
+
 def test_stream_stateful_running_totals_equals_batch(spark):
     """applyInPandasWithState per-user running totals: the final
     emission per user must equal the batch aggregation bit-for-bit
