@@ -666,15 +666,18 @@ def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates; the ln/multiply runs per-row IEEE on identical integer
     inputs, so scores are bitwise-reproducible across engines.
 
-    Scale shape: two shuffles (tf on (doc,term), df on term), df joins
-    back via the term key (broadcast while the vocabulary is small,
-    shuffle-join on term otherwise — AQE decides), N broadcasts as a
-    1-row frame.
+    Scale shape: ONE pass over the token explode — tf aggregates on
+    (doc, term), and df re-aggregates tf (tf is already unique per
+    (doc, term), so COUNT(*) per term IS the document frequency; a
+    separate countDistinct over the raw tokens would re-scan and
+    re-explode the corpus). df joins back via the term key (broadcast
+    while the vocabulary is small, shuffle-join on term otherwise — AQE
+    decides), N broadcasts as a 1-row frame.
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(_tokens()).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     tfidf = F.col("tf") * (
         F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
