@@ -52,6 +52,7 @@ _TAIL = [
     "llm_ml_minhash_join",
     "llm_multimodal_image_features",
     "llm_multimodal_audio_features",
+    "llm_multimodal_resize",
     "llm_multimodal_frame_sampling",
     "llm_ivf_topk",
     "stream_stateful_running_totals",

@@ -781,6 +781,17 @@ def llm_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame
     return mm.extract_audio_features(mm.synth_media_df(spark, 64))
 
 
+@register("llm_multimodal_resize", oracle=None)
+def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal EXT: image resize stage — Arrow-batched 1→1 with
+    fixed target dims; the pixel kernel is stubbed deterministically
+    pending a real codec (rows-only: goldens in
+    tests/test_multimodal.py)."""
+    from ..sources import multimodal as mm
+
+    return mm.resize_images(mm.synth_media_df(spark, 64), 32, 32)
+
+
 @register("llm_multimodal_frame_sampling", oracle=None)
 def llm_multimodal_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal EXT: video frame sampling — 1→N fan-out inside one

@@ -133,6 +133,52 @@ def extract_image_features(media: DataFrame) -> DataFrame:
     return images.mapInPandas(batches, schema=IMAGE_FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("src_width", T.IntegerType()),
+        T.StructField("src_height", T.IntegerType()),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("data", T.BinaryType(), False),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Resize stage: images only, Arrow-batched, 1→1. The pixel kernel
+    is stubbed (no codec in this environment): the output payload is a
+    deterministic hash-chain of (source bytes, target dims) sized
+    ``width × height`` bytes — byte-for-byte reproducible, so tests pin
+    the full stage contract (schema, batch shape, payload size) while a
+    real environment swaps in ``decode_image(...).resize(...)``."""
+
+    def _fake_resized(data: bytes) -> bytes:
+        need = width * height
+        out = bytearray()
+        seed = hashlib.md5(data + f"{width}x{height}".encode()).digest()
+        while len(out) < need:
+            out.extend(seed)
+            seed = hashlib.md5(seed).digest()
+        return bytes(out[:need])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "src_width": pdf["meta"].map(lambda m: m["width"]),
+                    "src_height": pdf["meta"].map(lambda m: m["height"]),
+                    "width": width,
+                    "height": height,
+                    "data": pdf["data"].map(lambda d: _fake_resized(bytes(d))),
+                }
+            )
+
+    images = media.filter(media.kind == "image").select("media_id", "data", "meta")
+    return images.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
 AUDIO_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -52,6 +52,20 @@ def test_audio_features_match_python_oracle(media):
         assert got["peak_window"] == max(range(len(windows)), key=windows.__getitem__)
 
 
+def test_resize_stage_contract(media):
+    """Resize: images only, fixed output dims, payload sized w×h, and
+    byte-for-byte deterministic across invocations."""
+    a = {r["media_id"]: r for r in mm.resize_images(media, 16, 12).collect()}
+    b = {r["media_id"]: bytes(r["data"]) for r in mm.resize_images(media, 16, 12).collect()}
+    n_images = media.filter(media.kind == "image").count()
+    assert len(a) == n_images > 0
+    for mid, r in a.items():
+        assert (r["width"], r["height"]) == (16, 12)
+        assert r["src_width"] is not None and r["src_height"] is not None
+        assert len(bytes(r["data"])) == 16 * 12
+        assert bytes(r["data"]) == b[mid]
+
+
 def test_frame_sampling_fan_out(media):
     frames = mm.sample_video_frames(media, every_ms=500).collect()
     videos = {r["media_id"]: r for r in media.filter(media.kind == "video").collect()}

@@ -63,3 +63,15 @@ def test_rows_only_query_runs(spark, name):
     df = spec.fn(spark, SF_ORACLE)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_seeded_sample_is_deterministic(spark):
+    """O4: the seeded Bernoulli sample must return the identical row set
+    across invocations (fixed seed + deterministic input partitioning) —
+    the property that makes rows-only sampling auditable."""
+    from conftest import SF_ORACLE
+
+    fn = plans.QUERIES["sample_orders_seeded"].fn
+    a = sorted(r["o_orderkey"] for r in fn(spark, SF_ORACLE).collect())
+    b = sorted(r["o_orderkey"] for r in fn(spark, SF_ORACLE).collect())
+    assert a == b and len(a) > 0
