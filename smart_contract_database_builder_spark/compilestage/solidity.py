@@ -188,13 +188,29 @@ def scan_file_contracts(source: str) -> list[ScannedContract]:
         body_open = masked.find(b"{", cm.end())
         if body_open == -1:
             continue
-        # base names from the `is` clause between the name and the body
+        # base names from the `is` clause between the name and the body.
+        # Split only at paren depth 0: `is Base(openingTime, closingTime)`
+        # has ONE base — commas inside a base-constructor argument list
+        # must not surface the arguments as phantom base names.
         header = masked[cm.end() : body_open]
         bases: list[str] = []
         is_at = re.search(rb"\bis\b", header)
         if is_at:
-            for part in header[is_at.end() :].split(b","):
-                m = _BASE_NAME_RE.search(part)
+            clause = header[is_at.end() :]
+            parts: list[bytes] = []
+            depth, start = 0, 0
+            for i, ch in enumerate(clause):
+                if ch in (0x28, 0x3C):  # ( <  — parens / generics-ish
+                    depth += 1
+                elif ch in (0x29, 0x3E):  # ) >
+                    depth = max(0, depth - 1)
+                elif ch == 0x2C and depth == 0:  # top-level comma
+                    parts.append(clause[start:i])
+                    start = i + 1
+            parts.append(clause[start:])
+            for part in parts:
+                # the base NAME precedes any argument list
+                m = _BASE_NAME_RE.search(part.split(b"(", 1)[0])
                 if m:
                     bases.append(m.group(0).decode())
         body_close = _match_brace(masked, body_open, len(masked))

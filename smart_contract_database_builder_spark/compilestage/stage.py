@@ -157,6 +157,15 @@ def extract_functions(contracts: DataFrame) -> DataFrame:
         "id", F.to_json("files").alias("files_json")
     )
     extracted = packed.mapInPandas(_extract_batches, schema=FUNCTION_SCHEMA)
-    # conflict-ignore dedup (db.rs:208): two contracts in one file
-    # sharing a selector collide on id; first wins, rest drop
-    return extracted.dropDuplicates(["id"])
+    # conflict-ignore dedup (db.rs:208): e.g. a whitespace-variant
+    # duplicate dir yields the same function id with a DIFFERENT body
+    # slice. The reference keeps whichever insert arrives first;
+    # ``dropDuplicates`` would mirror that nondeterminism across
+    # partitionings, so pick the lexicographic minimum row instead —
+    # deterministic under any partitioning/arrival order.
+    cols = [f.name for f in FUNCTION_SCHEMA.fields]
+    return (
+        extracted.groupBy("id")
+        .agg(F.min(F.struct(*[c for c in cols if c != "id"])).alias("r"))
+        .select("id", *[F.col(f"r.{c}") for c in cols if c != "id"])
+    )

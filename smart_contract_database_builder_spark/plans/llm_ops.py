@@ -735,9 +735,7 @@ def llm_ml_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", _tokens().alias("toks")
     )
     tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 14)
-    feats = tf.transform(docs).filter(
-        F.expr("aggregate(toks, 0, (a, x) -> a + 1) >= 3")
-    )
+    feats = tf.transform(docs).filter(F.size("toks") >= 3)
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=4, seed=42
     )

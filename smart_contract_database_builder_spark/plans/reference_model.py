@@ -361,14 +361,20 @@ def _sql_values_rows(rows: list[tuple], alias: str, cols: list[str]) -> str:
 def _extract_golden_rows() -> list[tuple]:
     """The expected `function` table over the fixture corpus, computed
     with plain driver-side Python (no Spark): parse replica → scanner →
-    conflict-ignore dedup on the function id, first occurrence wins
-    (db.rs:208)."""
+    conflict-ignore dedup on the function id. Colliding ids (the
+    whitespace-variant duplicate dir yields equal ids with different
+    body slices) keep the lexicographically-minimal row — the same
+    deterministic tie-break ``stage.extract_functions`` applies, chosen
+    because the reference's first-insert-wins depends on arrival order
+    the engines can't share."""
     seen: dict[str, tuple] = {}
     for contract in _py_parse_folder():
         if contract["source_type"] == "vyper":
             continue  # P6: vyper skip, main.rs:298-300
         for row in stage._function_rows(contract["id"], contract["files"]):
-            seen.setdefault(row[0], row)
+            prev = seen.get(row[0])
+            if prev is None or row[1:] < prev[1:]:
+                seen[row[0]] = row
     return list(seen.values())
 
 
