@@ -23,7 +23,6 @@ from __future__ import annotations
 import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..sources.tables import load_table
 from .registry import register
@@ -583,13 +582,17 @@ def _sql_int_dot(a: str, b: str) -> str:
 @register(
     "llm_cosine_topk_bruteforce",
     oracle=rf"""
-    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
+    WITH q AS (
+      SELECT embedding AS qe,
+             {_sql_int_dot("embedding", "embedding")} AS nq
+      FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}
+    ),
     d AS (
       SELECT e.vec_id, e.label,
              len(e.embedding) AS n_dims,
              {_sql_int_dot("e.embedding", "q.qe")} AS dot,
              {_sql_int_dot("e.embedding", "e.embedding")} AS na,
-             {_sql_int_dot("q.qe", "q.qe")} AS nq
+             q.nq AS nq
       FROM embeddings e, q
       WHERE e.vec_id <> {_QUERY_VEC_ID}
     )
@@ -611,13 +614,16 @@ def llm_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the 1-row query vector broadcasts; every candidate is
     scored in a single map stage (type-stable int64 ``aggregate`` fold,
     no explode, no shuffle) and only the 10-row TakeOrderedAndProject
-    moves data. At 100 TB the same plan holds — or the scoring moves to
-    an Arrow-batched pandas UDF for raw throughput with the identical
-    dataflow.
+    moves data. The query self-norm ``nq`` is constant per query, so it
+    is computed ONCE on the 1-row broadcast side and carried through the
+    join — not re-folded per scanned row. At 100 TB the same plan holds
+    — or the scoring moves to an Arrow-batched pandas UDF for raw
+    throughput with the identical dataflow.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
-        F.col("embedding").alias("qe")
+        F.col("embedding").alias("qe"),
+        _int_dot("embedding", "embedding").alias("nq"),
     )
     scored = (
         emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
@@ -628,7 +634,7 @@ def llm_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("embedding").alias("n_dims"),
             _int_dot("embedding", "qe").alias("dot"),
             _int_dot("embedding", "embedding").alias("na"),
-            _int_dot("qe", "qe").alias("nq"),
+            "nq",
         )
     )
     cosine = F.col("dot").cast("double") / (
@@ -807,7 +813,6 @@ def llm_multimodal_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame
 #: ~1e9 vectors targeting ~1e4-vector buckets wants ~17 planes — set
 #: this (or shard by a key prefix) before scaling up.
 _N_PLANES = 8
-_SCALE = 1_000_000_000  # fixed-point 1e-9 — exact from DECIMAL(18,9)
 
 #: Max vectors per hyperplane bucket admitted to the pair join — the
 #: same mega-bucket guard as ``_LSH_BUCKET_CAP``: a degenerate corpus
@@ -835,30 +840,38 @@ def _plane_weights(plane: int, dims: int = 64) -> list[int]:
 
 
 def _sql_plane_dot(plane: int) -> str:
+    """Plane dot over a precomputed scaled-vector column ``sv``. The ±1
+    weight derivation stays inline (md5 parity per dim), so oracle hash
+    parity proves the Spark-side literal weights equal the definitional
+    ones."""
     return (
         "list_aggregate(list_transform(range(1, 65), d -> "
         f"(CASE WHEN contains('02468ace', substr(md5('{plane}-' || d), 1, 1)) "
-        "THEN 1 ELSE -1 END) * "
-        f"CAST(CAST(CAST(embedding[d] AS DOUBLE) AS DECIMAL(18,9)) * {_SCALE} AS BIGINT)), 'sum')"
+        "THEN 1 ELSE -1 END) * sv[d]), 'sum')"
     )
 
 
-def _plane_dot(p: int) -> Column:
-    """Exact fixed-point dot of the embedding with plane p's ±1 weights."""
+def _plane_dot(p: int, sv: Column | str = "sv") -> Column:
+    """Exact dot of the PRE-SCALED fixed-point vector with plane p's ±1
+    weights. Callers must compute the scaled vector once and share it
+    across all planes — rescaling the raw embedding inside each plane
+    dot costs ``_N_PLANES``× the double→decimal→long conversion work for
+    identical output (the r3 bench regression)."""
     warr = F.array(*[F.lit(w) for w in _plane_weights(p)])
-    terms = F.zip_with(
-        "embedding",
-        warr,
-        lambda x, w: w * (x.cast("decimal(18,9)") * _SCALE).cast("long"),
-    )
+    terms = F.zip_with(sv, warr, lambda x, w: x * w)
     return F.aggregate(terms, F.lit(0).cast("long"), lambda a, v: a + v)
 
 
-def _bucket_expr() -> Column:
-    """The _N_PLANES-plane sign bucket as a reusable expression."""
+def _bucket_expr(sv: Column | str = "sv") -> Column:
+    """The _N_PLANES-plane sign bucket over a shared scaled vector.
+
+    Plan economy: evaluate this in a SELECT *after* the projection that
+    computes ``sv`` — CollapseProject keeps a multi-referenced non-cheap
+    column shared (verified: one ``transform`` in the optimized plan),
+    so the 64 casts run once per row, not once per plane."""
     return F.concat(
         *[
-            F.when(_plane_dot(p) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            F.when(_plane_dot(p, sv) >= 0, F.lit("1")).otherwise(F.lit("0"))
             for p in range(_N_PLANES)
         ]
     )
@@ -870,15 +883,19 @@ _NEAR_DUP_COSINE = 0.3
 @register(
     "llm_ann_bucketed_cosine_pairs",
     oracle=rf"""
-    WITH b AS (
+    WITH s AS (
       SELECT vec_id,
              list_transform(embedding,
-               x -> {_SQL_ISCALE.format(v="x")}) AS sv,
+               x -> {_SQL_ISCALE.format(v="x")}) AS sv
+      FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id, sv,
              {" || ".join(
                f"(CASE WHEN {_sql_plane_dot(p)} >= 0 THEN '1' ELSE '0' END)"
                for p in range(_N_PLANES)
              )} AS bucket
-      FROM embeddings
+      FROM s
     ),
     n AS (
       SELECT vec_id, sv, bucket,
@@ -926,13 +943,17 @@ def ann_cosine_pairs(
     recall) and ``bucket_cap`` drops degenerate mega-buckets whole.
 
     Pair-loop hygiene: the fixed-point scaled vector and its norm are
-    computed ONCE per vector before the join — inside the pair loop
-    only a single int64 zip-dot runs (recomputing casts/norms per pair
-    costs ~6× at any scale). The bucket-size side input is ≤ 2^planes
-    rows, so its join is an explicit broadcast.
+    computed ONCE per vector before the join — the bucket bits, the
+    self-norm, and every pair dot all read the same shared ``sv``
+    column (re-scaling per plane would pay the 64-cast conversion
+    ``_N_PLANES``+1 times per row). Inside the pair loop only a single
+    int64 zip-dot runs. The bucket-size side input is ≤ 2^planes rows,
+    so its join is an explicit broadcast.
     """
-    sv = F.transform("embedding", _iscale)
-    b = emb.select("vec_id", sv.alias("sv"), _bucket_expr().alias("bucket"))
+    scaled = emb.select(
+        "vec_id", F.transform("embedding", _iscale).alias("sv")
+    )
+    b = scaled.select("vec_id", "sv", _bucket_expr().alias("bucket"))
     dot_self = F.aggregate(
         F.zip_with("sv", "sv", lambda x, y: x * y),
         F.lit(0).cast("long"),
@@ -976,33 +997,47 @@ def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     label-centroid; the query probes only its own cell and brute-forces
     cosine there. At 100 TB the cell assignment is a write-time
     partition key, so a query touches 1/k of the corpus (rows-only:
-    recall behavior is asserted in tests, not hash-compared)."""
+    recall behavior is asserted in tests, not hash-compared).
+
+    Assignment shape: the cell table is SF-constant (one row per label),
+    so it is packed into a single array row and broadcast; each vector
+    picks its cell with a per-row ``array_min`` argmin over that array —
+    a pure map stage. (A crossJoin + row_number window would fan every
+    vector out k ways and then shuffle on vec_id to pick the argmin —
+    k× the rows and an extra exchange for identical output.)"""
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = centroid_udaf_cells(emb)
-    q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
-        F.col("embedding").alias("qe")
+    # one row: the packed cell table [(cell, centroid), ...]
+    cells = centroid_udaf_cells(emb).agg(
+        F.collect_list(F.struct("cell", "centroid")).alias("cells")
     )
+
+    def best_cell(vec: Column) -> Column:
+        # lexicographic struct min == ORDER BY d2, cell LIMIT 1
+        return F.array_min(
+            F.transform(
+                "cells",
+                lambda c: F.struct(
+                    _cell_dist(vec, c["centroid"]).alias("d2"),
+                    c["cell"].alias("cell"),
+                ),
+            )
+        )["cell"]
+
     q_cell = (
-        q.crossJoin(F.broadcast(centroids))
-        .select(_cell_dist(F.col("qe")).alias("d2"), "cell")
-        .orderBy("d2")
-        .limit(1)
-        .select("cell")
+        emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .crossJoin(F.broadcast(cells))
+        .select(
+            F.col("embedding").alias("qe"),
+            _int_dot("embedding", "embedding").alias("nq"),
+            best_cell(F.col("embedding")).alias("cell"),
+        )
     )
     assigned = (
         emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
-        .crossJoin(F.broadcast(centroids))
-        .withColumn("d2", _cell_dist(F.col("embedding")))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy("d2", "cell")
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell")
+        .crossJoin(F.broadcast(cells))
+        .select("vec_id", "embedding", best_cell(F.col("embedding")).alias("cell"))
     )
-    in_cell = assigned.join(F.broadcast(q_cell), "cell").join(F.broadcast(q))
+    in_cell = assigned.join(F.broadcast(q_cell), "cell")
     cosine = F.col("dot").cast("double") / (
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nq").cast("double"))
     )
@@ -1012,7 +1047,7 @@ def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell",
             _int_dot("embedding", "qe").alias("dot"),
             _int_dot("embedding", "embedding").alias("na"),
-            _int_dot("qe", "qe").alias("nq"),
+            "nq",
         )
         .select("vec_id", "cell", cosine.alias("cosine"))
         .orderBy(F.desc("cosine"), "vec_id")
@@ -1042,11 +1077,11 @@ def centroid_udaf_cells(emb: DataFrame) -> DataFrame:
     )
 
 
-def _cell_dist(vec: Column) -> Column:
+def _cell_dist(vec: Column, centroid: Column) -> Column:
     """Squared L2 distance between a float vector and a double centroid
     array (per-row doubles — used only for argmin cell assignment)."""
     return F.aggregate(
-        F.zip_with(vec, F.col("centroid"), lambda x, c: (x - c) * (x - c)),
+        F.zip_with(vec, centroid, lambda x, c: (x - c) * (x - c)),
         F.lit(0.0),
         lambda a, v: a + v,
     )
@@ -1062,7 +1097,12 @@ def _cell_dist(vec: Column) -> Column:
                f"(CASE WHEN {_sql_plane_dot(p)} >= 0 THEN '1' ELSE '0' END)"
                for p in range(_N_PLANES)
              )} AS bucket
-      FROM embeddings
+      FROM (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> {_SQL_ISCALE.format(v="x")}) AS sv
+        FROM embeddings
+      )
     )
     GROUP BY bucket
     """,
@@ -1074,12 +1114,15 @@ def llm_ann_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus.
 
     Determinism: plane weights are ±1 from md5 parity (no RNG), dots are
-    integer fixed-point (1e-9 from DECIMAL(18,9) — exact, order-free
-    long sums), so bucket ids are engine-independent.
+    integer fixed-point (1e-6 from DECIMAL(18,6) — exact, order-free
+    long sums, the same ``_iscale`` quantization the pair-dot path
+    uses so one scaled vector serves the whole ANN family), so bucket
+    ids are engine-independent.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     return (
-        emb.select("vec_id", _bucket_expr().alias("bucket"))
+        emb.select("vec_id", F.transform("embedding", _iscale).alias("sv"))
+        .select("vec_id", _bucket_expr().alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
     )
