@@ -349,6 +349,21 @@ def minhash_candidate_pairs(
     hazard (a mass-duplicate mega-bucket going quadratic).
     """
     sh = toked.select("doc_id", F.explode(_word_ngrams(F.col("t"))).alias("s"))
+    return minhash_candidate_pairs_from_shingles(sh, bucket_cap)
+
+
+def minhash_candidate_pairs_from_shingles(
+    sh: DataFrame, bucket_cap: int = _LSH_BUCKET_CAP
+) -> DataFrame:
+    """``minhash_candidate_pairs`` from an already-exploded (doc_id, s)
+    shingle relation. Callers that also need the shingle relation for a
+    verify stage (``llm_ngram_jaccard_topk``) pass the SAME DataFrame
+    here, so the corpus-wide explode happens once in the plan: identical
+    subtrees produce identical exchanges, and Spark's ReuseExchange
+    executes the shared shuffle once. MIN over a DISTINCT shingle set
+    equals MIN over the raw multiset, so either relation is a valid
+    input.
+    """
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"m{i}")
@@ -497,7 +512,17 @@ def llm_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually disjoint (pure band-hash collisions) drop out in the inner
     intersection join — identical semantics on both engines. MIN
     signatures over the DISTINCT shingle set equal those over the raw
-    multiset, so the dedup'd inverted index feeds both stages.
+    multiset, so ONE dedup'd inverted index feeds both stages: the
+    sizes aggregate, the signature pipeline, and both sides of the
+    verify join all read the same ``sh`` subtree, and its exchange is
+    built once and reused (ReusedExchange — pinned by the Generate-count
+    assertion in tests/test_plan_hygiene.py).
+
+    Recall bound (documented, not a defect): pairs whose 4 bands never
+    collide, or whose every colliding bucket exceeds ``_LSH_BUCKET_CAP``,
+    are absent from the top-50 — this is approximate-recall by design
+    (tests/test_lsh_recall.py quantifies it vs the exact all-pairs
+    computation on the test corpus).
     """
     docs = load_table(spark, sf_dir, "documents")
     toked = docs.select("doc_id", _tokens().alias("t"))
@@ -506,7 +531,7 @@ def llm_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    cand = minhash_candidate_pairs(toked).select("doc_a", "doc_b")
+    cand = minhash_candidate_pairs_from_shingles(sh).select("doc_a", "doc_b")
     x, y = sh.alias("x"), sh.alias("y")
     shared = (
         cand.join(x, F.col("doc_a") == F.col("x.doc_id"))

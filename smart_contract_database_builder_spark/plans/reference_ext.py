@@ -233,6 +233,20 @@ def centroid_udaf(emb: DataFrame) -> DataFrame:
 
 _SIM_BITS = 16
 
+#: Rabin-Karp window hash over character 8-grams: base/modulus chosen so
+#: every intermediate stays far under 2^63 (codepoint < 2^21, power < M
+#: < 2^31 → one term < 2^51, an 8-term window sum < 2^54). Replaces the
+#: per-character md5 fold — a full cryptographic hash per corpus byte is
+#: the wrong kernel at 100 TB; polynomial mixing is ~8 integer ops per
+#: position with identical containment-detection behavior.
+_WIN_B = 257
+_WIN_M = 1_000_000_007
+_WIN_P = [pow(_WIN_B, k, _WIN_M) for k in range(8)]
+
+#: One window's polynomial sum in DuckDB, over the codepoint list ``cd``
+#: at 1-based window start ``i``.
+_SQL_WIN_EXPR = " + ".join(f"cd[i+{j}]*{_WIN_P[7 - j]}" for j in range(8))
+
 
 @register(
     "llm_simhash_documents",
@@ -249,11 +263,16 @@ _SIM_BITS = 16
            CASE WHEN length(text) >= 8
                 THEN list_aggregate(
                        list_transform(range(1, length(text) - 6),
-                                      i -> md5(substr(text, i, 8))), 'min')
-                ELSE md5(text) END AS winnow_fp
+                                      i -> ({_SQL_WIN_EXPR}) % {_WIN_M}),
+                       'min')
+                WHEN length(text) >= 1
+                THEN list_reduce(cd, (a, c) -> (a * {_WIN_B} + c) % {_WIN_M})
+                ELSE 0 END AS winnow_fp
     FROM (
       SELECT doc_id, text,
-             list_transform(list_distinct({{tokens}}), x -> md5(x)) AS hs
+             list_transform(list_distinct({{tokens}}), x -> md5(x)) AS hs,
+             list_transform(range(1, length(text) + 1),
+                            i -> CAST(ord(substr(text, i, 1)) AS BIGINT)) AS cd
       FROM documents
     )
     WHERE len(hs) > 0
@@ -268,32 +287,55 @@ def llm_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance. Pure array expressions; one md5 per distinct token, then
     16 cheap digit tests.
 
-    Winnowing-style min-shingle hash: the minimum md5 over all character
-    8-gram shingles (one representative hash per doc, the building block
-    of containment detection; short docs fall back to a whole-text
-    hash). O(n_chars) md5s per doc, still a pure map stage.
+    Winnowing-style min-shingle fingerprint: the minimum Rabin-Karp
+    polynomial hash over all character 8-gram windows (the rolling-hash
+    kernel real winnowing uses — see ``_WIN_B``; short docs fall back
+    to a Horner hash of the whole text). The codepoint array is
+    extracted ONCE per row (``ascii`` ≡ DuckDB ``ord``, full Unicode
+    codepoints — verified parity), then each window is 8 multiply-adds
+    on int64: O(8·n_chars) plain integer ops per doc instead of one md5
+    per character. A running-min fold keeps one value in flight rather
+    than materializing the per-window hash array.
     """
-    text = F.col("text")
-    idx = F.sequence(F.lit(1), F.length(text) - 7)
-    # running-min fold, NOT transform+array_min: materializing n_chars
-    # 32-char hash strings per row is an executor-memory hazard on long
-    # documents (a 1 MB doc would build a ~32 MB array); the fold keeps
-    # one hash in flight. 'g' > any hex digit, so it's a safe identity.
-    winnow = F.when(
-        F.length(text) >= 8,
-        F.aggregate(
-            idx,
-            F.lit("g"),
-            lambda acc, i: F.least(acc, F.md5(text.substr(i, F.lit(8)))),
-        ),
-    ).otherwise(F.md5(text))
-    docs = load_table(spark, sf_dir, "documents").select(
+    n = F.col("n")
+    codes = F.col("codes")
+
+    def _win_hash(i: Column) -> Column:
+        s = F.element_at(codes, i) * _WIN_P[7]
+        for j in range(1, 8):
+            s = s + F.element_at(codes, i + j) * _WIN_P[7 - j]
+        return s % _WIN_M
+
+    winnow = (
+        F.when(
+            n >= 8,
+            F.aggregate(
+                F.sequence(F.lit(1), n - 7),
+                F.lit(_WIN_M).cast("long"),
+                lambda acc, i: F.least(acc, _win_hash(i)),
+            ),
+        )
+        .when(
+            n >= 1,
+            F.aggregate(
+                codes,
+                F.lit(0).cast("long"),
+                lambda a, c: (a * _WIN_B + c) % _WIN_M,
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+    )
+    base = load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        winnow.alias("winnow_fp"),
+        F.length("text").alias("n"),
+        F.transform(
+            F.split("text", ""), lambda ch: F.ascii(ch).cast("long")
+        ).alias("codes"),
         F.transform(
             F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+")), F.md5
         ).alias("hs"),
     )
+    docs = base.select("doc_id", winnow.alias("winnow_fp"), "hs")
     hs = F.col("hs")
     # ONE fold over the token hashes accumulating all 16 bit-position
     # vote counters as an int array — a per-bit fold would traverse the

@@ -47,3 +47,20 @@ def test_no_unexpected_cartesian_or_nested_loop(spark, name):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name}: nested-loop join outside the allowlist"
         )
+
+
+def test_ngram_jaccard_single_explode_reuse(spark):
+    """llm_ngram_jaccard_topk feeds ONE distinct shingle relation to the
+    sizes aggregate, the MinHash signature pipeline, and both verify-join
+    sides — so at runtime the shingle explode's exchange must be built
+    once and ReusedExchange must appear in the final adaptive plan (the
+    r3 version re-exploded the corpus inside the signature stage: a
+    disjoint subtree, zero reuse possible)."""
+    df = plans.QUERIES["llm_ngram_jaccard_topk"].fn(spark, SF_ORACLE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 1, (
+        "shingle relation no longer shared: no ReusedExchange in the "
+        "executed plan — the corpus is being exploded more than once"
+    )
