@@ -58,6 +58,15 @@ _TAIL = [
     "stream_stateful_running_totals",
 ]
 
+# A typo'd name here would silently no-op the reorder; fail at import
+# instead so a renamed query breaks loudly, not by drifting out of the
+# driver's correctness window.
+_unknown = [n for n in _PRIORITY + _TAIL if n not in QUERIES]
+if _unknown:
+    raise RuntimeError(
+        f"plans registry reorder names unknown queries: {_unknown}"
+    )
+
 _order = (
     [n for n in _PRIORITY if n in QUERIES]
     + [n for n in QUERIES if n not in _PRIORITY and n not in _TAIL]

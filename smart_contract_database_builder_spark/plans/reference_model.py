@@ -95,32 +95,57 @@ def ref_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ref_bundle_hash_by_source",
     oracle=rf"""
     SELECT source,
-           md5(string_agg(h, '' ORDER BY h)) AS bundle_id,
-           COUNT(*) AS n_files
+           md5(string_agg(bd, '' ORDER BY bd)) AS bundle_id,
+           CAST(SUM(nf) AS BIGINT) AS n_files
     FROM (
-      SELECT source, md5(regexp_replace(text, '{_WS}', '', 'g')) AS h
-      FROM documents
+      SELECT source, substr(h, 1, 2) AS pfx,
+             md5(string_agg(h, '' ORDER BY h)) AS bd,
+             COUNT(*) AS nf
+      FROM (
+        SELECT source, md5(regexp_replace(text, '{_WS}', '', 'g')) AS h
+        FROM documents
+      )
+      GROUP BY source, pfx
     )
     GROUP BY source
     """,
 )
 def ref_bundle_hash_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3 at corpus scale: treat each ``source`` bucket as one multi-file
-    contract — md5 of the sorted, concatenated per-file digests
-    (plain_contract.rs:166-181).
+    contract — hierarchical digest of the sorted per-file digests
+    (plain_contract.rs:166-181 semantics, made mega-group-safe).
 
-    ``collect_list`` order is nondeterministic across partitions;
-    ``array_sort`` inside the id expression restores the reference's
-    order-insensitivity, so the result is stable under any partitioning.
+    A flat ``collect_list`` makes the aggregate row grow linearly with
+    the bucket (a 10M-file source would be one 320 MB row). Instead the
+    digests are re-hashed in two levels: group by (source, first 2 hex
+    chars of the digest) — a 256-way split that md5 uniformity keeps
+    balanced regardless of data skew — then hash the sorted bucket
+    digests. Each aggregate row is bounded by bucket_size/256; a deeper
+    corpus would extend the prefix (k hex chars → 16^k-way). Both levels
+    sort before hashing, so the id stays order-insensitive under any
+    partitioning, exactly like the reference's ``hashes.sorted()``.
+    (True per-contract F3 parity — the un-bucketed form — is pinned in
+    ``ref_ingest_folder_contracts`` against the reference demo fixture,
+    where groups are file-count-bounded by construction.)
     """
-    docs = load_table(spark, sf_dir, "documents")
-    return (
+    return bundle_hash_by_source(load_table(spark, sf_dir, "documents"))
+
+
+def bundle_hash_by_source(docs: DataFrame) -> DataFrame:
+    """Two-level bundle digest over a ``(source, text)`` relation; see
+    ``ref_bundle_hash_by_source`` for the scale rationale."""
+    lvl1 = (
         docs.select("source", C.contract_id("text").alias("h"))
-        .groupBy("source")
+        .withColumn("pfx", F.substring("h", 1, 2))
+        .groupBy("source", "pfx")
         .agg(
-            C.multifile_contract_id(F.collect_list("h")).alias("bundle_id"),
-            F.count(F.lit(1)).alias("n_files"),
+            C.multifile_contract_id(F.collect_list("h")).alias("bd"),
+            F.count(F.lit(1)).alias("nf"),
         )
+    )
+    return lvl1.groupBy("source").agg(
+        C.multifile_contract_id(F.collect_list("bd")).alias("bundle_id"),
+        F.sum("nf").alias("n_files"),
     )
 
 

@@ -153,13 +153,18 @@ def test_ann_bucket_partitioned_layout_prunes(spark, tmp_path):
     a WRITE-TIME partition key, so a query probing one bucket reads
     1/2^planes of the corpus via partition pruning — assert the pruning
     actually happens in the plan and in the rows read."""
-    from smart_contract_database_builder_spark.plans.llm_ops import _bucket_expr
+    from smart_contract_database_builder_spark.plans.llm_ops import (
+        _bucket_expr,
+        _iscale,
+    )
     from smart_contract_database_builder_spark.sources.tables import load_table
     from conftest import SF_SMOKE
 
     emb = load_table(spark, SF_SMOKE, "embeddings")
     out = str(tmp_path / "emb_by_bucket")
-    emb.select("vec_id", "embedding", _bucket_expr().alias("bucket")).write.partitionBy(
+    emb.select(
+        "vec_id", "embedding", F.transform("embedding", _iscale).alias("sv")
+    ).select("vec_id", "embedding", _bucket_expr().alias("bucket")).write.partitionBy(
         "bucket"
     ).parquet(out)
 
