@@ -101,6 +101,21 @@ def cmd_pre_process(args: argparse.Namespace) -> int:
                     file=sys.stderr,
                 )
                 return 1
+            # A corrupt standard-json CONTAINER would otherwise pass
+            # strict pre-process and only surface at index-functions
+            # time as silently-zero function rows (the sources explode
+            # yields null); the reference errors at its serde parse
+            # (plain_contract.rs get_source_files), so strict mode
+            # probes contract.json too.
+            cj = files.filter(F.col("filename") == "contract.json")
+            bad = _first_corrupt_json(cj, "content", "dir")
+            if bad:
+                print(
+                    f"malformed contract.json under {bad[0][0]!r} "
+                    "(use --ignore-errors to treat it as raw source)",
+                    file=sys.stderr,
+                )
+                return 1
         parsed = C.parse_folder_contracts(files)
         stored = None
     if stored is None:

@@ -200,9 +200,13 @@ def scan_file_contracts(source: str) -> list[ScannedContract]:
             parts: list[bytes] = []
             depth, start = 0, 0
             for i, ch in enumerate(clause):
-                if ch in (0x28, 0x3C):  # ( <  — parens / generics-ish
+                # parens ONLY: Solidity has no generics in inheritance
+                # lists, and a comparison inside a base-constructor
+                # argument (`is Base(a > b)`) would unbalance a shared
+                # ( ) / < > counter and leak arguments as phantom bases.
+                if ch == 0x28:  # (
                     depth += 1
-                elif ch in (0x29, 0x3E):  # ) >
+                elif ch == 0x29:  # )
                     depth = max(0, depth - 1)
                 elif ch == 0x2C and depth == 0:  # top-level comma
                     parts.append(clause[start:i])

@@ -113,20 +113,45 @@ def fake_image_stats(data: bytes) -> tuple[float, str]:
     return mean, hashlib.md5(data).hexdigest()
 
 
-def extract_image_features(media: DataFrame) -> DataFrame:
+def real_image_stats(data: bytes) -> tuple[int, int, float, str]:
+    """Real decode path: (width, height, mean grayscale pixel, content
+    hash) from actual pixels — requires Pillow (``decode_image``)."""
+    img = decode_image(bytes(data)).convert("L")
+    px = list(img.getdata())
+    mean = sum(px) / len(px) if px else 0.0
+    return img.width, img.height, mean, hashlib.md5(data).hexdigest()
+
+
+def extract_image_features(media: DataFrame, use_codec: bool = False) -> DataFrame:
     """Feature-extraction stage: images only, Arrow-batched. The filter
-    sits BEFORE the Python boundary so non-image rows never cross."""
+    sits BEFORE the Python boundary so non-image rows never cross.
+
+    ``use_codec=True`` swaps the deterministic fake kernel for the real
+    Pillow decode (dims and mean from actual pixels) with the identical
+    dataflow — payloads must then be real encoded images. Exercised by
+    tests/test_real_deps_integration.py when Pillow is installed."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = {
-                "media_id": pdf["media_id"],
-                "width": pdf["meta"].map(lambda m: m["width"]),
-                "height": pdf["meta"].map(lambda m: m["height"]),
-                "n_bytes": pdf["data"].map(len),
-                "mean_byte": pdf["data"].map(lambda d: fake_image_stats(d)[0]),
-                "content_hash": pdf["data"].map(lambda d: fake_image_stats(d)[1]),
-            }
+            if use_codec:
+                stats = pdf["data"].map(real_image_stats)
+                out = {
+                    "media_id": pdf["media_id"],
+                    "width": stats.map(lambda s: s[0]),
+                    "height": stats.map(lambda s: s[1]),
+                    "n_bytes": pdf["data"].map(len),
+                    "mean_byte": stats.map(lambda s: s[2]),
+                    "content_hash": stats.map(lambda s: s[3]),
+                }
+            else:
+                out = {
+                    "media_id": pdf["media_id"],
+                    "width": pdf["meta"].map(lambda m: m["width"]),
+                    "height": pdf["meta"].map(lambda m: m["height"]),
+                    "n_bytes": pdf["data"].map(len),
+                    "mean_byte": pdf["data"].map(lambda d: fake_image_stats(d)[0]),
+                    "content_hash": pdf["data"].map(lambda d: fake_image_stats(d)[1]),
+                }
             yield pd.DataFrame(out)
 
     images = media.filter(media.kind == "image").select("media_id", "data", "meta")
@@ -145,13 +170,17 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
-def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+def resize_images(
+    media: DataFrame, width: int = 32, height: int = 32, use_codec: bool = False
+) -> DataFrame:
     """Resize stage: images only, Arrow-batched, 1→1. The pixel kernel
-    is stubbed (no codec in this environment): the output payload is a
-    deterministic hash-chain of (source bytes, target dims) sized
-    ``width × height`` bytes — byte-for-byte reproducible, so tests pin
-    the full stage contract (schema, batch shape, payload size) while a
-    real environment swaps in ``decode_image(...).resize(...)``."""
+    is stubbed by default (no codec in this environment): the output
+    payload is a deterministic hash-chain of (source bytes, target
+    dims) sized ``width × height`` bytes — byte-for-byte reproducible,
+    so tests pin the full stage contract (schema, batch shape, payload
+    size). ``use_codec=True`` runs the real ``decode_image → resize →
+    re-encode PNG`` kernel over real encoded payloads (exercised by
+    tests/test_real_deps_integration.py when Pillow is installed)."""
 
     def _fake_resized(data: bytes) -> bytes:
         need = width * height
@@ -162,18 +191,40 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFr
             seed = hashlib.md5(seed).digest()
         return bytes(out[:need])
 
+    def _real_resized(data: bytes) -> tuple[int, int, bytes]:
+        import io
+
+        img = decode_image(bytes(data))
+        sw, sh = img.width, img.height
+        buf = io.BytesIO()
+        img.resize((width, height)).save(buf, format="PNG")
+        return sw, sh, buf.getvalue()
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "src_width": pdf["meta"].map(lambda m: m["width"]),
-                    "src_height": pdf["meta"].map(lambda m: m["height"]),
-                    "width": width,
-                    "height": height,
-                    "data": pdf["data"].map(lambda d: _fake_resized(bytes(d))),
-                }
-            )
+            if use_codec:
+                rs = pdf["data"].map(_real_resized)
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "src_width": rs.map(lambda r: r[0]),
+                        "src_height": rs.map(lambda r: r[1]),
+                        "width": width,
+                        "height": height,
+                        "data": rs.map(lambda r: r[2]),
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "src_width": pdf["meta"].map(lambda m: m["width"]),
+                        "src_height": pdf["meta"].map(lambda m: m["height"]),
+                        "width": width,
+                        "height": height,
+                        "data": pdf["data"].map(lambda d: _fake_resized(bytes(d))),
+                    }
+                )
 
     images = media.filter(media.kind == "image").select("media_id", "data", "meta")
     return images.mapInPandas(batches, schema=RESIZED_SCHEMA)

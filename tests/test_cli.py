@@ -106,6 +106,32 @@ def test_cli_strict_mode_fails_on_corrupt_metadata(spark, contract_tree, tmp_pat
     assert n >= 5  # lenient path still loads the healthy dirs
 
 
+def test_cli_strict_mode_fails_on_corrupt_contract_json(spark, contract_tree, tmp_path):
+    """A corrupt standard-json CONTAINER must fail strict pre-process up
+    front: without the probe it would load fine and only surface at
+    index-functions time as silently-zero function rows (the sources
+    explode yields null), where the reference errors at its serde parse
+    (get_source_files)."""
+    import pathlib
+
+    broken = pathlib.Path(contract_tree) / "broken_json_dir"
+    broken.mkdir()
+    (broken / "metadata.json").write_text('{"ContractName": "B"}')
+    (broken / "contract.json").write_text('{"sources": {"a.sol": ')  # truncated
+    db = str(tmp_path / "strict_cj.duckdb")
+
+    rc = cli.main(
+        ["pre-process", "--contracts-root", contract_tree, "--db-file", db]
+    )
+    assert rc == 1
+
+    rc = cli.main(
+        ["pre-process", "--contracts-root", contract_tree, "--db-file", db,
+         "--ignore-errors"]
+    )
+    assert rc == 0
+
+
 def test_cli_strict_mode_fails_on_corrupt_etherscan_dump(spark, tmp_path):
     root = tmp_path / "escan"
     addr = "0xdeadbeef00000000000000000000000000000001"

@@ -276,3 +276,39 @@ def test_stage_slices_are_substrings_of_sources(extracted):
             assert any(
                 r["source_code"] in c for c in contents[r["filename"]]
             ), (r["contract_name"], r["function_name"])
+
+
+# ---------------------------------------------------------------------------
+# Base-clause splitting: paren depth only (no < > accounting)
+# ---------------------------------------------------------------------------
+
+
+def test_base_clause_comparison_arg_emits_no_phantom_bases():
+    """`is Base(a > b)` — the '(' raises depth, and a '>' must NOT drop
+    it back to 0, or the comma in a following argument list re-surfaces
+    and argument identifiers leak out as phantom base names."""
+    from smart_contract_database_builder_spark.compilestage.solidity import (
+        scan_file_contracts,
+    )
+
+    src = """
+    contract Sale is Crowdsale(rate > 0 ? rate : 1, wallet), Ownable {
+        function buy() public {}
+    }
+    """
+    (c,) = scan_file_contracts(src)
+    assert c.bases == ["Crowdsale", "Ownable"]
+
+
+def test_base_clause_multiple_constructor_args_stay_one_base():
+    from smart_contract_database_builder_spark.compilestage.solidity import (
+        scan_file_contracts,
+    )
+
+    src = """
+    contract Timed is TimedCrowdsale(openingTime, closingTime) {
+        function f() public {}
+    }
+    """
+    (c,) = scan_file_contracts(src)
+    assert c.bases == ["TimedCrowdsale"]
