@@ -45,6 +45,7 @@ HEADLINE = [
     "ref_bundle_hash_by_source",
     "llm_exact_dedup_documents",
     "llm_minhash_lsh_pairs",
+    "llm_neardup_clusters",
     "llm_ngram_jaccard_topk",
     "llm_tfidf_top_terms",
     "llm_cosine_topk_bruteforce",

@@ -31,6 +31,7 @@ _PRIORITY = [
     "llm_cosine_topk_bruteforce",
     "llm_tfidf_top_terms",
     "llm_ngram_jaccard_topk",
+    "llm_neardup_clusters",
     "llm_ann_hyperplane_buckets",
     "stream_tumbling_window_counts",
     "stream_sliding_window_avg",
@@ -40,6 +41,18 @@ _PRIORITY = [
     "stream_true_tumbling_availablenow",
     "ref_extract_functions",
     "ref_sink_roundtrip",
+]
+
+#: Oracle-CARRYING queries deliberately registered just past the
+#: driver's 50-query window (it is full): their oracles still run in
+#: pytest (tests/test_oracle_parity.py sweeps every oracle at sf0.01),
+#: they just lose the per-round driver row. Grow this list consciously
+#: — whatever sits here trades driver-visible correctness evidence for
+#: a slot; pick the queries whose operator family already has another
+#: driver-checked witness (F9/F19 map-explode is witnessed by
+#: ref_sources_explode and the array/map scalar queries).
+_OVERFLOW = [
+    "scalar_map_explode_props",
 ]
 
 #: Genuinely rows-only queries (no cross-engine oracle can exist:
@@ -61,16 +74,18 @@ _TAIL = [
 # A typo'd name here would silently no-op the reorder; fail at import
 # instead so a renamed query breaks loudly, not by drifting out of the
 # driver's correctness window.
-_unknown = [n for n in _PRIORITY + _TAIL if n not in QUERIES]
+_unknown = [n for n in _PRIORITY + _OVERFLOW + _TAIL if n not in QUERIES]
 if _unknown:
     raise RuntimeError(
         f"plans registry reorder names unknown queries: {_unknown}"
     )
 
+_curated = set(_PRIORITY) | set(_OVERFLOW) | set(_TAIL)
 _order = (
-    [n for n in _PRIORITY if n in QUERIES]
-    + [n for n in QUERIES if n not in _PRIORITY and n not in _TAIL]
-    + [n for n in _TAIL if n in QUERIES]
+    _PRIORITY
+    + [n for n in QUERIES if n not in _curated]
+    + _OVERFLOW
+    + _TAIL
 )
 _resorted = {n: QUERIES[n] for n in _order}
 QUERIES.clear()

@@ -562,6 +562,140 @@ def llm_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
+    """Distributed connected components over an undirected ``(doc_a,
+    doc_b)`` edge relation by min-label propagation: every node starts
+    labeled with its own id, and each round every node takes the min of
+    its own label and its neighbors' labels, until a fixpoint. Returns
+    ``(doc_id, cluster_id)`` where ``cluster_id`` is the component's
+    minimum doc id — the canonical representative a dedup pipeline
+    keeps.
+
+    Scale design: each round is one shuffle-join (edges × labels on the
+    source id) plus one min-aggregate on the destination id — both hash
+    partitions on uniformly-distributed doc ids, so rounds reuse the
+    same partitioning with no skew. ``localCheckpoint`` truncates the
+    lineage each round (an iterative plan would otherwise double in
+    depth per round); on a real cluster use ``spark.checkpoint`` with a
+    checkpoint dir for executor-loss resilience. Near-dup graphs from
+    banded LSH are bucket-local cliques, so diameters are tiny and the
+    fixpoint lands in 2-3 rounds; plain min-propagation needs
+    O(diameter) rounds, and an adversarial long-path graph would want
+    the large-star/small-star variant (O(log n) rounds) — the round
+    structure below is the same, only the message set changes.
+
+    Driver-side work per round is ONE scalar (the has-any-label-changed
+    probe) — iteration control, not data movement.
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("doc"))
+        .distinct()
+        .withColumn("lbl", F.col("doc"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.alias("e")
+            .join(labels.alias("l"), F.col("e.u") == F.col("l.doc"))
+            .select(F.col("e.v").alias("doc"), F.col("l.lbl").alias("lbl"))
+        )
+        new_labels = (
+            nbr.unionByName(labels)
+            .groupBy("doc")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc", F.col("lbl").alias("cluster_id"))
+
+
+@register(
+    "llm_neardup_clusters",
+    oracle=rf"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, unnest({_sql_word_ngrams("t")}) AS s
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+    ),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(md5('{i}|' || s)) AS m{i}" for i in range(_N_HASHES))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(m{2*b} || m{2*b+1}) AS key FROM sig"
+        for b in range(_N_HASHES // _BAND_ROWS)
+      )}
+    ),
+    bsz AS (
+      SELECT band_idx, key FROM bands
+      GROUP BY band_idx, key
+      HAVING COUNT(*) BETWEEN 2 AND {_LSH_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bsz USING (band_idx, key)
+      JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key
+                  AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM cand
+      UNION ALL
+      SELECT doc_b, doc_a FROM cand
+    ),
+    reach(a, b) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b
+    )
+    SELECT a AS doc_id,
+           LEAST(a, MIN(b)) AS cluster_id,
+           a = LEAST(a, MIN(b)) AS is_canonical
+    FROM reach
+    GROUP BY a
+    """,
+)
+def llm_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/J6 composed end-to-end: near-duplicate CLUSTERS — banded
+    MinHash-LSH candidate pairs (``minhash_candidate_pairs``) fed into
+    distributed connected components (``connected_components``), with
+    the component-minimum doc id as the canonical representative. This
+    is the step a training-data dedup pipeline actually ships: pairs
+    alone over-count (A~B~C is one cluster, not two independent pairs),
+    and "keep one doc per cluster" needs the transitive closure.
+
+    Oracle: the identical candidate graph closed by a recursive CTE
+    (DuckDB), min per reachability set — an independent fixpoint
+    formulation of the same components. Only docs with at least one
+    candidate pair appear (singletons are trivially their own cluster).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", _tokens().alias("t"))
+    pairs = minhash_candidate_pairs(toked).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("doc").alias("doc_id"),
+        "cluster_id",
+        (F.col("doc") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Vector similarity (F21) + ANN bucketing
 # ---------------------------------------------------------------------------

@@ -1,0 +1,54 @@
+"""Connected-components clustering — transitive-closure semantics the
+natural test corpus barely exercises (its near-dup clusters are mostly
+pairs), pinned on synthetic graphs.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from smart_contract_database_builder_spark.plans.llm_ops import (
+    connected_components,
+)
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "doc_a long, doc_b long")
+
+
+def _clusters(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["cluster_id"], set()).add(r["doc"])
+    return out
+
+
+def test_chain_collapses_to_one_component(spark):
+    # A-B, B-C, C-D, D-E: diameter 4 — needs real propagation, not one hop
+    comp = connected_components(_pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]))
+    assert _clusters(comp) == {1: {1, 2, 3, 4, 5}}
+
+
+def test_disjoint_components_stay_disjoint(spark):
+    comp = connected_components(
+        _pairs(spark, [(10, 11), (11, 12), (20, 21), (30, 31), (31, 32)])
+    )
+    assert _clusters(comp) == {10: {10, 11, 12}, 20: {20, 21}, 30: {30, 31, 32}}
+
+
+def test_labels_are_component_minimum_regardless_of_edge_orientation(spark):
+    # min id arrives via the "wrong" side of every edge
+    comp = connected_components(_pairs(spark, [(9, 1), (9, 5), (5, 3)]))
+    assert _clusters(comp) == {1: {1, 3, 5, 9}}
+
+
+def test_long_path_within_max_iter(spark):
+    # a 20-node path: worst-case diameter for plain min-propagation;
+    # max_iter must comfortably cover the corpus-realistic regime and
+    # the early-exit must stop the loop at the fixpoint, not run dry
+    edges = [(i, i + 1) for i in range(1, 20)]
+    comp = connected_components(_pairs(spark, edges), max_iter=25)
+    assert _clusters(comp) == {1: set(range(1, 21))}

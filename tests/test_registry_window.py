@@ -4,9 +4,10 @@ The correctness driver processes queries in registration order and
 records only the FIRST 50 — round 2 lost 17 CORRECTNESS rows purely by
 position (every MinHash/ANN/TF-IDF/streaming query registered after the
 cut). These tests pin the curation so the window can't silently regress:
-every oracle-carrying query must sit inside the window, and only the
-genuinely rows-only queries (engine-internal RNG/sketches/codecs) may
-trail beyond it.
+an oracle-carrying query may sit past the window ONLY by being named in
+the explicit ``_OVERFLOW`` list (its oracle still runs in the pytest
+sweep), and everything after the overflow block must be genuinely
+rows-only.
 """
 
 from __future__ import annotations
@@ -17,28 +18,45 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from smart_contract_database_builder_spark import plans
+from smart_contract_database_builder_spark.plans import _OVERFLOW, _TAIL
 
 _DRIVER_WINDOW = 50
 
 
-def test_every_oracle_query_is_inside_the_driver_window():
+def test_oracle_queries_fill_the_driver_window_exactly():
+    """Positions 0..49 must ALL carry oracles — a rows-only query inside
+    the window would waste a driver-checked slot."""
+    names = list(plans.QUERIES)
+    head = names[:_DRIVER_WINDOW]
+    unoracled = [n for n in head if plans.QUERIES[n].oracle is None]
+    assert unoracled == [], f"rows-only queries wasting window slots: {unoracled}"
+
+
+def test_oracle_queries_past_the_window_are_explicitly_designated():
+    """Pushing an oracle query out of the window must be a conscious,
+    named decision (_OVERFLOW), never a silent side effect of a new
+    registration."""
     names = list(plans.QUERIES)
     late = [
         n
         for i, n in enumerate(names)
         if plans.QUERIES[n].oracle is not None and i >= _DRIVER_WINDOW
     ]
-    assert late == [], f"oracle queries beyond the driver window: {late}"
+    assert late == _OVERFLOW, (
+        f"oracle queries beyond the driver window {late} != designated "
+        f"overflow {_OVERFLOW}"
+    )
 
 
 def test_similarity_and_streaming_queries_lead():
     """The round-2 casualties must be registered first."""
-    head = list(plans.QUERIES)[:14]
+    head = list(plans.QUERIES)[:15]
     for name in (
         "llm_minhash_lsh_pairs",
         "llm_ann_bucketed_cosine_pairs",
         "llm_cosine_topk_bruteforce",
         "llm_tfidf_top_terms",
+        "llm_neardup_clusters",
         "stream_tumbling_window_counts",
         "stream_session_windows",
         "stream_dedup_first_event",
@@ -49,9 +67,10 @@ def test_similarity_and_streaming_queries_lead():
         assert name in head, f"{name} not in the registry head: {head}"
 
 
-def test_only_genuinely_rows_only_queries_trail():
+def test_only_genuinely_rows_only_queries_trail_the_overflow():
     names = list(plans.QUERIES)
-    trailing = names[_DRIVER_WINDOW:]
+    trailing = names[_DRIVER_WINDOW + len(_OVERFLOW):]
+    assert trailing == _TAIL
     assert all(plans.QUERIES[n].oracle is None for n in trailing)
     # each trailing query documents WHY it has no oracle
     for n in trailing:
