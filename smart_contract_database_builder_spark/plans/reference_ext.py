@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import json
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -248,6 +249,79 @@ _WIN_P = [pow(_WIN_B, k, _WIN_M) for k in range(8)]
 _SQL_WIN_EXPR = " + ".join(f"cd[i+{j}]*{_WIN_P[7 - j]}" for j in range(8))
 
 
+def winnow_fp_pandas():
+    """Arrow-batched winnow kernel — the registered scale path.
+
+    The expression form (``winnow_fp_expr``) runs inside Spark's
+    higher-order-function interpreter (no codegen): per window it pays
+    8 interpreted ``element_at`` lambda evaluations, ~1 µs/char — the
+    measured floor regardless of arithmetic (a rolling-update fold only
+    recovered ~10%). The same int64 math vectorizes exactly in numpy:
+    codepoints via a single ``utf-32-le`` decode (no per-char Python),
+    all window sums as one ``sliding_window_view @ powers`` matrix
+    product (max intermediate 8·2^51 < 2^63, so no overflow before the
+    mod), one ``min``. Equivalence with the expression form — and so
+    with the DuckDB oracle — is pinned corpus-wide plus multibyte edge
+    cases in tests/test_winnow_kernels.py.
+    """
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+    from pyspark.sql.functions import pandas_udf
+
+    powers = np.array(list(reversed(_WIN_P)), dtype=np.int64)
+
+    def one(t: str) -> int:
+        codes = np.frombuffer(t.encode("utf-32-le"), dtype="<u4").astype(
+            np.int64
+        )
+        n = codes.size
+        if n >= 8:
+            vals = (sliding_window_view(codes, 8) @ powers) % _WIN_M
+            return int(vals.min())
+        h = 0
+        for c in codes:  # <8 chars: Horner fallback, trivially short
+            h = (h * _WIN_B + int(c)) % _WIN_M
+        return h
+
+    @pandas_udf("long")
+    def fp(texts: pd.Series) -> pd.Series:
+        return texts.map(one)
+
+    return fp("text")
+
+
+def winnow_fp_expr(n, codes):
+    """Expression-form winnow (oracle twin of ``winnow_fp_pandas``):
+    min Rabin-Karp hash over character 8-gram windows, Horner fallback
+    for short texts."""
+
+    def _win_hash(i):
+        s = F.element_at(codes, i) * _WIN_P[7]
+        for j in range(1, 8):
+            s = s + F.element_at(codes, i + j) * _WIN_P[7 - j]
+        return s % _WIN_M
+
+    return (
+        F.when(
+            n >= 8,
+            F.aggregate(
+                F.sequence(F.lit(1), n - 7),
+                F.lit(_WIN_M).cast("long"),
+                lambda acc, i: F.least(acc, _win_hash(i)),
+            ),
+        )
+        .when(
+            n >= 1,
+            F.aggregate(
+                codes,
+                F.lit(0).cast("long"),
+                lambda a, c: (a * _WIN_B + c) % _WIN_M,
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+    )
+
+
 @register(
     "llm_simhash_documents",
     oracle=rf"""
@@ -288,54 +362,23 @@ def llm_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     16 cheap digit tests.
 
     Winnowing-style min-shingle fingerprint: the minimum Rabin-Karp
-    polynomial hash over all character 8-gram windows (the rolling-hash
-    kernel real winnowing uses — see ``_WIN_B``; short docs fall back
-    to a Horner hash of the whole text). The codepoint array is
-    extracted ONCE per row (``ascii`` ≡ DuckDB ``ord``, full Unicode
-    codepoints — verified parity), then each window is 8 multiply-adds
-    on int64: O(8·n_chars) plain integer ops per doc instead of one md5
-    per character. A running-min fold keeps one value in flight rather
-    than materializing the per-window hash array.
+    polynomial hash over all character 8-gram windows (short docs fall
+    back to a Horner hash of the whole text), computed by the
+    Arrow-batched numpy kernel ``winnow_fp_pandas`` — character-window
+    hashing is the one kernel where Spark's interpreted
+    higher-order-function evaluator is the bottleneck, so the scale
+    path is a vectorized sliding-window matrix product with the
+    identical int64 arithmetic (the expression twin ``winnow_fp_expr``
+    and the DuckDB oracle pin equivalence).
     """
-    n = F.col("n")
-    codes = F.col("codes")
-
-    def _win_hash(i: Column) -> Column:
-        s = F.element_at(codes, i) * _WIN_P[7]
-        for j in range(1, 8):
-            s = s + F.element_at(codes, i + j) * _WIN_P[7 - j]
-        return s % _WIN_M
-
-    winnow = (
-        F.when(
-            n >= 8,
-            F.aggregate(
-                F.sequence(F.lit(1), n - 7),
-                F.lit(_WIN_M).cast("long"),
-                lambda acc, i: F.least(acc, _win_hash(i)),
-            ),
-        )
-        .when(
-            n >= 1,
-            F.aggregate(
-                codes,
-                F.lit(0).cast("long"),
-                lambda a, c: (a * _WIN_B + c) % _WIN_M,
-            ),
-        )
-        .otherwise(F.lit(0).cast("long"))
-    )
     base = load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        F.length("text").alias("n"),
-        F.transform(
-            F.split("text", ""), lambda ch: F.ascii(ch).cast("long")
-        ).alias("codes"),
+        winnow_fp_pandas().alias("winnow_fp"),
         F.transform(
             F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+")), F.md5
         ).alias("hs"),
     )
-    docs = base.select("doc_id", winnow.alias("winnow_fp"), "hs")
+    docs = base.select("doc_id", "winnow_fp", "hs")
     hs = F.col("hs")
     # ONE fold over the token hashes accumulating all 16 bit-position
     # vote counters as an int array — a per-bit fold would traverse the
