@@ -53,6 +53,7 @@ _PRIORITY = [
 #: ref_sources_explode and the array/map scalar queries).
 _OVERFLOW = [
     "scalar_map_explode_props",
+    "llm_embedding_neardup_clusters",
 ]
 
 #: Genuinely rows-only queries (no cross-engine oracle can exist:

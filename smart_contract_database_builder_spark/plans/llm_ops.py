@@ -1150,6 +1150,86 @@ def ann_cosine_pairs(
     )
 
 
+@register(
+    "llm_embedding_neardup_clusters",
+    oracle=rf"""
+    WITH RECURSIVE s AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> {_SQL_ISCALE.format(v="x")}) AS sv
+      FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id, sv,
+             {" || ".join(
+               f"(CASE WHEN {_sql_plane_dot(p)} >= 0 THEN '1' ELSE '0' END)"
+               for p in range(_N_PLANES)
+             )} AS bucket
+      FROM s
+    ),
+    n AS (
+      SELECT vec_id, sv, bucket,
+             sqrt(CAST(CAST(list_aggregate(
+               list_transform(list_zip(sv, sv), x -> x[1] * x[2]),
+               'sum') AS BIGINT) AS DOUBLE)) AS nrm
+      FROM b
+    ),
+    ok AS (
+      SELECT bucket FROM b GROUP BY bucket
+      HAVING COUNT(*) BETWEEN 2 AND {_ANN_BUCKET_CAP}
+    ),
+    pairs AS (
+      SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+      FROM n x
+      JOIN ok USING (bucket)
+      JOIN n y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+      WHERE CAST(CAST(list_aggregate(
+              list_transform(list_zip(x.sv, y.sv), p -> p[1] * p[2]),
+              'sum') AS BIGINT) AS DOUBLE) / (x.nrm * y.nrm)
+            >= {_NEAR_DUP_COSINE}
+    ),
+    edges AS (
+      SELECT vec_a AS u, vec_b AS v FROM pairs
+      UNION ALL
+      SELECT vec_b, vec_a FROM pairs
+    ),
+    reach(a, r) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT rr.a, e.v FROM reach rr JOIN edges e ON e.u = rr.r
+    )
+    SELECT a AS vec_id,
+           LEAST(a, MIN(r)) AS cluster_id,
+           a = LEAST(a, MIN(r)) AS is_canonical
+    FROM reach
+    GROUP BY a
+    """,
+)
+def llm_embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6+J7 in embedding space: hyperplane-LSH bucketed cosine pairs
+    (``ann_cosine_pairs``) closed into duplicate CLUSTERS by
+    ``connected_components`` — the embedding-side twin of
+    ``llm_neardup_clusters`` (text side). Semantic near-duplicates
+    chain (A≈B≈C with A,C in different buckets still cluster via B), so
+    the transitive closure, not the pair list, is what an
+    embedding-dedup pipeline keeps.
+
+    Registered in the _OVERFLOW block: oracle-carrying (recursive-CTE
+    closure of the identical candidate graph), swept by the pytest
+    oracle-parity suite; deliberately past the full driver window.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = ann_cosine_pairs(emb).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("doc").alias("vec_id"),
+        "cluster_id",
+        (F.col("doc") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
 @register("llm_ivf_topk", oracle=None)
 def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F21/J6: IVF-style ANN — vectors are inverted-indexed by nearest
