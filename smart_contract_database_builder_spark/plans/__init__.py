@@ -54,6 +54,7 @@ _PRIORITY = [
 _OVERFLOW = [
     "scalar_map_explode_props",
     "llm_embedding_neardup_clusters",
+    "stream_stream_join_attribution",
 ]
 
 #: Genuinely rows-only queries (no cross-engine oracle can exist:

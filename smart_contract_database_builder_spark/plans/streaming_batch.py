@@ -199,6 +199,47 @@ def stream_static_enrich_segments(spark: SparkSession, sf_dir: str) -> DataFrame
     return jobs.enrich_with_customers(ev, cust)
 
 
+@register(
+    "stream_stream_join_attribution",
+    oracle=f"""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           strftime(c.ts, '{_SQL_TS_FMT_US}') AS click_ts,
+           strftime(p.ts, '{_SQL_TS_FMT_US}') AS purchase_ts,
+           p.value AS purchase_value
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL '30 minutes'
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 (EXT): stream-stream join, batch-equivalent form — purchases
+    attributed to same-user clicks within a 30-minute band (shared plan
+    ``jobs.click_purchase_attribution``; the true watermarked
+    stream-stream join over the same transformation is
+    ``jobs.attribution_stream``, equivalence-tested in
+    tests/test_streaming.py). Registered in the _OVERFLOW block:
+    oracle-carrying, pytest-swept, past the full driver window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    out = jobs.click_purchase_attribution(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    return out.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.date_format("click_ts", _TS_FMT_US).alias("click_ts"),
+        F.date_format("purchase_ts", _TS_FMT_US).alias("purchase_ts"),
+        "purchase_value",
+    )
+
+
 @register("stream_true_tumbling_availablenow", oracle=_TUMBLING_ORACLE)
 def stream_true_tumbling_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1+T2 true streaming: reads events as an unbounded stream

@@ -94,6 +94,52 @@ def enrich_with_customers(events: DataFrame, customers: DataFrame) -> DataFrame:
     )
 
 
+def click_purchase_attribution(
+    clicks: DataFrame, purchases: DataFrame
+) -> DataFrame:
+    """T6 (EXT): stream-stream join — attribute each purchase to the
+    clicks that preceded it by ≤30 minutes for the same user (the
+    classic ad-attribution shape). Shared batch/stream plan: under
+    ``readStream`` both sides carry watermarks and the time-range
+    predicate bounds the join state (rows age out of the state store
+    once the watermark passes click_ts + 30 min — without the band the
+    state would grow forever).
+
+    Scale shape: the join shuffles both streams on user_id (uniform);
+    within a key the band predicate prunes by time. At 100 TB the same
+    plan runs continuously with state bounded by watermark delay ×
+    arrival rate.
+    """
+    c, p = clicks.alias("c"), purchases.alias("p")
+    return c.join(
+        p,
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("p.ts") >= F.col("c.ts"))
+        & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("c.ts").alias("click_ts"),
+        F.col("p.ts").alias("purchase_ts"),
+        F.col("p.value").alias("purchase_value"),
+    )
+
+
+def attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The T6 join as a true stream-stream join: one unbounded event
+    source split into two watermarked streams (a supported self-join),
+    joined under the band predicate."""
+    ev = read_events_stream(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").withWatermark(
+        "ts", "1 hour"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").withWatermark(
+        "ts", "1 hour"
+    )
+    return click_purchase_attribution(clicks, purchases)
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """T-EXT: custom stateful operator via ``applyInPandasWithState`` —
     per-user running (event count, exact value total), the operator

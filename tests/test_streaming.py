@@ -100,3 +100,22 @@ def test_stream_static_join_equals_batch(spark):
     ev_batch = load_table(spark, SF_ORACLE, "events")
     want = jobs.enrich_with_customers(ev_batch, cust)
     assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_stream_stream_join_equals_batch(spark):
+    """T6: the watermarked stream-stream band join (self-joined event
+    stream) must emit exactly the batch join's rows — inner joins emit
+    only matched pairs, so the availableNow drain equals the batch twin
+    row-for-row."""
+    from pyspark.sql import functions as F
+
+    got = jobs.run_to_memory(
+        jobs.attribution_stream(spark, SF_ORACLE), "t_ss_join"
+    )
+    ev = load_table(spark, SF_ORACLE, "events")
+    want = jobs.click_purchase_attribution(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    assert _sorted_rows(got) == _sorted_rows(want)
+    assert got.count() > 0  # the corpus must actually exercise the band
