@@ -53,6 +53,8 @@ HEADLINE = [
     "stream_tumbling_window_counts",
     "stream_session_windows",
     "llm_ann_bucketed_cosine_pairs",
+    "llm_embedding_neardup_clusters",
+    "stream_stream_join_attribution",
     "llm_simhash_documents",
     "llm_centroid_by_label",
     "llm_quality_scores",
