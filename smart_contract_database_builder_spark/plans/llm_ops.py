@@ -600,29 +600,36 @@ def connected_components(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
+        # neighbor messages carry own=false; a doc's current label rides
+        # along tagged own=true, so ONE aggregate yields both the new
+        # label (min over everything) and the previous one (min over the
+        # own rows — exactly one per doc). The convergence probe is then
+        # a filter-count over the checkpointed result: no join, no
+        # shuffle, just a scan of what the round already materialized.
         nbr = (
             sym.alias("e")
             .join(labels.alias("l"), F.col("e.u") == F.col("l.doc"))
-            .select(F.col("e.v").alias("doc"), F.col("l.lbl").alias("lbl"))
+            .select(
+                F.col("e.v").alias("doc"),
+                F.col("l.lbl").alias("lbl"),
+                F.lit(False).alias("own"),
+            )
         )
         # eager checkpoint: measured FASTER than lazy (5.3s → 2.7s at
         # sf0.1) — the lazy variant re-executes the round's plan in both
         # the convergence probe and the next round's first action before
         # the checkpoint lands, so the "saved" job is paid twice
         new_labels = (
-            nbr.unionByName(labels)
+            nbr.unionByName(labels.withColumn("own", F.lit(True)))
             .groupBy("doc")
-            .agg(F.min("lbl").alias("lbl"))
+            .agg(
+                F.min("lbl").alias("lbl"),
+                F.min(F.when(F.col("own"), F.col("lbl"))).alias("prev"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("lbl") < F.col("prev")).limit(1).count()
+        labels = new_labels.select("doc", "lbl")
         if changed == 0:
             break
     return labels.select("doc", F.col("lbl").alias("cluster_id"))
