@@ -55,6 +55,7 @@ _OVERFLOW = [
     "scalar_map_explode_props",
     "llm_embedding_neardup_clusters",
     "stream_stream_join_attribution",
+    "agg_percentile_prices",
 ]
 
 #: Genuinely rows-only queries (no cross-engine oracle can exist:

@@ -232,3 +232,45 @@ def scalar_map_explode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.col("v").try_cast("bigint")).alias("max_v"),
         )
     )
+
+
+@register(
+    "agg_percentile_prices",
+    oracle="""
+    SELECT o_orderpriority,
+           q[1] AS p25, q[2] AS p50, q[3] AS p75, q[4] AS p99,
+           n
+    FROM (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, [0.25, 0.5, 0.75, 0.99]) AS q,
+             COUNT(*) AS n
+      FROM orders
+      GROUP BY o_orderpriority
+    )
+    """,
+)
+def agg_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5-adjacent: EXACT interpolated percentiles per group —
+    ``percentile`` (Spark) vs ``quantile_cont`` (DuckDB) agree bitwise
+    because both interpolate linearly between the same order statistics
+    of the same doubles. The exact form is the oracle-checkable anchor;
+    at corpus scale the same query swaps to ``percentile_approx``
+    (t-digest sketch, mergeable map-side, no full sort per group) — the
+    approximate twin has no cross-engine oracle by nature, which is why
+    the exact one carries the correctness row. Registered in _OVERFLOW
+    (pytest-swept, past the full driver window).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    q = F.expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.99D))")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(q.alias("q"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "o_orderpriority",
+            F.col("q")[0].alias("p25"),
+            F.col("q")[1].alias("p50"),
+            F.col("q")[2].alias("p75"),
+            F.col("q")[3].alias("p99"),
+            "n",
+        )
+    )
