@@ -635,6 +635,106 @@ def connected_components(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
     return labels.select("doc", F.col("lbl").alias("cluster_id"))
 
 
+def connected_components_star(
+    pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the O(log n)-round variant ``connected_components``
+    documents as the upgrade for adversarial graphs: plain min-label
+    propagation needs O(diameter) rounds, so a 10^6-node path costs
+    10^6 shuffles; star contraction halves long chains every pair of
+    rounds regardless of topology.
+
+    Per round each node computes the minimum of its closed neighborhood
+    and re-points a subset of neighbors at it (strictly-larger
+    neighbors in the large-star round; smaller-or-equal ones, plus
+    itself, in the small-star round). Both rounds are one groupBy +
+    re-emit over the edge relation — the same shuffle shape as a round
+    of min-label, there are just exponentially fewer of them. At the
+    fixpoint the edge set is a star forest: every non-root points
+    directly at its component minimum.
+
+    Equivalence with min-label (and with the union-find property
+    oracle) plus the round-count advantage on a long path are pinned in
+    tests/test_connected_components.py / test_components_property.py.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # every node that appears anywhere — singletons of the PAIR graph
+    # don't exist by construction, but roots must survive contraction
+    nodes = (
+        edges.select(F.col("u").alias("doc"))
+        .unionByName(edges.select(F.col("v").alias("doc")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+
+    def _closed_min(sym: DataFrame) -> DataFrame:
+        return sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+
+    for _ in range(max_iter):
+        prev_edges = edges
+        sym = _sym(edges)
+        mins = _closed_min(sym)
+        # large-star: strictly larger neighbors re-point at the closed min
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        edges = (
+            large.filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # small-star: smaller-or-equal neighbors AND the node itself
+        sym = _sym(edges)
+        mins = _closed_min(sym)
+        grouped = sym.filter(F.col("v") <= F.col("u")).join(mins, "u")
+        small = grouped.select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        ).unionByName(
+            grouped.select(F.col("u"), F.col("m").alias("v")).distinct()
+        )
+        edges = (
+            small.filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # fixpoint = the (distinct) edge relation is literally unchanged
+        # — an exact set comparison over the two checkpointed relations,
+        # one tiny job on star-forest-sized data
+        if (
+            edges.exceptAll(prev_edges)
+            .unionByName(prev_edges.exceptAll(edges))
+            .limit(1)
+            .count()
+            == 0
+        ):
+            break
+
+    # non-roots point at their root; roots label themselves
+    return nodes.join(
+        edges.select(F.col("u").alias("doc"), F.col("v").alias("root")),
+        "doc",
+        "left",
+    ).select(
+        "doc", F.coalesce("root", "doc").alias("cluster_id")
+    )
+
+
 @register(
     "llm_neardup_clusters",
     oracle=rf"""

@@ -60,3 +60,23 @@ def test_components_match_union_find(spark, edges):
     for r in connected_components(df).collect():
         got.setdefault(r["cluster_id"], set()).add(r["doc"])
     assert got == _union_find(edges)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_edges)
+def test_star_components_match_union_find(spark, edges):
+    from smart_contract_database_builder_spark.plans.llm_ops import (
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "doc_a long, doc_b long"
+    )
+    got: dict[int, set[int]] = {}
+    for r in connected_components_star(df).collect():
+        got.setdefault(r["cluster_id"], set()).add(r["doc"])
+    assert got == _union_find(edges)

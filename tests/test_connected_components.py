@@ -52,3 +52,38 @@ def test_long_path_within_max_iter(spark):
     edges = [(i, i + 1) for i in range(1, 20)]
     comp = connected_components(_pairs(spark, edges), max_iter=25)
     assert _clusters(comp) == {1: set(range(1, 21))}
+
+
+# ---------------------------------------------------------------------------
+# Large-star/small-star variant (the O(log n) adversarial-graph path)
+# ---------------------------------------------------------------------------
+
+
+def test_star_variant_agrees_on_chain_and_forest(spark):
+    from smart_contract_database_builder_spark.plans.llm_ops import (
+        connected_components_star,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22)]
+    a = _clusters(connected_components(_pairs(spark, edges)))
+    b = {}
+    for r in connected_components_star(_pairs(spark, edges)).collect():
+        b.setdefault(r["cluster_id"], set()).add(r["doc"])
+    assert a == b == {1: {1, 2, 3, 4, 5}, 10: {10, 11}, 20: {20, 21, 22}}
+
+
+def test_star_variant_beats_diameter_on_a_long_path(spark):
+    """The point of star contraction: a 64-node path has diameter 63 —
+    min-label would need ~63 rounds, star contraction must finish
+    within O(log n) alternations (each loop iteration is one
+    large+small pair; 10 ≫ log2(64) leaves slack for the tail)."""
+    from smart_contract_database_builder_spark.plans.llm_ops import (
+        connected_components_star,
+    )
+
+    edges = [(i, i + 1) for i in range(1, 64)]
+    comp = connected_components_star(_pairs(spark, edges), max_iter=10)
+    clusters = {}
+    for r in comp.collect():
+        clusters.setdefault(r["cluster_id"], set()).add(r["doc"])
+    assert clusters == {1: set(range(1, 65))}
