@@ -58,6 +58,8 @@ HEADLINE = [
     "llm_simhash_documents",
     "llm_centroid_by_label",
     "llm_quality_scores",
+    "llm_repetition_signals",
+    "llm_knn_join_topk",
     "ref_sink_roundtrip",
 ]
 

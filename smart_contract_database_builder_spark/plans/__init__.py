@@ -56,6 +56,8 @@ _OVERFLOW = [
     "llm_embedding_neardup_clusters",
     "stream_stream_join_attribution",
     "agg_percentile_prices",
+    "llm_repetition_signals",
+    "llm_knn_join_topk",
 ]
 
 #: Genuinely rows-only queries (no cross-engine oracle can exist:

@@ -315,6 +315,83 @@ def llm_langid_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.withColumn("predicted_lang", predicted)
 
 
+@register(
+    "llm_repetition_signals",
+    oracle=rf"""
+    WITH grams AS (
+      SELECT doc_id, unnest({_sql_word_ngrams("t", 2)}) AS gram
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+    ),
+    cnt AS (
+      SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT doc_id, gram, c,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, gram)
+               AS rn,
+             CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n_bigrams,
+             CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT)
+               AS n_uniq_bigrams
+      FROM cnt
+    )
+    SELECT doc_id, n_bigrams, n_uniq_bigrams,
+           gram AS top_bigram,
+           CAST(c AS BIGINT) AS top_bigram_count,
+           CAST(c AS DOUBLE) / n_bigrams AS top_bigram_frac,
+           1.0 - CAST(n_uniq_bigrams AS DOUBLE) / n_bigrams AS dup_bigram_frac
+    FROM ranked WHERE rn = 1
+    """,
+)
+def llm_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20: Gopher-style repetition quality signals — per document, the
+    mass of the single most frequent word bigram and the fraction of
+    bigram occurrences that are repeats (1 − distinct/total). High
+    values flag boilerplate/spam for corpus filtering; docs with < 2
+    tokens have no bigrams and drop out (both engines agree: exploding
+    an empty gram array yields no rows).
+
+    Scale shape: ONE corpus explode → hash-aggregate on (doc, gram)
+    (uniform 2-level key, map-side partial combine collapses repeats
+    early) → one window pass over doc-keyed partitions computing the
+    rank and both totals in the same shuffle. Bigram counts per doc are
+    bounded by doc length, so partitions stay small at any corpus size.
+    Fractions are IEEE doubles from exact integer inputs — bitwise
+    cross-engine.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(_word_ngrams(_tokens(), 2)).alias("gram")
+    )
+    cnt = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    by_doc = Window.partitionBy("doc_id")
+    ranked = cnt.select(
+        "doc_id",
+        "gram",
+        "c",
+        F.row_number()
+        .over(by_doc.orderBy(F.desc("c"), "gram"))
+        .alias("rn"),
+        F.sum("c").over(by_doc).alias("n_bigrams"),
+        F.count(F.lit(1)).over(by_doc).alias("n_uniq_bigrams"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "doc_id",
+        "n_bigrams",
+        "n_uniq_bigrams",
+        F.col("gram").alias("top_bigram"),
+        F.col("c").alias("top_bigram_count"),
+        (F.col("c").cast("double") / F.col("n_bigrams")).alias(
+            "top_bigram_frac"
+        ),
+        (
+            F.lit(1.0)
+            - F.col("n_uniq_bigrams").cast("double") / F.col("n_bigrams")
+        ).alias("dup_bigram_frac"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash LSH near-dup (J6) + n-gram Jaccard
 # ---------------------------------------------------------------------------
@@ -995,6 +1072,109 @@ def cosine_topk_pandas(emb: DataFrame, query_vec: list[float], k: int = 10) -> D
         emb.select("vec_id", "label", score("embedding").alias("cosine"))
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(k)
+    )
+
+
+#: Query-set ids for the k-NN join (a retrieval/eval batch, not a
+#: single probe) and neighbors kept per query.
+_KNN_QUERY_IDS = (1, 2, 3)
+_KNN_K = 5
+#: Salt fan-out for the two-phase per-query top-k. Phase 1 keeps the
+#: local top-k inside each (query, salt) slice, so no single partition
+#: ever holds a query's full candidate list; phase 2 ranks the ≤ k·S
+#: survivors. The final rows are salt-independent by construction —
+#: every global top-k member is also top-k within its own salt slice.
+_KNN_SALTS = 8
+
+
+@register(
+    "llm_knn_join_topk",
+    oracle=rf"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe,
+             {_sql_int_dot("embedding", "embedding")} AS nq
+      FROM embeddings
+      WHERE vec_id IN {_KNN_QUERY_IDS}
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             CAST({_sql_int_dot("e.embedding", "q.qe")} AS DOUBLE)
+               / (sqrt(CAST({_sql_int_dot("e.embedding", "e.embedding")}
+                            AS DOUBLE))
+                  * sqrt(CAST(q.nq AS DOUBLE))) AS cosine
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cosine, rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, vec_id
+             ) AS rank
+      FROM scored
+    )
+    WHERE rank <= {_KNN_K}
+    """,
+)
+def llm_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F21+O5: k-NN JOIN — top-k cosine neighbors for a SET of query
+    vectors at once (the retrieval-eval / dedup-against-heldout shape),
+    not the single-probe ``llm_cosine_topk_bruteforce``.
+
+    Scale shape: the query set broadcasts (Q rows) and every candidate
+    is scored in one map stage — the candidate self-norm is hoisted
+    BEFORE the fan-out so it is computed once per vector, not once per
+    (vector, query); the query self-norms ride the broadcast side. The
+    per-query top-k then runs in TWO phases: phase 1 ranks inside
+    (query, salt) slices — bounded partitions regardless of corpus
+    size — and phase 2 ranks the ≤ k·S survivors per query. A
+    single-phase window would funnel all N scored rows of each query
+    into one partition: the classic top-k skew at 1e9 candidates. The
+    salt never changes the answer (a global top-k row is top-k in its
+    own slice); the DuckDB oracle states the salt-free semantics.
+    Cosines are IEEE doubles from exact fixed-point integer sums —
+    bitwise cross-engine, so the (cosine DESC, vec_id) tie-break is
+    deterministic.
+    """
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(*_KNN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        _int_dot("embedding", "embedding").alias("nq"),
+    )
+    cand = emb.select(
+        "vec_id", "embedding", _int_dot("embedding", "embedding").alias("na")
+    )
+    cosine = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nq").cast("double"))
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "na",
+            "nq",
+            _int_dot("embedding", "qe").alias("dot"),
+        )
+        .select("query_id", "vec_id", cosine.alias("cosine"))
+    )
+    salt = F.pmod(F.crc32(F.col("vec_id").cast("string")), F.lit(_KNN_SALTS))
+    local = Window.partitionBy("query_id", "salt").orderBy(
+        F.desc("cosine"), "vec_id"
+    )
+    survivors = (
+        scored.withColumn("salt", salt)
+        .withColumn("rn", F.row_number().over(local))
+        .filter(F.col("rn") <= _KNN_K)
+    )
+    final = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        survivors.select("query_id", "vec_id", "cosine")
+        .withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= _KNN_K)
     )
 
 

@@ -20,6 +20,7 @@ _NESTED_LOOP_ALLOWED = {
     "llm_cosine_topk_bruteforce",  # 1-row query vector broadcast
     "llm_ivf_topk",                # 1-row query + k-cell centroid broadcast
     "llm_tfidf_top_terms",         # 1-row corpus-size scalar broadcast
+    "llm_knn_join_topk",           # Q-row query-set broadcast (Q = 3)
 }
 
 #: Queries whose fn() triggers side effects/execution rather than just
