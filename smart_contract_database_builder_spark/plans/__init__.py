@@ -58,6 +58,7 @@ _OVERFLOW = [
     "agg_percentile_prices",
     "llm_repetition_signals",
     "llm_knn_join_topk",
+    "llm_decontaminate_overlap",
 ]
 
 #: Genuinely rows-only queries (no cross-engine oracle can exist:

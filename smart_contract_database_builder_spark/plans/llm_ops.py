@@ -315,6 +315,90 @@ def llm_langid_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.withColumn("predicted_lang", predicted)
 
 
+#: Decontamination n-gram size. Production pipelines match 8-13-gram
+#: collisions (the GPT-3 / PaLM published recipe); the synthetic test
+#: docs average ~54 tokens, so 4-grams keep the check non-vacuous at
+#: sf0.01 — the plan shape is identical at any n.
+_DECON_N = 4
+#: The "benchmark" held-out set: every doc with id ≡ 7 (mod 50) — a
+#: deterministic ~2% slice standing in for an eval suite.
+_DECON_MOD, _DECON_REM = 50, 7
+
+
+@register(
+    "llm_decontaminate_overlap",
+    oracle=rf"""
+    WITH grams AS (
+      SELECT doc_id, unnest({_sql_word_ngrams("t", _DECON_N)}) AS g
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+    ),
+    bench AS (
+      SELECT DISTINCT g FROM grams
+      WHERE doc_id % {_DECON_MOD} = {_DECON_REM}
+    ),
+    corpus AS (
+      SELECT doc_id, g FROM grams
+      WHERE doc_id % {_DECON_MOD} <> {_DECON_REM}
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(b.g) AS BIGINT) AS n_contaminated,
+           CAST(COUNT(b.g) AS DOUBLE) / COUNT(*) AS contaminated_frac
+    FROM corpus c LEFT JOIN bench b ON c.g = b.g
+    GROUP BY doc_id
+    HAVING COUNT(b.g) > 0
+    """,
+)
+def llm_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20/J6: benchmark DECONTAMINATION — flag training documents that
+    share word n-grams with a held-out benchmark set (the published
+    GPT-3/PaLM recipe: any 8-13-gram collision with an eval suite marks
+    the training doc). Here the benchmark is a deterministic ~2% doc_id
+    slice; output is every contaminated doc with its gram-occurrence
+    overlap count and fraction.
+
+    Scale shape: the benchmark gram set is eval-suite-sized (MBs
+    against a 100 TB corpus), so it is DISTINCT-ed once and BROADCAST —
+    the corpus side is one explode → one broadcast-hash left join → one
+    hash aggregate, with no shuffle of the gram stream at all (the
+    only exchange is the final doc_id aggregate, and map-side partial
+    aggregation collapses each doc's grams to one row per partition
+    first). Catalyst pushes the benchmark/corpus doc_id filters below
+    the explode, so benchmark docs are only shingled on the small side.
+    Counts are exact integers; the fraction is one IEEE divide —
+    bitwise cross-engine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(_word_ngrams(_tokens(), _DECON_N)).alias("g")
+    )
+    is_bench = (F.col("doc_id") % _DECON_MOD) == _DECON_REM
+    bench = (
+        grams.filter(is_bench).select("g").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        grams.filter(~is_bench)
+        .join(F.broadcast(bench), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias(
+                "n_contaminated"
+            ),
+        )
+        .filter(F.col("n_contaminated") > 0)
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_contaminated",
+            (
+                F.col("n_contaminated").cast("double") / F.col("n_grams")
+            ).alias("contaminated_frac"),
+        )
+    )
+
+
 @register(
     "llm_repetition_signals",
     oracle=rf"""
