@@ -59,6 +59,8 @@ _OVERFLOW = [
     "llm_repetition_signals",
     "llm_knn_join_topk",
     "llm_decontaminate_overlap",
+    "llm_mix_sample_by_lang",
+    "llm_sequence_packing",
 ]
 
 #: Genuinely rows-only queries (no cross-engine oracle can exist:

@@ -315,6 +315,116 @@ def llm_langid_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.withColumn("predicted_lang", predicted)
 
 
+#: Deterministic mix-sampling thresholds: a doc is kept iff the first
+#: 4 hex chars of md5(doc_id) sort below its language's threshold.
+#: '4000'/'c000' ≈ keep 25% of English, 75% of everything else — the
+#: "upsample low-resource languages" rebalance. Hex-prefix comparison
+#: is engine-portable (md5 hex is identical everywhere) and needs no
+#: integer parsing.
+_MIX_THR_EN = "4000"
+_MIX_THR_OTHER = "c000"
+
+
+@register(
+    "llm_mix_sample_by_lang",
+    oracle=rf"""
+    SELECT doc_id, lang, source,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h4
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+          < CASE WHEN lang = 'en' THEN '{_MIX_THR_EN}'
+                 ELSE '{_MIX_THR_OTHER}' END
+    """,
+)
+def llm_mix_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4/F20: REPRODUCIBLE dataset mixing — per-language sampling by
+    content-stable hash instead of RNG. A doc is kept iff a 4-hex-char
+    prefix of md5(doc_id) sorts below its language's threshold, so the
+    sample is (a) exactly reproducible across runs, engines, partition
+    counts and cluster sizes, (b) monotone: raising a threshold only
+    ADDS docs, it never reshuffles the kept set — the property a
+    curriculum/mixture sweep needs, and what ``rand(seed)`` sampling
+    (order-dependent per partition) cannot give.
+
+    Scale shape: a pure map-side filter — no shuffle, no window, no
+    state; predicate and projection push to the parquet scan. At 100 TB
+    this is the cheapest possible full-corpus pass, and the per-lang
+    thresholds are plan literals (a CASE, not a join).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h4 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    thr = F.when(F.col("lang") == "en", F.lit(_MIX_THR_EN)).otherwise(
+        F.lit(_MIX_THR_OTHER)
+    )
+    return docs.select(
+        "doc_id", "lang", "source", h4.alias("h4")
+    ).filter(F.col("h4") < thr)
+
+
+#: Training context window (tokens) for sequence packing.
+_PACK_CTX = 256
+
+
+@register(
+    "llm_sequence_packing",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, source, len({_SQL_TOKENS}) AS n_tok FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             SUM(n_tok) OVER (
+               PARTITION BY source ORDER BY doc_id
+             ) AS cum
+      FROM t
+    )
+    SELECT doc_id, source,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(cum - n_tok AS BIGINT) AS start_off,
+           CAST((cum - n_tok) // {_PACK_CTX} AS BIGINT) AS pack_id,
+           (cum - 1) // {_PACK_CTX} > (cum - n_tok) // {_PACK_CTX}
+             AS crosses_boundary
+    FROM c
+    """,
+)
+def llm_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/F20: SEQUENCE PACKING — concat-then-chunk, the GPT-style
+    pretraining layout: within each shard, documents are concatenated
+    in deterministic (doc_id) order and the token stream is cut into
+    fixed {_PACK_CTX}-token context windows. Each doc reports its start
+    offset in the shard's stream, the pack (chunk) containing its first
+    token, and whether it spans a chunk boundary.
+
+    Scale shape: ONE window per shard key (``source``) — the running
+    sum shuffles on source and sorts within, exactly how a real packing
+    job shards (a single global ordering over 100 TB would funnel the
+    corpus through one partition; per-shard streams are the standard
+    discipline, and shard-local pack ids are what the loader consumes).
+    All arithmetic is exact integer division on the running sum (no
+    floats), so both engines agree bitwise.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(_tokens()).alias("n_tok")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    start = F.col("cum") - F.col("n_tok")
+    return c.select(
+        "doc_id",
+        "source",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        start.cast("long").alias("start_off"),
+        F.expr(f"(cum - n_tok) div {_PACK_CTX}").alias("pack_id"),
+        (
+            F.expr(f"(cum - 1) div {_PACK_CTX}")
+            > F.expr(f"(cum - n_tok) div {_PACK_CTX}")
+        ).alias("crosses_boundary"),
+    )
+
+
 #: Decontamination n-gram size. Production pipelines match 8-13-gram
 #: collisions (the GPT-3 / PaLM published recipe); the synthetic test
 #: docs average ~54 tokens, so 4-grams keep the check non-vacuous at
