@@ -60,6 +60,7 @@ HEADLINE = [
     "llm_quality_scores",
     "llm_repetition_signals",
     "llm_knn_join_topk",
+    "llm_decontaminate_overlap",
     "ref_sink_roundtrip",
 ]
 

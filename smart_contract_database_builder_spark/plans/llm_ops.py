@@ -479,8 +479,14 @@ def llm_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitwise cross-engine.
     """
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id", F.explode(_word_ngrams(_tokens(), _DECON_N)).alias("g")
+    # Tokenize in its OWN projection: inlining _tokens() into the
+    # n-gram transform would re-run the regex split inside every
+    # element_at lambda (~4·n_tok splits of the full text per row —
+    # measured 30× slower); as a multiply-referenced non-cheap alias,
+    # CollapseProject leaves it materialized once per row.
+    toked = docs.select("doc_id", _tokens().alias("t"))
+    grams = toked.select(
+        "doc_id", F.explode(_word_ngrams(F.col("t"), _DECON_N)).alias("g")
     )
     is_bench = (F.col("doc_id") % _DECON_MOD) == _DECON_REM
     bench = (
@@ -555,8 +561,11 @@ def llm_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id", F.explode(_word_ngrams(_tokens(), 2)).alias("gram")
+    # tokens in their own projection — see llm_decontaminate_overlap:
+    # inlining the split into the bigram lambdas re-splits per element
+    toked = docs.select("doc_id", _tokens().alias("t"))
+    grams = toked.select(
+        "doc_id", F.explode(_word_ngrams(F.col("t"), 2)).alias("gram")
     )
     cnt = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
     by_doc = Window.partitionBy("doc_id")
