@@ -27,6 +27,33 @@ from pyspark.sql import functions as F
 from ..sources.tables import load_table
 from .registry import register
 
+
+def fan_out_if_narrow(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the cluster's parallelism — but ONLY
+    when the upstream scan yields fewer partitions than cores.
+
+    Why it exists: a CPU-heavy map-side kernel (the 8-way min-md5
+    MinHash partial aggregate, the fixed-point ANN rescale) runs in the
+    SCAN stage, before any exchange — so its parallelism is the scan's
+    split count, not the cluster's. A handful of small parquet files
+    (or any unsplittable input: gzip, one mega row-group) pins millions
+    of hash evaluations to a few tasks while the rest of the cluster
+    idles. Fanning out the *pre-explode* rows costs one shuffle of the
+    raw documents — the cheapest relation in the pipeline — and buys
+    full-width execution of everything downstream of it.
+
+    At 100 TB the scan arrives in thousands of splits and this helper
+    is an explicit no-op (the condition, not the operator, is the
+    contract: it never ADDS an exchange to a plan that is already
+    wide). Round-robin keeps sizes uniform regardless of doc-id
+    distribution; results are partitioning-independent.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Shared text expressions
 # ---------------------------------------------------------------------------
@@ -484,7 +511,7 @@ def llm_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # element_at lambda (~4·n_tok splits of the full text per row —
     # measured 30× slower); as a multiply-referenced non-cheap alias,
     # CollapseProject leaves it materialized once per row.
-    toked = docs.select("doc_id", _tokens().alias("t"))
+    toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
     grams = toked.select(
         "doc_id", F.explode(_word_ngrams(F.col("t"), _DECON_N)).alias("g")
     )
@@ -563,7 +590,7 @@ def llm_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # tokens in their own projection — see llm_decontaminate_overlap:
     # inlining the split into the bigram lambdas re-splits per element
-    toked = docs.select("doc_id", _tokens().alias("t"))
+    toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
     grams = toked.select(
         "doc_id", F.explode(_word_ngrams(F.col("t"), 2)).alias("gram")
     )
@@ -726,7 +753,7 @@ def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the token array BEFORE shingling: the n-gram lambda
     # indexes it per element, and an inline split() expression would be
     # re-evaluated per index — O(tokens^2) per document
-    toked = docs.select("doc_id", _tokens().alias("t"))
+    toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
     return minhash_candidate_pairs(toked)
 
 
@@ -805,7 +832,7 @@ def llm_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     computation on the test corpus).
     """
     docs = load_table(spark, sf_dir, "documents")
-    toked = docs.select("doc_id", _tokens().alias("t"))
+    toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
     sh = (
         toked.select("doc_id", F.explode(_word_ngrams(F.col("t"))).alias("s"))
         .distinct()
@@ -1102,7 +1129,7 @@ def llm_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pair appear (singletons are trivially their own cluster).
     """
     docs = load_table(spark, sf_dir, "documents")
-    toked = docs.select("doc_id", _tokens().alias("t"))
+    toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
     pairs = minhash_candidate_pairs(toked).select("doc_a", "doc_b")
     comp = connected_components(pairs)
     return comp.select(
@@ -1628,7 +1655,7 @@ def ann_cosine_pairs(
     int64 zip-dot runs. The bucket-size side input is ≤ 2^planes rows,
     so its join is an explicit broadcast.
     """
-    scaled = emb.select(
+    scaled = fan_out_if_narrow(emb).select(
         "vec_id", F.transform("embedding", _iscale).alias("sv")
     )
     b = scaled.select("vec_id", "sv", _bucket_expr().alias("bucket"))
