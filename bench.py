@@ -61,6 +61,9 @@ HEADLINE = [
     "llm_repetition_signals",
     "llm_knn_join_topk",
     "llm_decontaminate_overlap",
+    "llm_mix_sample_by_lang",
+    "llm_sequence_packing",
+    "llm_token_budget_per_source",
     "ref_sink_roundtrip",
 ]
 

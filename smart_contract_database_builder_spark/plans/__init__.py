@@ -61,6 +61,7 @@ _OVERFLOW = [
     "llm_decontaminate_overlap",
     "llm_mix_sample_by_lang",
     "llm_sequence_packing",
+    "llm_token_budget_per_source",
 ]
 
 #: Genuinely rows-only queries (no cross-engine oracle can exist:

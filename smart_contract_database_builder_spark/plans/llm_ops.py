@@ -388,6 +388,73 @@ def llm_mix_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("h4") < thr)
 
 
+#: Per-source token budget for the greedy domain-mixing fill. Sources
+#: in the testdata carry ~1350 tokens each at sf0.01, so 600 keeps a
+#: real prefix and drops a real tail in every source at every SF.
+_BUDGET_TOKENS = 600
+
+
+@register(
+    "llm_token_budget_per_source",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, source, len({_SQL_TOKENS}) AS n_tok,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tok, h,
+             SUM(n_tok) OVER (
+               PARTITION BY source ORDER BY h, doc_id
+             ) AS cum
+      FROM t
+    )
+    SELECT doc_id, source,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(cum - n_tok AS BIGINT) AS start_off
+    FROM c
+    WHERE cum - n_tok < {_BUDGET_TOKENS}
+    """,
+)
+def llm_token_budget_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/W3/O4: TOKEN-BUDGET domain mixing — each source contributes
+    documents greedily, in content-stable md5(doc_id) order, until its
+    token budget is exhausted (the doc that crosses the budget line is
+    kept; everything after it drops). This is the exact-budget
+    counterpart of rate-based ``llm_mix_sample_by_lang``: a mixture
+    spec in tokens, not probabilities — and the hash order makes the
+    chosen prefix reproducible across runs, engines and partitionings,
+    while budget increases only ever APPEND documents.
+
+    Scale shape: one window per source (running token sum in hash
+    order) then a map-side filter — the same per-shard discipline as
+    ``llm_sequence_packing``; no global ordering, no driver state. A
+    skew-heavy source costs only its own partition's sort. Integer
+    token counts make the budget cut exact on both engines.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(_tokens()).alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    start = F.col("cum") - F.col("n_tok")
+    return (
+        c.filter(start < _BUDGET_TOKENS)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tok").cast("long").alias("n_tok"),
+            start.cast("long").alias("start_off"),
+        )
+    )
+
+
 #: Training context window (tokens) for sequence packing.
 _PACK_CTX = 256
 
