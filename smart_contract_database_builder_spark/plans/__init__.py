@@ -62,6 +62,9 @@ _OVERFLOW = [
     "llm_mix_sample_by_lang",
     "llm_sequence_packing",
     "llm_token_budget_per_source",
+    "llm_chunk_documents",
+    "llm_pii_redaction",
+    "llm_vocab_coverage",
 ]
 
 #: Genuinely rows-only queries (no cross-engine oracle can exist:

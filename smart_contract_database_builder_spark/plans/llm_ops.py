@@ -1978,3 +1978,242 @@ def llm_ann_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus preparation EXT — chunking, PII redaction, vocabulary coverage
+# ---------------------------------------------------------------------------
+
+#: Chunk window (tokens) and stride for document chunking. Stride <
+#: window gives the overlapping-context layout retrieval pipelines use
+#: (each token appears in <= ceil(window/stride) chunks).
+_CHUNK_TOKENS = 32
+_CHUNK_STRIDE = 24
+
+
+@register(
+    "llm_chunk_documents",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS t, len({_SQL_TOKENS}) AS n_tok
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, t, n_tok,
+             unnest(range(0, n_tok, {_CHUNK_STRIDE})) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(start // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(start AS BIGINT) AS start_tok,
+           CAST(LEAST({_CHUNK_TOKENS}, n_tok - start) AS BIGINT)
+             AS chunk_len,
+           md5(array_to_string(
+             t[start + 1 : start + {_CHUNK_TOKENS}], ' ')) AS chunk_hash
+    FROM s
+    """,
+)
+def llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20/F19: document CHUNKING — slice each document's token stream
+    into overlapping {_CHUNK_TOKENS}-token windows every {_CHUNK_STRIDE}
+    tokens (the retrieval / long-context layout: stride < window keeps
+    boundary context in two chunks). Emits one row per chunk with its
+    token offset, clamped length, and an md5 over the chunk text so the
+    oracle verifies CONTENT, not just geometry.
+
+    Scale shape: chunking is embarrassingly parallel — one projection
+    materializes the token array, ``sequence``/``explode`` fans each doc
+    to its chunk starts, and ``slice`` reads the shared array (no
+    shuffle anywhere; output partitioning inherits the scan). The
+    explode multiplies rows by ~n_tok/stride, so downstream consumers
+    see bounded fan-out, never a corpus-squared blowup. Start sets are
+    identical across engines: Spark ``sequence(0, n_tok-1, stride)``
+    (inclusive end) == DuckDB ``range(0, n_tok, stride)`` (exclusive
+    end) for the always-true n_tok >= 1 (splitting "" yields [""]), and
+    both engines clamp the trailing slice.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # token array in its OWN projection (see llm_decontaminate_overlap)
+    toked = fan_out_if_narrow(
+        docs.select(
+            "doc_id", _tokens().alias("t"), F.size(_tokens()).alias("n_tok")
+        )
+    )
+    starts = toked.select(
+        "doc_id",
+        "t",
+        "n_tok",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.col("n_tok") - 1, F.lit(_CHUNK_STRIDE)
+            )
+        ).alias("start"),
+    )
+    return starts.select(
+        "doc_id",
+        F.expr(f"start div {_CHUNK_STRIDE}").cast("long").alias("chunk_idx"),
+        F.col("start").cast("long").alias("start_tok"),
+        F.least(
+            F.lit(_CHUNK_TOKENS), F.col("n_tok") - F.col("start")
+        ).cast("long").alias("chunk_len"),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("t"), F.col("start") + 1, _CHUNK_TOKENS)
+            )
+        ).alias("chunk_hash"),
+    )
+
+
+#: PII patterns (shared Java-regex / RE2 subset: char classes,
+#: bounded quantifiers — no lookaround, no backrefs).
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE = r"\+1-555-[0-9]{4}"
+
+
+@register(
+    "llm_pii_redaction",
+    oracle=rf"""
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE doc_id % 3
+               WHEN 0 THEN text || ' contact user' ||
+                 CAST(doc_id AS VARCHAR) || '@example.com now'
+               WHEN 1 THEN text || ' call +1-555-' ||
+                 lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+               ELSE text
+             END AS txt
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(txt, '{_PII_EMAIL}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(txt, '{_PII_PHONE}')) AS BIGINT)
+             AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(txt, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_hash,
+           CAST(len(regexp_replace(
+                 regexp_replace(txt, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g')) AS BIGINT) AS redacted_len
+    FROM seeded
+    """,
+)
+def llm_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20: PII REDACTION — scrub emails and phone numbers from the
+    corpus before training. The synthetic test corpus is digit-free
+    word salad, so the query first INJECTS deterministic synthetic PII
+    (an email into every doc_id%3==0 doc, a phone into every %3==1 doc,
+    nothing into the rest — the negative control) and then redacts; the
+    oracle runs the identical seeding, so counts and redacted-text
+    hashes verify the redaction kernel itself, non-vacuously.
+
+    Scale shape: pure per-row map work — no shuffle, no explode; the
+    regex runs JVM-side inside whole-stage codegen. Patterns stay in
+    the Java-regex ∩ RE2 subset (char classes, bounded quantifiers) so
+    both engines match identical spans; replacement is global ('g' in
+    DuckDB, Spark's default).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" call +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" today"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("txt"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("txt"), _PII_EMAIL, "<EMAIL>"),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return seeded.select(
+        "doc_id",
+        F.regexp_count(F.col("txt"), F.lit(_PII_EMAIL))
+        .cast("long")
+        .alias("n_emails"),
+        F.regexp_count(F.col("txt"), F.lit(_PII_PHONE))
+        .cast("long")
+        .alias("n_phones"),
+        F.md5(redacted).alias("redacted_hash"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )
+
+
+#: Vocabulary report size.
+_VOCAB_TOP = 100
+
+
+@register(
+    "llm_vocab_coverage",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    cnt AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+    top AS (
+      SELECT term, c FROM cnt ORDER BY c DESC, term LIMIT {_VOCAB_TOP}
+    ),
+    tot AS (SELECT COUNT(*) AS n_total FROM tok)
+    SELECT term,
+           CAST(c AS BIGINT) AS term_count,
+           CAST(ROW_NUMBER() OVER (ORDER BY c DESC, term) AS BIGINT)
+             AS term_rank,
+           CAST(SUM(c) OVER (ORDER BY c DESC, term) AS BIGINT)
+             AS cum_count,
+           CAST(SUM(c) OVER (ORDER BY c DESC, term) AS DOUBLE) / n_total
+             AS cum_frac
+    FROM top, tot
+    """,
+)
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20/W3: VOCABULARY COVERAGE — the top-{_VOCAB_TOP} tokens by
+    corpus frequency with each prefix's cumulative share of all token
+    occurrences (the "how much of the corpus does a K-word vocab
+    cover" curve that sizes tokenizer vocabularies and stopword lists).
+
+    Scale shape: the corpus-wide work is ONE explode → hash aggregate
+    on term (map-side partial combine collapses repeats early) and a
+    count agg for the denominator; the top-{_VOCAB_TOP} cut is a
+    TakeOrderedAndProject — the single-partition window that computes
+    rank and running share runs AFTER the limit, over exactly
+    {_VOCAB_TOP} rows, so no full-vocab data ever funnels through one
+    partition. cum_frac divides exact integers (unique (c desc, term)
+    order keys make RANGE == ROWS framing) — bitwise cross-engine.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = fan_out_if_narrow(docs.select(_tokens().alias("t")))
+    tok = toked.select(F.explode("t").alias("term"))
+    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    top = cnt.orderBy(F.desc("c"), "term").limit(_VOCAB_TOP)
+    total = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    w = Window.orderBy(F.desc("c"), "term")
+    return (
+        top.join(F.broadcast(total))
+        .select(
+            "term",
+            F.col("c").cast("long").alias("term_count"),
+            F.row_number().over(w).cast("long").alias("term_rank"),
+            F.sum("c").over(w).cast("long").alias("cum_count"),
+            (
+                F.sum("c").over(w).cast("double") / F.col("n_total")
+            ).alias("cum_frac"),
+        )
+    )

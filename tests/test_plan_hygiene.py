@@ -21,6 +21,7 @@ _NESTED_LOOP_ALLOWED = {
     "llm_ivf_topk",                # 1-row query + k-cell centroid broadcast
     "llm_tfidf_top_terms",         # 1-row corpus-size scalar broadcast
     "llm_knn_join_topk",           # Q-row query-set broadcast (Q = 3)
+    "llm_vocab_coverage",          # 1-row total-token-count broadcast
 }
 
 #: Queries whose fn() triggers side effects/execution rather than just
