@@ -65,6 +65,7 @@ _OVERFLOW = [
     "llm_chunk_documents",
     "llm_pii_redaction",
     "llm_vocab_coverage",
+    "cdc_merge_latest_snapshot",
 ]
 
 #: Genuinely rows-only queries (no cross-engine oracle can exist:

@@ -281,3 +281,54 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "total_value")
     )
+
+
+@register(
+    "cdc_merge_latest_snapshot",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, event_type, value, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT)
+               AS n_changes
+      FROM events
+    )
+    SELECT user_id, event_type AS last_op, value AS last_value,
+           strftime(ts, '{_SQL_TS_FMT_US}') AS last_ts, n_changes
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_merge_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-EXT CDC MERGE — compact a changelog into its latest snapshot
+    (SCD type 1 / Delta ``MERGE`` semantics): events are per-user
+    change records ordered by (ts, event_id); the last record wins, and
+    a last record of type ``error`` is a TOMBSTONE — the key is absent
+    from the snapshot entirely. Emits each live key's last operation,
+    value, change time, and total changelog depth.
+
+    Scale shape: implemented as ONE hash aggregate — ``max_by`` over
+    the (ts, event_id) struct — not a ranking window: the aggregate
+    form partial-aggregates map-side (each input partition collapses to
+    one candidate row per key before the exchange), so a 100 TB
+    changelog shuffles only ~|keys| rows, where a row_number window
+    would shuffle and SORT the full changelog. The tombstone filter
+    runs post-merge, exactly like a MERGE's WHEN MATCHED AND op =
+    'delete' THEN DELETE branch. Ties are impossible (event_id is
+    unique), so the oracle's DESC row_number picks the same record.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ordkey = F.struct("ts", "event_id")
+    last = F.max_by(
+        F.struct("event_type", "value", "ts"), ordkey
+    ).alias("last")
+    snap = ev.groupBy("user_id").agg(
+        last, F.count(F.lit(1)).alias("n_changes")
+    )
+    return snap.filter(F.col("last.event_type") != "error").select(
+        "user_id",
+        F.col("last.event_type").alias("last_op"),
+        F.col("last.value").alias("last_value"),
+        F.date_format("last.ts", _TS_FMT_US).alias("last_ts"),
+        "n_changes",
+    )
