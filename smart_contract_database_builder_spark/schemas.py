@@ -162,7 +162,7 @@ TESTDATA_SCHEMAS: dict[str, T.StructType] = {
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.TimestampType()),  # ns in parquet; µs in Spark
+            T.StructField("ts", T.TimestampType()),  # parquet unit detected at load
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),

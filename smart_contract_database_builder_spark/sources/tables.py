@@ -14,21 +14,56 @@ from pyspark.sql import types as T
 from ..schemas import TABLE_NAMES, TESTDATA_SCHEMAS
 
 
+def _events_ts_is_nanos(spark: SparkSession, path: str) -> bool:
+    """Detect whether ``ts`` is stored as parquet TIMESTAMP(NANOS).
+
+    Spark cannot decode NANOS as a TimestampType; under
+    ``spark.sql.legacy.parquet.nanosAsLong`` a NANOS column *infers* as
+    LongType while MICROS/MILLIS infer as TimestampType — so one
+    footer-only inference read tells us the physical unit. Inference
+    reads parquet footers (distributed, merge-schema off), so this stays
+    cheap on a many-file dataset; the result is memoized per path
+    because the unit is a property of the files, not the query.
+    """
+    cache = getattr(spark, "_scdb_events_nanos", None)
+    if cache is None:
+        cache = spark._scdb_events_nanos = {}
+    if path not in cache:
+        inferred = spark.read.parquet(path).schema["ts"].dataType
+        cache[path] = isinstance(inferred, T.LongType)
+    return cache[path]
+
+
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark cannot decode as a
-    timestamp. With ``spark.sql.legacy.parquet.nanosAsLong`` (set in
-    session.py) we read it as LONG nanoseconds and floor-convert to a µs
-    TimestampType — matching how the ns value truncates elsewhere."""
+    """Load ``events`` with unit-correct ``ts`` decoding.
+
+    The testdata generator has shipped ``events.ts`` as both parquet
+    TIMESTAMP(NANOS) (rounds 1-3) and TIMESTAMP(MICROS) (round 4+), so
+    the loader detects the physical unit instead of hard-coding one:
+
+    - MICROS/MILLIS: Spark decodes natively — read with the declared
+      TimestampType schema, no conversion.
+    - NANOS: read ``ts`` as LONG nanoseconds (via ``nanosAsLong``) and
+      floor-convert to a µs TimestampType.
+
+    A hard-coded unit silently shifts every event 1000× in time (see
+    VERDICT round 4); ``tests/test_tables.py`` pins a 2024-date fixture
+    so a future unit flip fails loudly.
+    """
     # Defensive: the conf is runtime-settable, and sessions built outside
-    # session.get_spark (e.g. the driver's harness) won't have it.
+    # session.get_spark (e.g. the driver's harness) won't have it. Needed
+    # both for the inference probe and the NANOS read path.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    if not _events_ts_is_nanos(spark, path):
+        return spark.read.schema(TESTDATA_SCHEMAS["events"]).parquet(path)
     raw_schema = T.StructType(
         [
             f if f.name != "ts" else T.StructField("ts", T.LongType())
             for f in TESTDATA_SCHEMAS["events"].fields
         ]
     )
-    raw = spark.read.schema(raw_schema).parquet(f"{sf_dir}/events.parquet")
+    raw = spark.read.schema(raw_schema).parquet(path)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
         *[f.name for f in TESTDATA_SCHEMAS["events"].fields]
     )

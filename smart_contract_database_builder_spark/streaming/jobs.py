@@ -28,26 +28,36 @@ from ..schemas import TESTDATA_SCHEMAS
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events as an unbounded stream (S14): parquet file source with the
-    explicit raw schema (ts as LONG nanos — file-source streams require
-    a user schema) converted to µs timestamps like the batch loader."""
+    """events as an unbounded stream (S14): parquet file source with an
+    explicit user schema (file-source streams require one). The physical
+    timestamp unit of ``ts`` is detected with the batch loader's
+    footer probe (`sources.tables._events_ts_is_nanos`) so the stream
+    decodes NANOS-era and MICROS-era files identically to batch."""
+    from ..sources.tables import _events_ts_is_nanos
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw_schema = T.StructType(
-        [
-            f if f.name != "ts" else T.StructField("ts", T.LongType())
-            for f in TESTDATA_SCHEMAS["events"].fields
-        ]
-    )
+    is_nanos = _events_ts_is_nanos(spark, f"{sf_dir}/events.parquet")
+    if is_nanos:
+        schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.LongType())
+                for f in TESTDATA_SCHEMAS["events"].fields
+            ]
+        )
+    else:
+        schema = TESTDATA_SCHEMAS["events"]
     # the file-source base path must be a DIRECTORY; select the events
     # file(s) within it via glob — in production this is the landing
     # zone new event files drop into
     raw = (
-        spark.readStream.schema(raw_schema)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "events*.parquet")
         .parquet(sf_dir)
     )
+    if not is_nanos:
+        return raw
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
         *[f.name for f in TESTDATA_SCHEMAS["events"].fields]
     )
