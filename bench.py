@@ -64,6 +64,14 @@ HEADLINE = [
     "llm_mix_sample_by_lang",
     "llm_sequence_packing",
     "llm_token_budget_per_source",
+    # round-5 window-rotation additions: every family the driver now
+    # checks has a bench row (VERDICT r4 next-round #8)
+    "scalar_map_explode_props",
+    "agg_percentile_prices",
+    "llm_chunk_documents",
+    "llm_pii_redaction",
+    "llm_vocab_coverage",
+    "cdc_merge_latest_snapshot",
     "ref_sink_roundtrip",
 ]
 

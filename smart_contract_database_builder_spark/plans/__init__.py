@@ -23,8 +23,14 @@ from . import reference_ext  # noqa: E402,F401
 from . import llm_ops  # noqa: E402,F401
 from . import streaming_batch  # noqa: E402,F401
 
-#: Queries the driver window must cover first (similarity + streaming +
-#: the upgraded golden-oracle stage/sink queries).
+#: Queries the driver window must cover first. Round-5 rotation
+#: (VERDICT r4 "Next round #2"): the 14 round-4 operators that sat in
+#: ``_OVERFLOW`` and therefore never earned a driver-green row move INTO
+#: the window; 14 long-stable relational queries (driver-green in both
+#: r3 and r4, logic untouched since) rotate out. Across r3-r5 every
+#: oracle-carrying query now has at least one driver-green CORRECTNESS
+#: row. The similarity/streaming head stays put: the 7 events-decode
+#: casualties of r4 must be re-witnessed green this round.
 _PRIORITY = [
     "llm_minhash_lsh_pairs",
     "llm_ann_bucketed_cosine_pairs",
@@ -41,17 +47,7 @@ _PRIORITY = [
     "stream_true_tumbling_availablenow",
     "ref_extract_functions",
     "ref_sink_roundtrip",
-]
-
-#: Oracle-CARRYING queries deliberately registered just past the
-#: driver's 50-query window (it is full): their oracles still run in
-#: pytest (tests/test_oracle_parity.py sweeps every oracle at sf0.01),
-#: they just lose the per-round driver row. Grow this list consciously
-#: — whatever sits here trades driver-visible correctness evidence for
-#: a slot; pick the queries whose operator family already has another
-#: driver-checked witness (F9/F19 map-explode is witnessed by
-#: ref_sources_explode and the array/map scalar queries).
-_OVERFLOW = [
+    # --- rotated IN for round 5 (former _OVERFLOW, never driver-seen) ---
     "scalar_map_explode_props",
     "llm_embedding_neardup_clusters",
     "stream_stream_join_attribution",
@@ -66,6 +62,33 @@ _OVERFLOW = [
     "llm_pii_redaction",
     "llm_vocab_coverage",
     "cdc_merge_latest_snapshot",
+]
+
+#: Oracle-CARRYING queries deliberately registered just past the
+#: driver's 50-query window (it is full): their oracles still run in
+#: pytest (tests/test_oracle_parity.py sweeps every oracle at sf0.01),
+#: they just lose the per-round driver row. Grow this list consciously
+#: — whatever sits here trades driver-visible correctness evidence for
+#: a slot. Round-5 occupants are the rotation's other half: relational
+#: queries with driver-green rows in BOTH r3 and r4 whose plan code has
+#: not changed since (filter/window/scalar/set/agg families — each
+#: family keeps at least one in-window witness via the flagship, join,
+#: and ref queries).
+_OVERFLOW = [
+    "filter_point_lookup",
+    "filter_type_predicate",
+    "filter_suffix_predicate",
+    "join_semi_anti_customers",
+    "agg_distinct_counts",
+    "agg_grouping_shapes",
+    "window_top3_orders_per_customer",
+    "window_running_revenue_by_date",
+    "window_lag_lead_first_last",
+    "window_rank_variants",
+    "topk_orders_by_price",
+    "set_ops_customer_keys",
+    "scalar_date_parts_orders",
+    "scalar_math_lineitem",
 ]
 
 #: Genuinely rows-only queries (no cross-engine oracle can exist:

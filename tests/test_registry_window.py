@@ -67,6 +67,55 @@ def test_similarity_and_streaming_queries_lead():
         assert name in head, f"{name} not in the registry head: {head}"
 
 
+#: Round-5 rotation contract (VERDICT r4 "Next round #2"): every query
+#: here sat in _OVERFLOW through r4 and must now be inside the driver
+#: window so each earns a driver-green CORRECTNESS row at least once.
+_ROTATED_IN_R5 = [
+    "scalar_map_explode_props",
+    "llm_embedding_neardup_clusters",
+    "stream_stream_join_attribution",
+    "agg_percentile_prices",
+    "llm_repetition_signals",
+    "llm_knn_join_topk",
+    "llm_decontaminate_overlap",
+    "llm_mix_sample_by_lang",
+    "llm_sequence_packing",
+    "llm_token_budget_per_source",
+    "llm_chunk_documents",
+    "llm_pii_redaction",
+    "llm_vocab_coverage",
+    "cdc_merge_latest_snapshot",
+]
+
+
+def test_round5_rotation_brings_overflow_queries_into_window():
+    window = list(plans.QUERIES)[:_DRIVER_WINDOW]
+    missing = [n for n in _ROTATED_IN_R5 if n not in window]
+    assert missing == [], f"rotated-in queries fell back out of the window: {missing}"
+
+
+def test_rotated_out_queries_have_prior_driver_green_rows():
+    """A query may be rotated out only if some earlier round's driver
+    CORRECTNESS artifact recorded it fully green — its correctness
+    evidence is then history plus the pytest oracle sweep."""
+    import json
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    green: set[str] = set()
+    for artifact in root.glob("CORRECTNESS_r*.json"):
+        rows = json.loads(artifact.read_text())
+        green |= {
+            n
+            for n, r in rows.items()
+            if r.get("rows_match") and r.get("schema_match") and r.get("hash_match")
+        }
+    never_green = [n for n in _OVERFLOW if n not in green]
+    assert never_green == [], (
+        f"rotated out without any prior driver-green row: {never_green}"
+    )
+
+
 def test_only_genuinely_rows_only_queries_trail_the_overflow():
     names = list(plans.QUERIES)
     trailing = names[_DRIVER_WINDOW + len(_OVERFLOW):]
