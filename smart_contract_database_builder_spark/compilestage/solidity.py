@@ -301,8 +301,11 @@ def scan_file_contracts(source: str) -> list[ScannedContract]:
 
 def _getter_params(vtype: str) -> str:
     """ABI parameters of the auto-generated getter for a public state
-    variable: mapping keys become arguments (one nesting level handled),
-    arrays take a uint256 index, scalars take none."""
+    variable, matching solc's generated-getter rules: every mapping key
+    becomes an argument (arbitrary nesting via the loop), every array
+    dimension takes a uint256 index (``uint[][] public grid`` ⇒
+    ``grid(uint256,uint256)``), scalars — including ``string``/``bytes``,
+    which are not index-addressable in the ABI — take none."""
     vtype = vtype.strip()
     params: list[str] = []
     while vtype.startswith("mapping"):
@@ -310,8 +313,7 @@ def _getter_params(vtype: str) -> str:
         key, _, value = inner.partition("=>")
         params.append(canonical_type(key.strip()))
         vtype = value.strip()
-    if vtype.endswith("]"):
-        params.append("uint256")
+    params.extend("uint256" for _ in re.findall(r"\[[^\]]*\]", vtype))
     return ",".join(params)
 
 

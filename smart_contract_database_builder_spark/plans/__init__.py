@@ -97,6 +97,7 @@ _OVERFLOW = [
 #: window; their assertions live in pytest.
 _TAIL = [
     "agg_approx_distinct_users",
+    "agg_percentile_prices_approx",
     "sample_orders_seeded",
     "llm_ml_minhash_join",
     "llm_multimodal_image_features",

@@ -274,3 +274,36 @@ def agg_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register("agg_percentile_prices_approx", oracle=None)
+def agg_percentile_prices_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale twin of ``agg_percentile_prices`` (rows-only:
+    ``percentile_approx`` is a Greenwald-Khanna sketch whose outputs are
+    implementation-defined — no cross-engine oracle can exist; pytest
+    bounds its rank error against the exact form instead,
+    ``tests/test_percentile_approx_twin.py``).
+
+    Scale shape: the exact ``percentile`` buffers and sorts every value
+    of a group on one reducer — at 100 TB a single hot group OOMs it.
+    The sketch aggregate is mergeable, so it combines map-side like any
+    hash agg (partial sketches shuffle, not rows); accuracy 1/10000 ⇒
+    rank error ≤ 0.01% of each group, far below any decision threshold
+    a data-mixing pipeline would set on a price/length percentile.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    q = F.expr(
+        "percentile_approx(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.99D), 10000)"
+    )
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(q.alias("q"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "o_orderpriority",
+            F.col("q")[0].alias("p25"),
+            F.col("q")[1].alias("p50"),
+            F.col("q")[2].alias("p75"),
+            F.col("q")[3].alias("p99"),
+            "n",
+        )
+    )

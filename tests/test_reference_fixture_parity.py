@@ -139,6 +139,146 @@ def test_etherscan_real_dump_extracts_inherited_abi():
     assert all(r[6].startswith("0x") and len(r[6]) == 10 for r in rows)
 
 
+# ---------------------------------------------------------------------------
+# Adversarial scanner fixtures (authored here, modeled on the reference
+# demo shapes — VERDICT r4 next-round #4). Each asserts scanner rows ==
+# the reference's documented semantics (plain_contract.rs:441-478:
+# slice-miss ⇒ "").
+# ---------------------------------------------------------------------------
+
+_NESTED_SRC = """\
+// SPDX-License-Identifier: MIT
+pragma solidity ^0.8.0;
+
+library SafeOps {
+    function clamp(uint256 x, uint256 hi) internal pure returns (uint256) {
+        if (x > hi) { return hi; } else { return x; }
+    }
+}
+
+abstract contract Vault {
+    struct Slot { uint256 amount; mapping(address => bool) voters; }
+    uint256 public total;
+    function deposit(uint256 amount) public virtual returns (uint256) {
+        unchecked { total += amount; }
+        if (amount > 0) { emit Deposited(amount); }
+        return total;
+    }
+    event Deposited(uint256 amount);
+}
+
+contract TimedVault is Vault, SafeOpsUser(3 > 2 ? 1 : 0) {
+    function deposit(uint256 amount) public override returns (uint256) {
+        for (uint256 i = 0; i < 2; i++) { { amount += 0; } }
+        return super.deposit(amount);
+    }
+}
+
+contract SafeOpsUser { constructor(uint256) {} }
+"""
+
+_GETTER_SRC = """\
+pragma solidity ^0.8.0;
+
+contract Ledger {
+    mapping(address => mapping(address => uint256)) public allowance;
+    mapping(address => uint256) public balances;
+    mapping(address => uint256[]) public history;
+    uint256[] public checkpoints;
+    uint256[][] public grid;
+    string public name = "Ledger";
+    bytes public blob;
+    uint256 public constant CAP = 1e27;
+    function touch() external { checkpoints.push(block.timestamp); }
+}
+"""
+
+_UNICODE_SRC = """\
+pragma solidity ^0.8.0;
+
+contract Greeter {
+    // комментарий with a brace } and a fake function ghost() public {}
+    string public motto = "π ≈ 3.14159 } {{";
+    function greet(string memory who) public pure returns (string memory) {
+        string memory bang = "héllo, 世界 — \\"{\\" 😀";
+        return string(abi.encodePacked(bang, who));
+    }
+    function after_unicode() public pure returns (uint256) { return 42; }
+}
+"""
+
+
+def test_nested_braces_and_ternary_base_clause():
+    """Deep brace nesting inside bodies must not derail the slicer, and
+    a comparison/ternary inside a base-constructor argument must not
+    leak phantom base names (the paren-depth-only split)."""
+    from smart_contract_database_builder_spark.compilestage.solidity import (
+        scan_file_contracts,
+    )
+
+    by_name = {c.name: c for c in scan_file_contracts(_NESTED_SRC)}
+    assert set(by_name) == {"SafeOps", "Vault", "TimedVault", "SafeOpsUser"}
+    assert by_name["TimedVault"].bases == ["Vault", "SafeOpsUser"]
+    # byte-exact slice of the override, recomputed from the source
+    fns = {f.function_name: f for f in by_name["TimedVault"].functions}
+    i = _NESTED_SRC.index("function deposit", _NESTED_SRC.index("TimedVault"))
+    j = _NESTED_SRC.index("super.deposit(amount);\n    }", i)
+    expect = _NESTED_SRC[i : j + len("super.deposit(amount);\n    }")]
+    assert fns["deposit"].source_code == expect
+    # internal library fn is not ABI-visible; the struct's nested braces
+    # must not have swallowed Vault.deposit
+    assert "clamp" not in {
+        f.function_name for f in by_name["SafeOps"].functions
+    }
+    vault = {f.function_name: f for f in by_name["Vault"].functions}
+    assert "deposit" in vault and "emit Deposited" in vault["deposit"].source_code
+
+
+def test_getters_over_arrays_and_mappings():
+    """solc-generated getter signatures: mapping keys become arguments,
+    one uint256 index per array dimension, string/bytes getters take
+    none, and every getter is a documented slice miss (source_code '')."""
+    fns = {f.function_name: f for f in extract_file_functions(_GETTER_SRC)}
+    assert fns["allowance"].signature == "allowance(address,address)"
+    assert fns["allowance"].selector == "0xdd62ed3e"  # ERC-20 canonical
+    assert fns["balances"].signature == "balances(address)"
+    assert fns["history"].signature == "history(address,uint256)"
+    assert fns["checkpoints"].signature == "checkpoints(uint256)"
+    assert fns["grid"].signature == "grid(uint256,uint256)"
+    assert fns["name"].signature == "name()"
+    assert fns["name"].selector == "0x06fdde03"  # ERC-20 canonical name()
+    assert fns["blob"].signature == "blob()"
+    assert fns["CAP"].signature == "CAP()"
+    for getter in ("allowance", "balances", "history", "checkpoints",
+                   "grid", "name", "blob", "CAP"):
+        assert fns[getter].source_code == "", getter
+    # the real function still slices
+    assert fns["touch"].source_code.startswith("function touch() external {")
+
+
+def test_unicode_strings_do_not_break_slicing():
+    """Multibyte content and braces/quotes inside string literals: the
+    masked scan must ignore them, offsets stay byte-exact, and the slice
+    decodes the unicode unharmed."""
+    fns = {f.function_name: f for f in extract_file_functions(_UNICODE_SRC)}
+    # the commented-out fake and the string-literal braces produce no rows
+    assert set(fns) == {"motto", "greet", "after_unicode"}
+    i = _UNICODE_SRC.index("function greet")
+    j = _UNICODE_SRC.index("}", _UNICODE_SRC.index("return string("))
+    assert fns["greet"].source_code == _UNICODE_SRC[i : j + 1]
+    assert "héllo, 世界" in fns["greet"].source_code
+    assert fns["greet"].signature == "greet(string)"
+    # byte offsets (not char offsets): re-slicing the encoded source by
+    # the recorded range reproduces the body exactly
+    data = _UNICODE_SRC.encode("utf-8")
+    f = fns["greet"]
+    assert data[f.src_start : f.src_start + f.src_length].decode("utf-8") == (
+        f.source_code
+    )
+    # a function AFTER the unicode content still resolves correctly
+    assert fns["after_unicode"].source_code.endswith("return 42; }")
+
+
 def test_etherscan_real_dump_parses(spark):
     """S2/S4 over the reference's real Etherscan fixture (192 KB
     OpenZeppelin multi-source standard-json, plain_contract.rs:578-588):

@@ -121,6 +121,87 @@ def test_stream_stream_join_equals_batch(spark):
     assert got.count() > 0  # the corpus must actually exercise the band
 
 
+def test_stream_stream_join_drops_late_purchase(spark, tmp_path):
+    """T6 streaming semantics, not just the batch twin: two independent
+    file-source streams joined under watermarks. A purchase arriving
+    AFTER the watermark has advanced past its event time must be
+    dropped — the batch join over the same files would match it, the
+    stream must not. This is the state-bounding contract that keeps the
+    join's memory finite on an unbounded stream."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, t0 + datetime.timedelta(minutes=m), u, v) for i, m, u, v in rows],
+            schema,
+        )
+
+    clicks_dir = str(tmp_path / "clicks")
+    purch_dir = str(tmp_path / "purchases")
+    ck = str(tmp_path / "ck")
+    # batch 1: a click at t0 and a matching purchase 10 min later, plus a
+    # far-future row on EACH side: the global watermark is the MIN across
+    # all watermarked inputs, so both sides must advance for it to reach
+    # t0+4h - 1h = t0+3h (users 8/9 match nothing — they only move time)
+    mk([(1, 0, 7, 0.0), (2, 240, 8, 0.0)]).write.mode("append").parquet(clicks_dir)
+    mk([(100, 10, 7, 9.99), (102, 240, 9, 1.0)]).write.mode("append").parquet(
+        purch_dir
+    )
+
+    def drain():
+        clicks = (
+            spark.readStream.schema(schema).parquet(clicks_dir)
+        ).withWatermark("ts", "1 hour")
+        purchases = (
+            spark.readStream.schema(schema).parquet(purch_dir)
+        ).withWatermark("ts", "1 hour")
+        q = (
+            jobs.click_purchase_attribution(clicks, purchases)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(str(tmp_path / "out"))
+
+    first = drain()
+    assert {(r.click_id, r.purchase_id) for r in first.collect()} == {(1, 100)}
+
+    # batch 2 (same checkpoint — watermark state persisted): a LATE
+    # purchase at t0+5min, far behind the t0+3h watermark. Batch
+    # semantics would attribute it to click 1; the stream must drop it.
+    mk([(101, 5, 7, 4.99)]).write.mode("append").parquet(purch_dir)
+    second = drain()
+    assert {(r.click_id, r.purchase_id) for r in second.collect()} == {(1, 100)}, (
+        "late purchase leaked through the watermark"
+    )
+    # sanity: the batch twin over the same files DOES match the late row,
+    # so the absence above is watermark semantics, not a missed join
+    batch = jobs.click_purchase_attribution(
+        spark.read.schema(schema).parquet(clicks_dir),
+        spark.read.schema(schema).parquet(purch_dir),
+    )
+    assert {(r.click_id, r.purchase_id) for r in batch.collect()} == {
+        (1, 100),
+        (1, 101),
+    }
+
+
 def test_checkpointed_rerun_is_exactly_once(spark, tmp_path):
     """Operational guarantee: a file-backed sink + checkpointLocation
     makes availableNow drains idempotent — a rerun over the same input
