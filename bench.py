@@ -72,6 +72,11 @@ HEADLINE = [
     "llm_pii_redaction",
     "llm_vocab_coverage",
     "cdc_merge_latest_snapshot",
+    # round-5 new operators
+    "llm_duplicate_spans",
+    "llm_incremental_dedup",
+    "llm_gopher_quality_filter",
+    "llm_training_order",
     "ref_sink_roundtrip",
 ]
 

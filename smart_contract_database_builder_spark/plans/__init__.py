@@ -75,6 +75,11 @@ _PRIORITY = [
 #: family keeps at least one in-window witness via the flagship, join,
 #: and ref queries).
 _OVERFLOW = [
+    # round-5 NEW operators (rotate into the window next round)
+    "llm_duplicate_spans",
+    "llm_incremental_dedup",
+    "llm_gopher_quality_filter",
+    "llm_training_order",
     "filter_point_lookup",
     "filter_type_predicate",
     "filter_suffix_predicate",

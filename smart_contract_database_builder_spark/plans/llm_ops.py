@@ -2217,3 +2217,301 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 pipeline operators: span-level dedup, incremental dedup,
+# rule-chain quality filtering, deterministic training order
+# ---------------------------------------------------------------------------
+
+#: Duplicate-span shingle width (tokens). 8 is wide enough that a match
+#: is a copied passage, not a common phrase, on the test corpus.
+_SPAN_N = 8
+
+
+@register(
+    "llm_duplicate_spans",
+    oracle=rf"""
+    WITH toked AS (
+      SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, md5(g) AS h
+      FROM (
+        SELECT doc_id, unnest({_sql_word_ngrams("t", _SPAN_N)}) AS g
+        FROM toked
+      )
+    ),
+    dup AS (
+      SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    per_doc AS (
+      SELECT g.doc_id, COUNT(*) AS n_dup
+      FROM grams g JOIN dup USING (h)
+      GROUP BY g.doc_id
+    )
+    SELECT toked.doc_id,
+           CAST(GREATEST(len(t) - {_SPAN_N - 1}, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_spans,
+           CASE WHEN len(t) - {_SPAN_N - 1} > 0
+                THEN CAST(COALESCE(n_dup, 0) AS DOUBLE)
+                     / (len(t) - {_SPAN_N - 1})
+                ELSE 0.0 END AS dup_frac
+    FROM toked LEFT JOIN per_doc ON toked.doc_id = per_doc.doc_id
+    """,
+)
+def llm_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level (substring) duplication signal — for each document,
+    the fraction of its {_SPAN_N}-token shingle positions whose exact
+    text also occurs in at least one OTHER document. This is the
+    document-level score behind suffix-style span dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    exact-dedup misses partial copies; this finds them without any
+    pairwise comparison.
+
+    Scale shape: one explode to (doc_id, gram-md5); duplicated grams
+    come from a hash aggregate on the 128-bit gram key (uniform — no
+    skew possible beyond true duplication, and a gram repeated across
+    the whole corpus still collapses map-side); rejoining the dup-gram
+    set is a shuffle hash join on the same uniform key; the per-doc
+    rollup is one more hash agg. No similarity join, no candidate
+    blowup — cost is linear in corpus tokens at every step.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = fan_out_if_narrow(
+        docs.select("doc_id", _tokens().alias("t"))
+    )
+    grams = toked.select(
+        "doc_id",
+        F.explode(_word_ngrams(F.col("t"), _SPAN_N)).alias("g"),
+    ).select("doc_id", F.md5("g").alias("h"))
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    per_doc = (
+        grams.join(dup, "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    n_spans = F.greatest(F.size("t") - (_SPAN_N - 1), F.lit(0))
+    return (
+        toked.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_spans.cast("long").alias("n_spans"),
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.when(
+                n_spans > 0,
+                F.coalesce(F.col("n_dup"), F.lit(0)).cast("double") / n_spans,
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )
+
+
+#: Incremental-dedup corpus split: sources src0..src9 are the standing
+#: corpus, src10+ are the incoming batch.
+_INCR_EXISTING_MAX = 10
+
+
+@register(
+    "llm_incremental_dedup",
+    oracle=rf"""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             CAST(substr(source, 4) AS INTEGER) AS src_num,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+               AS content_key
+      FROM documents
+    )
+    SELECT doc_id, source, content_key
+    FROM keyed incoming
+    WHERE src_num >= {_INCR_EXISTING_MAX}
+      AND NOT EXISTS (
+        SELECT 1 FROM keyed corpus
+        WHERE corpus.src_num < {_INCR_EXISTING_MAX}
+          AND corpus.content_key = incoming.content_key
+      )
+    """,
+)
+def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the shape every continuously-ingesting
+    training pipeline runs: a new batch of documents is admitted only
+    if its canonical content hash is absent from the standing corpus
+    (here: sources src0-src9 stand for the corpus, src10+ for the
+    batch). Distinct from ``llm_exact_dedup_documents``, which
+    deduplicates a closed corpus against itself.
+
+    Scale shape: LEFT ANTI hash join on a uniform 128-bit key. Only
+    hashes shuffle — the standing corpus is carried as (key) alone, so
+    at 100 TB the index side is ~2% of corpus bytes; when the index
+    fits in executor memory Spark broadcasts it (AQE decides), else
+    both sides hash-partition on content_key with zero skew. The
+    standing-corpus projection prunes to ONE column at the scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "))
+    src_num = F.substring("source", 4, 10).cast("int")
+    keyed = docs.select(
+        "doc_id", "source", src_num.alias("src_num"), key.alias("content_key")
+    )
+    corpus_keys = keyed.filter(
+        F.col("src_num") < _INCR_EXISTING_MAX
+    ).select("content_key")
+    incoming = keyed.filter(F.col("src_num") >= _INCR_EXISTING_MAX)
+    return incoming.join(corpus_keys, "content_key", "left_anti").select(
+        "doc_id", "source", "content_key"
+    )
+
+
+#: Gopher-style rule thresholds (Rae et al. 2021 table A1 spirit,
+#: rescaled to the short synthetic docs).
+_G_MIN_TOK = 20
+_G_MAX_TOK = 1000
+_G_MIN_MWL = 2.0
+_G_MAX_MWL = 10.0
+_G_MAX_TOP_FRAC = 0.2
+
+
+@register(
+    "llm_gopher_quality_filter",
+    oracle=rf"""
+    WITH tc AS (
+      SELECT doc_id, term, COUNT(*) AS c, LEN(term) AS l
+      FROM (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+      )
+      GROUP BY doc_id, term
+    ),
+    agg AS (
+      SELECT doc_id,
+             SUM(c) AS n_tok,
+             SUM(l * c) AS n_chars_tok,
+             MAX(c) AS top_c,
+             MAX(CASE WHEN term IN ({_SQL_STOPWORDS}) THEN 1 ELSE 0 END)
+               AS has_stop
+      FROM tc
+      GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(n_chars_tok AS DOUBLE) / n_tok AS mean_word_len,
+           CAST(top_c AS DOUBLE) / n_tok AS top_token_frac,
+           CAST(has_stop AS BOOLEAN) AS has_stopword,
+           CAST(
+             n_tok BETWEEN {_G_MIN_TOK} AND {_G_MAX_TOK}
+             AND CAST(n_chars_tok AS DOUBLE) / n_tok
+                 BETWEEN {_G_MIN_MWL} AND {_G_MAX_MWL}
+             AND CAST(top_c AS DOUBLE) / n_tok <= {_G_MAX_TOP_FRAC}
+             AND has_stop = 1
+           AS BOOLEAN) AS keep
+    FROM agg
+    """,
+)
+def llm_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style RULE-CHAIN quality filter (Rae et al. 2021): token
+    count bounds, mean-word-length bounds, a repetition bound (most
+    frequent token's share), and a must-contain-a-stopword rule, with
+    every rule input emitted alongside the final keep/drop verdict so a
+    pipeline can audit WHY a document was dropped.
+
+    Scale shape: per-(doc, term) counts from one explode + hash agg
+    (map-side combine), rolled up per doc in a second hash agg — both
+    keyed uniformly; every rule is then a scalar projection. Division
+    parity: each ratio divides two exact integers as doubles once, so
+    Spark and DuckDB agree bitwise.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
+    tc = (
+        toked.select("doc_id", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tok"),
+        F.sum(F.length("term") * F.col("c")).alias("n_chars_tok"),
+        F.max("c").alias("top_c"),
+        F.max(
+            F.when(F.col("term").isin(*_STOPWORDS), 1).otherwise(0)
+        ).alias("has_stop"),
+    )
+    mwl = F.col("n_chars_tok").cast("double") / F.col("n_tok")
+    top_frac = F.col("top_c").cast("double") / F.col("n_tok")
+    return agg.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        mwl.alias("mean_word_len"),
+        top_frac.alias("top_token_frac"),
+        (F.col("has_stop") == 1).alias("has_stopword"),
+        (
+            F.col("n_tok").between(_G_MIN_TOK, _G_MAX_TOK)
+            & mwl.between(_G_MIN_MWL, _G_MAX_MWL)
+            & (top_frac <= _G_MAX_TOP_FRAC)
+            & (F.col("has_stop") == 1)
+        ).alias("keep"),
+    )
+
+
+#: Training-order shards; a real run uses O(cluster width) shards.
+_ORDER_SHARDS = 8
+_ORDER_SEED = "seed42:"
+
+
+@register(
+    "llm_training_order",
+    oracle=rf"""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5('{_ORDER_SEED}' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      FROM documents
+    )
+    SELECT doc_id,
+           shuffle_key,
+           CAST(ascii(substr(shuffle_key, 1, 1)) % {_ORDER_SHARDS} AS INTEGER)
+             AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY ascii(substr(shuffle_key, 1, 1)) % {_ORDER_SHARDS}
+             ORDER BY shuffle_key, doc_id
+           ) AS BIGINT) AS pos_in_shard
+    FROM keyed
+    """,
+)
+def llm_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic TRAINING-ORDER shuffle — assign every document a
+    seeded pseudo-random position: shuffle_key = md5(seed || doc_id),
+    shard = first key byte mod {_ORDER_SHARDS}, position = rank of the
+    key within the shard. Reproducible end-to-end (same seed ⇒ same
+    epoch order on any cluster size), which is what makes training runs
+    comparable; changing the seed string reshuffles globally.
+
+    Scale shape: the key is map-side; the shard window is ONE shuffle
+    partitioned by shard — each shard sorts independently, so with
+    O(cluster) shards no single partition ever holds more than
+    corpus/shards rows (a real deployment sizes {_ORDER_SHARDS} to the
+    writer parallelism; the global sort a naive ORDER BY md5 would run
+    is exactly what this avoids).
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.lit(_ORDER_SEED), F.col("doc_id").cast("string"))
+        ).alias("shuffle_key"),
+    )
+    shard = (
+        F.ascii(F.substring("shuffle_key", 1, 1)) % _ORDER_SHARDS
+    ).cast("int")
+    w = Window.partitionBy(shard).orderBy("shuffle_key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shuffle_key",
+        shard.alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos_in_shard"),
+    )
