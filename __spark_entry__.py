@@ -23,7 +23,29 @@ from smart_contract_database_builder_spark import plans  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Also probes the events loader's timestamp decode before returning:
+    the flagship query never touches ``events``, which let the round-4
+    TIMESTAMP(MICROS) unit flip pass the smoke check while every
+    event-time query silently shifted to 1970. A decode 1000× off in
+    either direction now fails the smoke loudly.
+    """
+    from pyspark.sql import functions as F
+
+    from smart_contract_database_builder_spark.sources.tables import load_table
+
+    lo = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .agg(F.min("ts").alias("lo"))
+        .collect()[0]
+        .lo
+    )
+    if not (2000 <= lo.year <= 2100):
+        raise AssertionError(
+            f"events.ts decodes to {lo}: the parquet timestamp unit is "
+            "being misread (see sources/tables.py:_load_events)"
+        )
     return plans.QUERIES["flagship_revenue_by_region"].fn(
         spark, "/root/testdata/sf0.001"
     )
