@@ -73,6 +73,7 @@ HEADLINE = [
     "llm_vocab_coverage",
     "cdc_merge_latest_snapshot",
     # round-5 new operators
+    "llm_ann_multitable_pairs",
     "llm_duplicate_spans",
     "llm_incremental_dedup",
     "llm_gopher_quality_filter",

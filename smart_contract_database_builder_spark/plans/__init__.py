@@ -76,6 +76,7 @@ _PRIORITY = [
 #: and ref queries).
 _OVERFLOW = [
     # round-5 NEW operators (rotate into the window next round)
+    "llm_ann_multitable_pairs",
     "llm_duplicate_spans",
     "llm_incremental_dedup",
     "llm_gopher_quality_filter",

@@ -1593,48 +1593,51 @@ _N_PLANES = 8
 _ANN_BUCKET_CAP = 1024
 
 
-def _plane_weights(plane: int, dims: int = 64) -> list[int]:
+def _plane_weights(plane: int, dims: int = 64, prefix: str = "") -> list[int]:
     """Deterministic pseudo-random ±1 hyperplane weights: parity of the
-    first hex digit of md5('<plane>-<dim>'). Computed ONCE in driver
-    Python and embedded as array literals — the weights are constants,
-    and deriving them with per-row md5 expressions costs
+    first hex digit of md5('<prefix><plane>-<dim>'). Computed ONCE in
+    driver Python and embedded as array literals — the weights are
+    constants, and deriving them with per-row md5 expressions costs
     planes×dims (512) hash calls per ROW for identical output. The
     DuckDB oracle keeps the md5 derivation inline, so hash parity
-    proves the literal weights equal the definitional ones."""
+    proves the literal weights equal the definitional ones. ``prefix``
+    seeds independent tables for multi-table LSH ('' = the base
+    single-table planes)."""
     import hashlib
 
     return [
         1
-        if hashlib.md5(f"{plane}-{d}".encode()).hexdigest()[0] in "02468ace"
+        if hashlib.md5(f"{prefix}{plane}-{d}".encode()).hexdigest()[0]
+        in "02468ace"
         else -1
         for d in range(1, dims + 1)
     ]
 
 
-def _sql_plane_dot(plane: int) -> str:
+def _sql_plane_dot(plane: int, prefix: str = "") -> str:
     """Plane dot over a precomputed scaled-vector column ``sv``. The ±1
     weight derivation stays inline (md5 parity per dim), so oracle hash
     parity proves the Spark-side literal weights equal the definitional
     ones."""
     return (
         "list_aggregate(list_transform(range(1, 65), d -> "
-        f"(CASE WHEN contains('02468ace', substr(md5('{plane}-' || d), 1, 1)) "
+        f"(CASE WHEN contains('02468ace', substr(md5('{prefix}{plane}-' || d), 1, 1)) "
         "THEN 1 ELSE -1 END) * sv[d]), 'sum')"
     )
 
 
-def _plane_dot(p: int, sv: Column | str = "sv") -> Column:
+def _plane_dot(p: int, sv: Column | str = "sv", prefix: str = "") -> Column:
     """Exact dot of the PRE-SCALED fixed-point vector with plane p's ±1
     weights. Callers must compute the scaled vector once and share it
     across all planes — rescaling the raw embedding inside each plane
     dot costs ``_N_PLANES``× the double→decimal→long conversion work for
     identical output (the r3 bench regression)."""
-    warr = F.array(*[F.lit(w) for w in _plane_weights(p)])
+    warr = F.array(*[F.lit(w) for w in _plane_weights(p, prefix=prefix)])
     terms = F.zip_with(sv, warr, lambda x, w: x * w)
     return F.aggregate(terms, F.lit(0).cast("long"), lambda a, v: a + v)
 
 
-def _bucket_expr(sv: Column | str = "sv") -> Column:
+def _bucket_expr(sv: Column | str = "sv", prefix: str = "") -> Column:
     """The _N_PLANES-plane sign bucket over a shared scaled vector.
 
     Plan economy: evaluate this in a SELECT *after* the projection that
@@ -1643,7 +1646,9 @@ def _bucket_expr(sv: Column | str = "sv") -> Column:
     so the 64 casts run once per row, not once per plane."""
     return F.concat(
         *[
-            F.when(_plane_dot(p, sv) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            F.when(_plane_dot(p, sv, prefix) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
             for p in range(_N_PLANES)
         ]
     )
@@ -2514,4 +2519,136 @@ def llm_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shuffle_key",
         shard.alias("shard"),
         F.row_number().over(w).cast("long").alias("pos_in_shard"),
+    )
+
+
+#: Independent hyperplane tables for the multi-table ANN variant —
+#: recall 1-(1-p)^R per pair vs the single table's p.
+_ANN_TABLES = 4
+
+
+def _sql_table_bucket(prefix: str) -> str:
+    return " || ".join(
+        f"(CASE WHEN {_sql_plane_dot(p, prefix)} >= 0 THEN '1' ELSE '0' END)"
+        for p in range(_N_PLANES)
+    )
+
+
+@register(
+    "llm_ann_multitable_pairs",
+    oracle=rf"""
+    WITH s AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> {_SQL_ISCALE.format(v="x")}) AS sv
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, sv,
+             sqrt(CAST(CAST(list_aggregate(
+               list_transform(list_zip(sv, sv), x -> x[1] * x[2]),
+               'sum') AS BIGINT) AS DOUBLE)) AS nrm
+      FROM s
+    ),
+    b AS (
+      {" UNION ALL ".join(
+        f"SELECT vec_id, sv, nrm, {t} AS tbl, "
+        f"{_sql_table_bucket(f't{t}:')} AS bucket FROM n"
+        for t in range(_ANN_TABLES)
+      )}
+    ),
+    ok AS (
+      SELECT tbl, bucket FROM b GROUP BY tbl, bucket
+      HAVING COUNT(*) BETWEEN 2 AND {_ANN_BUCKET_CAP}
+    ),
+    pairs AS (
+      SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+             CAST(CAST(list_aggregate(
+               list_transform(list_zip(x.sv, y.sv), p -> p[1] * p[2]),
+               'sum') AS BIGINT) AS DOUBLE) / (x.nrm * y.nrm) AS cosine
+      FROM b x
+      JOIN ok ON x.tbl = ok.tbl AND x.bucket = ok.bucket
+      JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket
+             AND x.vec_id < y.vec_id
+    )
+    SELECT vec_a, vec_b, MIN(cosine) AS cosine
+    FROM pairs WHERE cosine >= {_NEAR_DUP_COSINE}
+    GROUP BY vec_a, vec_b
+    """,
+)
+def llm_ann_multitable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 at production recall: {_ANN_TABLES} INDEPENDENT hyperplane
+    tables (seeded 't<t>:'), a pair surfaces if it collides in ANY
+    table — recall 1-(1-p)^{_ANN_TABLES} per pair vs the single table's
+    p (`llm_ann_bucketed_cosine_pairs`), the standard LSH
+    recall-vs-cost knob. tests/test_ann_recall.py checks both variants
+    against their analytic expectations.
+
+    Scale shape: all {_ANN_TABLES}×{_N_PLANES} plane dots read the ONE
+    shared fixed-point vector computed per row (map-side); the explode
+    to (table, bucket) multiplies the shuffled relation by
+    {_ANN_TABLES} — the documented cost of the recall — with the join
+    still bucket-local per table ((tbl, bucket) carries the shuffle,
+    `_ANN_BUCKET_CAP` guards degenerate buckets per table). Cross-table
+    duplicate pairs collapse in a final hash agg on the uniform pair
+    key (MIN(cosine) is a no-op merge: every table computes the same
+    exact fixed-point cosine).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    scaled = fan_out_if_narrow(emb).select(
+        "vec_id", F.transform("embedding", _iscale).alias("sv")
+    )
+    dot_self = F.aggregate(
+        F.zip_with("sv", "sv", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    n = scaled.select(
+        "vec_id", "sv", F.sqrt(dot_self.cast("double")).alias("nrm")
+    )
+    b = n.select(
+        "vec_id",
+        "sv",
+        "nrm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        _bucket_expr("sv", f"t{t}:").alias("bucket"),
+                    )
+                    for t in range(_ANN_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "sv", "nrm", "tb.tbl", "tb.bucket")
+    ok = (
+        b.groupBy("tbl", "bucket")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter((F.col("bsz") >= 2) & (F.col("bsz") <= _ANN_BUCKET_CAP))
+        .select("tbl", "bucket")
+    )
+    x = b.join(F.broadcast(ok), ["tbl", "bucket"]).alias("x")
+    y = b.alias("y")
+    pair_dot = F.aggregate(
+        F.zip_with("x.sv", "y.sv", lambda a_, b_: a_ * b_),
+        F.lit(0).cast("long"),
+        lambda a_, v: a_ + v,
+    )
+    cosine = pair_dot.cast("double") / (F.col("x.nrm") * F.col("y.nrm"))
+    return (
+        x.join(
+            y,
+            (F.col("x.tbl") == F.col("y.tbl"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _NEAR_DUP_COSINE)
+        .groupBy("vec_a", "vec_b")
+        .agg(F.min("cosine").alias("cosine"))
     )

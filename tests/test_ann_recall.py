@@ -72,3 +72,31 @@ def test_ann_candidate_recall_matches_lsh_theory(spark, oracle):
     # and every emitted pair must be a true pair (precision 1.0: exact
     # cosine is computed within the bucket before the threshold filter)
     assert got_pairs <= true_pairs
+
+
+def test_multitable_ann_recall_matches_lsh_theory(spark, oracle):
+    """R independent tables lift per-pair recall to 1-(1-p)^R; the
+    measured recovery must sit in the analytic band AND strictly beat
+    the single table's expectation (the whole point of the variant)."""
+    truth = oracle.execute(_EXACT_PAIRS_SQL).fetchall()
+    r_tables = 4
+    probs = [
+        1.0 - (1.0 - _collision_prob(c)) ** r_tables for _, _, c in truth
+    ]
+    expect = sum(probs)
+    sigma = math.sqrt(sum(p * (1 - p) for p in probs))
+
+    got = plans.QUERIES["llm_ann_multitable_pairs"].fn(
+        spark, SF_ORACLE
+    ).collect()
+    got_pairs = {(int(r.vec_a), int(r.vec_b)) for r in got}
+    true_pairs = {(int(a), int(b)) for a, b, _ in truth}
+    observed = len(got_pairs & true_pairs)
+
+    single_expect = sum(_collision_prob(c) for _, _, c in truth)
+    assert expect > 2 * single_expect  # the analytic lift is real
+    assert abs(observed - expect) <= 4 * sigma + 2, (
+        f"multi-table ANN recovered {observed}; expectation "
+        f"{expect:.1f} ± {sigma:.1f} (single-table {single_expect:.1f})"
+    )
+    assert got_pairs <= true_pairs  # precision still 1.0
