@@ -7,7 +7,7 @@ from __future__ import annotations
 from smart_contract_database_builder_spark.sources.tables import load_table
 from smart_contract_database_builder_spark.streaming import jobs
 
-from conftest import SF_ORACLE
+from conftest import SF_ORACLE, SF_SMOKE
 
 
 def _sorted_rows(df):
@@ -200,6 +200,40 @@ def test_stream_stream_join_drops_late_purchase(spark, tmp_path):
         (1, 100),
         (1, 101),
     }
+
+
+def test_rocksdb_state_store_matches_default_provider(spark):
+    """The deployment-scale state backend: at 100 TB of stream state the
+    default in-memory (HDFS-backed) store OOMs executors — RocksDB
+    spills keyed state to local disk with the same semantics. Run the
+    most state-heavy operator (watermarked dedup) under BOTH providers
+    and require identical results, so the config swap is proven safe,
+    not assumed."""
+
+    def drain(name):
+        ev = jobs.read_events_stream(spark, SF_SMOKE)
+        dedup = jobs.dedup_events_within_watermark(ev)
+        return {
+            (r.event_id, r.ts)
+            for r in jobs.run_to_memory(dedup, name).select("event_id", "ts").collect()
+        }
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = drain("t_state_default")
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        rocks = drain("t_state_rocksdb")
+    finally:
+        if prev:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
+    assert rocks == default and len(rocks) > 0
 
 
 def test_checkpointed_rerun_is_exactly_once(spark, tmp_path):
