@@ -75,6 +75,7 @@ HEADLINE = [
     # round-5 new operators
     "llm_ann_multitable_pairs",
     "llm_duplicate_spans",
+    "llm_span_dedup_trim",
     "llm_incremental_dedup",
     "llm_gopher_quality_filter",
     "llm_training_order",

@@ -78,6 +78,7 @@ _OVERFLOW = [
     # round-5 NEW operators (rotate into the window next round)
     "llm_ann_multitable_pairs",
     "llm_duplicate_spans",
+    "llm_span_dedup_trim",
     "llm_incremental_dedup",
     "llm_gopher_quality_filter",
     "llm_training_order",

@@ -2652,3 +2652,130 @@ def llm_ann_multitable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_a", "vec_b")
         .agg(F.min("cosine").alias("cosine"))
     )
+
+
+#: Composite occurrence key for span-trim canonical selection; valid
+#: while doc_id < 1e12 and positions < 1e6 (testdata and any sane shard).
+_TRIM_KEY_MUL = 1_000_000
+
+
+@register(
+    "llm_span_dedup_trim",
+    oracle=rf"""
+    WITH toked AS (
+      SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    ),
+    g AS (
+      SELECT doc_id, t,
+             unnest(CASE WHEN len(t) >= {_SPAN_N}
+                    THEN range(0, len(t) - {_SPAN_N - 1}) ELSE [] END) AS p
+      FROM toked
+    ),
+    grams AS (
+      SELECT doc_id, p,
+             md5(array_to_string(t[p + 1 : p + {_SPAN_N}], ' ')) AS h
+      FROM g
+    ),
+    canon AS (
+      SELECT h, COUNT(*) AS cnt,
+             MIN(doc_id * {_TRIM_KEY_MUL} + p) AS first_key
+      FROM grams GROUP BY h
+    ),
+    removable AS (
+      SELECT grams.doc_id, grams.p
+      FROM grams JOIN canon USING (h)
+      WHERE cnt >= 2
+        AND grams.doc_id * {_TRIM_KEY_MUL} + grams.p != first_key
+    ),
+    covered AS (
+      SELECT doc_id, unnest(range(p, p + {_SPAN_N})) AS pos FROM removable
+    ),
+    cov AS (
+      SELECT doc_id, list(DISTINCT pos) AS cl FROM covered GROUP BY doc_id
+    )
+    SELECT toked.doc_id,
+           CAST(len(t) AS BIGINT) AS n_tok,
+           CAST(COALESCE(len(cl), 0) AS BIGINT) AS n_removed,
+           md5(COALESCE(array_to_string(
+             list_transform(
+               list_filter(range(0, len(t)),
+                           i -> NOT list_contains(COALESCE(cl, []), i)),
+               i -> t[i + 1]), ' '), '')) AS kept_hash
+    FROM toked LEFT JOIN cov ON toked.doc_id = cov.doc_id
+    """,
+)
+def llm_span_dedup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup as a TRANSFORM, not just a score: every
+    duplicated {_SPAN_N}-token span keeps only its globally-first
+    occurrence (min (doc_id, position)); later occurrences have their
+    token positions cut from the document (Lee et al. 2022's
+    remove-all-but-one semantics). Emits per doc the removed-token
+    count and an md5 of the rebuilt text so the oracle verifies the
+    actual surviving CONTENT.
+
+    Scale shape: occurrences explode to (doc, pos, gram-md5) — linear
+    in corpus tokens; canonical selection is ONE hash agg on the
+    uniform 128-bit gram key (min of an encoded (doc,pos) key merges
+    map-side); the rejoin rides the same key. Covered positions fan
+    out ≤ {_SPAN_N}× the removable rows and collapse to one small
+    per-doc array (bounded by the doc's own token count — collect_set
+    here can never exceed the document it describes). The rebuild is a
+    pure array expression over the original token array: no token-level
+    shuffle, no order-sensitive reassembly join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
+    g = toked.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.when(
+                F.size("t") >= _SPAN_N,
+                F.sequence(F.lit(0), F.size("t") - _SPAN_N),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("p"),
+    )
+    grams = g.select(
+        "doc_id",
+        "p",
+        F.md5(
+            F.concat_ws(" ", F.slice("t", F.col("p") + 1, _SPAN_N))
+        ).alias("h"),
+    )
+    okey = F.col("doc_id") * _TRIM_KEY_MUL + F.col("p")
+    canon = grams.groupBy("h").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(okey).alias("first_key"),
+    )
+    removable = (
+        grams.join(canon, "h")
+        .filter((F.col("cnt") >= 2) & (okey != F.col("first_key")))
+        .select("doc_id", "p")
+    )
+    cov = (
+        removable.select(
+            "doc_id",
+            F.explode(F.sequence("p", F.col("p") + (_SPAN_N - 1))).alias("pos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("cl"))
+    )
+    cl = F.coalesce(F.col("cl"), F.array().cast("array<int>"))
+    kept_idx = F.filter(
+        F.sequence(F.lit(0), F.size("t") - 1),
+        lambda i: ~F.array_contains(cl, i),
+    )
+    return (
+        toked.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tok"),
+            F.coalesce(F.size("cl"), F.lit(0)).cast("long").alias("n_removed"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(kept_idx, lambda i: F.element_at("t", i + 1)),
+                )
+            ).alias("kept_hash"),
+        )
+    )

