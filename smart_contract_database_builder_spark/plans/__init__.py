@@ -79,6 +79,7 @@ _OVERFLOW = [
     "llm_ann_multitable_pairs",
     "llm_duplicate_spans",
     "llm_span_dedup_trim",
+    "llm_curation_pipeline",
     "llm_incremental_dedup",
     "llm_gopher_quality_filter",
     "llm_training_order",

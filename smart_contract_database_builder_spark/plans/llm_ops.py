@@ -2779,3 +2779,131 @@ def llm_span_dedup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_hash"),
         )
     )
+
+
+@register(
+    "llm_curation_pipeline",
+    oracle=rf"""
+    WITH tc AS (
+      SELECT doc_id, term, COUNT(*) AS c, LEN(term) AS l
+      FROM (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+      )
+      GROUP BY doc_id, term
+    ),
+    qual AS (
+      SELECT doc_id
+      FROM (
+        SELECT doc_id,
+               SUM(c) AS n_tok,
+               SUM(l * c) AS n_chars_tok,
+               MAX(c) AS top_c,
+               MAX(CASE WHEN term IN ({_SQL_STOPWORDS}) THEN 1 ELSE 0 END)
+                 AS has_stop
+        FROM tc GROUP BY doc_id
+      )
+      WHERE n_tok BETWEEN {_G_MIN_TOK} AND {_G_MAX_TOK}
+        AND CAST(n_chars_tok AS DOUBLE) / n_tok
+            BETWEEN {_G_MIN_MWL} AND {_G_MAX_MWL}
+        AND CAST(top_c AS DOUBLE) / n_tok <= {_G_MAX_TOP_FRAC}
+        AND has_stop = 1
+    ),
+    keyed AS (
+      SELECT d.doc_id, lang, source,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS ck,
+             len({_SQL_TOKENS}) AS n_tok
+      FROM documents d JOIN qual USING (doc_id)
+    ),
+    canon AS (SELECT ck, MIN(doc_id) AS cid FROM keyed GROUP BY ck),
+    dedup AS (
+      SELECT keyed.* FROM keyed
+      JOIN canon ON keyed.ck = canon.ck AND keyed.doc_id = canon.cid
+    ),
+    grams AS (
+      SELECT doc_id, unnest({_sql_word_ngrams("t", _DECON_N)}) AS g
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+    ),
+    bench AS (
+      SELECT DISTINCT g FROM grams
+      WHERE doc_id % {_DECON_MOD} = {_DECON_REM}
+    ),
+    contaminated AS (
+      SELECT DISTINCT c.doc_id
+      FROM grams c JOIN bench b ON c.g = b.g
+      WHERE c.doc_id % {_DECON_MOD} <> {_DECON_REM}
+    ),
+    clean AS (
+      SELECT * FROM dedup
+      WHERE doc_id % {_DECON_MOD} <> {_DECON_REM}
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    final AS (
+      SELECT * FROM clean
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+            < CASE WHEN lang = 'en' THEN '{_MIX_THR_EN}'
+                   ELSE '{_MIX_THR_OTHER}' END
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM final GROUP BY lang, source
+    """,
+)
+def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation run a training-data team ships, composed
+    from this engine's own registered operators: Gopher quality filter →
+    exact dedup (canonical = min surviving doc per content key) →
+    benchmark decontamination (drop the held-out slice AND every doc
+    sharing a {_DECON_N}-gram with it) → reproducible per-language
+    mix-sampling — reported as kept docs + tokens per (lang, source).
+
+    Each stage is the SAME function the standalone queries run
+    (`llm_gopher_quality_filter`, `llm_decontaminate_overlap`, the
+    dedup/mix predicates), so the pipeline inherits their individually
+    verified semantics; this query's own oracle re-verifies the
+    composition end-to-end.
+
+    Scale shape: the stages chain as semi/anti joins on doc_id — each
+    stage's survivor set is a one-column relation, so inter-stage data
+    movement is ids, never text. Quality and dedup are the hash aggs
+    audited on their standalone queries; decontamination's gram join
+    stays broadcast; the mix filter is map-side; the closing rollup is
+    one hash agg on (lang, source). Nothing in the composition adds a
+    shuffle the stages didn't already pay.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    quality_ids = (
+        llm_gopher_quality_filter(spark, sf_dir)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    keyed = docs.join(quality_ids, "doc_id").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")).alias("ck"),
+        F.size(_tokens()).alias("n_tok"),
+    )
+    canon = keyed.groupBy("ck").agg(F.min("doc_id").alias("cid"))
+    dedup = (
+        keyed.join(canon, "ck")
+        .filter(F.col("doc_id") == F.col("cid"))
+        .drop("cid")
+    )
+    contaminated_ids = llm_decontaminate_overlap(spark, sf_dir).select("doc_id")
+    is_bench = (F.col("doc_id") % _DECON_MOD) == _DECON_REM
+    clean = dedup.filter(~is_bench).join(
+        contaminated_ids, "doc_id", "left_anti"
+    )
+    h4 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    thr = F.when(F.col("lang") == "en", F.lit(_MIX_THR_EN)).otherwise(
+        F.lit(_MIX_THR_OTHER)
+    )
+    return (
+        clean.filter(h4 < thr)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
