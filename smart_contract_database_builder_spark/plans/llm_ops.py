@@ -2723,7 +2723,14 @@ def llm_span_dedup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure array expression over the original token array: no token-level
     shuffle, no order-sensitive reassembly join.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return span_dedup_trim(load_table(spark, sf_dir, "documents"))
+
+
+def span_dedup_trim(docs: DataFrame) -> DataFrame:
+    """The reusable operator behind ``llm_span_dedup_trim`` over any
+    (doc_id, text) relation — property-tested against a pure-Python
+    reference on synthetic corpora (tests/test_span_trim_property.py)
+    in addition to the registered query's DuckDB oracle."""
     toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
     g = toked.select(
         "doc_id",
