@@ -80,6 +80,7 @@ _OVERFLOW = [
     "llm_duplicate_spans",
     "llm_span_dedup_trim",
     "llm_curation_pipeline",
+    "llm_bm25_topk",
     "llm_incremental_dedup",
     "llm_gopher_quality_filter",
     "llm_training_order",

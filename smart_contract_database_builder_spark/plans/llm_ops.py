@@ -2914,3 +2914,122 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("long").alias("n_tokens"),
         )
     )
+
+
+#: BM25 parameters (Robertson-Sparck Jones defaults) and a fixed
+#: keyword query over the test corpus vocabulary.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("data", "spark", "query")
+_BM25_TOPK = 20
+
+
+@register(
+    "llm_bm25_topk",
+    oracle=rf"""
+    WITH toked AS (
+      SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, len(t) AS dl,
+             {", ".join(
+               f"len(list_filter(t, x -> x = '{term}')) AS tf{i}"
+               for i, term in enumerate(_BM25_TERMS)
+             )}
+      FROM toked
+    ),
+    g AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+             {", ".join(
+               f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+               for i in range(len(_BM25_TERMS))
+             )}
+      FROM tf
+    )
+    SELECT doc_id,
+           {" + ".join(
+             f"ln(1 + (n_docs - df{i} + 0.5) / (df{i} + 0.5)) * "
+             f"(tf{i} * CAST({_BM25_K1 + 1} AS DOUBLE)) / "
+             f"(tf{i} + CAST({_BM25_K1} AS DOUBLE) * (1 - {_BM25_B} "
+             f"+ {_BM25_B} * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))"
+             for i in range(len(_BM25_TERMS))
+           )} AS score
+    FROM tf, g
+    WHERE {" + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))} > 0
+    ORDER BY score DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """,
+)
+def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword retrieval: exact BM25 top-{_BM25_TOPK} for a fixed
+    {len(_BM25_TERMS)}-term query — the lexical complement of the
+    cosine/ANN vector family (a RAG corpus serves both). Scores are
+    bitwise cross-engine: every input to the formula is an exact
+    integer (term frequencies, doc lengths, document frequencies,
+    corpus size), each double appears through the identical expression
+    tree in both engines, and the per-term partial scores are summed in
+    the same fixed term order — never via an order-free aggregate.
+    Literal hazard encoded in the oracle: DuckDB parses ``1.2 + 1`` as
+    EXACT DECIMAL 2.2 while Spark's literal is the double 2.2 (which is
+    not 2.2) — every non-representable constant in the SQL twin is
+    explicitly CAST to DOUBLE so both engines run the same bits.
+
+    Scale shape: term frequencies are per-row array expressions in the
+    scan stage (no explode — the query has {len(_BM25_TERMS)} known
+    terms, so ``size(filter(t, =term))`` beats exploding the corpus);
+    the corpus stats (N, Σdl, per-term df) are ONE scalar aggregate
+    broadcast back; scoring is map-side; the cut is a
+    TakeOrderedAndProject. Total cost: one corpus pass + a 1-row
+    broadcast. A multi-query batch generalizes by broadcasting a term
+    dict and pivoting — same single-pass discipline.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
+    def _tf(term: str) -> Column:
+        # NB: the lambda must take exactly ONE argument — PySpark treats
+        # a second parameter as the element-index request, so the usual
+        # `lambda x, term=term:` capture idiom silently compares against
+        # the array index instead of the term.
+        return F.size(F.filter("t", lambda x: x == term))
+
+    tf_cols = [
+        _tf(term).alias(f"tf{i}") for i, term in enumerate(_BM25_TERMS)
+    ]
+    tf = toked.select("doc_id", F.size("t").alias("dl"), *tf_cols)
+    g = tf.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        idf = F.log(
+            F.lit(1)
+            + (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5))
+            / (F.col(f"df{i}") + F.lit(0.5))
+        )
+        part = idf * (
+            F.col(f"tf{i}") * (_BM25_K1 + 1)
+        ) / (
+            F.col(f"tf{i}")
+            + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
+        )
+        score = part if score is None else score + part
+    any_tf = None
+    for i in range(len(_BM25_TERMS)):
+        any_tf = (
+            F.col(f"tf{i}")
+            if any_tf is None
+            else any_tf + F.col(f"tf{i}")
+        )
+    return (
+        tf.join(F.broadcast(g))
+        .filter(any_tf > 0)
+        .select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(_BM25_TOPK)
+    )
