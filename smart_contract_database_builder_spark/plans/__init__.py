@@ -81,6 +81,8 @@ _OVERFLOW = [
     "llm_span_dedup_trim",
     "llm_curation_pipeline",
     "llm_bm25_topk",
+    "llm_hybrid_rrf_fusion",
+    "llm_stratified_sample",
     "llm_incremental_dedup",
     "llm_gopher_quality_filter",
     "llm_training_order",

@@ -3033,3 +3033,145 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(_BM25_TOPK)
     )
+
+
+#: Reciprocal-rank-fusion constant (the standard k=60 from Cormack et
+#: al.'s RRF paper).
+_RRF_K = 60
+
+
+def _oracle_of(name: str) -> str:
+    from .registry import QUERIES
+
+    return QUERIES[name].oracle
+
+
+@register(
+    "llm_hybrid_rrf_fusion",
+    oracle=None,  # assigned below — composes two earlier oracles
+)
+def llm_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval: reciprocal-rank fusion of the lexical
+    (`llm_bm25_topk`) and vector (`llm_cosine_topk_bruteforce`, vec_id
+    read as doc_id) result lists — rrf = Σ 1/({_RRF_K} + rank) over the
+    systems that returned the doc (Cormack et al. 2009), the standard
+    way a RAG stack merges keyword and embedding search without score
+    calibration.
+
+    Exactness: ranks are integers; each contribution is one double
+    divide; the two contributions add in a fixed order — bitwise
+    cross-engine (the oracle composes the two source oracles verbatim,
+    so fusion is verified END-TO-END through both retrieval paths).
+
+    Scale shape: both inputs are top-k lists — constant-size relations
+    regardless of corpus size — so the rank windows and the full-outer
+    join are over ≤ k rows each; the corpus-scale work remains inside
+    the two source queries, already audited on their own entries.
+    """
+    from pyspark.sql.window import Window
+
+    lex = llm_bm25_topk(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), "doc_id"))
+        .cast("long")
+        .alias("lex_rank"),
+    )
+    vec = llm_cosine_topk_bruteforce(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), "vec_id"))
+        .cast("long")
+        .alias("vec_rank"),
+    )
+    contrib = lambda c: F.coalesce(  # noqa: E731
+        F.lit(1).cast("double") / (F.lit(_RRF_K) + F.col(c)), F.lit(0.0)
+    )
+    return (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            (contrib("lex_rank") + contrib("vec_rank")).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), "doc_id")
+    )
+
+
+# The RRF oracle embeds the two source oracles as subqueries — built
+# after both are registered so the text stays in ONE place (QuerySpec
+# is frozen, so the spec is replaced wholesale).
+import dataclasses as _dc  # noqa: E402
+
+from .registry import QUERIES as _Q  # noqa: E402
+
+_Q["llm_hybrid_rrf_fusion"] = _dc.replace(
+    _Q["llm_hybrid_rrf_fusion"],
+    oracle=f"""
+WITH lex AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+  FROM ({_oracle_of("llm_bm25_topk")})
+),
+vec AS (
+  SELECT vec_id AS doc_id,
+         ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS vec_rank
+  FROM ({_oracle_of("llm_cosine_topk_bruteforce")})
+)
+SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+       CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(vec_rank AS BIGINT) AS vec_rank,
+       COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + lex_rank), 0)
+         + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + vec_rank), 0)
+         AS rrf_score
+FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+ORDER BY rrf_score DESC, doc_id
+""",
+)
+
+
+#: Stratified sample quota per language.
+_STRAT_N = 5
+
+
+@register(
+    "llm_stratified_sample",
+    oracle=rf"""
+    SELECT doc_id, lang,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    WHERE rk <= {_STRAT_N}
+    """,
+)
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 EXT: STRATIFIED sampling with an exact per-group quota — the
+    first {_STRAT_N} docs of every language in content-stable md5 order
+    (eval-set construction, per-language spot-check pulls). Exact
+    quotas are what rate-based sampling can't give; hash order makes
+    the draw reproducible and monotone like `llm_mix_sample_by_lang`.
+
+    Scale shape: one shuffle partitioned by the strata key, rank
+    computed within each stratum (AQE handles a skewed stratum); with
+    a top-{_STRAT_N} filter Catalyst runs the window as a running
+    rank + early filter, never materializing full strata.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select(
+            "doc_id", "lang", F.row_number().over(w).cast("long").alias("rk")
+        )
+        .filter(F.col("rk") <= _STRAT_N)
+    )
