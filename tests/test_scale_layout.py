@@ -175,3 +175,19 @@ def test_ann_bucket_partitioned_layout_prunes(spark, tmp_path):
     n_total = layout.count()
     n_one = one.count()
     assert 0 < n_one < n_total
+
+
+def test_stratified_sample_pushes_group_limit_below_shuffle(spark):
+    """llm_stratified_sample's scale claim: the rank-filter window must
+    plan as WindowGroupLimit with a PARTIAL pass before the exchange —
+    each map task keeps at most N rows per stratum, so a skewed stratum
+    never ships its full contents through the shuffle."""
+    from smart_contract_database_builder_spark import plans
+    from conftest import SF_SMOKE
+
+    df = plans.QUERIES["llm_stratified_sample"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, plan
+    # and the scan reads only the two needed columns
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan, plan
