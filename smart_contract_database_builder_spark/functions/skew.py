@@ -51,3 +51,36 @@ def salted_agg(
         else:
             finals.append(F.sum(name).alias(name))
     return partial.groupBy(F.col("_key")).agg(*finals)
+
+
+def hot_key_split_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    hot_keys: list,
+    how: str = "inner",
+) -> DataFrame:
+    """Skewed-join rewrite for keys AQE can't save (a key so hot its
+    split partitions still straggle): route the hot-key rows through a
+    BROADCAST join against the matching dim slice — no shuffle touches
+    them at all — and shuffle-join only the well-behaved remainder.
+
+    ``hot_keys`` comes from the caller's frequency knowledge (a prior
+    approx_count or domain constant — e.g. the null/default key, the
+    mega-customer). Only ``inner``/``left_semi`` routing is exposed:
+    outer variants would need null-key bookkeeping across the split,
+    which is exactly the subtle-wrong-answer territory this helper
+    exists to avoid.
+
+    Value-neutrality (split ∪ == plain join) is pinned in
+    tests/test_scale_layout.py.
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(f"hot_key_split_join supports inner/left_semi, got {how!r}")
+    k = F.col(key)
+    fact_hot = fact.filter(k.isin(hot_keys))
+    fact_cold = fact.filter(~k.isin(hot_keys))
+    dim_hot = dim.filter(F.col(key).isin(hot_keys))
+    joined_hot = fact_hot.join(F.broadcast(dim_hot), key, how)
+    joined_cold = fact_cold.join(dim, key, how)
+    return joined_hot.unionByName(joined_cold)

@@ -191,3 +191,30 @@ def test_stratified_sample_pushes_group_limit_below_shuffle(spark):
     assert "Partial" in plan, plan
     # and the scan reads only the two needed columns
     assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan, plan
+
+
+def test_hot_key_split_join_is_value_neutral(spark):
+    """hot_key_split_join (skew rewrite) must return exactly the plain
+    join's rows, and its hot branch must plan as a broadcast join."""
+    from smart_contract_database_builder_spark.functions.skew import (
+        hot_key_split_join,
+    )
+    from smart_contract_database_builder_spark.sources.tables import load_table
+    from conftest import SF_SMOKE
+
+    events = load_table(spark, SF_SMOKE, "events").select(
+        F.col("user_id").alias("c_custkey"), "event_type", "value"
+    )
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    hot = [r.c_custkey for r in events.groupBy("c_custkey").count()
+           .orderBy(F.desc("count")).limit(3).collect()]
+
+    split = hot_key_split_join(events, cust, "c_custkey", hot)
+    plain = events.join(cust, "c_custkey")
+    assert sorted(map(tuple, split.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    plan = split._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
