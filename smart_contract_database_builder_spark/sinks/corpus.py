@@ -1,0 +1,43 @@
+"""Training-corpus export layout (the terminal stage of F31/F33).
+
+A curated corpus leaves the engine as TRAINING SHARDS: one file per
+shard, rows inside each file already in the seeded training order, so
+the data loader streams files sequentially with zero shuffling at read
+time. The layout contract:
+
+- ``shard=<k>/`` partition directories (partition pruning lets a loader
+  or a resume pick up a single shard);
+- exactly one parquet file per shard (``repartition`` on the shard
+  column before ``partitionBy`` — without it every upstream task would
+  write a sliver into every shard: the small-files explosion);
+- rows within a file sorted by the in-shard position
+  (``sortWithinPartitions`` — parquet preserves row order within a
+  file, so file order IS training order).
+
+At 100 TB this is the same code with shards sized to the writer
+parallelism; each task owns whole shards, writes are append-free and
+deterministic, and re-running the export over the same input yields
+byte-identical shard contents (no RNG anywhere in the path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_training_shards(
+    ordered: DataFrame,
+    path: str,
+    shard_col: str = "shard",
+    pos_col: str = "pos_in_shard",
+) -> None:
+    """Write a training-ordered relation (e.g. ``llm_training_order``
+    joined back to its payload) as one sorted parquet file per shard."""
+    (
+        ordered.repartition(F.col(shard_col))
+        .sortWithinPartitions(pos_col)
+        .write.mode("overwrite")
+        .partitionBy(shard_col)
+        .parquet(path)
+    )
