@@ -22,6 +22,8 @@ _NESTED_LOOP_ALLOWED = {
     "llm_tfidf_top_terms",         # 1-row corpus-size scalar broadcast
     "llm_knn_join_topk",           # Q-row query-set broadcast (Q = 3)
     "llm_vocab_coverage",          # 1-row total-token-count broadcast
+    "llm_bm25_topk",               # 1-row corpus-stats (N, Σdl, df) broadcast
+    "llm_hybrid_rrf_fusion",       # inherits llm_bm25_topk's stats broadcast
 }
 
 #: Queries whose fn() triggers side effects/execution rather than just
