@@ -138,3 +138,60 @@ def test_training_order_is_a_bijection_with_dense_ranks(spark):
         if [p for _, p in docs] == sorted(p for _, p in docs):
             preserved += 1
     assert preserved < len(by_shard), "seeded shuffle preserved input order"
+
+
+def test_curation_pipeline_is_consistent_with_its_stages(spark):
+    """The composed pipeline's (lang, source) totals must be derivable
+    from its own standalone stages run independently."""
+    from pyspark.sql import functions as F
+    from smart_contract_database_builder_spark.sources.tables import load_table
+    from smart_contract_database_builder_spark.plans.llm_ops import (
+        _DECON_MOD,
+        _DECON_REM,
+        _MIX_THR_EN,
+        _MIX_THR_OTHER,
+        _tokens,
+    )
+
+    sf = SF_SMOKE
+    quality = {
+        r.doc_id
+        for r in _run("llm_gopher_quality_filter", spark, sf)
+        if r.keep
+    }
+    contaminated = {
+        r.doc_id
+        for r in plans.QUERIES["llm_decontaminate_overlap"].fn(spark, sf).collect()
+    }
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")).alias("ck"),
+        F.size(_tokens()).alias("n_tok"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4).alias("h4"),
+    ).collect()
+    keyed = [r for r in docs if r.doc_id in quality]
+    canonical = {}
+    for r in keyed:
+        if r.ck not in canonical or r.doc_id < canonical[r.ck]:
+            canonical[r.ck] = r.doc_id
+    expect = {}
+    for r in keyed:
+        if canonical[r.ck] != r.doc_id:
+            continue
+        if r.doc_id % _DECON_MOD == _DECON_REM or r.doc_id in contaminated:
+            continue
+        thr = _MIX_THR_EN if r.lang == "en" else _MIX_THR_OTHER
+        if not r.h4 < thr:
+            continue
+        k = (r.lang, r.source)
+        n, t = expect.get(k, (0, 0))
+        expect[k] = (n + 1, t + r.n_tok)
+
+    got = {
+        (r.lang, r.source): (r.n_docs, r.n_tokens)
+        for r in _run("llm_curation_pipeline", spark, sf)
+    }
+    assert got == expect
+    assert len(got) > 0
