@@ -259,6 +259,60 @@ def cmd_export_source(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_curate(args: argparse.Namespace) -> int:
+    """EXT beyond the reference CLI: run the corpus-curation pipeline
+    (quality → dedup → decontamination → mix) over a documents corpus
+    and export the survivors as sorted training shards.
+
+    Input: a parquet documents table (the testdata schema) or a JSONL
+    corpus (``--jsonl``; malformed lines are dropped with a warning
+    unless strict parquet-style parsing is wanted upstream).
+    """
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from .plans.llm_ops import curate_documents, training_order
+    from .schemas import TESTDATA_SCHEMAS
+    from .sinks.corpus import write_training_shards
+
+    spark = _spark()
+    if args.jsonl:
+        from .sources.documents import read_documents_jsonl
+
+        raw = read_documents_jsonl(spark, args.documents)
+        n_bad = raw.filter(
+            F.col("_corrupt").isNotNull() | F.col("doc_id").isNull()
+        ).select("doc_id").count()
+        if n_bad:
+            print(f"dropping {n_bad} malformed line(s)", file=sys.stderr)
+        docs = raw.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+    else:
+        docs = spark.read.schema(TESTDATA_SCHEMAS["documents"]).parquet(
+            args.documents
+        )
+    kept = curate_documents(docs)
+    order = training_order(kept, n_shards=args.shards)
+    payload = kept.join(
+        docs.select("doc_id", "text"), "doc_id"
+    ).join(order, "doc_id")
+    write_training_shards(payload, args.output)
+    stats = kept.agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("n_tok").alias("tokens")
+    ).collect()[0]
+    print(
+        _json.dumps(
+            {
+                "kept_docs": stats.docs,
+                "kept_tokens": int(stats.tokens or 0),
+                "shards": args.shards,
+                "output": args.output,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_download_solc(_args: argparse.Namespace) -> int:
     try:
         import solcx  # type: ignore
@@ -299,6 +353,16 @@ def build_parser() -> argparse.ArgumentParser:
 
     dl = sub.add_parser("download-solc", help="install solc binaries (solcx)")
     dl.set_defaults(fn=cmd_download_solc)
+
+    cu = sub.add_parser(
+        "curate", help="curate a documents corpus into training shards"
+    )
+    cu.add_argument("--documents", required=True,
+                    help="documents parquet path, or JSONL with --jsonl")
+    cu.add_argument("--output", required=True)
+    cu.add_argument("--shards", type=int, default=8)
+    cu.add_argument("--jsonl", action="store_true")
+    cu.set_defaults(fn=cmd_curate)
     return p
 
 

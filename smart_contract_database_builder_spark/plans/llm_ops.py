@@ -572,7 +572,12 @@ def llm_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Counts are exact integers; the fraction is one IEEE divide —
     bitwise cross-engine.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate_overlap(load_table(spark, sf_dir, "documents"))
+
+
+def decontaminate_overlap(docs: DataFrame) -> DataFrame:
+    """The reusable decontamination operator behind
+    ``llm_decontaminate_overlap`` over any (doc_id, text) relation."""
     # Tokenize in its OWN projection: inlining _tokens() into the
     # n-gram transform would re-run the regex split inside every
     # element_at lambda (~4·n_tok splits of the full text per row —
@@ -2430,7 +2435,12 @@ def llm_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity: each ratio divides two exact integers as doubles once, so
     Spark and DuckDB agree bitwise.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return gopher_quality_filter(load_table(spark, sf_dir, "documents"))
+
+
+def gopher_quality_filter(docs: DataFrame) -> DataFrame:
+    """The reusable rule-chain filter behind
+    ``llm_gopher_quality_filter`` over any (doc_id, text) relation."""
     toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
     tc = (
         toked.select("doc_id", F.explode("t").alias("term"))
@@ -2501,17 +2511,24 @@ def llm_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     writer parallelism; the global sort a naive ORDER BY md5 would run
     is exactly what this avoids).
     """
+    return training_order(load_table(spark, sf_dir, "documents"))
+
+
+def training_order(
+    docs: DataFrame, n_shards: int = _ORDER_SHARDS, seed: str = _ORDER_SEED
+) -> DataFrame:
+    """The reusable seeded-shuffle operator behind
+    ``llm_training_order`` over any relation with a ``doc_id``."""
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
     keyed = docs.select(
         "doc_id",
         F.md5(
-            F.concat(F.lit(_ORDER_SEED), F.col("doc_id").cast("string"))
+            F.concat(F.lit(seed), F.col("doc_id").cast("string"))
         ).alias("shuffle_key"),
     )
     shard = (
-        F.ascii(F.substring("shuffle_key", 1, 1)) % _ORDER_SHARDS
+        F.ascii(F.substring("shuffle_key", 1, 1)) % n_shards
     ).cast("int")
     w = Window.partitionBy(shard).orderBy("shuffle_key", "doc_id")
     return keyed.select(
@@ -2878,11 +2895,21 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     one hash agg on (lang, source). Nothing in the composition adds a
     shuffle the stages didn't already pay.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    kept = curate_documents(load_table(spark, sf_dir, "documents"))
+    return kept.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+
+
+def curate_documents(docs: DataFrame) -> DataFrame:
+    """The curation pipeline's survivor set over any (doc_id, text,
+    lang, source) relation: (doc_id, lang, source, n_tok) rows that
+    pass quality -> dedup-canonical -> decontamination -> mix-sampling.
+    Backs both ``llm_curation_pipeline`` and the ``curate`` CLI
+    command."""
     quality_ids = (
-        llm_gopher_quality_filter(spark, sf_dir)
-        .filter(F.col("keep"))
-        .select("doc_id")
+        gopher_quality_filter(docs).filter(F.col("keep")).select("doc_id")
     )
     keyed = docs.join(quality_ids, "doc_id").select(
         "doc_id",
@@ -2895,9 +2922,9 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup = (
         keyed.join(canon, "ck")
         .filter(F.col("doc_id") == F.col("cid"))
-        .drop("cid")
+        .drop("cid", "ck")
     )
-    contaminated_ids = llm_decontaminate_overlap(spark, sf_dir).select("doc_id")
+    contaminated_ids = decontaminate_overlap(docs).select("doc_id")
     is_bench = (F.col("doc_id") % _DECON_MOD) == _DECON_REM
     clean = dedup.filter(~is_bench).join(
         contaminated_ids, "doc_id", "left_anti"
@@ -2906,14 +2933,7 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr = F.when(F.col("lang") == "en", F.lit(_MIX_THR_EN)).otherwise(
         F.lit(_MIX_THR_OTHER)
     )
-    return (
-        clean.filter(h4 < thr)
-        .groupBy("lang", "source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_tok").cast("long").alias("n_tokens"),
-        )
-    )
+    return clean.filter(h4 < thr)
 
 
 #: BM25 parameters (Robertson-Sparck Jones defaults) and a fixed

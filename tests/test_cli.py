@@ -158,3 +158,33 @@ def test_cli_export_missing_contract(tmp_path):
 def test_cli_download_solc_gated():
     rc = cli.main(["download-solc"])
     assert rc in (0, 1)  # 1 in this environment (no solcx)
+
+
+def test_curate_command_exports_training_shards(spark, tmp_path, capsys):
+    """The EXT curate command: documents parquet in, sorted training
+    shards out, one-line JSON summary on stdout."""
+    import glob
+    import json
+    import os
+
+    from smart_contract_database_builder_spark.cli import main
+    from conftest import SF_SMOKE
+
+    out = str(tmp_path / "shards")
+    rc = main([
+        "curate",
+        "--documents", f"{SF_SMOKE}/documents.parquet",
+        "--output", out,
+        "--shards", "4",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["kept_docs"] > 0
+    assert summary["kept_tokens"] > 0
+    shard_dirs = sorted(glob.glob(os.path.join(out, "shard=*")))
+    assert len(shard_dirs) == 4
+    back = spark.read.parquet(out)
+    assert back.count() == summary["kept_docs"]
+    # payload carries the surviving text and the training order
+    assert {"doc_id", "text", "lang", "source", "n_tok",
+            "shuffle_key", "pos_in_shard"} <= set(back.columns)
