@@ -23,59 +23,36 @@ from . import reference_ext  # noqa: E402,F401
 from . import llm_ops  # noqa: E402,F401
 from . import streaming_batch  # noqa: E402,F401
 
-#: Queries the driver window must cover first. Round-5 rotation
-#: (VERDICT r4 "Next round #2"): the 14 round-4 operators that sat in
+#: Queries the driver window must cover first. Round-6 rotation
+#: (VERDICT r5 "Next round #1"): the 10 round-5 operators that sat in
 #: ``_OVERFLOW`` and therefore never earned a driver-green row move INTO
-#: the window; 14 long-stable relational queries (driver-green in both
-#: r3 and r4, logic untouched since) rotate out. Across r3-r5 every
-#: oracle-carrying query now has at least one driver-green CORRECTNESS
-#: row. The similarity/streaming head stays put: the 7 events-decode
-#: casualties of r4 must be re-witnessed green this round.
+#: the window; 10 r5-green stable queries rotate out, each family
+#: keeping at least one in-window witness (ANN: minhash_lsh +
+#: hyperplane_buckets + multitable; vector-sim: knn_join_topk;
+#: streaming: tumbling + dedup + static-enrich + availablenow +
+#: stream-stream; text-quality: quality_scores + gopher; sampling:
+#: token_budget + stratified; scalars: scalar_json_props_events).
 _PRIORITY = [
     "llm_minhash_lsh_pairs",
-    "llm_ann_bucketed_cosine_pairs",
-    "llm_cosine_topk_bruteforce",
-    "llm_tfidf_top_terms",
     "llm_ngram_jaccard_topk",
     "llm_neardup_clusters",
     "llm_ann_hyperplane_buckets",
     "stream_tumbling_window_counts",
-    "stream_sliding_window_avg",
-    "stream_session_windows",
     "stream_dedup_first_event",
     "stream_static_enrich_segments",
     "stream_true_tumbling_availablenow",
     "ref_extract_functions",
     "ref_sink_roundtrip",
-    # --- rotated IN for round 5 (former _OVERFLOW, never driver-seen) ---
-    "scalar_map_explode_props",
     "llm_embedding_neardup_clusters",
     "stream_stream_join_attribution",
     "agg_percentile_prices",
-    "llm_repetition_signals",
     "llm_knn_join_topk",
     "llm_decontaminate_overlap",
-    "llm_mix_sample_by_lang",
     "llm_sequence_packing",
     "llm_token_budget_per_source",
     "llm_chunk_documents",
-    "llm_pii_redaction",
-    "llm_vocab_coverage",
     "cdc_merge_latest_snapshot",
-]
-
-#: Oracle-CARRYING queries deliberately registered just past the
-#: driver's 50-query window (it is full): their oracles still run in
-#: pytest (tests/test_oracle_parity.py sweeps every oracle at sf0.01),
-#: they just lose the per-round driver row. Grow this list consciously
-#: — whatever sits here trades driver-visible correctness evidence for
-#: a slot. Round-5 occupants are the rotation's other half: relational
-#: queries with driver-green rows in BOTH r3 and r4 whose plan code has
-#: not changed since (filter/window/scalar/set/agg families — each
-#: family keeps at least one in-window witness via the flagship, join,
-#: and ref queries).
-_OVERFLOW = [
-    # round-5 NEW operators (rotate into the window next round)
+    # --- rotated IN for round 6 (former _OVERFLOW, never driver-seen) ---
     "llm_ann_multitable_pairs",
     "llm_duplicate_spans",
     "llm_span_dedup_trim",
@@ -86,6 +63,29 @@ _OVERFLOW = [
     "llm_incremental_dedup",
     "llm_gopher_quality_filter",
     "llm_training_order",
+]
+
+#: Oracle-CARRYING queries deliberately registered just past the
+#: driver's 50-query window (it is full): their oracles still run in
+#: pytest (tests/test_oracle_parity.py sweeps every oracle at sf0.01),
+#: they just lose the per-round driver row. Grow this list consciously
+#: — whatever sits here trades driver-visible correctness evidence for
+#: a slot. Round-6 occupants are the rotation's other half: queries
+#: with driver-green rows in r5 (and mostly r3/r4 too) whose plan code
+#: has not changed since — each family keeps at least one in-window
+#: witness (see the _PRIORITY comment).
+_OVERFLOW = [
+    # rotated OUT for round 6 (r5 driver-green, code untouched)
+    "llm_ann_bucketed_cosine_pairs",
+    "llm_cosine_topk_bruteforce",
+    "llm_tfidf_top_terms",
+    "stream_sliding_window_avg",
+    "stream_session_windows",
+    "scalar_map_explode_props",
+    "llm_repetition_signals",
+    "llm_mix_sample_by_lang",
+    "llm_vocab_coverage",
+    "llm_pii_redaction",
     "filter_point_lookup",
     "filter_type_predicate",
     "filter_suffix_predicate",

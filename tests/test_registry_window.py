@@ -48,57 +48,32 @@ def test_oracle_queries_past_the_window_are_explicitly_designated():
     )
 
 
-def test_similarity_and_streaming_queries_lead():
-    """The round-2 casualties must be registered first."""
-    head = list(plans.QUERIES)[:15]
+def test_family_witnesses_lead():
+    """Each operator family keeps an always-in-window witness at the
+    head of the registry (the round-2 casualties' families)."""
+    head = list(plans.QUERIES)[:19]
     for name in (
         "llm_minhash_lsh_pairs",
-        "llm_ann_bucketed_cosine_pairs",
-        "llm_cosine_topk_bruteforce",
-        "llm_tfidf_top_terms",
+        "llm_ngram_jaccard_topk",
         "llm_neardup_clusters",
+        "llm_ann_hyperplane_buckets",
         "stream_tumbling_window_counts",
-        "stream_session_windows",
         "stream_dedup_first_event",
         "stream_static_enrich_segments",
+        "stream_true_tumbling_availablenow",
+        "stream_stream_join_attribution",
         "ref_extract_functions",
         "ref_sink_roundtrip",
+        "llm_knn_join_topk",
     ):
         assert name in head, f"{name} not in the registry head: {head}"
 
 
-#: Round-5 rotation contract (VERDICT r4 "Next round #2"): every query
-#: here sat in _OVERFLOW through r4 and must now be inside the driver
-#: window so each earns a driver-green CORRECTNESS row at least once.
-_ROTATED_IN_R5 = [
-    "scalar_map_explode_props",
-    "llm_embedding_neardup_clusters",
-    "stream_stream_join_attribution",
-    "agg_percentile_prices",
-    "llm_repetition_signals",
-    "llm_knn_join_topk",
-    "llm_decontaminate_overlap",
-    "llm_mix_sample_by_lang",
-    "llm_sequence_packing",
-    "llm_token_budget_per_source",
-    "llm_chunk_documents",
-    "llm_pii_redaction",
-    "llm_vocab_coverage",
-    "cdc_merge_latest_snapshot",
-]
-
-
-def test_round5_rotation_brings_overflow_queries_into_window():
-    window = list(plans.QUERIES)[:_DRIVER_WINDOW]
-    missing = [n for n in _ROTATED_IN_R5 if n not in window]
-    assert missing == [], f"rotated-in queries fell back out of the window: {missing}"
-
-
-#: Operators BORN in round 5 (registered straight into _OVERFLOW — the
-#: window was already full). They are pytest-oracle-swept now and must
-#: rotate INTO the window in a future round; grow this list only when a
-#: round adds operators after its window is finalized.
-_BORN_IN_OVERFLOW = {
+#: Round-6 rotation contract (VERDICT r5 "Next round #1"): every query
+#: here was BORN in round 5 straight into _OVERFLOW (the window was
+#: full) and must now sit inside the driver window so each earns a
+#: driver-green CORRECTNESS row at least once.
+_ROTATED_IN_R6 = [
     "llm_ann_multitable_pairs",
     "llm_duplicate_spans",
     "llm_span_dedup_trim",
@@ -109,7 +84,20 @@ _BORN_IN_OVERFLOW = {
     "llm_incremental_dedup",
     "llm_gopher_quality_filter",
     "llm_training_order",
-}
+]
+
+
+def test_round6_rotation_brings_overflow_queries_into_window():
+    window = list(plans.QUERIES)[:_DRIVER_WINDOW]
+    missing = [n for n in _ROTATED_IN_R6 if n not in window]
+    assert missing == [], f"rotated-in queries fell back out of the window: {missing}"
+
+
+#: Operators registered straight into _OVERFLOW in the round that bore
+#: them (the window was already full). They are pytest-oracle-swept and
+#: must rotate INTO the window in a future round; grow this set only
+#: when a round adds operators after its window is finalized.
+_BORN_IN_OVERFLOW: set[str] = set()
 
 
 def test_rotated_out_queries_have_prior_driver_green_rows():
