@@ -286,7 +286,12 @@ def cmd_curate(args: argparse.Namespace) -> int:
         ).select("doc_id").count()
         if n_bad:
             print(f"dropping {n_bad} malformed line(s)", file=sys.stderr)
-        docs = raw.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+        # the filter must match the report above: a valid-JSON line
+        # missing doc_id is as unusable as a corrupt one, and letting it
+        # through would only vanish later inside joins on the null key
+        docs = raw.filter(
+            F.col("_corrupt").isNull() & F.col("doc_id").isNotNull()
+        ).drop("_corrupt")
     else:
         docs = spark.read.schema(TESTDATA_SCHEMAS["documents"]).parquet(
             args.documents

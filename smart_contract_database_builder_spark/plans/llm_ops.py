@@ -2671,9 +2671,6 @@ def llm_ann_multitable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Composite occurrence key for span-trim canonical selection; valid
-#: while doc_id < 1e12 and positions < 1e6 (testdata and any sane shard).
-_TRIM_KEY_MUL = 1_000_000
 
 
 @register(
@@ -2695,14 +2692,14 @@ _TRIM_KEY_MUL = 1_000_000
     ),
     canon AS (
       SELECT h, COUNT(*) AS cnt,
-             MIN(doc_id * {_TRIM_KEY_MUL} + p) AS first_key
+             MIN(struct_pack(d := doc_id, p := p)) AS first_key
       FROM grams GROUP BY h
     ),
     removable AS (
       SELECT grams.doc_id, grams.p
       FROM grams JOIN canon USING (h)
       WHERE cnt >= 2
-        AND grams.doc_id * {_TRIM_KEY_MUL} + grams.p != first_key
+        AND struct_pack(d := grams.doc_id, p := grams.p) != first_key
     ),
     covered AS (
       SELECT doc_id, unnest(range(p, p + {_SPAN_N})) AS pos FROM removable
@@ -2732,8 +2729,8 @@ def llm_span_dedup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: occurrences explode to (doc, pos, gram-md5) — linear
     in corpus tokens; canonical selection is ONE hash agg on the
-    uniform 128-bit gram key (min of an encoded (doc,pos) key merges
-    map-side); the rejoin rides the same key. Covered positions fan
+    uniform 128-bit gram key (min of a (doc,pos) struct merges
+    map-side and cannot overflow); the rejoin rides the same key. Covered positions fan
     out ≤ {_SPAN_N}× the removable rows and collapse to one small
     per-doc array (bounded by the doc's own token count — collect_set
     here can never exceed the document it describes). The rebuild is a
@@ -2766,7 +2763,10 @@ def span_dedup_trim(docs: DataFrame) -> DataFrame:
             F.concat_ws(" ", F.slice("t", F.col("p") + 1, _SPAN_N))
         ).alias("h"),
     )
-    okey = F.col("doc_id") * _TRIM_KEY_MUL + F.col("p")
+    # canonical occurrence = lexicographic min of (doc_id, p): a struct
+    # min merges map-side like any agg and cannot overflow, unlike an
+    # arithmetic doc_id*K + p composite key
+    okey = F.struct(F.col("doc_id").alias("d"), F.col("p").alias("p"))
     canon = grams.groupBy("h").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.min(okey).alias("first_key"),
@@ -3066,9 +3066,39 @@ def _oracle_of(name: str) -> str:
     return QUERIES[name].oracle
 
 
+#: The RRF oracle embeds the two source oracles as subqueries. Both are
+#: registered ABOVE this point in the module, so the composed SQL is
+#: built eagerly and handed to @register like any other oracle — no
+#: post-hoc registry mutation, no window where the spec carries None.
+_RRF_ORACLE = f"""
+WITH lex AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+  FROM ({{bm25}})
+),
+vec AS (
+  SELECT vec_id AS doc_id,
+         ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS vec_rank
+  FROM ({{cosine}})
+)
+SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+       CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(vec_rank AS BIGINT) AS vec_rank,
+       COALESCE(CAST(1 AS DOUBLE) / ({{k}} + lex_rank), 0)
+         + COALESCE(CAST(1 AS DOUBLE) / ({{k}} + vec_rank), 0)
+         AS rrf_score
+FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+ORDER BY rrf_score DESC, doc_id
+""".format(
+    bm25=_oracle_of("llm_bm25_topk"),
+    cosine=_oracle_of("llm_cosine_topk_bruteforce"),
+    k=_RRF_K,
+)
+
+
 @register(
     "llm_hybrid_rrf_fusion",
-    oracle=None,  # assigned below — composes two earlier oracles
+    oracle=_RRF_ORACLE,
 )
 def llm_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID retrieval: reciprocal-rank fusion of the lexical
@@ -3117,38 +3147,6 @@ def llm_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rrf_score"), "doc_id")
     )
-
-
-# The RRF oracle embeds the two source oracles as subqueries — built
-# after both are registered so the text stays in ONE place (QuerySpec
-# is frozen, so the spec is replaced wholesale).
-import dataclasses as _dc  # noqa: E402
-
-from .registry import QUERIES as _Q  # noqa: E402
-
-_Q["llm_hybrid_rrf_fusion"] = _dc.replace(
-    _Q["llm_hybrid_rrf_fusion"],
-    oracle=f"""
-WITH lex AS (
-  SELECT doc_id,
-         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rank
-  FROM ({_oracle_of("llm_bm25_topk")})
-),
-vec AS (
-  SELECT vec_id AS doc_id,
-         ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS vec_rank
-  FROM ({_oracle_of("llm_cosine_topk_bruteforce")})
-)
-SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
-       CAST(lex_rank AS BIGINT) AS lex_rank,
-       CAST(vec_rank AS BIGINT) AS vec_rank,
-       COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + lex_rank), 0)
-         + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + vec_rank), 0)
-         AS rrf_score
-FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
-ORDER BY rrf_score DESC, doc_id
-""",
-)
 
 
 #: Stratified sample quota per language.

@@ -11,8 +11,13 @@ time. The layout contract:
   column before ``partitionBy`` — without it every upstream task would
   write a sliver into every shard: the small-files explosion);
 - rows within a file sorted by the in-shard position
-  (``sortWithinPartitions`` — parquet preserves row order within a
-  file, so file order IS training order).
+  (``sortWithinPartitions(shard, pos)`` — parquet preserves row order
+  within a file, so file order IS training order; sorting by the
+  partition column FIRST matters: the dynamic-partition writer requires
+  its input ordered by the partition column and injects its own
+  non-global sort when it is not, and Spark's external sort is not
+  guaranteed stable once it spills, which could silently break the
+  pos ordering at scale).
 
 At 100 TB this is the same code with shards sized to the writer
 parallelism; each task owns whole shards, writes are append-free and
@@ -36,7 +41,7 @@ def write_training_shards(
     joined back to its payload) as one sorted parquet file per shard."""
     (
         ordered.repartition(F.col(shard_col))
-        .sortWithinPartitions(pos_col)
+        .sortWithinPartitions(shard_col, pos_col)
         .write.mode("overwrite")
         .partitionBy(shard_col)
         .parquet(path)

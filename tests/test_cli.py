@@ -188,3 +188,46 @@ def test_curate_command_exports_training_shards(spark, tmp_path, capsys):
     # payload carries the surviving text and the training order
     assert {"doc_id", "text", "lang", "source", "n_tok",
             "shuffle_key", "pos_in_shard"} <= set(back.columns)
+
+
+def test_curate_jsonl_drops_docid_null_lines(spark, tmp_path, capsys):
+    """A valid-JSON line MISSING doc_id is as unusable as a corrupt
+    line: the curate command must both COUNT it as malformed and
+    actually FILTER it (previously it was reported dropped but only
+    disappeared later inside joins on the null key)."""
+    import json
+    import glob
+    import os
+
+    from smart_contract_database_builder_spark.cli import main
+    from conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(60)
+    lines = [
+        json.dumps(
+            {k: (v.isoformat() if hasattr(v, "isoformat") else v)
+             for k, v in r.asDict().items()}
+        )
+        for r in docs.collect()
+    ]
+    lines.insert(3, "{ this is not json")          # corrupt
+    lines.insert(7, json.dumps({"text": "no id"}))  # valid JSON, no doc_id
+    src = tmp_path / "docs.jsonl"
+    src.write_text("\n".join(lines) + "\n")
+
+    out = str(tmp_path / "shards")
+    rc = main([
+        "curate", "--jsonl",
+        "--documents", str(src),
+        "--output", out,
+        "--shards", "2",
+    ])
+    assert rc == 0
+    captured = capsys.readouterr()
+    assert "dropping 2 malformed line(s)" in captured.err
+    summary = json.loads(captured.out.strip().splitlines()[-1])
+    assert summary["kept_docs"] > 0
+    back = spark.read.parquet(out)
+    # nothing with a null doc_id survives anywhere in the export
+    assert back.filter("doc_id IS NULL").count() == 0
+    assert len(glob.glob(os.path.join(out, "shard=*"))) == 2

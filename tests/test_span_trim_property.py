@@ -72,3 +72,28 @@ def test_span_trim_matches_python_reference(spark, token_docs):
         for r in span_dedup_trim(docs).collect()
     }
     assert got == _reference_trim(texts)
+
+
+def test_span_trim_boundary_doc_ids(spark):
+    """Canonical selection at the doc_id domain edges. The retired
+    arithmetic composite key (doc_id * 1e6 + p) silently overflowed a
+    64-bit long for doc_id >= ~9.2e12; the struct-min key must pick the
+    lexicographically-first (doc_id, p) occurrence no matter how large
+    the ids are. Three docs share one duplicated span; the SMALLEST
+    doc_id (which is also near 2**63) must keep it."""
+    dup = " ".join(["x"] * _SPAN_N)
+    ids = [2**63 - 2, 2**63 - 1, 0]
+    texts = [dup, dup, "a b c"]
+    docs = spark.createDataFrame(
+        list(zip(ids, texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tok, r.n_removed, r.kept_hash)
+        for r in span_dedup_trim(docs).collect()
+    }
+    keep_hash = hashlib.md5(dup.encode()).hexdigest()
+    empty_hash = hashlib.md5(b"").hexdigest()
+    # first occurrence by (doc_id, p) order = doc 2**63-2 keeps its span
+    assert got[2**63 - 2] == (_SPAN_N, 0, keep_hash)
+    assert got[2**63 - 1] == (_SPAN_N, _SPAN_N, empty_hash)
+    assert got[0][1] == 0  # unique text untouched
