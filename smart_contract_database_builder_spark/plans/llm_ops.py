@@ -584,6 +584,13 @@ def decontaminate_overlap(docs: DataFrame) -> DataFrame:
     # measured 30× slower); as a multiply-referenced non-cheap alias,
     # CollapseProject leaves it materialized once per row.
     toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
+    return decontaminate_overlap_from_tokens(toked)
+
+
+def decontaminate_overlap_from_tokens(toked: DataFrame) -> DataFrame:
+    """Decontamination over a pre-tokenized ``(doc_id, t)`` relation —
+    lets a pipeline (``curate_documents``) share ONE tokenized exchange
+    across stages instead of re-running the regex split per stage."""
     grams = toked.select(
         "doc_id", F.explode(_word_ngrams(F.col("t"), _DECON_N)).alias("g")
     )
@@ -2442,6 +2449,13 @@ def gopher_quality_filter(docs: DataFrame) -> DataFrame:
     """The reusable rule-chain filter behind
     ``llm_gopher_quality_filter`` over any (doc_id, text) relation."""
     toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
+    return gopher_quality_filter_from_tokens(toked)
+
+
+def gopher_quality_filter_from_tokens(toked: DataFrame) -> DataFrame:
+    """The rule chain over a pre-tokenized ``(doc_id, t)`` relation
+    (see ``decontaminate_overlap_from_tokens`` for why the split
+    exists). Note ``n_tok`` = Σ per-term counts ≡ ``size(t)``."""
     tc = (
         toked.select("doc_id", F.explode("t").alias("term"))
         .groupBy("doc_id", "term")
@@ -2907,16 +2921,44 @@ def curate_documents(docs: DataFrame) -> DataFrame:
     lang, source) relation: (doc_id, lang, source, n_tok) rows that
     pass quality -> dedup-canonical -> decontamination -> mix-sampling.
     Backs both ``llm_curation_pipeline`` and the ``curate`` CLI
-    command."""
-    quality_ids = (
-        gopher_quality_filter(docs).filter(F.col("keep")).select("doc_id")
+    command.
+
+    The corpus is scanned and tokenized ONCE: a hash-partitioned
+    (doc_id, lang, source, tokens) relation is persisted
+    (MEMORY_AND_DISK) and every stage derives from it — the quality
+    rules and decontamination read the cached tokens, ``n_tok`` rides
+    out of the quality aggregate, and the dedup content key is
+    ``md5(concat_ws(' ', t))`` (identical to the whitespace-normalized
+    text hash, since the tokens ARE the \\s+-split of the trimmed
+    lowered text). Exchange reuse can't do this: Catalyst pushes each
+    stage's doc_id filters below a shared repartition, splitting it
+    into per-stage scans — an explicit cache is the barrier that keeps
+    the plan at one FileScan (pinned by tests/test_plan_hygiene.py).
+    The hash(doc_id) partitioning baked in before the persist
+    pre-satisfies every per-doc rollup downstream of both explodes.
+    At 100 TB the cache is disk-backed and ~input-sized: strictly
+    cheaper than the three corpus scans + tokenizes it replaces, at the
+    usual persist() cost of executor-local storage pressure.
+    """
+    from pyspark import StorageLevel
+
+    cached = (
+        docs.select("doc_id", "lang", "source", _tokens().alias("t"))
+        .repartition("doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    keyed = docs.join(quality_ids, "doc_id").select(
+    toked = cached.select("doc_id", "t")
+    quality = (
+        gopher_quality_filter_from_tokens(toked)
+        .filter(F.col("keep"))
+        .select("doc_id", "n_tok")
+    )
+    keyed = cached.join(quality, "doc_id").select(
         "doc_id",
         "lang",
         "source",
-        F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")).alias("ck"),
-        F.size(_tokens()).alias("n_tok"),
+        F.md5(F.concat_ws(" ", "t")).alias("ck"),
+        "n_tok",
     )
     canon = keyed.groupBy("ck").agg(F.min("doc_id").alias("cid"))
     dedup = (
@@ -2924,7 +2966,9 @@ def curate_documents(docs: DataFrame) -> DataFrame:
         .filter(F.col("doc_id") == F.col("cid"))
         .drop("cid", "ck")
     )
-    contaminated_ids = decontaminate_overlap(docs).select("doc_id")
+    contaminated_ids = decontaminate_overlap_from_tokens(toked).select(
+        "doc_id"
+    )
     is_bench = (F.col("doc_id") % _DECON_MOD) == _DECON_REM
     clean = dedup.filter(~is_bench).join(
         contaminated_ids, "doc_id", "left_anti"

@@ -68,3 +68,34 @@ def test_ngram_jaccard_single_explode_reuse(spark):
         "shingle relation no longer shared: no ReusedExchange in the "
         "executed plan — the corpus is being exploded more than once"
     )
+
+
+def test_curation_pipeline_scans_and_tokenizes_once(spark):
+    """llm_curation_pipeline persists ONE hash-partitioned tokenized
+    relation and derives every stage (quality rules, dedup content key,
+    decontamination, n_tok) from it. The final plan must therefore show
+    exactly one FileScan of documents — unfiltered, feeding the cache —
+    and exactly one tokenize site. Exchange reuse cannot pin this
+    (Catalyst pushes each stage's doc_id filters below a shared
+    repartition, splitting it into per-stage scans), so the cache
+    barrier is the contract."""
+    df = plans.QUERIES["llm_curation_pipeline"].fn(spark, SF_ORACLE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("InMemoryTableScan") >= 1, (
+        "tokenized relation no longer cached: the corpus is being "
+        "re-scanned and re-tokenized per curation stage"
+    )
+    import re
+
+    scans = re.findall(r"FileScan parquet[^\n]*", final)
+    assert len(scans) == 1, f"expected ONE documents scan, got: {scans}"
+    assert "DataFilters: []" in scans[0], (
+        "the cache-feeding scan must be unfiltered (every stage's "
+        "predicate applies to the cached relation, not its own scan)"
+    )
+    assert final.count("split(trim(lower") == 1, (
+        "tokenize expression appears more than once in the final plan"
+    )
