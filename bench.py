@@ -83,6 +83,8 @@ HEADLINE = [
     "llm_incremental_dedup",
     "llm_gopher_quality_filter",
     "llm_training_order",
+    # round-6 new operators
+    "llm_bm25_batch_topk",
     "ref_sink_roundtrip",
 ]
 

@@ -75,6 +75,8 @@ _PRIORITY = [
 #: has not changed since — each family keeps at least one in-window
 #: witness (see the _PRIORITY comment).
 _OVERFLOW = [
+    # round-6 NEW operators (rotate into the window next round)
+    "llm_bm25_batch_topk",
     # rotated OUT for round 6 (r5 driver-green, code untouched)
     "llm_ann_bucketed_cosine_pairs",
     "llm_cosine_topk_bruteforce",

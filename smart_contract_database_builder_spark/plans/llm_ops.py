@@ -2980,6 +2980,23 @@ def curate_documents(docs: DataFrame) -> DataFrame:
     return clean.filter(h4 < thr)
 
 
+def _ln_libm() -> "Column":
+    """``ln`` evaluated by the C library (via an Arrow-batched pandas
+    UDF), not the JVM: ``java.lang.Math.log`` and libm ``log`` disagree
+    by 1 ulp on some inputs, which breaks the bitwise cross-engine
+    contract for BM25's idf (DuckDB's ``ln`` IS libm). The UDF is only
+    ever applied to the ONE-ROW corpus-stats relation (one value per
+    vocabulary term), so the Python boundary costs nothing at scale —
+    the per-document hot path stays pure JVM arithmetic."""
+    import math
+
+    @F.pandas_udf("double")
+    def _ln(x: pd.Series) -> pd.Series:
+        return x.map(lambda v: math.log(v) if pd.notna(v) else None)
+
+    return _ln
+
+
 #: BM25 parameters (Robertson-Sparck Jones defaults) and a fixed
 #: keyword query over the test corpus vocabulary.
 _BM25_K1 = 1.2
@@ -3044,8 +3061,10 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus stats (N, Σdl, per-term df) are ONE scalar aggregate
     broadcast back; scoring is map-side; the cut is a
     TakeOrderedAndProject. Total cost: one corpus pass + a 1-row
-    broadcast. A multi-query batch generalizes by broadcasting a term
-    dict and pivoting — same single-pass discipline.
+    broadcast. The multi-query batch generalization is
+    ``llm_bm25_batch_topk``. The idf's ``ln`` is pinned to C libm via
+    ``_ln_libm`` (JVM ``Math.log`` is 1 ulp off libm on some inputs,
+    which broke bitwise parity for certain df values).
     """
     docs = load_table(spark, sf_dir, "documents")
     toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
@@ -3068,15 +3087,22 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(len(_BM25_TERMS))
         ],
     )
+    ln = _ln_libm()
+    g = g.select(
+        "*",
+        *[
+            ln(
+                F.lit(1)
+                + (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5))
+                / (F.col(f"df{i}") + F.lit(0.5))
+            ).alias(f"idf{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
     score = None
     for i in range(len(_BM25_TERMS)):
-        idf = F.log(
-            F.lit(1)
-            + (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5))
-            / (F.col(f"df{i}") + F.lit(0.5))
-        )
-        part = idf * (
+        part = F.col(f"idf{i}") * (
             F.col(f"tf{i}") * (_BM25_K1 + 1)
         ) / (
             F.col(f"tf{i}")
@@ -3096,6 +3122,182 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", score.alias("score"))
         .orderBy(F.desc("score"), "doc_id")
         .limit(_BM25_TOPK)
+    )
+
+
+#: The multi-query BM25 batch: (query_id, terms) pairs scored in ONE
+#: corpus pass (the single-query docstring's stated generalization).
+_BM25_BATCH = (
+    ("q_scan", ("scan", "filter", "column")),
+    ("q_join", ("join", "hash", "merge")),
+    ("q_stream", ("stream", "window", "batch")),
+)
+_BM25_VOCAB = tuple(
+    sorted({t for _, terms in _BM25_BATCH for t in terms})
+)
+
+
+def _bm25_batch_oracle() -> str:
+    """Compose the DuckDB twin of ``llm_bm25_batch_topk``: shared
+    per-vocab-term TFs + one stats row, then one scored SELECT per
+    query UNION ALL'd and rank-cut per query."""
+    vi = {t: j for j, t in enumerate(_BM25_VOCAB)}
+    tf_cols = ", ".join(
+        f"len(list_filter(t, x -> x = '{term}')) AS tf{j}"
+        for j, term in enumerate(_BM25_VOCAB)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf{j} > 0 THEN 1 ELSE 0 END) AS df{j}"
+        for j in range(len(_BM25_VOCAB))
+    )
+
+    def _score(terms: tuple[str, ...]) -> str:
+        return " + ".join(
+            f"ln(1 + (n_docs - df{vi[t]} + 0.5) / (df{vi[t]} + 0.5)) * "
+            f"(tf{vi[t]} * CAST({_BM25_K1 + 1} AS DOUBLE)) / "
+            f"(tf{vi[t]} + CAST({_BM25_K1} AS DOUBLE) * (1 - {_BM25_B} "
+            f"+ {_BM25_B} * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))"
+            for t in terms
+        )
+
+    scored = "\n      UNION ALL\n".join(
+        f"""      SELECT '{qid}' AS query_id, doc_id, {_score(terms)} AS score
+      FROM tf, g
+      WHERE {" + ".join(f"tf{vi[t]}" for t in terms)} > 0"""
+        for qid, terms in _BM25_BATCH
+    )
+    return f"""
+    WITH toked AS (
+      SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, len(t) AS dl, {tf_cols} FROM toked
+    ),
+    g AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl, {df_cols} FROM tf
+    ),
+    scored AS (
+{scored}
+    )
+    SELECT query_id, doc_id, score, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+             ) AS rk
+      FROM scored
+    )
+    WHERE rk <= {_BM25_TOPK}
+    """
+
+
+@register("llm_bm25_batch_topk", oracle=_bm25_batch_oracle())
+def llm_bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query BM25: score a BATCH of keyword queries in ONE corpus
+    pass — the production shape for retrieval evaluation or RAG serving
+    where hundreds of queries amortize a single scan.
+
+    Single-pass discipline: the per-doc TF of every DISTINCT term in
+    the batch vocabulary is a per-row array expression in the scan
+    stage (no explode); corpus stats (N, Σdl, per-vocab-term df) are
+    ONE scalar aggregate broadcast back; each query's score is a
+    fixed-order sum over ITS terms' shared TF columns; the per-query
+    rows materialize via an unpivot (``stack`` — map-side, row count ×
+    |batch| only after the any-term filter); the per-query top-k cut
+    runs as a rank window that WindowGroupLimit prunes to k rows per
+    query per map partition before the single (query_id)-keyed
+    shuffle. Bitwise cross-engine for the same reasons as
+    ``llm_bm25_topk`` (exact-integer inputs, identical expression
+    trees, fixed summation order, every non-representable constant
+    CAST to DOUBLE in the SQL twin).
+    """
+    from pyspark.sql.window import Window
+
+    vi = {t: j for j, t in enumerate(_BM25_VOCAB)}
+    docs = load_table(spark, sf_dir, "documents")
+    toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
+
+    def _tf(term: str) -> Column:
+        # one-arg lambda only: a second parameter would be interpreted
+        # as the element-index request (see llm_bm25_topk)
+        return F.size(F.filter("t", lambda x: x == term))
+
+    tf = toked.select(
+        "doc_id",
+        F.size("t").alias("dl"),
+        *[_tf(term).alias(f"tf{j}") for j, term in enumerate(_BM25_VOCAB)],
+    )
+    g = tf.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf{j}") > 0, 1).otherwise(0)).alias(f"df{j}")
+            for j in range(len(_BM25_VOCAB))
+        ],
+    )
+    ln = _ln_libm()
+    g = g.select(
+        "*",
+        *[
+            ln(
+                F.lit(1)
+                + (F.col("n_docs") - F.col(f"df{j}") + F.lit(0.5))
+                / (F.col(f"df{j}") + F.lit(0.5))
+            ).alias(f"idf{j}")
+            for j in range(len(_BM25_VOCAB))
+        ],
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+
+    def _score(terms: tuple[str, ...]) -> Column:
+        total = None
+        for t in terms:
+            j = vi[t]
+            part = F.col(f"idf{j}") * (
+                F.col(f"tf{j}") * (_BM25_K1 + 1)
+            ) / (
+                F.col(f"tf{j}")
+                + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
+            )
+            total = part if total is None else total + part
+        return total
+
+    def _any_tf(terms: tuple[str, ...]) -> Column:
+        total = None
+        for t in terms:
+            c = F.col(f"tf{vi[t]}")
+            total = c if total is None else total + c
+        return total
+
+    # unpivot: one (query_id, score, any_tf) row per query per doc
+    unpivoted = (
+        tf.join(F.broadcast(g))
+        .select(
+            "doc_id",
+            F.inline(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(qid).alias("query_id"),
+                            _score(terms).alias("score"),
+                            _any_tf(terms).alias("any_tf"),
+                        )
+                        for qid, terms in _BM25_BATCH
+                    ]
+                )
+            ),
+        )
+        .filter(F.col("any_tf") > 0)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    return (
+        unpivoted.select(
+            "query_id",
+            "doc_id",
+            "score",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= _BM25_TOPK)
     )
 
 

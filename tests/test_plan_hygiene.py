@@ -23,6 +23,7 @@ _NESTED_LOOP_ALLOWED = {
     "llm_knn_join_topk",           # Q-row query-set broadcast (Q = 3)
     "llm_vocab_coverage",          # 1-row total-token-count broadcast
     "llm_bm25_topk",               # 1-row corpus-stats (N, Σdl, df) broadcast
+    "llm_bm25_batch_topk",         # 1-row corpus-stats broadcast (batch)
     "llm_hybrid_rrf_fusion",       # inherits llm_bm25_topk's stats broadcast
 }
 
@@ -98,4 +99,27 @@ def test_curation_pipeline_scans_and_tokenizes_once(spark):
     )
     assert final.count("split(trim(lower") == 1, (
         "tokenize expression appears more than once in the final plan"
+    )
+
+
+def test_bm25_batch_single_pass_and_group_limit(spark):
+    """llm_bm25_batch_topk's contract: ALL queries in the batch score in
+    ONE corpus pass (two FileScans total: the TF relation + the stats
+    aggregate's scan — no per-query passes), and the per-query top-k
+    runs under WindowGroupLimit so only ~k rows per query per map
+    partition reach the (query_id)-keyed shuffle."""
+    df = plans.QUERIES["llm_bm25_batch_topk"].fn(spark, SF_ORACLE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    final = plan.split("== Initial Plan ==")[0]
+    import re
+
+    scans = re.findall(r"FileScan parquet", final)
+    assert len(scans) <= 2, (
+        f"batch BM25 should make one corpus pass (+1 stats scan), "
+        f"found {len(scans)} scans"
+    )
+    assert "WindowGroupLimit" in plan, (
+        "per-query top-k no longer runs as a map-side group limit"
     )
