@@ -77,6 +77,8 @@ _PRIORITY = [
 _OVERFLOW = [
     # round-6 NEW operators (rotate into the window next round)
     "llm_bm25_batch_topk",
+    # round-6 oracle graduations (left the rows-only tail this round)
+    "llm_ivf_topk",
     # rotated OUT for round 6 (r5 driver-green, code untouched)
     "llm_ann_bucketed_cosine_pairs",
     "llm_cosine_topk_bruteforce",
@@ -117,7 +119,6 @@ _TAIL = [
     "llm_multimodal_audio_features",
     "llm_multimodal_resize",
     "llm_multimodal_frame_sampling",
-    "llm_ivf_topk",
     "stream_stateful_running_totals",
 ]
 

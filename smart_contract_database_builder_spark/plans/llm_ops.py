@@ -1860,13 +1860,81 @@ def llm_embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@register("llm_ivf_topk", oracle=None)
+_IVF_ORACLE = f"""
+    WITH s AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> {_SQL_ISCALE.format(v="x")}) AS sv
+      FROM embeddings
+    ),
+    comp AS (
+      SELECT label AS cell, d, SUM(sv[d]) AS sm, COUNT(*) AS cnt
+      FROM s, range(1, 65) r(d)
+      GROUP BY label, d
+    ),
+    cq AS (
+      SELECT cell, d,
+             CAST(FLOOR(CAST(sm AS DOUBLE) / cnt) AS BIGINT) AS c
+      FROM comp
+    ),
+    dist AS (
+      SELECT s.vec_id, cq.cell,
+             SUM((s.sv[cq.d] - cq.c) * (s.sv[cq.d] - cq.c)) AS d2
+      FROM s, cq
+      GROUP BY s.vec_id, cq.cell
+    ),
+    best AS (
+      SELECT vec_id, cell
+      FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id ORDER BY d2, cell
+               ) AS rn
+        FROM dist
+      )
+      WHERE rn = 1
+    ),
+    q AS (
+      SELECT s.vec_id, s.sv AS qv, best.cell,
+             CAST(list_aggregate(
+               list_transform(list_zip(s.sv, s.sv), p -> p[1] * p[2]),
+               'sum') AS BIGINT) AS nq
+      FROM s JOIN best USING (vec_id)
+      WHERE s.vec_id = {_QUERY_VEC_ID}
+    )
+    SELECT vec_id, cell, cosine
+    FROM (
+      SELECT s.vec_id, s.vec_id AS tie, q.cell,
+             CAST(CAST(list_aggregate(
+               list_transform(list_zip(s.sv, q.qv), p -> p[1] * p[2]),
+               'sum') AS BIGINT) AS DOUBLE)
+             / (sqrt(CAST(CAST(list_aggregate(
+                  list_transform(list_zip(s.sv, s.sv), p -> p[1] * p[2]),
+                  'sum') AS BIGINT) AS DOUBLE))
+                * sqrt(CAST(nq AS DOUBLE))) AS cosine
+      FROM s
+      JOIN best ON s.vec_id = best.vec_id
+      JOIN q ON best.cell = q.cell
+      WHERE s.vec_id != {_QUERY_VEC_ID}
+    )
+    ORDER BY cosine DESC, tie
+    LIMIT 10
+    """
+
+
+@register("llm_ivf_topk", oracle=_IVF_ORACLE)
 def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F21/J6: IVF-style ANN — vectors are inverted-indexed by nearest
     label-centroid; the query probes only its own cell and brute-forces
     cosine there. At 100 TB the cell assignment is a write-time
-    partition key, so a query touches 1/k of the corpus (rows-only:
-    recall behavior is asserted in tests, not hash-compared).
+    partition key, so a query touches 1/k of the corpus.
+
+    Cross-engine exactness (what moved this off the rows-only tail):
+    the cell table is QUANTIZED to fixed-point — centroid components
+    are ``floor(Σ sv / n)`` in 1e-6 units, so cell distances are exact
+    int64 sums of squared integer deltas, the argmin is an integer
+    (d2, cell) struct min, and the in-cell rerank is the same exact
+    int-dot → double cosine the brute-force family uses. No double
+    fold anywhere, so DuckDB replays every step bit-for-bit.
 
     Assignment shape: the cell table is SF-constant (one row per label),
     so it is packed into a single array row and broadcast; each vector
@@ -1875,8 +1943,11 @@ def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector out k ways and then shuffle on vec_id to pick the argmin —
     k× the rows and an extra exchange for identical output.)"""
     emb = load_table(spark, sf_dir, "embeddings")
-    # one row: the packed cell table [(cell, centroid), ...]
-    cells = centroid_udaf_cells(emb).agg(
+    sv = emb.select(
+        "vec_id", F.transform("embedding", lambda x: _iscale(x)).alias("sv")
+    )
+    # one row: the packed quantized cell table [(cell, centroid), ...]
+    cells = ivf_quantized_cells(emb).agg(
         F.collect_list(F.struct("cell", "centroid")).alias("cells")
     )
 
@@ -1886,25 +1957,32 @@ def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(
                 "cells",
                 lambda c: F.struct(
-                    _cell_dist(vec, c["centroid"]).alias("d2"),
+                    _cell_dist2(vec, c["centroid"]).alias("d2"),
                     c["cell"].alias("cell"),
                 ),
             )
         )["cell"]
 
+    def _dot(a, b) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
     q_cell = (
-        emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        sv.filter(F.col("vec_id") == _QUERY_VEC_ID)
         .crossJoin(F.broadcast(cells))
         .select(
-            F.col("embedding").alias("qe"),
-            _int_dot("embedding", "embedding").alias("nq"),
-            best_cell(F.col("embedding")).alias("cell"),
+            F.col("sv").alias("qv"),
+            _dot("sv", "sv").alias("nq"),
+            best_cell(F.col("sv")).alias("cell"),
         )
     )
     assigned = (
-        emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        sv.filter(F.col("vec_id") != _QUERY_VEC_ID)
         .crossJoin(F.broadcast(cells))
-        .select("vec_id", "embedding", best_cell(F.col("embedding")).alias("cell"))
+        .select("vec_id", "sv", best_cell(F.col("sv")).alias("cell"))
     )
     in_cell = assigned.join(F.broadcast(q_cell), "cell")
     cosine = F.col("dot").cast("double") / (
@@ -1914,8 +1992,8 @@ def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         in_cell.select(
             "vec_id",
             "cell",
-            _int_dot("embedding", "qe").alias("dot"),
-            _int_dot("embedding", "embedding").alias("na"),
+            _dot("sv", "qv").alias("dot"),
+            _dot("sv", "sv").alias("na"),
             "nq",
         )
         .select("vec_id", "cell", cosine.alias("cosine"))
@@ -1924,16 +2002,23 @@ def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def centroid_udaf_cells(emb: DataFrame) -> DataFrame:
-    """Per-label centroids as (cell, centroid array) — the IVF cell
-    table (labels stand in for k-means cells on this corpus)."""
+def ivf_quantized_cells(emb: DataFrame) -> DataFrame:
+    """Per-label QUANTIZED centroids as (cell, int64 centroid array in
+    1e-6 fixed-point units): ``floor(Σ scaled / n)`` per dimension.
+    Exact-integer inputs + one correctly-rounded double division + one
+    floor = engine-independent integers, which is what lets the whole
+    IVF path carry a SQL oracle (a double-valued centroid would push a
+    double FOLD into the distance, whose summation-order guarantee
+    DuckDB's list aggregate does not document)."""
     sums = emb.select(
         F.col("label").alias("cell"),
         F.posexplode(F.transform("embedding", lambda x: _iscale(x))).alias(
             "pos", "v"
         ),
     ).groupBy("cell", "pos").agg(
-        (F.sum("v").cast("double") / (F.count(F.lit(1)) * _FP)).alias("c")
+        F.floor(
+            F.sum("v").cast("double") / F.count(F.lit(1))
+        ).cast("long").alias("c")
     )
     return (
         sums.groupBy("cell")
@@ -1946,12 +2031,12 @@ def centroid_udaf_cells(emb: DataFrame) -> DataFrame:
     )
 
 
-def _cell_dist(vec: Column, centroid: Column) -> Column:
-    """Squared L2 distance between a float vector and a double centroid
-    array (per-row doubles — used only for argmin cell assignment)."""
+def _cell_dist2(vec: Column, centroid: Column) -> Column:
+    """Exact int64 squared L2 distance between two fixed-point int64
+    arrays (components ≤ ~2e6, 64 dims → ≤ ~2.6e14 ≪ 2^63)."""
     return F.aggregate(
         F.zip_with(vec, centroid, lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
+        F.lit(0).cast("long"),
         lambda a, v: a + v,
     )
 

@@ -1,12 +1,11 @@
 """IVF top-k pinned against an independent driver-side Python replica.
 
-The registry entry is rows-only (its cell assignment uses per-row double
-arithmetic DuckDB's list folds don't order-guarantee), but every step IS
-deterministic: centroids are exact fixed-point means, cell assignment
-folds squared deltas left-to-right in float64 (same IEEE order as the
-Spark ``aggregate`` expression), and in-cell cosine is exact int64
-fixed-point. A pure pandas/python re-derivation must therefore agree
-exactly — an oracle check in pytest where the SQL oracle can't go.
+Since round 6 the registry entry ALSO carries a DuckDB oracle (the cell
+table is quantized to fixed-point integers, making every step exact),
+so this replica is a third independent engine: centroids are
+``floor(Σ scaled / n)`` int64 fixed-point, cell distances exact integer
+squared-delta sums, tie-break on (d2, cell), in-cell cosine exact int64
+dot → one double division.
 """
 
 from __future__ import annotations
@@ -36,28 +35,31 @@ def test_ivf_topk_matches_python_replica(spark):
     emb = pd.read_parquet(f"{SF_ORACLE}/embeddings.parquet")
     emb["scaled"] = emb["embedding"].map(lambda v: [_iscale(x) for x in v])
 
-    # per-label centroids: exact integer sums / (count · FP) — the same
-    # arithmetic as centroid_udaf_cells
-    centroids: dict[int, list[float]] = {}
+    # per-label QUANTIZED centroids: floor(Σ scaled / n) int64 — the
+    # same arithmetic as ivf_quantized_cells
+    import math
+
+    centroids: dict[int, list[int]] = {}
     for label, grp in emb.groupby("label"):
         mats = list(grp["scaled"])
         n = len(mats)
         centroids[label] = [
-            sum(row[d] for row in mats) / (n * _FP) for d in range(len(mats[0]))
+            math.floor(float(sum(row[d] for row in mats)) / n)
+            for d in range(len(mats[0]))
         ]
 
-    def cell_of(vec) -> int:
+    def cell_of(scaled) -> int:
         best = None
         for cell in sorted(centroids):  # ties break on cell, like orderBy
             c = centroids[cell]
-            d2 = 0.0
-            for x, cc in zip(vec, c):  # left-to-right fold, float64
-                d2 = d2 + (float(x) - cc) * (float(x) - cc)
+            d2 = 0  # exact integer distance
+            for x, cc in zip(scaled, c):
+                d2 += (x - cc) * (x - cc)
             if best is None or d2 < best[0]:
                 best = (d2, cell)
         return best[1]
 
-    emb["cell"] = emb["embedding"].map(cell_of)
+    emb["cell"] = emb["scaled"].map(cell_of)
     qrow = emb[emb.vec_id == llm_ops._QUERY_VEC_ID].iloc[0]
     q_cell = qrow["cell"]
     qs = qrow["scaled"]
