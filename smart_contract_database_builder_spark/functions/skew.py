@@ -22,34 +22,58 @@ def with_salt(df: DataFrame, n_salts: int = 16, col_name: str = "_salt") -> Data
     )
 
 
+#: The decomposable aggregate kinds salted_agg accepts, mapped to the
+#: re-aggregation applied to the per-salt partials. An aggregate whose
+#: partials do NOT merge under one of these (avg, stddev, percentiles,
+#: count-distinct) has no entry — pass its decomposition explicitly
+#: (e.g. avg = sum partial + count partial, divided after the final).
+_MERGE_BY_KIND = {
+    "sum": F.sum,    # partial sums re-sum
+    "count": F.sum,  # partial counts re-SUM (re-counting would count groups)
+    "min": F.min,
+    "max": F.max,
+}
+
+
 def salted_agg(
     df: DataFrame,
     key: str | Column,
-    aggs: dict[str, Column],
+    aggs: dict[str, tuple[str, Column]],
     n_salts: int = 16,
 ) -> DataFrame:
     """Two-phase aggregation for skewed keys: partial aggregate on
     (key, salt) — at most ``n_salts`` partials per key per wave — then
-    final aggregate on the key. Every agg expression must be
-    decomposable (sum/count/min/max); provide the partial expression in
-    ``aggs`` and the matching re-aggregate is applied by name:
-    sums re-sum, counts re-sum, min/max re-apply.
+    final aggregate on the key.
+
+    ``aggs`` maps each output name to ``(kind, partial_expr)``, where
+    ``kind`` ∈ {"sum", "count", "min", "max"} names how the partials
+    merge. The kind is EXPLICIT because it cannot be inferred: an
+    earlier version re-aggregated by column-name convention, which
+    silently re-SUMMED any non-prefixed aggregate — a caller passing an
+    ``avg_x`` partial got a wrong answer instead of an error. A kind
+    outside the whitelist raises immediately.
     """
+    for name, spec in aggs.items():
+        if (
+            not isinstance(spec, tuple)
+            or len(spec) != 2
+            or spec[0] not in _MERGE_BY_KIND
+        ):
+            raise ValueError(
+                f"salted_agg aggregate {name!r} must be (kind, expr) with "
+                f"kind in {sorted(_MERGE_BY_KIND)}; got {spec!r}. "
+                "Non-decomposable aggregates (avg/stddev/percentile/"
+                "count-distinct) must be decomposed by the caller."
+            )
     key_col = F.col(key) if isinstance(key, str) else key
     salted = with_salt(df, n_salts)
     partial = salted.groupBy(key_col.alias("_key"), F.col("_salt")).agg(
-        *[expr.alias(name) for name, expr in aggs.items()]
+        *[expr.alias(name) for name, (_, expr) in aggs.items()]
     )
-    # re-aggregation by naming convention: count_/n_ columns re-SUM,
-    # min_/max_ re-apply, everything else re-SUMs (sums)
-    finals = []
-    for name in aggs:
-        if name.startswith("min_"):
-            finals.append(F.min(name).alias(name))
-        elif name.startswith("max_"):
-            finals.append(F.max(name).alias(name))
-        else:
-            finals.append(F.sum(name).alias(name))
+    finals = [
+        _MERGE_BY_KIND[kind](name).alias(name)
+        for name, (kind, _) in aggs.items()
+    ]
     return partial.groupBy(F.col("_key")).agg(*finals)
 
 

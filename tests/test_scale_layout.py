@@ -126,13 +126,56 @@ def test_salted_aggregation_matches_plain(spark):
             orders,
             "o_orderstatus",
             {
-                "n": SF.count(SF.lit(1)),
-                "total": SF.sum(SF.col("o_totalprice").cast("decimal(18,2)")),
+                "n": ("count", SF.count(SF.lit(1))),
+                "total": (
+                    "sum",
+                    SF.sum(SF.col("o_totalprice").cast("decimal(18,2)")),
+                ),
             },
             n_salts=8,
         ).collect()
     }
     assert plain == salted
+
+
+def test_salted_agg_rejects_unmergeable_kinds(spark):
+    """A non-decomposable aggregate (or a bare Column with no declared
+    merge kind) must raise, not silently re-sum — the failure mode the
+    explicit (kind, expr) signature exists to close."""
+    from pyspark.sql import functions as SF
+
+    import pytest as _pytest
+
+    from smart_contract_database_builder_spark.functions.skew import salted_agg
+    from smart_contract_database_builder_spark.sources.tables import load_table
+    from conftest import SF_ORACLE
+
+    orders = load_table(spark, SF_ORACLE, "orders")
+    with _pytest.raises(ValueError, match="avg_price"):
+        salted_agg(orders, "o_orderstatus", {"avg_price": ("avg", SF.avg("o_totalprice"))})
+    with _pytest.raises(ValueError, match="n"):
+        salted_agg(orders, "o_orderstatus", {"n": SF.count(SF.lit(1))})
+
+    # min/max kinds merge correctly (the whitelist's other half)
+    got = {
+        r["_key"]: (r["lo"], r["hi"])
+        for r in salted_agg(
+            orders,
+            "o_orderstatus",
+            {
+                "lo": ("min", SF.min("o_totalprice")),
+                "hi": ("max", SF.max("o_totalprice")),
+            },
+            n_salts=4,
+        ).collect()
+    }
+    want = {
+        r["o_orderstatus"]: (r["lo"], r["hi"])
+        for r in orders.groupBy("o_orderstatus")
+        .agg(SF.min("o_totalprice").alias("lo"), SF.max("o_totalprice").alias("hi"))
+        .collect()
+    }
+    assert got == want
 
 
 def test_grouping_shapes_shares_one_preagg_exchange(spark):
