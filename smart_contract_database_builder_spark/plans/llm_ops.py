@@ -917,8 +917,19 @@ def llm_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    cand = minhash_candidate_pairs_from_shingles(sh).select("doc_a", "doc_b")
-    x, y = sh.alias("x"), sh.alias("y")
+    # SORT-MERGE everywhere: every relation in the verify stage is
+    # corpus-PROPORTIONAL (candidate pairs ~ O(docs in buckets), the
+    # shingle relation and per-doc sizes ~ O(corpus)), so the planner
+    # must neither broadcast one (the 10× scale probe, SCALE.md round
+    # 6, killed the driver building the y-side broadcast the static
+    # size estimate chose) nor build an unspillable shuffled-hash map
+    # from one. Sort-merge is the only join whose both sides spill.
+    cand = (
+        minhash_candidate_pairs_from_shingles(sh)
+        .select("doc_a", "doc_b")
+        .hint("merge")
+    )
+    x, y = sh.alias("x"), sh.alias("y").hint("merge")
     shared = (
         cand.join(x, F.col("doc_a") == F.col("x.doc_id"))
         .join(
@@ -929,8 +940,8 @@ def llm_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    sa = sizes.alias("sa").hint("merge")
+    sb = sizes.alias("sb").hint("merge")
     return (
         shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
