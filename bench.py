@@ -85,6 +85,10 @@ HEADLINE = [
     "llm_training_order",
     # round-6 new operators
     "llm_bm25_batch_topk",
+    "llm_decontaminate_multi",
+    "llm_pps_sample_by_tokens",
+    "cdc_scd2_history",
+    "llm_pq_topk",
     "ref_sink_roundtrip",
 ]
 

@@ -77,6 +77,10 @@ _PRIORITY = [
 _OVERFLOW = [
     # round-6 NEW operators (rotate into the window next round)
     "llm_bm25_batch_topk",
+    "llm_decontaminate_multi",
+    "llm_pps_sample_by_tokens",
+    "cdc_scd2_history",
+    "llm_pq_topk",
     # round-6 oracle graduations (left the rows-only tail this round)
     "llm_ivf_topk",
     # rotated OUT for round 6 (r5 driver-green, code untouched)

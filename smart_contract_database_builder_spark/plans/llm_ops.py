@@ -2052,6 +2052,154 @@ def _cell_dist2(vec: Column, centroid: Column) -> Column:
     )
 
 
+#: Product-quantization geometry: 64 dims → _PQ_M subspaces of 8.
+_PQ_M = 8
+_PQ_SUB = 8
+
+_PQ_ORACLE = f"""
+    WITH s AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> {_SQL_ISCALE.format(v="x")}) AS sv
+      FROM embeddings
+    ),
+    comp AS (
+      SELECT label AS cell, d, SUM(sv[d]) AS sm, COUNT(*) AS cnt
+      FROM s, range(1, 65) r(d)
+      GROUP BY label, d
+    ),
+    cq AS (
+      SELECT cell, d,
+             CAST(FLOOR(CAST(sm AS DOUBLE) / cnt) AS BIGINT) AS c
+      FROM comp
+    ),
+    dist AS (
+      SELECT s.vec_id, cq.cell, (cq.d - 1) // {_PQ_SUB} AS m,
+             SUM((s.sv[cq.d] - cq.c) * (s.sv[cq.d] - cq.c)) AS d2
+      FROM s, cq
+      GROUP BY s.vec_id, cq.cell, (cq.d - 1) // {_PQ_SUB}
+    ),
+    code AS (
+      SELECT vec_id, m, cell FROM (
+        SELECT vec_id, m, cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id, m ORDER BY d2, cell
+               ) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ),
+    qd AS (
+      SELECT cell, m, d2 FROM dist WHERE vec_id = {_QUERY_VEC_ID}
+    )
+    SELECT vec_id,
+           CAST(approx_d2 AS BIGINT) AS approx_d2,
+           pq_code
+    FROM (
+      SELECT c.vec_id,
+             SUM(qd.d2) AS approx_d2,
+             string_agg(CAST(c.cell AS VARCHAR), '-' ORDER BY c.m)
+               AS pq_code
+      FROM code c JOIN qd ON c.cell = qd.cell AND c.m = qd.m
+      WHERE c.vec_id != {_QUERY_VEC_ID}
+      GROUP BY c.vec_id
+    )
+    ORDER BY approx_d2, vec_id
+    LIMIT 10
+    """
+
+
+@register("llm_pq_topk", oracle=_PQ_ORACLE)
+def llm_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F21/J6 EXT: PRODUCT-QUANTIZATION ANN (Jégou et al. 2011) — each
+    vector is encoded as {_PQ_M} sub-codes (nearest sub-centroid per
+    {_PQ_SUB}-dim subspace, ~{_PQ_M} bytes/vector instead of 256), and
+    the query ranks candidates by ASYMMETRIC distance: the exact
+    query-to-sub-centroid distances are computed once per (cell,
+    subspace) and each candidate's approximate distance is just the SUM
+    of {_PQ_M} table lookups along its code. This is the memory-bound
+    regime's standard ANN: at 100 TB the codes table is ~400× smaller
+    than the vectors and the scan is {_PQ_M} adds per row.
+
+    Codebooks are the IVF cell table's QUANTIZED per-label centroids
+    restricted to each subspace (deterministic integers — see
+    ``ivf_quantized_cells``), so encoding argmins, the query's distance
+    table, and every ADC sum are exact int64 — bitwise cross-engine.
+
+    Scale shape: the codebook is one broadcast row; encoding and ADC
+    are pure map stages; the cut is a TakeOrderedAndProject. The
+    documented recall cost: ADC ranks by quantized sub-distances, not
+    true distance (tests pin top-1 recall vs brute force on this
+    corpus).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    sv = emb.select(
+        "vec_id", F.transform("embedding", lambda x: _iscale(x)).alias("sv")
+    )
+    cells = ivf_quantized_cells(emb).agg(
+        F.collect_list(F.struct("cell", "centroid")).alias("cells")
+    )
+
+    def sub(col: Column, m: int) -> Column:
+        return F.slice(col, m * _PQ_SUB + 1, _PQ_SUB)
+
+    def subd2(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, c: (x - c) * (x - c)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    def code_m(vec: Column, m: int) -> Column:
+        # integer (d2, cell) struct min == ORDER BY d2, cell LIMIT 1
+        return F.array_min(
+            F.transform(
+                "cells",
+                lambda c: F.struct(
+                    subd2(sub(vec, m), sub(c["centroid"], m)).alias("d2"),
+                    c["cell"].alias("cell"),
+                ),
+            )
+        )["cell"]
+
+    q = (
+        sv.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .crossJoin(F.broadcast(cells))
+        .select(F.col("sv").alias("qv"), "cells")
+    )
+    encoded = (
+        sv.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "sv",
+            "qv",
+            "cells",
+            *[code_m(F.col("sv"), m).alias(f"c{m}") for m in range(_PQ_M)],
+        )
+    )
+
+    def qdist_to(code_col: str, m: int) -> Column:
+        centroid = F.filter(
+            "cells", lambda c: c["cell"] == F.col(code_col)
+        )[0]["centroid"]
+        return subd2(sub(F.col("qv"), m), sub(centroid, m))
+
+    approx = None
+    for m in range(_PQ_M):
+        t = qdist_to(f"c{m}", m)
+        approx = t if approx is None else approx + t
+    return (
+        encoded.select(
+            "vec_id",
+            approx.cast("long").alias("approx_d2"),
+            F.concat_ws(
+                "-", *[F.col(f"c{m}").cast("string") for m in range(_PQ_M)]
+            ).alias("pq_code"),
+        )
+        .orderBy("approx_d2", "vec_id")
+        .limit(10)
+    )
+
+
 @register(
     "llm_ann_hyperplane_buckets",
     oracle=rf"""
@@ -3218,6 +3366,191 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", score.alias("score"))
         .orderBy(F.desc("score"), "doc_id")
         .limit(_BM25_TOPK)
+    )
+
+
+#: PPS systematic sample size.
+_PPS_K = 20
+
+
+@register(
+    "llm_pps_sample_by_tokens",
+    oracle=rf"""
+    WITH keyed AS (
+      SELECT doc_id,
+             CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tok,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_tok, h,
+             SUM(n_tok) OVER (
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS c,
+             SUM(n_tok) OVER () AS total
+      FROM keyed
+    )
+    SELECT doc_id, n_tok,
+           CAST((c * {_PPS_K}) // total AS BIGINT) AS pick_idx
+    FROM cum
+    WHERE (c * {_PPS_K}) // total > ((c - n_tok) * {_PPS_K}) // total
+    """,
+)
+def llm_pps_sample_by_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 EXT: probability-proportional-to-size SYSTEMATIC sampling by
+    token weight — walk the corpus in a content-stable hash order,
+    accumulate token counts, and pick the ~{_PPS_K} documents where the
+    running total crosses a stride boundary (each doc selected with
+    probability ≈ k·w/W). This is the weighted-sampling scheme that
+    stays EXACT under distribution: no float priorities (an
+    exp/pow-keyed A-ExpJ reservoir would hang the driver-gate hash on
+    cross-libm transcendentals), just integer token counts, one integer
+    prefix sum, and integer division — bitwise portable by
+    construction, and every quantity stays below 2^63 for corpora up to
+    ~10^17 tokens × k.
+
+    Scale shape (two-phase prefix sum — a GLOBAL running-sum window
+    would drag the corpus into one partition): per-shard token totals
+    (16 rows, shard = first hex of the order key) get exclusive
+    offsets via a 16-row window; the within-shard running sum windows
+    on (shard) partitions; global position = shard offset + local sum.
+    The oracle states the same arithmetic as one flat window — equal
+    because shard order is the order key's own first hex.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.size(_tokens()).cast("long").alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    ).withColumn("shard", F.substring("h", 1, 1))
+    shard_tot = keyed.groupBy("shard").agg(F.sum("n_tok").alias("st"))
+    w16 = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, 0)
+    offsets = shard_tot.select(
+        "shard", (F.sum("st").over(w16) - F.col("st")).alias("off")
+    )
+    total = shard_tot.agg(F.sum("st").alias("total"))
+    wloc = Window.partitionBy("shard").orderBy("h", "doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        keyed.withColumn("lc", F.sum("n_tok").over(wloc))
+        .join(F.broadcast(offsets), "shard")
+        .crossJoin(F.broadcast(total))
+        .withColumn("c", F.col("off") + F.col("lc"))
+    )
+    pick = F.expr(f"(c * {_PPS_K}) div total")
+    prev = F.expr(f"((c - n_tok) * {_PPS_K}) div total")
+    return (
+        cum.filter(pick > prev)
+        .select("doc_id", "n_tok", pick.cast("long").alias("pick_idx"))
+    )
+
+
+#: Multi-benchmark decontamination: each benchmark is a deterministic
+#: doc_id slice (id ≡ rem mod m) standing in for a distinct eval suite.
+#: Disjoint moduli make the slices overlap partially — a doc can sit in
+#: one benchmark and still be contaminated BY another.
+_DECON_BENCHMARKS = (
+    ("bench_a", 50, 7),
+    ("bench_b", 41, 3),
+    ("bench_c", 67, 11),
+)
+
+
+def _decon_multi_oracle() -> str:
+    bench_union = "\n      UNION ALL\n".join(
+        f"""      SELECT '{bid}' AS bench_id, g FROM (
+        SELECT DISTINCT g FROM grams WHERE doc_id % {m} = {r}
+      )"""
+        for bid, m, r in _DECON_BENCHMARKS
+    )
+    self_excl = "\n        AND ".join(
+        f"NOT (b.bench_id = '{bid}' AND c.doc_id % {m} = {r})"
+        for bid, m, r in _DECON_BENCHMARKS
+    )
+    return f"""
+    WITH grams AS (
+      SELECT doc_id, unnest({_sql_word_ngrams("t", _DECON_N)}) AS g
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+    ),
+    bench AS (
+{bench_union}
+    ),
+    totals AS (
+      SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
+    ),
+    hits AS (
+      SELECT c.doc_id, b.bench_id, COUNT(*) AS n_contaminated
+      FROM grams c JOIN bench b ON c.g = b.g
+      WHERE {self_excl}
+      GROUP BY c.doc_id, b.bench_id
+    )
+    SELECT h.doc_id, h.bench_id,
+           CAST(t.n_grams AS BIGINT) AS n_grams,
+           CAST(h.n_contaminated AS BIGINT) AS n_contaminated,
+           CAST(h.n_contaminated AS DOUBLE) / t.n_grams
+             AS contaminated_frac
+    FROM hits h JOIN totals t USING (doc_id)
+    """
+
+
+@register("llm_decontaminate_multi", oracle=_decon_multi_oracle())
+def llm_decontaminate_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 generalized: decontaminate against SEVERAL benchmark suites in
+    ONE corpus pass — the production shape (a training corpus is checked
+    against every eval suite at once, not re-scanned per suite). Each
+    hit row carries which benchmark it collides with, so a pipeline can
+    apply per-suite policies (drop for suite A, tag for suite B).
+
+    Single-pass discipline (the batch-BM25 pattern applied to J9): the
+    corpus is exploded to n-grams ONCE; the per-benchmark DISTINCT gram
+    sets are unioned with a bench_id tag into one eval-suite-sized
+    broadcast; the inner hash join fans each corpus gram out only to
+    the benchmarks that contain it (≤ |benchmarks|×); per-(doc, bench)
+    hits and per-doc totals are two hash aggregates over the same
+    exploded relation, joined AFTER aggregation (both post-agg
+    relations are hit-sized, not corpus-sized). A doc inside benchmark
+    X is excluded from X's own hits but still checked against the
+    others. Counts exact, fraction one IEEE divide — bitwise.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
+    grams = toked.select(
+        "doc_id", F.explode(_word_ngrams(F.col("t"), _DECON_N)).alias("g")
+    )
+    bench = None
+    for bid, m, r in _DECON_BENCHMARKS:
+        b = (
+            grams.filter((F.col("doc_id") % m) == r)
+            .select("g")
+            .distinct()
+            .select(F.lit(bid).alias("bench_id"), "g")
+        )
+        bench = b if bench is None else bench.unionByName(b)
+    self_excl = None
+    for bid, m, r in _DECON_BENCHMARKS:
+        cond = ~((F.col("bench_id") == bid) & ((F.col("doc_id") % m) == r))
+        self_excl = cond if self_excl is None else self_excl & cond
+    totals = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    hits = (
+        grams.join(F.broadcast(bench), "g")
+        .filter(self_excl)
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated"))
+    )
+    return hits.join(totals, "doc_id").select(
+        "doc_id",
+        "bench_id",
+        "n_grams",
+        "n_contaminated",
+        (
+            F.col("n_contaminated").cast("double") / F.col("n_grams")
+        ).alias("contaminated_frac"),
     )
 
 

@@ -332,3 +332,52 @@ def cdc_merge_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("last.ts", _TS_FMT_US).alias("last_ts"),
         "n_changes",
     )
+
+
+@register(
+    "cdc_scd2_history",
+    oracle=f"""
+    SELECT user_id,
+           event_type AS op,
+           value,
+           strftime(ts, '{_SQL_TS_FMT_US}') AS valid_from,
+           strftime(
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+             '{_SQL_TS_FMT_US}'
+           ) AS valid_to,
+           (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              IS NULL AND event_type <> 'error') AS is_current
+    FROM events
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-EXT SCD TYPE 2 — the history-preserving complement of
+    ``cdc_merge_latest_snapshot``: every change record becomes a
+    versioned dimension row valid over [its ts, the key's next change):
+    the last version stays open (``valid_to`` null) and is the current
+    row unless it is an ``error`` tombstone, in which case the key's
+    history closes with no current row — MERGE's "expire old, insert
+    new" pattern expressed as one window.
+
+    Scale shape: ONE shuffle on the natural key and a per-key sort for
+    the ``lead`` — the canonical SCD2 build; no global sort, no
+    self-join against "current rows" (the join-based SCD2 recipe
+    re-shuffles the dimension per batch; the window form rebuilds
+    history in one pass, which is the right shape for a periodic
+    100 TB backfill). Timestamps leave as formatted strings (the
+    engine's no-DATE-output oracle rule); tie-safe because event_id is
+    unique within a key.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("event_type").alias("op"),
+        "value",
+        F.date_format("ts", _TS_FMT_US).alias("valid_from"),
+        F.date_format(nxt, _TS_FMT_US).alias("valid_to"),
+        (nxt.isNull() & (F.col("event_type") != "error")).alias("is_current"),
+    )

@@ -24,6 +24,8 @@ _NESTED_LOOP_ALLOWED = {
     "llm_vocab_coverage",          # 1-row total-token-count broadcast
     "llm_bm25_topk",               # 1-row corpus-stats (N, Σdl, df) broadcast
     "llm_bm25_batch_topk",         # 1-row corpus-stats broadcast (batch)
+    "llm_pq_topk",                 # 1-row codebook + query-row broadcast
+    "llm_pps_sample_by_tokens",    # 1-row total-token-count broadcast
     "llm_hybrid_rrf_fusion",       # inherits llm_bm25_topk's stats broadcast
 }
 

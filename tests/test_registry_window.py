@@ -99,6 +99,10 @@ def test_round6_rotation_brings_overflow_queries_into_window():
 #: when a round adds operators after its window is finalized.
 _BORN_IN_OVERFLOW: set[str] = {
     "llm_bm25_batch_topk",
+    "llm_decontaminate_multi",
+    "llm_pps_sample_by_tokens",
+    "cdc_scd2_history",
+    "llm_pq_topk",
     # graduated from the rows-only tail by gaining an oracle in r6 —
     # never had a chance at a driver row before
     "llm_ivf_topk",
