@@ -1,0 +1,115 @@
+"""Z-order layout: key correctness vs a pure-Python Morton model, and
+the actual data-skipping claim measured from parquet footer statistics
+(rows-only — a write-time layout tool has no relational oracle)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import sys
+
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from smart_contract_database_builder_spark.functions.layout import (
+    write_zordered,
+    zorder_key,
+)
+from smart_contract_database_builder_spark.sources.tables import load_table
+
+from conftest import SF_ORACLE
+
+
+def _py_morton(vals: list[int], bits: int) -> int:
+    key = 0
+    for j in range(bits):
+        for i, v in enumerate(vals):
+            key |= ((v >> j) & 1) << (j * len(vals) + i)
+    return key
+
+
+def test_zorder_key_matches_python_model(spark):
+    rows = [(5, 9), (0, 0), (65535, 65535), (12345, 54321), (1, 2)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = df.select(
+        "a", "b", zorder_key(["a", "b"], 16).alias("k")
+    ).collect()
+    for r in got:
+        assert r.k == _py_morton([r.a, r.b], 16), (r.a, r.b)
+
+
+def _file_ranges(path: str, col: str) -> list[tuple]:
+    """Per-file (min, max) of col from parquet footers — what a reader
+    prunes on."""
+    out = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    lo = c.statistics.min if lo is None else min(lo, c.statistics.min)
+                    hi = c.statistics.max if hi is None else max(hi, c.statistics.max)
+        if lo is not None:
+            out.append((lo, hi))
+    return out
+
+
+def _files_hit(ranges: list[tuple], lo, hi) -> int:
+    return sum(1 for a, b in ranges if not (b < lo or a > hi))
+
+
+def test_zorder_layout_skips_on_every_clustered_column(spark, tmp_path):
+    """A single-column sort skips perfectly on that column and not at
+    all on any other; the Z-order layout must let a range predicate on
+    EITHER clustered column prune a majority of files."""
+    orders = load_table(spark, SF_ORACLE, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    n = orders.count()
+    per_file = max(25, n // 64)  # ~64 files either way
+
+    flat = str(tmp_path / "sorted_by_orderkey")
+    (
+        orders.repartitionByRange(F.col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", str(per_file))
+        .parquet(flat)
+    )
+    zo = str(tmp_path / "zordered")
+    write_zordered(
+        orders, zo, ["o_custkey", "o_totalprice"],
+        max_records_per_file=per_file,
+    )
+    # same rows, different layout
+    assert spark.read.parquet(zo).count() == n
+
+    stats = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.expr("percentile(o_totalprice, 0.48)"),
+        F.expr("percentile(o_totalprice, 0.52)"),
+    ).collect()[0]
+    ck_lo, ck_hi = stats[0], stats[0] + (stats[1] - stats[0]) // 25
+    tp_lo, tp_hi = stats[2], stats[3]
+
+    for col, lo, hi in (
+        ("o_custkey", ck_lo, ck_hi),
+        ("o_totalprice", tp_lo, tp_hi),
+    ):
+        flat_ranges = _file_ranges(flat, col)
+        zo_ranges = _file_ranges(zo, col)
+        assert len(flat_ranges) >= 4 and len(zo_ranges) >= 4
+        flat_hit = _files_hit(flat_ranges, lo, hi) / len(flat_ranges)
+        zo_hit = _files_hit(zo_ranges, lo, hi) / len(zo_ranges)
+        # the orderkey-sorted layout cannot skip on either clustered
+        # column (~every file intersects); z-order must prune most
+        assert flat_hit > 0.9, (col, flat_hit)
+        assert zo_hit <= 0.5, (
+            f"z-order layout failed to skip on {col}: "
+            f"{zo_hit:.0%} of files hit (flat layout: {flat_hit:.0%})"
+        )
