@@ -89,6 +89,8 @@ HEADLINE = [
     "llm_pps_sample_by_tokens",
     "cdc_scd2_history",
     "llm_pq_topk",
+    "llm_containment_pairs",
+    "llm_interleave_by_source",
     "ref_sink_roundtrip",
 ]
 

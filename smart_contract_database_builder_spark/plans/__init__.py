@@ -81,6 +81,8 @@ _OVERFLOW = [
     "llm_pps_sample_by_tokens",
     "cdc_scd2_history",
     "llm_pq_topk",
+    "llm_containment_pairs",
+    "llm_interleave_by_source",
     # round-6 oracle graduations (left the rows-only tail this round)
     "llm_ivf_topk",
     # rotated OUT for round 6 (r5 driver-green, code untouched)

@@ -959,6 +959,118 @@ def llm_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Near-containment threshold: |A ∩ B| / min(|A|, |B|).
+_CONTAIN_THR = 0.9
+
+
+@register(
+    "llm_containment_pairs",
+    oracle=rf"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM (
+        SELECT doc_id, unnest({_sql_word_ngrams("t")}) AS s
+        FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(md5('{i}|' || s)) AS m{i}" for i in range(_N_HASHES))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(m{2*b} || m{2*b+1}) AS key FROM sig"
+        for b in range(_N_HASHES // _BAND_ROWS)
+      )}
+    ),
+    bsz AS (
+      SELECT band_idx, key FROM bands
+      GROUP BY band_idx, key
+      HAVING COUNT(*) BETWEEN 2 AND {_LSH_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bsz USING (band_idx, key)
+      JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key
+                  AND a.doc_id < b.doc_id
+    ),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared,
+           CAST(n_shared AS DOUBLE) / LEAST(sa.n, sb.n) AS containment
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_shared AS DOUBLE) / LEAST(sa.n, sb.n) >= {_CONTAIN_THR}
+    """,
+)
+def llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 EXT: CONTAINMENT detection — pairs where one document's
+    shingle set is (nearly) a subset of the other's: |A∩B| / min(|A|,
+    |B|) ≥ {_CONTAIN_THR}. Jaccard under-scores a short doc embedded
+    in a long one (the union dominates); the containment coefficient
+    is the right statistic for quote/boilerplate/subset duplication —
+    the Lee et al. substring-dup case at document granularity.
+
+    Scale shape: identical to ``llm_ngram_jaccard_topk`` (same LSH
+    candidate stage, same single shared shingle relation, same
+    sort-merge-pinned verify joins — both sides of every verify join
+    are corpus-proportional); only the closing statistic differs.
+    Recall bound: containment pairs whose MinHash signatures never
+    band-collide are missed — for true subset pairs the signature
+    match probability is the containment-adjusted Jaccard, which this
+    corpus's exact-duplicate family passes (pinned by row count in the
+    pytest sweep).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
+    sh = (
+        toked.select("doc_id", F.explode(_word_ngrams(F.col("t"))).alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    cand = (
+        minhash_candidate_pairs_from_shingles(sh)
+        .select("doc_a", "doc_b")
+        .hint("merge")
+    )
+    x, y = sh.alias("x"), sh.alias("y").hint("merge")
+    shared = (
+        cand.join(x, F.col("doc_a") == F.col("x.doc_id"))
+        .join(
+            y,
+            (F.col("doc_b") == F.col("y.doc_id"))
+            & (F.col("y.s") == F.col("x.s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.alias("sa").hint("merge")
+    sb = sizes.alias("sb").hint("merge")
+    containment = F.col("n_shared").cast("double") / F.least(
+        F.col("sa.n"), F.col("sb.n")
+    )
+    return (
+        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            containment.alias("containment"),
+        )
+        .filter(F.col("containment") >= _CONTAIN_THR)
+    )
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
     """Distributed connected components over an undirected ``(doc_a,
     doc_b)`` edge relation by min-label propagation: every node starts
@@ -3366,6 +3478,62 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", score.alias("score"))
         .orderBy(F.desc("score"), "doc_id")
         .limit(_BM25_TOPK)
+    )
+
+
+@register(
+    "llm_interleave_by_source",
+    oracle=f"""
+    SELECT doc_id, source,
+           CAST(intra AS BIGINT) AS intra_rank,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY intra, source, shuffle_key, doc_id
+           ) AS BIGINT) AS interleave_pos
+    FROM (
+      SELECT doc_id, source,
+             md5('{_ORDER_SEED}' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('{_ORDER_SEED}' || CAST(doc_id AS VARCHAR)),
+                        doc_id
+             ) AS intra
+      FROM documents
+    )
+    """,
+)
+def llm_interleave_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F31 EXT: SOURCE-INTERLEAVED training order — deterministic
+    round-robin across sources: each doc gets a seeded-hash rank
+    WITHIN its source, and the global order sorts by (intra_rank,
+    source), so consecutive documents cycle through the sources
+    instead of clumping (gradient batches see a stable source mix —
+    the anti-clumping complement of `llm_training_order`'s pure
+    shuffle; same per-source quota logic as temperature-sampled data
+    loaders, at temperature 1).
+
+    Scale shape: one shuffle partitioned by source for the intra rank;
+    the global position is ONE final rank over already-(intra, source)
+    -clustered rows — at scale the global row_number is replaced by
+    the same two-phase offset trick as `llm_pps_sample_by_tokens`
+    (sharded by intra_rank ranges), or consumed as the sort key of a
+    training-shard export, which never needs the dense index
+    materialized.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit(_ORDER_SEED), F.col("doc_id").cast("string")))
+    keyed = docs.select("doc_id", "source", key.alias("shuffle_key"))
+    wsrc = Window.partitionBy("source").orderBy("shuffle_key", "doc_id")
+    ranked = keyed.withColumn(
+        "intra", F.row_number().over(wsrc).cast("long")
+    )
+    wglob = Window.orderBy("intra", "source", "shuffle_key", "doc_id")
+    return ranked.select(
+        "doc_id",
+        "source",
+        F.col("intra").alias("intra_rank"),
+        F.row_number().over(wglob).cast("long").alias("interleave_pos"),
     )
 
 

@@ -100,6 +100,8 @@ def test_round6_rotation_brings_overflow_queries_into_window():
 _BORN_IN_OVERFLOW: set[str] = {
     "llm_bm25_batch_topk",
     "llm_decontaminate_multi",
+    "llm_containment_pairs",
+    "llm_interleave_by_source",
     "llm_pps_sample_by_tokens",
     "cdc_scd2_history",
     "llm_pq_topk",
