@@ -272,7 +272,11 @@ def cmd_curate(args: argparse.Namespace) -> int:
 
     from pyspark.sql import functions as F
 
-    from .plans.llm_ops import curate_documents, training_order
+    from .plans.llm_ops import (
+        curate_documents,
+        interleave_order,
+        training_order,
+    )
     from .schemas import TESTDATA_SCHEMAS
     from .sinks.corpus import write_training_shards
 
@@ -297,7 +301,10 @@ def cmd_curate(args: argparse.Namespace) -> int:
             args.documents
         )
     kept = curate_documents(docs)
-    order = training_order(kept, n_shards=args.shards)
+    if getattr(args, "order", "shuffle") == "interleave":
+        order = interleave_order(kept, n_shards=args.shards)
+    else:
+        order = training_order(kept, n_shards=args.shards)
     payload = kept.join(
         docs.select("doc_id", "text"), "doc_id"
     ).join(order, "doc_id")
@@ -367,6 +374,11 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--output", required=True)
     cu.add_argument("--shards", type=int, default=8)
     cu.add_argument("--jsonl", action="store_true")
+    cu.add_argument(
+        "--order", choices=("shuffle", "interleave"), default="shuffle",
+        help="training order: seeded shuffle (default) or "
+             "source-interleaved round-robin",
+    )
     cu.set_defaults(fn=cmd_curate)
     return p
 

@@ -3537,6 +3537,41 @@ def llm_interleave_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def interleave_order(
+    docs: DataFrame, n_shards: int = _ORDER_SHARDS, seed: str = _ORDER_SEED
+) -> DataFrame:
+    """The reusable source-interleaved order behind
+    ``llm_interleave_by_source``, emitted in the training-shard layout
+    schema (doc_id, shuffle_key, shard, pos_in_shard): the global
+    round-robin position is cut into ``n_shards`` contiguous blocks so
+    shard-major file order IS the interleaved order. Requires a
+    ``source`` column alongside ``doc_id``."""
+    from pyspark.sql.window import Window
+
+    key = F.md5(F.concat(F.lit(seed), F.col("doc_id").cast("string")))
+    keyed = docs.select("doc_id", "source", key.alias("shuffle_key"))
+    wsrc = Window.partitionBy("source").orderBy("shuffle_key", "doc_id")
+    ranked = keyed.withColumn("intra", F.row_number().over(wsrc))
+    wglob = Window.orderBy("intra", "source", "shuffle_key", "doc_id")
+    pos = ranked.withColumn(
+        "gpos", F.row_number().over(wglob).cast("long")
+    )
+    total = pos.agg(F.count(F.lit(1)).alias("total"))
+    rows_per = F.ceil(F.col("total") / n_shards).cast("long")
+    shard = ((F.col("gpos") - 1) / rows_per).cast("int")
+    return (
+        pos.crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "shuffle_key",
+            shard.alias("shard"),
+            (F.col("gpos") - shard.cast("long") * rows_per).alias(
+                "pos_in_shard"
+            ),
+        )
+    )
+
+
 #: PPS systematic sample size.
 _PPS_K = 20
 
