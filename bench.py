@@ -91,6 +91,7 @@ HEADLINE = [
     "llm_pq_topk",
     "llm_containment_pairs",
     "llm_interleave_by_source",
+    "llm_cluster_best_representative",
     "ref_sink_roundtrip",
 ]
 

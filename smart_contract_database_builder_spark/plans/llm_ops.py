@@ -959,6 +959,118 @@ def llm_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_cluster_best_representative",
+    oracle=rf"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, unnest({_sql_word_ngrams("t")}) AS s
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+    ),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(md5('{i}|' || s)) AS m{i}" for i in range(_N_HASHES))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(m{2*b} || m{2*b+1}) AS key FROM sig"
+        for b in range(_N_HASHES // _BAND_ROWS)
+      )}
+    ),
+    bsz AS (
+      SELECT band_idx, key FROM bands
+      GROUP BY band_idx, key
+      HAVING COUNT(*) BETWEEN 2 AND {_LSH_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bsz USING (band_idx, key)
+      JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key
+                  AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM cand
+      UNION ALL
+      SELECT doc_b, doc_a FROM cand
+    ),
+    reach(a, b) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b
+    ),
+    clusters AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+      FROM reach GROUP BY a
+    ),
+    qual AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+               AS type_token_ratio
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+      WHERE len(t) > 0
+    )
+    SELECT cluster_id, doc_id AS best_doc, type_token_ratio AS best_quality,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM (
+      SELECT c.cluster_id, c.doc_id, q.type_token_ratio,
+             COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY q.type_token_ratio DESC, c.doc_id
+             ) AS rn
+      FROM clusters c JOIN qual q USING (doc_id)
+    )
+    WHERE rn = 1
+    """,
+)
+def llm_cluster_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 composed with F20: pick the BEST-QUALITY document per
+    near-dup cluster instead of the arbitrary min-id canonical — what a
+    curation pipeline actually wants to keep from each duplicate group
+    (min-id keeps whichever copy happened to get the smallest id; this
+    keeps the copy with the highest type-token ratio, ties broken by
+    id). Emits one row per cluster: representative, its quality, and
+    the cluster size.
+
+    Scale shape: the cluster relation is the already-audited LSH + CC
+    pipeline (~|duplicated docs| rows, far smaller than the corpus);
+    the quality signal is a per-row map expression joined on doc_id;
+    the per-cluster argmax is one hash aggregate via ``max_by`` over a
+    (quality, −doc_id) struct (partials merge map-side — no per-cluster
+    sort). Quality is a double ratio of exact ints, so the cross-engine
+    argmax ordering is bitwise-safe.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
+    pairs = minhash_candidate_pairs(toked).select("doc_a", "doc_b")
+    comp = connected_components(pairs).select(
+        F.col("doc").alias("doc_id"), "cluster_id"
+    )
+    t = F.col("t")
+    qual = toked.filter(F.size(t) > 0).select(
+        "doc_id",
+        (F.size(F.array_distinct(t)).cast("double") / F.size(t)).alias(
+            "type_token_ratio"
+        ),
+    )
+    joined = comp.join(qual, "doc_id")
+    # argmax by (quality DESC, doc_id ASC) == max_by over the ordering
+    # struct (quality, -doc_id); both components exact
+    okey = F.struct(
+        F.col("type_token_ratio").alias("q"),
+        (-F.col("doc_id")).alias("negid"),
+    )
+    return (
+        joined.groupBy("cluster_id")
+        .agg(
+            F.max_by(F.col("doc_id"), okey).alias("best_doc"),
+            F.max_by(F.col("type_token_ratio"), okey).alias("best_quality"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+        )
+    )
+
+
 #: Near-containment threshold: |A ∩ B| / min(|A|, |B|).
 _CONTAIN_THR = 0.9
 
