@@ -92,6 +92,7 @@ HEADLINE = [
     "llm_containment_pairs",
     "llm_interleave_by_source",
     "llm_cluster_best_representative",
+    "llm_corpus_length_report",
     "ref_sink_roundtrip",
 ]
 

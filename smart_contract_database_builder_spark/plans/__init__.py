@@ -84,6 +84,7 @@ _OVERFLOW = [
     "llm_containment_pairs",
     "llm_interleave_by_source",
     "llm_cluster_best_representative",
+    "llm_corpus_length_report",
     # round-6 oracle graduations (left the rows-only tail this round)
     "llm_ivf_topk",
     # rotated OUT for round 6 (r5 driver-green, code untouched)

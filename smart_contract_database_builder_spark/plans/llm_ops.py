@@ -3684,6 +3684,67 @@ def interleave_order(
     )
 
 
+@register(
+    "llm_corpus_length_report",
+    oracle=rf"""
+    SELECT lang,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           q[1] AS p25, q[2] AS p50, q[3] AS p75, q[4] AS p95
+    FROM (
+      SELECT lang,
+             COUNT(*) AS n_docs,
+             SUM(n_tok) AS n_tokens,
+             quantile_cont(CAST(n_tok AS DOUBLE),
+                           [0.25, 0.5, 0.75, 0.95]) AS q
+      FROM (
+        SELECT lang, len({_SQL_TOKENS}) AS n_tok FROM documents
+      )
+      GROUP BY lang
+    )
+    """,
+)
+def llm_corpus_length_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/A8 composed: the per-language CORPUS REPORT a data team reads
+    before setting curation thresholds — document counts, total token
+    budget, and the exact document-length quartiles/p95 per language
+    (the distribution the Gopher length bounds and chunking sizes are
+    tuned against).
+
+    Exactness: percentiles interpolate the same order statistics of the
+    same doubles on both engines (the `agg_percentile_prices` anchor
+    pattern); counts and token sums are exact integers. Scale shape:
+    one map-side tokenize + ONE shuffle on the language key; at corpus
+    scale the same report swaps percentile → percentile_approx (the
+    mergeable-sketch twin `agg_percentile_prices_approx` demonstrates,
+    rank-error-bounded in pytest) — the exact form is the
+    oracle-checkable anchor.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select("lang", F.size(_tokens()).alias("n_tok"))
+    q = F.expr(
+        "percentile(CAST(n_tok AS DOUBLE), "
+        "array(0.25D, 0.5D, 0.75D, 0.95D))"
+    )
+    return (
+        keyed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            q.alias("q"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.col("q")[0].alias("p25"),
+            F.col("q")[1].alias("p50"),
+            F.col("q")[2].alias("p75"),
+            F.col("q")[3].alias("p95"),
+        )
+    )
+
+
 #: PPS systematic sample size.
 _PPS_K = 20
 

@@ -103,6 +103,7 @@ _BORN_IN_OVERFLOW: set[str] = {
     "llm_containment_pairs",
     "llm_interleave_by_source",
     "llm_cluster_best_representative",
+    "llm_corpus_length_report",
     "llm_pps_sample_by_tokens",
     "cdc_scd2_history",
     "llm_pq_topk",
