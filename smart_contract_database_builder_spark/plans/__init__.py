@@ -76,6 +76,13 @@ _PRIORITY = [
 #: witness (see the _PRIORITY comment).
 _OVERFLOW = [
     # round-6 NEW operators (rotate into the window next round)
+    "llm_token_entropy",
+    "llm_unigram_surprisal",
+    "llm_quality_percentile_by_lang",
+    "agg_histogram_prices",
+    "funnel_conversion_events",
+    "join_asof_tolerance",
+    "stream_stream_left_outer",
     "llm_bm25_batch_topk",
     "llm_decontaminate_multi",
     "llm_pps_sample_by_tokens",

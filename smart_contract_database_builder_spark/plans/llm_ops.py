@@ -4244,3 +4244,249 @@ def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= _STRAT_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# Information-theoretic quality signals (round 6)
+# ---------------------------------------------------------------------------
+
+#: Fixed-point scale for quantized natural logs ("micro-nats"). Sums of
+#: quantized logs are exact 64-bit integers, so per-document totals are
+#: summation-order-independent — the same trick the cosine kernels use
+#: for dot products. floor(1e6 · ln x) of any corpus-plausible count
+#: stays far below 2^63 / corpus length.
+_LN_MICRO = 1_000_000
+
+#: DuckDB twin of the quantization: ln is libm on both sides (Spark
+#: evaluates it with the same C library via the Arrow-batched
+#: `_ln_libm` UDF), the double multiply and floor are IEEE-exact.
+_SQL_LN_MICRO = "CAST(floor(ln(CAST({x} AS DOUBLE)) * 1000000) AS BIGINT)"
+
+
+@register(
+    "llm_token_entropy",
+    oracle=rf"""
+    WITH counts AS (
+      SELECT doc_id, term, COUNT(*) AS c
+      FROM (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+      )
+      GROUP BY doc_id, term
+    ),
+    scored AS (
+      SELECT doc_id,
+             SUM(c) AS n,
+             SUM(c * {_SQL_LN_MICRO.format(x='c')}) AS s
+      FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST({_SQL_LN_MICRO.format(x='n')} * n - s AS DOUBLE)
+             / (CAST(n AS DOUBLE) * 1000000) AS entropy_nats
+    FROM scored
+    """,
+)
+def llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20 EXT: per-document token Shannon entropy in nats —
+    H = (n·ln n − Σ c·ln c) / n — the classic gibberish/boilerplate
+    signal (low entropy ⇒ repetitive template text, high ⇒ diverse
+    vocabulary; complements `llm_repetition_signals`' n-gram view).
+
+    Cross-engine exactness: a float Σ c·ln c is summation-order-
+    dependent, so ln is quantized to integer micro-nats FIRST
+    (floor(1e6·ln x), ln evaluated by libm on both engines) and the
+    per-document total is an exact 64-bit sum; one final double
+    division emits nats. The ln lookup runs over the DISTINCT count
+    values only — a relation bounded by max within-doc term frequency
+    (hundreds), so the Python boundary is O(distinct counts), not
+    O(corpus).
+
+    Scale shape: one explode → (doc, term) hash agg (map-side combine)
+    → per-doc rollup; the ln table is broadcast. Linear in corpus
+    tokens, shuffle keyed by the uniform doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        docs.select("doc_id", F.explode(_tokens()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ln_udf = _ln_libm()
+    distinct_vals = (
+        pairs.select(F.col("c").alias("v"))
+        .union(
+            pairs.groupBy("doc_id")
+            .agg(F.sum("c").alias("v"))
+            .select("v")
+        )
+        .distinct()
+    )
+    ln_table = distinct_vals.select(
+        "v",
+        F.floor(ln_udf(F.col("v").cast("double")) * _LN_MICRO)
+        .cast("long")
+        .alias("ln_micro"),
+    )
+    scored = (
+        pairs.join(F.broadcast(ln_table), pairs.c == ln_table.v)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.col("ln_micro")).alias("s"),
+        )
+    )
+    out = scored.join(
+        F.broadcast(ln_table.withColumnRenamed("ln_micro", "ln_n_micro")),
+        scored.n == F.col("v"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        (
+            (F.col("ln_n_micro") * F.col("n") - F.col("s")).cast("double")
+            / (F.col("n").cast("double") * F.lit(float(_LN_MICRO)))
+        ).alias("entropy_nats"),
+    )
+
+
+@register(
+    "llm_unigram_surprisal",
+    oracle=rf"""
+    WITH toked AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    ctf AS (
+      SELECT term, COUNT(*) AS ctot FROM toked GROUP BY term
+    ),
+    st AS (
+      SELECT SUM(ctot) AS n_corpus, COUNT(*) AS v FROM ctf
+    ),
+    lp AS (
+      SELECT term,
+             CAST(floor(-ln(CAST(ctot + 1 AS DOUBLE)
+                            / CAST(n_corpus + v AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS lp_micro
+      FROM ctf, st
+    ),
+    dt AS (
+      SELECT doc_id, term, COUNT(*) AS c FROM toked GROUP BY doc_id, term
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(SUM(c * lp_micro) AS DOUBLE)
+             / (CAST(SUM(c) AS DOUBLE) * 1000000) AS avg_surprisal_nats
+    FROM dt JOIN lp USING (term)
+    GROUP BY doc_id
+    """,
+)
+def llm_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20 EXT: unigram-LM surprisal quality score — the corpus itself
+    is the language model (add-one-smoothed unigram probabilities), and
+    each document is scored by its mean token surprisal −ln p(t) in
+    nats. This is the cheap end of the KenLM-perplexity filter family
+    (CCNet/RedPajama use a 5-gram LM; the unigram form needs no model
+    artifact and already separates gibberish / wrong-language text from
+    fluent text). exp(avg_surprisal) is the document's unigram
+    perplexity.
+
+    Cross-engine exactness: same micro-nat quantization as
+    `llm_token_entropy` — per-term −ln p is computed once (libm ln via
+    the Arrow-batched UDF, O(vocabulary) rows through Python, never
+    O(corpus)), floored to integer micro-nats, and per-document totals
+    are exact 64-bit sums; ONE final double division per document.
+
+    Scale shape: two hash aggs over the exploded tokens (term counts;
+    (doc,term) counts — both map-side combined), a 1-row stats
+    broadcast onto the vocabulary relation, and a term-keyed equi-join
+    of (doc,term) counts against the O(vocab) score table (broadcast
+    while the vocab is small, shuffle-join at 100 TB — either way keyed
+    on the uniform term hash). Linear in corpus tokens.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", F.explode(_tokens()).alias("term"))
+    ctf = toked.groupBy("term").agg(F.count(F.lit(1)).alias("ctot"))
+    stats = ctf.agg(
+        F.sum("ctot").alias("n_corpus"), F.count(F.lit(1)).alias("v")
+    )
+    ln_udf = _ln_libm()
+    p = (F.col("ctot") + 1).cast("double") / (
+        F.col("n_corpus") + F.col("v")
+    ).cast("double")
+    lp = (
+        ctf.crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.floor((-ln_udf(p)) * _LN_MICRO).cast("long").alias("lp_micro"),
+        )
+    )
+    dt = toked.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        dt.join(lp, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            (
+                F.sum(F.col("c") * F.col("lp_micro")).cast("double")
+                / (F.sum("c").cast("double") * F.lit(float(_LN_MICRO)))
+            ).alias("avg_surprisal_nats"),
+        )
+    )
+
+
+@register(
+    "llm_quality_percentile_by_lang",
+    oracle=rf"""
+    WITH q AS (
+      SELECT doc_id, lang,
+             CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
+      FROM (SELECT doc_id, lang, {_SQL_TOKENS} AS t FROM documents)
+      WHERE len(t) > 0
+    )
+    SELECT doc_id, lang, ttr,
+           percent_rank() OVER (PARTITION BY lang ORDER BY ttr) AS pr,
+           CASE WHEN percent_rank() OVER (PARTITION BY lang ORDER BY ttr)
+                     >= 0.2
+                THEN TRUE ELSE FALSE END AS keep
+    FROM q
+    """,
+)
+def llm_quality_percentile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20 EXT: per-language quality CALIBRATION — a raw quality signal
+    (type-token ratio here) is not comparable across languages, so
+    curation thresholds are set on the within-language percentile rank
+    instead ("drop the bottom quintile of EACH language", the
+    CCNet/RedPajama per-language bucketing move). Emits the percentile
+    and the keep/drop verdict at the 20th-percentile floor.
+
+    Cross-engine exactness: ttr is per-row double arithmetic (bitwise
+    rule 1); percent_rank is (rank−1)/(n−1) — integer window counts and
+    ONE double division, and ties share a rank so equal ttr values get
+    equal percentiles regardless of partition order.
+
+    Scale shape: one shuffle on the language key; a skewed language is
+    the stratified-sample story (AQE) — and because the score is the
+    ORDER key, the window needs no full sort beyond what any
+    per-stratum ranking pays. The keep filter composes with
+    `curate_documents` as another id-set semi-join stage.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", _tokens().alias("t")
+    )
+    keyed = docs.filter(F.size("t") > 0).select(
+        "doc_id",
+        "lang",
+        (F.size(F.array_distinct("t")).cast("double") / F.size("t")).alias(
+            "ttr"
+        ),
+    )
+    w = Window.partitionBy("lang").orderBy("ttr")
+    pr = F.percent_rank().over(w)
+    return keyed.select(
+        "doc_id",
+        "lang",
+        "ttr",
+        pr.alias("pr"),
+        (pr >= F.lit(0.2)).alias("keep"),
+    )

@@ -307,3 +307,258 @@ def agg_percentile_prices_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 analytics: histograms, funnels, tolerant as-of (A-EXT, J5-EXT)
+# ---------------------------------------------------------------------------
+
+#: Equi-width histogram bucket size for order prices (25 buckets over
+#: the TPC-H-ish 1k..500k price range).
+_HIST_WIDTH = 20_000.0
+
+
+@register(
+    "agg_histogram_prices",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(floor(o_totalprice / {_HIST_WIDTH}) AS BIGINT) AS bucket,
+             COUNT(*) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS val
+      FROM orders GROUP BY 1
+    )
+    SELECT bucket,
+           CAST(bucket * {int(_HIST_WIDTH)} AS BIGINT) AS lo,
+           CAST(n AS BIGINT) AS n_orders,
+           CAST(val AS DOUBLE) AS bucket_value,
+           CAST(SUM(n) OVER (ORDER BY bucket
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS cum_orders,
+           CAST(n AS DOUBLE) / SUM(n) OVER () AS share
+    FROM b
+    """,
+)
+def agg_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT: equi-width histogram of order prices with cumulative
+    counts and per-bucket share — the distribution profile an analyst
+    (or an optimizer statistics job) reads before picking thresholds.
+    Fixed-width bucketing keys the ONE aggregation shuffle; the window
+    pass runs over the O(buckets) aggregate, not the fact table.
+
+    Exactness: bucket ids are floor of a deterministic double division;
+    per-bucket sums use the DECIMAL money rule; cumulative counts are
+    integers; share is one double division per bucket.
+
+    Scale shape: fact-table scan → hash agg on ~25 bucket keys (map-side
+    combine collapses everything before the shuffle) → window over the
+    tiny aggregate on a single partition — constant-size final stage no
+    matter the input size.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    b = (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / _HIST_WIDTH)
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("val"),
+        )
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    return b.select(
+        "bucket",
+        (F.col("bucket") * int(_HIST_WIDTH)).cast("long").alias("lo"),
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("val").cast("double").alias("bucket_value"),
+        F.sum("n").over(w_cum).cast("long").alias("cum_orders"),
+        (F.col("n").cast("double") / F.sum("n").over(w_all)).alias("share"),
+    )
+
+
+@register(
+    "funnel_conversion_events",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    s AS (
+      SELECT 1 AS stage_idx, 'view' AS stage, COUNT(*) AS n FROM v
+      UNION ALL
+      SELECT 2, 'click', COUNT(*) FROM c
+      UNION ALL
+      SELECT 3, 'purchase', COUNT(*) FROM p
+    )
+    SELECT stage_idx, stage,
+           CAST(n AS BIGINT) AS n_users,
+           CAST(n AS DOUBLE)
+             / lag(n) OVER (ORDER BY stage_idx) AS conv_from_prev,
+           CAST(n AS DOUBLE)
+             / first_value(n) OVER (ORDER BY stage_idx) AS conv_from_top
+    FROM s
+    """,
+)
+def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT: ordered funnel analysis — users progressing through
+    view → click → purchase IN ORDER (each stage strictly after the
+    user's first event of the previous stage), with step and top-of-
+    funnel conversion rates. The sequence constraint is what a plain
+    per-type COUNT DISTINCT gets wrong.
+
+    Built as a cascade of conditional min-aggregations joined on the
+    user key: stage k is a filter + equi-join against stage k−1's
+    first-hit times + min-agg — every step shuffles on user_id only
+    (uniform), no window over raw events, no per-user sort. The final
+    3-row report runs its lag/first_value window on a single
+    partition of constant size.
+
+    Exactness: timestamps and counts are exact; the two conversion
+    ratios are one double division each.
+    """
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df: DataFrame, idx: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(idx).alias("stage_idx"), F.lit(name).alias("stage"), "n"
+        )
+
+    s = (
+        stage(v, 1, "view")
+        .unionByName(stage(c, 2, "click"))
+        .unionByName(stage(p, 3, "purchase"))
+    )
+    w = Window.orderBy("stage_idx")
+    return s.select(
+        "stage_idx",
+        "stage",
+        F.col("n").cast("long").alias("n_users"),
+        (F.col("n").cast("double") / F.lag("n").over(w)).alias(
+            "conv_from_prev"
+        ),
+        (F.col("n").cast("double") / F.first("n").over(w)).alias(
+            "conv_from_top"
+        ),
+    )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    WITH clk AS (
+      SELECT user_id, ts, event_id FROM events
+      WHERE event_type = 'click'
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                 ORDER BY event_id DESC) = 1
+    ),
+    err AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    )
+    SELECT event_id, user_id, click_id, click_age_minutes
+    FROM (
+      SELECT e.event_id, e.user_id,
+             c.event_id AS click_id,
+             CAST(epoch_us(e.ts - c.ts) AS DOUBLE) / 60000000
+               AS click_age_minutes
+      FROM err e
+      ASOF JOIN clk c
+        ON e.user_id = c.user_id AND e.ts >= c.ts
+    )
+    WHERE click_age_minutes <= 120
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 EXT: as-of join WITH TOLERANCE — each error event is matched
+    to the same user's most recent click at or before it, and the match
+    is DISCARDED when staler than 2 hours (pandas
+    ``merge_asof(tolerance=...)`` semantics: stale context must not be
+    attributed to the failure). Same union + running-``last`` plan as
+    `join_asof_latest_order` — ONE shuffle on the join key — with the
+    staleness bound applied as a post-match filter and the match age
+    surfaced in minutes for freshness monitoring. Clicks are deduped
+    per (user, ts) first so equal-timestamp ties can't make the match
+    nondeterministic (the oracle dedupes identically).
+
+    Exactness: the age is an exact integer microsecond difference with
+    one double division; the 120-minute boundary (7.2e9 µs / 6e7) is
+    exactly representable, so the filter can't straddle a rounding
+    edge.
+    """
+    events = _t(spark, sf_dir, "events")
+    w_dedup = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    clk = (
+        events.filter(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("t"),
+            F.struct(F.col("event_id").alias("click_id"),
+                     F.col("ts").alias("click_ts")).alias("clk"),
+        )
+        .withColumn("tag", F.lit(0))
+        .withColumn("event_id", F.lit(None).cast("long"))
+    )
+    err = events.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(None)
+        .cast("struct<click_id:bigint,click_ts:timestamp>")
+        .alias("clk"),
+        F.lit(1).alias("tag"),
+        "event_id",
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "tag", F.col("clk.click_id").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = clk.unionByName(err).withColumn(
+        "matched", F.last("clk", ignorenulls=True).over(w_run)
+    )
+    age_min = (
+        F.unix_micros("t") - F.unix_micros(F.col("matched.click_ts"))
+    ).cast("double") / F.lit(60000000.0)
+    return (
+        merged.filter((F.col("tag") == 1) & F.col("matched").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.col("matched.click_id").alias("click_id"),
+            age_min.alias("click_age_minutes"),
+        )
+        .filter(F.col("click_age_minutes") <= 120)
+    )

@@ -381,3 +381,47 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(nxt, _TS_FMT_US).alias("valid_to"),
         (nxt.isNull() & (F.col("event_type") != "error")).alias("is_current"),
     )
+
+
+@register(
+    "stream_stream_left_outer",
+    oracle=f"""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           strftime(c.ts, '{_SQL_TS_FMT_US}') AS click_ts,
+           strftime(p.ts, '{_SQL_TS_FMT_US}') AS purchase_ts,
+           p.value AS purchase_value
+    FROM events c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL '30 minutes'
+    WHERE c.event_type = 'click'
+    """,
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 EXT: LEFT-OUTER stream-stream join, batch-equivalent form —
+    every click with its in-band purchases OR a NULL row when none
+    arrived (conversion AND drop-off in one relation; the inner
+    `stream_stream_join_attribution` only shows conversion). The true
+    watermarked streaming form is ``jobs.left_outer_attribution_stream``;
+    its null rows are withheld until the watermark passes each click's
+    band, which is why the stream-vs-batch equivalence test
+    (tests/test_streaming.py) compares matched rows everywhere but
+    null rows only below the final watermark — exactly the semantics
+    the Spark docs promise for outer stream joins.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    out = jobs.click_purchase_left_outer(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    return out.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.date_format("click_ts", _TS_FMT_US).alias("click_ts"),
+        F.date_format("purchase_ts", _TS_FMT_US).alias("purchase_ts"),
+        "purchase_value",
+    )

@@ -150,6 +150,48 @@ def attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return click_purchase_attribution(clicks, purchases)
 
 
+def click_purchase_left_outer(
+    clicks: DataFrame, purchases: DataFrame
+) -> DataFrame:
+    """T6 EXT: LEFT-OUTER stream-stream join — every click is emitted,
+    with its attributed purchases when they exist and NULLs when the
+    30-minute band closes without one (the funnel-drop-off view the
+    inner join cannot give). Under ``readStream`` both sides carry
+    watermarks; Spark holds an unmatched click in state until the
+    watermark passes click_ts + 30 min, then emits the NULL row — so
+    the null results trail the matched ones by exactly the state-expiry
+    bound, and state stays bounded like the inner form.
+    """
+    c, p = clicks.alias("c"), purchases.alias("p")
+    return c.join(
+        p,
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("p.ts") >= F.col("c.ts"))
+        & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    ).select(
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("c.ts").alias("click_ts"),
+        F.col("p.ts").alias("purchase_ts"),
+        F.col("p.value").alias("purchase_value"),
+    )
+
+
+def left_outer_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The left-outer T6 join as a true watermarked stream-stream join
+    (same self-split shape as ``attribution_stream``)."""
+    ev = read_events_stream(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").withWatermark(
+        "ts", "1 hour"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").withWatermark(
+        "ts", "1 hour"
+    )
+    return click_purchase_left_outer(clicks, purchases)
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """T-EXT: custom stateful operator via ``applyInPandasWithState`` —
     per-user running (event count, exact value total), the operator

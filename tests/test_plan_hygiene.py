@@ -27,6 +27,7 @@ _NESTED_LOOP_ALLOWED = {
     "llm_pq_topk",                 # 1-row codebook + query-row broadcast
     "llm_pps_sample_by_tokens",    # 1-row total-token-count broadcast
     "llm_hybrid_rrf_fusion",       # inherits llm_bm25_topk's stats broadcast
+    "llm_unigram_surprisal",       # 1-row (N, V) corpus-stats broadcast
 }
 
 #: Queries whose fn() triggers side effects/execution rather than just

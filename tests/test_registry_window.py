@@ -98,6 +98,13 @@ def test_round6_rotation_brings_overflow_queries_into_window():
 #: must rotate INTO the window in a future round; grow this set only
 #: when a round adds operators after its window is finalized.
 _BORN_IN_OVERFLOW: set[str] = {
+    "llm_token_entropy",
+    "llm_unigram_surprisal",
+    "llm_quality_percentile_by_lang",
+    "agg_histogram_prices",
+    "funnel_conversion_events",
+    "join_asof_tolerance",
+    "stream_stream_left_outer",
     "llm_bm25_batch_topk",
     "llm_decontaminate_multi",
     "llm_containment_pairs",

