@@ -93,6 +93,13 @@ HEADLINE = [
     "llm_interleave_by_source",
     "llm_cluster_best_representative",
     "llm_corpus_length_report",
+    "llm_token_entropy",
+    "llm_unigram_surprisal",
+    "llm_quality_percentile_by_lang",
+    "agg_histogram_prices",
+    "funnel_conversion_events",
+    "join_asof_tolerance",
+    "stream_stream_left_outer",
     "ref_sink_roundtrip",
 ]
 
