@@ -100,6 +100,9 @@ HEADLINE = [
     "funnel_conversion_events",
     "join_asof_tolerance",
     "stream_stream_left_outer",
+    "window_rolling_zscore_events",
+    "llm_bigram_lm_top",
+    "llm_dedup_rate_by_source",
     "ref_sink_roundtrip",
 ]
 

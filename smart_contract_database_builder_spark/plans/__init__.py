@@ -83,6 +83,9 @@ _OVERFLOW = [
     "funnel_conversion_events",
     "join_asof_tolerance",
     "stream_stream_left_outer",
+    "window_rolling_zscore_events",
+    "llm_bigram_lm_top",
+    "llm_dedup_rate_by_source",
     "llm_bm25_batch_topk",
     "llm_decontaminate_multi",
     "llm_pps_sample_by_tokens",

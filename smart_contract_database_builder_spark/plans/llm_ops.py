@@ -4490,3 +4490,121 @@ def llm_quality_percentile_by_lang(spark: SparkSession, sf_dir: str) -> DataFram
         pr.alias("pr"),
         (pr >= F.lit(0.2)).alias("keep"),
     )
+
+
+#: Bigram table report size.
+_BIGRAM_TOPK = 30
+
+
+@register(
+    "llm_bigram_lm_top",
+    oracle=rf"""
+    WITH toked AS (
+      SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+      WHERE len({_SQL_TOKENS}) >= 2
+    ),
+    pairs AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toked, UNNEST(range(1, len(t))) AS u(i)
+    ),
+    big AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2
+    ),
+    uni AS (
+      SELECT w1, SUM(c12) AS c1 FROM big GROUP BY w1
+    )
+    SELECT b.w1, b.w2,
+           CAST(b.c12 AS BIGINT) AS c12,
+           CAST(u.c1 AS BIGINT) AS c1,
+           CAST(b.c12 AS DOUBLE) / u.c1 AS cond_p
+    FROM big b JOIN uni u USING (w1)
+    ORDER BY c12 DESC, w1, w2
+    LIMIT {_BIGRAM_TOPK}
+    """,
+)
+def llm_bigram_lm_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F41 sibling: bigram language-model table — conditional next-token
+    probabilities P(w2|w1) = c(w1,w2)/c(w1·), reported for the corpus's
+    most frequent bigrams. The first rung past the unigram LM
+    (`llm_unigram_surprisal`) on the n-gram-LM ladder — the same two
+    relations back a bigram-perplexity filter or an autocomplete table.
+
+    The unigram denominator derives from the BIGRAM aggregate (one
+    SUM per w1), NOT a second corpus pass — the TF-IDF
+    derive-the-small-from-the-big discipline. Counts are exact
+    integers; cond_p is one double division per surviving row.
+
+    Scale shape: one index-explode over documents (≈1 row per token),
+    a (w1,w2) hash agg with map-side combine, the O(vocab) rollup, a
+    w1-keyed equi-join, and a TakeOrderedAndProject cut — no sort of
+    the full bigram relation.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(_tokens().alias("t"))
+    toked = docs.filter(F.size("t") >= 2)
+    pairs = toked.select(
+        F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"), "t"
+    ).select(
+        F.element_at("t", F.col("i")).alias("w1"),
+        F.element_at("t", F.col("i") + 1).alias("w2"),
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    return (
+        big.join(uni, "w1")
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            F.col("c1").cast("long").alias("c1"),
+            (F.col("c12").cast("double") / F.col("c1")).alias("cond_p"),
+        )
+        .orderBy(F.desc("c12"), "w1", "w2")
+        .limit(_BIGRAM_TOPK)
+    )
+
+
+from ..sources.contracts import SQL_WS_PATTERN as _SQL_WS  # noqa: E402
+
+
+@register(
+    "llm_dedup_rate_by_source",
+    oracle=rf"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_uniq,
+           CAST(COUNT(*) - COUNT(DISTINCT h) AS DOUBLE) / COUNT(*)
+             AS dup_rate
+    FROM (
+      SELECT source,
+             md5(regexp_replace(text, '{_SQL_WS}', '', 'g')) AS h
+      FROM documents
+    )
+    GROUP BY source
+    """,
+)
+def llm_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 composed: per-source DUPLICATION REPORT — document counts,
+    distinct content-hash counts, and the exact duplicate rate per
+    source (the triage view that tells a curation team WHICH feed is
+    flooding the corpus before they run the expensive near-dup pass).
+    Shares the reference's content-identity hash (`utils.rs:12-17`
+    semantics via `sources/contracts.contract_id`), so its numbers
+    reconcile exactly with `ref_dedup_documents`.
+
+    Scale shape: map-side hash, one shuffle keyed by (source) with the
+    distinct count executed as a two-level (source, h) partial
+    aggregate — Spark plans count(DISTINCT) via expand+two-phase agg,
+    never a per-group set in memory. One double division per source.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from ..sources import contracts as C
+
+    keyed = docs.select("source", C.contract_id("text").alias("h"))
+    return keyed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("h").cast("long").alias("n_uniq"),
+        (
+            (F.count(F.lit(1)) - F.countDistinct("h")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("dup_rate"),
+    )

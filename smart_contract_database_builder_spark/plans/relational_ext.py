@@ -562,3 +562,87 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("click_age_minutes") <= 120)
     )
+
+
+@register(
+    "window_rolling_zscore_events",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, event_type, value, ts,
+             CAST(round(value * 100) AS BIGINT) AS x
+      FROM events
+    ),
+    w AS (
+      SELECT event_id, event_type, value, x,
+             COUNT(*) OVER win AS n,
+             SUM(x) OVER win AS s1,
+             SUM(x * x) OVER win AS s2
+      FROM c
+      WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, event_type, value,
+           CAST(n AS BIGINT) AS n_prior,
+           CASE WHEN n * s2 - s1 * s1 > 0 THEN
+             (CAST(x AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+               / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * (n - 1)))
+           ELSE NULL END AS zscore,
+           COALESCE(abs(CASE WHEN n * s2 - s1 * s1 > 0 THEN
+             (CAST(x AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+               / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * (n - 1)))
+           ELSE NULL END) > 3, FALSE) AS is_anomaly
+    FROM w WHERE n >= 20
+    """,
+)
+def window_rolling_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-EXT: rolling z-score anomaly detection — each event's value
+    against the mean/std of the SAME type's previous ≤100 events
+    (current row excluded, so the score is history-vs-now; rows with
+    under 20 priors are withheld as unscorable). The per-metric
+    monitoring primitive a pipeline health dashboard runs.
+
+    Cross-engine exactness: rolling float moments are summation-order-
+    dependent, so the 2-decimal values are scaled to EXACT integer
+    cents first; the frame's Σx and Σx² are int64, the variance
+    numerator n·Σx² − (Σx)² is exact integer algebra, and mean/std/z
+    are a fixed chain of double ops on those integers — deterministic
+    on both engines. A zero-variance frame yields NULL, not a NaN that
+    would poison the hash.
+
+    Scale shape: ONE shuffle on event_type; within a partition the
+    frame is an O(1)-memory sliding sum (Spark's bounded-frame window
+    keeps 100 rows, not the partition). A high-cardinality metric key
+    (type × host) keeps partitions narrow at 100 TB; a single hot type
+    is the documented window-skew case for salting.
+    """
+    ev = _t(spark, sf_dir, "events")
+    x = F.round(F.col("value") * 100).cast("long")
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-100, -1)
+    )
+    c = ev.select("event_id", "event_type", "value", "ts", x.alias("x"))
+    w = c.select(
+        "event_id",
+        "event_type",
+        "value",
+        "x",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("x").over(win).alias("s1"),
+        F.sum(F.col("x") * F.col("x")).over(win).alias("s2"),
+    ).filter(F.col("n") >= 20)
+    var_num = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    mean = F.col("s1").cast("double") / F.col("n")
+    std = F.sqrt(
+        var_num.cast("double") / (F.col("n") * (F.col("n") - 1))
+    )
+    z = F.when(var_num > 0, (F.col("x").cast("double") - mean) / std)
+    return w.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.col("n").cast("long").alias("n_prior"),
+        z.alias("zscore"),
+        F.coalesce(F.abs(z) > 3, F.lit(False)).alias("is_anomaly"),
+    )

