@@ -325,6 +325,80 @@ def cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_analyze(args: argparse.Namespace) -> int:
+    """EXT beyond the reference CLI: one-command corpus PROFILE — the
+    reports a curation team reads before setting thresholds, composed
+    from the registered (oracle-verified) report operators and emitted
+    as one JSON object: per-language length quartiles/token budget,
+    per-source exact-duplicate rates, corpus entropy/surprisal
+    envelopes, Gopher-filter pass rate, and funnel-free global counts.
+
+    Every collected relation is an O(languages)/O(sources)/O(1)
+    aggregate — the corpus-sized work all happens distributed; the
+    driver only receives report rows.
+    """
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from .plans import QUERIES
+
+    spark = _spark()
+    sfd = args.sf_dir
+
+    length_rows = [
+        r.asDict() for r in QUERIES["llm_corpus_length_report"].fn(spark, sfd).collect()
+    ]
+    dup_rows = [
+        r.asDict() for r in QUERIES["llm_dedup_rate_by_source"].fn(spark, sfd).collect()
+    ]
+    ent = (
+        QUERIES["llm_token_entropy"].fn(spark, sfd)
+        .agg(
+            F.min("entropy_nats").alias("lo"),
+            F.avg("entropy_nats").alias("mean"),
+            F.max("entropy_nats").alias("hi"),
+        )
+        .collect()[0]
+    )
+    sup = (
+        QUERIES["llm_unigram_surprisal"].fn(spark, sfd)
+        .agg(
+            F.min("avg_surprisal_nats").alias("lo"),
+            F.avg("avg_surprisal_nats").alias("mean"),
+            F.max("avg_surprisal_nats").alias("hi"),
+        )
+        .collect()[0]
+    )
+    gopher = (
+        QUERIES["llm_gopher_quality_filter"].fn(spark, sfd)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("keep").cast("long")).alias("kept"),
+        )
+        .collect()[0]
+    )
+    print(
+        _json.dumps(
+            {
+                "length_by_lang": length_rows,
+                "dup_rate_by_source": dup_rows,
+                "entropy_nats": {"min": ent.lo, "mean": ent.mean, "max": ent.hi},
+                "surprisal_nats": {"min": sup.lo, "mean": sup.mean, "max": sup.hi},
+                "gopher": {
+                    "docs": gopher.n,
+                    "kept": int(gopher.kept or 0),
+                    "pass_rate": (int(gopher.kept or 0) / gopher.n)
+                    if gopher.n
+                    else None,
+                },
+            },
+            default=str,
+        )
+    )
+    return 0
+
+
 def cmd_download_solc(_args: argparse.Namespace) -> int:
     try:
         import solcx  # type: ignore
@@ -380,6 +454,13 @@ def build_parser() -> argparse.ArgumentParser:
              "source-interleaved round-robin",
     )
     cu.set_defaults(fn=cmd_curate)
+
+    an = sub.add_parser(
+        "analyze", help="emit a one-JSON corpus profile (reports family)"
+    )
+    an.add_argument("--sf-dir", required=True,
+                    help="directory holding documents.parquet (testdata layout)")
+    an.set_defaults(fn=cmd_analyze)
     return p
 
 

@@ -286,3 +286,22 @@ def test_curate_interleave_order_round_robins_sources(spark, tmp_path, capsys):
     n_src = len(by_source)
     head = [s for _, s in got[:n_src]]
     assert len(set(head)) == n_src
+
+
+def test_analyze_emits_corpus_profile(spark, capsys):
+    """EXT `analyze`: one JSON object composing the report operators —
+    languages/sources enumerated, envelopes ordered, pass rate in
+    (0, 1]."""
+    import json
+
+    rc = cli.main(["analyze", "--sf-dir", "/root/testdata/sf0.001"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert {r["lang"] for r in out["length_by_lang"]}
+    assert {r["source"] for r in out["dup_rate_by_source"]}
+    for key in ("entropy_nats", "surprisal_nats"):
+        env = out[key]
+        assert env["min"] <= env["mean"] <= env["max"]
+    g = out["gopher"]
+    assert 0 < g["docs"] and 0 <= g["kept"] <= g["docs"]
+    assert g["pass_rate"] is not None

@@ -1,0 +1,131 @@
+"""10× scale-probe harness (SCALE.md methodology, now committed).
+
+`/root/testdata` tops out at sf0.1, so scale behavior beyond bench SF is
+probed on a synthesized 10× corpus: sf0.1 replicated REPLICAS times with
+remapped ids, per-replica text perturbation (so exact dedup doesn't
+trivially collapse the corpus) and per-replica embedding offsets. The
+replicas are deliberately near-duplicate-heavy — a worst case for the
+dedup/LSH family's bucket sizes. Events/orders are replicated with
+remapped primary keys and per-replica user/customer shifts so
+window/join partitions grow 10× in ROWS, not 10× in KEYS (the
+conservative direction for window scaling).
+
+Output lands under ``.scale_probe/x10/`` (gitignored: probe input only,
+NEVER a correctness input). Timings are min-of-2 on local[32] with a
+6 GiB heap — the 1 GiB default gives 32 threads ~32 MiB each, which
+measures allocator contention, not plan scaling.
+
+Usage:
+    python tools/scale_probe.py generate
+    python tools/scale_probe.py run q1 q2 ...   # times at sf0.1 AND 10×
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPLICAS = 10
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   ".scale_probe", "x10")
+
+
+def generate() -> None:
+    import duckdb
+
+    os.makedirs(OUT, exist_ok=True)
+    con = duckdb.connect()
+    n_docs = con.execute(
+        f"SELECT max(doc_id)+1 FROM read_parquet('{BASE}/documents.parquet')"
+    ).fetchone()[0]
+    n_vecs = con.execute(
+        f"SELECT max(vec_id)+1 FROM read_parquet('{BASE}/embeddings.parquet')"
+    ).fetchone()[0]
+    n_ev = con.execute(
+        f"SELECT max(event_id)+1 FROM read_parquet('{BASE}/events.parquet')"
+    ).fetchone()[0]
+    n_ord = con.execute(
+        f"SELECT max(o_orderkey)+1 FROM read_parquet('{BASE}/orders.parquet')"
+    ).fetchone()[0]
+    con.execute(f"""
+      COPY (
+        SELECT doc_id + r * {n_docs} AS doc_id,
+               CASE WHEN r = 0 THEN text
+                    ELSE text || ' probe' || CAST(r AS VARCHAR) END AS text,
+               lang, source, n_chars
+        FROM read_parquet('{BASE}/documents.parquet'),
+             UNNEST(range({REPLICAS})) AS u(r)
+      ) TO '{OUT}/documents.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+      COPY (
+        SELECT vec_id + r * {n_vecs} AS vec_id,
+               list_transform(embedding,
+                              x -> CAST(x + r * 0.001 AS FLOAT)) AS embedding,
+               label
+        FROM read_parquet('{BASE}/embeddings.parquet'),
+             UNNEST(range({REPLICAS})) AS u(r)
+      ) TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+      COPY (
+        SELECT event_id + r * {n_ev} AS event_id,
+               ts + to_microseconds(r * 7) AS ts,
+               user_id + r * 1000 AS user_id,
+               event_type, value, props
+        FROM read_parquet('{BASE}/events.parquet'),
+             UNNEST(range({REPLICAS})) AS u(r)
+      ) TO '{OUT}/events.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+      COPY (
+        SELECT o_orderkey + r * {n_ord} AS o_orderkey,
+               o_custkey + r * 1000 AS o_custkey,
+               o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        FROM read_parquet('{BASE}/orders.parquet'),
+             UNNEST(range({REPLICAS})) AS u(r)
+      ) TO '{OUT}/orders.parquet' (FORMAT PARQUET)
+    """)
+    for t in ("region", "nation", "customer", "supplier", "part", "lineitem"):
+        con.execute(f"""
+          COPY (SELECT * FROM read_parquet('{BASE}/{t}.parquet'))
+          TO '{OUT}/{t}.parquet' (FORMAT PARQUET)
+        """)
+    print(f"generated {REPLICAS}x probe corpus under {OUT}")
+
+
+def run(names: list[str]) -> None:
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "6g")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from pyspark.sql import SparkSession
+
+    from smart_contract_database_builder_spark import plans
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.driver.memory", os.environ["SPARK_DRIVER_MEMORY"])
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = plans.queries()
+    for name in names:
+        fn = qs[name]
+        for label, sf_dir in (("sf0.1", BASE), ("10x", OUT)):
+            best = None
+            for _ in range(2):
+                t0 = time.monotonic()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+            print(f"{name} {label} {best:.2f} s", flush=True)
+
+
+if __name__ == "__main__":
+    if sys.argv[1] == "generate":
+        generate()
+    else:
+        run(sys.argv[2:] if sys.argv[1] == "run" else sys.argv[1:])
