@@ -4301,15 +4301,25 @@ def llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hundreds), so the Python boundary is O(distinct counts), not
     O(corpus).
 
-    Scale shape: one explode → (doc, term) hash agg (map-side combine)
-    → per-doc rollup; the ln table is broadcast. Linear in corpus
-    tokens, shuffle keyed by the uniform doc_id.
+    Scale shape: ONE corpus scan — one explode → (doc, term) hash agg
+    (map-side combine), PERSISTED (MEMORY_AND_DISK) because four
+    branches read it (the distinct-count values, the per-doc lengths,
+    the scoring join) and Catalyst would otherwise re-derive each
+    branch from its own corpus scan (the `curate_documents` lesson:
+    exchange reuse can't bridge branches whose projections differ —
+    the cache is the barrier, pinned by tests/test_plan_hygiene.py).
+    The cached relation is ≤ corpus tokens and strictly cheaper than
+    the 3 corpus scans + tokenizes it replaces. Downstream: per-doc
+    rollups keyed by uniform doc_id; the ln table is broadcast.
     """
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
     pairs = (
         docs.select("doc_id", F.explode(_tokens()).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ln_udf = _ln_libm()
     distinct_vals = (
@@ -4395,16 +4405,28 @@ def llm_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(corpus)), floored to integer micro-nats, and per-document totals
     are exact 64-bit sums; ONE final double division per document.
 
-    Scale shape: two hash aggs over the exploded tokens (term counts;
-    (doc,term) counts — both map-side combined), a 1-row stats
-    broadcast onto the vocabulary relation, and a term-keyed equi-join
-    of (doc,term) counts against the O(vocab) score table (broadcast
-    while the vocab is small, shuffle-join at 100 TB — either way keyed
-    on the uniform term hash). Linear in corpus tokens.
+    Scale shape: ONE corpus scan — the exploded tokens collapse into a
+    PERSISTED (doc, term) count relation (map-side combined;
+    MEMORY_AND_DISK for the same reason as `llm_token_entropy`: three
+    branches read it and Catalyst would re-derive each from its own
+    corpus scan). Corpus term frequencies DERIVE from that aggregate
+    (`ctf = Σ_doc c`, the TF-IDF derive-the-small-from-the-big
+    discipline — never a second token explode), the (N, V) stats are a
+    1-row broadcast onto the vocabulary relation, and the scoring join
+    is term-keyed against the O(vocab) score table (broadcast while
+    the vocab is small, shuffle-join at 100 TB — either way keyed on
+    the uniform term hash). Linear in corpus tokens.
     """
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
-    toked = docs.select("doc_id", F.explode(_tokens()).alias("term"))
-    ctf = toked.groupBy("term").agg(F.count(F.lit(1)).alias("ctot"))
+    dt = (
+        docs.select("doc_id", F.explode(_tokens()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ctf = dt.groupBy("term").agg(F.sum("c").alias("ctot"))
     stats = ctf.agg(
         F.sum("ctot").alias("n_corpus"), F.count(F.lit(1)).alias("v")
     )
@@ -4419,7 +4441,6 @@ def llm_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((-ln_udf(p)) * _LN_MICRO).cast("long").alias("lp_micro"),
         )
     )
-    dt = toked.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
     return (
         dt.join(lp, "term")
         .groupBy("doc_id")

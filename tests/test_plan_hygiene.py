@@ -126,3 +126,31 @@ def test_bm25_batch_single_pass_and_group_limit(spark):
     assert "WindowGroupLimit" in plan, (
         "per-query top-k no longer runs as a map-side group limit"
     )
+
+
+@pytest.mark.parametrize(
+    "name", ["llm_token_entropy", "llm_unigram_surprisal"]
+)
+def test_micro_nat_ops_scan_and_explode_once(spark, name):
+    """The micro-nat text scorers persist ONE (doc, term) count relation
+    and derive every branch (distinct ln-lookup values, per-doc
+    lengths, corpus term frequencies, the scoring join) from it — the
+    executed plan must show exactly one FileScan of documents and at
+    least one InMemoryTableScan. Without the cache barrier Catalyst
+    re-derives each branch from its own corpus scan+explode (measured
+    10 scans for entropy before the fix; 3.6× slower at the 10×
+    probe)."""
+    df = plans.QUERIES[name].fn(spark, SF_ORACLE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("InMemoryTableScan") >= 1, (
+        f"{name}: (doc, term) relation no longer cached"
+    )
+    import re
+
+    scans = re.findall(r"FileScan parquet[^\n]*", final)
+    assert len(scans) <= 1, (
+        f"{name}: expected at most ONE documents scan in the final "
+        f"plan (the cache build), got: {scans}"
+    )
