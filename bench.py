@@ -103,6 +103,8 @@ HEADLINE = [
     "window_rolling_zscore_events",
     "llm_bigram_lm_top",
     "llm_dedup_rate_by_source",
+    "llm_heavy_hitters",
+    "llm_minhash_estimate_calibration",
     "ref_sink_roundtrip",
 ]
 

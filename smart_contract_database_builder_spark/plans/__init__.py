@@ -86,6 +86,8 @@ _OVERFLOW = [
     "window_rolling_zscore_events",
     "llm_bigram_lm_top",
     "llm_dedup_rate_by_source",
+    "llm_heavy_hitters",
+    "llm_minhash_estimate_calibration",
     "llm_bm25_batch_topk",
     "llm_decontaminate_multi",
     "llm_pps_sample_by_tokens",

@@ -4629,3 +4629,226 @@ def llm_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("dup_rate"),
     )
+
+
+#: Heavy-hitter threshold: report terms with count > N/_HH_K.
+_HH_K = 30
+#: Misra-Gries sketch size — 2× the reporting threshold so the sketch's
+#: n/(size+1) undercount can never evict a true heavy hitter.
+_HH_SKETCH = 60
+
+
+@register(
+    "llm_heavy_hitters",
+    oracle=rf"""
+    WITH toked AS (
+      SELECT unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    st AS (SELECT COUNT(*) AS n FROM toked)
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toked, st
+    GROUP BY term, n
+    HAVING COUNT(*) * {_HH_K} > n
+    ORDER BY cnt DESC, term
+    """,
+)
+def llm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT: EXACT frequent terms (count > N/_HH_K) via the two-pass
+    sketch-then-verify scheme — the distributed form of Misra-Gries
+    heavy hitters. Pass 1 runs a MERGEABLE Misra-Gries summary per
+    partition inside ``mapInPandas`` (Arrow batches; per batch a
+    vectorized value_counts merges into the running summary, with the
+    (size+1)-th-largest-count subtraction on overflow). Pigeonhole +
+    the MG error bound (undercount ≤ n_p/(sketch+1), sketch = 2k)
+    guarantee the per-partition candidate union is a SUPERSET of every
+    term with global count > N/k — so pass 2's exact count of the
+    candidates alone reproduces the full-aggregation answer bit-for-bit
+    REGARDLESS of partitioning, which is what makes an oracle possible
+    for a sketch-powered operator.
+
+    Why not just groupBy(term).count? At 100 TB with a web-scale
+    vocabulary the full term aggregate is itself huge; here the shuffle
+    carries ≤ 2k·partitions candidate rows (pass 1) plus the
+    candidate-filtered counts (pass 2) — the heavy relation never
+    shuffles. The candidate set is broadcast into pass 2's semi-join.
+
+    This is the exact-answer complement of the engine's other sketches
+    (HLL distinct, GK percentiles): mergeable summary for discovery,
+    cheap second pass for exactness.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t"))).select(
+        F.explode("t").alias("term")
+    )
+
+    sketch_size = _HH_SKETCH
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        total = 0
+        for pdf in batches:
+            vc = pdf["term"].value_counts()
+            total += int(vc.sum())
+            for term, c in vc.items():
+                counters[term] = counters.get(term, 0) + int(c)
+            if len(counters) > sketch_size:
+                cut = sorted(counters.values(), reverse=True)[sketch_size]
+                counters = {
+                    t: c - cut for t, c in counters.items() if c > cut
+                }
+        yield pd.DataFrame(
+            {
+                "term": list(counters.keys()) + [None],
+                "total": [0] * len(counters) + [total],
+            }
+        )
+
+    summaries = toked.mapInPandas(mg_partition, "term string, total long")
+    cands = summaries.filter(F.col("term").isNotNull()).select("term").distinct()
+    n_total = summaries.agg(F.sum("total").alias("n"))
+    counts = (
+        toked.join(F.broadcast(cands), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(n_total))
+        .filter(F.col("cnt") * _HH_K > F.col("n"))
+        .select("term", F.col("cnt").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), "term")
+    )
+
+
+@register(
+    "llm_minhash_estimate_calibration",
+    oracle=rf"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM (
+        SELECT doc_id, unnest({_sql_word_ngrams("t")}) AS s
+        FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+      )
+    ),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(md5('{i}|' || s)) AS m{i}" for i in range(_N_HASHES))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(m{2*b} || m{2*b+1}) AS key FROM sig"
+        for b in range(_N_HASHES // _BAND_ROWS)
+      )}
+    ),
+    bsz AS (
+      SELECT band_idx, key FROM bands
+      GROUP BY band_idx, key
+      HAVING COUNT(*) BETWEEN 2 AND {_LSH_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bsz USING (band_idx, key)
+      JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key
+                  AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST({" + ".join(
+             f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END"
+             for i in range(_N_HASHES)
+           )} AS BIGINT) AS n_match,
+           CAST({" + ".join(
+             f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END"
+             for i in range(_N_HASHES)
+           )} AS DOUBLE) / {_N_HASHES} AS est_jaccard,
+           CAST(COALESCE(i.i, 0) AS DOUBLE)
+             / (sa.n + sb.n - COALESCE(i.i, 0)) AS true_jaccard,
+           abs(CAST({" + ".join(
+             f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END"
+             for i in range(_N_HASHES)
+           )} AS DOUBLE) / {_N_HASHES}
+               - CAST(COALESCE(i.i, 0) AS DOUBLE)
+                 / (sa.n + sb.n - COALESCE(i.i, 0))) AS abs_err
+    FROM cand c
+    JOIN sig a ON a.doc_id = c.doc_a
+    JOIN sig b ON b.doc_id = c.doc_b
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    """,
+)
+def llm_minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 EXT: sketch CALIBRATION — for every MinHash-LSH candidate
+    pair, the signature's Jaccard ESTIMATE (matching components / 8)
+    side-by-side with the TRUE shingle-set Jaccard and the absolute
+    error. "Measure, don't guess" applied to the sketch itself: this is
+    the report that justifies (or resizes) the 8-hash signature before
+    a 100 TB dedup run — E[est] = J and the observed error column is
+    the empirical √(J(1−J)/8).
+
+    One shared DISTINCT shingle relation feeds the signature pipeline,
+    the candidate generator, the per-doc sizes, and both intersection
+    sides (the `llm_ngram_jaccard_topk` ReusedExchange discipline); the
+    verify joins carry sort-merge hints because BOTH sides are
+    corpus-proportional (the r6 scale-probe lesson — a size-estimated
+    broadcast here is fatal at scale). Estimates and truths are integer
+    ratios: one double division each, bitwise on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
+    sh = toked.select(
+        "doc_id", F.explode(_word_ngrams(F.col("t"))).alias("s")
+    ).distinct()
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"m{i}")
+            for i in range(_N_HASHES)
+        ]
+    )
+    cand = minhash_candidate_pairs_from_shingles(sh).select("doc_a", "doc_b")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x, y = sh.alias("x"), sh.alias("y").hint("merge")
+    inter = (
+        cand.hint("merge")
+        .join(x, F.col("doc_a") == F.col("x.doc_id"))
+        .join(
+            y,
+            (F.col("doc_b") == F.col("y.doc_id"))
+            & (F.col("x.s") == F.col("y.s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    a, b = sig.alias("a").hint("merge"), sig.alias("b").hint("merge")
+    sa = sizes.alias("sa").hint("merge")
+    sb = sizes.alias("sb").hint("merge")
+    n_match = sum(
+        F.when(F.col(f"a.m{i}") == F.col(f"b.m{i}"), 1).otherwise(0)
+        for i in range(_N_HASHES)
+    )
+    i_val = F.coalesce(F.col("i"), F.lit(0))
+    true_j = i_val.cast("double") / (F.col("sa.n") + F.col("sb.n") - i_val)
+    est_j = n_match.cast("double") / F.lit(_N_HASHES)
+    return (
+        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(b, F.col("doc_b") == F.col("b.doc_id"))
+        .join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .join(inter.hint("merge"), ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_match.cast("long").alias("n_match"),
+            est_j.alias("est_jaccard"),
+            true_j.alias("true_jaccard"),
+            F.abs(est_j - true_j).alias("abs_err"),
+        )
+    )

@@ -108,6 +108,8 @@ _BORN_IN_OVERFLOW: set[str] = {
     "window_rolling_zscore_events",
     "llm_bigram_lm_top",
     "llm_dedup_rate_by_source",
+    "llm_heavy_hitters",
+    "llm_minhash_estimate_calibration",
     "llm_bm25_batch_topk",
     "llm_decontaminate_multi",
     "llm_containment_pairs",

@@ -192,3 +192,73 @@ def test_dedup_rate_reconciles_with_global_dedup(spark):
     for r in rows:
         assert 0 < r["n_uniq"] <= r["n_docs"]
         assert 0.0 <= r["dup_rate"] < 1.0
+
+
+def test_heavy_hitters_guarantee_under_adversarial_partitioning(spark):
+    """The sketch-then-verify scheme must return EXACTLY the terms with
+    count·K > N regardless of how rows are partitioned — probed on a
+    skewed synthetic relation repartitioned three adversarial ways
+    (1 partition, 64 tiny partitions, range-partitioned so heavy terms
+    cluster)."""
+    import pandas as pd
+
+    from smart_contract_database_builder_spark.plans.llm_ops import _HH_K
+
+    rows = []
+    # 3 heavy terms (>N/30 each), 500 rare terms
+    for i, n in (("alpha", 900), ("beta", 700), ("gamma", 400)):
+        rows += [i] * n
+    for j in range(500):
+        rows += [f"rare{j}"] * 10
+    pdf = pd.DataFrame({"doc_id": range(len(rows)), "text": rows})
+    n_total = len(rows)
+    truth = sorted(
+        t for t, c in (("alpha", 900), ("beta", 700), ("gamma", 400))
+        if c * _HH_K > n_total
+    )
+    assert truth  # the fixture must exercise the positive case
+
+    from pyspark.sql import functions as F
+
+    from smart_contract_database_builder_spark.plans.llm_ops import (
+        llm_heavy_hitters,
+    )
+
+    base = spark.createDataFrame(pdf)
+    for shaped in (
+        base.coalesce(1),
+        base.repartition(64),
+        base.repartition(F.col("text")),
+    ):
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            shaped.write.parquet(f"{d}/documents.parquet")
+            got = sorted(
+                r["term"]
+                for r in llm_heavy_hitters(spark, d).collect()
+            )
+            assert got == truth, f"partitioning changed the answer: {got}"
+
+
+def test_minhash_calibration_statistics(spark):
+    """Per-pair estimate and truth are valid probabilities; candidates
+    (≥1 shared band ⇒ ≥2 matching components) have n_match ≥ 2; and the
+    mean absolute error over candidate pairs is within the binomial
+    envelope (≤ 3·√(J(1−J)/8) averaged — loose, but catches a broken
+    hash or a broken intersection)."""
+    rows = _run(spark, "llm_minhash_estimate_calibration").collect()
+    assert len(rows) > 0
+    import math
+
+    for r in rows:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert 0.0 <= r["true_jaccard"] <= 1.0
+        assert r["n_match"] >= 2  # a shared band is 2 equal components
+        assert r["abs_err"] == abs(r["est_jaccard"] - r["true_jaccard"])
+    mean_err = sum(r["abs_err"] for r in rows) / len(rows)
+    mean_bound = sum(
+        3 * math.sqrt(max(r["true_jaccard"] * (1 - r["true_jaccard"]), 0.01) / 8)
+        for r in rows
+    ) / len(rows)
+    assert mean_err <= mean_bound, (mean_err, mean_bound)
