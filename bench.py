@@ -105,6 +105,8 @@ HEADLINE = [
     "llm_dedup_rate_by_source",
     "llm_heavy_hitters",
     "llm_minhash_estimate_calibration",
+    "llm_triangle_counts",
+    "llm_pmi_collocations",
     "ref_sink_roundtrip",
 ]
 

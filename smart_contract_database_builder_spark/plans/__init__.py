@@ -88,6 +88,8 @@ _OVERFLOW = [
     "llm_dedup_rate_by_source",
     "llm_heavy_hitters",
     "llm_minhash_estimate_calibration",
+    "llm_triangle_counts",
+    "llm_pmi_collocations",
     "llm_bm25_batch_topk",
     "llm_decontaminate_multi",
     "llm_pps_sample_by_tokens",

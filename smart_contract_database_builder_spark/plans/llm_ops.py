@@ -4852,3 +4852,234 @@ def llm_minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFr
             F.abs(est_j - true_j).alias("abs_err"),
         )
     )
+
+
+#: Shared SQL prefix: the MinHash-LSH candidate-edge CTEs (identical to
+#: llm_minhash_lsh_pairs' pipeline) — reused by the graph-analytics
+#: oracles so the edge set is bit-identical across queries.
+_SQL_LSH_EDGES = rf"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM (
+        SELECT doc_id, unnest({_sql_word_ngrams("t")}) AS s
+        FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+      )
+    ),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(md5('{i}|' || s)) AS m{i}" for i in range(_N_HASHES))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(m{2*b} || m{2*b+1}) AS key FROM sig"
+        for b in range(_N_HASHES // _BAND_ROWS)
+      )}
+    ),
+    bsz AS (
+      SELECT band_idx, key FROM bands
+      GROUP BY band_idx, key
+      HAVING COUNT(*) BETWEEN 2 AND {_LSH_BUCKET_CAP}
+    ),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bsz USING (band_idx, key)
+      JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key
+                  AND a.doc_id < b.doc_id
+    )
+"""
+
+
+@register(
+    "llm_triangle_counts",
+    oracle=rf"""
+    {_SQL_LSH_EDGES},
+    tri AS (
+      SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.doc_a = e1.doc_b
+      JOIN edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    member AS (
+      SELECT a AS doc_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM member GROUP BY doc_id
+    ORDER BY n_triangles DESC, doc_id
+    """,
+)
+def llm_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 EXT graph analytics: per-document TRIANGLE counts over the
+    MinHash-LSH candidate graph — the local-density signal that
+    separates a tight duplicate clique (every pair similar: many
+    triangles) from a hub-and-spoke template chain (a popular
+    boilerplate matching many unrelated docs: zero triangles). Dedup
+    pipelines use exactly this to decide "collapse the whole cluster"
+    vs "strip the shared boilerplate instead".
+
+    The classic distributed-triangle discipline: edges are ORIENTED
+    (doc_a < doc_b), so each triangle a<b<c is found exactly once as
+    (a,b)+(b,c) closed by (a,c) — no factor-of-6 duplication, and the
+    two equi-joins shuffle on node keys only. At 100 TB the hazard is
+    a high-degree node making the wedge join quadratic; the LSH
+    bucket cap already bounds degree by construction (a doc meets ≤
+    cap−1 docs per band), which is the structural guard a raw web
+    graph would need a degree-threshold for.
+
+    Exactness: everything is integer counts over md5-derived edges —
+    bit-identical on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
+    edges = (
+        minhash_candidate_pairs(toked)
+        .select("doc_a", "doc_b")
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2").hint("merge")
+    e3 = edges.alias("e3").hint("merge")
+    tri = (
+        e1.join(e2, F.col("e2.doc_a") == F.col("e1.doc_b"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .select(
+            F.col("e1.doc_a").alias("a"),
+            F.col("e1.doc_b").alias("b"),
+            F.col("e2.doc_b").alias("c"),
+        )
+    )
+    member = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    )
+    return (
+        member.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), "doc_id")
+    )
+
+
+#: PMI collocation report: minimum pair support and report size.
+_PMI_MIN_C = 5
+_PMI_TOPK = 20
+
+
+@register(
+    "llm_pmi_collocations",
+    oracle=rf"""
+    WITH toked AS (
+      SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+      WHERE len({_SQL_TOKENS}) >= 2
+    ),
+    pairs AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toked, UNNEST(range(1, len(t))) AS u(i)
+    ),
+    big AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2
+    ),
+    uni1 AS (SELECT w1, SUM(c12) AS c1 FROM big GROUP BY w1),
+    uni2 AS (SELECT w2, SUM(c12) AS c2 FROM big GROUP BY w2),
+    st AS (SELECT SUM(c12) AS n FROM big)
+    SELECT w1, w2,
+           CAST(c12 AS BIGINT) AS c12,
+           CAST({_SQL_LN_MICRO.format(x='c12')} + {_SQL_LN_MICRO.format(x='n')}
+                - {_SQL_LN_MICRO.format(x='c1')} - {_SQL_LN_MICRO.format(x='c2')}
+                AS DOUBLE) / 1000000 AS pmi_nats
+    FROM big
+    JOIN uni1 USING (w1)
+    JOIN uni2 USING (w2)
+    CROSS JOIN st
+    WHERE c12 >= {_PMI_MIN_C}
+    ORDER BY pmi_nats DESC, w1, w2
+    LIMIT {_PMI_TOPK}
+    """,
+)
+def llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F43 sibling: PMI COLLOCATIONS — pointwise mutual information
+    ln(N·c12/(c1·c2)) over adjacent token pairs, the classic
+    collocation-mining statistic (Church & Hanks 1990): high PMI =
+    tokens that co-occur far more than their marginals predict
+    (multi-word expressions, named entities), where the bigram LM's
+    cond_p only finds frequent continuations. A support floor
+    (c12 ≥ _PMI_MIN_C) kills the low-count PMI pathology.
+
+    Cross-engine exactness: PMI is a SUM OF LOGS, so each factor is
+    quantized to integer micro-nats independently (libm ln both sides,
+    the `llm_token_entropy` discipline) and combined with exact integer
+    adds/subtracts — one double division at the end. The marginals and
+    the grand total all DERIVE from the bigram aggregate (three
+    rollups of one relation — no second corpus pass).
+
+    Scale shape: one index-explode + (w1,w2) hash agg, two O(vocab)
+    rollups + a 1-row total, w-keyed equi-joins, TakeOrderedAndProject
+    cut. The ln lookup is O(distinct counts) through Python.
+    """
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents").select(_tokens().alias("t"))
+    toked = docs.filter(F.size("t") >= 2)
+    pairs = toked.select(
+        F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"), "t"
+    ).select(
+        F.element_at("t", F.col("i")).alias("w1"),
+        F.element_at("t", F.col("i") + 1).alias("w2"),
+    )
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    uni1 = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    uni2 = big.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    st = big.agg(F.sum("c12").alias("n"))
+    ln_udf = _ln_libm()
+    vals = (
+        big.select(F.col("c12").alias("v"))
+        .union(uni1.select(F.col("c1").alias("v")))
+        .union(uni2.select(F.col("c2").alias("v")))
+        .union(st.select(F.col("n").alias("v")))
+        .distinct()
+    )
+    ln_table = vals.select(
+        "v",
+        F.floor(ln_udf(F.col("v").cast("double")) * _LN_MICRO)
+        .cast("long")
+        .alias("q"),
+    )
+
+    def q_of(col, alias):
+        t = ln_table.alias(alias)
+        return t, F.col(f"{alias}.q")
+
+    t12, q12 = q_of("c12", "l12")
+    t1, q1 = q_of("c1", "l1")
+    t2, q2 = q_of("c2", "l2")
+    tn, qn = q_of("n", "ln_n")
+    return (
+        big.filter(F.col("c12") >= _PMI_MIN_C)
+        .join(uni1, "w1")
+        .join(uni2, "w2")
+        .crossJoin(F.broadcast(st))
+        .join(F.broadcast(t12), F.col("c12") == F.col("l12.v"))
+        .join(F.broadcast(t1), F.col("c1") == F.col("l1.v"))
+        .join(F.broadcast(t2), F.col("c2") == F.col("l2.v"))
+        .join(F.broadcast(tn), F.col("n") == F.col("ln_n.v"))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            ((q12 + qn - q1 - q2).cast("double") / F.lit(1e6)).alias(
+                "pmi_nats"
+            ),
+        )
+        .orderBy(F.desc("pmi_nats"), "w1", "w2")
+        .limit(_PMI_TOPK)
+    )

@@ -29,6 +29,7 @@ _NESTED_LOOP_ALLOWED = {
     "llm_hybrid_rrf_fusion",       # inherits llm_bm25_topk's stats broadcast
     "llm_unigram_surprisal",       # 1-row (N, V) corpus-stats broadcast
     "llm_heavy_hitters",           # 1-row token-total broadcast onto candidates
+    "llm_pmi_collocations",        # 1-row bigram-total broadcast
 }
 
 #: Queries whose fn() triggers side effects/execution rather than just

@@ -110,6 +110,8 @@ _BORN_IN_OVERFLOW: set[str] = {
     "llm_dedup_rate_by_source",
     "llm_heavy_hitters",
     "llm_minhash_estimate_calibration",
+    "llm_triangle_counts",
+    "llm_pmi_collocations",
     "llm_bm25_batch_topk",
     "llm_decontaminate_multi",
     "llm_containment_pairs",

@@ -262,3 +262,31 @@ def test_minhash_calibration_statistics(spark):
         for r in rows
     ) / len(rows)
     assert mean_err <= mean_bound, (mean_err, mean_bound)
+
+
+def test_triangle_counts_structure(spark):
+    """Triangle membership must be symmetric-consistent: total
+    memberships divisible by 3, every count ≥ 1, and each reported doc
+    really sits on an LSH candidate edge."""
+    rows = _run(spark, "llm_triangle_counts").collect()
+    assert len(rows) > 0
+    assert sum(r["n_triangles"] for r in rows) % 3 == 0
+    edge_docs = set()
+    for r in _run(spark, "llm_minhash_lsh_pairs").collect():
+        edge_docs.add(r["doc_a"]); edge_docs.add(r["doc_b"])
+    for r in rows:
+        assert r["n_triangles"] >= 1
+        assert r["doc_id"] in edge_docs
+
+
+def test_pmi_collocations_statistics(spark):
+    """Support floor respected; PMI bounded by ln(N/c12) + quantization
+    slack (c1,c2 ≥ c12 ⇒ PMI ≤ ln N − ln c12); report is
+    deterministically ordered."""
+    rows = _run(spark, "llm_pmi_collocations").collect()
+    assert len(rows) == 20
+    from smart_contract_database_builder_spark.plans.llm_ops import _PMI_MIN_C
+
+    for r in rows:
+        assert r["c12"] >= _PMI_MIN_C
+    assert rows == sorted(rows, key=lambda r: (-r["pmi_nats"], r["w1"], r["w2"]))
