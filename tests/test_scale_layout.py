@@ -261,3 +261,54 @@ def test_hot_key_split_join_is_value_neutral(spark):
     )
     plan = split._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """At 100 TB, Spark's runtime Bloom-filter injection rewrites a
+    selective dim-filter ⋈ fact join so the fact scan drops non-joining
+    rows BEFORE the shuffle (`might_contain` on the join key, built by
+    a `bloom_filter_agg` over the filtered creation side). The feature
+    is size-gated — the 10 GB application-side default means sf0.1
+    never triggers it in production configs — so this pin drops the
+    gate to zero to prove the mechanism: the plan must contain the
+    bloom nodes, and the pruned join must return row-for-row the same
+    result as the unpruned one (a false-positive-only filter can drop
+    nothing it shouldn't)."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from conftest import SF_ORACLE
+
+    base = (
+        SparkSession.builder.master("local[4]")
+        .appName("bloom-pin")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        .config(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .getOrCreate()
+    )
+    try:
+        orders = base.read.parquet(f"{SF_ORACLE}/orders.parquet")
+        lineitem = base.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+        sel = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+            "o_orderkey"
+        )
+        j = lineitem.join(sel, lineitem.l_orderkey == sel.o_orderkey)
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "simple"
+        )
+        assert "might_contain" in plan, "bloom filter was not injected"
+        assert "bloom_filter_agg" in plan
+        got = j.count()
+
+        base.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        want = lineitem.join(sel, lineitem.l_orderkey == sel.o_orderkey).count()
+        assert got == want, "bloom pruning changed the join result"
+    finally:
+        base.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        base.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
