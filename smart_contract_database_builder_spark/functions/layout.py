@@ -90,3 +90,57 @@ def write_zordered(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.parquet(path)
+
+
+#: Compaction target: one output file per this many input bytes (the
+#: 128 MiB parquet sweet spot — big enough to amortize footer/open
+#: costs, small enough to split and to keep row-group stats selective).
+_COMPACT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def _dir_bytes(spark, path: str) -> int:
+    """Total bytes under ``path`` via the Hadoop FileSystem API — works
+    for any scheme Spark can read (file://, hdfs://, s3a://), which is
+    what a maintenance tool must support; a local os.walk would not."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.getContentSummary(hpath).getLength()
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_file_bytes: int = _COMPACT_TARGET_BYTES,
+    order_by: list[str] | None = None,
+) -> int:
+    """Small-files compaction (Delta `OPTIMIZE` for open parquet):
+    rewrite a directory of however-many fragments into
+    ceil(total_bytes / target) files. Returns the file count written.
+
+    The small-files problem is the classic slow killer of a streaming
+    or incremental-ingest table at scale: a 100 TB table ingested in
+    per-minute micro-batches accretes millions of KB-sized files, and
+    every downstream scan pays listing + open + footer-decode per
+    fragment while row-group statistics degenerate to one tiny group
+    per file. Compaction is pure write-amplification paid once.
+
+    With ``order_by`` the rewrite RANGE-partitions + sorts on those
+    columns, so the output keeps (or establishes) contiguous per-file
+    min/max windows — the data-skipping layout `write_zordered`
+    documents; without it, a round-robin repartition just evens out
+    file sizes.
+    """
+    import math
+
+    n_files = max(1, math.ceil(_dir_bytes(spark, src) / target_file_bytes))
+    df = spark.read.parquet(src)
+    if order_by:
+        shaped = df.repartitionByRange(n_files, *order_by).sortWithinPartitions(
+            *order_by
+        )
+    else:
+        shaped = df.repartition(n_files)
+    shaped.write.mode("overwrite").parquet(dst)
+    return n_files

@@ -113,3 +113,54 @@ def test_zorder_layout_skips_on_every_clustered_column(spark, tmp_path):
             f"z-order layout failed to skip on {col}: "
             f"{zo_hit:.0%} of files hit (flat layout: {flat_hit:.0%})"
         )
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """A fragment-heavy directory compacts to the byte-target file
+    count with identical rows; an order_by compaction leaves
+    non-overlapping per-file min/max windows (the data-skipping
+    property the rewrite exists to restore)."""
+    from smart_contract_database_builder_spark.functions.layout import (
+        compact_parquet,
+    )
+
+    src = str(tmp_path / "frags")
+    orders = load_table(spark, SF_ORACLE, "orders")
+    orders.repartition(64).write.parquet(src)  # 64 tiny fragments
+    n_src = len(glob.glob(f"{src}/part-*.parquet"))
+    assert n_src >= 64
+
+    dst = str(tmp_path / "compact")
+    n = compact_parquet(spark, src, dst, target_file_bytes=1 << 30)
+    files = glob.glob(f"{dst}/part-*.parquet")
+    assert len(files) == n == 1  # well under one 1 GiB target
+
+    got = spark.read.parquet(dst)
+    assert got.count() == orders.count()
+    assert set(got.columns) == set(orders.columns)
+
+    dst2 = str(tmp_path / "compact_sorted")
+    # force a multi-file sorted layout via a tiny byte target
+    n2 = compact_parquet(
+        spark, src, dst2, target_file_bytes=64 * 1024,
+        order_by=["o_orderkey"],
+    )
+    assert n2 > 1
+    ranges = []
+    for f in sorted(glob.glob(f"{dst2}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = [md.schema.column(i).name for i in range(md.num_columns)].index(
+            "o_orderkey"
+        )
+        lo = min(md.row_group(g).column(idx).statistics.min
+                 for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(idx).statistics.max
+                 for g in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (_, hi_a), (lo_b, _) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b, "sorted compaction produced overlapping files"
+    total = sum(
+        spark.read.parquet(f).count() for f in glob.glob(f"{dst2}/part-*.parquet")
+    )
+    assert total == orders.count()
