@@ -74,6 +74,16 @@ _PRIORITY = [
 #: with driver-green rows in r5 (and mostly r3/r4 too) whose plan code
 #: has not changed since — each family keeps at least one in-window
 #: witness (see the _PRIORITY comment).
+#: ROUND-7 ROTATION PLAN (for the next session): 24 round-6-born
+#: operators below have never earned a driver CORRECTNESS row. The
+#: window holds 50; rotate them in over rounds 7-8 (≈12 each) by
+#: (1) moving the first ~12 of the round-6 block into _PRIORITY,
+#: (2) moving an equal number of r6-green stable queries (the 10
+#: "rotated IN for round 6" names above, plus un-curated core
+#: queries) into the rotated-out block below, keeping ≥1 in-window
+#: witness per family exactly as the r6 rotation did. Verify with
+#: tests/test_registry_window.py (update _ROTATED_IN_R6 to the new
+#: round's contract).
 _OVERFLOW = [
     # round-6 NEW operators (rotate into the window next round)
     "llm_token_entropy",
