@@ -107,6 +107,8 @@ HEADLINE = [
     "llm_minhash_estimate_calibration",
     "llm_triangle_counts",
     "llm_pmi_collocations",
+    "agg_retention_cohorts",
+    "llm_kmeans_lloyd",
     "ref_sink_roundtrip",
 ]
 

@@ -5083,3 +5083,149 @@ def llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_nats"), "w1", "w2")
         .limit(_PMI_TOPK)
     )
+
+
+#: Lloyd k-means configuration: cluster count, unrolled iterations,
+#: and the seed vectors (vec_id 0..K-1 quantize to the initial
+#: centroids — deterministic, data-dependent, engine-independent).
+_KM_K = 8
+_KM_ITERS = 2
+
+
+def _sql_km_x6() -> str:
+    """DuckDB: embeddings exploded to (vec_id, d, x6) fixed-point."""
+    return """
+      SELECT vec_id, d,
+             CAST(CAST(CAST(embedding[d] AS DOUBLE) AS DECIMAL(18,6))
+                  * 1000000 AS BIGINT) AS x6
+      FROM embeddings, range(1, 65) r(d)
+    """
+
+
+def _sql_km_iteration(prev: str, idx: int) -> str:
+    """One unrolled Lloyd iteration: assignment against centroid
+    relation ``prev`` then floor-quantized per-dim mean (empty clusters
+    keep their previous centroid)."""
+    return f"""
+    dist{idx} AS (
+      SELECT e.vec_id, c.cluster,
+             SUM((e.x6 - c.cq) * (e.x6 - c.cq)) AS dist
+      FROM x6 e JOIN {prev} c ON c.d = e.d
+      GROUP BY e.vec_id, c.cluster
+    ),
+    assign{idx} AS (
+      SELECT vec_id, cluster, dist FROM dist{idx}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cluster) = 1
+    ),
+    cent{idx} AS (
+      SELECT p.cluster, p.d,
+             COALESCE(u.cq, p.cq) AS cq
+      FROM {prev} p
+      LEFT JOIN (
+        SELECT a.cluster, e.d,
+               CAST(floor(CAST(SUM(e.x6) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                 AS cq
+        FROM assign{idx} a JOIN x6 e ON e.vec_id = a.vec_id
+        GROUP BY a.cluster, e.d
+      ) u ON u.cluster = p.cluster AND u.d = p.d
+    )"""
+
+
+@register(
+    "llm_kmeans_lloyd",
+    oracle=rf"""
+    WITH x6 AS ({_sql_km_x6()}),
+    cent0 AS (
+      SELECT CAST(vec_id AS INTEGER) AS cluster, d, x6 AS cq
+      FROM x6 WHERE vec_id < {_KM_K}
+    ),
+    {_sql_km_iteration("cent0", 1)},
+    {_sql_km_iteration("cent1", 2)}
+    SELECT vec_id,
+           CAST(cluster AS INTEGER) AS cluster,
+           CAST(dist AS BIGINT) AS dist_fp2
+    FROM assign2
+    """,
+)
+def llm_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 EXT: distributed LLOYD K-MEANS with cross-engine EXACTNESS —
+    _KM_K clusters, _KM_ITERS unrolled iterations, seeded from the
+    first _KM_K vectors. Iterative ML on DataFrames usually lives in the rows-only
+    tail (spark.ml's KMeans: RNG init + float accumulation order); this
+    formulation is bit-reproducible on BOTH engines, so the oracle can
+    check every assignment: coordinates quantize to the centroid
+    UDAF's DECIMAL(18,6) fixed point, distances are EXACT int64 sums
+    of squared differences (order-independent), the argmin tie-breaks
+    on cluster id, and each new centroid is the floor-quantized
+    per-dim mean (one deterministic double division + floor). Empty
+    clusters keep their previous centroid on both engines.
+
+    Scale shape per iteration: the tiny (K×dim) centroid relation
+    broadcast-joins onto the exploded coordinates map-side; the
+    (vec, cluster) partial sums combine before ONE shuffle on vec_id;
+    assignment is a min-struct aggregate (no window over raw data);
+    the update is a (cluster, dim)-keyed hash agg of the same exploded
+    relation — the textbook distributed-k-means cost, with the
+    exploded coordinates PERSISTED across iterations so the corpus is
+    scanned once, not per iteration.
+    """
+    from pyspark import StorageLevel
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x6 = (
+        emb.select(
+            "vec_id",
+            F.posexplode(
+                F.transform(
+                    "embedding",
+                    lambda x: (
+                        x.cast("double").cast("decimal(18,6)") * _FP
+                    ).cast("long"),
+                )
+            ).alias("d0", "x6"),
+        )
+        .select("vec_id", (F.col("d0") + 1).alias("d"), "x6")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cent = x6.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").cast("int").alias("cluster"), "d", F.col("x6").alias("cq")
+    )
+    assign = None
+    for _ in range(_KM_ITERS):
+        dist = (
+            x6.join(F.broadcast(cent), "d")
+            .groupBy("vec_id", "cluster")
+            .agg(
+                F.sum(
+                    (F.col("x6") - F.col("cq")) * (F.col("x6") - F.col("cq"))
+                ).alias("dist")
+            )
+        )
+        assign = (
+            dist.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cluster")).alias("m"))
+            .select("vec_id", F.col("m.cluster").alias("cluster"),
+                    F.col("m.dist").alias("dist"))
+        )
+        update = (
+            assign.join(x6, "vec_id")
+            .groupBy("cluster", "d")
+            .agg(
+                F.floor(
+                    F.sum("x6").cast("double") / F.count(F.lit(1))
+                ).cast("long").alias("new_cq")
+            )
+        )
+        cent = (
+            cent.join(update, ["cluster", "d"], "left")
+            .select(
+                "cluster", "d",
+                F.coalesce("new_cq", "cq").alias("cq"),
+            )
+        )
+    return assign.select(
+        "vec_id",
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("dist").cast("long").alias("dist_fp2"),
+    )

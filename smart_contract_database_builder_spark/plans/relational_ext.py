@@ -646,3 +646,78 @@ def window_rolling_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("zscore"),
         F.coalesce(F.abs(z) > 3, F.lit(False)).alias("is_anomaly"),
     )
+
+
+@register(
+    "agg_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    ),
+    sizes AS (
+      SELECT cohort_day, COUNT(*) AS cohort_size
+      FROM first_seen GROUP BY cohort_day
+    )
+    SELECT strftime(a.cohort_day, '%Y-%m-%d') AS cohort_day,
+           a.day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST(COUNT(*) AS DOUBLE) / s.cohort_size AS retention
+    FROM active a JOIN sizes s ON a.cohort_day = s.cohort_day
+    WHERE a.day_offset <= 7
+    GROUP BY a.cohort_day, a.day_offset, s.cohort_size
+    """,
+)
+def agg_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT: COHORT RETENTION — users grouped by first-seen day, and
+    for each cohort the fraction still active N days later (the
+    triangle matrix every growth dashboard opens with; first week
+    shown). Funnel (A12) measures a conversion SEQUENCE; this measures
+    RECURRING presence — the two canonical behavioral reports.
+
+    Scale shape: first-seen is one user-keyed min-agg; activity is a
+    user-keyed equi-join back to events + DISTINCT on (user, cohort,
+    offset) — all shuffles ride the uniform user key, then the matrix
+    rollup groups a relation already reduced to ≤ users × 8 rows.
+    Exactness: dates and counts are exact; retention is one double
+    division.
+    """
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    active = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+        .filter(F.col("day_offset") <= 7)
+    )
+    sizes = first_seen.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        active.groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(sizes, "cohort_day")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            (
+                F.col("n_active").cast("double") / F.col("cohort_size")
+            ).alias("retention"),
+        )
+    )

@@ -112,6 +112,8 @@ _BORN_IN_OVERFLOW: set[str] = {
     "llm_minhash_estimate_calibration",
     "llm_triangle_counts",
     "llm_pmi_collocations",
+    "agg_retention_cohorts",
+    "llm_kmeans_lloyd",
     "llm_bm25_batch_topk",
     "llm_decontaminate_multi",
     "llm_containment_pairs",

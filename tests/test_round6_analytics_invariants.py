@@ -290,3 +290,71 @@ def test_pmi_collocations_statistics(spark):
     for r in rows:
         assert r["c12"] >= _PMI_MIN_C
     assert rows == sorted(rows, key=lambda r: (-r["pmi_nats"], r["w1"], r["w2"]))
+
+
+def test_retention_cohorts_shape(spark):
+    """Day-0 retention is 1.0 for every cohort (a user is active on
+    their first-seen day by construction); retention ∈ (0, 1]; active
+    counts never exceed cohort size."""
+    rows = _run(spark, "agg_retention_cohorts").collect()
+    assert len(rows) > 0
+    day0 = [r for r in rows if r["day_offset"] == 0]
+    assert day0 and all(r["retention"] == 1.0 for r in day0)
+    for r in rows:
+        assert 0.0 < r["retention"] <= 1.0
+        assert r["n_active"] <= r["cohort_size"]
+
+
+def test_kmeans_assignments_are_nearest_centroid(spark):
+    """Recompute the final centroids in pure Python from the reported
+    assignments and verify every vector sits in its argmin cluster —
+    the Lloyd invariant the oracle shares but an implementation bug in
+    BOTH engines' shared SQL shape could not fake."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from smart_contract_database_builder_spark.sources.tables import load_table
+    from smart_contract_database_builder_spark.plans.llm_ops import _KM_K
+
+    rows = _run(spark, "llm_kmeans_lloyd").collect()
+    assert len(rows) == 500
+    assigned = {r["vec_id"]: (r["cluster"], r["dist_fp2"]) for r in rows}
+    emb = {
+        r["vec_id"]: [
+            int(Decimal(str(float(x))).quantize(Decimal("0.000001"))
+                * 1_000_000)
+            for x in r["embedding"]
+        ]
+        for r in load_table(spark, SF_ORACLE, "embeddings").collect()
+    }
+    # reconstruct iteration-2's centroids: rerun the two Lloyd steps
+    cent = {k: emb[k][:] for k in range(_KM_K)}
+
+    def nearest(v, cents):
+        best = None
+        for k in sorted(cents):
+            d = sum((a - b) ** 2 for a, b in zip(v, cents[k]))
+            if best is None or d < best[1]:
+                best = (k, d)
+        return best
+
+    for _ in range(2):
+        groups = defaultdict(list)
+        for vid, v in emb.items():
+            k, _d = nearest(v, cent)
+            groups[k].append(v)
+        new_cent = {}
+        for k in cent:
+            vs = groups.get(k)
+            if not vs:
+                new_cent[k] = cent[k]
+            else:
+                import math
+                new_cent[k] = [
+                    math.floor(sum(col) / len(vs)) for col in zip(*vs)
+                ]
+        prev_cent, cent = cent, new_cent
+    # assignments reported are against iteration-1's centroids
+    for vid, v in emb.items():
+        k, d = nearest(v, prev_cent)
+        assert assigned[vid] == (k, d), vid
