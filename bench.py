@@ -109,6 +109,7 @@ HEADLINE = [
     "llm_pmi_collocations",
     "agg_retention_cohorts",
     "llm_kmeans_lloyd",
+    "agg_cumulative_users",
     "ref_sink_roundtrip",
 ]
 

@@ -721,3 +721,64 @@ def agg_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+@register(
+    "agg_cumulative_users",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d
+      FROM events GROUP BY user_id
+    ),
+    new_daily AS (
+      SELECT d, COUNT(*) AS new_users FROM first_seen GROUP BY d
+    ),
+    act AS (
+      SELECT CAST(ts AS DATE) AS d,
+             COUNT(*) AS n_events,
+             COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(a.d, '%Y-%m-%d') AS day,
+           CAST(a.n_events AS BIGINT) AS n_events,
+           CAST(a.dau AS BIGINT) AS dau,
+           CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users,
+           CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY a.d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cumulative_users
+    FROM act a LEFT JOIN new_daily n ON n.d = a.d
+    """,
+)
+def agg_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT: the daily ACTIVITY report — events/day, DAU, new users,
+    and cumulative distinct users (the growth curve next to A15's
+    retention triangle). Cumulative DISTINCT is normally a hard
+    streaming-state problem; keyed by FIRST-SEEN day it collapses to
+    an ordinary integer cumsum over a tiny daily aggregate — the
+    user-keyed min-agg resolves distinctness once, and the window runs
+    over O(days) rows. DAU itself is the per-day expand+two-phase
+    count(DISTINCT) Spark plans without per-group sets.
+    """
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d"))
+    new_daily = first_seen.groupBy("d").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    act = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("dau"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    joined = act.join(new_daily, "d", "left").select(
+        "d",
+        "n_events",
+        "dau",
+        F.coalesce("new_users", F.lit(0)).alias("new_users"),
+    )
+    return joined.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("dau").cast("long").alias("dau"),
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )

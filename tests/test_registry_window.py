@@ -114,6 +114,7 @@ _BORN_IN_OVERFLOW: set[str] = {
     "llm_pmi_collocations",
     "agg_retention_cohorts",
     "llm_kmeans_lloyd",
+    "agg_cumulative_users",
     "llm_bm25_batch_topk",
     "llm_decontaminate_multi",
     "llm_containment_pairs",

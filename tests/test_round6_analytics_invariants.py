@@ -358,3 +358,26 @@ def test_kmeans_assignments_are_nearest_centroid(spark):
     for vid, v in emb.items():
         k, d = nearest(v, prev_cent)
         assert assigned[vid] == (k, d), vid
+
+
+def test_daily_activity_report(spark):
+    """Cumulative users are monotone and end at the total distinct
+    users; DAU never exceeds cumulative-so-far; new_users sums to the
+    user count."""
+    from smart_contract_database_builder_spark.sources.tables import load_table
+
+    rows = sorted(
+        _run(spark, "agg_cumulative_users").collect(), key=lambda r: r["day"]
+    )
+    assert len(rows) > 5
+    total_users = (
+        load_table(spark, SF_ORACLE, "events")
+        .select("user_id").distinct().count()
+    )
+    prev = 0
+    for r in rows:
+        assert r["cumulative_users"] >= prev
+        assert r["dau"] <= r["cumulative_users"]
+        prev = r["cumulative_users"]
+    assert prev == total_users
+    assert sum(r["new_users"] for r in rows) == total_users
