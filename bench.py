@@ -110,6 +110,7 @@ HEADLINE = [
     "agg_retention_cohorts",
     "llm_kmeans_lloyd",
     "agg_cumulative_users",
+    "llm_kmeans_silhouette",
     "ref_sink_roundtrip",
 ]
 

@@ -345,6 +345,22 @@ def cmd_analyze(args: argparse.Namespace) -> int:
 
     spark = _spark()
     sfd = args.sf_dir
+    if getattr(args, "jsonl", None):
+        # JSONL corpora profile through the SAME oracle-verified report
+        # queries: parse once, materialize as a documents.parquet layout
+        # in a scratch dir, and point the registry at it. One extra
+        # write of the corpus — the price of reusing verified plans
+        # verbatim instead of maintaining a parallel report path.
+        import tempfile
+
+        from .sources.documents import read_documents_jsonl
+
+        raw = read_documents_jsonl(spark, args.jsonl)
+        docs = raw.filter(
+            F.col("_corrupt").isNull() & F.col("doc_id").isNotNull()
+        ).drop("_corrupt")
+        sfd = tempfile.mkdtemp(prefix="analyze_jsonl_")
+        docs.write.mode("overwrite").parquet(f"{sfd}/documents.parquet")
 
     length_rows = [
         r.asDict() for r in QUERIES["llm_corpus_length_report"].fn(spark, sfd).collect()
@@ -458,8 +474,10 @@ def build_parser() -> argparse.ArgumentParser:
     an = sub.add_parser(
         "analyze", help="emit a one-JSON corpus profile (reports family)"
     )
-    an.add_argument("--sf-dir", required=True,
+    an.add_argument("--sf-dir",
                     help="directory holding documents.parquet (testdata layout)")
+    an.add_argument("--jsonl",
+                    help="profile a JSONL corpus instead of --sf-dir")
     an.set_defaults(fn=cmd_analyze)
     return p
 

@@ -5229,3 +5229,129 @@ def llm_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster").cast("int").alias("cluster"),
         F.col("dist").cast("long").alias("dist_fp2"),
     )
+
+
+@register(
+    "llm_kmeans_silhouette",
+    oracle=rf"""
+    WITH x6 AS ({_sql_km_x6()}),
+    cent0 AS (
+      SELECT CAST(vec_id AS INTEGER) AS cluster, d, x6 AS cq
+      FROM x6 WHERE vec_id < {_KM_K}
+    ),
+    {_sql_km_iteration("cent0", 1)},
+    {_sql_km_iteration("cent1", 2)},
+    d2 AS (
+      SELECT vec_id, cluster, dist FROM dist2
+    ),
+    own AS (
+      SELECT vec_id, cluster, dist AS a FROM assign2
+    ),
+    other AS (
+      SELECT d2.vec_id, MIN(d2.dist) AS b
+      FROM d2 JOIN own ON own.vec_id = d2.vec_id
+      WHERE d2.cluster <> own.cluster
+      GROUP BY d2.vec_id
+    )
+    SELECT own.cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN own.a < other.b THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_well_separated,
+           CAST(SUM(CASE WHEN own.a < other.b THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS separation_rate
+    FROM own JOIN other ON other.vec_id = own.vec_id
+    GROUP BY own.cluster
+    ORDER BY cluster
+    """,
+)
+def llm_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6 companion: centroid-based SEPARATION report for the Lloyd
+    clustering — per cluster, how many members sit strictly closer to
+    their own centroid than to ANY other (the centroid-silhouette
+    criterion; full pairwise silhouette is O(n²) and adds nothing at
+    this grain). The report a pipeline reads to decide whether K is
+    sane before acting on cluster labels.
+
+    Exactness: own- and other-centroid distances are the same exact
+    int64 fixed-point sums the k-means oracle uses; the verdict is an
+    integer comparison and the rate is one division. Scale shape: the
+    (vec × K) distance relation is re-derived from the same broadcast
+    centroid join (no new corpus pass beyond k-means' own), the
+    nearest-other reduction is a vec-keyed min-agg, and the report
+    rolls up to K rows.
+    """
+    from pyspark import StorageLevel
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x6 = (
+        emb.select(
+            "vec_id",
+            F.posexplode(
+                F.transform(
+                    "embedding",
+                    lambda x: (
+                        x.cast("double").cast("decimal(18,6)") * _FP
+                    ).cast("long"),
+                )
+            ).alias("d0", "x6"),
+        )
+        .select("vec_id", (F.col("d0") + 1).alias("d"), "x6")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cent = x6.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").cast("int").alias("cluster"), "d",
+        F.col("x6").alias("cq")
+    )
+    dist = None
+    for _ in range(_KM_ITERS):
+        dist = (
+            x6.join(F.broadcast(cent), "d")
+            .groupBy("vec_id", "cluster")
+            .agg(
+                F.sum(
+                    (F.col("x6") - F.col("cq")) * (F.col("x6") - F.col("cq"))
+                ).alias("dist")
+            )
+        )
+        assign = (
+            dist.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cluster")).alias("m"))
+            .select("vec_id", F.col("m.cluster").alias("cluster"),
+                    F.col("m.dist").alias("dist"))
+        )
+        update = (
+            assign.join(x6, "vec_id")
+            .groupBy("cluster", "d")
+            .agg(
+                F.floor(
+                    F.sum("x6").cast("double") / F.count(F.lit(1))
+                ).cast("long").alias("new_cq")
+            )
+        )
+        new_cent = (
+            cent.join(update, ["cluster", "d"], "left")
+            .select("cluster", "d", F.coalesce("new_cq", "cq").alias("cq"))
+        )
+        cent, last_assign = new_cent, assign
+    own = last_assign.select(
+        "vec_id", F.col("cluster").alias("own_cluster"), F.col("dist").alias("a")
+    )
+    other = (
+        dist.join(own, "vec_id")
+        .filter(F.col("cluster") != F.col("own_cluster"))
+        .groupBy("vec_id")
+        .agg(F.min("dist").alias("b"))
+    )
+    sep = (F.col("a") < F.col("b")).cast("long")
+    return (
+        own.join(other, "vec_id")
+        .groupBy(F.col("own_cluster").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum(sep).cast("long").alias("n_well_separated"),
+            (F.sum(sep).cast("double") / F.count(F.lit(1))).alias(
+                "separation_rate"
+            ),
+        )
+        .orderBy("cluster")
+    )

@@ -305,3 +305,23 @@ def test_analyze_emits_corpus_profile(spark, capsys):
     g = out["gopher"]
     assert 0 < g["docs"] and 0 <= g["kept"] <= g["docs"]
     assert g["pass_rate"] is not None
+
+
+def test_analyze_profiles_jsonl_corpus(spark, tmp_path, capsys):
+    """`analyze --jsonl`: the same profile over a JSONL corpus,
+    malformed lines excluded before profiling."""
+    import json
+
+    lines = [
+        json.dumps({"doc_id": i, "text": f"alpha beta gamma doc{i}",
+                    "lang": "en", "source": "s1", "n_chars": 20})
+        for i in range(30)
+    ] + ["{not json", json.dumps({"text": "no id"})]
+    path = tmp_path / "corpus.jsonl"
+    path.write_text("\n".join(lines))
+
+    rc = cli.main(["analyze", "--jsonl", str(path)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["gopher"]["docs"] == 30  # malformed + id-less excluded
+    assert {r["lang"] for r in out["length_by_lang"]} == {"en"}

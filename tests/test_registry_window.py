@@ -115,6 +115,7 @@ _BORN_IN_OVERFLOW: set[str] = {
     "agg_retention_cohorts",
     "llm_kmeans_lloyd",
     "agg_cumulative_users",
+    "llm_kmeans_silhouette",
     "llm_bm25_batch_topk",
     "llm_decontaminate_multi",
     "llm_containment_pairs",
