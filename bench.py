@@ -111,6 +111,7 @@ HEADLINE = [
     "llm_kmeans_lloyd",
     "agg_cumulative_users",
     "llm_kmeans_silhouette",
+    "agg_profit_by_nation_type",
     "ref_sink_roundtrip",
 ]
 

@@ -782,3 +782,68 @@ def agg_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_users").cast("long").alias("new_users"),
         F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
     )
+
+
+@register(
+    "agg_profit_by_nation_type",
+    oracle="""
+    SELECT n.n_name AS nation,
+           p.p_type AS part_type,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(10 * CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    - CAST(l.l_quantity AS BIGINT)
+                      * CAST(round(p.p_retailprice * 100) AS BIGINT))
+             AS DOUBLE) / 1000 AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name, p.p_type
+    """,
+)
+def agg_profit_by_nation_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/A4 over the LAST two untouched testdata tables — the TPC-H
+    Q9 shape: margin (revenue − supply-cost proxy, costing each unit a
+    tenth of retail) rolled up by supplier nation × part type through
+    the lineitem ⋈ part ⋈ supplier ⋈ nation snowflake. Every testdata
+    table now backs at least one registered query.
+
+    Exactness: both money terms scale to EXACT integer DECI-CENTS
+    (`round(x*100)` is safe for 2-decimal data — the z-score rule —
+    and the ×10 rescale keeps the whole expression on int64 with NO
+    inner division), the quantity is model-integral (asserted in the
+    invariants test), and the sum is an exact int64 with ONE double
+    division at the end. Two rejected routes: mixed decimal ×/÷
+    (Spark and DuckDB promote precision/scale differently, which
+    double-rounds) and an inner integer /10 (`/` is float division in
+    DuckDB but long division in Spark — different types summing in
+    different orders).
+
+    Scale shape: part and supplier are SF-proportional, so NO explicit
+    broadcast (the r1 lesson) — the threshold/AQE broadcasts them
+    while small and falls back to shuffle joins at 100 TB; nation
+    (25 rows, SF-constant) is the only hinted dim; the rollup is a
+    two-key hash agg with map-side combine.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    rev_dc = F.round(F.col("l_extendedprice") * 100).cast("long") * 10
+    cost_dc = (
+        F.col("l_quantity").cast("long")
+        * F.round(F.col("p_retailprice") * 100).cast("long")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("p_type").alias("part_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            (F.sum(rev_dc - cost_dc).cast("double") / 1000).alias("profit"),
+        )
+    )

@@ -116,6 +116,7 @@ _BORN_IN_OVERFLOW: set[str] = {
     "llm_kmeans_lloyd",
     "agg_cumulative_users",
     "llm_kmeans_silhouette",
+    "agg_profit_by_nation_type",
     "llm_bm25_batch_topk",
     "llm_decontaminate_multi",
     "llm_containment_pairs",

@@ -381,3 +381,34 @@ def test_daily_activity_report(spark):
         prev = r["cumulative_users"]
     assert prev == total_users
     assert sum(r["new_users"] for r in rows) == total_users
+
+
+def test_profit_rollup_covers_every_lineitem_and_quantity_is_integral(spark):
+    """The deci-cent exactness argument requires integral quantities —
+    assert the model property it leans on — and the snowflake rollup
+    must account for every lineitem exactly once."""
+    from smart_contract_database_builder_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    assert li.filter(
+        F.col("l_quantity") != F.floor("l_quantity")
+    ).count() == 0
+    rows = _run(spark, "agg_profit_by_nation_type").collect()
+    assert sum(r["n_lines"] for r in rows) == li.count()
+    assert len({(r["nation"], r["part_type"]) for r in rows}) == len(rows)
+
+
+def test_kmeans_silhouette_consistent_with_assignments(spark):
+    """Per-cluster member counts must equal the k-means assignment
+    counts, and separation rates are valid fractions."""
+    from collections import Counter
+
+    sil = {r["cluster"]: r for r in _run(spark, "llm_kmeans_silhouette").collect()}
+    counts = Counter(
+        r["cluster"] for r in _run(spark, "llm_kmeans_lloyd").collect()
+    )
+    assert set(sil) == set(counts)
+    for k, r in sil.items():
+        assert r["n_vectors"] == counts[k]
+        assert 0 <= r["n_well_separated"] <= r["n_vectors"]
+        assert r["separation_rate"] == r["n_well_separated"] / r["n_vectors"]
