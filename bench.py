@@ -112,6 +112,8 @@ HEADLINE = [
     "agg_cumulative_users",
     "llm_kmeans_silhouette",
     "agg_profit_by_nation_type",
+    "agg_key_skew_report",
+    "window_streaks_gaps_islands",
     "ref_sink_roundtrip",
 ]
 

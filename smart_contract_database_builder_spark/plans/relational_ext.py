@@ -847,3 +847,129 @@ def agg_profit_by_nation_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(rev_dc - cost_dc).cast("double") / 1000).alias("profit"),
         )
     )
+
+
+@register(
+    "agg_key_skew_report",
+    oracle="""
+    WITH per_key AS (
+      SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+    ),
+    st AS (
+      SELECT COUNT(*) AS n_keys,
+             SUM(c) AS n_rows,
+             MAX(c) AS max_c,
+             quantile_cont(CAST(c AS DOUBLE), [0.5, 0.99]) AS q
+      FROM per_key
+    )
+    SELECT CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(max_c AS BIGINT) AS max_rows_per_key,
+           CAST(max_c AS DOUBLE) / n_rows AS top_key_share,
+           q[1] AS p50_rows_per_key,
+           q[2] AS p99_rows_per_key,
+           q[2] / q[1] AS p99_over_p50
+    FROM st
+    """,
+)
+def agg_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT operational: the JOIN-PLANNING SKEW REPORT for a candidate
+    shuffle key — key count, hottest-key share, and the p99/p50
+    rows-per-key ratio. This is the measurement that decides between a
+    plain shuffle join, AQE skew handling, and the explicit
+    `functions/skew.py` toolkit (salted agg / hot-key split join):
+    measure, don't guess, applied to the engine's own planning.
+
+    Exactness: per-key counts are exact; percentiles interpolate the
+    same order statistics on both engines (the `agg_percentile_prices`
+    anchor); shares and ratios are single divisions. Scale shape: one
+    key-rollup (map-side combined — output is O(keys)), then a 1-row
+    reduction; at 100 TB the exact percentile swaps for the
+    `percentile_approx` mergeable twin.
+    """
+    ev = _t(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    q = F.expr("percentile(CAST(c AS DOUBLE), array(0.5D, 0.99D))")
+    return (
+        per_key.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("c").alias("n_rows"),
+            F.max("c").alias("max_c"),
+            q.alias("q"),
+        )
+        .select(
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("max_c").cast("long").alias("max_rows_per_key"),
+            (F.col("max_c").cast("double") / F.col("n_rows")).alias(
+                "top_key_share"
+            ),
+            F.col("q")[0].alias("p50_rows_per_key"),
+            F.col("q")[1].alias("p99_rows_per_key"),
+            (F.col("q")[1] / F.col("q")[0]).alias("p99_over_p50"),
+        )
+    )
+
+
+@register(
+    "window_streaks_gaps_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    grouped AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, COUNT(*) AS len,
+             MIN(d) AS streak_start
+      FROM grouped GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(len AS BIGINT) AS longest_streak,
+           strftime(streak_start, '%Y-%m-%d') AS streak_start
+    FROM streaks
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY len DESC, streak_start) = 1
+    """,
+)
+def window_streaks_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-EXT: GAPS-AND-ISLANDS — each user's longest run of consecutive
+    active days (and when it started): the engagement-streak metric,
+    and the canonical SQL pattern the window family was missing. The
+    island key is the date-minus-row_number trick: consecutive days
+    share `d − row_number`, so islands fall out of one per-user window
+    plus one hash agg — no self-join, no iteration.
+
+    Exactness: dates, integer arithmetic, deterministic (len DESC,
+    start) tie-break. Scale shape: both the window and the rollup key
+    on the uniform user_id; the relation entering the window is
+    already deduped to (user, day) grain.
+    """
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grouped = days.withColumn(
+        "grp", F.date_sub("d", F.row_number().over(w))
+    )
+    streaks = grouped.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("d").alias("streak_start"),
+    )
+    w_best = Window.partitionBy("user_id").orderBy(
+        F.desc("len"), "streak_start"
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("len").cast("long").alias("longest_streak"),
+            F.date_format("streak_start", "yyyy-MM-dd").alias(
+                "streak_start"
+            ),
+        )
+    )

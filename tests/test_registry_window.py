@@ -117,6 +117,8 @@ _BORN_IN_OVERFLOW: set[str] = {
     "agg_cumulative_users",
     "llm_kmeans_silhouette",
     "agg_profit_by_nation_type",
+    "agg_key_skew_report",
+    "window_streaks_gaps_islands",
     "llm_bm25_batch_topk",
     "llm_decontaminate_multi",
     "llm_containment_pairs",

@@ -412,3 +412,44 @@ def test_kmeans_silhouette_consistent_with_assignments(spark):
         assert r["n_vectors"] == counts[k]
         assert 0 <= r["n_well_separated"] <= r["n_vectors"]
         assert r["separation_rate"] == r["n_well_separated"] / r["n_vectors"]
+
+
+def test_skew_report_internal_consistency(spark):
+    """n_rows must equal the table count; shares and ratios coherent."""
+    from smart_contract_database_builder_spark.sources.tables import load_table
+
+    r = _run(spark, "agg_key_skew_report").collect()[0]
+    ev = load_table(spark, SF_ORACLE, "events")
+    assert r["n_rows"] == ev.count()
+    assert r["n_keys"] == ev.select("user_id").distinct().count()
+    assert 0 < r["top_key_share"] <= 1
+    assert r["max_rows_per_key"] * r["n_keys"] >= r["n_rows"]
+    assert r["p99_over_p50"] >= 1.0
+
+
+def test_streaks_against_python_model(spark):
+    """Longest streaks recomputed in pure Python from the raw events."""
+    from collections import defaultdict
+    import datetime
+
+    from smart_contract_database_builder_spark.sources.tables import load_table
+
+    got = {
+        r["user_id"]: (r["longest_streak"], r["streak_start"])
+        for r in _run(spark, "window_streaks_gaps_islands").collect()
+    }
+    days = defaultdict(set)
+    for r in load_table(spark, SF_ORACLE, "events").collect():
+        days[r["user_id"]].add(r["ts"].date())
+    for uid, ds in days.items():
+        best_len, best_start, cur_len, cur_start = 0, None, 0, None
+        prev = None
+        for d in sorted(ds):
+            if prev is not None and (d - prev).days == 1:
+                cur_len += 1
+            else:
+                cur_len, cur_start = 1, d
+            if cur_len > best_len:
+                best_len, best_start = cur_len, cur_start
+            prev = d
+        assert got[uid] == (best_len, best_start.strftime("%Y-%m-%d")), uid
