@@ -114,6 +114,7 @@ HEADLINE = [
     "agg_profit_by_nation_type",
     "agg_key_skew_report",
     "window_streaks_gaps_islands",
+    "agg_pivot_daily_event_matrix",
     "ref_sink_roundtrip",
 ]
 

@@ -973,3 +973,51 @@ def window_streaks_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: Pivot columns are a FIXED list on both engines: a data-driven pivot
+#: (Spark's two-pass distinct scan) makes the output schema depend on
+#: the data, which breaks schema-stable downstream code AND costs an
+#: extra corpus pass at scale.
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "agg_pivot_daily_event_matrix",
+    oracle=f"""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           {", ".join(
+             "CAST(SUM(CASE WHEN event_type = '" + t + "' THEN 1 ELSE 0 END)"
+             " AS BIGINT) AS n_" + t
+             for t in _PIVOT_TYPES
+           )},
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM events
+    GROUP BY 1
+    """,
+)
+def agg_pivot_daily_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT: PIVOT — the day × event-type count matrix (wide report
+    shape), via ``groupBy().pivot(values=...)`` with an EXPLICIT value
+    list: passing the values skips Spark's extra distinct-scan pass
+    and keeps the output schema data-independent — the form that
+    composes with downstream code and survives 100 TB. The oracle
+    spells the same thing as conditional aggregation, which is exactly
+    what Catalyst lowers pivot to (one hash agg, map-side combined; no
+    extra shuffle versus a plain groupBy).
+    """
+    ev = _t(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    out = pivoted.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _PIVOT_TYPES
+        ],
+    )
+    total = sum(F.col(f"n_{t}") for t in _PIVOT_TYPES)
+    return out.withColumn("n_total", total.cast("long"))

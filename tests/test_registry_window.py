@@ -119,6 +119,7 @@ _BORN_IN_OVERFLOW: set[str] = {
     "agg_profit_by_nation_type",
     "agg_key_skew_report",
     "window_streaks_gaps_islands",
+    "agg_pivot_daily_event_matrix",
     "llm_bm25_batch_topk",
     "llm_decontaminate_multi",
     "llm_containment_pairs",

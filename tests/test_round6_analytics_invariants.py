@@ -453,3 +453,19 @@ def test_streaks_against_python_model(spark):
                 best_len, best_start = cur_len, cur_start
             prev = d
         assert got[uid] == (best_len, best_start.strftime("%Y-%m-%d")), uid
+
+
+def test_pivot_matrix_row_sums(spark):
+    """Wide counts must sum to n_total per day, and day totals to the
+    table count — the pivot can't drop or double-count a row."""
+    from smart_contract_database_builder_spark.sources.tables import load_table
+
+    rows = _run(spark, "agg_pivot_daily_event_matrix").collect()
+    assert len(rows) == 30
+    total = 0
+    for r in rows:
+        parts = sum(v for k, v in r.asDict().items() if k.startswith("n_")
+                    and k != "n_total")
+        assert parts == r["n_total"]
+        total += r["n_total"]
+    assert total == load_table(spark, SF_ORACLE, "events").count()
