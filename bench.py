@@ -115,6 +115,7 @@ HEADLINE = [
     "agg_key_skew_report",
     "window_streaks_gaps_islands",
     "agg_pivot_daily_event_matrix",
+    "agg_metric_correlation_daily",
     "ref_sink_roundtrip",
 ]
 

@@ -1021,3 +1021,71 @@ def agg_pivot_daily_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = sum(F.col(f"n_{t}") for t in _PIVOT_TYPES)
     return out.withColumn("n_total", total.cast("long"))
+
+
+@register(
+    "agg_metric_correlation_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             COUNT(*) AS x,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS y
+      FROM events GROUP BY 1
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM daily
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+             AS pearson_r
+    FROM m
+    """,
+)
+def agg_metric_correlation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT: Pearson correlation between two operational metrics
+    (daily event count vs daily total value) with EXACT moments —
+    built-in ``corr()`` accumulates doubles in partition order and can
+    never be cross-engine-verified; here both metrics reduce to int64
+    (counts; value in exact cents), all five moment sums are exact
+    integers over the O(days) relation, and r comes out of one fixed
+    chain of double ops. The same recipe generalizes to any
+    metric-pair correlation matrix a monitoring pipeline tracks.
+
+    Scale shape: one date-keyed hash agg (map-side combined) collapses
+    the fact table to O(days) rows; the moment reduction is a 1-row
+    aggregate. Int64 headroom: Σy² caps at days·(daily_cents)² — at
+    ~1e9 cents/day (a $10M/day metric) that is ~30·1e18, the int64
+    edge; beyond it, re-scale the unit (the report documents its
+    envelope rather than silently overflowing — Spark ANSI mode and
+    DuckDB both raise).
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"),
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_days"),
+        (num / den).alias("pearson_r"),
+    )

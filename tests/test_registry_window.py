@@ -120,6 +120,7 @@ _BORN_IN_OVERFLOW: set[str] = {
     "agg_key_skew_report",
     "window_streaks_gaps_islands",
     "agg_pivot_daily_event_matrix",
+    "agg_metric_correlation_daily",
     "llm_bm25_batch_topk",
     "llm_decontaminate_multi",
     "llm_containment_pairs",

