@@ -116,6 +116,7 @@ HEADLINE = [
     "window_streaks_gaps_islands",
     "agg_pivot_daily_event_matrix",
     "agg_metric_correlation_daily",
+    "llm_chunk_documents_udtf",
     "ref_sink_roundtrip",
 ]
 

@@ -5355,3 +5355,59 @@ def llm_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@register(
+    "llm_chunk_documents_udtf",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS t, len({_SQL_TOKENS}) AS n_tok
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, t, n_tok,
+             unnest(range(0, n_tok, {_CHUNK_STRIDE})) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(start // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(start AS BIGINT) AS start_tok,
+           CAST(LEAST({_CHUNK_TOKENS}, n_tok - start) AS BIGINT)
+             AS chunk_len,
+           md5(array_to_string(
+             t[start + 1 : start + {_CHUNK_TOKENS}], ' ')) AS chunk_hash
+    FROM s
+    """,
+)
+def llm_chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-EXT: the chunker as a Spark 4 PYTHON UDTF (lateral table
+    function) carrying the SAME oracle as the Catalyst form
+    (`llm_chunk_documents`) — the point is the machinery, not the math:
+    a `@udtf` class yielding N rows per document, invoked via LATERAL
+    join, still meets the bit-exact cross-engine gate. This is the
+    third Python boundary the engine exercises (after Arrow pandas
+    UDFs and mapInPandas), reserved in production for 1-row→N-row
+    transforms that genuinely need imperative Python. Measured
+    honestly (SCALE.md): at bench SF and the 10× probe the UDTF is
+    actually slightly FASTER than the expression form on this corpus
+    of short documents (row-at-a-time overhead is per-document and
+    these documents are ~50 tokens; the expression form pays a double
+    tokenize) — the expression form stays the production path because
+    its cost is bounded by Catalyst codegen whatever the document
+    length, while the UDTF's interpreter cost grows with every token
+    a longer-document corpus pushes through Python.
+    """
+    from ..functions.udtf_ops import make_chunk_udtf
+
+    chunker = make_chunk_udtf(_CHUNK_TOKENS, _CHUNK_STRIDE)
+    spark.udtf.register("chunk_document_udtf", chunker)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_udtf_chunk_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.start_tok, c.chunk_len,
+               c.chunk_hash
+        FROM _udtf_chunk_docs d,
+             LATERAL chunk_document_udtf(d.text) c
+        """
+    )

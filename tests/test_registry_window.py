@@ -121,6 +121,7 @@ _BORN_IN_OVERFLOW: set[str] = {
     "window_streaks_gaps_islands",
     "agg_pivot_daily_event_matrix",
     "agg_metric_correlation_daily",
+    "llm_chunk_documents_udtf",
     "llm_bm25_batch_topk",
     "llm_decontaminate_multi",
     "llm_containment_pairs",
