@@ -117,6 +117,8 @@ HEADLINE = [
     "agg_pivot_daily_event_matrix",
     "agg_metric_correlation_daily",
     "llm_chunk_documents_udtf",
+    "cdc_point_in_time_join",
+    "agg_data_quality_report",
     "ref_sink_roundtrip",
 ]
 

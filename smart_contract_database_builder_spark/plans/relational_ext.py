@@ -1089,3 +1089,114 @@ def agg_metric_correlation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_days"),
         (num / den).alias("pearson_r"),
     )
+
+
+@register(
+    "agg_data_quality_report",
+    oracle="""
+    SELECT * FROM (
+      SELECT 1 AS check_idx, 'orphan_lineitems' AS check_name,
+             CAST((SELECT COUNT(*) FROM lineitem l
+                   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                     WHERE o.o_orderkey = l.l_orderkey))
+                  AS BIGINT) AS n_violations,
+             CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_checked
+      UNION ALL
+      SELECT 2, 'orphan_orders',
+             CAST((SELECT COUNT(*) FROM orders o
+                   WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                     WHERE c.c_custkey = o.o_custkey))
+                  AS BIGINT),
+             CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+      UNION ALL
+      SELECT 3, 'duplicate_order_keys',
+             CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+                  AS BIGINT),
+             CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+      UNION ALL
+      SELECT 4, 'nonpositive_prices',
+             CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+                  AS BIGINT),
+             CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+      UNION ALL
+      SELECT 5, 'discount_out_of_range',
+             CAST((SELECT COUNT(*) FROM lineitem
+                   WHERE l_discount < 0 OR l_discount > 1) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+      UNION ALL
+      SELECT 6, 'null_ship_dates',
+             CAST((SELECT COUNT(*) FROM lineitem WHERE l_shipdate IS NULL)
+                  AS BIGINT),
+             CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    )
+    """,
+)
+def agg_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT operational: the DATA-QUALITY EXPECTATIONS report —
+    referential integrity (orphan facts), primary-key uniqueness,
+    domain ranges, and null checks over the warehouse tables, each
+    emitted as (check, violations, population): the dbt-test /
+    Great-Expectations layer expressed as one engine query, and the
+    gate an ingest pipeline reads before publishing a batch.
+
+    Every check is a count aggregate — the integrity checks are
+    LEFT-ANTI joins on the key (the same plan an enforcement pass
+    would run), uniqueness is count vs distinct-count, ranges and
+    nulls are map-side filters. All tiny results union into a fixed
+    6-row report; everything shuffles on uniform keys or not at all.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+
+    def row(idx: int, name: str, viol: DataFrame, pop: DataFrame) -> DataFrame:
+        v = viol.agg(F.count(F.lit(1)).alias("n_violations"))
+        p = pop.agg(F.count(F.lit(1)).alias("n_checked"))
+        return v.crossJoin(p).select(
+            F.lit(idx).alias("check_idx"),
+            F.lit(name).alias("check_name"),
+            F.col("n_violations").cast("long"),
+            F.col("n_checked").cast("long"),
+        )
+
+    orphan_li = li.join(
+        orders.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    )
+    orphan_ord = orders.join(
+        cust.select("c_custkey"),
+        orders.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    )
+    dup = orders.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+            "n_violations"
+        )
+    )
+    dup_row = dup.crossJoin(
+        orders.agg(F.count(F.lit(1)).alias("n_checked"))
+    ).select(
+        F.lit(3).alias("check_idx"),
+        F.lit("duplicate_order_keys").alias("check_name"),
+        F.col("n_violations").cast("long"),
+        F.col("n_checked").cast("long"),
+    )
+    return (
+        row(1, "orphan_lineitems", orphan_li, li)
+        .unionByName(row(2, "orphan_orders", orphan_ord, orders))
+        .unionByName(dup_row)
+        .unionByName(
+            row(4, "nonpositive_prices",
+                orders.filter(F.col("o_totalprice") <= 0), orders)
+        )
+        .unionByName(
+            row(5, "discount_out_of_range",
+                li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+                li)
+        )
+        .unionByName(
+            row(6, "null_ship_dates",
+                li.filter(F.col("l_shipdate").isNull()), li)
+        )
+    )

@@ -425,3 +425,77 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("purchase_ts", _TS_FMT_US).alias("purchase_ts"),
         "purchase_value",
     )
+
+
+@register(
+    "cdc_point_in_time_join",
+    oracle=f"""
+    WITH scd AS (
+      SELECT user_id, event_type AS op, value, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM events
+    )
+    SELECT p.event_id, p.user_id,
+           s.op AS prev_op,
+           s.value AS prev_value,
+           CAST(epoch_us(p.ts - s.valid_from) AS DOUBLE) / 60000000
+             AS state_age_minutes
+    FROM events p
+    JOIN scd s
+      ON s.user_id = p.user_id
+     AND s.valid_from < p.ts
+     AND (s.valid_to IS NULL OR p.ts <= s.valid_to)
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def cdc_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 companion: POINT-IN-TIME temporal join — each purchase
+    enriched with the user's immediately-prior state version from the
+    SCD2 validity windows (`valid_from < ts ≤ valid_to`): the canonical
+    versioned-dimension lookup every temporal warehouse query runs,
+    and the consumption side of `cdc_scd2_history`. Differs from the
+    as-of family in plan shape: the dimension is an INTERVAL relation,
+    so the join is an equi-join on the key with the containment
+    predicate applied within key groups — no per-row subquery, no
+    union trick.
+
+    Exactness: timestamps and values pass through; the state age is an
+    exact integer microsecond difference with one division. Scale
+    shape: both sides shuffle once on the uniform user key; the
+    window building the validity intervals is the SCD2 plan itself.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    scd = ev.select(
+        "user_id",
+        F.col("event_type").alias("op"),
+        F.col("value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").alias("p")
+    s = scd.alias("s")
+    return (
+        p.join(
+            s,
+            (F.col("s.user_id") == F.col("p.user_id"))
+            & (F.col("s.valid_from") < F.col("p.ts"))
+            & (
+                F.col("s.valid_to").isNull()
+                | (F.col("p.ts") <= F.col("s.valid_to"))
+            ),
+        )
+        .select(
+            F.col("p.event_id").alias("event_id"),
+            F.col("p.user_id").alias("user_id"),
+            F.col("s.op").alias("prev_op"),
+            F.col("s.value").alias("prev_value"),
+            (
+                (
+                    F.unix_micros("p.ts") - F.unix_micros("s.valid_from")
+                ).cast("double")
+                / F.lit(60000000.0)
+            ).alias("state_age_minutes"),
+        )
+    )

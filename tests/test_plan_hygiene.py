@@ -30,6 +30,7 @@ _NESTED_LOOP_ALLOWED = {
     "llm_unigram_surprisal",       # 1-row (N, V) corpus-stats broadcast
     "llm_heavy_hitters",           # 1-row token-total broadcast onto candidates
     "llm_pmi_collocations",        # 1-row bigram-total broadcast
+    "agg_data_quality_report",     # six 1-row check aggregates cross-joined
 }
 
 #: Queries whose fn() triggers side effects/execution rather than just

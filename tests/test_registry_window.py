@@ -122,6 +122,8 @@ _BORN_IN_OVERFLOW: set[str] = {
     "agg_pivot_daily_event_matrix",
     "agg_metric_correlation_daily",
     "llm_chunk_documents_udtf",
+    "cdc_point_in_time_join",
+    "agg_data_quality_report",
     "llm_bm25_batch_topk",
     "llm_decontaminate_multi",
     "llm_containment_pairs",

