@@ -1058,19 +1058,22 @@ def agg_metric_correlation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one date-keyed hash agg (map-side combined) collapses
     the fact table to O(days) rows; the moment reduction is a 1-row
-    aggregate. Int64 headroom: Σy² caps at days·(daily_cents)² — at
-    ~1e9 cents/day (a $10M/day metric) that is ~30·1e18, the int64
-    edge; beyond it, re-scale the unit (the report documents its
-    envelope rather than silently overflowing — Spark ANSI mode and
-    DuckDB both raise).
+    aggregate. Overflow: moment PRODUCTS leave int64 fast (Σy² at a
+    ~$1.7M/day cents metric — the 10× probe caught exactly this as an
+    ANSI ARITHMETIC_OVERFLOW), so x/y widen to DECIMAL(38,0) before
+    the products and sums; DuckDB already sums BIGINT into a 128-bit
+    HUGEINT, so both engines carry the moments exactly and the final
+    cast of equal integers to double is identical.
     """
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
-        F.count(F.lit(1)).alias("x"),
-        F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("x"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("decimal(38,0)")
+        .alias("y"),
     )
     m = daily.agg(
-        F.count(F.lit(1)).alias("n"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
