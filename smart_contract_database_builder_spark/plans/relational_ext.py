@@ -844,7 +844,14 @@ def agg_profit_by_nation_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_lines"),
-            (F.sum(rev_dc - cost_dc).cast("double") / 1000).alias("profit"),
+            # deci-cent deltas widen to DECIMAL(38,0) before the SUM:
+            # a 100 TB group's total leaves int64 (the correlation
+            # probe lesson — budget the AGGREGATE's digits, not the
+            # row's); DuckDB's SUM(BIGINT) is already 128-bit
+            (
+                F.sum((rev_dc - cost_dc).cast("decimal(38,0)")).cast("double")
+                / 1000
+            ).alias("profit"),
         )
     )
 
