@@ -119,6 +119,7 @@ HEADLINE = [
     "llm_chunk_documents_udtf",
     "cdc_point_in_time_join",
     "agg_data_quality_report",
+    "llm_ann_recall_report",
     "ref_sink_roundtrip",
 ]
 

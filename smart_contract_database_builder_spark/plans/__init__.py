@@ -74,7 +74,7 @@ _PRIORITY = [
 #: with driver-green rows in r5 (and mostly r3/r4 too) whose plan code
 #: has not changed since — each family keeps at least one in-window
 #: witness (see the _PRIORITY comment).
-#: ROUND-7 ROTATION PLAN (for the next session): 36 round-6-born
+#: ROUND-7 ROTATION PLAN (for the next session): 37 round-6-born
 #: operators below have never earned a driver CORRECTNESS row. The
 #: window holds 50; rotate them in over rounds 7-8 (≈12 each) by
 #: (1) moving the first ~12 of the round-6 block into _PRIORITY,
@@ -112,6 +112,7 @@ _OVERFLOW = [
     "llm_chunk_documents_udtf",
     "cdc_point_in_time_join",
     "agg_data_quality_report",
+    "llm_ann_recall_report",
     "llm_bm25_batch_topk",
     "llm_decontaminate_multi",
     "llm_pps_sample_by_tokens",

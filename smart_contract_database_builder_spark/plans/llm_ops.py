@@ -5411,3 +5411,136 @@ def llm_chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL chunk_document_udtf(d.text) c
         """
     )
+
+
+#: Recall-audit sample: ground truth is quadratic, so it is measured
+#: on a FIXED-SIZE deterministic sample (the first _RECALL_K vec_ids)
+#: — constant truth cost at ANY corpus size, unlike a modulus sample
+#: whose all-pairs truth grows quadratically with the corpus.
+_RECALL_K = 500
+
+
+@register(
+    "llm_ann_recall_report",
+    oracle=rf"""
+    WITH s AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> {_SQL_ISCALE.format(v="x")}) AS sv
+      FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id, sv,
+             {" || ".join(
+               f"(CASE WHEN {_sql_plane_dot(p)} >= 0 THEN '1' ELSE '0' END)"
+               for p in range(_N_PLANES)
+             )} AS bucket
+      FROM s
+    ),
+    n AS (
+      SELECT vec_id, sv, bucket,
+             sqrt(CAST(CAST(list_aggregate(
+               list_transform(list_zip(sv, sv), x -> x[1] * x[2]),
+               'sum') AS BIGINT) AS DOUBLE)) AS nrm
+      FROM b
+    ),
+    ok AS (
+      SELECT bucket FROM b GROUP BY bucket
+      HAVING COUNT(*) BETWEEN 2 AND {_ANN_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+      FROM n x
+      JOIN ok USING (bucket)
+      JOIN n y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+      WHERE CAST(CAST(list_aggregate(
+              list_transform(list_zip(x.sv, y.sv), p -> p[1] * p[2]),
+              'sum') AS BIGINT) AS DOUBLE) / (x.nrm * y.nrm)
+            >= {_NEAR_DUP_COSINE}
+    ),
+    samp AS (
+      SELECT * FROM n WHERE vec_id < {_RECALL_K}
+    ),
+    truth AS (
+      SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+      FROM samp x JOIN samp y ON x.vec_id < y.vec_id
+      WHERE CAST(CAST(list_aggregate(
+              list_transform(list_zip(x.sv, y.sv), p -> p[1] * p[2]),
+              'sum') AS BIGINT) AS DOUBLE) / (x.nrm * y.nrm)
+            >= {_NEAR_DUP_COSINE}
+    ),
+    caught AS (
+      SELECT t.vec_a FROM truth t
+      JOIN cand c ON c.vec_a = t.vec_a AND c.vec_b = t.vec_b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM samp) AS BIGINT) AS sample_size,
+           CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+           CAST((SELECT COUNT(*) FROM caught) AS BIGINT) AS n_caught,
+           CAST((SELECT COUNT(*) FROM caught) AS DOUBLE)
+             / (SELECT COUNT(*) FROM truth) AS recall
+    """,
+)
+def llm_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 EXT: measured ANN RECALL — the hyperplane-LSH candidate
+    generator audited against brute-force ground truth on a
+    deterministic FIXED-SIZE sample (first _RECALL_K vec_ids): how many true
+    ≥-threshold pairs within the sample did the bucketed pipeline
+    actually surface. The vector-side twin of
+    `llm_minhash_estimate_calibration`, and the number that justifies
+    the plane count / table count before a production dedup run
+    (`tests/test_ann_recall.py` bounds the ANALYTIC recall; this
+    measures the real thing on real data).
+
+    Scale shape: candidates come from the production bucketed plan
+    (bucket-equi-join, capped); only the GROUND-TRUTH side is
+    quadratic, and it runs on the fixed-SIZE sample — constant audit
+    cost at any corpus size, bounded and broadcastable
+    (the sampled self-join is the one intentional nested-loop here,
+    allowlisted like the other bounded broadcasts). Exactness: the
+    same fixed-point cosine everywhere; counts are exact; recall is
+    one division.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = ann_cosine_pairs(emb).select("vec_a", "vec_b")
+    scaled = emb.filter(F.col("vec_id") < _RECALL_K).select(
+        "vec_id", F.transform("embedding", _iscale).alias("sv")
+    )
+    dot_self = F.aggregate(
+        F.zip_with("sv", "sv", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    samp = scaled.select(
+        "vec_id", "sv", F.sqrt(dot_self.cast("double")).alias("nrm")
+    )
+    x, y = samp.alias("x"), samp.alias("y")
+    pair_dot = F.aggregate(
+        F.zip_with("x.sv", "y.sv", lambda a_, b_: a_ * b_),
+        F.lit(0).cast("long"),
+        lambda a_, v: a_ + v,
+    )
+    cosine = pair_dot.cast("double") / (F.col("x.nrm") * F.col("y.nrm"))
+    truth = (
+        x.join(F.broadcast(y), F.col("x.vec_id") < F.col("y.vec_id"))
+        .filter(cosine >= _NEAR_DUP_COSINE)
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+        )
+    )
+    caught = truth.join(cand, ["vec_a", "vec_b"], "left_semi")
+    n_samp = samp.agg(F.count(F.lit(1)).alias("sample_size"))
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_caught = caught.agg(F.count(F.lit(1)).alias("n_caught"))
+    return (
+        n_samp.crossJoin(F.broadcast(n_true))
+        .crossJoin(F.broadcast(n_caught))
+        .select(
+            F.col("sample_size").cast("long"),
+            F.col("n_true").cast("long"),
+            F.col("n_caught").cast("long"),
+            (
+                F.col("n_caught").cast("double") / F.col("n_true")
+            ).alias("recall"),
+        )
+    )

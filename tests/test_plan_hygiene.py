@@ -31,6 +31,7 @@ _NESTED_LOOP_ALLOWED = {
     "llm_heavy_hitters",           # 1-row token-total broadcast onto candidates
     "llm_pmi_collocations",        # 1-row bigram-total broadcast
     "agg_data_quality_report",     # six 1-row check aggregates cross-joined
+    "llm_ann_recall_report",       # fixed-size (K=500) truth-sample self-join
 }
 
 #: Queries whose fn() triggers side effects/execution rather than just

@@ -124,6 +124,7 @@ _BORN_IN_OVERFLOW: set[str] = {
     "llm_chunk_documents_udtf",
     "cdc_point_in_time_join",
     "agg_data_quality_report",
+    "llm_ann_recall_report",
     "llm_bm25_batch_topk",
     "llm_decontaminate_multi",
     "llm_containment_pairs",

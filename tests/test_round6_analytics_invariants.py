@@ -530,3 +530,15 @@ def test_data_quality_report_is_clean_on_testdata(spark):
     for name, r in rows.items():
         assert r["n_checked"] > 0
         assert r["n_violations"] == 0, name
+
+
+def test_ann_recall_report_consistency(spark):
+    """caught ≤ true; caught equals the intersection of the production
+    candidate pairs with the sample truth; and single-table recall at
+    τ=0.3 sits in the analytic ballpark ((1−θ/π)^8 ≈ 1.6%) — far below
+    50%, which is the measured case FOR the multitable generator."""
+    r = _run(spark, "llm_ann_recall_report").collect()[0]
+    assert 0 <= r["n_caught"] <= r["n_true"]
+    assert r["recall"] == r["n_caught"] / r["n_true"]
+    assert r["recall"] < 0.2  # single-table @ τ=0.3 is the weak regime
+    assert r["sample_size"] == 500
