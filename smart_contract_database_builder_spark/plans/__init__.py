@@ -157,6 +157,7 @@ _OVERFLOW = [
 #: window; their assertions live in pytest.
 _TAIL = [
     "agg_approx_distinct_users",
+    "llm_approx_top_terms_sketch",
     "agg_percentile_prices_approx",
     "sample_orders_seeded",
     "llm_ml_minhash_join",

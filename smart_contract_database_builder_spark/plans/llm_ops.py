@@ -5544,3 +5544,33 @@ def llm_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@register("llm_approx_top_terms_sketch", oracle=None)
+def llm_approx_top_terms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT rows-only: Spark 4's built-in ``approx_top_k`` frequency
+    sketch over the exploded tokens — the one-pass, fixed-memory
+    counterpart of `llm_heavy_hitters`' exact two-pass scheme. Rows-only
+    by nature: the sketch's counts depend on merge order across
+    partitions, so no cross-engine oracle can exist — instead pytest
+    bounds it against the exact heavy hitters (every exact heavy term
+    must appear in a generously-sized sketch, with the sketch count
+    within the structure's documented error of the true count).
+
+    Scale shape: one explode feeding a single ObjectHashAggregate; the
+    sketch is a mergeable fixed-size summary, so memory is constant per
+    partition whatever the vocabulary — the trade the exact scheme's
+    second pass buys its way out of.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(F.explode(_tokens()).alias("term"))
+    return (
+        toked.select(
+            F.expr("approx_top_k(term, 20, 1000)").alias("top")
+        )
+        .select(F.explode("top").alias("e"))
+        .select(
+            F.col("e.item").alias("term"),
+            F.col("e.count").cast("long").alias("approx_cnt"),
+        )
+    )

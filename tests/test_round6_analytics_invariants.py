@@ -542,3 +542,20 @@ def test_ann_recall_report_consistency(spark):
     assert r["recall"] == r["n_caught"] / r["n_true"]
     assert r["recall"] < 0.2  # single-table @ τ=0.3 is the weak regime
     assert r["sample_size"] == 500
+
+
+def test_approx_top_k_sketch_brackets_exact_heavy_hitters(spark):
+    """Every EXACT heavy hitter must surface in the approx_top_k sketch
+    with its count within 5% of truth (generous for a 1000-slot sketch
+    over a 31-term vocabulary, where it is in fact exact)."""
+    approx = {
+        r["term"]: r["approx_cnt"]
+        for r in _run(spark, "llm_approx_top_terms_sketch").collect()
+    }
+    exact = {
+        r["term"]: r["cnt"] for r in _run(spark, "llm_heavy_hitters").collect()
+    }
+    assert exact  # the corpus has heavy terms
+    for term, cnt in exact.items():
+        assert term in approx, term
+        assert abs(approx[term] - cnt) <= max(1, cnt * 0.05)
