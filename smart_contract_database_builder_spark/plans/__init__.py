@@ -23,15 +23,19 @@ from . import reference_ext  # noqa: E402,F401
 from . import llm_ops  # noqa: E402,F401
 from . import streaming_batch  # noqa: E402,F401
 
-#: Queries the driver window must cover first. Round-6 rotation
-#: (VERDICT r5 "Next round #1"): the 10 round-5 operators that sat in
-#: ``_OVERFLOW`` and therefore never earned a driver-green row move INTO
-#: the window; 10 r5-green stable queries rotate out, each family
-#: keeping at least one in-window witness (ANN: minhash_lsh +
-#: hyperplane_buckets + multitable; vector-sim: knn_join_topk;
+#: Queries the driver window must cover first. Round-7 rotation
+#: (VERDICT r6 "Next round #1"): the first 12 of the 37 round-6-born
+#: operators that sat in ``_OVERFLOW`` (never driver-seen) move INTO
+#: the window; 12 r6-driver-green stable queries rotate out, each
+#: family keeping at least one in-window witness (ANN: minhash_lsh +
+#: hyperplane_buckets + embedding_neardup + calibration; span-dedup:
+#: span_dedup_trim; retrieval: hybrid_rrf_fusion [runs BM25 inside];
+#: dedup: exact/fingerprint/ref_dedup + dedup_rate_by_source; quality:
+#: quality_scores + quality_percentile_by_lang; sampling:
+#: token_budget_per_source; as-of joins: asof_latest + asof_tolerance;
 #: streaming: tumbling + dedup + static-enrich + availablenow +
-#: stream-stream; text-quality: quality_scores + gopher; sampling:
-#: token_budget + stratified; scalars: scalar_json_props_events).
+#: stream-stream inner + left-outer; ref family: extract_functions +
+#: sink_roundtrip + ingest/etherscan/content_id/bundle_hash/error_routing).
 _PRIORITY = [
     "llm_minhash_lsh_pairs",
     "llm_ngram_jaccard_topk",
@@ -52,40 +56,10 @@ _PRIORITY = [
     "llm_token_budget_per_source",
     "llm_chunk_documents",
     "cdc_merge_latest_snapshot",
-    # --- rotated IN for round 6 (former _OVERFLOW, never driver-seen) ---
-    "llm_ann_multitable_pairs",
-    "llm_duplicate_spans",
     "llm_span_dedup_trim",
     "llm_curation_pipeline",
-    "llm_bm25_topk",
     "llm_hybrid_rrf_fusion",
-    "llm_stratified_sample",
-    "llm_incremental_dedup",
-    "llm_gopher_quality_filter",
-    "llm_training_order",
-]
-
-#: Oracle-CARRYING queries deliberately registered just past the
-#: driver's 50-query window (it is full): their oracles still run in
-#: pytest (tests/test_oracle_parity.py sweeps every oracle at sf0.01),
-#: they just lose the per-round driver row. Grow this list consciously
-#: — whatever sits here trades driver-visible correctness evidence for
-#: a slot. Round-6 occupants are the rotation's other half: queries
-#: with driver-green rows in r5 (and mostly r3/r4 too) whose plan code
-#: has not changed since — each family keeps at least one in-window
-#: witness (see the _PRIORITY comment).
-#: ROUND-7 ROTATION PLAN (for the next session): 37 round-6-born
-#: operators below have never earned a driver CORRECTNESS row. The
-#: window holds 50; rotate them in over rounds 7-8 (≈12 each) by
-#: (1) moving the first ~12 of the round-6 block into _PRIORITY,
-#: (2) moving an equal number of r6-green stable queries (the 10
-#: "rotated IN for round 6" names above, plus un-curated core
-#: queries) into the rotated-out block below, keeping ≥1 in-window
-#: witness per family exactly as the r6 rotation did. Verify with
-#: tests/test_registry_window.py (update _ROTATED_IN_R6 to the new
-#: round's contract).
-_OVERFLOW = [
-    # round-6 NEW operators (rotate into the window next round)
+    # --- rotated IN for round 7 (round-6-born, never driver-seen) ---
     "llm_token_entropy",
     "llm_unigram_surprisal",
     "llm_quality_percentile_by_lang",
@@ -98,6 +72,29 @@ _OVERFLOW = [
     "llm_dedup_rate_by_source",
     "llm_heavy_hitters",
     "llm_minhash_estimate_calibration",
+]
+
+#: Oracle-CARRYING queries deliberately registered just past the
+#: driver's 50-query window (it is full): their oracles still run in
+#: pytest (tests/test_oracle_parity.py sweeps every oracle at sf0.01),
+#: they just lose the per-round driver row. Grow this list consciously
+#: — whatever sits here trades driver-visible correctness evidence for
+#: a slot. Round-6 occupants are the rotation's other half: queries
+#: with driver-green rows in r5 (and mostly r3/r4 too) whose plan code
+#: has not changed since — each family keeps at least one in-window
+#: witness (see the _PRIORITY comment).
+#: ROUND-8 ROTATION PLAN (for the next session): the round-6-born
+#: operators below (llm_triangle_counts … llm_ivf_topk, 25 names) have
+#: never earned a driver CORRECTNESS row. The window holds 50; rotate
+#: the next ~12 into _PRIORITY and move an equal number of
+#: r7-driver-green stable queries (the 12 "rotated IN for round 7"
+#: names above, plus un-curated core queries) into the rotated-out
+#: block below, keeping ≥1 in-window witness per family exactly as the
+#: r6/r7 rotations did. Verify with tests/test_registry_window.py
+#: (add a _ROTATED_IN_R8 contract).
+_OVERFLOW = [
+    # round-6 NEW operators still awaiting their window slot (rotate
+    # into the window in round 8)
     "llm_triangle_counts",
     "llm_pmi_collocations",
     "agg_retention_cohorts",
@@ -124,6 +121,19 @@ _OVERFLOW = [
     "llm_corpus_length_report",
     # round-6 oracle graduations (left the rows-only tail this round)
     "llm_ivf_topk",
+    # rotated OUT for round 7 (r6 driver-green, code untouched)
+    "llm_ann_multitable_pairs",
+    "llm_duplicate_spans",
+    "llm_bm25_topk",
+    "llm_stratified_sample",
+    "llm_incremental_dedup",
+    "llm_gopher_quality_filter",
+    "llm_training_order",
+    "ref_sources_explode",
+    "ref_abi_signature_render",
+    "llm_simhash_documents",
+    "llm_langid_stopword",
+    "join_range_event_pairs",
     # rotated OUT for round 6 (r5 driver-green, code untouched)
     "llm_ann_bucketed_cosine_pairs",
     "llm_cosine_topk_bruteforce",

@@ -69,35 +69,11 @@ def test_family_witnesses_lead():
         assert name in head, f"{name} not in the registry head: {head}"
 
 
-#: Round-6 rotation contract (VERDICT r5 "Next round #1"): every query
-#: here was BORN in round 5 straight into _OVERFLOW (the window was
+#: Round-7 rotation contract (VERDICT r6 "Next round #1"): every query
+#: here was BORN in round 6 straight into _OVERFLOW (the window was
 #: full) and must now sit inside the driver window so each earns a
 #: driver-green CORRECTNESS row at least once.
-_ROTATED_IN_R6 = [
-    "llm_ann_multitable_pairs",
-    "llm_duplicate_spans",
-    "llm_span_dedup_trim",
-    "llm_curation_pipeline",
-    "llm_bm25_topk",
-    "llm_hybrid_rrf_fusion",
-    "llm_stratified_sample",
-    "llm_incremental_dedup",
-    "llm_gopher_quality_filter",
-    "llm_training_order",
-]
-
-
-def test_round6_rotation_brings_overflow_queries_into_window():
-    window = list(plans.QUERIES)[:_DRIVER_WINDOW]
-    missing = [n for n in _ROTATED_IN_R6 if n not in window]
-    assert missing == [], f"rotated-in queries fell back out of the window: {missing}"
-
-
-#: Operators registered straight into _OVERFLOW in the round that bore
-#: them (the window was already full). They are pytest-oracle-swept and
-#: must rotate INTO the window in a future round; grow this set only
-#: when a round adds operators after its window is finalized.
-_BORN_IN_OVERFLOW: set[str] = {
+_ROTATED_IN_R7 = [
     "llm_token_entropy",
     "llm_unigram_surprisal",
     "llm_quality_percentile_by_lang",
@@ -110,6 +86,20 @@ _BORN_IN_OVERFLOW: set[str] = {
     "llm_dedup_rate_by_source",
     "llm_heavy_hitters",
     "llm_minhash_estimate_calibration",
+]
+
+
+def test_round7_rotation_brings_overflow_queries_into_window():
+    window = list(plans.QUERIES)[:_DRIVER_WINDOW]
+    missing = [n for n in _ROTATED_IN_R7 if n not in window]
+    assert missing == [], f"rotated-in queries fell back out of the window: {missing}"
+
+
+#: Operators registered straight into _OVERFLOW in the round that bore
+#: them (the window was already full). They are pytest-oracle-swept and
+#: must rotate INTO the window in a future round; grow this set only
+#: when a round adds operators after its window is finalized.
+_BORN_IN_OVERFLOW: set[str] = {
     "llm_triangle_counts",
     "llm_pmi_collocations",
     "agg_retention_cohorts",
