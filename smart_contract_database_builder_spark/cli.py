@@ -341,16 +341,16 @@ def cmd_analyze(args: argparse.Namespace) -> int:
 
     from pyspark.sql import functions as F
 
-    from .plans import QUERIES
-
     spark = _spark()
     sfd = args.sf_dir
+    scratch = None
     if getattr(args, "jsonl", None):
         # JSONL corpora profile through the SAME oracle-verified report
         # queries: parse once, materialize as a documents.parquet layout
         # in a scratch dir, and point the registry at it. One extra
         # write of the corpus — the price of reusing verified plans
-        # verbatim instead of maintaining a parallel report path.
+        # verbatim instead of maintaining a parallel report path. The
+        # scratch copy is removed once the report rows are collected.
         import tempfile
 
         from .sources.documents import read_documents_jsonl
@@ -359,8 +359,26 @@ def cmd_analyze(args: argparse.Namespace) -> int:
         docs = raw.filter(
             F.col("_corrupt").isNull() & F.col("doc_id").isNotNull()
         ).drop("_corrupt")
-        sfd = tempfile.mkdtemp(prefix="analyze_jsonl_")
+        scratch = tempfile.mkdtemp(prefix="analyze_jsonl_")
+        sfd = scratch
         docs.write.mode("overwrite").parquet(f"{sfd}/documents.parquet")
+
+    try:
+        report = _analyze_report(spark, sfd)
+    finally:
+        if scratch is not None:
+            import shutil
+
+            shutil.rmtree(scratch, ignore_errors=True)
+    print(_json.dumps(report, default=str))
+    return 0
+
+
+def _analyze_report(spark, sfd: str) -> dict:
+    """Collect the corpus-profile report rows (all O(report)-sized)."""
+    from pyspark.sql import functions as F
+
+    from .plans import QUERIES
 
     length_rows = [
         r.asDict() for r in QUERIES["llm_corpus_length_report"].fn(spark, sfd).collect()
@@ -394,25 +412,19 @@ def cmd_analyze(args: argparse.Namespace) -> int:
         )
         .collect()[0]
     )
-    print(
-        _json.dumps(
-            {
-                "length_by_lang": length_rows,
-                "dup_rate_by_source": dup_rows,
-                "entropy_nats": {"min": ent.lo, "mean": ent.mean, "max": ent.hi},
-                "surprisal_nats": {"min": sup.lo, "mean": sup.mean, "max": sup.hi},
-                "gopher": {
-                    "docs": gopher.n,
-                    "kept": int(gopher.kept or 0),
-                    "pass_rate": (int(gopher.kept or 0) / gopher.n)
-                    if gopher.n
-                    else None,
-                },
-            },
-            default=str,
-        )
-    )
-    return 0
+    return {
+        "length_by_lang": length_rows,
+        "dup_rate_by_source": dup_rows,
+        "entropy_nats": {"min": ent.lo, "mean": ent.mean, "max": ent.hi},
+        "surprisal_nats": {"min": sup.lo, "mean": sup.mean, "max": sup.hi},
+        "gopher": {
+            "docs": gopher.n,
+            "kept": int(gopher.kept or 0),
+            "pass_rate": (int(gopher.kept or 0) / gopher.n)
+            if gopher.n
+            else None,
+        },
+    }
 
 
 def cmd_download_solc(_args: argparse.Namespace) -> int:
@@ -474,10 +486,12 @@ def build_parser() -> argparse.ArgumentParser:
     an = sub.add_parser(
         "analyze", help="emit a one-JSON corpus profile (reports family)"
     )
-    an.add_argument("--sf-dir",
-                    help="directory holding documents.parquet (testdata layout)")
-    an.add_argument("--jsonl",
-                    help="profile a JSONL corpus instead of --sf-dir")
+    an_src = an.add_mutually_exclusive_group(required=True)
+    an_src.add_argument("--sf-dir",
+                        help="directory holding documents.parquet "
+                             "(testdata layout)")
+    an_src.add_argument("--jsonl",
+                        help="profile a JSONL corpus instead of --sf-dir")
     an.set_defaults(fn=cmd_analyze)
     return p
 

@@ -1005,29 +1005,36 @@ _PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
 )
 def agg_pivot_daily_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-EXT: PIVOT — the day × event-type count matrix (wide report
-    shape), via ``groupBy().pivot(values=...)`` with an EXPLICIT value
-    list: passing the values skips Spark's extra distinct-scan pass
-    and keeps the output schema data-independent — the form that
-    composes with downstream code and survives 100 TB. The oracle
-    spells the same thing as conditional aggregation, which is exactly
-    what Catalyst lowers pivot to (one hash agg, map-side combined; no
-    extra shuffle versus a plain groupBy).
+    shape) with an EXPLICIT value list, so the output schema stays
+    data-independent (no distinct-scan pass) — the form that composes
+    with downstream code and survives 100 TB. Both engines spell it as
+    conditional aggregation — exactly what Catalyst lowers an
+    explicit-values ``.pivot()`` to (one hash agg, map-side combined;
+    no extra shuffle versus a plain groupBy) — so ``n_total`` can ride
+    the same pass as a true COUNT(*) that stays honest even if the
+    data grows an event_type outside the allowlist.
     """
     ev = _t(spark, sf_dir, "events")
-    pivoted = (
-        ev.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
-        .pivot("event_type", list(_PIVOT_TYPES))
-        .agg(F.count(F.lit(1)))
-    )
-    out = pivoted.select(
-        "day",
+    # n_total is a real COUNT(*) in the SAME single aggregation pass
+    # (not a sum of the pivot columns): if events ever gains an
+    # event_type outside _PIVOT_TYPES the total still counts it, same
+    # as the oracle's COUNT(*). Spelled as conditional aggregation —
+    # the exact form Catalyst lowers an explicit-values pivot to (one
+    # hash agg, map-side combined) — because ``.pivot()`` cannot carry
+    # a non-pivoted aggregate alongside the per-value ones.
+    return ev.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
         *[
-            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            F.sum(
+                F.when(F.col("event_type") == t, F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias(f"n_{t}")
             for t in _PIVOT_TYPES
         ],
+        F.count(F.lit(1)).cast("long").alias("n_total"),
     )
-    total = sum(F.col(f"n_{t}") for t in _PIVOT_TYPES)
-    return out.withColumn("n_total", total.cast("long"))
 
 
 @register(

@@ -325,3 +325,20 @@ def test_analyze_profiles_jsonl_corpus(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["gopher"]["docs"] == 30  # malformed + id-less excluded
     assert {r["lang"] for r in out["length_by_lang"]} == {"en"}
+    # the scratch parquet copy of the corpus must not leak (ADVICE r6)
+    import glob
+    import tempfile
+
+    assert glob.glob(f"{tempfile.gettempdir()}/analyze_jsonl_*") == []
+
+
+def test_analyze_requires_a_source_flag(capsys):
+    """`analyze` with neither --sf-dir nor --jsonl must fail at the
+    parser with a usage error (exit 2), not an opaque traceback from
+    load_table(None) (ADVICE r6)."""
+    import pytest
+
+    with pytest.raises(SystemExit) as ei:
+        cli.main(["analyze"])
+    assert ei.value.code == 2
+    assert "--sf-dir" in capsys.readouterr().err

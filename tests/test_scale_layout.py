@@ -279,19 +279,24 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
 
     from conftest import SF_ORACLE
 
+    # builder.getOrCreate() returns the SHARED fixture session (configs
+    # passed to the builder are ignored on an existing session), so set
+    # the confs explicitly and restore the CAPTURED prior values — not
+    # hardcoded defaults — so no unexpected conf leaks into later tests.
     base = (
         SparkSession.builder.master("local[4]")
         .appName("bloom-pin")
-        .config("spark.sql.shuffle.partitions", "4")
-        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-        .config(
-            "spark.sql.optimizer.runtime.bloomFilter."
-            "applicationSideScanSizeThreshold",
-            "0",
-        )
-        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
         .getOrCreate()
     )
+    _mutated = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    _prior = {k: base.conf.get(k, None) for k in _mutated}
+    for k, v in _mutated.items():
+        base.conf.set(k, v)
     try:
         orders = base.read.parquet(f"{SF_ORACLE}/orders.parquet")
         lineitem = base.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
@@ -310,5 +315,8 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
         want = lineitem.join(sel, lineitem.l_orderkey == sel.o_orderkey).count()
         assert got == want, "bloom pruning changed the join result"
     finally:
-        base.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-        base.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        for k, prior in _prior.items():
+            if prior is None:
+                base.conf.unset(k)
+            else:
+                base.conf.set(k, prior)
