@@ -176,6 +176,9 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # The headline total rides at BOTH ends of the one-line JSON: the
+    # driver's capture truncates long lines (BENCH_r06 lost its head),
+    # so whichever end survives still carries the round's number.
     print(
         json.dumps(
             {
@@ -186,6 +189,8 @@ def main() -> None:
                 "sf": sf,
                 "reps": reps,
                 "stat": "min",
+                "n_queries": len(timings),
+                "total_sec": total,
             }
         )
     )

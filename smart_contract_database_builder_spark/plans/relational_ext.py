@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.numeric import dsum
+from ..functions.numeric import dec, dsum
 from ..sources.tables import load_table
 from .registry import register
 
@@ -1216,4 +1216,428 @@ def agg_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             row(6, "null_ship_dates",
                 li.filter(F.col("l_shipdate").isNull()), li)
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 relational additions: classic decision-support shapes the
+# engine was still missing (correlated-aggregate joins, scalar-subquery
+# thresholds, distribution/binning reports, time-series gap-fill/bars).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_order_count_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM (
+      SELECT c.c_custkey,
+             CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def agg_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT (TPC-H Q13 shape): the customer-activity histogram — how
+    many customers placed exactly k orders, INCLUDING the zero-order
+    customers a plain inner join silently drops (the left join is the
+    whole point of Q13).
+
+    Scale shape: one shuffle keyed on custkey for the outer join +
+    per-customer count (COUNT(o_orderkey) ignores the null-extended
+    rows), then a second tiny aggregation over at most
+    max-orders-per-customer distinct counts. AQE handles the custkey
+    skew; no window, no distinct.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+
+
+@register(
+    "agg_small_quantity_revenue",
+    oracle="""
+    WITH p AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#9'),
+    li AS (
+      SELECT l_partkey, l_quantity, l_extendedprice
+      FROM lineitem JOIN p ON l_partkey = p.p_partkey
+    ),
+    thr AS (
+      SELECT l_partkey,
+             (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+              / COUNT(*)) * 0.2 AS thr
+      FROM li GROUP BY 1
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0 AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_small
+    FROM li JOIN thr USING (l_partkey)
+    WHERE l_quantity < thr
+    """,
+)
+def agg_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT (TPC-H Q17 shape): revenue lost to small-quantity orders —
+    lineitems of one brand whose quantity sits below 20% of that part's
+    average quantity (a CORRELATED aggregate subquery, decorrelated
+    into a per-part aggregate + equi-join, which is exactly how both
+    Catalyst and DuckDB plan Q17).
+
+    Exactness: the per-part threshold is an exact-decimal sum emitted
+    as double, then one double divide and multiply — engine-identical;
+    the final revenue is a decimal sum divided by 7.0 once. Scale
+    shape: the brand filter broadcast-prunes lineitem FIRST (the
+    selective dimension always applies before the fact-side agg), then
+    one partkey-keyed shuffle serves both the threshold aggregate and
+    the re-join; no row ever leaves the partkey partitioning.
+    """
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    p = part.filter(F.col("p_brand") == "Brand#9").select("p_partkey")
+    sel = li.join(
+        F.broadcast(p), li.l_partkey == p.p_partkey
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    thr = sel.groupBy("l_partkey").agg(
+        (
+            (dsum("l_quantity") / F.count(F.lit(1))) * F.lit(0.2)
+        ).alias("thr")
+    )
+    return (
+        sel.join(thr, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("thr"))
+        .agg(
+            (dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).cast("long").alias("n_small"),
+        )
+    )
+
+
+@register(
+    "agg_important_parts",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_dec
+      FROM lineitem GROUP BY 1
+    ),
+    t AS (SELECT SUM(value_dec) AS total_dec FROM pv)
+    SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+    FROM pv, t
+    WHERE value_dec * 2000 > total_dec
+    """,
+)
+def agg_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT (TPC-H Q11 shape): parts whose lineitem revenue exceeds a
+    FRACTION of the global total — the scalar-subquery-threshold
+    pattern (HAVING SUM(...) > fraction × (SELECT SUM(...))).
+
+    Exactness: the keep/drop decision compares exact decimals
+    (value × 2000 > total), never doubles — a part sitting exactly at
+    the boundary gets the same verdict from both engines by
+    construction. Scale shape: ONE partkey aggregation; the global
+    total derives from the same aggregate (re-aggregated, not
+    re-scanned) and returns to the plan as a 1-row broadcast — the
+    corpus is scanned once, and the threshold comparison is map-side
+    against the broadcast scalar.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_extendedprice")).alias("value_dec")
+    )
+    total = pv.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec") * 2000 > F.col("total_dec"))
+        .select("l_partkey", F.col("value_dec").cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "agg_parts_supplier_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def agg_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT (TPC-H Q16 shape): distinct-supplier counts per part
+    attribute group, with NEGATED dimension predicates (<> filters are
+    the part of Q16 that defeats naive index strategies; in Spark they
+    are just pushed-down scan filters).
+
+    Scale shape: the filtered part side broadcasts into the fact join;
+    COUNT(DISTINCT) lowers to the standard two-phase expand-and-agg —
+    partial distinct per partition, exchange on the group key, final
+    count. No row-level window, no collect.
+    """
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    p = part.filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "window_ntile_quartiles",
+    oracle="""
+    WITH q AS (
+      SELECT o_orderpriority, o_totalprice,
+             NTILE(4) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders
+    )
+    SELECT o_orderpriority, CAST(quartile AS INTEGER) AS quartile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS quartile_revenue
+    FROM q
+    GROUP BY o_orderpriority, quartile
+    """,
+)
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-EXT: NTILE quantile binning — each order assigned to a price
+    quartile WITHIN its priority class, then per-bin stats. The
+    curriculum/difficulty-binning primitive (same mechanics as ordering
+    training data into quality buckets: deterministic total order ⇒
+    deterministic bin edges on both engines — the o_orderkey tiebreak
+    is what makes NTILE cross-engine-stable on duplicate prices).
+
+    Scale shape: one shuffle on the partition key, one in-partition
+    sort for the window, then a hash agg on (priority, quartile). At
+    100 TB the sort is the cost — but NTILE needs only partition-local
+    counts, so Spark's window exec streams it without materializing
+    the frame.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        orders.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            dsum("o_totalprice").alias("quartile_revenue"),
+        )
+    )
+
+
+#: Robust-outlier cutoff: |x − median| > _MAD_K × MAD, with
+#: _MAD_K = 3 × 1.4826 (the normal-consistency constant) written as ONE
+#: literal so both engines multiply by the same double.
+_MAD_K = 4.4478
+
+
+@register(
+    "agg_mad_outliers",
+    oracle=f"""
+    WITH med AS (
+      SELECT quantile_cont(o_totalprice, 0.5) AS med FROM orders
+    ),
+    dev AS (
+      SELECT o_totalprice, med, abs(o_totalprice - med) AS adev
+      FROM orders, med
+    ),
+    mad AS (SELECT quantile_cont(adev, 0.5) AS mad FROM dev)
+    SELECT MIN(dev.med) AS median_price,
+           MIN(mad.mad) AS mad,
+           CAST(SUM(CASE WHEN dev.adev > mad.mad * {_MAD_K}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(SUM(CASE WHEN dev.adev > mad.mad * {_MAD_K}
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS outlier_share
+    FROM dev, mad
+    """,
+)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT: robust outlier detection via MEDIAN ABSOLUTE DEVIATION —
+    the screening rule that survives the heavy-tailed distributions
+    where mean/stddev z-scores break. Flags prices more than
+    3×1.4826×MAD from the median.
+
+    Exactness: both medians are exact interpolated percentiles
+    (``percentile`` vs ``quantile_cont`` agree bitwise — the
+    ``agg_percentile_prices`` precedent); the deviation and cutoff are
+    raw per-row double arithmetic sharing one literal constant. Scale
+    shape: two exact-percentile passes + one counting pass, each a full
+    scan with a 1-row broadcast scalar in between — the honest cost of
+    exact medians; at corpus scale the same plan swaps to
+    ``percentile_approx`` exactly like the percentile family's
+    documented approx twin.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    med = orders.agg(
+        F.expr("percentile(o_totalprice, 0.5D)").alias("med")
+    )
+    dev = orders.crossJoin(F.broadcast(med)).select(
+        "o_totalprice",
+        "med",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("adev"),
+    )
+    mad = dev.agg(F.expr("percentile(adev, 0.5D)").alias("mad"))
+    flagged = (F.col("adev") > F.col("mad") * F.lit(_MAD_K)).cast("long")
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .agg(
+            F.min("med").alias("median_price"),
+            F.min("mad").alias("mad"),
+            F.sum(flagged).cast("long").alias("n_outliers"),
+            (F.sum(flagged).cast("double") / F.count(F.lit(1))).alias(
+                "outlier_share"
+            ),
+        )
+    )
+
+
+@register(
+    "scalar_gapfill_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1
+    ),
+    span AS (
+      SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+             MAX(CAST(o_orderdate AS DATE)) AS d1
+      FROM orders
+    ),
+    days AS (
+      SELECT strftime(CAST(unnest(generate_series(d0, d1,
+                       INTERVAL 1 DAY)) AS DATE), '%Y-%m-%d') AS day
+      FROM span
+    )
+    SELECT days.day,
+           COALESCE(daily.revenue, 0.0) AS revenue,
+           CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_orders,
+           (daily.n IS NULL) AS is_gap
+    FROM days LEFT JOIN daily ON daily.day = days.day
+    """,
+)
+def scalar_gapfill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-EXT: time-series GAP-FILL / resample — the calendar axis is
+    generated (``sequence`` over the observed [min, max] date span,
+    exploded), then outer-joined against the daily aggregate so silent
+    holes become explicit zero rows with an ``is_gap`` marker.
+    Downstream rolling windows are only correct on a dense axis — this
+    is the operator that makes them so.
+
+    Scale shape: the aggregate is one date-keyed shuffle; the span is a
+    1-row scalar; the generated calendar is O(days) — thousands of rows
+    regardless of corpus size — so it BROADCASTS into the join and the
+    fact side never reshuffles.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(
+        dsum("o_totalprice").alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    span = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"),
+    )
+    days = span.select(
+        F.explode(F.sequence("d0", "d1")).alias("d")
+    ).select(F.date_format("d", "yyyy-MM-dd").alias("day"))
+    return (
+        F.broadcast(days)
+        .join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_orders"),
+            F.col("n").isNull().alias("is_gap"),
+        )
+    )
+
+
+@register(
+    "agg_ohlc_daily_value",
+    oracle="""
+    WITH e AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             ts, event_id, value
+      FROM events
+    ),
+    o AS (
+      SELECT day, value FROM e
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY day
+                                 ORDER BY ts, event_id) = 1
+    ),
+    c AS (
+      SELECT day, value FROM e
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY day
+                                 ORDER BY ts DESC, event_id DESC) = 1
+    ),
+    hl AS (
+      SELECT day, MIN(value) AS px_low, MAX(value) AS px_high,
+             COUNT(*) AS n
+      FROM e GROUP BY 1
+    )
+    SELECT hl.day,
+           o.value AS px_open, hl.px_high, hl.px_low,
+           c.value AS px_close,
+           CAST(hl.n AS BIGINT) AS n_events
+    FROM hl JOIN o ON o.day = hl.day
+            JOIN c ON c.day = hl.day
+    """,
+)
+def agg_ohlc_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT: OHLC bars — per-day open/high/low/close of the event
+    value stream, the downsampling shape every metrics store needs.
+
+    The Spark plan deliberately AVOIDS the oracle's window sorts:
+    open/close are struct-extrema aggregates (min/max over
+    (ts, event_id, value) tuples — lexicographic struct comparison
+    picks the first/last event per day inside an ordinary hash agg, so
+    the whole query is ONE shuffle with map-side partials and no
+    per-partition sort). event_id breaks timestamp ties, making the
+    pick deterministic on both engines; high/low are plain min/max
+    (order-independent doubles).
+    """
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    return e.groupBy("day").agg(
+        F.min(F.struct("ts", "event_id", "value")).alias("o"),
+        F.max("value").alias("px_high"),
+        F.min("value").alias("px_low"),
+        F.max(F.struct("ts", "event_id", "value")).alias("c"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    ).select(
+        "day",
+        F.col("o.value").alias("px_open"),
+        "px_high",
+        "px_low",
+        F.col("c.value").alias("px_close"),
+        "n_events",
     )

@@ -26,10 +26,10 @@ import os
 import sys
 import time
 
-REPLICAS = 10
+REPLICAS = int(os.environ.get("SPARK_GRAFT_PROBE_REPLICAS", "10"))
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   ".scale_probe", "x10")
+                   ".scale_probe", f"x{REPLICAS}")
 
 
 def generate() -> None:
@@ -114,7 +114,7 @@ def run(names: list[str]) -> None:
     qs = plans.queries()
     for name in names:
         fn = qs[name]
-        for label, sf_dir in (("sf0.1", BASE), ("10x", OUT)):
+        for label, sf_dir in (("sf0.1", BASE), (f"{REPLICAS}x", OUT)):
             best = None
             for _ in range(2):
                 t0 = time.monotonic()
@@ -124,8 +124,101 @@ def run(names: list[str]) -> None:
             print(f"{name} {label} {best:.2f} s", flush=True)
 
 
+def buckets() -> None:
+    """LSH band-bucket occupancy on the probe corpus: how many buckets
+    exist per size band, how many exceed ``_LSH_BUCKET_CAP`` (cap-
+    dropped), and how many docs sit ONLY in dropped buckets — the
+    recall cost of the mega-bucket guard at this duplication level."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from smart_contract_database_builder_spark.plans.llm_ops import (
+        _BAND_ROWS,
+        _LSH_BUCKET_CAP,
+        _N_HASHES,
+        _tokens,
+        _word_ngrams,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEMORY", "6g"))
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{OUT}/documents.parquet")
+    sh = docs.select(
+        "doc_id", _tokens().alias("t")
+    ).select("doc_id", F.explode(_word_ngrams(F.col("t"))).alias("s"))
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"m{i}")
+            for i in range(_N_HASHES)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(F.concat(f"m{2 * b}", f"m{2 * b + 1}")).alias(
+                            "key"
+                        ),
+                    )
+                    for b in range(_N_HASHES // _BAND_ROWS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.key")
+    sizes = bands.groupBy("band_idx", "key").agg(
+        F.count(F.lit(1)).alias("n")
+    ).persist()
+    hist = (
+        sizes.select(
+            F.when(F.col("n") == 1, "1")
+            .when(F.col("n") <= 4, "2-4")
+            .when(F.col("n") <= 16, "5-16")
+            .when(F.col("n") <= _LSH_BUCKET_CAP, f"17-{_LSH_BUCKET_CAP}")
+            .otherwise(f">{_LSH_BUCKET_CAP} (dropped)")
+            .alias("size_band")
+        )
+        .groupBy("size_band")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .orderBy("size_band")
+        .collect()
+    )
+    for r in hist:
+        print(f"bucket size {r['size_band']}: {r['n_buckets']} buckets")
+    dropped = sizes.filter(F.col("n") > _LSH_BUCKET_CAP)
+    in_dropped = (
+        bands.join(dropped, ["band_idx", "key"], "left_semi")
+        .select("doc_id").distinct()
+    )
+    in_kept = (
+        bands.join(
+            sizes.filter(
+                (F.col("n") > 1) & (F.col("n") <= _LSH_BUCKET_CAP)
+            ),
+            ["band_idx", "key"],
+            "left_semi",
+        )
+        .select("doc_id").distinct()
+    )
+    only_dropped = in_dropped.subtract(in_kept).count()
+    print(f"docs whose every colliding bucket was cap-dropped: {only_dropped}")
+    sizes.unpersist()
+
+
 if __name__ == "__main__":
     if sys.argv[1] == "generate":
         generate()
+    elif sys.argv[1] == "buckets":
+        buckets()
     else:
         run(sys.argv[2:] if sys.argv[1] == "run" else sys.argv[1:])
