@@ -121,6 +121,21 @@ HEADLINE = [
     "agg_data_quality_report",
     "llm_ann_recall_report",
     "ref_sink_roundtrip",
+    # round-7 new operators
+    "agg_order_count_distribution",
+    "agg_small_quantity_revenue",
+    "agg_important_parts",
+    "agg_parts_supplier_counts",
+    "window_ntile_quartiles",
+    "agg_mad_outliers",
+    "scalar_gapfill_daily_revenue",
+    "agg_ohlc_daily_value",
+    "llm_edit_distance_pairs",
+    "llm_ngram_novelty",
+    "llm_semdedup_representatives",
+    "llm_mode_token_by_lang",
+    "llm_readability_scores",
+    "llm_zipf_slope_report",
 ]
 
 

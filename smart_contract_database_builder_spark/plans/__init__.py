@@ -93,6 +93,22 @@ _PRIORITY = [
 #: r6/r7 rotations did. Verify with tests/test_registry_window.py
 #: (add a _ROTATED_IN_R8 contract).
 _OVERFLOW = [
+    # round-7 NEW operators (born after the window was finalized;
+    # rotate into the window in round 8+)
+    "agg_order_count_distribution",
+    "agg_small_quantity_revenue",
+    "agg_important_parts",
+    "agg_parts_supplier_counts",
+    "window_ntile_quartiles",
+    "agg_mad_outliers",
+    "scalar_gapfill_daily_revenue",
+    "agg_ohlc_daily_value",
+    "llm_edit_distance_pairs",
+    "llm_ngram_novelty",
+    "llm_semdedup_representatives",
+    "llm_mode_token_by_lang",
+    "llm_readability_scores",
+    "llm_zipf_slope_report",
     # round-6 NEW operators still awaiting their window slot (rotate
     # into the window in round 8)
     "llm_triangle_counts",

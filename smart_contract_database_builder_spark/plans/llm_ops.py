@@ -23,6 +23,7 @@ from __future__ import annotations
 import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources.tables import load_table
 from .registry import register
@@ -5553,4 +5554,417 @@ def llm_approx_top_terms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.item").alias("term"),
             F.col("e.count").cast("long").alias("approx_cnt"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 additions: fuzzy-dedup verify, novelty scoring, semantic dedup,
+# per-language vocabulary mode, readability, Zipf law fit.
+# ---------------------------------------------------------------------------
+
+#: Edit-distance verify: compare only the first _ED_PREFIX chars of each
+#: candidate (bounds the O(len²) DP per pair), keep pairs within
+#: _ED_MAX edits.
+_ED_PREFIX = 200
+_ED_MAX = 60
+
+
+@register(
+    "llm_edit_distance_pairs",
+    oracle=rf"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_sql_word_ngrams("t")}) AS s
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+    ),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(md5('{i}|' || s)) AS m{i}" for i in range(_N_HASHES))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(m{2*b} || m{2*b+1}) AS key FROM sig"
+        for b in range(_N_HASHES // _BAND_ROWS)
+      )}
+    ),
+    bsz AS (
+      SELECT band_idx, key FROM bands
+      GROUP BY band_idx, key
+      HAVING COUNT(*) BETWEEN 2 AND {_LSH_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bsz USING (band_idx, key)
+      JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key
+                  AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(substring(da.text, 1, {_ED_PREFIX}),
+                            substring(db.text, 1, {_ED_PREFIX}))
+                AS BIGINT) AS edit_distance
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.doc_a
+    JOIN documents db ON db.doc_id = c.doc_b
+    WHERE levenshtein(substring(da.text, 1, {_ED_PREFIX}),
+                      substring(db.text, 1, {_ED_PREFIX})) <= {_ED_MAX}
+    """,
+)
+def llm_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-EXT: character-level FUZZY-DEDUP verify — Levenshtein distance
+    over LSH candidate pairs, the second stage a pipeline runs when
+    token-level Jaccard is too coarse (near-identical docs with small
+    character edits: versioned boilerplate, typo families).
+
+    Never all-pairs: candidates come from the SAME banded-MinHash plan
+    as the Jaccard family (bucket-capped, shuffle keyed on band
+    buckets); the O(len²) DP runs only per candidate and only on the
+    first ``_ED_PREFIX`` chars (a fixed cost ceiling per pair — the
+    standard prefix-filter trade). ``levenshtein`` is the identical
+    classic DP in both engines: integer edits, no floats anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
+    cand = minhash_candidate_pairs(toked).select("doc_a", "doc_b")
+    pref = docs.select(
+        "doc_id", F.substring("text", 1, _ED_PREFIX).alias("pref")
+    )
+    a = pref.select(
+        F.col("doc_id").alias("doc_a"), F.col("pref").alias("pa")
+    )
+    b = pref.select(
+        F.col("doc_id").alias("doc_b"), F.col("pref").alias("pb")
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pa", "pb").cast("long").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= _ED_MAX)
+    )
+
+
+@register(
+    "llm_ngram_novelty",
+    oracle=rf"""
+    WITH toked AS (
+      SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, s
+      FROM (SELECT doc_id, unnest({_sql_word_ngrams("t")}) AS s FROM toked)
+    ),
+    ref AS (
+      SELECT DISTINCT s FROM grams
+      WHERE doc_id % {_DECON_MOD} = {_DECON_REM}
+    ),
+    new AS (
+      SELECT g.doc_id,
+             COUNT(*) AS n_grams,
+             SUM(CASE WHEN r.s IS NULL THEN 1 ELSE 0 END) AS n_novel
+      FROM grams g LEFT JOIN ref r ON r.s = g.s
+      WHERE g.doc_id % {_DECON_MOD} <> {_DECON_REM}
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_novel AS BIGINT) AS n_novel,
+           CAST(n_novel AS DOUBLE) / n_grams AS novelty
+    FROM new
+    """,
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-EXT: n-gram NOVELTY score — per document, the fraction of its
+    distinct word 3-grams absent from a reference corpus (here the
+    deterministic ``doc_id % _DECON_MOD`` slice the decontamination
+    family already uses as its benchmark stand-in). The
+    dual of decontamination: decon DROPS overlap, novelty SCORES it —
+    the signal a curation pipeline uses to prefer documents that add
+    new content rather than re-paraphrase the reference.
+
+    Scale shape: one corpus tokenize+shingle explode serves both sides;
+    the membership probe is a gram-keyed LEFT join (sort-merge at
+    corpus scale — the reference side is corpus-proportional, so no
+    broadcast), aggregated back to doc grain in the same shuffle
+    pipeline. Counts are integers; the ratio is one double division.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
+    grams = toked.select(
+        "doc_id", F.explode_outer(_word_ngrams(F.col("t"))).alias("s")
+    ).filter(F.col("s").isNotNull()).distinct()
+    is_ref = (F.col("doc_id") % _DECON_MOD) == _DECON_REM
+    ref = grams.filter(is_ref).select("s").distinct()
+    return (
+        grams.filter(~is_ref)
+        .join(ref.withColumn("hit", F.lit(1)), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("hit").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_grams")).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+@register(
+    "llm_semdedup_representatives",
+    oracle=rf"""
+    WITH x6 AS ({_sql_km_x6()}),
+    cent0 AS (
+      SELECT CAST(vec_id AS INTEGER) AS cluster, d, x6 AS cq
+      FROM x6 WHERE vec_id < {_KM_K}
+    ),
+    {_sql_km_iterations()}
+    SELECT vec_id,
+           CAST(cluster AS INTEGER) AS cluster,
+           CAST(dist AS BIGINT) AS dist_fp2,
+           (ROW_NUMBER() OVER (PARTITION BY cluster
+                               ORDER BY dist, vec_id) = 1)
+             AS is_representative
+    FROM assign{_KM_ITERS}
+    """,
+)
+def llm_semdedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-EXT (SemDeDup shape): SEMANTIC dedup — cluster the embedding
+    space (the shared exact-parity Lloyd k-means, ``_km_state``), then
+    mark ONE representative per semantic cluster: the member closest to
+    its centroid (tie-break vec_id). Keeping only representatives is
+    the aggressive semantic-dedup policy; the emitted per-member
+    distances let a pipeline pick any softer radius instead.
+
+    Scale shape: everything up to assignment is k-means' own cost
+    (persisted exploded coords, broadcast centroids, one vec-keyed
+    shuffle); the representative pick is a K-partition window over the
+    assignment relation — rank within cluster by exact int64 distance,
+    deterministic on both engines.
+    """
+    _, _, _, assign = _km_state(spark, sf_dir)
+    w = Window.partitionBy("cluster").orderBy("dist", "vec_id")
+    return (
+        assign.withColumn("rn", F.row_number().over(w))
+        .select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("dist").cast("long").alias("dist_fp2"),
+            (F.col("rn") == 1).alias("is_representative"),
+        )
+    )
+
+
+@register(
+    "llm_mode_token_by_lang",
+    oracle=rf"""
+    WITH tc AS (
+      SELECT lang, term, COUNT(*) AS cnt
+      FROM (
+        SELECT lang, unnest({_SQL_TOKENS}) AS term FROM documents
+      )
+      GROUP BY lang, term
+    )
+    SELECT lang, term AS top_token,
+           CAST(cnt AS BIGINT) AS cnt,
+           CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY lang)
+             AS share
+    FROM tc
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY cnt DESC, term DESC) = 1
+    """,
+)
+def llm_mode_token_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT: per-language MODE — the most frequent token per language
+    with its corpus share (tie-break: lexicographically LARGEST token,
+    so the struct-max pick and the oracle's ORDER BY agree exactly).
+
+    Scale shape: the Spark side never runs the oracle's window — after
+    the (lang, term) count aggregate, the mode IS ``max(struct(cnt,
+    term))`` inside a second tiny hash agg that also sums the language
+    total, so the vocabulary relation is aggregated once and nothing is
+    sorted.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("lang", F.explode(_tokens()).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        tc.groupBy("lang")
+        .agg(
+            F.sum("cnt").alias("total"),
+            F.max(F.struct("cnt", "term")).alias("m"),
+        )
+        .select(
+            "lang",
+            F.col("m.term").alias("top_token"),
+            F.col("m.cnt").cast("long").alias("cnt"),
+            (F.col("m.cnt").cast("double") / F.col("total")).alias("share"),
+        )
+    )
+
+
+@register(
+    "llm_readability_scores",
+    oracle=r"""
+    WITH f AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(lower(text)), '\s+')) AS n_words,
+             greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+               AS n_sentences,
+             greatest(1, len(regexp_extract_all(lower(text), '[aeiouy]+')))
+               AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)
+             AS flesch
+    FROM f
+    """,
+)
+def llm_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-EXT: READABILITY scoring (Flesch reading ease with the
+    standard regex approximations: sentences = punctuation runs,
+    syllables = vowel groups) — a quality-filter signal complementing
+    the Gopher rules: too-low readability flags OCR garbage and
+    boilerplate, too-high flags word-salad.
+
+    All three counts are integer regex counts (identical engines-side);
+    the score is raw per-row double arithmetic sharing the published
+    constants — no aggregation, so nothing is order-dependent. Pure
+    map-side at any scale: codegen regex over the scan, no shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(_tokens())
+    n_sent = F.greatest(
+        F.lit(1), F.size(F.expr(r"regexp_extract_all(text, '[.!?]+', 0)"))
+    )
+    n_syl = F.greatest(
+        F.lit(1),
+        F.size(F.expr(r"regexp_extract_all(lower(text), '[aeiouy]+', 0)")),
+    )
+    f = docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        n_syl.cast("long").alias("n_syllables"),
+    )
+    return f.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("n_words").cast("double") / F.col("n_sentences"))
+            - F.lit(84.6)
+            * (F.col("n_syllables").cast("double") / F.col("n_words"))
+        ).alias("flesch"),
+    )
+
+
+#: Zipf fit: regress ln(count) on ln(rank) over the top _ZIPF_N terms.
+_ZIPF_N = 100
+
+
+@register(
+    "llm_zipf_slope_report",
+    oracle=rf"""
+    WITH tc AS (
+      SELECT term, COUNT(*) AS cnt
+      FROM (SELECT unnest({_SQL_TOKENS}) AS term FROM documents)
+      GROUP BY term
+    ),
+    top AS (
+      SELECT term, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rank
+      FROM tc
+      QUALIFY rank <= {_ZIPF_N}
+    ),
+    xy AS (
+      SELECT CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(18,12)) AS x,
+             CAST(ln(CAST(cnt AS DOUBLE)) AS DECIMAL(18,12)) AS y
+      FROM top
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx
+      FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_slope
+    FROM s
+    """,
+)
+def llm_zipf_slope_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT: ZIPF-LAW fit — least-squares slope of ln(frequency) vs
+    ln(rank) over the top ``_ZIPF_N`` corpus terms. Natural text sits
+    near −1; a corpus drifting toward 0 (too uniform: boilerplate/spam
+    floods) or below −1.5 (vocabulary collapse: dedup gone wrong) fails
+    the health check — the report a pipeline computes after every major
+    filter step.
+
+    Cross-engine exactness for a regression over FLOATS: the ln values
+    (libm on both sides — the ``_ln_libm`` precedent) are quantized to
+    DECIMAL(18,12) and every regression moment is an exact decimal sum
+    of exact decimal products — order-independent — with ONE double
+    division at the end. Scale shape: vocabulary aggregate, top-k via
+    TakeOrdered (O(vocab·log k), no global sort), then a 100-row
+    regression — driver never sees data.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select(F.explode(_tokens()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "term")
+        .limit(_ZIPF_N)
+    )
+    w = Window.orderBy(F.desc("cnt"), "term")
+    ln = _ln_libm()
+    xy = (
+        tc.withColumn("rank", F.row_number().over(w))
+        .select(
+            ln(F.col("rank").cast("double")).cast("decimal(18,12)").alias("x"),
+            ln(F.col("cnt").cast("double")).cast("decimal(18,12)").alias("y"),
+        )
+    )
+    # Each regression moment is an EXACT decimal sum cast to double
+    # BEFORE the slope arithmetic: multiplying the decimal sums first
+    # would exceed decimal(38) and let Spark silently truncate scale
+    # (allowPrecisionLoss), which de-syncs the last bits vs DuckDB's
+    # 128-bit decimals. Exact-sum → double → double arithmetic is
+    # engine-identical.
+    s = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        (num / den).alias("zipf_slope"),
     )

@@ -100,6 +100,22 @@ def test_round7_rotation_brings_overflow_queries_into_window():
 #: must rotate INTO the window in a future round; grow this set only
 #: when a round adds operators after its window is finalized.
 _BORN_IN_OVERFLOW: set[str] = {
+    # round-7-born
+    "agg_order_count_distribution",
+    "agg_small_quantity_revenue",
+    "agg_important_parts",
+    "agg_parts_supplier_counts",
+    "window_ntile_quartiles",
+    "agg_mad_outliers",
+    "scalar_gapfill_daily_revenue",
+    "agg_ohlc_daily_value",
+    "llm_edit_distance_pairs",
+    "llm_ngram_novelty",
+    "llm_semdedup_representatives",
+    "llm_mode_token_by_lang",
+    "llm_readability_scores",
+    "llm_zipf_slope_report",
+    # round-6-born
     "llm_triangle_counts",
     "llm_pmi_collocations",
     "agg_retention_cohorts",

@@ -1,0 +1,239 @@
+"""Structural invariants for the round-7 operators — properties the
+cross-engine oracle can't see (a bug shared by both engines' SQL shape
+would survive the parity sweep; these pin the math directly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from smart_contract_database_builder_spark import plans
+from smart_contract_database_builder_spark.sources.tables import load_table
+
+from conftest import SF_ORACLE
+
+
+def _run(spark, name):
+    return plans.QUERIES[name].fn(spark, SF_ORACLE)
+
+
+def test_order_count_distribution_conserves_totals(spark):
+    """The histogram must conserve both customers and orders: Σ
+    n_customers = |customer| and Σ (c_count × n_customers) = |orders|
+    — and the left join must surface a zero-order bucket if any
+    customer never ordered."""
+    rows = _run(spark, "agg_order_count_distribution").collect()
+    n_cust = load_table(spark, SF_ORACLE, "customer").count()
+    n_ord = load_table(spark, SF_ORACLE, "orders").count()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    assert sum(r["c_count"] * r["n_customers"] for r in rows) == n_ord
+
+
+def test_small_quantity_revenue_bounds(spark):
+    """The Q17 aggregate must count a strict subset of the brand's
+    lineitems and produce positive revenue."""
+    row = _run(spark, "agg_small_quantity_revenue").collect()[0]
+    part = load_table(spark, SF_ORACLE, "part").filter(
+        F.col("p_brand") == "Brand#9"
+    )
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    brand_li = li.join(part, li.l_partkey == part.p_partkey).count()
+    assert 0 < row["n_small"] < brand_li
+    assert row["avg_yearly"] > 0
+
+
+def test_important_parts_threshold_is_selective(spark):
+    """Every kept part must exceed the 1/2000 share of total revenue,
+    and the cut must actually select (neither empty nor everything)."""
+    rows = _run(spark, "agg_important_parts").collect()
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    total = li.agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("t")
+    ).collect()[0]["t"]
+    n_parts = li.select("l_partkey").distinct().count()
+    assert 0 < len(rows) < n_parts
+    thr = float(total) / 2000.0
+    for r in rows:
+        assert r["part_value"] > thr * 0.999  # double rendering slack
+
+
+def test_parts_supplier_counts_bounds(spark):
+    rows = _run(spark, "agg_parts_supplier_counts").collect()
+    n_supp = load_table(spark, SF_ORACLE, "supplier").count()
+    assert rows
+    for r in rows:
+        assert 1 <= r["supplier_cnt"] <= n_supp
+        assert r["p_brand"] != "Brand#1" and r["p_type"] != "PROMO"
+
+
+def test_ntile_quartiles_are_balanced_and_ordered(spark):
+    """Per priority: exactly 4 bins, bin sizes differ by ≤ 1 (the NTILE
+    contract), and price ranges are non-overlapping in quartile order
+    (boundaries may touch on duplicate prices)."""
+    rows = _run(spark, "window_ntile_quartiles").collect()
+    by_prio: dict[str, dict[int, dict]] = {}
+    for r in rows:
+        by_prio.setdefault(r["o_orderpriority"], {})[r["quartile"]] = r
+    for prio, bins in by_prio.items():
+        assert sorted(bins) == [1, 2, 3, 4], prio
+        sizes = [bins[q]["n"] for q in (1, 2, 3, 4)]
+        assert max(sizes) - min(sizes) <= 1, (prio, sizes)
+        for q in (1, 2, 3):
+            assert bins[q]["hi"] <= bins[q + 1]["lo"], (prio, q)
+        for q in (1, 2, 3, 4):
+            assert bins[q]["lo"] <= bins[q]["hi"]
+
+
+def test_mad_outliers_bounds(spark):
+    """MAD flags at most a minority; the median sits inside the data
+    range; recomputing the flag count from raw prices agrees."""
+    row = _run(spark, "agg_mad_outliers").collect()[0]
+    orders = load_table(spark, SF_ORACLE, "orders")
+    n = orders.count()
+    assert 0 <= row["n_outliers"] < n / 2
+    assert abs(row["outlier_share"] - row["n_outliers"] / n) < 1e-12
+    lohi = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    ).collect()[0]
+    assert lohi["lo"] <= row["median_price"] <= lohi["hi"]
+    assert row["mad"] >= 0
+    cutoff = row["mad"] * 4.4478
+    recount = orders.filter(
+        F.abs(F.col("o_totalprice") - F.lit(row["median_price"])) > cutoff
+    ).count()
+    assert recount == row["n_outliers"]
+
+
+def test_gapfill_axis_is_dense_and_conservative(spark):
+    """The output is one row per calendar day of the observed span —
+    no holes, no extras — and gap rows are exactly the days with no
+    orders (zero revenue, zero count)."""
+    import datetime
+
+    rows = _run(spark, "scalar_gapfill_daily_revenue").collect()
+    days = [datetime.date.fromisoformat(r["day"]) for r in rows]
+    days_sorted = sorted(days)
+    assert len(days) == len(set(days))
+    assert (days_sorted[-1] - days_sorted[0]).days + 1 == len(days)
+    orders = load_table(spark, SF_ORACLE, "orders")
+    n_obs_days = (
+        orders.select(F.to_date("o_orderdate").alias("d")).distinct().count()
+    )
+    non_gap = [r for r in rows if not r["is_gap"]]
+    assert len(non_gap) == n_obs_days
+    for r in rows:
+        if r["is_gap"]:
+            assert r["revenue"] == 0.0 and r["n_orders"] == 0
+        else:
+            assert r["n_orders"] > 0
+    assert sum(r["n_orders"] for r in rows) == orders.count()
+
+
+def test_ohlc_bars_are_internally_consistent(spark):
+    rows = _run(spark, "agg_ohlc_daily_value").collect()
+    assert rows
+    for r in rows:
+        assert r["px_low"] <= r["px_high"]
+        assert r["px_low"] <= r["px_open"] <= r["px_high"]
+        assert r["px_low"] <= r["px_close"] <= r["px_high"]
+        assert r["n_events"] > 0
+
+
+def test_edit_distance_pairs_within_candidates_and_bound(spark):
+    """Every emitted pair is an LSH candidate pair and respects the
+    _ED_MAX cutoff; a doc paired with itself is impossible."""
+    from smart_contract_database_builder_spark.plans.llm_ops import (
+        _ED_MAX,
+        _tokens,
+        fan_out_if_narrow,
+        minhash_candidate_pairs,
+    )
+
+    rows = _run(spark, "llm_edit_distance_pairs").collect()
+    assert rows
+    docs = load_table(spark, SF_ORACLE, "documents")
+    toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_candidate_pairs(toked).collect()
+    }
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0 <= r["edit_distance"] <= _ED_MAX
+        assert (r["doc_a"], r["doc_b"]) in cand
+
+
+def test_ngram_novelty_bounds_and_ref_exclusion(spark):
+    from smart_contract_database_builder_spark.plans.llm_ops import (
+        _DECON_MOD,
+        _DECON_REM,
+    )
+
+    rows = _run(spark, "llm_ngram_novelty").collect()
+    assert rows
+    for r in rows:
+        assert r["doc_id"] % _DECON_MOD != _DECON_REM
+        assert 0 <= r["n_novel"] <= r["n_grams"]
+        assert abs(r["novelty"] - r["n_novel"] / r["n_grams"]) < 1e-12
+
+
+def test_semdedup_one_representative_per_cluster(spark):
+    """Exactly one representative per cluster, and it is the (dist,
+    vec_id)-argmin of its cluster; assignments agree with the k-means
+    query (shared _km_state)."""
+    rows = _run(spark, "llm_semdedup_representatives").collect()
+    km = {
+        r["vec_id"]: (r["cluster"], r["dist_fp2"])
+        for r in _run(spark, "llm_kmeans_lloyd").collect()
+    }
+    assert len(rows) == len(km)
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        assert km[r["vec_id"]] == (r["cluster"], r["dist_fp2"])
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for cl, members in by_cluster.items():
+        reps = [m for m in members if m["is_representative"]]
+        assert len(reps) == 1, cl
+        best = min((m["dist_fp2"], m["vec_id"]) for m in members)
+        assert (reps[0]["dist_fp2"], reps[0]["vec_id"]) == best
+
+
+def test_mode_token_share_and_coverage(spark):
+    rows = _run(spark, "llm_mode_token_by_lang").collect()
+    docs = load_table(spark, SF_ORACLE, "documents")
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    assert {r["lang"] for r in rows} == langs
+    for r in rows:
+        assert 0 < r["share"] <= 1
+        assert r["cnt"] >= 1 and r["top_token"]
+
+
+def test_readability_formula_recomputes(spark):
+    rows = _run(spark, "llm_readability_scores").collect()
+    assert rows
+    for r in rows:
+        assert r["n_words"] >= 1
+        assert r["n_sentences"] >= 1 and r["n_syllables"] >= 1
+        expect = (
+            206.835
+            - 1.015 * (r["n_words"] / r["n_sentences"])
+            - 84.6 * (r["n_syllables"] / r["n_words"])
+        )
+        assert r["flesch"] == expect
+
+
+def test_zipf_slope_is_negative_and_full_rank(spark):
+    from smart_contract_database_builder_spark.plans.llm_ops import _ZIPF_N
+
+    row = _run(spark, "llm_zipf_slope_report").collect()[0]
+    docs = load_table(spark, SF_ORACLE, "documents")
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("t")
+        )
+        .distinct()
+        .count()
+    )
+    assert row["n_terms"] == min(_ZIPF_N, vocab)
+    # natural-ish text: frequency decays with rank
+    assert -3.0 < row["zipf_slope"] < 0.0
