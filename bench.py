@@ -136,6 +136,7 @@ HEADLINE = [
     "llm_mode_token_by_lang",
     "llm_readability_scores",
     "llm_zipf_slope_report",
+    "llm_bpe_train_merges",
 ]
 
 

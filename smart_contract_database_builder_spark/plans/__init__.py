@@ -109,6 +109,7 @@ _OVERFLOW = [
     "llm_mode_token_by_lang",
     "llm_readability_scores",
     "llm_zipf_slope_report",
+    "llm_bpe_train_merges",
     # round-6 NEW operators still awaiting their window slot (rotate
     # into the window in round 8)
     "llm_triangle_counts",

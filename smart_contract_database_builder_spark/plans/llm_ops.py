@@ -5968,3 +5968,215 @@ def llm_zipf_slope_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_terms"),
         (num / den).alias("zipf_slope"),
     )
+
+
+#: Distributed BPE trainer: number of merge iterations to learn.
+_BPE_MERGES = 3
+
+
+def _sql_bpe_iteration(i: int) -> str:
+    """One unrolled BPE merge iteration (DuckDB): count adjacent symbol
+    pairs weighted by word frequency, pick the global top pair
+    (tie-break lexicographic), then apply the greedy left-to-right
+    merge via the islands trick — within each maximal run of
+    consecutive merge candidates, the odd-offset positions merge (for
+    a non-self-overlapping pair candidates are never adjacent, so this
+    IS greedy left-to-right; for a self pair like (x,x) it merges
+    positions 1-2, 3-4, ... exactly as greedy does)."""
+    prev = f"v{i - 1}"
+    return f"""
+    it{i}_pairs AS (
+      SELECT p1, p2, SUM(cnt) AS pc FROM (
+        SELECT cnt, syms[j] AS p1, syms[j+1] AS p2
+        FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS j
+              FROM {prev})
+      ) GROUP BY 1, 2
+    ),
+    it{i}_top AS (
+      SELECT p1, p2, pc FROM it{i}_pairs ORDER BY pc DESC, p1, p2 LIMIT 1
+    ),
+    it{i}_pos AS (
+      SELECT word, cnt, j AS pos, syms[j] AS sym
+      FROM (SELECT word, cnt, syms, unnest(range(1, len(syms)+1)) AS j
+            FROM {prev})
+    ),
+    it{i}_cand AS (
+      SELECT p.word, p.cnt, p.pos, p.sym, t.p1, t.p2,
+             COALESCE(p.sym = t.p1
+                      AND lead(p.sym) OVER (PARTITION BY p.word
+                                            ORDER BY p.pos) = t.p2,
+                      FALSE) AS cand
+      FROM it{i}_pos p, it{i}_top t
+    ),
+    it{i}_isl AS (
+      SELECT *, CASE WHEN cand THEN pos - ROW_NUMBER() OVER
+               (PARTITION BY word, cand ORDER BY pos) END AS isl
+      FROM it{i}_cand
+    ),
+    it{i}_sel AS (
+      SELECT *, CASE WHEN cand THEN (ROW_NUMBER() OVER
+               (PARTITION BY word, isl ORDER BY pos) % 2 = 1)
+               ELSE FALSE END AS sel
+      FROM it{i}_isl
+    ),
+    it{i}_keep AS (
+      SELECT word, cnt, pos,
+             CASE WHEN sel THEN p1 || p2 ELSE sym END AS sym,
+             COALESCE(lag(sel) OVER (PARTITION BY word ORDER BY pos),
+                      FALSE) AS prev_sel
+      FROM it{i}_sel
+    ),
+    v{i} AS (
+      SELECT word, cnt, list(sym ORDER BY pos) AS syms
+      FROM it{i}_keep WHERE NOT prev_sel GROUP BY word, cnt
+    )"""
+
+
+@register(
+    "llm_bpe_train_merges",
+    oracle=rf"""
+    WITH v0 AS (
+      SELECT term AS word, CAST(COUNT(*) AS BIGINT) AS cnt,
+             regexp_extract_all(term, '.') AS syms
+      FROM (SELECT unnest({_SQL_TOKENS}) AS term FROM documents)
+      GROUP BY term
+    ),{",".join(_sql_bpe_iteration(i) for i in range(1, _BPE_MERGES + 1))}
+    {" UNION ALL ".join(
+        f"SELECT {i} AS iteration, p1 AS left_sym, p2 AS right_sym, "
+        f"p1 || p2 AS merged, CAST(pc AS BIGINT) AS pair_count "
+        f"FROM it{i}_top"
+        for i in range(1, _BPE_MERGES + 1)
+    )}
+    """,
+)
+def llm_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-EXT: distributed BPE TOKENIZER TRAINING — learn the first
+    ``_BPE_MERGES`` byte-pair merges of the corpus (Sennrich et al.
+    2016), oracle-verified: each iteration counts adjacent symbol pairs
+    weighted by word frequency, merges the global argmax pair
+    (tie-break lexicographic) greedily left-to-right inside every word,
+    and emits the learned merge table.
+
+    The trainer's textbook scale trick: the corpus is scanned ONCE to
+    build the (word, count) VOCABULARY, and every merge iteration works
+    on that O(vocab) relation — never the corpus. Greedy left-to-right
+    application distributes via the ISLANDS scheme: a position merges
+    iff it heads an odd offset within its maximal run of consecutive
+    candidates (runs longer than 1 only occur for self-pairs (x,x),
+    where odd-offsets reproduce greedy exactly) — two window passes
+    over word-partitioned symbol rows, no sequential state. Per
+    iteration: one pair hash-agg + a 1-row broadcast argmax + windows
+    keyed on the word column; the vocabulary relation is
+    localCheckpoint-ed between iterations so the plan stays flat
+    (the k-means `_km_state` discipline). Oracle iterations are
+    GENERATED from the same ``_BPE_MERGES`` constant, so plan and
+    oracle cannot desynchronize.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    v = (
+        docs.select(F.explode(_tokens()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            "word",
+            "cnt",
+            F.expr("regexp_extract_all(word, '.', 0)").alias("syms"),
+        )
+    )
+    merge_rows = []
+    for i in range(1, _BPE_MERGES + 1):
+        pairs = (
+            v.filter(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(syms)-2), "
+                        "j -> struct(syms[j] AS p1, syms[j+1] AS p2))"
+                    )
+                ).alias("pr"),
+            )
+            .groupBy(
+                F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2")
+            )
+            .agg(F.sum("cnt").alias("pc"))
+        )
+        top = (
+            pairs.orderBy(F.desc("pc"), "p1", "p2")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        merge_rows.append(
+            top.select(
+                F.lit(i).alias("iteration"),
+                F.col("p1").alias("left_sym"),
+                F.col("p2").alias("right_sym"),
+                F.concat("p1", "p2").alias("merged"),
+                F.col("pc").cast("long").alias("pair_count"),
+            )
+        )
+        wv = Window.partitionBy("word").orderBy("pos")
+        pos = v.select(
+            "word", "cnt", F.posexplode("syms").alias("pos0", "sym")
+        ).select("word", "cnt", (F.col("pos0") + 1).alias("pos"), "sym")
+        c = (
+            pos.crossJoin(F.broadcast(top))
+            .withColumn(
+                "cand",
+                F.coalesce(
+                    (F.col("sym") == F.col("p1"))
+                    & (F.lead("sym").over(wv) == F.col("p2")),
+                    F.lit(False),
+                ),
+            )
+            .withColumn(
+                "isl",
+                F.when(
+                    F.col("cand"),
+                    F.col("pos")
+                    - F.row_number().over(
+                        Window.partitionBy("word", "cand").orderBy("pos")
+                    ),
+                ),
+            )
+            .withColumn(
+                "sel",
+                F.when(
+                    F.col("cand"),
+                    F.row_number().over(
+                        Window.partitionBy("word", "isl").orderBy("pos")
+                    )
+                    % 2
+                    == 1,
+                ).otherwise(F.lit(False)),
+            )
+            .withColumn(
+                "prev_sel", F.coalesce(F.lag("sel").over(wv), F.lit(False))
+            )
+        )
+        kept = c.filter(~F.col("prev_sel")).select(
+            "word",
+            "cnt",
+            "pos",
+            F.when(F.col("sel"), F.concat("p1", "p2"))
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+        v = (
+            kept.groupBy("word", "cnt")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "sym"))).alias(
+                    "ps"
+                )
+            )
+            .select(
+                "word",
+                "cnt",
+                F.expr("transform(ps, x -> x.sym)").alias("syms"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out

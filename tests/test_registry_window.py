@@ -115,6 +115,7 @@ _BORN_IN_OVERFLOW: set[str] = {
     "llm_mode_token_by_lang",
     "llm_readability_scores",
     "llm_zipf_slope_report",
+    "llm_bpe_train_merges",
     # round-6-born
     "llm_triangle_counts",
     "llm_pmi_collocations",

@@ -237,3 +237,109 @@ def test_zipf_slope_is_negative_and_full_rank(spark):
     assert row["n_terms"] == min(_ZIPF_N, vocab)
     # natural-ish text: frequency decays with rank
     assert -3.0 < row["zipf_slope"] < 0.0
+
+
+def _py_bpe(words: dict[str, int], n_merges: int):
+    """Reference greedy BPE trainer (pure Python): per iteration, count
+    adjacent pairs weighted by word count, merge the (count desc, pair
+    asc) argmax greedily left-to-right in every word."""
+    vocab = {w: list(w) for w in words}
+    merges = []
+    for it in range(1, n_merges + 1):
+        pc: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + words[w]
+        if not pc:
+            break
+        (p1, p2), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((it, p1, p2, p1 + p2, n))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == p1 and syms[i + 1] == p2:
+                    out.append(p1 + p2)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_bpe_matches_pure_python_reference(spark):
+    """The distributed trainer must reproduce the sequential greedy BPE
+    reference exactly on the real corpus vocabulary."""
+    from smart_contract_database_builder_spark.plans.llm_ops import (
+        _BPE_MERGES,
+    )
+
+    rows = _run(spark, "llm_bpe_train_merges").collect()
+    docs = load_table(spark, SF_ORACLE, "documents")
+    words = {
+        r["w"]: r["c"]
+        for r in docs.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    expect = _py_bpe(words, _BPE_MERGES)
+    got = [
+        (
+            r["iteration"],
+            r["left_sym"],
+            r["right_sym"],
+            r["merged"],
+            r["pair_count"],
+        )
+        for r in sorted(rows, key=lambda r: r["iteration"])
+    ]
+    assert got == expect
+
+
+def test_bpe_islands_handle_self_pairs(spark, tmp_path):
+    """Adversarial pin for the islands trick: a corpus dominated by a
+    self-overlapping pair (x,x) must merge greedily left-to-right —
+    'xxxx' → [xx, xx], 'xxx' → [xx, x] — exactly like the sequential
+    reference."""
+    import pandas as pdd
+
+    from smart_contract_database_builder_spark.plans.llm_ops import (
+        _BPE_MERGES,
+        llm_bpe_train_merges,
+    )
+
+    corpus = ["xxxx xxxx xxx", "xxxx xx ab", "xxxx xxx ab ab"]
+    pdf = pdd.DataFrame(
+        {
+            "doc_id": range(len(corpus)),
+            "text": corpus,
+            "lang": ["en"] * len(corpus),
+            "source": ["s"] * len(corpus),
+            "n_chars": [len(t) for t in corpus],
+        }
+    )
+    sf = str(tmp_path / "selfpair")
+    spark.createDataFrame(pdf).write.parquet(f"{sf}/documents.parquet")
+    rows = llm_bpe_train_merges(spark, sf).collect()
+    words: dict[str, int] = {}
+    for line in corpus:
+        for w in line.split():
+            words[w] = words.get(w, 0) + 1
+    expect = _py_bpe(words, _BPE_MERGES)
+    got = [
+        (
+            r["iteration"],
+            r["left_sym"],
+            r["right_sym"],
+            r["merged"],
+            r["pair_count"],
+        )
+        for r in sorted(rows, key=lambda r: r["iteration"])
+    ]
+    assert got == expect
+    # the first merge must be the self pair, counted greedily:
+    # xxxx→2 per occurrence, xxx→1 per occurrence, xx→1
+    assert got[0][1] == "x" and got[0][2] == "x"
