@@ -137,6 +137,8 @@ HEADLINE = [
     "llm_readability_scores",
     "llm_zipf_slope_report",
     "llm_bpe_train_merges",
+    "llm_langid_confusion_matrix",
+    "window_rolling_7day_revenue",
 ]
 
 

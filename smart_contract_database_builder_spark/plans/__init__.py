@@ -110,6 +110,9 @@ _OVERFLOW = [
     "llm_readability_scores",
     "llm_zipf_slope_report",
     "llm_bpe_train_merges",
+    "llm_bpe_segment_vocab",
+    "llm_langid_confusion_matrix",
+    "window_rolling_7day_revenue",
     # round-6 NEW operators still awaiting their window slot (rotate
     # into the window in round 8)
     "llm_triangle_counts",

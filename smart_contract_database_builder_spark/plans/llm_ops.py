@@ -6032,46 +6032,11 @@ def _sql_bpe_iteration(i: int) -> str:
     )"""
 
 
-@register(
-    "llm_bpe_train_merges",
-    oracle=rf"""
-    WITH v0 AS (
-      SELECT term AS word, CAST(COUNT(*) AS BIGINT) AS cnt,
-             regexp_extract_all(term, '.') AS syms
-      FROM (SELECT unnest({_SQL_TOKENS}) AS term FROM documents)
-      GROUP BY term
-    ),{",".join(_sql_bpe_iteration(i) for i in range(1, _BPE_MERGES + 1))}
-    {" UNION ALL ".join(
-        f"SELECT {i} AS iteration, p1 AS left_sym, p2 AS right_sym, "
-        f"p1 || p2 AS merged, CAST(pc AS BIGINT) AS pair_count "
-        f"FROM it{i}_top"
-        for i in range(1, _BPE_MERGES + 1)
-    )}
-    """,
-)
-def llm_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U-EXT: distributed BPE TOKENIZER TRAINING — learn the first
-    ``_BPE_MERGES`` byte-pair merges of the corpus (Sennrich et al.
-    2016), oracle-verified: each iteration counts adjacent symbol pairs
-    weighted by word frequency, merges the global argmax pair
-    (tie-break lexicographic) greedily left-to-right inside every word,
-    and emits the learned merge table.
-
-    The trainer's textbook scale trick: the corpus is scanned ONCE to
-    build the (word, count) VOCABULARY, and every merge iteration works
-    on that O(vocab) relation — never the corpus. Greedy left-to-right
-    application distributes via the ISLANDS scheme: a position merges
-    iff it heads an odd offset within its maximal run of consecutive
-    candidates (runs longer than 1 only occur for self-pairs (x,x),
-    where odd-offsets reproduce greedy exactly) — two window passes
-    over word-partitioned symbol rows, no sequential state. Per
-    iteration: one pair hash-agg + a 1-row broadcast argmax + windows
-    keyed on the word column; the vocabulary relation is
-    localCheckpoint-ed between iterations so the plan stays flat
-    (the k-means `_km_state` discipline). Oracle iterations are
-    GENERATED from the same ``_BPE_MERGES`` constant, so plan and
-    oracle cannot desynchronize.
-    """
+def _bpe_state(spark: SparkSession, sf_dir: str, merges: int = _BPE_MERGES):
+    """Shared BPE trainer driver: returns ``(merge_rows, v)`` — the
+    per-iteration 1-row merge relations and the FINAL segmented
+    vocabulary (word, cnt, syms) after ``merges`` iterations. See
+    ``llm_bpe_train_merges`` for the algorithm and scale shape."""
     docs = load_table(spark, sf_dir, "documents")
     v = (
         docs.select(F.explode(_tokens()).alias("word"))
@@ -6084,7 +6049,7 @@ def llm_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     merge_rows = []
-    for i in range(1, _BPE_MERGES + 1):
+    for i in range(1, merges + 1):
         pairs = (
             v.filter(F.size("syms") >= 2)
             .select(
@@ -6176,7 +6141,153 @@ def llm_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+    return merge_rows, v
+
+
+@register(
+    "llm_bpe_train_merges",
+    oracle=rf"""
+    WITH v0 AS (
+      SELECT term AS word, CAST(COUNT(*) AS BIGINT) AS cnt,
+             regexp_extract_all(term, '.') AS syms
+      FROM (SELECT unnest({_SQL_TOKENS}) AS term FROM documents)
+      GROUP BY term
+    ),{",".join(_sql_bpe_iteration(i) for i in range(1, _BPE_MERGES + 1))}
+    {" UNION ALL ".join(
+        f"SELECT {i} AS iteration, p1 AS left_sym, p2 AS right_sym, "
+        f"p1 || p2 AS merged, CAST(pc AS BIGINT) AS pair_count "
+        f"FROM it{i}_top"
+        for i in range(1, _BPE_MERGES + 1)
+    )}
+    """,
+)
+def llm_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-EXT: distributed BPE TOKENIZER TRAINING — learn the first
+    ``_BPE_MERGES`` byte-pair merges of the corpus (Sennrich et al.
+    2016), oracle-verified: each iteration counts adjacent symbol pairs
+    weighted by word frequency, merges the global argmax pair
+    (tie-break lexicographic) greedily left-to-right inside every word,
+    and emits the learned merge table.
+
+    The trainer's textbook scale trick: the corpus is scanned ONCE to
+    build the (word, count) VOCABULARY, and every merge iteration works
+    on that O(vocab) relation — never the corpus. Greedy left-to-right
+    application distributes via the ISLANDS scheme: a position merges
+    iff it heads an odd offset within its maximal run of consecutive
+    candidates (runs longer than 1 only occur for self-pairs (x,x),
+    where odd-offsets reproduce greedy exactly) — two window passes
+    over word-partitioned symbol rows, no sequential state. Per
+    iteration: one pair hash-agg + a 1-row broadcast argmax + windows
+    keyed on the word column; the vocabulary relation is
+    localCheckpoint-ed between iterations so the plan stays flat
+    (the k-means `_km_state` discipline). Oracle iterations are
+    GENERATED from the same ``_BPE_MERGES`` constant, so plan and
+    oracle cannot desynchronize.
+    """
+    merge_rows, _ = _bpe_state(spark, sf_dir)
     out = merge_rows[0]
     for m in merge_rows[1:]:
         out = out.unionByName(m)
     return out
+
+
+#: Segmentation report size for the BPE vocabulary view.
+_BPE_SEG_TOPN = 50
+
+
+@register(
+    "llm_bpe_segment_vocab",
+    oracle=rf"""
+    WITH v0 AS (
+      SELECT term AS word, CAST(COUNT(*) AS BIGINT) AS cnt,
+             regexp_extract_all(term, '.') AS syms
+      FROM (SELECT unnest({_SQL_TOKENS}) AS term FROM documents)
+      GROUP BY term
+    ),{",".join(_sql_bpe_iteration(i) for i in range(1, _BPE_MERGES + 1))}
+    SELECT word, cnt,
+           CAST(len(syms) AS BIGINT) AS n_syms,
+           array_to_string(syms, ' ') AS segmentation
+    FROM v{_BPE_MERGES}
+    ORDER BY cnt DESC, word
+    LIMIT {_BPE_SEG_TOPN}
+    """,
+)
+def llm_bpe_segment_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-EXT companion of the BPE trainer: the SEGMENTED vocabulary —
+    how the learned merges actually tokenize the top corpus words
+    (the view a tokenizer engineer inspects before accepting a merge
+    table). Reuses ``_bpe_state`` verbatim, so the Spark segmentation
+    and the oracle's generated iteration CTEs derive from the same
+    ``_BPE_MERGES`` constant and can never drift.
+    """
+    _, v = _bpe_state(spark, sf_dir)
+    return (
+        v.select(
+            "word",
+            "cnt",
+            F.size("syms").cast("long").alias("n_syms"),
+            F.array_join("syms", " ").alias("segmentation"),
+        )
+        .orderBy(F.desc("cnt"), "word")
+        .limit(_BPE_SEG_TOPN)
+    )
+
+
+@register(
+    "llm_langid_confusion_matrix",
+    oracle=rf"""
+    WITH pred AS (
+      SELECT doc_id, lang AS labeled_lang,
+             CASE
+               WHEN {_sql_hits('en')} = 0 AND {_sql_hits('de')} = 0
+                AND {_sql_hits('fr')} = 0 AND {_sql_hits('es')} = 0
+                 THEN 'unknown'
+               WHEN {_sql_hits('en')} >= {_sql_hits('de')}
+                AND {_sql_hits('en')} >= {_sql_hits('fr')}
+                AND {_sql_hits('en')} >= {_sql_hits('es')} THEN 'en'
+               WHEN {_sql_hits('de')} >= {_sql_hits('fr')}
+                AND {_sql_hits('de')} >= {_sql_hits('es')} THEN 'de'
+               WHEN {_sql_hits('fr')} >= {_sql_hits('es')} THEN 'fr'
+               ELSE 'es'
+             END AS predicted_lang
+      FROM (SELECT doc_id, lang, {_SQL_TOKENS} AS t FROM documents)
+    )
+    SELECT labeled_lang, predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY labeled_lang) AS row_share,
+           (labeled_lang = predicted_lang) AS is_correct
+    FROM pred
+    GROUP BY labeled_lang, predicted_lang
+    """,
+)
+def llm_langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20 companion: the CONFUSION MATRIX of the stopword language-ID
+    heuristic against the labeled ``lang`` column — per (labeled,
+    predicted) cell counts with row-normalized shares. The accuracy
+    audit any pipeline runs before trusting a cheap classifier to
+    route per-language processing.
+
+    Scale shape: the per-row classifier is pure array expressions in
+    the scan stage; the matrix is ONE hash agg on a ≤ (langs+1)² key
+    space, and the row-share window runs over that constant-size
+    aggregate, never over documents.
+    """
+    pred = llm_langid_stopword(spark, sf_dir).select(
+        "labeled_lang", "predicted_lang"
+    )
+    cells = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wrow = Window.partitionBy("labeled_lang")
+    return cells.select(
+        "labeled_lang",
+        "predicted_lang",
+        F.col("cnt").cast("long").alias("n"),
+        (F.col("cnt").cast("double") / F.sum("cnt").over(wrow)).alias(
+            "row_share"
+        ),
+        (F.col("labeled_lang") == F.col("predicted_lang")).alias(
+            "is_correct"
+        ),
+    )

@@ -1510,6 +1510,40 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gapfilled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily revenue axis shared by the gap-fill report and the
+    rolling-window family: (day, revenue_dec EXACT-decimal, n_orders,
+    is_gap), one row per calendar day of the observed span. The
+    revenue stays DECIMAL here so downstream rolling sums remain
+    order-independent; emit as double only at the output edge."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(dec("o_totalprice")).alias("revenue_dec"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    span = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"),
+    )
+    days = span.select(
+        F.explode(F.sequence("d0", "d1")).alias("d")
+    ).select(F.date_format("d", "yyyy-MM-dd").alias("day"))
+    return (
+        F.broadcast(days)
+        .join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce(
+                "revenue_dec", F.lit(0).cast("decimal(18,2)")
+            ).alias("revenue_dec"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_orders"),
+            F.col("n").isNull().alias("is_gap"),
+        )
+    )
+
+
 @register(
     "scalar_gapfill_daily_revenue",
     oracle="""
@@ -1550,29 +1584,12 @@ def scalar_gapfill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of corpus size — so it BROADCASTS into the join and the
     fact side never reshuffles.
     """
-    orders = _t(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
-    ).agg(
-        dsum("o_totalprice").alias("revenue"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    span = orders.agg(
-        F.min(F.to_date("o_orderdate")).alias("d0"),
-        F.max(F.to_date("o_orderdate")).alias("d1"),
-    )
-    days = span.select(
-        F.explode(F.sequence("d0", "d1")).alias("d")
-    ).select(F.date_format("d", "yyyy-MM-dd").alias("day"))
-    return (
-        F.broadcast(days)
-        .join(daily, "day", "left")
-        .select(
-            "day",
-            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
-            F.coalesce("n", F.lit(0)).cast("long").alias("n_orders"),
-            F.col("n").isNull().alias("is_gap"),
-        )
+    gf = _gapfilled_daily(spark, sf_dir)
+    return gf.select(
+        "day",
+        F.col("revenue_dec").cast("double").alias("revenue"),
+        "n_orders",
+        "is_gap",
     )
 
 
@@ -1640,4 +1657,68 @@ def agg_ohlc_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "px_low",
         F.col("c.value").alias("px_close"),
         "n_events",
+    )
+
+
+@register(
+    "window_rolling_7day_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue_dec,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1
+    ),
+    span AS (
+      SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+             MAX(CAST(o_orderdate AS DATE)) AS d1
+      FROM orders
+    ),
+    days AS (
+      SELECT strftime(CAST(unnest(generate_series(d0, d1,
+                       INTERVAL 1 DAY)) AS DATE), '%Y-%m-%d') AS day
+      FROM span
+    ),
+    dense AS (
+      SELECT days.day,
+             COALESCE(daily.revenue_dec,
+                      CAST(0 AS DECIMAL(18,2))) AS revenue_dec
+      FROM days LEFT JOIN daily ON daily.day = days.day
+    )
+    SELECT day,
+           CAST(revenue_dec AS DOUBLE) AS revenue,
+           CAST(SUM(revenue_dec) OVER w AS DOUBLE) AS rolling_7d_revenue,
+           CAST(COUNT(*) OVER w AS BIGINT) AS rolling_n_days,
+           CAST(SUM(revenue_dec) OVER w AS DOUBLE) / COUNT(*) OVER w
+             AS rolling_avg_daily
+    FROM dense
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-EXT: rolling 7-day revenue over the GAP-FILLED daily axis —
+    the composition the gap-fill operator exists for: on a sparse axis
+    the same frame silently spans more calendar time wherever days are
+    missing; on the dense axis "7 rows" IS "7 days". Gap days
+    contribute exact-decimal zeros, so the rolling sum stays
+    order-independent (decimal all the way, double only at the output
+    edge).
+
+    Scale shape: the windowed relation is the O(days) dense axis — a
+    few thousand rows regardless of corpus size — so the single-
+    partition window is a non-cost; all corpus-sized work happened in
+    the one date-keyed aggregation underneath.
+    """
+    gf = _gapfilled_daily(spark, sf_dir)
+    w = (
+        Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    )
+    roll = F.sum("revenue_dec").over(w)
+    n = F.count(F.lit(1)).over(w)
+    return gf.select(
+        "day",
+        F.col("revenue_dec").cast("double").alias("revenue"),
+        roll.cast("double").alias("rolling_7d_revenue"),
+        n.cast("long").alias("rolling_n_days"),
+        (roll.cast("double") / n).alias("rolling_avg_daily"),
     )

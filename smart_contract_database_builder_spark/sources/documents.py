@@ -46,3 +46,33 @@ def read_documents_jsonl(
         .option("columnNameOfCorruptRecord", "_corrupt")
         .json(path)
     )
+
+
+def read_documents_csv(
+    spark: SparkSession, path: str, mode: str = "PERMISSIVE"
+) -> DataFrame:
+    """Read a CSV documents corpus with the SAME explicit schema and
+    malformed-line routing contract as the JSONL source (`_corrupt`
+    carries the raw offending line under PERMISSIVE).
+
+    CSV-specific hardening: header expected and verified by position
+    (enforceSchema=false makes a header/schema mismatch fail loudly
+    instead of silently mis-mapping columns), quoted multiline text
+    fields are enabled (documents contain newlines), and quotes escape
+    by doubling (the RFC-4180 producer contract). Scale notes match
+    JSONL: explicit schema ⇒ no inference pass; multiLine=true forces
+    one-split-per-file, so the landing-zone contract is many
+    medium-sized files, never one mega-file.
+    """
+    if mode not in ("PERMISSIVE", "DROPMALFORMED", "FAILFAST"):
+        raise ValueError(f"unknown CSV parse mode {mode!r}")
+    return (
+        spark.read.schema(DOCUMENTS_JSONL_SCHEMA)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .option("header", "true")
+        .option("enforceSchema", "false")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .csv(path)
+    )

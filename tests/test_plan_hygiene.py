@@ -32,6 +32,11 @@ _NESTED_LOOP_ALLOWED = {
     "llm_pmi_collocations",        # 1-row bigram-total broadcast
     "agg_data_quality_report",     # six 1-row check aggregates cross-joined
     "llm_ann_recall_report",       # fixed-size (K=500) truth-sample self-join
+    "agg_important_parts",         # 1-row global-total scalar broadcast
+    "agg_mad_outliers",            # 1-row median + 1-row MAD broadcasts
+    "llm_bpe_train_merges",        # 1-row argmax-pair broadcast per merge
+    "llm_bpe_segment_vocab",       # same trainer state (1-row per merge)
+    "llm_zipf_slope_report",       # 100-row top-terms regression input
 }
 
 #: Queries whose fn() triggers side effects/execution rather than just

@@ -116,6 +116,9 @@ _BORN_IN_OVERFLOW: set[str] = {
     "llm_readability_scores",
     "llm_zipf_slope_report",
     "llm_bpe_train_merges",
+    "llm_bpe_segment_vocab",
+    "llm_langid_confusion_matrix",
+    "window_rolling_7day_revenue",
     # round-6-born
     "llm_triangle_counts",
     "llm_pmi_collocations",

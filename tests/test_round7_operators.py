@@ -343,3 +343,57 @@ def test_bpe_islands_handle_self_pairs(spark, tmp_path):
     # the first merge must be the self pair, counted greedily:
     # xxxx→2 per occurrence, xxx→1 per occurrence, xx→1
     assert got[0][1] == "x" and got[0][2] == "x"
+
+
+def test_bpe_segmentation_reconstructs_words(spark):
+    """Concatenating each word's segments (modulo separators) must give
+    the word back, and the emitted merges are the only multi-char
+    symbols that can appear."""
+    segs = _run(spark, "llm_bpe_segment_vocab").collect()
+    merges = {
+        r["merged"] for r in _run(spark, "llm_bpe_train_merges").collect()
+    }
+    assert segs
+    for r in segs:
+        syms = r["segmentation"].split(" ")
+        assert len(syms) == r["n_syms"]
+        assert "".join(syms) == r["word"]
+        for s in syms:
+            assert len(s) == 1 or s in merges, (r["word"], s)
+
+
+def test_langid_confusion_rows_sum_to_one(spark):
+    rows = _run(spark, "llm_langid_confusion_matrix").collect()
+    docs = load_table(spark, SF_ORACLE, "documents")
+    by_label: dict[str, list] = {}
+    for r in rows:
+        by_label.setdefault(r["labeled_lang"], []).append(r)
+        assert r["is_correct"] == (r["labeled_lang"] == r["predicted_lang"])
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    assert set(by_label) == langs
+    for lang, cells in by_label.items():
+        assert abs(sum(c["row_share"] for c in cells) - 1.0) < 1e-9, lang
+    assert sum(r["n"] for r in rows) == docs.count()
+
+
+def test_rolling_7day_revenue_recomputes(spark):
+    """The rolling sum over the dense axis must equal a direct Python
+    recompute from the gap-fill rows, and early rows must report their
+    shorter window honestly."""
+    gf = {
+        r["day"]: r["revenue"]
+        for r in _run(spark, "scalar_gapfill_daily_revenue").collect()
+    }
+    rows = sorted(
+        _run(spark, "window_rolling_7day_revenue").collect(),
+        key=lambda r: r["day"],
+    )
+    days = [r["day"] for r in rows]
+    assert days == sorted(gf)
+    for i, r in enumerate(rows):
+        lo = max(0, i - 6)
+        window_days = days[lo : i + 1]
+        assert r["rolling_n_days"] == len(window_days)
+        expect = sum(gf[d] for d in window_days)
+        assert abs(r["rolling_7d_revenue"] - expect) < 1e-6
+        assert r["revenue"] == gf[r["day"]]
