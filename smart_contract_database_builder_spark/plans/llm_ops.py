@@ -5618,10 +5618,15 @@ def llm_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Never all-pairs: candidates come from the SAME banded-MinHash plan
     as the Jaccard family (bucket-capped, shuffle keyed on band
-    buckets); the O(len²) DP runs only per candidate and only on the
-    first ``_ED_PREFIX`` chars (a fixed cost ceiling per pair — the
-    standard prefix-filter trade). ``levenshtein`` is the identical
-    classic DP in both engines: integer edits, no floats anywhere.
+    buckets); the DP runs only per candidate and only on the first
+    ``_ED_PREFIX`` chars (a fixed cost ceiling per pair — the standard
+    prefix-filter trade). Two result-preserving plan accelerations the
+    oracle doesn't need: a LENGTH-DIFFERENCE prefilter (|len a − len b|
+    > k ⇒ distance > k, no DP needed) runs before the expensive
+    kernel, and Spark's THRESHOLDED ``levenshtein(a, b, k)`` banded DP
+    costs O(len·k) instead of O(len²) and early-exits to −1 past the
+    bound — the kept pairs' distances are identical to the full DP's,
+    so the DuckDB oracle stays the plain two-arg form.
     """
     docs = load_table(spark, sf_dir, "documents")
     toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
@@ -5638,12 +5643,17 @@ def llm_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
+        .filter(
+            F.abs(F.length("pa") - F.length("pb")) <= F.lit(_ED_MAX)
+        )
         .select(
             "doc_a",
             "doc_b",
-            F.levenshtein("pa", "pb").cast("long").alias("edit_distance"),
+            F.levenshtein("pa", "pb", _ED_MAX)
+            .cast("long")
+            .alias("edit_distance"),
         )
-        .filter(F.col("edit_distance") <= _ED_MAX)
+        .filter(F.col("edit_distance") >= 0)
     )
 
 
@@ -5790,9 +5800,11 @@ def llm_mode_token_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the Spark side never runs the oracle's window — after
     the (lang, term) count aggregate, the mode IS ``max(struct(cnt,
-    term))`` inside a second tiny hash agg that also sums the language
-    total, so the vocabulary relation is aggregated once and nothing is
-    sorted.
+    term))`` inside a second tiny aggregate that also sums the language
+    total. Spark plans that as a SortAggregate (struct buffers are
+    immutable), but the sort is partition-local over the already-
+    aggregated vocabulary relation — no window, no global sort, and
+    the corpus itself is touched exactly once.
     """
     docs = load_table(spark, sf_dir, "documents")
     tc = (
@@ -6290,4 +6302,136 @@ def llm_langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("labeled_lang") == F.col("predicted_lang")).alias(
             "is_correct"
         ),
+    )
+
+
+#: PageRank on the LSH candidate graph: unrolled iterations and the
+#: damping factor as exact integer fixed-point (micro-units).
+_PR_ITERS = 3
+
+
+def _sql_pr_iteration(i: int) -> str:
+    """One unrolled PageRank iteration (DuckDB): every node sends
+    rank//degree along each edge; rank' = 0.15 + 0.85·Σin, all in
+    integer micro-units with floor division so both engines agree to
+    the last bit."""
+    return f"""
+    pr{i} AS (
+      SELECT n.doc_id, n.deg,
+             150000 + (s.acc * 85) // 100 AS rank_fp
+      FROM nodes n JOIN (
+        SELECT e.dst AS doc_id, SUM(p.rank_fp // p.deg) AS acc
+        FROM edges e JOIN pr{i - 1} p ON p.doc_id = e.src
+        GROUP BY e.dst
+      ) s ON s.doc_id = n.doc_id
+    )"""
+
+
+@register(
+    "llm_pagerank_candidates",
+    oracle=rf"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_sql_word_ngrams("t")}) AS s
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+    ),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(md5('{i}|' || s)) AS m{i}" for i in range(_N_HASHES))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(m{2*b} || m{2*b+1}) AS key FROM sig"
+        for b in range(_N_HASHES // _BAND_ROWS)
+      )}
+    ),
+    bsz AS (
+      SELECT band_idx, key FROM bands
+      GROUP BY band_idx, key
+      HAVING COUNT(*) BETWEEN 2 AND {_LSH_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bsz USING (band_idx, key)
+      JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key
+                  AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM cand
+    ),
+    nodes AS (
+      SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM edges GROUP BY src
+    ),
+    pr0 AS (
+      SELECT doc_id, deg, CAST(1000000 AS BIGINT) AS rank_fp FROM nodes
+    ),
+    {",".join(_sql_pr_iteration(i) for i in range(1, _PR_ITERS + 1))}
+    SELECT doc_id,
+           CAST(deg AS BIGINT) AS degree,
+           CAST(rank_fp AS BIGINT) AS rank_fp
+    FROM pr{_PR_ITERS}
+    """,
+)
+def llm_pagerank_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-EXT: PAGERANK over the LSH candidate graph — centrality
+    separates boilerplate HUBS (templates many docs echo — high rank)
+    from peripheral one-off near-dups, the signal that decides "strip
+    the template" vs "drop the copy" where J17's triangle counts see
+    only local cliques.
+
+    Cross-engine exactness for an ITERATIVE float algorithm: ranks are
+    integer micro-units, every per-edge contribution is floor division
+    by degree, and damping is ×85//100 — no float ever enters, so both
+    engines agree to the last bit (the k-means fixed-point discipline
+    applied to graph iteration). Scale shape: edges come from the SAME
+    bucket-capped candidate generator as the dedup family (degree
+    bounded by the cap); each iteration is one src-keyed equi-join +
+    one dst-keyed hash agg on the O(nodes) rank relation, which
+    localCheckpoints between iterations so the plan stays flat at any
+    iteration count. Oracle iterations are GENERATED from ``_PR_ITERS``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
+    cand = minhash_candidate_pairs(toked).select("doc_a", "doc_b")
+    edges = cand.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        cand.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).persist()
+    nodes = edges.groupBy(F.col("src").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    pr = nodes.withColumn("rank_fp", F.lit(1_000_000).cast("long"))
+    for i in range(_PR_ITERS):
+        acc = (
+            edges.join(
+                pr.select(
+                    F.col("doc_id").alias("src"),
+                    F.expr("rank_fp div deg").alias("contrib"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.sum("contrib").alias("acc"))
+        )
+        pr = (
+            nodes.join(acc, "doc_id")
+            .select(
+                "doc_id",
+                "deg",
+                (F.lit(150_000) + F.expr("(acc * 85) div 100"))
+                .cast("long")
+                .alias("rank_fp"),
+            )
+        )
+        if i < _PR_ITERS - 1:
+            pr = pr.localCheckpoint(eager=True)
+    return pr.select(
+        "doc_id",
+        F.col("deg").alias("degree"),
+        "rank_fp",
     )

@@ -397,3 +397,50 @@ def test_rolling_7day_revenue_recomputes(spark):
         expect = sum(gf[d] for d in window_days)
         assert abs(r["rolling_7d_revenue"] - expect) < 1e-6
         assert r["revenue"] == gf[r["day"]]
+
+
+def _plan(spark, name, executed=False):
+    df = plans.QUERIES[name].fn(spark, SF_ORACLE)
+    if executed:
+        df.collect()
+        return df._jdf.queryExecution().executedPlan().toString()
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+
+
+def test_ohlc_plan_has_no_window(spark):
+    """The OHLC docstring's claim: open/close come from struct-extrema
+    aggregates, so the plan must carry NO window operator (the oracle's
+    QUALIFY windows are the shape Spark deliberately avoids)."""
+    assert "Window" not in _plan(spark, "agg_ohlc_daily_value")
+
+
+def test_mode_token_plan_has_no_window(spark):
+    """Mode-per-language runs as aggregates only — no window over the
+    vocabulary relation (partition-local SortAggregate is expected for
+    the immutable struct buffer; a Window node is not)."""
+    assert "Window" not in _plan(spark, "llm_mode_token_by_lang")
+
+
+def test_gapfill_calendar_broadcasts(spark):
+    """The generated O(days) calendar must broadcast into the join —
+    the fact side never reshuffles for the gap-fill."""
+    assert "BroadcastHashJoin" in _plan(spark, "scalar_gapfill_daily_revenue")
+
+
+def test_important_parts_reuses_the_partkey_aggregate(spark):
+    """The docstring's 'scanned once' claim: the global total derives
+    from the SAME partkey aggregate, so the executed adaptive plan must
+    contain a ReusedExchange (the pv subtree built once, read twice)."""
+    plan = _plan(spark, "agg_important_parts", executed=True)
+    assert "ReusedExchange" in plan
+
+
+def test_pivot_is_one_aggregation_no_join(spark):
+    """n_total rides the SAME single aggregation pass: exactly one
+    partial+final HashAggregate pair and no join anywhere (the r6
+    ADVICE fix must not have introduced a second scan)."""
+    plan = _plan(spark, "agg_pivot_daily_event_matrix")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") == 2
