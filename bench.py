@@ -139,6 +139,7 @@ HEADLINE = [
     "llm_bpe_train_merges",
     "llm_langid_confusion_matrix",
     "window_rolling_7day_revenue",
+    "llm_pagerank_candidates",
 ]
 
 

@@ -119,6 +119,7 @@ _BORN_IN_OVERFLOW: set[str] = {
     "llm_bpe_segment_vocab",
     "llm_langid_confusion_matrix",
     "window_rolling_7day_revenue",
+    "llm_pagerank_candidates",
     # round-6-born
     "llm_triangle_counts",
     "llm_pmi_collocations",

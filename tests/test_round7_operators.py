@@ -444,3 +444,40 @@ def test_pivot_is_one_aggregation_no_join(spark):
     plan = _plan(spark, "agg_pivot_daily_event_matrix")
     assert "Join" not in plan
     assert plan.count("HashAggregate") == 2
+
+
+def test_pagerank_recomputes_in_python(spark):
+    """The fixed-point PageRank must match an independent sequential
+    recompute from the candidate edges — iteration order, floor
+    divisions and damping exactly."""
+    from smart_contract_database_builder_spark.plans.llm_ops import (
+        _PR_ITERS,
+        _tokens,
+        fan_out_if_narrow,
+        minhash_candidate_pairs,
+    )
+
+    rows = {r["doc_id"]: r for r in _run(spark, "llm_pagerank_candidates").collect()}
+    docs = load_table(spark, SF_ORACLE, "documents")
+    toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_candidate_pairs(toked).collect()
+    ]
+    out: dict[int, list[int]] = {}
+    for a, b in pairs:
+        out.setdefault(a, []).append(b)
+        out.setdefault(b, []).append(a)
+    deg = {n: len(vs) for n, vs in out.items()}
+    rank = {n: 1_000_000 for n in out}
+    for _ in range(_PR_ITERS):
+        acc = {n: 0 for n in out}
+        for n, vs in out.items():
+            c = rank[n] // deg[n]
+            for v in vs:
+                acc[v] += c
+        rank = {n: 150_000 + (acc[n] * 85) // 100 for n in out}
+    assert set(rows) == set(out)
+    for n in out:
+        assert rows[n]["degree"] == deg[n], n
+        assert rows[n]["rank_fp"] == rank[n], n
