@@ -140,6 +140,7 @@ HEADLINE = [
     "llm_langid_confusion_matrix",
     "window_rolling_7day_revenue",
     "llm_pagerank_candidates",
+    "stream_hourly_ohlc",
 ]
 
 

@@ -114,6 +114,7 @@ _OVERFLOW = [
     "llm_langid_confusion_matrix",
     "window_rolling_7day_revenue",
     "llm_pagerank_candidates",
+    "stream_hourly_ohlc",
     # round-6 NEW operators still awaiting their window slot (rotate
     # into the window in round 8)
     "llm_triangle_counts",

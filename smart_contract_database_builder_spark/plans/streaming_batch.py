@@ -499,3 +499,54 @@ def cdc_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("state_age_minutes"),
         )
     )
+
+
+@register(
+    "stream_hourly_ohlc",
+    oracle=f"""
+    WITH e AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS wb, ts, event_id, value
+      FROM events
+    ),
+    o AS (
+      SELECT wb, value FROM e
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY wb
+                                 ORDER BY ts, event_id) = 1
+    ),
+    c AS (
+      SELECT wb, value FROM e
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY wb
+                                 ORDER BY ts DESC, event_id DESC) = 1
+    ),
+    hl AS (
+      SELECT wb, MIN(value) AS px_low, MAX(value) AS px_high,
+             COUNT(*) AS n
+      FROM e GROUP BY 1
+    )
+    SELECT strftime(hl.wb, '{_SQL_TS_FMT}') AS window_start,
+           o.value AS px_open, hl.px_high, hl.px_low,
+           c.value AS px_close,
+           CAST(hl.n AS BIGINT) AS n_events
+    FROM hl JOIN o ON o.wb = hl.wb
+            JOIN c ON c.wb = hl.wb
+    """,
+)
+def stream_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2-EXT: streaming OHLC downsampling — per-hour open/high/low/
+    close bars over the event value stream, the metrics-store rollup in
+    its STREAMING form (identical code runs under readStream; the
+    struct-extrema aggregates are mergeable, so streaming state is one
+    struct pair per open window regardless of event volume —
+    `tests/test_streaming.py` asserts the true availableNow run equals
+    this batch twin). Oracle spells open/close as the window-function
+    form; Spark's plan stays a single map-side-combined aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return jobs.hourly_ohlc(ev).select(
+        F.date_format("window_start", _TS_FMT).alias("window_start"),
+        "px_open",
+        "px_high",
+        "px_low",
+        "px_close",
+        "n_events",
+    )

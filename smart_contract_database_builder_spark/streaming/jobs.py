@@ -80,6 +80,34 @@ def tumbling_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def hourly_ohlc(events: DataFrame) -> DataFrame:
+    """T2-EXT: per-hour OHLC downsampling (shared batch/stream).
+
+    Open/close are STRUCT-EXTREMA aggregates over (ts, event_id,
+    value) — mergeable, so under readStream the per-window state is
+    ONE struct pair however many events the hour holds (the property
+    that makes OHLC safe as streaming state; a row_number() window
+    would be unbounded)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.min(F.struct("ts", "event_id", "value")).alias("o"),
+            F.max("value").alias("px_high"),
+            F.min("value").alias("px_low"),
+            F.max(F.struct("ts", "event_id", "value")).alias("c"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("o.value").alias("px_open"),
+            "px_high",
+            "px_low",
+            F.col("c.value").alias("px_close"),
+            "n_events",
+        )
+    )
+
+
 def dedup_events_within_watermark(events: DataFrame, delay: str = "1 hour") -> DataFrame:
     """T4: stateful streaming dedup on event_id — state is dropped once
     the watermark passes, so memory stays bounded on an infinite stream."""

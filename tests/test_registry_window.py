@@ -120,6 +120,7 @@ _BORN_IN_OVERFLOW: set[str] = {
     "llm_langid_confusion_matrix",
     "window_rolling_7day_revenue",
     "llm_pagerank_candidates",
+    "stream_hourly_ohlc",
     # round-6-born
     "llm_triangle_counts",
     "llm_pmi_collocations",

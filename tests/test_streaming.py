@@ -312,3 +312,18 @@ def test_stream_stream_left_outer_matches_batch_below_watermark(spark):
     }
     assert want_nulls_closed <= got_nulls
     assert len(want_nulls_closed) > 0  # the corpus exercises drop-offs
+
+
+def test_stream_hourly_ohlc_equals_batch(spark):
+    """OHLC bars computed as a TRUE stream (availableNow, watermark,
+    struct-extrema state) must equal the batch twin row-for-row —
+    including open/close picks, which depend on the deterministic
+    (ts, event_id) tie-break surviving out-of-order arrival."""
+    ev_stream = jobs.read_events_stream(spark, SF_ORACLE)
+    got = jobs.run_to_memory(
+        jobs.hourly_ohlc(ev_stream.withWatermark("ts", "10 minutes")),
+        "t_ohlc",
+    )
+    ev_batch = load_table(spark, SF_ORACLE, "events")
+    want = jobs.hourly_ohlc(ev_batch)
+    assert _sorted_rows(got) == _sorted_rows(want)
