@@ -141,6 +141,8 @@ HEADLINE = [
     "window_rolling_7day_revenue",
     "llm_pagerank_candidates",
     "stream_hourly_ohlc",
+    "agg_idle_rich_customers",
+    "join_excess_quantity_suppliers",
 ]
 
 

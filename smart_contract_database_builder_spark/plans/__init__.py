@@ -115,6 +115,8 @@ _OVERFLOW = [
     "window_rolling_7day_revenue",
     "llm_pagerank_candidates",
     "stream_hourly_ohlc",
+    "agg_idle_rich_customers",
+    "join_excess_quantity_suppliers",
     # round-6 NEW operators still awaiting their window slot (rotate
     # into the window in round 8)
     "llm_triangle_counts",

@@ -1722,3 +1722,116 @@ def window_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("rolling_n_days"),
         (roll.cast("double") / n).alias("rolling_avg_daily"),
     )
+
+
+@register(
+    "agg_idle_rich_customers",
+    oracle="""
+    WITH thr AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_acctbal
+    FROM customer c, thr
+    WHERE c.c_acctbal > thr.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c.c_nationkey
+    """,
+)
+def agg_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT (TPC-H Q22 shape): per-nation count and balance of
+    customers with ABOVE-AVERAGE positive balances with no order since
+    the 2000-01-01 cutoff — the correlated NOT EXISTS +
+    scalar-subquery-threshold pattern (dormant-account analysis; the
+    date predicate pushes into the anti-join's build side scan).
+
+    Scale shape: the scalar threshold is a 1-row broadcast from one
+    aggregate; NOT EXISTS lowers to a LEFT ANTI join on the uniform
+    custkey (the enforcement plan itself, same as the data-quality
+    checks); the final rollup groups the surviving minority by nation.
+    Exactness: exact-decimal sums emitted as double, one division, raw
+    double comparison — boundary customers agree by construction.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    thr = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (dsum("c_acctbal") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders.filter(
+                F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+            ).select("o_custkey"),
+            cust.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            dsum("c_acctbal").alias("total_acctbal"),
+        )
+    )
+
+
+#: Q20 shape: a supplier qualifies per part once it shipped more than
+#: this total quantity of it.
+_EXCESS_QTY = 100.0
+
+
+@register(
+    "join_excess_quantity_suppliers",
+    oracle=f"""
+    WITH p AS (SELECT p_partkey FROM part WHERE p_type = 'ECONOMY'),
+    sq AS (
+      SELECT l_suppkey, l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem JOIN p ON l_partkey = p.p_partkey
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > {_EXCESS_QTY}
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS n_excess_parts,
+           CAST(SUM(sq.qty) AS DOUBLE) AS total_excess_qty
+    FROM supplier s JOIN sq ON sq.l_suppkey = s.s_suppkey
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+)
+def join_excess_quantity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-EXT (TPC-H Q20 shape): suppliers who shipped more than a
+    threshold quantity of some ECONOMY part — the nested-IN-subquery
+    pattern (part filter → per-(supplier, part) aggregate with HAVING →
+    supplier join), the classic "who is over-shipping what" audit.
+
+    Scale shape: the selective part dimension broadcast-prunes lineitem
+    FIRST; the (suppkey, partkey) aggregate + HAVING is one shuffle
+    with map-side partials; the surviving small relation joins the
+    supplier dim (broadcast at this SF, AQE decides at scale). HAVING
+    compares EXACT decimals against the literal, so boundary groups
+    agree across engines by construction.
+    """
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    p = part.filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    sq = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > F.lit(_EXCESS_QTY))
+    )
+    return (
+        sq.join(supp, sq.l_suppkey == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_excess_parts"),
+            F.sum("qty").cast("double").alias("total_excess_qty"),
+        )
+    )

@@ -121,6 +121,8 @@ _BORN_IN_OVERFLOW: set[str] = {
     "window_rolling_7day_revenue",
     "llm_pagerank_candidates",
     "stream_hourly_ohlc",
+    "agg_idle_rich_customers",
+    "join_excess_quantity_suppliers",
     # round-6-born
     "llm_triangle_counts",
     "llm_pmi_collocations",

@@ -481,3 +481,48 @@ def test_pagerank_recomputes_in_python(spark):
     for n in out:
         assert rows[n]["degree"] == deg[n], n
         assert rows[n]["rank_fp"] == rank[n], n
+
+
+def test_idle_rich_customers_recomputes(spark):
+    """Per-nation counts must equal a direct recompute of the
+    above-average + inactive-since-cutoff predicate."""
+    rows = _run(spark, "agg_idle_rich_customers").collect()
+    cust = load_table(spark, SF_ORACLE, "customer")
+    orders = load_table(spark, SF_ORACLE, "orders")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("a")
+        )
+        .collect()[0]["a"]
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    direct = (
+        cust.filter(F.col("c_acctbal") > avg_bal)
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .count()
+        .collect()
+    )
+    want = {r["c_nationkey"]: r["count"] for r in direct}
+    got = {r["c_nationkey"]: r["n_customers"] for r in rows}
+    assert got == want and got
+
+
+def test_excess_quantity_suppliers_bounds(spark):
+    from smart_contract_database_builder_spark.plans.relational_ext import (
+        _EXCESS_QTY,
+    )
+
+    rows = _run(spark, "join_excess_quantity_suppliers").collect()
+    assert rows
+    for r in rows:
+        assert r["n_excess_parts"] >= 1
+        assert r["total_excess_qty"] > _EXCESS_QTY * r["n_excess_parts"]
