@@ -143,6 +143,8 @@ HEADLINE = [
     "stream_hourly_ohlc",
     "agg_idle_rich_customers",
     "join_excess_quantity_suppliers",
+    "llm_bpe_encode_stats",
+    "agg_event_type_lift",
 ]
 
 

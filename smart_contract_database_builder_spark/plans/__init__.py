@@ -117,6 +117,8 @@ _OVERFLOW = [
     "stream_hourly_ohlc",
     "agg_idle_rich_customers",
     "join_excess_quantity_suppliers",
+    "llm_bpe_encode_stats",
+    "agg_event_type_lift",
     # round-6 NEW operators still awaiting their window slot (rotate
     # into the window in round 8)
     "llm_triangle_counts",

@@ -6435,3 +6435,59 @@ def llm_pagerank_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("deg").alias("degree"),
         "rank_fp",
     )
+
+
+@register(
+    "llm_bpe_encode_stats",
+    oracle=rf"""
+    WITH v0 AS (
+      SELECT term AS word, CAST(COUNT(*) AS BIGINT) AS cnt,
+             regexp_extract_all(term, '.') AS syms
+      FROM (SELECT unnest({_SQL_TOKENS}) AS term FROM documents)
+      GROUP BY term
+    ),{",".join(_sql_bpe_iteration(i) for i in range(1, _BPE_MERGES + 1))},
+    seg AS (
+      SELECT word, CAST(len(syms) AS BIGINT) AS n_syms
+      FROM v{_BPE_MERGES}
+    ),
+    dw AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS word FROM documents
+    )
+    SELECT dw.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(seg.n_syms) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(seg.n_syms) AS DOUBLE) / COUNT(*)
+             AS tokens_per_word
+    FROM dw JOIN seg ON seg.word = dw.word
+    GROUP BY dw.doc_id
+    """,
+)
+def llm_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-EXT: ENCODE the corpus with the learned BPE merges — per-doc
+    BPE token counts and tokens-per-word fertility, the number that
+    prices a training run (token budget) and evaluates a merge table
+    (lower fertility = better compression). Completes the tokenizer
+    family: train (U9) → inspect (U10) → encode (this).
+
+    The encode is a JOIN, not a re-segmentation: every corpus word is
+    in the trained vocabulary by construction, so per-doc token counts
+    are one (doc, word) explode equi-joined to the O(vocab) segmented
+    relation and rolled up — no per-document merge loop ever runs.
+    At 100 TB the vocab side broadcasts while small and sort-merges
+    past the threshold (no hint; AQE decides).
+    """
+    _, v = _bpe_state(spark, sf_dir)
+    seg = v.select("word", F.size("syms").cast("long").alias("n_syms"))
+    docs = load_table(spark, sf_dir, "documents")
+    dw = docs.select("doc_id", F.explode(_tokens()).alias("word"))
+    return (
+        dw.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+            (
+                F.sum("n_syms").cast("double") / F.count(F.lit(1))
+            ).alias("tokens_per_word"),
+        )
+    )

@@ -1835,3 +1835,76 @@ def join_excess_quantity_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum("qty").cast("double").alias("total_excess_qty"),
         )
     )
+
+
+@register(
+    "agg_event_type_lift",
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    n AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events),
+    per AS (
+      SELECT event_type, COUNT(*) AS n_type FROM ut GROUP BY 1
+    ),
+    co AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_both
+      FROM ut a JOIN ut b ON a.user_id = b.user_id
+                         AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT co.type_a, co.type_b,
+           CAST(co.n_both AS BIGINT) AS n_both,
+           CAST(co.n_both * n.n_users AS DOUBLE)
+             / (pa.n_type * pb.n_type) AS lift
+    FROM co
+    CROSS JOIN n
+    JOIN per pa ON pa.event_type = co.type_a
+    JOIN per pb ON pb.event_type = co.type_b
+    """,
+)
+def agg_event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT: market-basket LIFT between event types — for each pair,
+    P(a,b) / (P(a)·P(b)) over users: >1 means the behaviors co-occur
+    beyond chance (cross-sell/affinity mining; the PMI idea applied to
+    user behavior instead of adjacent tokens).
+
+    Scale shape: the self-join runs on the (user, type)-DISTINCT
+    relation keyed by the uniform user id, and each user contributes at
+    most |types|² pairs — a constant (5 types ⇒ ≤10 rows), so the join
+    is linear in users. Lift is an exact int64 product ratio with ONE
+    double division.
+    """
+    ev = _t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    per = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_type"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    both = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    pa = per.select(
+        F.col("event_type").alias("type_a"), F.col("n_type").alias("na")
+    )
+    pb = per.select(
+        F.col("event_type").alias("type_b"), F.col("n_type").alias("nb")
+    )
+    return (
+        both.crossJoin(F.broadcast(n))
+        .join(F.broadcast(pa), "type_a")
+        .join(F.broadcast(pb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            (
+                (F.col("n_both") * F.col("n_users")).cast("double")
+                / (F.col("na") * F.col("nb"))
+            ).alias("lift"),
+        )
+    )

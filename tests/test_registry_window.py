@@ -123,6 +123,8 @@ _BORN_IN_OVERFLOW: set[str] = {
     "stream_hourly_ohlc",
     "agg_idle_rich_customers",
     "join_excess_quantity_suppliers",
+    "llm_bpe_encode_stats",
+    "agg_event_type_lift",
     # round-6-born
     "llm_triangle_counts",
     "llm_pmi_collocations",

@@ -526,3 +526,51 @@ def test_excess_quantity_suppliers_bounds(spark):
     for r in rows:
         assert r["n_excess_parts"] >= 1
         assert r["total_excess_qty"] > _EXCESS_QTY * r["n_excess_parts"]
+
+
+def test_bpe_encode_conserves_words_and_bounds_tokens(spark):
+    """Per-doc word counts must match a direct tokenize; BPE tokens are
+    between n_words (full merges) and total chars (no merges)."""
+    rows = _run(spark, "llm_bpe_encode_stats").collect()
+    docs = load_table(spark, SF_ORACLE, "documents")
+    counts = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id",
+            F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n"),
+        ).collect()
+    }
+    assert len(rows) == len(counts)
+    for r in rows:
+        assert r["n_words"] == counts[r["doc_id"]]
+        assert r["n_words"] <= r["n_bpe_tokens"]
+        assert abs(
+            r["tokens_per_word"] - r["n_bpe_tokens"] / r["n_words"]
+        ) < 1e-12
+
+
+def test_event_type_lift_recomputes(spark):
+    """Lift must equal the exact ratio recomputed from distinct
+    (user, type) sets, for every pair."""
+    rows = _run(spark, "agg_event_type_lift").collect()
+    ev = load_table(spark, SF_ORACLE, "events")
+    ut = {
+        (r["user_id"], r["event_type"])
+        for r in ev.select("user_id", "event_type").distinct().collect()
+    }
+    users = {u for u, _ in ut}
+    types = sorted({t for _, t in ut})
+    per = {t: sum(1 for u2, t2 in ut if t2 == t) for t in types}
+    got = {(r["type_a"], r["type_b"]): r for r in rows}
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            n_both = sum(
+                1 for u in users if (u, a) in ut and (u, b) in ut
+            )
+            if n_both == 0:
+                assert (a, b) not in got
+                continue
+            r = got[(a, b)]
+            assert r["n_both"] == n_both
+            expect = (n_both * len(users)) / (per[a] * per[b])
+            assert abs(r["lift"] - expect) < 1e-12
