@@ -145,6 +145,7 @@ HEADLINE = [
     "join_excess_quantity_suppliers",
     "llm_bpe_encode_stats",
     "agg_event_type_lift",
+    "llm_ivfpq_topk",
 ]
 
 

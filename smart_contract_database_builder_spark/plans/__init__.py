@@ -119,6 +119,7 @@ _OVERFLOW = [
     "join_excess_quantity_suppliers",
     "llm_bpe_encode_stats",
     "agg_event_type_lift",
+    "llm_ivfpq_topk",
     # round-6 NEW operators still awaiting their window slot (rotate
     # into the window in round 8)
     "llm_triangle_counts",

@@ -2332,6 +2332,45 @@ _PQ_ORACLE = f"""
     """
 
 
+def _pq_sub(col: Column, m: int) -> Column:
+    """Subspace m of a fixed-point vector (1-based slice)."""
+    return F.slice(col, m * _PQ_SUB + 1, _PQ_SUB)
+
+
+def _pq_subd2(a: Column, b: Column) -> Column:
+    """Exact int64 squared L2 distance between two subspace slices."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_code_m(vec: Column, m: int) -> Column:
+    """Sub-code for subspace m: integer (d2, cell) struct min over the
+    broadcast ``cells`` column == ORDER BY d2, cell LIMIT 1."""
+    return F.array_min(
+        F.transform(
+            "cells",
+            lambda c: F.struct(
+                _pq_subd2(
+                    _pq_sub(vec, m), _pq_sub(c["centroid"], m)
+                ).alias("d2"),
+                c["cell"].alias("cell"),
+            ),
+        )
+    )["cell"]
+
+
+def _pq_qdist(code_col: str, m: int) -> Column:
+    """Query-to-sub-centroid exact distance for a candidate's code —
+    one ADC table lookup along the ``cells``/``qv`` columns."""
+    centroid = F.filter(
+        "cells", lambda c: c["cell"] == F.col(code_col)
+    )[0]["centroid"]
+    return _pq_subd2(_pq_sub(F.col("qv"), m), _pq_sub(centroid, m))
+
+
 @register("llm_pq_topk", oracle=_PQ_ORACLE)
 def llm_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F21/J6 EXT: PRODUCT-QUANTIZATION ANN (Jégou et al. 2011) — each
@@ -2363,28 +2402,6 @@ def llm_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.collect_list(F.struct("cell", "centroid")).alias("cells")
     )
 
-    def sub(col: Column, m: int) -> Column:
-        return F.slice(col, m * _PQ_SUB + 1, _PQ_SUB)
-
-    def subd2(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, c: (x - c) * (x - c)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-
-    def code_m(vec: Column, m: int) -> Column:
-        # integer (d2, cell) struct min == ORDER BY d2, cell LIMIT 1
-        return F.array_min(
-            F.transform(
-                "cells",
-                lambda c: F.struct(
-                    subd2(sub(vec, m), sub(c["centroid"], m)).alias("d2"),
-                    c["cell"].alias("cell"),
-                ),
-            )
-        )["cell"]
-
     q = (
         sv.filter(F.col("vec_id") == _QUERY_VEC_ID)
         .crossJoin(F.broadcast(cells))
@@ -2398,19 +2415,16 @@ def llm_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sv",
             "qv",
             "cells",
-            *[code_m(F.col("sv"), m).alias(f"c{m}") for m in range(_PQ_M)],
+            *[
+                _pq_code_m(F.col("sv"), m).alias(f"c{m}")
+                for m in range(_PQ_M)
+            ],
         )
     )
 
-    def qdist_to(code_col: str, m: int) -> Column:
-        centroid = F.filter(
-            "cells", lambda c: c["cell"] == F.col(code_col)
-        )[0]["centroid"]
-        return subd2(sub(F.col("qv"), m), sub(centroid, m))
-
     approx = None
     for m in range(_PQ_M):
-        t = qdist_to(f"c{m}", m)
+        t = _pq_qdist(f"c{m}", m)
         approx = t if approx is None else approx + t
     return (
         encoded.select(
@@ -6490,4 +6504,179 @@ def llm_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("n_syms").cast("double") / F.count(F.lit(1))
             ).alias("tokens_per_word"),
         )
+    )
+
+
+#: IVF-PQ: number of inverted-file cells the query probes.
+_IVFPQ_NPROBE = 2
+
+
+@register(
+    "llm_ivfpq_topk",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> {_SQL_ISCALE.format(v="x")}) AS sv
+      FROM embeddings
+    ),
+    comp AS (
+      SELECT label AS cell, d, SUM(sv[d]) AS sm, COUNT(*) AS cnt
+      FROM s, range(1, 65) r(d)
+      GROUP BY label, d
+    ),
+    cq AS (
+      SELECT cell, d,
+             CAST(FLOOR(CAST(sm AS DOUBLE) / cnt) AS BIGINT) AS c
+      FROM comp
+    ),
+    dist AS (
+      SELECT s.vec_id, cq.cell,
+             SUM((s.sv[cq.d] - cq.c) * (s.sv[cq.d] - cq.c)) AS d2
+      FROM s, cq
+      GROUP BY s.vec_id, cq.cell
+    ),
+    best AS (
+      SELECT vec_id, cell
+      FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id ORDER BY d2, cell
+               ) AS rn
+        FROM dist
+      )
+      WHERE rn = 1
+    ),
+    probe AS (
+      SELECT cell FROM dist
+      WHERE vec_id = {_QUERY_VEC_ID}
+      QUALIFY ROW_NUMBER() OVER (ORDER BY d2, cell) <= {_IVFPQ_NPROBE}
+    ),
+    subdist AS (
+      SELECT s.vec_id, cq.cell, (cq.d - 1) // {_PQ_SUB} AS m,
+             SUM((s.sv[cq.d] - cq.c) * (s.sv[cq.d] - cq.c)) AS d2
+      FROM s, cq
+      GROUP BY s.vec_id, cq.cell, (cq.d - 1) // {_PQ_SUB}
+    ),
+    code AS (
+      SELECT vec_id, m, cell FROM (
+        SELECT vec_id, m, cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id, m ORDER BY d2, cell
+               ) AS rn
+        FROM subdist
+      ) WHERE rn = 1
+    ),
+    qd AS (
+      SELECT cell, m, d2 FROM subdist WHERE vec_id = {_QUERY_VEC_ID}
+    )
+    SELECT vec_id, cell,
+           CAST(approx_d2 AS BIGINT) AS approx_d2
+    FROM (
+      SELECT c.vec_id, b.cell,
+             SUM(qd.d2) AS approx_d2
+      FROM code c
+      JOIN best b ON b.vec_id = c.vec_id
+      JOIN probe p ON p.cell = b.cell
+      JOIN qd ON c.cell = qd.cell AND c.m = qd.m
+      WHERE c.vec_id != {_QUERY_VEC_ID}
+      GROUP BY c.vec_id, b.cell
+    )
+    ORDER BY approx_d2, vec_id
+    LIMIT 10
+    """,
+)
+def llm_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F21/J6 EXT: IVF-PQ — the production FAISS layout, composing the
+    engine's two ANN stages: the inverted file prunes the corpus to the
+    query's ``_IVFPQ_NPROBE`` nearest cells (coarse quantizer =
+    the quantized per-label centroids), then PRODUCT-QUANTIZATION
+    asymmetric distance ranks only those candidates. At 100 TB the
+    cell is a write-time partition key (a probe touches nprobe/k of
+    the corpus) and the candidates are scanned as ~8-byte codes, not
+    256-byte vectors — pruning × compression is exactly why this
+    layout is the industry default.
+
+    Exactness: the coarse assignment, probe-set pick, sub-codes and
+    every ADC sum are the same exact int64 fixed-point arithmetic as
+    the IVF and PQ operators they compose (both oracle-verified on
+    their own); tie-breaks are integer struct-mins.
+
+    Scale shape: cell table broadcasts as one packed row; assignment
+    and encoding are pure map stages; the probe filter is an
+    array_contains against the 1-row query relation, so the only
+    shuffled relation is the already-pruned candidate set en route to
+    the TakeOrderedAndProject cut.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    sv = emb.select(
+        "vec_id", F.transform("embedding", lambda x: _iscale(x)).alias("sv")
+    )
+    cells = ivf_quantized_cells(emb).agg(
+        F.collect_list(F.struct("cell", "centroid")).alias("cells")
+    )
+
+    def cell_dists(vec: Column) -> Column:
+        return F.array_sort(
+            F.transform(
+                "cells",
+                lambda c: F.struct(
+                    _cell_dist2(vec, c["centroid"]).alias("d2"),
+                    c["cell"].alias("cell"),
+                ),
+            )
+        )
+
+    q = (
+        sv.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .crossJoin(F.broadcast(cells))
+        .select(
+            F.col("sv").alias("qv"),
+            "cells",
+            F.transform(
+                F.slice(cell_dists(F.col("sv")), 1, _IVFPQ_NPROBE),
+                lambda s: s["cell"],
+            ).alias("probe_cells"),
+        )
+    )
+    assigned = (
+        sv.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "sv",
+            "qv",
+            "cells",
+            "probe_cells",
+            F.array_min(
+                F.transform(
+                    "cells",
+                    lambda c: F.struct(
+                        _cell_dist2(F.col("sv"), c["centroid"]).alias("d2"),
+                        c["cell"].alias("cell"),
+                    ),
+                )
+            )["cell"].alias("cell"),
+        )
+    )
+    cand = assigned.filter(
+        F.array_contains(F.col("probe_cells"), F.col("cell"))
+    ).select(
+        "vec_id",
+        "cell",
+        "qv",
+        "cells",
+        *[_pq_code_m(F.col("sv"), m).alias(f"c{m}") for m in range(_PQ_M)],
+    )
+    approx = None
+    for m in range(_PQ_M):
+        t = _pq_qdist(f"c{m}", m)
+        approx = t if approx is None else approx + t
+    return (
+        cand.select(
+            "vec_id",
+            "cell",
+            approx.cast("long").alias("approx_d2"),
+        )
+        .orderBy("approx_d2", "vec_id")
+        .limit(10)
     )

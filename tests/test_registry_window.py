@@ -125,6 +125,7 @@ _BORN_IN_OVERFLOW: set[str] = {
     "join_excess_quantity_suppliers",
     "llm_bpe_encode_stats",
     "agg_event_type_lift",
+    "llm_ivfpq_topk",
     # round-6-born
     "llm_triangle_counts",
     "llm_pmi_collocations",

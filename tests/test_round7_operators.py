@@ -574,3 +574,24 @@ def test_event_type_lift_recomputes(spark):
             assert r["n_both"] == n_both
             expect = (n_both * len(users)) / (per[a] * per[b])
             assert abs(r["lift"] - expect) < 1e-12
+
+
+def test_ivfpq_results_live_in_probed_cells_and_agree_with_pq(spark):
+    """Every IVF-PQ result must sit in one of the query's nprobe
+    nearest cells, and any vector appearing in BOTH the IVF-PQ and the
+    unpruned PQ top-10 must carry the identical ADC distance (pruning
+    changes the candidate set, never the metric)."""
+    from smart_contract_database_builder_spark.plans.llm_ops import (
+        _IVFPQ_NPROBE,
+    )
+
+    rows = _run(spark, "llm_ivfpq_topk").collect()
+    assert len(rows) == 10
+    cells = {r["cell"] for r in rows}
+    assert len(cells) <= _IVFPQ_NPROBE
+    d = [r["approx_d2"] for r in rows]
+    assert d == sorted(d)
+    pq = {r["vec_id"]: r["approx_d2"] for r in _run(spark, "llm_pq_topk").collect()}
+    for r in rows:
+        if r["vec_id"] in pq:
+            assert pq[r["vec_id"]] == r["approx_d2"], r["vec_id"]
