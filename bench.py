@@ -146,6 +146,7 @@ HEADLINE = [
     "llm_bpe_encode_stats",
     "agg_event_type_lift",
     "llm_ivfpq_topk",
+    "window_ewma_daily_revenue",
 ]
 
 

@@ -120,6 +120,7 @@ _OVERFLOW = [
     "llm_bpe_encode_stats",
     "agg_event_type_lift",
     "llm_ivfpq_topk",
+    "window_ewma_daily_revenue",
     # round-6 NEW operators still awaiting their window slot (rotate
     # into the window in round 8)
     "llm_triangle_counts",

@@ -6,6 +6,7 @@ seeded sampling, approximate distinct, and the events props map surface.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1907,4 +1908,100 @@ def agg_event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("na") * F.col("nb"))
             ).alias("lift"),
         )
+    )
+
+
+@register(
+    "window_ewma_daily_revenue",
+    oracle=r"""
+    WITH RECURSIVE daily AS MATERIALIZED (
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    span AS MATERIALIZED (
+      SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+             MAX(CAST(o_orderdate AS DATE)) AS d1
+      FROM orders
+    ),
+    days AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, day,
+             COALESCE(cents, 0) AS cents
+      FROM (
+        SELECT strftime(CAST(unnest(generate_series(d0, d1,
+                         INTERVAL 1 DAY)) AS DATE), '%Y-%m-%d') AS day
+        FROM span
+      ) LEFT JOIN daily USING (day)
+    ),
+    ew AS (
+      SELECT i, day, cents, cents AS ewma FROM days WHERE i = 1
+      UNION ALL
+      SELECT d.i, d.day, d.cents, (15 * d.cents + 85 * ew.ewma) // 100
+      FROM days d JOIN ew ON d.i = ew.i + 1
+    )
+    SELECT day,
+           CAST(cents AS DOUBLE) / 100 AS revenue,
+           CAST(ewma AS DOUBLE) / 100 AS ewma_revenue
+    FROM ew
+    """,
+)
+def window_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-EXT: EWMA smoothing of daily revenue (α = 0.15) — a SEQUENTIAL
+    recurrence, the one window shape frame-spec aggregates cannot
+    express (every output depends on the previous OUTPUT, not previous
+    inputs). Made cross-engine-exact the fixed-point way: cents-integer
+    state with ``(15·x + 85·e) // 100`` floor updates, so both engines
+    produce identical integers step for step (floats would drift:
+    α-powers accumulate differently under reassociation).
+
+    Scale shape: the recurrence runs on the O(days) DENSE axis — a few
+    thousand rows at ANY corpus size — packed into one array row and
+    folded with ``aggregate`` (the corpus-sized work is the one
+    date-keyed aggregation underneath, exactly like the rolling-window
+    family). The oracle spells the same recurrence as a recursive CTE.
+    An unbounded-key recurrence would need a different tool
+    (``applyInPandasWithState``'s per-key sequential state) — this
+    operator is deliberately scoped to bounded axes.
+    """
+    from pyspark.sql import types as T
+
+    gf = _gapfilled_daily(spark, sf_dir)
+    days = gf.select(
+        "day", (F.col("revenue_dec") * 100).cast("long").alias("cents")
+    )
+    packed = days.agg(
+        F.array_sort(F.collect_list(F.struct("day", "cents"))).alias("ds")
+    )
+
+    # The recurrence itself runs in an Arrow-batched UDF over the ONE
+    # packed row (exact Python ints — the _ln_libm precedent: a Python
+    # boundary on an O(report) relation costs nothing at scale, and a
+    # Catalyst fold-with-concat here is O(days²) array copies).
+    @F.pandas_udf(
+        T.ArrayType(T.StructType([
+            T.StructField("day", T.StringType()),
+            T.StructField("cents", T.LongType()),
+            T.StructField("ewma", T.LongType()),
+        ]))
+    )
+    def _ewma_fold(col: pd.Series) -> pd.Series:
+        def run(ds):
+            out, prev = [], None
+            for row in ds:
+                c = int(row["cents"])
+                prev = c if prev is None else (15 * c + 85 * prev) // 100
+                out.append(
+                    {"day": row["day"], "cents": c, "ewma": prev}
+                )
+            return out
+
+        return col.map(run)
+
+    folded = packed.select(_ewma_fold("ds").alias("out"))
+    r = F.col("r")
+    return folded.select(F.explode("out").alias("r")).select(
+        r["day"].alias("day"),
+        (r["cents"].cast("double") / 100).alias("revenue"),
+        (r["ewma"].cast("double") / 100).alias("ewma_revenue"),
     )

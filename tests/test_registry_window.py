@@ -126,6 +126,7 @@ _BORN_IN_OVERFLOW: set[str] = {
     "llm_bpe_encode_stats",
     "agg_event_type_lift",
     "llm_ivfpq_topk",
+    "window_ewma_daily_revenue",
     # round-6-born
     "llm_triangle_counts",
     "llm_pmi_collocations",

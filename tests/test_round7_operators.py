@@ -595,3 +595,24 @@ def test_ivfpq_results_live_in_probed_cells_and_agree_with_pq(spark):
     for r in rows:
         if r["vec_id"] in pq:
             assert pq[r["vec_id"]] == r["approx_d2"], r["vec_id"]
+
+
+def test_ewma_recurrence_recomputes(spark):
+    """The fixed-point EWMA must match a sequential Python recompute
+    from the gap-filled axis (floor updates, cents integers), and the
+    first day's EWMA equals its revenue."""
+    gf = sorted(
+        _run(spark, "scalar_gapfill_daily_revenue").collect(),
+        key=lambda r: r["day"],
+    )
+    rows = sorted(
+        _run(spark, "window_ewma_daily_revenue").collect(),
+        key=lambda r: r["day"],
+    )
+    assert [r["day"] for r in rows] == [r["day"] for r in gf]
+    prev = None
+    for g, r in zip(gf, rows):
+        c = round(g["revenue"] * 100)
+        prev = c if prev is None else (15 * c + 85 * prev) // 100
+        assert r["revenue"] == g["revenue"]
+        assert round(r["ewma_revenue"] * 100) == prev, r["day"]
