@@ -83,15 +83,22 @@ _PRIORITY = [
 #: with driver-green rows in r5 (and mostly r3/r4 too) whose plan code
 #: has not changed since — each family keeps at least one in-window
 #: witness (see the _PRIORITY comment).
-#: ROUND-8 ROTATION PLAN (for the next session): the round-6-born
-#: operators below (llm_triangle_counts … llm_ivf_topk, 25 names) have
-#: never earned a driver CORRECTNESS row. The window holds 50; rotate
-#: the next ~12 into _PRIORITY and move an equal number of
-#: r7-driver-green stable queries (the 12 "rotated IN for round 7"
-#: names above, plus un-curated core queries) into the rotated-out
-#: block below, keeping ≥1 in-window witness per family exactly as the
-#: r6/r7 rotations did. Verify with tests/test_registry_window.py
-#: (add a _ROTATED_IN_R8 contract).
+#: ROUND-8 ROTATION PLAN (for the next session): two blocks below have
+#: never earned a driver CORRECTNESS row — the round-7-born operators
+#: (agg_order_count_distribution … window_ewma_daily_revenue) and the
+#: remaining round-6-born ones (llm_triangle_counts … llm_ivf_topk).
+#: The window holds 50; rotate the next ~12 into _PRIORITY — start
+#: with the ROUND-6-BORN block (it has waited longest:
+#: llm_triangle_counts, llm_pmi_collocations, agg_retention_cohorts,
+#: llm_kmeans_lloyd, agg_cumulative_users, llm_kmeans_silhouette,
+#: agg_profit_by_nation_type, agg_key_skew_report,
+#: window_streaks_gaps_islands, agg_pivot_daily_event_matrix,
+#: agg_metric_correlation_daily, llm_chunk_documents_udtf) — and move
+#: an equal number of r7-driver-green stable queries (the 12 "rotated
+#: IN for round 7" names above, plus un-curated core queries) into the
+#: rotated-out block below, keeping ≥1 in-window witness per family
+#: exactly as the r6/r7 rotations did. Verify with
+#: tests/test_registry_window.py (add a _ROTATED_IN_R8 contract).
 _OVERFLOW = [
     # round-7 NEW operators (born after the window was finalized;
     # rotate into the window in round 8+)

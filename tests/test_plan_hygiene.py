@@ -37,6 +37,9 @@ _NESTED_LOOP_ALLOWED = {
     "llm_bpe_train_merges",        # 1-row argmax-pair broadcast per merge
     "llm_bpe_segment_vocab",       # same trainer state (1-row per merge)
     "llm_zipf_slope_report",       # 100-row top-terms regression input
+    "agg_event_type_lift",         # 1-row distinct-user-count broadcast
+    "agg_idle_rich_customers",     # 1-row avg-balance threshold broadcast
+    "llm_ivfpq_topk",              # 1-row packed cell table + query row
 }
 
 #: Queries whose fn() triggers side effects/execution rather than just
