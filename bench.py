@@ -147,6 +147,7 @@ HEADLINE = [
     "agg_event_type_lift",
     "llm_ivfpq_topk",
     "window_ewma_daily_revenue",
+    "llm_curation_pipeline_v2",
 ]
 
 

@@ -128,6 +128,7 @@ _OVERFLOW = [
     "agg_event_type_lift",
     "llm_ivfpq_topk",
     "window_ewma_daily_revenue",
+    "llm_curation_pipeline_v2",
     # round-6 NEW operators still awaiting their window slot (rotate
     # into the window in round 8)
     "llm_triangle_counts",

@@ -3399,7 +3399,10 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def curate_documents(docs: DataFrame) -> DataFrame:
+def curate_documents(
+    docs: DataFrame,
+    readability_band: "tuple[float, float] | None" = None,
+) -> DataFrame:
     """The curation pipeline's survivor set over any (doc_id, text,
     lang, source) relation: (doc_id, lang, source, n_tok) rows that
     pass quality -> dedup-canonical -> decontamination -> mix-sampling.
@@ -3425,8 +3428,25 @@ def curate_documents(docs: DataFrame) -> DataFrame:
     """
     from pyspark import StorageLevel
 
+    # Readability needs punctuation/vowel counts from the RAW text, so
+    # they are computed as two per-row ints BEFORE the text is dropped
+    # — the cached relation stays the single corpus scan either way.
+    extra = []
+    if readability_band is not None:
+        extra = [
+            F.greatest(
+                F.lit(1),
+                F.size(F.expr(r"regexp_extract_all(text, '[.!?]+', 0)")),
+            ).alias("n_sent"),
+            F.greatest(
+                F.lit(1),
+                F.size(
+                    F.expr(r"regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+                ),
+            ).alias("n_syl"),
+        ]
     cached = (
-        docs.select("doc_id", "lang", "source", _tokens().alias("t"))
+        docs.select("doc_id", "lang", "source", _tokens().alias("t"), *extra)
         .repartition("doc_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -3436,6 +3456,20 @@ def curate_documents(docs: DataFrame) -> DataFrame:
         .filter(F.col("keep"))
         .select("doc_id", "n_tok")
     )
+    if readability_band is not None:
+        lo, hi = readability_band
+        w = F.size("t").cast("double")
+        fl = (
+            F.lit(206.835)
+            - F.lit(1.015) * (w / F.col("n_sent"))
+            - F.lit(84.6) * (F.col("n_syl").cast("double") / w)
+        )
+        readable = (
+            cached.select("doc_id", fl.alias("fl"))
+            .filter((F.col("fl") >= lo) & (F.col("fl") <= hi))
+            .select("doc_id")
+        )
+        quality = quality.join(readable, "doc_id")
     keyed = cached.join(quality, "doc_id").select(
         "doc_id",
         "lang",
@@ -6679,4 +6713,120 @@ def llm_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("approx_d2", "vec_id")
         .limit(10)
+    )
+
+
+#: v2 curation: documents must sit inside this Flesch band (drops both
+#: OCR-garbage negatives and word-salad extremes).
+_CURATE_FLESCH_LO = 0.0
+_CURATE_FLESCH_HI = 80.0
+
+
+@register(
+    "llm_curation_pipeline_v2",
+    oracle=rf"""
+    WITH tc AS (
+      SELECT doc_id, term, COUNT(*) AS c, LEN(term) AS l
+      FROM (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+      )
+      GROUP BY doc_id, term
+    ),
+    qual AS (
+      SELECT doc_id
+      FROM (
+        SELECT doc_id,
+               SUM(c) AS n_tok,
+               SUM(l * c) AS n_chars_tok,
+               MAX(c) AS top_c,
+               MAX(CASE WHEN term IN ({_SQL_STOPWORDS}) THEN 1 ELSE 0 END)
+                 AS has_stop
+        FROM tc GROUP BY doc_id
+      )
+      WHERE n_tok BETWEEN {_G_MIN_TOK} AND {_G_MAX_TOK}
+        AND CAST(n_chars_tok AS DOUBLE) / n_tok
+            BETWEEN {_G_MIN_MWL} AND {_G_MAX_MWL}
+        AND CAST(top_c AS DOUBLE) / n_tok <= {_G_MAX_TOP_FRAC}
+        AND has_stop = 1
+    ),
+    readable AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               206.835
+                 - 1.015 * (CAST(w AS DOUBLE) / s)
+                 - 84.6 * (CAST(y AS DOUBLE) / w) AS fl
+        FROM (
+          SELECT doc_id,
+                 len({_SQL_TOKENS}) AS w,
+                 greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                   AS s,
+                 greatest(1, len(regexp_extract_all(lower(text),
+                                                    '[aeiouy]+'))) AS y
+          FROM documents
+        )
+      )
+      WHERE fl BETWEEN {_CURATE_FLESCH_LO} AND {_CURATE_FLESCH_HI}
+    ),
+    keyed AS (
+      SELECT d.doc_id, lang, source,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS ck,
+             len({_SQL_TOKENS}) AS n_tok
+      FROM documents d
+      JOIN qual USING (doc_id)
+      JOIN readable USING (doc_id)
+    ),
+    canon AS (SELECT ck, MIN(doc_id) AS cid FROM keyed GROUP BY ck),
+    dedup AS (
+      SELECT keyed.* FROM keyed
+      JOIN canon ON keyed.ck = canon.ck AND keyed.doc_id = canon.cid
+    ),
+    grams AS (
+      SELECT doc_id, unnest({_sql_word_ngrams("t", _DECON_N)}) AS g
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+    ),
+    bench AS (
+      SELECT DISTINCT g FROM grams
+      WHERE doc_id % {_DECON_MOD} = {_DECON_REM}
+    ),
+    contaminated AS (
+      SELECT DISTINCT c.doc_id
+      FROM grams c JOIN bench b ON c.g = b.g
+      WHERE c.doc_id % {_DECON_MOD} <> {_DECON_REM}
+    ),
+    clean AS (
+      SELECT * FROM dedup
+      WHERE doc_id % {_DECON_MOD} <> {_DECON_REM}
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    final AS (
+      SELECT * FROM clean
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+            < CASE WHEN lang = 'en' THEN '{_MIX_THR_EN}'
+                   ELSE '{_MIX_THR_OTHER}' END
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM final GROUP BY lang, source
+    """,
+)
+def llm_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F33 v2: the curation pipeline with the round-7 READABILITY stage
+    composed in — Gopher rules ∧ Flesch band → exact dedup →
+    decontamination → mix-sampling, re-verified END-TO-END by its own
+    oracle (stage composition is where silent bugs hide; the v1
+    pipeline stays registered as the regression anchor).
+
+    Same scale shape as v1 (``curate_documents``): ONE corpus
+    scan+tokenize persisted, every stage an id-set semi/anti join; the
+    readability counts ride the same scan as two per-row ints computed
+    before the text column drops.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    kept = curate_documents(
+        docs, readability_band=(_CURATE_FLESCH_LO, _CURATE_FLESCH_HI)
+    )
+    return kept.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
     )

@@ -127,6 +127,7 @@ _BORN_IN_OVERFLOW: set[str] = {
     "agg_event_type_lift",
     "llm_ivfpq_topk",
     "window_ewma_daily_revenue",
+    "llm_curation_pipeline_v2",
     # round-6-born
     "llm_triangle_counts",
     "llm_pmi_collocations",

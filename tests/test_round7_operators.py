@@ -616,3 +616,38 @@ def test_ewma_recurrence_recomputes(spark):
         prev = c if prev is None else (15 * c + 85 * prev) // 100
         assert r["revenue"] == g["revenue"]
         assert round(r["ewma_revenue"] * 100) == prev, r["day"]
+
+
+def test_curation_v2_is_a_readable_subset_of_v1(spark):
+    """v2's survivors must be exactly v1's survivors minus the docs
+    outside the Flesch band (stage composition check at the id level,
+    finer than the rollup the oracle verifies)."""
+    from smart_contract_database_builder_spark.plans.llm_ops import (
+        _CURATE_FLESCH_HI,
+        _CURATE_FLESCH_LO,
+        curate_documents,
+    )
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    v1 = {r["doc_id"] for r in curate_documents(docs).collect()}
+    v2 = {
+        r["doc_id"]
+        for r in curate_documents(
+            docs,
+            readability_band=(_CURATE_FLESCH_LO, _CURATE_FLESCH_HI),
+        ).collect()
+    }
+    assert v2 < v1  # strictly smaller on this corpus
+    flesch = {
+        r["doc_id"]: r["flesch"]
+        for r in plans.QUERIES["llm_readability_scores"].fn(
+            spark, SF_ORACLE
+        ).collect()
+    }
+    dropped = v1 - v2
+    for d in dropped:
+        assert not (
+            _CURATE_FLESCH_LO <= flesch[d] <= _CURATE_FLESCH_HI
+        ), d
+    for d in v2:
+        assert _CURATE_FLESCH_LO <= flesch[d] <= _CURATE_FLESCH_HI, d
