@@ -148,6 +148,7 @@ HEADLINE = [
     "llm_ivfpq_topk",
     "window_ewma_daily_revenue",
     "llm_curation_pipeline_v2",
+    "window_seasonal_naive_mape",
 ]
 
 

@@ -2005,3 +2005,82 @@ def window_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["cents"].cast("double") / 100).alias("revenue"),
         (r["ewma"].cast("double") / 100).alias("ewma_revenue"),
     )
+
+
+@register(
+    "window_seasonal_naive_mape",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue_dec
+      FROM orders GROUP BY 1
+    ),
+    span AS (
+      SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+             MAX(CAST(o_orderdate AS DATE)) AS d1
+      FROM orders
+    ),
+    dense AS (
+      SELECT days.day,
+             COALESCE(daily.revenue_dec,
+                      CAST(0 AS DECIMAL(18,2))) AS revenue_dec
+      FROM (
+        SELECT strftime(CAST(unnest(generate_series(d0, d1,
+                         INTERVAL 1 DAY)) AS DATE), '%Y-%m-%d') AS day
+        FROM span
+      ) days LEFT JOIN daily ON daily.day = days.day
+    ),
+    f AS (
+      SELECT day,
+             CAST(revenue_dec AS DOUBLE) AS actual,
+             CAST(lag(revenue_dec, 7) OVER (ORDER BY day)
+                  AS DOUBLE) AS forecast
+      FROM dense
+    ),
+    e AS (
+      SELECT CAST(abs(actual - forecast) / actual
+                  AS DECIMAL(18,12)) AS ape
+      FROM f
+      WHERE forecast IS NOT NULL AND actual > 0.0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(ape) AS DOUBLE) / COUNT(*) AS mape
+    FROM e
+    """,
+)
+def window_seasonal_naive_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-EXT: FORECAST BACKTEST — the seasonal-naive baseline
+    (forecast = same weekday last week) evaluated by MAPE over the
+    gap-filled daily axis. Every forecasting effort must beat this
+    number; computing it is the first step of any demand-planning
+    pipeline, and it needs the dense axis (on a sparse one, lag(7)
+    silently reaches back more than a week across holes).
+
+    Float-mean exactness: each day's absolute percentage error is raw
+    per-row double arithmetic (engine-identical), QUANTIZED to
+    DECIMAL(18,12), and the mean is an exact decimal sum with one
+    double division — the same recipe as the Zipf regression (a plain
+    AVG of doubles is summation-order-dependent and can never
+    hash-match). Scale shape: one date-keyed agg; lag + the error
+    reduction run on the O(days) axis.
+    """
+    gf = _gapfilled_daily(spark, sf_dir)
+    w = Window.orderBy("day")
+    f = gf.select(
+        "day",
+        F.col("revenue_dec").cast("double").alias("actual"),
+        F.lag(F.col("revenue_dec"), 7).over(w).cast("double").alias(
+            "forecast"
+        ),
+    )
+    e = f.filter(
+        F.col("forecast").isNotNull() & (F.col("actual") > 0.0)
+    ).select(
+        (F.abs(F.col("actual") - F.col("forecast")) / F.col("actual"))
+        .cast("decimal(18,12)")
+        .alias("ape")
+    )
+    return e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (F.sum("ape").cast("double") / F.count(F.lit(1))).alias("mape"),
+    )

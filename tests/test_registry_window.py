@@ -128,6 +128,7 @@ _BORN_IN_OVERFLOW: set[str] = {
     "llm_ivfpq_topk",
     "window_ewma_daily_revenue",
     "llm_curation_pipeline_v2",
+    "window_seasonal_naive_mape",
     # round-6-born
     "llm_triangle_counts",
     "llm_pmi_collocations",

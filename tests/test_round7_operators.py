@@ -651,3 +651,20 @@ def test_curation_v2_is_a_readable_subset_of_v1(spark):
         ), d
     for d in v2:
         assert _CURATE_FLESCH_LO <= flesch[d] <= _CURATE_FLESCH_HI, d
+
+
+def test_seasonal_naive_mape_recomputes(spark):
+    """MAPE must equal a direct recompute from the gap-filled axis
+    (lag-7 forecast, zero-actual days excluded)."""
+    gf = sorted(
+        _run(spark, "scalar_gapfill_daily_revenue").collect(),
+        key=lambda r: r["day"],
+    )
+    row = _run(spark, "window_seasonal_naive_mape").collect()[0]
+    apes = []
+    for i in range(7, len(gf)):
+        a, f = gf[i]["revenue"], gf[i - 7]["revenue"]
+        if a > 0.0:
+            apes.append(abs(a - f) / a)
+    assert row["n_days"] == len(apes)
+    assert abs(row["mape"] - sum(apes) / len(apes)) < 1e-9
