@@ -149,6 +149,7 @@ HEADLINE = [
     "window_ewma_daily_revenue",
     "llm_curation_pipeline_v2",
     "window_seasonal_naive_mape",
+    "agg_weekday_seasonality",
 ]
 
 

@@ -130,6 +130,7 @@ _OVERFLOW = [
     "window_ewma_daily_revenue",
     "llm_curation_pipeline_v2",
     "window_seasonal_naive_mape",
+    "agg_weekday_seasonality",
     # round-6 NEW operators still awaiting their window slot (rotate
     # into the window in round 8)
     "llm_triangle_counts",

@@ -2084,3 +2084,68 @@ def window_seasonal_naive_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_days"),
         (F.sum("ape").cast("double") / F.count(F.lit(1))).alias("mape"),
     )
+
+
+@register(
+    "agg_weekday_seasonality",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue_dec
+      FROM orders GROUP BY 1
+    ),
+    wd AS (
+      SELECT CAST(dayofweek(d) + 1 AS INTEGER) AS weekday,
+             COUNT(*) AS n_days,
+             SUM(revenue_dec) AS rev_dec
+      FROM daily GROUP BY 1
+    ),
+    t AS (
+      SELECT SUM(rev_dec) AS tot_dec, SUM(n_days) AS tot_days FROM wd
+    )
+    SELECT weekday,
+           CAST(n_days AS BIGINT) AS n_days,
+           CAST(rev_dec AS DOUBLE) AS total_revenue,
+           (CAST(rev_dec AS DOUBLE) / n_days)
+             / (CAST(tot_dec AS DOUBLE) / tot_days)
+             AS seasonality_index
+    FROM wd, t
+    """,
+)
+def agg_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT: WEEKDAY SEASONALITY index — each weekday's mean daily
+    revenue relative to the overall mean (index 1.0 = average day).
+    The multiplicative factor the seasonal-naive backtest (W9) implies
+    and a demand planner deseasonalizes with; closes the time-series
+    family: dense axis → rolling → EWMA → backtest → decomposition.
+
+    Exactness: both means are exact-decimal sums emitted as double
+    with integer-count divisions, and the index is one double ratio —
+    no averaged doubles anywhere. Scale shape: one date-keyed agg (the
+    corpus pass), a 7-row weekday rollup, a 1-row broadcast total.
+    Spark's ``dayofweek`` is Sunday=1; DuckDB's is Sunday=0, so the
+    oracle adds one — pinned by the parity check itself.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(dec("o_totalprice")).alias("revenue_dec")
+    )
+    wd = daily.groupBy(
+        F.dayofweek("d").cast("int").alias("weekday")
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("revenue_dec").alias("rev_dec"),
+    )
+    t = wd.agg(
+        F.sum("rev_dec").alias("tot_dec"),
+        F.sum("n_days").alias("tot_days"),
+    )
+    return wd.crossJoin(F.broadcast(t)).select(
+        "weekday",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("rev_dec").cast("double").alias("total_revenue"),
+        (
+            (F.col("rev_dec").cast("double") / F.col("n_days"))
+            / (F.col("tot_dec").cast("double") / F.col("tot_days"))
+        ).alias("seasonality_index"),
+    )

@@ -166,3 +166,22 @@ def test_micro_nat_ops_scan_and_explode_once(spark, name):
         f"{name}: expected at most ONE documents scan in the final "
         f"plan (the cache build), got: {scans}"
     )
+
+
+def test_curation_pipeline_v2_scans_and_tokenizes_once(spark):
+    """The v2 pipeline (readability stage composed in) must keep v1's
+    single-scan contract: one unfiltered documents FileScan feeding the
+    cache, one tokenize site — the readability counts ride the same
+    scan as per-row ints, never a second corpus pass."""
+    import re
+
+    df = plans.QUERIES["llm_curation_pipeline_v2"].fn(spark, SF_ORACLE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("InMemoryTableScan") >= 1
+    scans = re.findall(r"FileScan parquet[^\n]*", final)
+    assert len(scans) == 1, f"expected ONE documents scan, got: {scans}"
+    assert "DataFilters: []" in scans[0]
+    assert final.count("split(trim(lower") == 1

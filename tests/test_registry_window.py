@@ -129,6 +129,7 @@ _BORN_IN_OVERFLOW: set[str] = {
     "window_ewma_daily_revenue",
     "llm_curation_pipeline_v2",
     "window_seasonal_naive_mape",
+    "agg_weekday_seasonality",
     # round-6-born
     "llm_triangle_counts",
     "llm_pmi_collocations",

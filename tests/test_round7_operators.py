@@ -668,3 +668,20 @@ def test_seasonal_naive_mape_recomputes(spark):
             apes.append(abs(a - f) / a)
     assert row["n_days"] == len(apes)
     assert abs(row["mape"] - sum(apes) / len(apes)) < 1e-9
+
+
+def test_weekday_seasonality_indices_average_to_one(spark):
+    """Day-count-weighted mean of the seasonality indices must be 1.0
+    by construction, all 7 weekdays present, counts summing to the
+    distinct-day total."""
+    rows = _run(spark, "agg_weekday_seasonality").collect()
+    assert sorted(r["weekday"] for r in rows) == [1, 2, 3, 4, 5, 6, 7]
+    orders = load_table(spark, SF_ORACLE, "orders")
+    n_days = (
+        orders.select(F.to_date("o_orderdate").alias("d")).distinct().count()
+    )
+    assert sum(r["n_days"] for r in rows) == n_days
+    weighted = sum(r["seasonality_index"] * r["n_days"] for r in rows)
+    assert abs(weighted / n_days - 1.0) < 1e-9
+    for r in rows:
+        assert r["seasonality_index"] > 0
