@@ -46,3 +46,38 @@ def write_training_shards(
         .partitionBy(shard_col)
         .parquet(path)
     )
+
+
+def write_partitioned_corpus(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("lang", "source"),
+    files_per_partition: int = 1,
+) -> None:
+    """Hive-partitioned corpus export (``lang=en/source=s1/...``) — the
+    layout that makes per-language/per-source reprocessing a PARTITION
+    PRUNE instead of a corpus scan (a later ``analyze --sf-dir`` or a
+    per-language recuration touches only its directories; the scan
+    shows ``PartitionFilters``, not a filter over all rows).
+
+    Same small-files discipline as the shard writer: repartition by the
+    partition columns first so each task owns whole partitions —
+    otherwise every upstream task writes a sliver into every partition
+    directory (tasks × partitions files). ``files_per_partition``
+    scales writer parallelism for hot partitions at 100 TB (salt the
+    repartition), while the default keeps one file per partition.
+    """
+    keys = [F.col(c) for c in partition_cols]
+    shaped = (
+        df.repartition(*keys)
+        if files_per_partition == 1
+        else df.repartition(
+            *keys,
+            (F.abs(F.hash(*df.columns)) % files_per_partition).alias("_s"),
+        )
+    )
+    (
+        shaped.write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

@@ -164,3 +164,44 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
         spark.read.parquet(f).count() for f in glob.glob(f"{dst2}/part-*.parquet")
     )
     assert total == orders.count()
+
+
+def test_partitioned_corpus_layout_and_pruning(spark, tmp_path):
+    """write_partitioned_corpus: hive directory layout per (lang,
+    source), one file per partition, row parity, and — the point — a
+    lang/source predicate on read-back becomes a PartitionFilter (no
+    data rows outside the pruned directories are touched)."""
+    import glob
+    import os
+
+    from smart_contract_database_builder_spark.sinks.corpus import (
+        write_partitioned_corpus,
+    )
+    from smart_contract_database_builder_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    out = str(tmp_path / "part_corpus")
+    write_partitioned_corpus(docs, out)
+
+    dirs = glob.glob(os.path.join(out, "lang=*", "source=*"))
+    assert dirs, "no hive partition directories written"
+    for d in dirs:
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+
+    sel = back.filter((back.lang == "en") & (back.source == "s1"))
+    plan = sel._sc._jvm.PythonSQLUtils.explainString(
+        sel._jdf.queryExecution(), "simple"
+    )
+    assert "PartitionFilters" in plan and "lang" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], "lang/source predicate did not prune partitions"
+    want = docs.filter(
+        (docs.lang == "en") & (docs.source == "s1")
+    ).count()
+    assert sel.count() == want
