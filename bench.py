@@ -150,6 +150,8 @@ HEADLINE = [
     "llm_curation_pipeline_v2",
     "window_seasonal_naive_mape",
     "agg_weekday_seasonality",
+    "llm_curriculum_order",
+    "llm_incremental_neardup",
 ]
 
 

@@ -131,6 +131,8 @@ _OVERFLOW = [
     "llm_curation_pipeline_v2",
     "window_seasonal_naive_mape",
     "agg_weekday_seasonality",
+    "llm_curriculum_order",
+    "llm_incremental_neardup",
     # round-6 NEW operators still awaiting their window slot (rotate
     # into the window in round 8)
     "llm_triangle_counts",

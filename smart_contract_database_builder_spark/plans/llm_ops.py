@@ -739,25 +739,19 @@ def minhash_candidate_pairs(
     return minhash_candidate_pairs_from_shingles(sh, bucket_cap)
 
 
-def minhash_candidate_pairs_from_shingles(
-    sh: DataFrame, bucket_cap: int = _LSH_BUCKET_CAP
-) -> DataFrame:
-    """``minhash_candidate_pairs`` from an already-exploded (doc_id, s)
-    shingle relation. Callers that also need the shingle relation for a
-    verify stage (``llm_ngram_jaccard_topk``) pass the SAME DataFrame
-    here, so the corpus-wide explode happens once in the plan: identical
-    subtrees produce identical exchanges, and Spark's ReuseExchange
-    executes the shared shuffle once. MIN over a DISTINCT shingle set
-    equals MIN over the raw multiset, so either relation is a valid
-    input.
-    """
+def minhash_bands(sh: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, key) banded-MinHash relation from an exploded
+    (doc_id, s) shingle relation — the shared first stage of the pair
+    generator and the incremental near-dup admitter: signatures are 8
+    MIN aggregates in ONE groupBy(doc) pass, bands explode as an array
+    expression (no per-band self-join)."""
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"m{i}")
             for i in range(_N_HASHES)
         ]
     )
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -771,6 +765,21 @@ def minhash_candidate_pairs_from_shingles(
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.key")
+
+
+def minhash_candidate_pairs_from_shingles(
+    sh: DataFrame, bucket_cap: int = _LSH_BUCKET_CAP
+) -> DataFrame:
+    """``minhash_candidate_pairs`` from an already-exploded (doc_id, s)
+    shingle relation. Callers that also need the shingle relation for a
+    verify stage (``llm_ngram_jaccard_topk``) pass the SAME DataFrame
+    here, so the corpus-wide explode happens once in the plan: identical
+    subtrees produce identical exchanges, and Spark's ReuseExchange
+    executes the shared shuffle once. MIN over a DISTINCT shingle set
+    equals MIN over the raw multiset, so either relation is a valid
+    input.
+    """
+    bands = minhash_bands(sh)
     buckets = (
         bands.groupBy("band_idx", "key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
@@ -6829,4 +6838,168 @@ def llm_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+
+
+#: Curriculum: number of difficulty buckets and the epoch seed.
+_CURR_BUCKETS = 4
+_CURR_SEED = "epoch0"
+
+
+@register(
+    "llm_curriculum_order",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             NTILE({_CURR_BUCKETS}) OVER (ORDER BY n_chars, doc_id)
+               AS bucket
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(bucket AS INTEGER) AS bucket,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY bucket,
+                      md5('{_CURR_SEED}|' || CAST(doc_id AS VARCHAR)),
+                      doc_id
+           ) AS BIGINT) AS epoch_pos
+    FROM ranked
+    """,
+)
+def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-EXT: CURRICULUM training order — documents ranked into
+    ``_CURR_BUCKETS`` difficulty buckets (length as the canonical
+    easy→hard proxy; deterministic NTILE with doc_id tie-break), then
+    seeded-shuffled WITHIN each bucket: the easy→hard schedule with
+    stable randomness inside stages, composing with F31's
+    shard-assignment the way its docstring prescribes.
+
+    Scale shape note (honest): the bucket NTILE and the epoch position
+    are GLOBAL total orders — fine for eval-scale corpora; at 100 TB
+    the same semantics shard first (F31) and apply this order within
+    shards, exactly like the training-order family documents. The
+    oracle checks the semantics at the global grain.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w_diff = Window.orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "doc_id",
+        F.ntile(_CURR_BUCKETS).over(w_diff).cast("int").alias("bucket"),
+    )
+    shuffle_key = F.md5(
+        F.concat(F.lit(f"{_CURR_SEED}|"), F.col("doc_id").cast("string"))
+    )
+    w_epoch = Window.orderBy("bucket", shuffle_key, "doc_id")
+    return ranked.select(
+        "doc_id",
+        "bucket",
+        F.row_number().over(w_epoch).cast("long").alias("epoch_pos"),
+    )
+
+
+#: Incremental near-dup admission: the batch slice of the corpus
+#: (deterministic, disjoint from _DECON_REM's benchmark slice).
+_INC_ND_MOD, _INC_ND_REM = 10, 3
+
+
+@register(
+    "llm_incremental_neardup",
+    oracle=rf"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_sql_word_ngrams("t")}) AS s
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+    ),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(md5('{i}|' || s)) AS m{i}" for i in range(_N_HASHES))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(m{2*b} || m{2*b+1}) AS key FROM sig"
+        for b in range(_N_HASHES // _BAND_ROWS)
+      )}
+    ),
+    corpus AS (
+      SELECT * FROM bands WHERE doc_id % {_INC_ND_MOD} <> {_INC_ND_REM}
+    ),
+    ok_buckets AS (
+      SELECT band_idx, key FROM corpus
+      GROUP BY band_idx, key
+      HAVING COUNT(*) <= {_LSH_BUCKET_CAP}
+    ),
+    batch AS (
+      SELECT * FROM bands WHERE doc_id % {_INC_ND_MOD} = {_INC_ND_REM}
+    ),
+    hits AS (
+      SELECT b.doc_id, COUNT(DISTINCT c.doc_id) AS n_corpus_neighbors
+      FROM batch b
+      JOIN ok_buckets ob ON ob.band_idx = b.band_idx AND ob.key = b.key
+      JOIN corpus c ON c.band_idx = b.band_idx AND c.key = b.key
+      GROUP BY b.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_corpus_neighbors, 0) AS BIGINT)
+             AS n_corpus_neighbors,
+           (h.doc_id IS NULL) AS admitted
+    FROM (SELECT DISTINCT doc_id FROM batch) d
+    LEFT JOIN hits h ON h.doc_id = d.doc_id
+    """,
+)
+def llm_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 EXT: INCREMENTAL NEAR-DUP admission — the LSH complement of
+    ``llm_incremental_dedup``: an incoming batch is admitted only where
+    its MinHash bands collide with NO standing-corpus document
+    (continuous ingest must reject paraphrases and near-copies, not
+    just byte-identical ones). Emits the per-batch-doc decision with
+    its corpus-neighbor count, so a softer policy (admit if < k
+    neighbors) reads the same relation.
+
+    Scale shape: one shared signature pipeline over both sides
+    (``minhash_bands``); the admission probe is a (band, key) equi-join
+    of batch bands against corpus bands, with corpus MEGA-BUCKETS
+    dropped by the same ``_LSH_BUCKET_CAP`` guard as the pair family —
+    a stop-word-like band key (every doc collides) would otherwise
+    fan each batch doc out corpus-wide. At 100 TB the corpus bands are
+    a standing indexed table maintained incrementally; only the batch
+    side is computed per run.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
+    sh = toked.select(
+        "doc_id", F.explode(_word_ngrams(F.col("t"))).alias("s")
+    )
+    bands = minhash_bands(sh)
+    is_batch = (F.col("doc_id") % _INC_ND_MOD) == _INC_ND_REM
+    corpus = bands.filter(~is_batch)
+    batch = bands.filter(is_batch)
+    ok_buckets = (
+        corpus.groupBy("band_idx", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= _LSH_BUCKET_CAP)
+        .select("band_idx", "key")
+    )
+    hits = (
+        batch.join(ok_buckets, ["band_idx", "key"])
+        .join(
+            corpus.select(
+                "band_idx", "key", F.col("doc_id").alias("corpus_doc")
+            ),
+            ["band_idx", "key"],
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("corpus_doc").alias("n_corpus_neighbors")
+        )
+    )
+    return (
+        batch.select("doc_id")
+        .distinct()
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_corpus_neighbors", F.lit(0))
+            .cast("long")
+            .alias("n_corpus_neighbors"),
+            F.col("n_corpus_neighbors").isNull().alias("admitted"),
+        )
     )

@@ -130,6 +130,8 @@ _BORN_IN_OVERFLOW: set[str] = {
     "llm_curation_pipeline_v2",
     "window_seasonal_naive_mape",
     "agg_weekday_seasonality",
+    "llm_curriculum_order",
+    "llm_incremental_neardup",
     # round-6-born
     "llm_triangle_counts",
     "llm_pmi_collocations",

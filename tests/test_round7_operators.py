@@ -685,3 +685,67 @@ def test_weekday_seasonality_indices_average_to_one(spark):
     assert abs(weighted / n_days - 1.0) < 1e-9
     for r in rows:
         assert r["seasonality_index"] > 0
+
+
+def test_curriculum_order_is_a_permutation_bucketed_easy_first(spark):
+    """epoch_pos is a 1..N permutation; buckets are contiguous in the
+    epoch order; bucket assignment is monotone in document length."""
+    rows = _run(spark, "llm_curriculum_order").collect()
+    n = len(rows)
+    assert sorted(r["epoch_pos"] for r in rows) == list(range(1, n + 1))
+    by_pos = sorted(rows, key=lambda r: r["epoch_pos"])
+    buckets = [r["bucket"] for r in by_pos]
+    assert buckets == sorted(buckets)  # contiguous easy→hard stages
+    docs = load_table(spark, SF_ORACLE, "documents")
+    length = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+    max_len_by_bucket: dict[int, int] = {}
+    for r in rows:
+        b = r["bucket"]
+        max_len_by_bucket[b] = max(
+            max_len_by_bucket.get(b, 0), length[r["doc_id"]]
+        )
+    ordered = [max_len_by_bucket[b] for b in sorted(max_len_by_bucket)]
+    assert ordered == sorted(ordered)
+
+
+def test_incremental_neardup_agrees_with_pair_generator(spark):
+    """A batch doc must be rejected iff it shares a capped band bucket
+    with ≥1 corpus doc — recompute membership from the raw bands."""
+    from smart_contract_database_builder_spark.plans.llm_ops import (
+        _INC_ND_MOD,
+        _INC_ND_REM,
+        _LSH_BUCKET_CAP,
+        _tokens,
+        _word_ngrams,
+        fan_out_if_narrow,
+        minhash_bands,
+    )
+
+    rows = {r["doc_id"]: r for r in _run(spark, "llm_incremental_neardup").collect()}
+    docs = load_table(spark, SF_ORACLE, "documents")
+    toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
+    sh = toked.select("doc_id", F.explode(_word_ngrams(F.col("t"))).alias("s"))
+    bands = minhash_bands(sh).collect()
+    corpus_by_bucket: dict[tuple, set] = {}
+    batch_by_bucket: dict[tuple, set] = {}
+    for r in bands:
+        k = (r["band_idx"], r["key"])
+        if r["doc_id"] % _INC_ND_MOD == _INC_ND_REM:
+            batch_by_bucket.setdefault(k, set()).add(r["doc_id"])
+        else:
+            corpus_by_bucket.setdefault(k, set()).add(r["doc_id"])
+    neighbors: dict[int, set] = {}
+    for k, batch_docs in batch_by_bucket.items():
+        corp = corpus_by_bucket.get(k, set())
+        if not corp or len(corp) > _LSH_BUCKET_CAP:
+            continue
+        for d in batch_docs:
+            neighbors.setdefault(d, set()).update(corp)
+    batch_ids = {
+        r["doc_id"] for r in bands if r["doc_id"] % _INC_ND_MOD == _INC_ND_REM
+    }
+    assert set(rows) == batch_ids
+    for d in batch_ids:
+        expect = len(neighbors.get(d, set()))
+        assert rows[d]["n_corpus_neighbors"] == expect, d
+        assert rows[d]["admitted"] == (expect == 0), d
