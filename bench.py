@@ -152,6 +152,7 @@ HEADLINE = [
     "agg_weekday_seasonality",
     "llm_curriculum_order",
     "llm_incremental_neardup",
+    "llm_simhash_hamming_pairs",
 ]
 
 

@@ -133,6 +133,7 @@ _OVERFLOW = [
     "agg_weekday_seasonality",
     "llm_curriculum_order",
     "llm_incremental_neardup",
+    "llm_simhash_hamming_pairs",
     # round-6 NEW operators still awaiting their window slot (rotate
     # into the window in round 8)
     "llm_triangle_counts",

@@ -7003,3 +7003,139 @@ def llm_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_corpus_neighbors").isNull().alias("admitted"),
         )
     )
+
+
+#: SimHash near-dup: Hamming radius and block count. With 16 bits in
+#: _SIMH_BLOCKS=4 blocks, any pair within radius 3 shares at least one
+#: EXACT block (pigeonhole: 3 differing bits cannot touch all 4
+#: blocks) — so block-equality banding has perfect recall at r=3.
+_SIMH_RADIUS = 3
+_SIMH_BLOCKS = 4
+_SIMH_BITS = 16
+_SIMH_BLOCK_W = _SIMH_BITS // _SIMH_BLOCKS
+
+
+@register(
+    "llm_simhash_hamming_pairs",
+    oracle=rf"""
+    WITH fps AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform(range(1, {_SIMH_BITS + 1}), j ->
+                 CASE WHEN list_aggregate(
+                   list_transform(hs, h ->
+                     CASE WHEN contains('13579bdf', substr(h, j, 1))
+                          THEN 1 ELSE -1 END), 'sum') >= 0
+                 THEN '1' ELSE '0' END),
+               '') AS simhash
+      FROM (
+        SELECT doc_id,
+               list_transform(list_distinct({_SQL_TOKENS}),
+                              x -> md5(x)) AS hs
+        FROM documents
+      )
+      WHERE len(hs) > 0
+    ),
+    blocks AS (
+      SELECT doc_id, b AS block_idx,
+             substr(simhash, b * {_SIMH_BLOCK_W} + 1,
+                    {_SIMH_BLOCK_W}) AS key
+      FROM fps, (SELECT unnest(range({_SIMH_BLOCKS})) AS b)
+    ),
+    bsz AS (
+      SELECT block_idx, key FROM blocks
+      GROUP BY block_idx, key
+      HAVING COUNT(*) BETWEEN 2 AND {_LSH_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM blocks a
+      JOIN bsz USING (block_idx, key)
+      JOIN blocks b ON a.block_idx = b.block_idx AND a.key = b.key
+                   AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_filter(range(1, {_SIMH_BITS + 1}),
+                 i -> substr(fa.simhash, i, 1) <> substr(fb.simhash, i, 1)))
+                AS BIGINT) AS hamming
+    FROM cand c
+    JOIN fps fa ON fa.doc_id = c.doc_a
+    JOIN fps fb ON fb.doc_id = c.doc_b
+    WHERE len(list_filter(range(1, {_SIMH_BITS + 1}),
+              i -> substr(fa.simhash, i, 1) <> substr(fb.simhash, i, 1)))
+          <= {_SIMH_RADIUS}
+    """,
+)
+def llm_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 EXT: SIMHASH near-dup pairs — documents whose 16-bit SimHash
+    fingerprints sit within Hamming radius {_SIMH_RADIUS}, the third
+    dedup geometry after token-set MinHash and character edit distance
+    (SimHash weights REPEATED structure: two docs sharing most
+    vocabulary mass collide even when shingle sets diverge).
+
+    Banding is EXACT-recall by pigeonhole: radius 3 cannot touch all
+    {_SIMH_BLOCKS} blocks, so every in-radius pair shares at least one
+    identical {_SIMH_BLOCK_W}-bit block — no probabilistic misses,
+    unlike MinHash bands. Scale shape mirrors the LSH family: block
+    keys carry the shuffle, mega-buckets drop at ``_LSH_BUCKET_CAP``
+    (the all-zeros block is SimHash's stop-word hazard), the Hamming
+    verify is {_SIMH_BITS} char compares per candidate.
+    """
+    from .reference_ext import llm_simhash_documents
+
+    fps = llm_simhash_documents(spark, sf_dir).select("doc_id", "simhash")
+    blocks = fps.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block_idx"),
+                        F.substring(
+                            "simhash", b * _SIMH_BLOCK_W + 1, _SIMH_BLOCK_W
+                        ).alias("key"),
+                    )
+                    for b in range(_SIMH_BLOCKS)
+                ]
+            )
+        ).alias("blk"),
+    ).select("doc_id", "blk.block_idx", "blk.key")
+    bsz = (
+        blocks.groupBy("block_idx", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= _LSH_BUCKET_CAP))
+        .select("block_idx", "key")
+    )
+    a = blocks.join(bsz, ["block_idx", "key"]).select(
+        "block_idx", "key", F.col("doc_id").alias("doc_a")
+    )
+    b = blocks.select(
+        "block_idx", "key", F.col("doc_id").alias("doc_b")
+    )
+    cand = (
+        a.join(b, ["block_idx", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    fa = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    fb = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    hamming = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(_SIMH_BITS)),
+            lambda i: F.substring(F.col("sa"), 1, _SIMH_BITS).substr(
+                i, F.lit(1)
+            )
+            != F.substring(F.col("sb"), 1, _SIMH_BITS).substr(i, F.lit(1)),
+        )
+    )
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            hamming.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _SIMH_RADIUS)
+    )

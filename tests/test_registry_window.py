@@ -132,6 +132,7 @@ _BORN_IN_OVERFLOW: set[str] = {
     "agg_weekday_seasonality",
     "llm_curriculum_order",
     "llm_incremental_neardup",
+    "llm_simhash_hamming_pairs",
     # round-6-born
     "llm_triangle_counts",
     "llm_pmi_collocations",

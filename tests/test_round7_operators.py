@@ -749,3 +749,58 @@ def test_incremental_neardup_agrees_with_pair_generator(spark):
         expect = len(neighbors.get(d, set()))
         assert rows[d]["n_corpus_neighbors"] == expect, d
         assert rows[d]["admitted"] == (expect == 0), d
+
+
+def test_simhash_hamming_pairs_pigeonhole_recall(spark):
+    """Brute-force recompute over the collected fingerprints: the
+    banded operator must return EXACTLY the radius-3 pairs whose every
+    shared block bucket is under the cap — and for uncapped fingerprint
+    space, every in-radius pair must share at least one identical
+    block (the pigeonhole guarantee the docstring claims)."""
+    from smart_contract_database_builder_spark.plans.llm_ops import (
+        _LSH_BUCKET_CAP,
+        _SIMH_BLOCK_W,
+        _SIMH_BLOCKS,
+        _SIMH_RADIUS,
+    )
+    from smart_contract_database_builder_spark.plans.reference_ext import (
+        llm_simhash_documents,
+    )
+
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in llm_simhash_documents(spark, SF_ORACLE)
+        .select("doc_id", "simhash")
+        .collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in _run(spark, "llm_simhash_hamming_pairs").collect()
+    }
+    # bucket occupancy per block
+    occ: dict[tuple, int] = {}
+    for d, s in fps.items():
+        for b in range(_SIMH_BLOCKS):
+            k = (b, s[b * _SIMH_BLOCK_W : (b + 1) * _SIMH_BLOCK_W])
+            occ[k] = occ.get(k, 0) + 1
+    ids = sorted(fps)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b_ in ids[i + 1:]:
+            sa, sb = fps[a], fps[b_]
+            h = sum(1 for x, y in zip(sa, sb) if x != y)
+            if h > _SIMH_RADIUS:
+                continue
+            shared_ok = False
+            shared_any = False
+            for blk in range(_SIMH_BLOCKS):
+                ka = sa[blk * _SIMH_BLOCK_W : (blk + 1) * _SIMH_BLOCK_W]
+                kb = sb[blk * _SIMH_BLOCK_W : (blk + 1) * _SIMH_BLOCK_W]
+                if ka == kb:
+                    shared_any = True
+                    if occ[(blk, ka)] <= _LSH_BUCKET_CAP:
+                        shared_ok = True
+            assert shared_any, (a, b_, h)  # pigeonhole
+            if shared_ok:
+                expect[(a, b_)] = h
+    assert got == expect
