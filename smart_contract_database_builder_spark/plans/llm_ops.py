@@ -6075,7 +6075,7 @@ def _sql_bpe_iteration(i: int) -> str:
                       AND lead(p.sym) OVER (PARTITION BY p.word
                                             ORDER BY p.pos) = t.p2,
                       FALSE) AS cand
-      FROM it{i}_pos p, it{i}_top t
+      FROM it{i}_pos p LEFT JOIN it{i}_top t ON TRUE
     ),
     it{i}_isl AS (
       SELECT *, CASE WHEN cand THEN pos - ROW_NUMBER() OVER
@@ -6153,8 +6153,17 @@ def _bpe_state(spark: SparkSession, sf_dir: str, merges: int = _BPE_MERGES):
         pos = v.select(
             "word", "cnt", F.posexplode("syms").alias("pos0", "sym")
         ).select("word", "cnt", (F.col("pos0") + 1).alias("pos"), "sym")
+        # LEFT join on a constant key, not a crossJoin: when the corpus
+        # has run out of pairs the argmax relation is EMPTY, and a
+        # cross join would annihilate the vocabulary — with the left
+        # join p1/p2 are null, every candidate flag coalesces to false,
+        # and the vocabulary passes through unchanged.
         c = (
-            pos.crossJoin(F.broadcast(top))
+            pos.withColumn("_k", F.lit(1))
+            .join(
+                F.broadcast(top.withColumn("_k", F.lit(1))), "_k", "left"
+            )
+            .drop("_k")
             .withColumn(
                 "cand",
                 F.coalesce(
