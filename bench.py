@@ -153,6 +153,8 @@ HEADLINE = [
     "llm_curriculum_order",
     "llm_incremental_neardup",
     "llm_simhash_hamming_pairs",
+    "agg_rolling_wau",
+    "llm_winnow_collisions",
 ]
 
 

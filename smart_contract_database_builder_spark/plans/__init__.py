@@ -134,6 +134,8 @@ _OVERFLOW = [
     "llm_curriculum_order",
     "llm_incremental_neardup",
     "llm_simhash_hamming_pairs",
+    "agg_rolling_wau",
+    "llm_winnow_collisions",
     # round-6 NEW operators still awaiting their window slot (rotate
     # into the window in round 8)
     "llm_triangle_counts",

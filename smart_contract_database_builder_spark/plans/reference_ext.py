@@ -407,3 +407,57 @@ def llm_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(F.size(hs) > 0).select(
         "doc_id", F.concat_ws("", bits).alias("simhash"), "winnow_fp"
     )
+
+
+@register(
+    "llm_winnow_collisions",
+    oracle=rf"""
+    WITH fp AS (
+      SELECT doc_id,
+             CASE WHEN length(text) >= 8
+                  THEN list_aggregate(
+                         list_transform(range(1, length(text) - 6),
+                                        i -> ({_SQL_WIN_EXPR}) % {_WIN_M}),
+                         'min')
+                  WHEN length(text) >= 1
+                  THEN list_reduce(cd, (a, c) -> (a * {_WIN_B} + c) % {_WIN_M})
+                  ELSE 0 END AS winnow_fp
+      FROM (
+        SELECT doc_id, text,
+               list_transform(range(1, length(text) + 1),
+                              i -> CAST(ord(substr(text, i, 1)) AS BIGINT))
+                 AS cd
+        FROM documents
+      )
+    )
+    SELECT winnow_fp,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS canonical_doc_id
+    FROM fp
+    GROUP BY winnow_fp
+    HAVING COUNT(*) >= 2
+    """,
+)
+def llm_winnow_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-EXT: WINNOWING-fingerprint collision groups — documents whose
+    minimum character-8-gram Rabin-Karp hash coincides share at least
+    one 8-char span with near-certainty (the MOSS plagiarism-detection
+    primitive): a CHARACTER-level near-copy grouping that catches
+    shared passages whitespace-canonical exact dedup misses, at hash
+    cost instead of pairwise comparison.
+
+    Scale shape: the fingerprint is the existing vectorized numpy
+    kernel (one Arrow pass per document); grouping is ONE hash agg on
+    the uniform int64 fingerprint — no pair expansion anywhere; the
+    canonical pick is a min-agg, same policy as exact dedup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", winnow_fp_pandas().alias("winnow_fp"))
+    return (
+        fp.groupBy("winnow_fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

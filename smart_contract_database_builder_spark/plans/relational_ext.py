@@ -2149,3 +2149,49 @@ def agg_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("tot_dec").cast("double") / F.col("tot_days"))
         ).alias("seasonality_index"),
     )
+
+
+@register(
+    "agg_rolling_wau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS wau
+    FROM days
+    JOIN ud ON ud.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+    GROUP BY days.d
+    """,
+)
+def agg_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT: rolling 7-day ACTIVE USERS (WAU) per day — the growth
+    metric DAU/cumulative-users (A16) cannot derive, because sliding
+    DISTINCT does not decompose into a window aggregate (a user active
+    on 3 of the 7 days must count once).
+
+    Spark plans it as the (user, day)-DISTINCT relation band-joined to
+    the day axis (each activity row lands in ≤7 windows — constant
+    fan-out) and a per-day COUNT DISTINCT: linear in distinct
+    user-days, never in raw events, and the distinct agg is the
+    standard two-phase expand. At true scale the day axis broadcasts.
+    """
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    days = ud.select(F.col("d").alias("day_d")).distinct()
+    return (
+        F.broadcast(days)
+        .join(
+            ud,
+            (ud.d >= F.date_sub(F.col("day_d"), 6))
+            & (ud.d <= F.col("day_d")),
+        )
+        .groupBy("day_d")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+        .select(
+            F.date_format("day_d", "yyyy-MM-dd").alias("day"), "wau"
+        )
+    )

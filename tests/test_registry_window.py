@@ -133,6 +133,8 @@ _BORN_IN_OVERFLOW: set[str] = {
     "llm_curriculum_order",
     "llm_incremental_neardup",
     "llm_simhash_hamming_pairs",
+    "agg_rolling_wau",
+    "llm_winnow_collisions",
     # round-6-born
     "llm_triangle_counts",
     "llm_pmi_collocations",

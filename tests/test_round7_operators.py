@@ -804,3 +804,49 @@ def test_simhash_hamming_pairs_pigeonhole_recall(spark):
             if shared_ok:
                 expect[(a, b_)] = h
     assert got == expect
+
+
+def test_rolling_wau_recomputes(spark):
+    """WAU per day must equal a direct recompute from distinct
+    (user, day) activity; WAU ≥ that day's DAU."""
+    ev = load_table(spark, SF_ORACLE, "events")
+    ud = {
+        (r["user_id"], r["d"])
+        for r in ev.select(
+            "user_id", F.to_date("ts").alias("d")
+        ).distinct().collect()
+    }
+    days = sorted({d for _, d in ud})
+    rows = {r["day"]: r["wau"] for r in _run(spark, "agg_rolling_wau").collect()}
+    assert len(rows) == len(days)
+    import datetime
+
+    for d in days:
+        lo = d - datetime.timedelta(days=6)
+        expect = len({u for u, dd in ud if lo <= dd <= d})
+        assert rows[d.isoformat()] == expect, d
+        dau = len({u for u, dd in ud if dd == d})
+        assert rows[d.isoformat()] >= dau
+
+
+def test_winnow_collisions_group_structure(spark):
+    """Every collision group has ≥2 docs, the canonical is its min
+    member, and group membership matches the per-doc fingerprints from
+    the simhash/winnow query."""
+    fps: dict[int, int] = {
+        r["doc_id"]: r["winnow_fp"]
+        for r in plans.QUERIES["llm_simhash_documents"]
+        .fn(spark, SF_ORACLE)
+        .collect()
+    }
+    by_fp: dict[int, list] = {}
+    for d, f in fps.items():
+        by_fp.setdefault(f, []).append(d)
+    expect = {
+        f: (len(ds), min(ds)) for f, ds in by_fp.items() if len(ds) >= 2
+    }
+    got = {
+        r["winnow_fp"]: (r["n_docs"], r["canonical_doc_id"])
+        for r in _run(spark, "llm_winnow_collisions").collect()
+    }
+    assert got == expect and got
