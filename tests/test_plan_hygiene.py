@@ -41,6 +41,7 @@ _NESTED_LOOP_ALLOWED = {
     "agg_idle_rich_customers",     # 1-row avg-balance threshold broadcast
     "llm_ivfpq_topk",              # 1-row packed cell table + query row
     "agg_weekday_seasonality",     # 1-row grand-total broadcast
+    "agg_rolling_wau",             # O(days) axis broadcast, range join
 }
 
 #: Queries whose fn() triggers side effects/execution rather than just
