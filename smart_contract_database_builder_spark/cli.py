@@ -300,7 +300,13 @@ def cmd_curate(args: argparse.Namespace) -> int:
         docs = spark.read.schema(TESTDATA_SCHEMAS["documents"]).parquet(
             args.documents
         )
-    kept = curate_documents(docs)
+    band = None
+    if args.min_flesch is not None or args.max_flesch is not None:
+        band = (
+            args.min_flesch if args.min_flesch is not None else -1e9,
+            args.max_flesch if args.max_flesch is not None else 1e9,
+        )
+    kept = curate_documents(docs, readability_band=band)
     if getattr(args, "order", "shuffle") == "interleave":
         order = interleave_order(kept, n_shards=args.shards)
     else:
@@ -480,6 +486,15 @@ def build_parser() -> argparse.ArgumentParser:
         "--order", choices=("shuffle", "interleave"), default="shuffle",
         help="training order: seeded shuffle (default) or "
              "source-interleaved round-robin",
+    )
+    cu.add_argument(
+        "--min-flesch", type=float, default=None,
+        help="optional readability floor (Flesch reading ease): docs "
+             "below it are dropped in the quality stage",
+    )
+    cu.add_argument(
+        "--max-flesch", type=float, default=None,
+        help="optional readability ceiling (drops word-salad extremes)",
     )
     cu.set_defaults(fn=cmd_curate)
 

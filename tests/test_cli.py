@@ -342,3 +342,33 @@ def test_analyze_requires_a_source_flag(capsys):
         cli.main(["analyze"])
     assert ei.value.code == 2
     assert "--sf-dir" in capsys.readouterr().err
+
+
+def test_curate_readability_band_drops_docs(spark, tmp_path, capsys):
+    """`curate --min-flesch/--max-flesch`: the v2 readability stage is
+    reachable from the CLI, and a band must keep a strict subset of the
+    unbanded run's documents."""
+    import glob
+    import os
+
+    out_all = str(tmp_path / "all")
+    rc = cli.main([
+        "curate", "--documents", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out_all, "--shards", "2",
+    ])
+    assert rc == 0
+    out_band = str(tmp_path / "band")
+    rc = cli.main([
+        "curate", "--documents", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out_band, "--shards", "2",
+        "--min-flesch", "0", "--max-flesch", "80",
+    ])
+    assert rc == 0
+
+    def _ids(path):
+        files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        df = spark.read.parquet(*files) if files else None
+        return {r["doc_id"] for r in df.select("doc_id").collect()} if df is not None else set()
+
+    a, b = _ids(out_all), _ids(out_band)
+    assert b and b < a
