@@ -155,6 +155,7 @@ HEADLINE = [
     "llm_simhash_hamming_pairs",
     "agg_rolling_wau",
     "llm_winnow_collisions",
+    "llm_kmeans_purity",
 ]
 
 

@@ -136,6 +136,7 @@ _OVERFLOW = [
     "llm_simhash_hamming_pairs",
     "agg_rolling_wau",
     "llm_winnow_collisions",
+    "llm_kmeans_purity",
     # round-6 NEW operators still awaiting their window slot (rotate
     # into the window in round 8)
     "llm_triangle_counts",

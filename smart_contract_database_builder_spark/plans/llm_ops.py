@@ -7148,3 +7148,76 @@ def llm_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= _SIMH_RADIUS)
     )
+
+
+@register(
+    "llm_kmeans_purity",
+    oracle=rf"""
+    WITH x6 AS ({_sql_km_x6()}),
+    cent0 AS (
+      SELECT CAST(vec_id AS INTEGER) AS cluster, d, x6 AS cq
+      FROM x6 WHERE vec_id < {_KM_K}
+    ),
+    {_sql_km_iterations()},
+    lab AS (
+      SELECT a.vec_id, a.cluster, e.label
+      FROM assign{_KM_ITERS} a JOIN embeddings e USING (vec_id)
+    ),
+    cl AS (
+      SELECT cluster, label, COUNT(*) AS cnt
+      FROM lab GROUP BY cluster, label
+    ),
+    top AS (
+      SELECT cluster, label AS top_label, cnt AS n_top_label
+      FROM cl
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster
+                                 ORDER BY cnt DESC, label) = 1
+    ),
+    sz AS (
+      SELECT cluster, SUM(cnt) AS n_members FROM cl GROUP BY cluster
+    )
+    SELECT sz.cluster,
+           CAST(sz.n_members AS BIGINT) AS n_members,
+           CAST(top.top_label AS INTEGER) AS top_label,
+           CAST(top.n_top_label AS BIGINT) AS n_top_label,
+           CAST(top.n_top_label AS DOUBLE) / sz.n_members AS purity
+    FROM sz JOIN top ON top.cluster = sz.cluster
+    """,
+)
+def llm_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-EXT: CLUSTER PURITY — the Lloyd clustering evaluated against
+    the embeddings' ground-truth labels: per cluster, how much of it is
+    its majority label. The external-validity complement of U7's
+    internal separation report (together: is K sane, and do clusters
+    mean anything) — the check run before acting on cluster labels for
+    SemDeDup or stratified sampling.
+
+    Scale shape: k-means' own cost plus one (cluster, label) hash agg;
+    the majority pick is ``max(struct(cnt, −label))`` inside a K-row
+    aggregate (no window over members). Integer counts, one division.
+    """
+    _, _, _, assign = _km_state(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    cl = (
+        assign.join(emb, "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        cl.groupBy("cluster")
+        .agg(
+            F.sum("cnt").alias("n_members"),
+            F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias(
+                "m"
+            ),
+        )
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("n_members").cast("long").alias("n_members"),
+            (-F.col("m.nl")).cast("int").alias("top_label"),
+            F.col("m.cnt").cast("long").alias("n_top_label"),
+            (F.col("m.cnt").cast("double") / F.col("n_members")).alias(
+                "purity"
+            ),
+        )
+    )

@@ -135,6 +135,7 @@ _BORN_IN_OVERFLOW: set[str] = {
     "llm_simhash_hamming_pairs",
     "agg_rolling_wau",
     "llm_winnow_collisions",
+    "llm_kmeans_purity",
     # round-6-born
     "llm_triangle_counts",
     "llm_pmi_collocations",

@@ -850,3 +850,31 @@ def test_winnow_collisions_group_structure(spark):
         for r in _run(spark, "llm_winnow_collisions").collect()
     }
     assert got == expect and got
+
+
+def test_kmeans_purity_recomputes(spark):
+    """Purity per cluster must equal a recompute from the k-means
+    assignments joined to labels; members sum to the corpus."""
+    km = _run(spark, "llm_kmeans_lloyd").collect()
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, SF_ORACLE, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    by_cluster: dict[int, dict[int, int]] = {}
+    for r in km:
+        c = by_cluster.setdefault(r["cluster"], {})
+        lab = labels[r["vec_id"]]
+        c[lab] = c.get(lab, 0) + 1
+    rows = {r["cluster"]: r for r in _run(spark, "llm_kmeans_purity").collect()}
+    assert set(rows) == set(by_cluster)
+    assert sum(r["n_members"] for r in rows.values()) == len(km)
+    for cl, counts in by_cluster.items():
+        top_label, n_top = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        r = rows[cl]
+        assert r["n_members"] == sum(counts.values())
+        assert (r["top_label"], r["n_top_label"]) == (top_label, n_top)
+        assert abs(r["purity"] - n_top / r["n_members"]) < 1e-12
