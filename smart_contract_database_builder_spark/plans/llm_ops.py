@@ -6372,8 +6372,13 @@ def llm_langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: PageRank on the LSH candidate graph: unrolled iterations and the
-#: damping factor as exact integer fixed-point (micro-units).
+#: damping factor as exact integer fixed-point (micro-units). The
+#: base/damp constants drive BOTH the Spark loop and the generated
+#: oracle CTEs, so retuning the damping cannot desynchronize them.
 _PR_ITERS = 3
+_PR_BASE = 150_000      # (1 − d) in micro-units
+_PR_DAMP = 85           # d numerator over _PR_DEN
+_PR_DEN = 100
 
 
 def _sql_pr_iteration(i: int) -> str:
@@ -6384,7 +6389,7 @@ def _sql_pr_iteration(i: int) -> str:
     return f"""
     pr{i} AS (
       SELECT n.doc_id, n.deg,
-             150000 + (s.acc * 85) // 100 AS rank_fp
+             {_PR_BASE} + (s.acc * {_PR_DAMP}) // {_PR_DEN} AS rank_fp
       FROM nodes n JOIN (
         SELECT e.dst AS doc_id, SUM(p.rank_fp // p.deg) AS acc
         FROM edges e JOIN pr{i - 1} p ON p.doc_id = e.src
@@ -6489,7 +6494,10 @@ def llm_pagerank_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "doc_id",
                 "deg",
-                (F.lit(150_000) + F.expr("(acc * 85) div 100"))
+                (
+                    F.lit(_PR_BASE)
+                    + F.expr(f"(acc * {_PR_DAMP}) div {_PR_DEN}")
+                )
                 .cast("long")
                 .alias("rank_fp"),
             )

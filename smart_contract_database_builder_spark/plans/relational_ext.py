@@ -1911,9 +1911,16 @@ def agg_event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: EWMA fixed-point smoothing weights (α = _EWMA_NUM/_EWMA_DEN): ONE
+#: pair of constants drives the Spark fold, the recompute test, AND the
+#: generated oracle below — changing α cannot desynchronize the sides.
+_EWMA_NUM = 15
+_EWMA_DEN = 100
+
+
 @register(
     "window_ewma_daily_revenue",
-    oracle=r"""
+    oracle=rf"""
     WITH RECURSIVE daily AS MATERIALIZED (
       SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
@@ -1937,7 +1944,9 @@ def agg_event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ew AS (
       SELECT i, day, cents, cents AS ewma FROM days WHERE i = 1
       UNION ALL
-      SELECT d.i, d.day, d.cents, (15 * d.cents + 85 * ew.ewma) // 100
+      SELECT d.i, d.day, d.cents,
+             ({_EWMA_NUM} * d.cents
+              + {_EWMA_DEN - _EWMA_NUM} * ew.ewma) // {_EWMA_DEN}
       FROM days d JOIN ew ON d.i = ew.i + 1
     )
     SELECT day,
@@ -1990,7 +1999,12 @@ def window_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             out, prev = [], None
             for row in ds:
                 c = int(row["cents"])
-                prev = c if prev is None else (15 * c + 85 * prev) // 100
+                prev = (
+                    c
+                    if prev is None
+                    else (_EWMA_NUM * c + (_EWMA_DEN - _EWMA_NUM) * prev)
+                    // _EWMA_DEN
+                )
                 out.append(
                     {"day": row["day"], "cents": c, "ewma": prev}
                 )

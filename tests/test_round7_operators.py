@@ -97,7 +97,11 @@ def test_mad_outliers_bounds(spark):
     ).collect()[0]
     assert lohi["lo"] <= row["median_price"] <= lohi["hi"]
     assert row["mad"] >= 0
-    cutoff = row["mad"] * 4.4478
+    from smart_contract_database_builder_spark.plans.relational_ext import (
+        _MAD_K,
+    )
+
+    cutoff = row["mad"] * _MAD_K
     recount = orders.filter(
         F.abs(F.col("o_totalprice") - F.lit(row["median_price"])) > cutoff
     ).count()
@@ -469,6 +473,12 @@ def test_pagerank_recomputes_in_python(spark):
         out.setdefault(a, []).append(b)
         out.setdefault(b, []).append(a)
     deg = {n: len(vs) for n, vs in out.items()}
+    from smart_contract_database_builder_spark.plans.llm_ops import (
+        _PR_BASE,
+        _PR_DAMP,
+        _PR_DEN,
+    )
+
     rank = {n: 1_000_000 for n in out}
     for _ in range(_PR_ITERS):
         acc = {n: 0 for n in out}
@@ -476,7 +486,9 @@ def test_pagerank_recomputes_in_python(spark):
             c = rank[n] // deg[n]
             for v in vs:
                 acc[v] += c
-        rank = {n: 150_000 + (acc[n] * 85) // 100 for n in out}
+        rank = {
+            n: _PR_BASE + (acc[n] * _PR_DAMP) // _PR_DEN for n in out
+        }
     assert set(rows) == set(out)
     for n in out:
         assert rows[n]["degree"] == deg[n], n
@@ -610,10 +622,19 @@ def test_ewma_recurrence_recomputes(spark):
         key=lambda r: r["day"],
     )
     assert [r["day"] for r in rows] == [r["day"] for r in gf]
+    from smart_contract_database_builder_spark.plans.relational_ext import (
+        _EWMA_DEN,
+        _EWMA_NUM,
+    )
+
     prev = None
     for g, r in zip(gf, rows):
         c = round(g["revenue"] * 100)
-        prev = c if prev is None else (15 * c + 85 * prev) // 100
+        prev = (
+            c
+            if prev is None
+            else (_EWMA_NUM * c + (_EWMA_DEN - _EWMA_NUM) * prev) // _EWMA_DEN
+        )
         assert r["revenue"] == g["revenue"]
         assert round(r["ewma_revenue"] * 100) == prev, r["day"]
 
