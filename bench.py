@@ -156,6 +156,7 @@ HEADLINE = [
     "agg_rolling_wau",
     "llm_winnow_collisions",
     "llm_kmeans_purity",
+    "agg_nation_revenue_yoy",
 ]
 
 

@@ -137,6 +137,7 @@ _OVERFLOW = [
     "agg_rolling_wau",
     "llm_winnow_collisions",
     "llm_kmeans_purity",
+    "agg_nation_revenue_yoy",
     # round-6 NEW operators still awaiting their window slot (rotate
     # into the window in round 8)
     "llm_triangle_counts",

@@ -2209,3 +2209,61 @@ def agg_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("day_d", "yyyy-MM-dd").alias("day"), "wau"
         )
     )
+
+
+@register(
+    "agg_nation_revenue_yoy",
+    oracle="""
+    WITH yr AS (
+      SELECT c.c_nationkey,
+             CAST(year(o.o_orderdate) AS INTEGER) AS yr,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev_dec
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c_nationkey, yr,
+           CAST(rev_dec AS DOUBLE) AS revenue,
+           CAST(lag(rev_dec) OVER w AS DOUBLE) AS prev_revenue,
+           CASE WHEN lag(rev_dec) OVER w IS NOT NULL
+                THEN CAST(rev_dec - lag(rev_dec) OVER w AS DOUBLE)
+                     / CAST(lag(rev_dec) OVER w AS DOUBLE)
+           END AS yoy_growth
+    FROM yr
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY yr)
+    """,
+)
+def agg_nation_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT: YEAR-OVER-YEAR revenue growth per customer nation — the
+    trend report behind every annual review: (nation, year) revenue,
+    the prior year's, and the growth rate, NULL for each nation's first
+    year (a fabricated 0 would read as flat growth).
+
+    Exactness: yearly revenues are exact-decimal sums; the growth rate
+    is (a − b)/b computed on the decimal difference CAST to double then
+    one division — both engines do the identical two operations. Scale
+    shape: the corpus pass is one (nation, year) agg after the custkey
+    join (AQE-planned); the lag window runs over the O(nations × years)
+    aggregate, never raw orders.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    yr = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_nationkey",
+            F.year("o_orderdate").cast("int").alias("yr"),
+        )
+        .agg(F.sum(dec("o_totalprice")).alias("rev_dec"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("yr")
+    prev = F.lag("rev_dec").over(w)
+    return yr.select(
+        "c_nationkey",
+        "yr",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        prev.cast("double").alias("prev_revenue"),
+        F.when(
+            prev.isNotNull(),
+            (F.col("rev_dec") - prev).cast("double") / prev.cast("double"),
+        ).alias("yoy_growth"),
+    )

@@ -136,6 +136,7 @@ _BORN_IN_OVERFLOW: set[str] = {
     "agg_rolling_wau",
     "llm_winnow_collisions",
     "llm_kmeans_purity",
+    "agg_nation_revenue_yoy",
     # round-6-born
     "llm_triangle_counts",
     "llm_pmi_collocations",

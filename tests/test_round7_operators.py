@@ -899,3 +899,21 @@ def test_kmeans_purity_recomputes(spark):
         assert r["n_members"] == sum(counts.values())
         assert (r["top_label"], r["n_top_label"]) == (top_label, n_top)
         assert abs(r["purity"] - n_top / r["n_members"]) < 1e-12
+
+
+def test_yoy_growth_recomputes(spark):
+    """Growth rates must equal the exact ratio of consecutive yearly
+    revenues per nation; every first year is NULL, never 0."""
+    rows = _run(spark, "agg_nation_revenue_yoy").collect()
+    by_nation: dict[int, list] = {}
+    for r in rows:
+        by_nation.setdefault(r["c_nationkey"], []).append(r)
+    assert by_nation
+    for nk, rs in by_nation.items():
+        rs.sort(key=lambda r: r["yr"])
+        assert rs[0]["prev_revenue"] is None
+        assert rs[0]["yoy_growth"] is None
+        for prev, cur in zip(rs, rs[1:]):
+            assert cur["prev_revenue"] == prev["revenue"]
+            expect = (cur["revenue"] - prev["revenue"]) / prev["revenue"]
+            assert abs(cur["yoy_growth"] - expect) < 1e-12
