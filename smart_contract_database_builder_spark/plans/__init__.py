@@ -23,85 +23,63 @@ from . import reference_ext  # noqa: E402,F401
 from . import llm_ops  # noqa: E402,F401
 from . import streaming_batch  # noqa: E402,F401
 
-#: Queries the driver window must cover first. Round-7 rotation
-#: (VERDICT r6 "Next round #1"): the first 12 of the 37 round-6-born
-#: operators that sat in ``_OVERFLOW`` (never driver-seen) move INTO
-#: the window; 12 r6-driver-green stable queries rotate out, each
-#: family keeping at least one in-window witness (ANN: minhash_lsh +
-#: hyperplane_buckets + embedding_neardup + calibration; span-dedup:
-#: span_dedup_trim; retrieval: hybrid_rrf_fusion [runs BM25 inside];
-#: dedup: exact/fingerprint/ref_dedup + dedup_rate_by_source; quality:
-#: quality_scores + quality_percentile_by_lang; sampling:
-#: token_budget_per_source; as-of joins: asof_latest + asof_tolerance;
-#: streaming: tumbling + dedup + static-enrich + availablenow +
-#: stream-stream inner + left-outer; ref family: extract_functions +
-#: sink_roundtrip + ingest/etherscan/content_id/bundle_hash/error_routing).
+#: Queries the driver window must cover first. ROUND-8 ROTATION
+#: (VERDICT r7 "Next round #1" — rotate nearly in full): the window's
+#: 50 slots now hold 12 family witnesses plus 38 queries that have
+#: NEVER earned a driver CORRECTNESS row — all 25 round-6-born overflow
+#: residents (including ``llm_ivf_topk``, the missed r6 verdict item
+#: #7) and the first 13 round-7-born ones. The witnesses are chosen so
+#: every query whose PLAN CODE CHANGES this round stays driver-checked:
+#: ``llm_neardup_clusters`` / ``llm_embedding_neardup_clusters``
+#: (large-star/small-star connected components) and
+#: ``llm_ann_hyperplane_buckets`` (adaptive hyperplane count), plus one
+#: witness each for LSH pairs, batch+true streaming, the reference
+#: ingest/extract/sink family, core relational, retrieval fusion, and
+#: exact dedup. Everything rotated out is r7-or-earlier driver-green
+#: and stays under the pytest oracle sweep
+#: (tests/test_oracle_parity.py, exact-match at sf0.01).
 _PRIORITY = [
+    # --- family witnesses (all r7-driver-green; CC/ANN code changes
+    # this round keep their queries in-window for re-verification) ---
     "llm_minhash_lsh_pairs",
-    "llm_ngram_jaccard_topk",
     "llm_neardup_clusters",
+    "llm_embedding_neardup_clusters",
     "llm_ann_hyperplane_buckets",
     "stream_tumbling_window_counts",
-    "stream_dedup_first_event",
-    "stream_static_enrich_segments",
     "stream_true_tumbling_availablenow",
     "ref_extract_functions",
     "ref_sink_roundtrip",
-    "llm_embedding_neardup_clusters",
-    "stream_stream_join_attribution",
-    "agg_percentile_prices",
-    "llm_knn_join_topk",
-    "llm_decontaminate_overlap",
-    "llm_sequence_packing",
-    "llm_token_budget_per_source",
-    "llm_chunk_documents",
-    "cdc_merge_latest_snapshot",
-    "llm_span_dedup_trim",
-    "llm_curation_pipeline",
+    "flagship_revenue_by_region",
     "llm_hybrid_rrf_fusion",
-    # --- rotated IN for round 7 (round-6-born, never driver-seen) ---
-    "llm_token_entropy",
-    "llm_unigram_surprisal",
-    "llm_quality_percentile_by_lang",
-    "agg_histogram_prices",
-    "funnel_conversion_events",
-    "join_asof_tolerance",
-    "stream_stream_left_outer",
-    "window_rolling_zscore_events",
-    "llm_bigram_lm_top",
-    "llm_dedup_rate_by_source",
-    "llm_heavy_hitters",
-    "llm_minhash_estimate_calibration",
-]
-
-#: Oracle-CARRYING queries deliberately registered just past the
-#: driver's 50-query window (it is full): their oracles still run in
-#: pytest (tests/test_oracle_parity.py sweeps every oracle at sf0.01),
-#: they just lose the per-round driver row. Grow this list consciously
-#: — whatever sits here trades driver-visible correctness evidence for
-#: a slot. Round-6 occupants are the rotation's other half: queries
-#: with driver-green rows in r5 (and mostly r3/r4 too) whose plan code
-#: has not changed since — each family keeps at least one in-window
-#: witness (see the _PRIORITY comment).
-#: ROUND-8 ROTATION PLAN (for the next session): two blocks below have
-#: never earned a driver CORRECTNESS row — the round-7-born operators
-#: (agg_order_count_distribution … window_ewma_daily_revenue) and the
-#: remaining round-6-born ones (llm_triangle_counts … llm_ivf_topk).
-#: The window holds 50; rotate the next ~12 into _PRIORITY — start
-#: with the ROUND-6-BORN block (it has waited longest:
-#: llm_triangle_counts, llm_pmi_collocations, agg_retention_cohorts,
-#: llm_kmeans_lloyd, agg_cumulative_users, llm_kmeans_silhouette,
-#: agg_profit_by_nation_type, agg_key_skew_report,
-#: window_streaks_gaps_islands, agg_pivot_daily_event_matrix,
-#: agg_metric_correlation_daily, llm_chunk_documents_udtf) — and move
-#: an equal number of r7-driver-green stable queries (the 12 "rotated
-#: IN for round 7" names above, plus un-curated core queries) into the
-#: rotated-out block below, keeping ≥1 in-window witness per family
-#: exactly as the r6/r7 rotations did. Verify with
-#: tests/test_registry_window.py (add a _ROTATED_IN_R8 contract).
-_OVERFLOW = [
-    # round-7 NEW operators (born after the window was finalized;
-    # rotate into the window in round 8+)
+    "ref_ingest_folder_contracts",
+    "llm_exact_dedup_documents",
+    # --- never driver-sampled: round-6-born overflow residents ---
+    "llm_triangle_counts",
+    "llm_pmi_collocations",
+    "agg_retention_cohorts",
+    "llm_kmeans_lloyd",
+    "agg_cumulative_users",
+    "llm_kmeans_silhouette",
+    "agg_profit_by_nation_type",
+    "agg_key_skew_report",
+    "window_streaks_gaps_islands",
+    "agg_pivot_daily_event_matrix",
+    "agg_metric_correlation_daily",
+    "llm_chunk_documents_udtf",
+    "cdc_point_in_time_join",
+    "agg_data_quality_report",
+    "llm_ann_recall_report",
+    "llm_bm25_batch_topk",
+    "llm_decontaminate_multi",
+    "llm_containment_pairs",
+    "llm_interleave_by_source",
+    "llm_cluster_best_representative",
+    "llm_corpus_length_report",
+    "llm_pps_sample_by_tokens",
+    "cdc_scd2_history",
+    "llm_pq_topk",
+    "llm_ivf_topk",
+    # --- never driver-sampled: round-7-born overflow residents ---
     "agg_order_count_distribution",
     "agg_small_quantity_revenue",
     "agg_important_parts",
@@ -115,6 +93,57 @@ _OVERFLOW = [
     "llm_semdedup_representatives",
     "llm_mode_token_by_lang",
     "llm_readability_scores",
+]
+
+#: Oracle-CARRYING queries deliberately registered just past the
+#: driver's 50-query window (it is full): their oracles still run in
+#: pytest (tests/test_oracle_parity.py sweeps every oracle at sf0.01),
+#: they just lose the per-round driver row. Grow this list consciously
+#: — whatever sits here trades driver-visible correctness evidence for
+#: a slot. After the round-8 near-full rotation the never-driver-
+#: sampled backlog is down to the 23 round-7-born queries at the head
+#: of this list — rotate THOSE into the window in round 9 (they clear
+#: the backlog entirely); everything after them is driver-green in
+#: some CORRECTNESS_r*.json artifact with plan code unchanged since.
+_OVERFLOW = [
+    "llm_ngram_jaccard_topk",
+    "stream_dedup_first_event",
+    "stream_static_enrich_segments",
+    "stream_stream_join_attribution",
+    "agg_percentile_prices",
+    "llm_knn_join_topk",
+    "llm_decontaminate_overlap",
+    "llm_sequence_packing",
+    "llm_token_budget_per_source",
+    "llm_chunk_documents",
+    "cdc_merge_latest_snapshot",
+    "llm_span_dedup_trim",
+    "llm_curation_pipeline",
+    "llm_token_entropy",
+    "llm_unigram_surprisal",
+    "llm_quality_percentile_by_lang",
+    "agg_histogram_prices",
+    "funnel_conversion_events",
+    "join_asof_tolerance",
+    "stream_stream_left_outer",
+    "window_rolling_zscore_events",
+    "llm_bigram_lm_top",
+    "llm_dedup_rate_by_source",
+    "llm_heavy_hitters",
+    "llm_minhash_estimate_calibration",
+    "agg_pricing_summary",
+    "join_order_customer_nation",
+    "scalar_json_props_events",
+    "join_asof_latest_order",
+    "ref_content_id_documents",
+    "ref_dedup_documents",
+    "ref_bundle_hash_by_source",
+    "ref_etherscan_parse",
+    "ref_error_routing_permissive",
+    "llm_centroid_by_label",
+    "llm_fingerprint_dedup_prefix",
+    "llm_text_stats_by_lang",
+    "llm_quality_scores",
     "llm_zipf_slope_report",
     "llm_bpe_train_merges",
     "llm_bpe_segment_vocab",
@@ -138,35 +167,6 @@ _OVERFLOW = [
     "llm_winnow_collisions",
     "llm_kmeans_purity",
     "agg_nation_revenue_yoy",
-    # round-6 NEW operators still awaiting their window slot (rotate
-    # into the window in round 8)
-    "llm_triangle_counts",
-    "llm_pmi_collocations",
-    "agg_retention_cohorts",
-    "llm_kmeans_lloyd",
-    "agg_cumulative_users",
-    "llm_kmeans_silhouette",
-    "agg_profit_by_nation_type",
-    "agg_key_skew_report",
-    "window_streaks_gaps_islands",
-    "agg_pivot_daily_event_matrix",
-    "agg_metric_correlation_daily",
-    "llm_chunk_documents_udtf",
-    "cdc_point_in_time_join",
-    "agg_data_quality_report",
-    "llm_ann_recall_report",
-    "llm_bm25_batch_topk",
-    "llm_decontaminate_multi",
-    "llm_pps_sample_by_tokens",
-    "cdc_scd2_history",
-    "llm_pq_topk",
-    "llm_containment_pairs",
-    "llm_interleave_by_source",
-    "llm_cluster_best_representative",
-    "llm_corpus_length_report",
-    # round-6 oracle graduations (left the rows-only tail this round)
-    "llm_ivf_topk",
-    # rotated OUT for round 7 (r6 driver-green, code untouched)
     "llm_ann_multitable_pairs",
     "llm_duplicate_spans",
     "llm_bm25_topk",
@@ -179,7 +179,6 @@ _OVERFLOW = [
     "llm_simhash_documents",
     "llm_langid_stopword",
     "join_range_event_pairs",
-    # rotated OUT for round 6 (r5 driver-green, code untouched)
     "llm_ann_bucketed_cosine_pairs",
     "llm_cosine_topk_bruteforce",
     "llm_tfidf_top_terms",

@@ -50,21 +50,23 @@ def test_oracle_queries_past_the_window_are_explicitly_designated():
 
 def test_family_witnesses_lead():
     """Each operator family keeps an always-in-window witness at the
-    head of the registry (the round-2 casualties' families)."""
-    head = list(plans.QUERIES)[:19]
+    head of the registry. The round-8 witness set also pins every query
+    whose plan code changed this round (connected components, adaptive
+    hyperplanes) inside the driver window."""
+    head = list(plans.QUERIES)[:12]
     for name in (
-        "llm_minhash_lsh_pairs",
-        "llm_ngram_jaccard_topk",
-        "llm_neardup_clusters",
-        "llm_ann_hyperplane_buckets",
-        "stream_tumbling_window_counts",
-        "stream_dedup_first_event",
-        "stream_static_enrich_segments",
-        "stream_true_tumbling_availablenow",
-        "stream_stream_join_attribution",
-        "ref_extract_functions",
-        "ref_sink_roundtrip",
-        "llm_knn_join_topk",
+    "llm_minhash_lsh_pairs",
+    "llm_neardup_clusters",
+    "llm_embedding_neardup_clusters",
+    "llm_ann_hyperplane_buckets",
+    "stream_tumbling_window_counts",
+    "stream_true_tumbling_availablenow",
+    "ref_extract_functions",
+    "ref_sink_roundtrip",
+    "flagship_revenue_by_region",
+    "llm_hybrid_rrf_fusion",
+    "ref_ingest_folder_contracts",
+    "llm_exact_dedup_documents",
     ):
         assert name in head, f"{name} not in the registry head: {head}"
 
@@ -89,55 +91,27 @@ _ROTATED_IN_R7 = [
 ]
 
 
-def test_round7_rotation_brings_overflow_queries_into_window():
-    window = list(plans.QUERIES)[:_DRIVER_WINDOW]
-    missing = [n for n in _ROTATED_IN_R7 if n not in window]
-    assert missing == [], f"rotated-in queries fell back out of the window: {missing}"
+def test_round7_rotation_queries_have_driver_rows():
+    """The 12 queries rotated IN for round 7 earned their driver rows in
+    CORRECTNESS_r07 and rotated back out in round 8 to make room for the
+    near-full rotation; pin that each of them really is driver-green."""
+    import json
+    import pathlib
+
+    rows = json.loads(
+        (pathlib.Path(__file__).resolve().parent.parent / "CORRECTNESS_r07.json").read_text()
+    )
+    for n in _ROTATED_IN_R7:
+        r = rows[n]
+        assert r["rows_match"] and r["schema_match"] and r["hash_match"], n
 
 
-#: Operators registered straight into _OVERFLOW in the round that bore
-#: them (the window was already full). They are pytest-oracle-swept and
-#: must rotate INTO the window in a future round; grow this set only
-#: when a round adds operators after its window is finalized.
-_BORN_IN_OVERFLOW: set[str] = {
-    # round-7-born
-    "agg_order_count_distribution",
-    "agg_small_quantity_revenue",
-    "agg_important_parts",
-    "agg_parts_supplier_counts",
-    "window_ntile_quartiles",
-    "agg_mad_outliers",
-    "scalar_gapfill_daily_revenue",
-    "agg_ohlc_daily_value",
-    "llm_edit_distance_pairs",
-    "llm_ngram_novelty",
-    "llm_semdedup_representatives",
-    "llm_mode_token_by_lang",
-    "llm_readability_scores",
-    "llm_zipf_slope_report",
-    "llm_bpe_train_merges",
-    "llm_bpe_segment_vocab",
-    "llm_langid_confusion_matrix",
-    "window_rolling_7day_revenue",
-    "llm_pagerank_candidates",
-    "stream_hourly_ohlc",
-    "agg_idle_rich_customers",
-    "join_excess_quantity_suppliers",
-    "llm_bpe_encode_stats",
-    "agg_event_type_lift",
-    "llm_ivfpq_topk",
-    "window_ewma_daily_revenue",
-    "llm_curation_pipeline_v2",
-    "window_seasonal_naive_mape",
-    "agg_weekday_seasonality",
-    "llm_curriculum_order",
-    "llm_incremental_neardup",
-    "llm_simhash_hamming_pairs",
-    "agg_rolling_wau",
-    "llm_winnow_collisions",
-    "llm_kmeans_purity",
-    "agg_nation_revenue_yoy",
-    # round-6-born
+#: Round-8 rotation contract (VERDICT r7 "Next round #1" — rotate the
+#: window nearly in full): all 25 round-6-born overflow residents
+#: (including the r6-verdict-missed ``llm_ivf_topk``) plus the first 13
+#: round-7-born ones move INTO the driver window, each earning its
+#: first driver CORRECTNESS row in round 8.
+_ROTATED_IN_R8 = [
     "llm_triangle_counts",
     "llm_pmi_collocations",
     "agg_retention_cohorts",
@@ -162,9 +136,60 @@ _BORN_IN_OVERFLOW: set[str] = {
     "llm_pps_sample_by_tokens",
     "cdc_scd2_history",
     "llm_pq_topk",
-    # graduated from the rows-only tail by gaining an oracle in r6 —
-    # never had a chance at a driver row before
     "llm_ivf_topk",
+    "agg_order_count_distribution",
+    "agg_small_quantity_revenue",
+    "agg_important_parts",
+    "agg_parts_supplier_counts",
+    "window_ntile_quartiles",
+    "agg_mad_outliers",
+    "scalar_gapfill_daily_revenue",
+    "agg_ohlc_daily_value",
+    "llm_edit_distance_pairs",
+    "llm_ngram_novelty",
+    "llm_semdedup_representatives",
+    "llm_mode_token_by_lang",
+    "llm_readability_scores",
+]
+
+
+def test_round8_rotation_brings_overflow_queries_into_window():
+    window = list(plans.QUERIES)[:_DRIVER_WINDOW]
+    missing = [n for n in _ROTATED_IN_R8 if n not in window]
+    assert missing == [], f"rotated-in queries fell back out of the window: {missing}"
+
+
+#: Operators registered straight into _OVERFLOW in the round that bore
+#: them (the window was already full). They are pytest-oracle-swept and
+#: must rotate INTO the window in a future round; grow this set only
+#: when a round adds operators after its window is finalized.
+_BORN_IN_OVERFLOW: set[str] = {
+    # round-7-born, still awaiting their first driver window slot after
+    # the round-8 near-full rotation (rotate these in round 9 — the
+    # backlog then clears entirely)
+    "llm_zipf_slope_report",
+    "llm_bpe_train_merges",
+    "llm_bpe_segment_vocab",
+    "llm_langid_confusion_matrix",
+    "window_rolling_7day_revenue",
+    "llm_pagerank_candidates",
+    "stream_hourly_ohlc",
+    "agg_idle_rich_customers",
+    "join_excess_quantity_suppliers",
+    "llm_bpe_encode_stats",
+    "agg_event_type_lift",
+    "llm_ivfpq_topk",
+    "window_ewma_daily_revenue",
+    "llm_curation_pipeline_v2",
+    "window_seasonal_naive_mape",
+    "agg_weekday_seasonality",
+    "llm_curriculum_order",
+    "llm_incremental_neardup",
+    "llm_simhash_hamming_pairs",
+    "agg_rolling_wau",
+    "llm_winnow_collisions",
+    "llm_kmeans_purity",
+    "agg_nation_revenue_yoy",
 }
 
 
