@@ -6504,6 +6504,11 @@ def llm_pagerank_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if i < _PR_ITERS - 1:
             pr = pr.localCheckpoint(eager=True)
+    # The final rank relation must be materialized before the edge
+    # cache is dropped — otherwise a long bench/driver session leaks a
+    # corpus-sized cached relation per invocation (r7 ADVICE).
+    pr = pr.localCheckpoint(eager=True)
+    edges.unpersist()
     return pr.select(
         "doc_id",
         F.col("deg").alias("degree"),
@@ -7022,13 +7027,19 @@ def llm_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: SimHash near-dup: Hamming radius and block count. With 16 bits in
-#: _SIMH_BLOCKS=4 blocks, any pair within radius 3 shares at least one
-#: EXACT block (pigeonhole: 3 differing bits cannot touch all 4
-#: blocks) — so block-equality banding has perfect recall at r=3.
+#: SimHash near-dup: Hamming radius and block count. With _SIM_BITS
+#: bits in _SIMH_BLOCKS=4 blocks, any pair within radius 3 shares at
+#: least one EXACT block (pigeonhole: 3 differing bits cannot touch all
+#: 4 blocks) — so block-equality banding has perfect recall at r=3.
+#: The bit width is IMPORTED from reference_ext (the producer of the
+#: fingerprints this query consumes) so a future width change there
+#: cannot silently desync block keys and Hamming width here.
+from .reference_ext import _SIM_BITS as _SIMH_BITS  # noqa: E402
+
 _SIMH_RADIUS = 3
 _SIMH_BLOCKS = 4
-_SIMH_BITS = 16
+assert _SIMH_BITS % _SIMH_BLOCKS == 0, "blocks must tile the fingerprint"
+assert _SIMH_RADIUS < _SIMH_BLOCKS, "pigeonhole recall guarantee broken"
 _SIMH_BLOCK_W = _SIMH_BITS // _SIMH_BLOCKS
 
 

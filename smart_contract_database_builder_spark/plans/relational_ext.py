@@ -2053,7 +2053,7 @@ def window_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     e AS (
       SELECT CAST(abs(actual - forecast) / actual
-                  AS DECIMAL(18,12)) AS ape
+                  AS DECIMAL(28,12)) AS ape
       FROM f
       WHERE forecast IS NOT NULL AND actual > 0.0
     )
@@ -2072,7 +2072,10 @@ def window_seasonal_naive_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Float-mean exactness: each day's absolute percentage error is raw
     per-row double arithmetic (engine-identical), QUANTIZED to
-    DECIMAL(18,12), and the mean is an exact decimal sum with one
+    DECIMAL(28,12) — wide enough (16 integer digits) that even a
+    pathological actual-vs-forecast ratio cannot overflow, where an
+    18,12 cast would null in Spark but raise in DuckDB (r7 ADVICE) —
+    and the mean is an exact decimal sum with one
     double division — the same recipe as the Zipf regression (a plain
     AVG of doubles is summation-order-dependent and can never
     hash-match). Scale shape: one date-keyed agg; lag + the error
@@ -2091,7 +2094,7 @@ def window_seasonal_naive_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("forecast").isNotNull() & (F.col("actual") > 0.0)
     ).select(
         (F.abs(F.col("actual") - F.col("forecast")) / F.col("actual"))
-        .cast("decimal(18,12)")
+        .cast("decimal(28,12)")
         .alias("ape")
     )
     return e.agg(

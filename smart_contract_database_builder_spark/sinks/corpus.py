@@ -73,7 +73,10 @@ def write_partitioned_corpus(
         if files_per_partition == 1
         else df.repartition(
             *keys,
-            (F.abs(F.hash(*df.columns)) % files_per_partition).alias("_s"),
+            # pmod, not abs(hash) % n: abs(Int.MinValue) stays negative
+            # in JVM semantics, which would widen the salt domain to
+            # [-(n-1), n-1] and overshoot files_per_partition (r7 ADVICE)
+            F.pmod(F.hash(*df.columns), F.lit(files_per_partition)).alias("_s"),
         )
     )
     (
