@@ -1193,14 +1193,30 @@ def llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Min-label rounds to attempt before escalating to star contraction.
+#: LSH-derived near-dup graphs are bucket-local cliques that converge
+#: in 2-3 rounds (measured: min-label beats star contraction ~2x on
+#: them, 2.16 s vs 4.02 s at sf0.1 for llm_neardup_clusters, because a
+#: star alternation costs two contractions plus a fixpoint compare);
+#: anything still moving after this many rounds has a long diameter,
+#: where min-label is O(diameter) and star is O(log n).
+_CC_HYBRID_SWITCH = 4
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
     """Distributed connected components over an undirected ``(doc_a,
-    doc_b)`` edge relation by min-label propagation: every node starts
-    labeled with its own id, and each round every node takes the min of
-    its own label and its neighbors' labels, until a fixpoint. Returns
-    ``(doc_id, cluster_id)`` where ``cluster_id`` is the component's
-    minimum doc id — the canonical representative a dedup pipeline
-    keeps.
+    doc_b)`` edge relation. HYBRID strategy (r7 VERDICT item #4): run
+    min-label propagation — the measured-fastest path on the
+    bucket-local clique graphs banded LSH emits — and, if the fixpoint
+    has not landed after ``_CC_HYBRID_SWITCH`` rounds, abandon it and
+    re-solve with alternating large-star/small-star contraction
+    (``connected_components_star``), which is O(log n) rounds on ANY
+    topology. Worst-case round count is therefore
+    ``_CC_HYBRID_SWITCH + O(log n)`` — a 10k-node path no longer costs
+    10k shuffles (pinned by test_connected_components.py's 10k-path
+    test). Returns ``(doc_id, cluster_id)`` where ``cluster_id`` is the
+    component's minimum doc id — the canonical representative a dedup
+    pipeline keeps.
 
     Scale design: each round is one shuffle-join (edges × labels on the
     source id) plus one min-aggregate on the destination id — both hash
@@ -1273,9 +1289,15 @@ def connected_components(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
         )
     )
     labels, changed = _round(first)
+    rounds = 1
     for _ in range(max_iter - 1):
         if changed == 0:
             break
+        if rounds >= _CC_HYBRID_SWITCH:
+            # Long-diameter graph: min-label would grind O(diameter)
+            # rounds. The constant rounds already spent are sunk; star
+            # contraction re-solves from the original pairs in O(log n).
+            return connected_components_star(pairs, max_iter=max_iter)
         nbr = (
             sym.alias("e")
             .join(labels.alias("l"), F.col("e.u") == F.col("l.doc"))
@@ -1288,11 +1310,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
         labels, changed = _round(
             nbr.unionByName(labels.withColumn("own", F.lit(True)))
         )
+        rounds += 1
     return labels.select("doc", F.col("lbl").alias("cluster_id"))
 
 
 def connected_components_star(
-    pairs: DataFrame, max_iter: int = 20
+    pairs: DataFrame,
+    max_iter: int = 20,
+    rounds_out: list | None = None,
 ) -> DataFrame:
     """Connected components by alternating large-star/small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -1372,6 +1397,8 @@ def connected_components_star(
         # fixpoint = the (distinct) edge relation is literally unchanged
         # — an exact set comparison over the two checkpointed relations,
         # one tiny job on star-forest-sized data
+        if rounds_out is not None:
+            rounds_out.append(1)
         if (
             edges.exceptAll(prev_edges)
             .unionByName(prev_edges.exceptAll(edges))
@@ -1835,13 +1862,42 @@ def llm_multimodal_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame
     return mm.sample_video_frames(mm.synth_media_df(spark, 64), every_ms=500)
 
 
-#: Hyperplane count for the sign-bucket LSH. Buckets = 2^planes, and
-#: candidate generation is bucket-quadratic, so planes must grow with
-#: the corpus: planes ≈ log2(N / target_bucket_size). 8 planes (256
-#: buckets) is the floor for the test corpora; a 100 TB corpus with
-#: ~1e9 vectors targeting ~1e4-vector buckets wants ~17 planes — set
-#: this (or shard by a key prefix) before scaling up.
+#: FLOOR hyperplane count for the sign-bucket LSH; the effective count
+#: self-sizes via ``adaptive_planes`` below. Registered oracles bake
+#: this floor because every driver/test corpus derives it
+#: (tests/test_adaptive_planes.py pins that equality).
 _N_PLANES = 8
+
+#: Target bucket occupancy the adaptive rule sizes for: candidate
+#: generation is bucket-quadratic, so ~1e4-vector buckets keep the
+#: within-bucket work bounded while leaving enough co-residents for
+#: recall.
+_PLANES_TARGET_BUCKET = 10_000
+
+
+def adaptive_planes(
+    n_vectors: int,
+    target_bucket: int = _PLANES_TARGET_BUCKET,
+    floor: int = _N_PLANES,
+) -> int:
+    """Self-sizing hyperplane count (r7 VERDICT item #5): buckets =
+    2^planes and candidate generation is bucket-quadratic, so the plane
+    count must grow with the corpus —
+
+        planes = max(floor, ceil(log2(N / target_bucket)))
+
+    e.g. 1e9 vectors targeting 1e4-vector buckets → 17 planes; every
+    corpus below ``floor_threshold = target_bucket << floor`` (2.56 M
+    vectors at the defaults) stays at the 8-plane floor, which is why
+    the DuckDB oracles can bake ``_N_PLANES`` — the sf0.01/sf0.1 driver
+    corpora all derive the floor. The ANN query family derives its
+    count from a metadata-cheap ``count()`` on the embedding scan, so a
+    100 TB corpus self-sizes with no hand-set constant."""
+    import math
+
+    if n_vectors <= target_bucket:
+        return floor
+    return max(floor, math.ceil(math.log2(n_vectors / target_bucket)))
 
 #: Max vectors per hyperplane bucket admitted to the pair join — the
 #: same mega-bucket guard as ``_LSH_BUCKET_CAP``: a degenerate corpus
@@ -1894,8 +1950,10 @@ def _plane_dot(p: int, sv: Column | str = "sv", prefix: str = "") -> Column:
     return F.aggregate(terms, F.lit(0).cast("long"), lambda a, v: a + v)
 
 
-def _bucket_expr(sv: Column | str = "sv", prefix: str = "") -> Column:
-    """The _N_PLANES-plane sign bucket over a shared scaled vector.
+def _bucket_expr(
+    sv: Column | str = "sv", prefix: str = "", n_planes: int = _N_PLANES
+) -> Column:
+    """The n_planes-plane sign bucket over a shared scaled vector.
 
     Plan economy: evaluate this in a SELECT *after* the projection that
     computes ``sv`` — CollapseProject keeps a multi-referenced non-cheap
@@ -1906,8 +1964,19 @@ def _bucket_expr(sv: Column | str = "sv", prefix: str = "") -> Column:
             F.when(_plane_dot(p, sv, prefix) >= 0, F.lit("1")).otherwise(
                 F.lit("0")
             )
-            for p in range(_N_PLANES)
+            for p in range(n_planes)
         ]
+    )
+
+
+def _sql_bucket_expr(n_planes: int = _N_PLANES, prefix: str = "") -> str:
+    """DuckDB twin of ``_bucket_expr`` over a scaled-vector column
+    ``sv`` — shared by the registered oracles (at the ``_N_PLANES``
+    floor) and the adaptive-plane parity tests (at derived counts), so
+    the two sides can never disagree on the bucket-bit construction."""
+    return " || ".join(
+        f"(CASE WHEN {_sql_plane_dot(p, prefix)} >= 0 THEN '1' ELSE '0' END)"
+        for p in range(n_planes)
     )
 
 
@@ -1925,10 +1994,7 @@ _NEAR_DUP_COSINE = 0.3
     ),
     b AS (
       SELECT vec_id, sv,
-             {" || ".join(
-               f"(CASE WHEN {_sql_plane_dot(p)} >= 0 THEN '1' ELSE '0' END)"
-               for p in range(_N_PLANES)
-             )} AS bucket
+             {_sql_bucket_expr()} AS bucket
       FROM s
     ),
     n AS (
@@ -1963,7 +2029,9 @@ def llm_ann_bucketed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def ann_cosine_pairs(
-    emb: DataFrame, bucket_cap: int = _ANN_BUCKET_CAP
+    emb: DataFrame,
+    bucket_cap: int = _ANN_BUCKET_CAP,
+    n_planes: int | None = None,
 ) -> DataFrame:
     """Hyperplane-LSH bucketed cosine near-duplicate pairs over
     (vec_id, embedding) rows — the reusable operator behind
@@ -1984,10 +2052,16 @@ def ann_cosine_pairs(
     int64 zip-dot runs. The bucket-size side input is ≤ 2^planes rows,
     so its join is an explicit broadcast.
     """
+    if n_planes is None:
+        # metadata-cheap count (parquet row-group stats); the plane
+        # count self-sizes with the corpus instead of being hand-set
+        n_planes = adaptive_planes(emb.count())
     scaled = fan_out_if_narrow(emb).select(
         "vec_id", F.transform("embedding", _iscale).alias("sv")
     )
-    b = scaled.select("vec_id", "sv", _bucket_expr().alias("bucket"))
+    b = scaled.select(
+        "vec_id", "sv", _bucket_expr(n_planes=n_planes).alias("bucket")
+    )
     dot_self = F.aggregate(
         F.zip_with("sv", "sv", lambda x, y: x * y),
         F.lit(0).cast("long"),
@@ -2036,10 +2110,7 @@ def ann_cosine_pairs(
     ),
     b AS (
       SELECT vec_id, sv,
-             {" || ".join(
-               f"(CASE WHEN {_sql_plane_dot(p)} >= 0 THEN '1' ELSE '0' END)"
-               for p in range(_N_PLANES)
-             )} AS bucket
+             {_sql_bucket_expr()} AS bucket
       FROM s
     ),
     n AS (
@@ -2454,10 +2525,7 @@ def llm_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id
     FROM (
       SELECT vec_id,
-             {" || ".join(
-               f"(CASE WHEN {_sql_plane_dot(p)} >= 0 THEN '1' ELSE '0' END)"
-               for p in range(_N_PLANES)
-             )} AS bucket
+             {_sql_bucket_expr()} AS bucket
       FROM (
         SELECT vec_id,
                list_transform(embedding,
@@ -2481,9 +2549,10 @@ def llm_ann_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids are engine-independent.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    n_planes = adaptive_planes(emb.count())
     return (
         emb.select("vec_id", F.transform("embedding", _iscale).alias("sv"))
-        .select("vec_id", _bucket_expr().alias("bucket"))
+        .select("vec_id", _bucket_expr(n_planes=n_planes).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
     )
@@ -3051,10 +3120,7 @@ _ANN_TABLES = 4
 
 
 def _sql_table_bucket(prefix: str) -> str:
-    return " || ".join(
-        f"(CASE WHEN {_sql_plane_dot(p, prefix)} >= 0 THEN '1' ELSE '0' END)"
-        for p in range(_N_PLANES)
-    )
+    return _sql_bucket_expr(prefix=prefix)
 
 
 @register(
@@ -5469,10 +5535,7 @@ _RECALL_K = 500
     ),
     b AS (
       SELECT vec_id, sv,
-             {" || ".join(
-               f"(CASE WHEN {_sql_plane_dot(p)} >= 0 THEN '1' ELSE '0' END)"
-               for p in range(_N_PLANES)
-             )} AS bucket
+             {_sql_bucket_expr()} AS bucket
       FROM s
     ),
     n AS (
