@@ -1820,25 +1820,27 @@ def llm_ml_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("llm_multimodal_image_features", oracle=None)
 def llm_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal EXT: Arrow-batched image feature extraction over a
-    deterministic synthetic media corpus — binary payload column +
-    typed metadata struct, kind-filter pushed before the Python
-    boundary (rows-only: binary/codec stages have no SQL oracle;
-    goldens in tests/test_multimodal.py)."""
+    """Multimodal EXT: Arrow-batched image feature extraction over the
+    SF-PROPORTIONAL media corpus derived from the documents table
+    (media_id = doc_id, payload a pure function of the id, built with
+    JVM column expressions over the documents scan) — binary payload
+    column + typed metadata struct, kind-filter pushed before the
+    Python boundary (rows-only: binary/codec stages have no SQL
+    oracle; goldens in tests/test_multimodal.py)."""
     from ..sources import multimodal as mm
 
-    return mm.extract_image_features(mm.synth_media_df(spark, 64))
+    return mm.extract_image_features(mm.media_from_documents(spark, sf_dir))
 
 
 @register("llm_multimodal_audio_features", oracle=None)
 def llm_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal EXT: windowed audio amplitude statistics over the
-    synthetic media corpus — binary payload + typed metadata,
+    sf-proportional media corpus — binary payload + typed metadata,
     kind-filter pushed before the Arrow boundary (rows-only: codec
     stages have no SQL oracle; goldens in tests/test_multimodal.py)."""
     from ..sources import multimodal as mm
 
-    return mm.extract_audio_features(mm.synth_media_df(spark, 64))
+    return mm.extract_audio_features(mm.media_from_documents(spark, sf_dir))
 
 
 @register("llm_multimodal_resize", oracle=None)
@@ -1849,7 +1851,7 @@ def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_multimodal.py)."""
     from ..sources import multimodal as mm
 
-    return mm.resize_images(mm.synth_media_df(spark, 64), 32, 32)
+    return mm.resize_images(mm.media_from_documents(spark, sf_dir), 32, 32)
 
 
 @register("llm_multimodal_frame_sampling", oracle=None)
@@ -1859,7 +1861,9 @@ def llm_multimodal_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame
     pending a real codec (rows-only)."""
     from ..sources import multimodal as mm
 
-    return mm.sample_video_frames(mm.synth_media_df(spark, 64), every_ms=500)
+    return mm.sample_video_frames(
+        mm.media_from_documents(spark, sf_dir), every_ms=500
+    )
 
 
 #: FLOOR hyperplane count for the sign-bucket LSH; the effective count

@@ -22,6 +22,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 try:  # pragma: no cover - not installed in this environment
@@ -92,6 +93,62 @@ def synth_media_df(spark: SparkSession, n: int = 64) -> DataFrame:
         }
         rows.append((i, kind, payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SF-PROPORTIONAL media corpus derived from the driver's documents
+    table (r7 VERDICT item #3): one media row per document, media_id =
+    doc_id, payload/metadata a pure function of the id — byte-identical
+    to ``synth_media_df`` for the same id (pinned in
+    tests/test_multimodal.py), so the goldens transfer.
+
+    Scale shape: everything is JVM-side column expressions over the
+    documents scan (md5 → unhex hash-chain for the payload, modular
+    arithmetic for metadata) — no driver-side row building, so the
+    corpus construction itself scales with the table. At sf0.1 that is
+    5,000 media rows; at 100 TB it is one row per document, built where
+    the documents live."""
+    from .tables import load_table
+
+    mid = F.col("media_id")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("media_id")
+    )
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(mid, F.lit(3)) + F.lit(1)).cast("int"),
+    )
+    # payload = concat of md5 digests "{id}:{j}" for j < 8 + id%5 — the
+    # exact hash-chain synth_media_df builds in Python
+    n_blocks = (F.lit(8) + F.pmod(mid, F.lit(5))).cast("int")
+    blocks = [
+        F.when(
+            F.lit(j) < n_blocks,
+            F.unhex(F.md5(F.concat(mid.cast("string"), F.lit(f":{j}")))),
+        ).otherwise(F.lit(b""))
+        for j in range(13)
+    ]
+    is_img = kind == "image"
+    meta = F.struct(
+        F.when(is_img, (F.lit(64) + F.pmod(mid, F.lit(8)) * 16).cast("int"))
+        .alias("width"),
+        F.when(is_img, (F.lit(48) + F.pmod(mid, F.lit(8)) * 12).cast("int"))
+        .alias("height"),
+        F.when(kind == "audio", F.lit(16000)).cast("int").alias("sample_rate"),
+        F.when(
+            ~is_img, (F.lit(1000) + F.pmod(mid, F.lit(10)) * 500).cast("int")
+        ).alias("duration_ms"),
+        F.when(is_img, F.lit("png"))
+        .when(kind == "audio", F.lit("wav"))
+        .otherwise(F.lit("mp4"))
+        .alias("format"),
+    )
+    return docs.select(
+        "media_id",
+        kind.alias("kind"),
+        F.concat(*blocks).alias("data"),
+        meta.alias("meta"),
+    )
 
 
 def decode_image(data: bytes):  # pragma: no cover - requires Pillow

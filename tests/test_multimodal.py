@@ -83,3 +83,90 @@ def test_real_decode_path_is_gated():
     if mm.Image is None:
         with pytest.raises(NotImplementedError):
             mm.decode_image(b"not-an-image")
+
+
+# ---------------------------------------------------------------------------
+# sf-grounded corpus (r7 VERDICT item #3)
+# ---------------------------------------------------------------------------
+
+SF001 = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+SF1 = "/root/testdata/sf0.1"
+
+
+def test_media_from_documents_matches_synth_goldens(spark):
+    """media_from_documents must be byte-identical to synth_media_df for
+    the same ids — the goldens above transfer to the sf-grounded corpus
+    unchanged (payload hash-chain, kind, and metadata all pure
+    functions of the id on both paths)."""
+    a = {r["media_id"]: r for r in mm.synth_media_df(spark, 64).collect()}
+    b = {
+        r["media_id"]: r
+        for r in mm.media_from_documents(spark, SF001)
+        .filter("media_id < 64")
+        .collect()
+    }
+    assert set(a) == set(b)
+    for i, ra in a.items():
+        rb = b[i]
+        assert ra["kind"] == rb["kind"]
+        assert bytes(ra["data"]) == bytes(rb["data"])
+        assert ra["meta"] == rb["meta"]
+
+
+def test_multimodal_queries_scale_with_sf(spark):
+    """The registered queries must ride the driver testdata: row counts
+    scale with the documents table (500 docs at sf0.001/sf0.01, 5000 at
+    sf0.1) instead of a fixed 64-row synth corpus."""
+    import os
+
+    from smart_contract_database_builder_spark.plans.registry import QUERIES
+
+    small = QUERIES["llm_multimodal_image_features"].fn(spark, SF001).count()
+    if not os.path.exists(os.path.join(SF1, "documents.parquet")):
+        pytest.skip("sf0.1 testdata absent")
+    big = QUERIES["llm_multimodal_image_features"].fn(spark, SF1).count()
+    # one media row per document, kind = id % 3 → about a third each
+    assert small == len([i for i in range(500) if i % 3 == 0])
+    assert big == len([i for i in range(5000) if i % 3 == 0])
+    assert big > 9 * small  # 1667 vs 167 — scales with the table
+
+
+def test_media_corpus_roundtrips_binary_parquet_via_corpus_sink(spark, tmp_path):
+    """End-to-end through a BINARY-column parquet written by the corpus
+    sink: write the sf-grounded media corpus hive-partitioned by kind,
+    read it back, run the image feature stage, and compare against the
+    direct (no-parquet-hop) result — payload bytes, metadata struct,
+    and partition layout must all survive the roundtrip."""
+    from smart_contract_database_builder_spark.sinks.corpus import (
+        write_partitioned_corpus,
+    )
+
+    media = mm.media_from_documents(spark, SF001)
+    path = str(tmp_path / "media_corpus")
+    write_partitioned_corpus(media, path, partition_cols=("kind",))
+
+    # hive layout: one directory per kind
+    import os
+
+    kinds = sorted(
+        d.split("=")[1] for d in os.listdir(path) if d.startswith("kind=")
+    )
+    assert kinds == ["audio", "image", "video"]
+
+    back = spark.read.parquet(path)
+    direct = {
+        r["media_id"]: r for r in mm.extract_image_features(media).collect()
+    }
+    hopped = {
+        r["media_id"]: r for r in mm.extract_image_features(back).collect()
+    }
+    assert set(direct) == set(hopped) and len(direct) > 0
+    for mid, rd in direct.items():
+        rh = hopped[mid]
+        assert (
+            rd["content_hash"] == rh["content_hash"]
+            and rd["n_bytes"] == rh["n_bytes"]
+            and rd["mean_byte"] == rh["mean_byte"]
+            and rd["width"] == rh["width"]
+        )
