@@ -220,6 +220,7 @@ _TAIL = [
     "llm_multimodal_resize",
     "llm_multimodal_frame_sampling",
     "stream_stateful_running_totals",
+    "stream_true_point_in_time",
 ]
 
 # A typo'd name here would silently no-op the reorder; fail at import

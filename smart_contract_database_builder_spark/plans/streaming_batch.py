@@ -283,6 +283,27 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register("stream_true_point_in_time", oracle=None)
+def stream_true_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 TRUE-RUN twin (r7 VERDICT item #7): the point-in-time
+    version lookup executed as a real stream — watermarked stream-stream
+    self-join generating band-limited candidate prior versions, chained
+    into a windowed max_by aggregation that picks the latest version
+    per purchase with the batch SCD2 tie-break (the supported
+    multiple-stateful-operators shape). Rows-only here: a true
+    streaming run is non-SQL-expressible per the driver contract's
+    carve-out — its correctness evidence is the band-restricted
+    equality to ``cdc_point_in_time_join`` (sound everywhere, complete
+    below the chained-operator watermark cutoff) in
+    tests/test_streaming.py.
+    """
+    return jobs.run_to_memory(
+        jobs.point_in_time_stream(spark, sf_dir),
+        "stream_true_point_in_time_q",
+        mode="append",
+    )
+
+
 @register(
     "cdc_merge_latest_snapshot",
     oracle=f"""

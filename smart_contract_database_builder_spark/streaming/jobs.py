@@ -178,6 +178,93 @@ def attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return click_purchase_attribution(clicks, purchases)
 
 
+def purchase_point_in_time(
+    state: DataFrame,
+    purchases: DataFrame,
+    band: str = "INTERVAL 2 HOURS",
+) -> DataFrame:
+    """T10 as a TRUE stream (r7 VERDICT item #7): enrich each purchase
+    with the user's immediately-prior state version — the streaming
+    consumption side of the SCD2 history that ``cdc_point_in_time_join``
+    computes in batch.
+
+    Plan: a watermarked stream-stream self-join generates the
+    candidate prior versions inside a bounded look-back band (the band
+    is what lets the state store evict — an unbounded "any prior
+    version" join can never age out rows, so the streaming contract is
+    band-limited by construction, and the equality test asserts against
+    the batch twin restricted to the same band), then a second stateful
+    operator — a windowed max_by aggregation on the purchase's event
+    time — picks the LATEST prior version per purchase with the same
+    (valid_from, event_id) tie-break the batch SCD2 window uses, so the
+    version pick survives out-of-order arrival. Chained stream-stream
+    join → windowed agg is the multiple-stateful-operators shape Spark
+    supports natively in append mode.
+
+    Scale shape: both streams shuffle once on the uniform user key;
+    join state is bounded by band × arrival rate, agg state by one row
+    per open purchase window.
+    """
+    s = state.select(
+        F.col("user_id").alias("s_user"),
+        F.col("event_type").alias("op"),
+        F.col("value").alias("s_value"),
+        F.col("ts").alias("valid_from"),
+        F.col("event_id").alias("s_event_id"),
+    )
+    p = purchases.select("event_id", "user_id", F.col("ts").alias("p_ts"))
+    cand = p.join(
+        s,
+        (F.col("user_id") == F.col("s_user"))
+        & (F.col("valid_from") < F.col("p_ts"))
+        & (F.col("valid_from") >= F.col("p_ts") - F.expr(band)),
+    )
+    # the purchase timestamp cannot sit in the grouping key next to the
+    # window (two event-time columns in one stateful operator); it is
+    # functionally determined by event_id, so recover it as max()
+    picked = (
+        cand.groupBy(
+            F.window("p_ts", "1 hour").alias("w"),
+            "event_id",
+            "user_id",
+        )
+        .agg(
+            F.max("p_ts").alias("p_ts"),
+            F.max_by(
+                F.struct("op", "s_value", "valid_from"),
+                F.struct("valid_from", "s_event_id"),
+            ).alias("v"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.col("v.op").alias("prev_op"),
+            F.col("v.s_value").alias("prev_value"),
+            (
+                (
+                    F.unix_micros("p_ts") - F.unix_micros("v.valid_from")
+                ).cast("double")
+                / F.lit(60000000.0)
+            ).alias("state_age_minutes"),
+        )
+    )
+    return picked
+
+
+def point_in_time_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``purchase_point_in_time`` wired to the unbounded event source:
+    the full event stream is the version stream (every event is a state
+    version, exactly as the batch SCD2 build treats it) and its
+    purchase filter is the probe stream — a supported watermarked
+    self-join."""
+    ev = read_events_stream(spark, sf_dir)
+    state = ev.withWatermark("ts", "1 hour")
+    purchases = ev.filter(F.col("event_type") == "purchase").withWatermark(
+        "ts", "1 hour"
+    )
+    return purchase_point_in_time(state, purchases)
+
+
 def click_purchase_left_outer(
     clicks: DataFrame, purchases: DataFrame
 ) -> DataFrame:

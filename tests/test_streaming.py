@@ -327,3 +327,68 @@ def test_stream_hourly_ohlc_equals_batch(spark):
     ev_batch = load_table(spark, SF_ORACLE, "events")
     want = jobs.hourly_ohlc(ev_batch)
     assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_stream_point_in_time_matches_batch_in_band(spark):
+    """T10 true-run twin (r7 VERDICT item #7): the streaming
+    point-in-time join (stream-stream candidate join → windowed max_by
+    version pick) must agree with the batch SCD2 consumption
+    (`cdc_point_in_time_join`) on the provable region — purchases whose
+    prior version lies within the join's look-back band. Soundness
+    everywhere (every emitted row is a batch row with age ≤ band, same
+    version pick, same exact age); completeness for purchases whose
+    1-hour aggregation window provably closed below the final
+    watermark. The version pick depends on the (valid_from, event_id)
+    tie-break surviving the source's out-of-order arrival."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from smart_contract_database_builder_spark.plans.registry import QUERIES
+
+    got = {
+        r["event_id"]: r
+        for r in jobs.run_to_memory(
+            jobs.point_in_time_stream(spark, SF_ORACLE), "t_pit", mode="append"
+        ).collect()
+    }
+    band_minutes = 120.0
+    want = {
+        r["event_id"]: r
+        for r in QUERIES["cdc_point_in_time_join"]
+        .fn(spark, SF_ORACLE)
+        .filter(F.col("state_age_minutes") <= band_minutes)
+        .collect()
+    }
+
+    # sound: every streamed row is the batch row, bit-for-bit
+    assert len(got) > 0
+    for eid, g in got.items():
+        w = want[eid]
+        assert (
+            g["user_id"] == w["user_id"]
+            and g["prev_op"] == w["prev_op"]
+            and g["prev_value"] == w["prev_value"]
+            and g["state_age_minutes"] == w["state_age_minutes"]
+        ), eid
+
+    # complete below the cutoff where the purchase's 1 h window provably
+    # closed. With CHAINED stateful operators the aggregation does not
+    # see the global watermark: the upstream join may still emit rows
+    # with p_ts up to `band` behind it (its state holds versions until
+    # watermark ≥ valid_from + band), so the agg finalizes a window only
+    # when global_watermark − band ≥ window_end. Final watermark =
+    # max_ts − 1 h delay; band = 2 h; window_end ≤ p_ts + 1 h ⇒ every
+    # purchase with p_ts < max_ts − 4 h is provably emitted.
+    ev = load_table(spark, SF_ORACLE, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - datetime.timedelta(hours=4)
+    closed = {
+        r["event_id"]
+        for r in ev.filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") < cutoff)
+        ).collect()
+    }
+    missing = [e for e in want if e in closed and e not in got]
+    assert missing == []
+    assert any(e in closed for e in want)  # the region is non-trivial
