@@ -106,6 +106,21 @@ _PRIORITY = [
 #: the backlog entirely); everything after them is driver-green in
 #: some CORRECTNESS_r*.json artifact with plan code unchanged since.
 _OVERFLOW = [
+    # round-8 NEW operators (born after the window was finalized;
+    # rotate into the window in round 9+ together with the 23 r7-born)
+    "agg_returned_items_report",
+    "agg_cross_nation_volume",
+    "agg_market_share_by_year",
+    "agg_promo_revenue_share",
+    "filter_disjunctive_parts_revenue",
+    "window_top_supplier_quarterly",
+    "agg_large_volume_customers",
+    "agg_shipping_priority_topk",
+    "join_late_shipment_priority",
+    "agg_event_markov_transitions",
+    "agg_rfm_segments",
+    "window_session_stats_batch",
+    "llm_bigram_surprisal_docs",
     "llm_ngram_jaccard_topk",
     "stream_dedup_first_event",
     "stream_static_enrich_segments",

@@ -7307,3 +7307,108 @@ def llm_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "llm_bigram_surprisal_docs",
+    oracle=rf"""
+    WITH toked AS (
+      SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+      WHERE len({_SQL_TOKENS}) >= 2
+    ),
+    db AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2, COUNT(*) AS c
+      FROM toked, UNNEST(range(1, len(t))) AS u(i)
+      GROUP BY doc_id, t[i], t[i+1]
+    ),
+    big AS (
+      SELECT w1, w2, SUM(c) AS c12 FROM db GROUP BY w1, w2
+    ),
+    uni AS (
+      SELECT w1, SUM(c12) AS c1 FROM big GROUP BY w1
+    ),
+    vocab AS (
+      SELECT COUNT(DISTINCT w2) AS v FROM big
+    ),
+    lp AS (
+      SELECT w1, w2,
+             CAST(floor(-ln(CAST(c12 + 1 AS DOUBLE)
+                            / CAST(c1 + v AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS lp_micro
+      FROM big JOIN uni USING (w1), vocab
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(SUM(c * lp_micro) AS DOUBLE)
+             / (CAST(SUM(c) AS DOUBLE) * 1000000) AS avg_surprisal_nats
+    FROM db JOIN lp USING (w1, w2)
+    GROUP BY doc_id
+    """,
+)
+def llm_bigram_surprisal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20 EXT: BIGRAM-LM surprisal per document — one rung up the
+    n-gram-LM ladder from `llm_unigram_surprisal`: each document scored
+    by its mean −ln p(w2|w1) under the add-one-smoothed corpus bigram
+    model (smoothing vocabulary = distinct successor tokens). This is
+    the CCNet/RedPajama perplexity-filter shape with the corpus itself
+    as the model; exp(avg) is the document's bigram perplexity, and a
+    doc fluent under unigrams but incoherent under bigrams (shuffled
+    text, keyword stuffing) separates here.
+
+    Cross-engine exactness: the same micro-nat discipline as the
+    unigram form — per-(w1,w2) −ln p is computed once over the
+    O(bigram-vocab) relation (libm ln via the Arrow UDF), floored to
+    integer micro-nats; per-doc totals are exact int64 sums with ONE
+    double division. Scale shape: one corpus scan collapses into a
+    PERSISTED (doc, w1, w2) count relation; the model counts (c12, c1,
+    V) all DERIVE from it (derive-the-small-from-the-big, never a
+    second token explode); the scoring join is (w1,w2)-keyed against
+    the O(bigram-vocab) table. Linear in corpus tokens.
+    """
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("t")
+    ).filter(F.size("t") >= 2)
+    db = (
+        docs.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            F.element_at("t", F.col("i")).alias("w1"),
+            F.element_at("t", F.col("i") + 1).alias("w2"),
+        )
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    big = db.groupBy("w1", "w2").agg(F.sum("c").alias("c12"))
+    uni = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = big.agg(F.countDistinct("w2").alias("v"))
+    ln_udf = _ln_libm()
+    p = (F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v")).cast(
+        "double"
+    )
+    lp = (
+        big.join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.floor((-ln_udf(p)) * _LN_MICRO).cast("long").alias("lp_micro"),
+        )
+    )
+    return (
+        db.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            (
+                F.sum(F.col("c") * F.col("lp_micro")).cast("double")
+                / (F.sum("c").cast("double") * F.lit(float(_LN_MICRO)))
+            ).alias("avg_surprisal_nats"),
+        )
+    )

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.numeric import dec, dsum
+from ..functions.numeric import dec, dsum, dsum_expr
 from ..sources.tables import load_table
 from .registry import register
 
@@ -2269,4 +2269,795 @@ def agg_nation_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             prev.isNotNull(),
             (F.col("rev_dec") - prev).cast("double") / prev.cast("double"),
         ).alias("yoy_growth"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 decision-support shapes (TPC-H Q3/Q4/Q7/Q8/Q10/Q14/Q15/Q18/Q19
+# adapted to the testdata's columns) + sequence/segment analytics
+# ---------------------------------------------------------------------------
+
+#: Discounted line revenue as an EXACT decimal expression — the shared
+#: money discipline: DECIMAL(18,2) price × (1 − DECIMAL(18,2) discount)
+#: is exact in both engines; sums stay decimal until ONE final double
+#: cast. Oracle twin: CAST(l_extendedprice AS DECIMAL(18,2)) *
+#: (1 - CAST(l_discount AS DECIMAL(18,2))).
+def _line_rev() -> "F.Column":
+    return dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+
+
+_SQL_LINE_REV = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+)
+
+
+@register(
+    "agg_returned_items_report",
+    oracle=f"""
+    SELECT c.c_custkey,
+           c.c_name,
+           n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM({_SQL_LINE_REV.replace('l_', 'l.l_')}) AS DOUBLE)
+             AS returned_revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY SUM({_SQL_LINE_REV.replace('l_', 'l.l_')}) DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def agg_returned_items_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT: TPC-H Q10 shape — the RETURNED-ITEMS loss report: which
+    customers returned the most revenue in a six-month window. The
+    returns-triage query every commerce warehouse runs.
+
+    Exactness: revenue ranks and returns as an exact decimal sum (ties
+    compare identically cross-engine; double cast only at output);
+    c_custkey breaks residual ties so the LIMIT 20 set is total-order
+    deterministic. Scale shape: the date filter pushes to the orders
+    scan, the returnflag filter to the lineitem scan; joins shuffle on
+    their keys (AQE broadcasts while small), nation is the only hinted
+    broadcast; the top-20 is a TakeOrdered over the aggregate, never a
+    full sort.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(_line_rev()).alias("rev_dec"),
+        )
+        .orderBy(F.desc("rev_dec"), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "nation",
+            "n_lines",
+            F.col("rev_dec").cast("double").alias("returned_revenue"),
+        )
+    )
+
+
+@register(
+    "agg_cross_nation_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM({_SQL_LINE_REV.replace('l_', 'l.l_')}) AS DOUBLE)
+             AS volume
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+)
+def agg_cross_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT: TPC-H Q7 shape — SHIPPING VOLUME between two trading
+    nations by year and direction (supplier nation → customer nation),
+    the bilateral-trade report.
+
+    Scale shape: the nation-pair predicate lands on the two 25-row
+    broadcast dims, so the big joins are filtered EARLY on the supplier
+    and customer sides (semi-join pushdown through the broadcast); the
+    fact joins shuffle on suppkey/orderkey/custkey; the final agg has
+    2 directions × years keys.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = ("NATION_1", "NATION_2")
+    n1 = F.broadcast(
+        n.filter(F.col("n_name").isin(*pair)).withColumnsRenamed(
+            {"n_nationkey": "s_nk", "n_name": "supp_nation"}
+        )
+    )
+    n2 = F.broadcast(
+        n.filter(F.col("n_name").isin(*pair)).withColumnsRenamed(
+            {"n_nationkey": "c_nk", "n_name": "cust_nation"}
+        )
+    )
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            dsum_expr(_line_rev()).alias("volume"),
+        )
+    )
+
+
+@register(
+    "agg_market_share_by_year",
+    oracle=f"""
+    WITH all_lines AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             {_SQL_LINE_REV.replace('l_', 'l.l_')} AS rev,
+             n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n2.n_regionkey
+      WHERE r.r_name = 'ASIA'
+    )
+    SELECT CAST(o_year AS INT) AS o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS nation_volume,
+           CAST(SUM(rev) AS DOUBLE) AS total_volume,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+    FROM all_lines
+    GROUP BY o_year
+    """,
+)
+def agg_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT: TPC-H Q8 shape — MARKET SHARE of one supplier nation
+    within a consuming region per year: conditional revenue over total
+    revenue, the share-of-wallet report.
+
+    Exactness: both numerator and denominator are exact decimal sums
+    (the CASE else-branch is a DECIMAL zero, so the conditional sum
+    never mixes types); the share is ONE double division. Scale shape:
+    the region filter reaches the customer side through two broadcast
+    dims; one wide join pipeline, one year-keyed agg.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    n1 = F.broadcast(
+        n.select(
+            F.col("n_nationkey").alias("s_nk"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    asia_nk = F.broadcast(
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select(F.col("n_nationkey").alias("c_nk"))
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    rev = _line_rev()
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(asia_nk, F.col("c_nationkey") == F.col("c_nk"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_2", rev).otherwise(zero)
+            ).alias("nat_dec"),
+            F.sum(rev).alias("tot_dec"),
+        )
+        .select(
+            "o_year",
+            F.col("nat_dec").cast("double").alias("nation_volume"),
+            F.col("tot_dec").cast("double").alias("total_volume"),
+            (
+                F.col("nat_dec").cast("double")
+                / F.col("tot_dec").cast("double")
+            ).alias("mkt_share"),
+        )
+    )
+
+
+@register(
+    "agg_promo_revenue_share",
+    oracle=f"""
+    SELECT strftime(l.l_shipdate, '%Y-%m') AS ship_month,
+           CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN {_SQL_LINE_REV.replace('l_', 'l.l_')}
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS promo_revenue,
+           CAST(SUM({_SQL_LINE_REV.replace('l_', 'l.l_')}) AS DOUBLE)
+             AS total_revenue,
+           100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                 THEN {_SQL_LINE_REV.replace('l_', 'l.l_')}
+                                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM({_SQL_LINE_REV.replace('l_', 'l.l_')}) AS DOUBLE)
+             AS promo_share_pct
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY strftime(l.l_shipdate, '%Y-%m')
+    """,
+)
+def agg_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT: TPC-H Q14 shape — PROMOTION EFFECT: the share of monthly
+    revenue carried by promo-type parts, the marketing-mix report.
+
+    Exactness: conditional and total revenue are exact decimal sums
+    with a DECIMAL zero else-branch; the percentage is `100.0 × a / b`
+    in that exact double order on both engines. Scale shape: the ship
+    date filter pushes to the lineitem scan; one partkey shuffle join
+    (AQE-broadcast while part is small), one month-keyed agg.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    zero = F.lit(0).cast("decimal(18,2)")
+    rev = _line_rev()
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+            ).alias("promo_dec"),
+            F.sum(rev).alias("tot_dec"),
+        )
+        .select(
+            "ship_month",
+            F.col("promo_dec").cast("double").alias("promo_revenue"),
+            F.col("tot_dec").cast("double").alias("total_revenue"),
+            (
+                F.lit(100.0) * F.col("promo_dec").cast("double")
+                / F.col("tot_dec").cast("double")
+            ).alias("promo_share_pct"),
+        )
+    )
+
+
+@register(
+    "filter_disjunctive_parts_revenue",
+    oracle=f"""
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM({_SQL_LINE_REV.replace('l_', 'l.l_')}) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 16 AND 30
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 31 AND 50
+           AND l.l_quantity BETWEEN 20 AND 40)
+    GROUP BY p.p_brand
+    """,
+)
+def filter_disjunctive_parts_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P-EXT: TPC-H Q19 shape — DISJUNCTIVE (OR-of-ANDs) predicate
+    spanning both join sides: three (brand, size-band, quantity-band)
+    clauses. The optimizer stress case: Catalyst must split the
+    disjunction into single-side conjuncts (brand/size reach the part
+    scan, a derived quantity range reaches the lineitem scan) while
+    the cross-side residual evaluates after the join.
+
+    Scale shape: one partkey join (broadcast while part is small); the
+    per-scan pushed fragments keep the joined row count a fraction of
+    the fact table. Exact decimal revenue, double at output.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(16, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(31, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return (
+        j.filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            dsum_expr(_line_rev()).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "window_top_supplier_quarterly",
+    oracle=f"""
+    WITH sr AS (
+      SELECT strftime(date_trunc('quarter', l.l_shipdate), '%Y-%m')
+               AS qtr,
+             l.l_suppkey,
+             SUM({_SQL_LINE_REV.replace('l_', 'l.l_')}) AS rev_dec
+      FROM lineitem l
+      GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT qtr, l_suppkey, rev_dec,
+             RANK() OVER (PARTITION BY qtr ORDER BY rev_dec DESC) AS rk
+      FROM sr
+    )
+    SELECT rk.qtr, s.s_suppkey, s.s_name,
+           CAST(rk.rev_dec AS DOUBLE) AS revenue
+    FROM rk JOIN supplier s ON s.s_suppkey = rk.l_suppkey
+    WHERE rk.rk = 1
+    """,
+)
+def window_top_supplier_quarterly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-EXT: TPC-H Q15 shape — TOP SUPPLIER per quarter by shipped
+    revenue, ties kept (RANK, not row_number — two suppliers with the
+    same exact-decimal revenue both win, identically on both engines
+    because the rank key never becomes a float).
+
+    Scale shape: one (quarter, suppkey) hash agg over the fact scan,
+    the rank window over the O(suppliers × quarters) aggregate, and a
+    suppkey join for names. Never a window over raw lineitem.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    sr = (
+        li.groupBy(
+            F.date_format(F.date_trunc("quarter", "l_shipdate"), "yyyy-MM")
+            .alias("qtr"),
+            "l_suppkey",
+        )
+        .agg(F.sum(_line_rev()).alias("rev_dec"))
+    )
+    w = Window.partitionBy("qtr").orderBy(F.desc("rev_dec"))
+    return (
+        sr.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") == 1)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "qtr",
+            "s_suppkey",
+            "s_name",
+            F.col("rev_dec").cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "agg_large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+               AS total_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           o.o_totalprice, big.total_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def agg_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT: TPC-H Q18 shape — LARGE-VOLUME orders: customers whose
+    single order exceeds a quantity threshold (GROUP-HAVING feeding a
+    join), the bulk-buyer audit.
+
+    Scale shape: the HAVING aggregate reduces lineitem to the rare big
+    orders BEFORE any join (map-side combined, quantity summed as
+    exact int64 — the model keeps quantities integral); the survivors
+    join orders then customer on their keys. The o_totalprice column
+    passes through untouched (raw double on both engines).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+        .withColumn("total_qty", F.col("total_qty").cast("long"))
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+@register(
+    "agg_shipping_priority_topk",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           o.o_orderpriority,
+           CAST(SUM({_SQL_LINE_REV.replace('l_', 'l.l_')}) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderdate < TIMESTAMP '1997-06-01'
+      AND l.l_shipdate > TIMESTAMP '1997-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY SUM({_SQL_LINE_REV.replace('l_', 'l.l_')}) DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def agg_shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT: TPC-H Q3 shape — SHIPPING PRIORITY: the ten highest-value
+    orders placed before a cutoff whose goods had not shipped by it
+    (the unshipped-backlog triage list).
+
+    Exactness: ranking runs on the exact-decimal revenue (identical
+    tie behavior) with l_orderkey as the total-order tiebreak; the
+    double cast happens after the cut. Scale shape: both date filters
+    push to their scans, one orderkey shuffle join, TakeOrdered for
+    the top-10 — no full sort.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1997-06-01"
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-06-01")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_line_rev()).alias("rev_dec"))
+        .orderBy(F.desc("rev_dec"), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+            F.col("rev_dec").cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_late_shipment_priority",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-EXT: TPC-H Q4 shape — ORDER PRIORITY CHECKING: per priority
+    class, how many orders in a quarter had at least one line that
+    shipped more than 90 days after ordering (EXISTS → LEFT SEMI join,
+    the SLA-breach count).
+
+    Scale shape: the quarter filter pushes to the orders scan; the
+    EXISTS compiles to one orderkey-keyed LEFT SEMI join whose
+    correlated date predicate evaluates inside the join (no per-row
+    subquery); the final agg has 5 priority keys.
+    """
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (
+                li.l_shipdate
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+
+
+@register(
+    "agg_event_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ),
+    tr AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ),
+    tot AS (
+      SELECT from_type, SUM(n) AS n_from FROM tr GROUP BY from_type
+    )
+    SELECT tr.from_type, tr.to_type,
+           CAST(tr.n AS BIGINT) AS n_transitions,
+           CAST(tr.n AS DOUBLE) / CAST(tot.n_from AS DOUBLE)
+             AS transition_prob
+    FROM tr JOIN tot USING (from_type)
+    """,
+)
+def agg_event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT: first-order MARKOV TRANSITION MATRIX over per-user event
+    sequences — P(next event type | current event type), the
+    behavioral-model fit behind churn prediction and next-action
+    recommendation (the sequence-analytics sibling of the co-occurrence
+    lift matrix, which ignores order).
+
+    Exactness: the successor comes from LEAD over the deterministic
+    (ts, event_id) total order; probabilities are one integer→double
+    division. The from-type marginals DERIVE from the transition
+    aggregate (derive-the-small-from-the-big), never a second corpus
+    pass. Scale shape: one user-keyed window over the events scan, one
+    (from, to) hash agg (≤ |types|² keys), and a broadcast-size join.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    tr = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = tr.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return tr.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n_transitions"),
+        (F.col("n").cast("double") / F.col("n_from").cast("double")).alias(
+            "transition_prob"
+        ),
+    )
+
+
+@register(
+    "agg_rfm_segments",
+    oracle="""
+    WITH anchor AS (
+      SELECT MAX(o_orderdate) AS max_d FROM orders
+    ),
+    per_cust AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(o_orderdate), (SELECT max_d FROM anchor))
+               AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary_dec
+      FROM orders
+      GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, recency_days, frequency, monetary_dec,
+             NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+             NTILE(5) OVER (ORDER BY monetary_dec DESC, o_custkey) AS m_score
+      FROM per_cust
+    )
+    SELECT CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_dec) AS DOUBLE) / COUNT(*) AS avg_monetary
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    """,
+)
+def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT: RFM SEGMENTATION — every customer scored into quintiles
+    by Recency (days since last order, anchored at the corpus max so
+    the result is reproducible), Frequency (order count), and Monetary
+    (exact-decimal lifetime value), then rolled up per (R,F,M) cell:
+    the classic CRM segmentation grid.
+
+    Exactness: every NTILE ranks over a TOTAL order (metric +
+    custkey tiebreak — without it the two engines may split quintile
+    boundaries differently between tied customers); recency is an
+    integer day diff; avg monetary is one exact-decimal-sum double
+    division. Scale shape: one custkey agg over orders, a 1-row anchor
+    broadcast, three windows over the O(customers) aggregate (single
+    unpartitioned sorts of a small relation — at 100 TB swap NTILE for
+    approx-quantile boundaries; the exact form is the oracle anchor),
+    and a ≤125-key rollup.
+    """
+    o = _t(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("max_d"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_d"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(dec("o_totalprice")).alias("monetary_dec"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff("max_d", "last_d").alias("recency_days"),
+            "frequency",
+            "monetary_dec",
+        )
+    )
+    scored = per_cust.select(
+        "monetary_dec",
+        F.ntile(5)
+        .over(Window.orderBy("recency_days", "o_custkey"))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("frequency"), "o_custkey"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("monetary_dec"), "o_custkey"))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            (
+                F.sum("monetary_dec").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_monetary"),
+        )
+    )
+
+
+@register(
+    "window_session_stats_batch",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           CAST(epoch_us(MAX(ts) - MIN(ts)) AS DOUBLE) / 60000000
+             AS duration_minutes,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value
+    FROM sess
+    GROUP BY user_id, session_idx
+    """,
+)
+def window_session_stats_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-EXT: batch SESSIONIZATION — the gaps-and-islands assignment of
+    events to sessions (a >30-minute silence starts a new session) plus
+    per-session stats, the batch twin of the streaming session window
+    (`stream_session_windows`) and the foundation of engagement
+    analytics.
+
+    Exactness: the new-session flag and its running sum both run over
+    the deterministic (ts, event_id) order; duration is an exact
+    integer microsecond difference with one division; session start is
+    emitted as a microsecond-precision STRING (both engines format,
+    neither ships a timestamp type across the comparison boundary).
+    Scale shape: ONE user-keyed sort serves both windows (same key,
+    same order → one shuffle+sort, two frame passes), then a
+    (user, session) hash agg. Linear in events.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact MICROSECOND gap — a cast-to-long gap truncates to seconds
+    # and would disagree with the oracle's INTERVAL comparison on
+    # sub-second boundary cases
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_idx"),
+    )
+    return (
+        sess.groupBy("user_id", F.col("session_idx").cast("long").alias("session_idx"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            (
+                (
+                    F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+                ).cast("double")
+                / F.lit(60000000.0)
+            ).alias("duration_minutes"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
     )

@@ -164,6 +164,20 @@ def test_round8_rotation_brings_overflow_queries_into_window():
 #: must rotate INTO the window in a future round; grow this set only
 #: when a round adds operators after its window is finalized.
 _BORN_IN_OVERFLOW: set[str] = {
+    # round-8-born (the window was already rotated and full)
+    "agg_returned_items_report",
+    "agg_cross_nation_volume",
+    "agg_market_share_by_year",
+    "agg_promo_revenue_share",
+    "filter_disjunctive_parts_revenue",
+    "window_top_supplier_quarterly",
+    "agg_large_volume_customers",
+    "agg_shipping_priority_topk",
+    "join_late_shipment_priority",
+    "agg_event_markov_transitions",
+    "agg_rfm_segments",
+    "window_session_stats_batch",
+    "llm_bigram_surprisal_docs",
     # round-7-born, still awaiting their first driver window slot after
     # the round-8 near-full rotation (rotate these in round 9 — the
     # backlog then clears entirely)
