@@ -157,6 +157,24 @@ HEADLINE = [
     "llm_winnow_collisions",
     "llm_kmeans_purity",
     "agg_nation_revenue_yoy",
+    # the r6-verdict-promised IVF row the r7 list missed (item #2 of
+    # the r7 verdict's What's-wrong): benched alongside its PQ/IVF-PQ
+    # siblings from round 8 on
+    "llm_ivf_topk",
+    # round-8 new operators
+    "agg_returned_items_report",
+    "agg_cross_nation_volume",
+    "agg_market_share_by_year",
+    "agg_promo_revenue_share",
+    "filter_disjunctive_parts_revenue",
+    "window_top_supplier_quarterly",
+    "agg_large_volume_customers",
+    "agg_shipping_priority_topk",
+    "join_late_shipment_priority",
+    "agg_event_markov_transitions",
+    "agg_rfm_segments",
+    "window_session_stats_batch",
+    "llm_bigram_surprisal_docs",
 ]
 
 

@@ -1193,28 +1193,37 @@ def llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Min-label rounds to attempt before escalating to star contraction.
-#: LSH-derived near-dup graphs are bucket-local cliques that converge
-#: in 2-3 rounds (measured: min-label beats star contraction ~2x on
-#: them, 2.16 s vs 4.02 s at sf0.1 for llm_neardup_clusters, because a
-#: star alternation costs two contractions plus a fixpoint compare);
-#: anything still moving after this many rounds has a long diameter,
-#: where min-label is O(diameter) and star is O(log n).
-_CC_HYBRID_SWITCH = 4
+#: Escalation floor for the hybrid: min-label keeps going while its
+#: per-round changed-label count is HALVING (geometric decay = the
+#: bucket-local clique regime where min-label beats star ~2x measured:
+#: 2.16 s vs 4.02 s at sf0.1 for llm_neardup_clusters — and the decay
+#: bounds total rounds at O(log changed_1)); it escalates to star
+#: contraction the first time the count fails to halve while still
+#: exceeding this floor (arithmetic decay = long-diameter topology,
+#: where min-label is O(diameter)). Below the floor the tail is nearly
+#: done — a fixed round-count switch here would pay 4 wasted rounds
+#: PLUS a full star re-solve on graphs that were one round from the
+#: fixpoint (measured: llm_embedding_neardup_clusters 4.2 s → 6.7 s,
+#: the r8 bench regression this rule fixed; its decay is 45→9→2→1→0).
+_CC_ESCALATE_MIN_CHANGED = 64
 
 
 def connected_components(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
     """Distributed connected components over an undirected ``(doc_a,
     doc_b)`` edge relation. HYBRID strategy (r7 VERDICT item #4): run
     min-label propagation — the measured-fastest path on the
-    bucket-local clique graphs banded LSH emits — and, if the fixpoint
-    has not landed after ``_CC_HYBRID_SWITCH`` rounds, abandon it and
-    re-solve with alternating large-star/small-star contraction
-    (``connected_components_star``), which is O(log n) rounds on ANY
-    topology. Worst-case round count is therefore
-    ``_CC_HYBRID_SWITCH + O(log n)`` — a 10k-node path no longer costs
-    10k shuffles (pinned by test_connected_components.py's 10k-path
-    test). Returns ``(doc_id, cluster_id)`` where ``cluster_id`` is the
+    bucket-local clique graphs banded LSH emits — while its changed-
+    label count keeps HALVING each round (geometric decay bounds the
+    min-label phase at O(log n) rounds by itself); the first round the
+    count fails to halve while still above ``_CC_ESCALATE_MIN_CHANGED``
+    is the long-diameter signature, and the solve restarts as
+    alternating large-star/small-star contraction
+    (``connected_components_star``), O(log n) rounds on ANY topology.
+    Worst case is therefore O(log n) either way — a 10k-node path no
+    longer costs 10k shuffles (pinned by test_connected_components.py's
+    10k-path test) — while near-converged LSH graphs never pay the
+    star re-solve (the decay test, not a fixed round budget, decides).
+    Returns ``(doc_id, cluster_id)`` where ``cluster_id`` is the
     component's minimum doc id — the canonical representative a dedup
     pipeline keeps.
 
@@ -1289,15 +1298,10 @@ def connected_components(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
         )
     )
     labels, changed = _round(first)
-    rounds = 1
     for _ in range(max_iter - 1):
         if changed == 0:
             break
-        if rounds >= _CC_HYBRID_SWITCH:
-            # Long-diameter graph: min-label would grind O(diameter)
-            # rounds. The constant rounds already spent are sunk; star
-            # contraction re-solves from the original pairs in O(log n).
-            return connected_components_star(pairs, max_iter=max_iter)
+        prev_changed = changed
         nbr = (
             sym.alias("e")
             .join(labels.alias("l"), F.col("e.u") == F.col("l.doc"))
@@ -1310,7 +1314,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
         labels, changed = _round(
             nbr.unionByName(labels.withColumn("own", F.lit(True)))
         )
-        rounds += 1
+        if changed > _CC_ESCALATE_MIN_CHANGED and 2 * changed > prev_changed:
+            # Long-diameter signature: the changed count failed to
+            # halve while many labels are still moving (a path graph
+            # decays arithmetically — n, n-1, n-2, …). The rounds spent
+            # are sunk; star contraction re-solves the original pairs
+            # in O(log n) regardless of topology.
+            return connected_components_star(pairs, max_iter=max_iter)
     return labels.select("doc", F.col("lbl").alias("cluster_id"))
 
 

@@ -97,7 +97,7 @@ def test_hybrid_escalates_and_solves_a_10k_path_with_bounded_rounds(spark):
     _CC_HYBRID_SWITCH min-label rounds plus O(log n) star alternations
     (log2(10k) ≈ 13.3; 18 alternations leaves slack for the tail)."""
     from smart_contract_database_builder_spark.plans.llm_ops import (
-        _CC_HYBRID_SWITCH,
+        _CC_ESCALATE_MIN_CHANGED,
         connected_components,
         connected_components_star,
     )
@@ -117,4 +117,6 @@ def test_hybrid_escalates_and_solves_a_10k_path_with_bounded_rounds(spark):
     star_agg = star.groupBy("cluster_id").count().collect()
     assert len(star_agg) == 1 and star_agg[0]["count"] == n
     assert len(rounds) <= 18, f"star contraction took {len(rounds)} alternations"
-    assert _CC_HYBRID_SWITCH <= 6  # the min-label prefix stays constant
+    # the escalation floor must sit far below the path size, so the
+    # failed-to-halve signature (9999, 9998, …) actually triggers
+    assert _CC_ESCALATE_MIN_CHANGED < n / 10

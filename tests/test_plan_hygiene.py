@@ -42,6 +42,8 @@ _NESTED_LOOP_ALLOWED = {
     "llm_ivfpq_topk",              # 1-row packed cell table + query row
     "agg_weekday_seasonality",     # 1-row grand-total broadcast
     "agg_rolling_wau",             # O(days) axis broadcast, range join
+    "agg_rfm_segments",            # 1-row recency-anchor (max date) broadcast
+    "llm_bigram_surprisal_docs",   # 1-row smoothing-vocabulary (V) broadcast
 }
 
 #: Queries whose fn() triggers side effects/execution rather than just

@@ -88,7 +88,22 @@ def generate() -> None:
              UNNEST(range({REPLICAS})) AS u(r)
       ) TO '{OUT}/orders.parquet' (FORMAT PARQUET)
     """)
-    for t in ("region", "nation", "customer", "supplier", "part", "lineitem"):
+    # lineitem replicates WITH its parent orders (remapped l_orderkey)
+    # so order-grain joins stay consistent; part/supplier keys stay
+    # fixed — 10× lines per part/supplier is the conservative skew
+    # direction for the dim-join probes
+    con.execute(f"""
+      COPY (
+        SELECT l_orderkey + r * {n_ord} AS l_orderkey,
+               l_partkey, l_suppkey, l_linenumber, l_quantity,
+               l_extendedprice, l_discount, l_tax, l_returnflag,
+               l_linestatus,
+               l_shipdate + to_microseconds(r * 7) AS l_shipdate
+        FROM read_parquet('{BASE}/lineitem.parquet'),
+             UNNEST(range({REPLICAS})) AS u(r)
+      ) TO '{OUT}/lineitem.parquet' (FORMAT PARQUET)
+    """)
+    for t in ("region", "nation", "customer", "supplier", "part"):
         con.execute(f"""
           COPY (SELECT * FROM read_parquet('{BASE}/{t}.parquet'))
           TO '{OUT}/{t}.parquet' (FORMAT PARQUET)
