@@ -1319,8 +1319,18 @@ def connected_components(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
             # halve while many labels are still moving (a path graph
             # decays arithmetically — n, n-1, n-2, …). The rounds spent
             # are sunk; star contraction re-solves the original pairs
-            # in O(log n) regardless of topology.
-            return connected_components_star(pairs, max_iter=max_iter)
+            # in O(log n) regardless of topology. Star gets at LEAST
+            # its own default alternation budget: it needs O(log n)
+            # rounds no matter how small the min-label budget was.
+            return connected_components_star(pairs, max_iter=max(max_iter, 20))
+    if changed:
+        # Budget exhausted without convergence (r8 ADVICE): a slow
+        # arithmetic decay that stays UNDER the escalation floor —
+        # e.g. a ~40-node path whose per-round changed count never
+        # exceeds _CC_ESCALATE_MIN_CHANGED — would otherwise return
+        # unconverged (wrong) labels silently. Escalate here too, so
+        # the O(log n) worst-case claim holds unconditionally.
+        return connected_components_star(pairs, max_iter=max(max_iter, 20))
     return labels.select("doc", F.col("lbl").alias("cluster_id"))
 
 
@@ -1913,6 +1923,27 @@ def adaptive_planes(
         return floor
     return max(floor, math.ceil(math.log2(n_vectors / target_bucket)))
 
+
+def _planes_at_oracle_floor(n_vectors: int, query: str) -> int:
+    """Derive the adaptive plane count and FAIL FAST if it has left the
+    ``_N_PLANES`` floor the registered DuckDB oracles bake (r8 ADVICE):
+    beyond ``_PLANES_TARGET_BUCKET << _N_PLANES`` vectors (2.56 M at
+    the defaults) the Spark plan would use more planes than the oracle
+    and the driver row would mismatch at run time with no hint why.
+    Raising here turns that silent divergence into an actionable error;
+    unregistered callers (``ann_cosine_pairs`` et al.) keep self-sizing
+    freely."""
+    n_planes = adaptive_planes(n_vectors)
+    if n_planes != _N_PLANES:
+        raise ValueError(
+            f"{query}: corpus of {n_vectors} vectors derives "
+            f"{n_planes} hyperplanes but the registered oracle bakes "
+            f"the {_N_PLANES}-plane floor; use the unregistered "
+            "operator form (adaptive planes) for corpora beyond "
+            f"{_PLANES_TARGET_BUCKET << _N_PLANES} vectors"
+        )
+    return n_planes
+
 #: Max vectors per hyperplane bucket admitted to the pair join — the
 #: same mega-bucket guard as ``_LSH_BUCKET_CAP``: a degenerate corpus
 #: (many identical embeddings) lands in one bucket and would go
@@ -2039,7 +2070,12 @@ def llm_ann_bucketed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     path (see ``ann_cosine_pairs``) at ``_N_PLANES`` planes with the
     ``_ANN_BUCKET_CAP`` mega-bucket guard."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return ann_cosine_pairs(emb)
+    return ann_cosine_pairs(
+        emb,
+        n_planes=_planes_at_oracle_floor(
+            emb.count(), "llm_ann_bucketed_cosine_pairs"
+        ),
+    )
 
 
 def ann_cosine_pairs(
@@ -2179,7 +2215,12 @@ def llm_embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFram
     oracle-parity suite; deliberately past the full driver window.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = ann_cosine_pairs(emb).select(
+    pairs = ann_cosine_pairs(
+        emb,
+        n_planes=_planes_at_oracle_floor(
+            emb.count(), "llm_embedding_neardup_clusters"
+        ),
+    ).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     comp = connected_components(pairs)
@@ -2563,7 +2604,9 @@ def llm_ann_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids are engine-independent.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    n_planes = adaptive_planes(emb.count())
+    n_planes = _planes_at_oracle_floor(
+        emb.count(), "llm_ann_hyperplane_buckets"
+    )
     return (
         emb.select("vec_id", F.transform("embedding", _iscale).alias("sv"))
         .select("vec_id", _bucket_expr(n_planes=n_planes).alias("bucket"))
@@ -5616,7 +5659,10 @@ def llm_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     one division.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    cand = ann_cosine_pairs(emb).select("vec_a", "vec_b")
+    cand = ann_cosine_pairs(
+        emb,
+        n_planes=_planes_at_oracle_floor(emb.count(), "llm_ann_recall_report"),
+    ).select("vec_a", "vec_b")
     scaled = emb.filter(F.col("vec_id") < _RECALL_K).select(
         "vec_id", F.transform("embedding", _iscale).alias("sv")
     )
@@ -6545,11 +6591,20 @@ def llm_pagerank_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
     cand = minhash_candidate_pairs(toked).select("doc_a", "doc_b")
+    # Edge reuse across _PR_ITERS+1 consumers rides an eager
+    # localCheckpoint, NOT persist (r9, closing the r8 perf watch): the
+    # r8 leak fix paired persist with a final extra eager checkpoint of
+    # the rank relation purely so the cache could be unpersisted safely
+    # — one whole extra materialization per invocation (+26% local).
+    # Checkpoint storage needs no manual release (ContextCleaner
+    # reclaims it when the plan is GC'd — the same lifecycle as the
+    # in-loop rank checkpoints), so the final iteration can stay lazy
+    # and run exactly once, at the caller's action.
     edges = cand.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(
         cand.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).persist()
+    ).localCheckpoint(eager=True)
     nodes = edges.groupBy(F.col("src").alias("doc_id")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )
@@ -6581,11 +6636,6 @@ def llm_pagerank_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if i < _PR_ITERS - 1:
             pr = pr.localCheckpoint(eager=True)
-    # The final rank relation must be materialized before the edge
-    # cache is dropped — otherwise a long bench/driver session leaks a
-    # corpus-sized cached relation per invocation (r7 ADVICE).
-    pr = pr.localCheckpoint(eager=True)
-    edges.unpersist()
     return pr.select(
         "doc_id",
         F.col("deg").alias("degree"),
@@ -7370,13 +7420,16 @@ def llm_bigram_surprisal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(bigram-vocab) relation (libm ln via the Arrow UDF), floored to
     integer micro-nats; per-doc totals are exact int64 sums with ONE
     double division. Scale shape: one corpus scan collapses into a
-    PERSISTED (doc, w1, w2) count relation; the model counts (c12, c1,
-    V) all DERIVE from it (derive-the-small-from-the-big, never a
+    MATERIALIZED (doc, w1, w2) count relation — ``localCheckpoint``
+    rather than ``persist`` (r8 ADVICE): an unmatched persist leaks one
+    cached corpus-sized relation per invocation across a long driver
+    session, while checkpoint storage is reclaimed by the
+    ContextCleaner when the plan is released (the same lifecycle the
+    CC/PageRank iteration checkpoints rely on). The model counts (c12,
+    c1, V) all DERIVE from it (derive-the-small-from-the-big, never a
     second token explode); the scoring join is (w1,w2)-keyed against
     the O(bigram-vocab) table. Linear in corpus tokens.
     """
-    from pyspark import StorageLevel
-
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", _tokens().alias("t")
     ).filter(F.size("t") >= 2)
@@ -7393,7 +7446,7 @@ def llm_bigram_surprisal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "w1", "w2")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     big = db.groupBy("w1", "w2").agg(F.sum("c").alias("c12"))
     uni = big.groupBy("w1").agg(F.sum("c12").alias("c1"))

@@ -94,7 +94,8 @@ def test_hybrid_escalates_and_solves_a_10k_path_with_bounded_rounds(spark):
     pure min-label would need ~10k shuffle rounds. The hybrid
     ``connected_components`` must (a) give the exact same answer (one
     component labeled by its min id) and (b) do it within
-    _CC_HYBRID_SWITCH min-label rounds plus O(log n) star alternations
+    a few (decay-gated, floor ``_CC_ESCALATE_MIN_CHANGED``) min-label
+    rounds plus O(log n) star alternations
     (log2(10k) ≈ 13.3; 18 alternations leaves slack for the tail)."""
     from smart_contract_database_builder_spark.plans.llm_ops import (
         _CC_ESCALATE_MIN_CHANGED,
@@ -120,3 +121,25 @@ def test_hybrid_escalates_and_solves_a_10k_path_with_bounded_rounds(spark):
     # the escalation floor must sit far below the path size, so the
     # failed-to-halve signature (9999, 9998, …) actually triggers
     assert _CC_ESCALATE_MIN_CHANGED < n / 10
+
+
+def test_hybrid_escalates_on_budget_exhaustion_below_the_decay_floor(spark):
+    """r8 ADVICE (medium): a ~40-node path decays arithmetically
+    (39, 38, …) but every per-round changed count stays UNDER
+    ``_CC_ESCALATE_MIN_CHANGED`` (64), so the in-loop decay test never
+    fires; with a small ``max_iter`` the loop exhausts its budget
+    unconverged. The post-loop escalation must then hand the solve to
+    star contraction rather than returning wrong labels silently."""
+    from smart_contract_database_builder_spark.plans.llm_ops import (
+        _CC_ESCALATE_MIN_CHANGED,
+        connected_components,
+    )
+
+    n = 40
+    assert n < _CC_ESCALATE_MIN_CHANGED  # precondition of the scenario
+    edges = [(i, i + 1) for i in range(1, n)]
+    comp = connected_components(_pairs(spark, edges), max_iter=4)
+    clusters = {}
+    for r in comp.collect():
+        clusters.setdefault(r["cluster_id"], set()).add(r["doc"])
+    assert clusters == {1: set(range(1, n + 1))}

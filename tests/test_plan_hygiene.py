@@ -51,6 +51,8 @@ _NESTED_LOOP_ALLOWED = {
 _SKIP = {
     "ref_sink_roundtrip",               # materialized via localCheckpoint
     "stream_true_tumbling_availablenow",  # executes a streaming query
+    "stream_true_point_in_time",        # executes a streaming query
+    "stream_stateful_running_totals",   # executes a streaming query
 }
 
 
