@@ -175,6 +175,19 @@ HEADLINE = [
     "agg_rfm_segments",
     "window_session_stats_batch",
     "llm_bigram_surprisal_docs",
+    # round-9 new operators: the registered scale toolkit (value-
+    # neutral physical rewrites) and the write-time-encoded IVF-PQ
+    # read path (first bench rep builds the store, min-of-3 measures
+    # the pruned read)
+    "agg_skewed_revenue_salted",
+    "join_hot_key_split_revenue",
+    "join_bucketed_priority_revenue",
+    "llm_ivfpq_encoded_topk",
+    # round-9 TPC-H shape completion (Q6/Q5/Q2/Q21)
+    "agg_forecast_revenue_change",
+    "agg_local_supplier_volume",
+    "join_min_cost_supplier",
+    "join_lone_late_supplier",
 ]
 
 

@@ -21,39 +21,105 @@ from . import relational_ext  # noqa: E402,F401
 from . import reference_model  # noqa: E402,F401
 from . import reference_ext  # noqa: E402,F401
 from . import llm_ops  # noqa: E402,F401
+from . import scale_ops  # noqa: E402,F401
 from . import streaming_batch  # noqa: E402,F401
 
-#: Queries the driver window must cover first. ROUND-8 ROTATION
-#: (VERDICT r7 "Next round #1" — rotate nearly in full): the window's
-#: 50 slots now hold 12 family witnesses plus 38 queries that have
-#: NEVER earned a driver CORRECTNESS row — all 25 round-6-born overflow
-#: residents (including ``llm_ivf_topk``, the missed r6 verdict item
-#: #7) and the first 13 round-7-born ones. The witnesses are chosen so
-#: every query whose PLAN CODE CHANGES this round stays driver-checked:
-#: ``llm_neardup_clusters`` / ``llm_embedding_neardup_clusters``
-#: (large-star/small-star connected components) and
-#: ``llm_ann_hyperplane_buckets`` (adaptive hyperplane count), plus one
-#: witness each for LSH pairs, batch+true streaming, the reference
-#: ingest/extract/sink family, core relational, retrieval fusion, and
-#: exact dedup. Everything rotated out is r7-or-earlier driver-green
-#: and stays under the pytest oracle sweep
-#: (tests/test_oracle_parity.py, exact-match at sf0.01).
+#: Queries the driver window must cover first. ROUND-9 ROTATION
+#: (VERDICT r8 "Next round #1" — clear the backlog COMPLETELY): the
+#: window's 50 slots hold the 36 queries that had NEVER earned a
+#: driver CORRECTNESS row (the 13 round-8-born + the 23 round-7-born,
+#: exactly tests/test_registry_window.py's former _BORN_IN_OVERFLOW
+#: set) behind 14 witnesses. The witnesses pin every query whose PLAN
+#: CODE CHANGED this round inside the window — connected-components
+#: escalation (both neardup cluster queries), the ANN oracle-floor
+#: guard (hyperplane buckets / bucketed cosine pairs / recall report),
+#: the 64-bit SimHash producer — plus the four ROUND-9-BORN queries
+#: (write-time-encoded IVF-PQ, salted aggregation, hot-key split join,
+#: bucketed co-located join), and one standing witness each for core
+#: relational, the reference family, true streaming, and exact dedup.
+#: (llm_simhash_hamming_pairs, llm_pagerank_candidates,
+#: llm_bigram_surprisal_docs and window_session_stats_batch also
+#: changed this round — they are already in the backlog block below.)
+#: Everything rotated out is driver-green in some CORRECTNESS_r*.json
+#: with plan code unchanged since, and stays under the pytest oracle
+#: sweep (tests/test_oracle_parity.py, exact-match at sf0.01).
 _PRIORITY = [
-    # --- family witnesses (all r7-driver-green; CC/ANN code changes
-    # this round keep their queries in-window for re-verification) ---
-    "llm_minhash_lsh_pairs",
+    # --- witnesses: changed-plan + round-9-born + standing family ---
     "llm_neardup_clusters",
     "llm_embedding_neardup_clusters",
     "llm_ann_hyperplane_buckets",
-    "stream_tumbling_window_counts",
-    "stream_true_tumbling_availablenow",
-    "ref_extract_functions",
-    "ref_sink_roundtrip",
+    "llm_ann_bucketed_cosine_pairs",
+    "llm_ann_recall_report",
+    "llm_simhash_documents",
+    "llm_ivfpq_encoded_topk",
+    "agg_skewed_revenue_salted",
+    "join_hot_key_split_revenue",
+    "join_bucketed_priority_revenue",
     "flagship_revenue_by_region",
+    "ref_extract_functions",
+    "stream_true_tumbling_availablenow",
+    "llm_exact_dedup_documents",
+    # --- never driver-sampled: round-8-born ---
+    "agg_returned_items_report",
+    "agg_cross_nation_volume",
+    "agg_market_share_by_year",
+    "agg_promo_revenue_share",
+    "filter_disjunctive_parts_revenue",
+    "window_top_supplier_quarterly",
+    "agg_large_volume_customers",
+    "agg_shipping_priority_topk",
+    "join_late_shipment_priority",
+    "agg_event_markov_transitions",
+    "agg_rfm_segments",
+    "window_session_stats_batch",
+    "llm_bigram_surprisal_docs",
+    # --- never driver-sampled: round-7-born ---
+    "llm_zipf_slope_report",
+    "llm_bpe_train_merges",
+    "llm_bpe_segment_vocab",
+    "llm_langid_confusion_matrix",
+    "window_rolling_7day_revenue",
+    "llm_pagerank_candidates",
+    "stream_hourly_ohlc",
+    "agg_idle_rich_customers",
+    "join_excess_quantity_suppliers",
+    "llm_bpe_encode_stats",
+    "agg_event_type_lift",
+    "llm_ivfpq_topk",
+    "window_ewma_daily_revenue",
+    "llm_curation_pipeline_v2",
+    "window_seasonal_naive_mape",
+    "agg_weekday_seasonality",
+    "llm_curriculum_order",
+    "llm_incremental_neardup",
+    "llm_simhash_hamming_pairs",
+    "agg_rolling_wau",
+    "llm_winnow_collisions",
+    "llm_kmeans_purity",
+    "agg_nation_revenue_yoy",
+]
+
+#: Oracle-CARRYING queries deliberately registered just past the
+#: driver's 50-query window (it is full): their oracles still run in
+#: pytest (tests/test_oracle_parity.py sweeps every oracle at sf0.01),
+#: they just lose the per-round driver row. Grow this list consciously
+#: — whatever sits here trades driver-visible correctness evidence for
+#: a slot. After the round-9 FULL rotation the never-driver-sampled
+#: backlog is EMPTY: every query below is driver-green in some
+#: CORRECTNESS_r*.json artifact with plan code unchanged since.
+_OVERFLOW = [
+    # round-9-born AFTER the window was finalized (the TPC-H
+    # shape-completion set Q2/Q5/Q6/Q21): pytest-oracle-swept now,
+    # rotate into the window in round 10
+    "agg_forecast_revenue_change",
+    "agg_local_supplier_volume",
+    "join_min_cost_supplier",
+    "join_lone_late_supplier",
+    "llm_minhash_lsh_pairs",
+    "stream_tumbling_window_counts",
+    "ref_sink_roundtrip",
     "llm_hybrid_rrf_fusion",
     "ref_ingest_folder_contracts",
-    "llm_exact_dedup_documents",
-    # --- never driver-sampled: round-6-born overflow residents ---
     "llm_triangle_counts",
     "llm_pmi_collocations",
     "agg_retention_cohorts",
@@ -68,7 +134,6 @@ _PRIORITY = [
     "llm_chunk_documents_udtf",
     "cdc_point_in_time_join",
     "agg_data_quality_report",
-    "llm_ann_recall_report",
     "llm_bm25_batch_topk",
     "llm_decontaminate_multi",
     "llm_containment_pairs",
@@ -79,7 +144,6 @@ _PRIORITY = [
     "cdc_scd2_history",
     "llm_pq_topk",
     "llm_ivf_topk",
-    # --- never driver-sampled: round-7-born overflow residents ---
     "agg_order_count_distribution",
     "agg_small_quantity_revenue",
     "agg_important_parts",
@@ -93,34 +157,6 @@ _PRIORITY = [
     "llm_semdedup_representatives",
     "llm_mode_token_by_lang",
     "llm_readability_scores",
-]
-
-#: Oracle-CARRYING queries deliberately registered just past the
-#: driver's 50-query window (it is full): their oracles still run in
-#: pytest (tests/test_oracle_parity.py sweeps every oracle at sf0.01),
-#: they just lose the per-round driver row. Grow this list consciously
-#: — whatever sits here trades driver-visible correctness evidence for
-#: a slot. After the round-8 near-full rotation the never-driver-
-#: sampled backlog is down to the 23 round-7-born queries at the head
-#: of this list — rotate THOSE into the window in round 9 (they clear
-#: the backlog entirely); everything after them is driver-green in
-#: some CORRECTNESS_r*.json artifact with plan code unchanged since.
-_OVERFLOW = [
-    # round-8 NEW operators (born after the window was finalized;
-    # rotate into the window in round 9+ together with the 23 r7-born)
-    "agg_returned_items_report",
-    "agg_cross_nation_volume",
-    "agg_market_share_by_year",
-    "agg_promo_revenue_share",
-    "filter_disjunctive_parts_revenue",
-    "window_top_supplier_quarterly",
-    "agg_large_volume_customers",
-    "agg_shipping_priority_topk",
-    "join_late_shipment_priority",
-    "agg_event_markov_transitions",
-    "agg_rfm_segments",
-    "window_session_stats_batch",
-    "llm_bigram_surprisal_docs",
     "llm_ngram_jaccard_topk",
     "stream_dedup_first_event",
     "stream_static_enrich_segments",
@@ -159,29 +195,6 @@ _OVERFLOW = [
     "llm_fingerprint_dedup_prefix",
     "llm_text_stats_by_lang",
     "llm_quality_scores",
-    "llm_zipf_slope_report",
-    "llm_bpe_train_merges",
-    "llm_bpe_segment_vocab",
-    "llm_langid_confusion_matrix",
-    "window_rolling_7day_revenue",
-    "llm_pagerank_candidates",
-    "stream_hourly_ohlc",
-    "agg_idle_rich_customers",
-    "join_excess_quantity_suppliers",
-    "llm_bpe_encode_stats",
-    "agg_event_type_lift",
-    "llm_ivfpq_topk",
-    "window_ewma_daily_revenue",
-    "llm_curation_pipeline_v2",
-    "window_seasonal_naive_mape",
-    "agg_weekday_seasonality",
-    "llm_curriculum_order",
-    "llm_incremental_neardup",
-    "llm_simhash_hamming_pairs",
-    "agg_rolling_wau",
-    "llm_winnow_collisions",
-    "llm_kmeans_purity",
-    "agg_nation_revenue_yoy",
     "llm_ann_multitable_pairs",
     "llm_duplicate_spans",
     "llm_bm25_topk",
@@ -191,10 +204,8 @@ _OVERFLOW = [
     "llm_training_order",
     "ref_sources_explode",
     "ref_abi_signature_render",
-    "llm_simhash_documents",
     "llm_langid_stopword",
     "join_range_event_pairs",
-    "llm_ann_bucketed_cosine_pairs",
     "llm_cosine_topk_bruteforce",
     "llm_tfidf_top_terms",
     "stream_sliding_window_avg",

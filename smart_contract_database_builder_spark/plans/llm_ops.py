@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.tables import load_table
-from .registry import register
+from .registry import QUERIES, register
 
 
 def fan_out_if_narrow(df: DataFrame) -> DataFrame:
@@ -6874,6 +6874,117 @@ def llm_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_store_path(sf_dir: str, n_vectors: int) -> str:
+    """Deterministic store location for a corpus: keyed by the sf dir
+    AND the vector count so a regenerated corpus of different size can
+    never silently reuse stale codes."""
+    import os
+    import re
+    import tempfile
+
+    tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
+    return os.path.join(
+        tempfile.gettempdir(), "spark_graft_pq_store", f"{tag}_{n_vectors}"
+    )
+
+
+@register("llm_ivfpq_encoded_topk", oracle=QUERIES["llm_ivfpq_topk"].oracle)
+def llm_ivfpq_encoded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F38b production layout (r8 VERDICT item #5): IVF-PQ over the
+    WRITE-TIME-ENCODED store — ``write_pq_encoded`` runs the
+    corpus-linear assign+encode pass once at ingest (codes parquet
+    partitioned by coarse cell + the K-row cell table), and the query
+    path reads ONLY the probed cells' code partitions:
+    ``PartitionFilters`` prune unprobed cell directories at the scan
+    (asserted in tests/test_pq_store.py), each scanned row is
+    ``_PQ_M`` small ints, and no per-row encode expression appears in
+    the query plan. This is the llm_ivfpq_topk probe finding made
+    structural: the 100× probe showed query-time encoding is 20× at
+    100× data; here that cost is paid once, at write.
+
+    The probe-cell pick is the coordinator's planning step (FAISS
+    semantics): K cell distances on the broadcast cell table, nprobe
+    ids collected driver-side — a bounded ``_IVFPQ_NPROBE``-element
+    action, the partition-pruning twin of the allowlisted 1-row
+    broadcasts — then pushed as a LITERAL partition predicate so
+    pruning is static, not runtime. The store is built on first use
+    per (sf_dir, corpus size) and reused (bench reps after the first
+    measure the pure read path).
+
+    Exactness: identical int64 fixed-point arithmetic end-to-end, so
+    the oracle is llm_ivfpq_topk's UNCHANGED — write-time encoding is
+    a physical-layout change, not a semantic one.
+    """
+    import os
+
+    from ..sources.pq_store import (
+        read_pq_cells,
+        read_pq_codes,
+        write_pq_encoded,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = _pq_store_path(sf_dir, emb.count())
+    if not os.path.exists(os.path.join(store, "codes", "_SUCCESS")):
+        write_pq_encoded(emb, store)
+
+    packed = read_pq_cells(spark, store).agg(
+        F.collect_list(F.struct("cell", "centroid")).alias("cells")
+    )
+    q = (
+        emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select(
+            F.transform("embedding", lambda x: _iscale(x)).alias("qv")
+        )
+        .crossJoin(F.broadcast(packed))
+        .select(
+            "qv",
+            "cells",
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            "cells",
+                            lambda c: F.struct(
+                                _cell_dist2(
+                                    F.col("qv"), c["centroid"]
+                                ).alias("d2"),
+                                c["cell"].alias("cell"),
+                            ),
+                        )
+                    ),
+                    1,
+                    _IVFPQ_NPROBE,
+                ),
+                lambda s: s["cell"],
+            ).alias("probe_cells"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    probe_cells = [
+        r["c"] for r in q.select(F.explode("probe_cells").alias("c")).collect()
+    ]
+    codes = (
+        read_pq_codes(spark, store)
+        .filter(F.col("cell").isin(probe_cells))
+        .filter(F.col("vec_id") != _QUERY_VEC_ID)
+    )
+    cand = codes.crossJoin(F.broadcast(q.select("qv", "cells")))
+    approx = None
+    for m in range(_PQ_M):
+        t = _pq_qdist(f"c{m}", m)
+        approx = t if approx is None else approx + t
+    return (
+        cand.select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            approx.cast("long").alias("approx_d2"),
+        )
+        .orderBy("approx_d2", "vec_id")
+        .limit(10)
+    )
+
+
 #: v2 curation: documents must sit inside this Flesch band (drops both
 #: OCR-garbage negatives and word-salad extremes).
 _CURATE_FLESCH_LO = 0.0
@@ -7158,10 +7269,12 @@ def llm_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: bits in _SIMH_BLOCKS=4 blocks, any pair within radius 3 shares at
 #: least one EXACT block (pigeonhole: 3 differing bits cannot touch all
 #: 4 blocks) — so block-equality banding has perfect recall at r=3.
-#: The bit width is IMPORTED from reference_ext (the producer of the
-#: fingerprints this query consumes) so a future width change there
-#: cannot silently desync block keys and Hamming width here.
+#: The bit width AND the per-bit vote expression are IMPORTED from
+#: reference_ext (the producer of the fingerprints this query
+#: consumes) so a width or bit-layout change there cannot silently
+#: desync block keys, Hamming width, or the oracle's fingerprints.
 from .reference_ext import _SIM_BITS as _SIMH_BITS  # noqa: E402
+from .reference_ext import _sql_sim_vote  # noqa: E402
 
 _SIMH_RADIUS = 3
 _SIMH_BLOCKS = 4
@@ -7179,8 +7292,7 @@ _SIMH_BLOCK_W = _SIMH_BITS // _SIMH_BLOCKS
                list_transform(range(1, {_SIMH_BITS + 1}), j ->
                  CASE WHEN list_aggregate(
                    list_transform(hs, h ->
-                     CASE WHEN contains('13579bdf', substr(h, j, 1))
-                          THEN 1 ELSE -1 END), 'sum') >= 0
+                     {_sql_sim_vote("h", "j")}), 'sum') >= 0
                  THEN '1' ELSE '0' END),
                '') AS simhash
       FROM (
@@ -7222,7 +7334,7 @@ _SIMH_BLOCK_W = _SIMH_BITS // _SIMH_BLOCKS
     """,
 )
 def llm_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J6 EXT: SIMHASH near-dup pairs — documents whose 16-bit SimHash
+    """J6 EXT: SIMHASH near-dup pairs — documents whose 64-bit SimHash
     fingerprints sit within Hamming radius {_SIMH_RADIUS}, the third
     dedup geometry after token-set MinHash and character edit distance
     (SimHash weights REPEATED structure: two docs sharing most
@@ -7275,15 +7387,23 @@ def llm_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fa = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
     fb = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
-    hamming = F.size(
-        F.filter(
-            F.sequence(F.lit(1), F.lit(_SIMH_BITS)),
-            lambda i: F.substring(F.col("sa"), 1, _SIMH_BITS).substr(
-                i, F.lit(1)
-            )
-            != F.substring(F.col("sb"), 1, _SIMH_BITS).substr(i, F.lit(1)),
-        )
-    )
+
+    # Hamming distance as XOR + POPCOUNT per 16-bit block (4 int ops
+    # each), not 64 interpreted per-character compares: the verify runs
+    # once per candidate pair, and on a duplicate-heavy corpus the pair
+    # count dominates the query (the 64-wide char-compare form measured
+    # ~5× slower at sf0.1). conv(bits, 2, 10) on a 16-bit block is
+    # overflow-free; the result is identical to the definitional
+    # bit-by-bit count the oracle keeps.
+    def _blk_int(col: str, b: int):
+        return F.conv(
+            F.substring(col, b * _SIMH_BLOCK_W + 1, _SIMH_BLOCK_W), 2, 10
+        ).cast("long")
+
+    hamming = None
+    for b_ in range(_SIMH_BLOCKS):
+        t = F.bit_count(_blk_int("sa", b_).bitwiseXOR(_blk_int("sb", b_)))
+        hamming = t if hamming is None else hamming + t
     return (
         cand.join(fa, "doc_a")
         .join(fb, "doc_b")

@@ -232,7 +232,74 @@ def centroid_udaf(emb: DataFrame) -> DataFrame:
 # SimHash (dedup family completeness)
 # ---------------------------------------------------------------------------
 
-_SIM_BITS = 16
+#: SimHash fingerprint width. 64 bits is the production geometry (r8
+#: VERDICT item #2): the Hamming-pairs consumer bands the fingerprint
+#: into 4 blocks, so the block key space is 2^(_SIM_BITS/4) — at 16
+#: bits the 4-bit block keys saturate beyond ~10^4 docs (the 100×
+#: probe showed EVERY bucket over the cap → silent zero recall), while
+#: 16-bit blocks keep expected occupancy bounded out to ~10^9 docs.
+#: Each md5 hex digit contributes TWO fingerprint bits (its low two
+#: value bits), so 64 bits consume all 32 digits of one md5 — no
+#: second hash per token.
+_SIM_BITS = 64
+
+#: Hex digits whose value has bit 0 set (odd digits) / bit 1 set —
+#: membership tests give bit extraction that both engines express as a
+#: cheap contains() on a constant string.
+_SIM_ODD = "13579bdf"
+_SIM_EVEN = "2367abef"
+
+
+def simhash_fp_pandas():
+    """Arrow-batched SimHash kernel: token md5 hex list → 64-char bit
+    string. Identical integer semantics to the per-bit definitional
+    form the DuckDB oracles spell via ``_sql_sim_vote`` (bit j of the
+    fingerprint reads md5 hex digit ``(j+1)//2``; odd j → the digit's
+    value bit 0, even j → bit 1; vote +1/−1 per token, sign ≥ 0 ⇒ '1').
+    Vectorization: all token hashes of a doc concatenate into ONE
+    uint8 array reshaped (n_tokens, 32); a 256-entry table maps ASCII
+    hex to its value; bit extraction and the vote sum are whole-matrix
+    ops. Sign rule via popcount identity: Σ(±1 votes) ≥ 0 ⇔
+    2·Σbits ≥ n_tokens."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    hexval = np.zeros(256, dtype=np.int32)
+    for i, c in enumerate("0123456789abcdef"):
+        hexval[ord(c)] = i
+
+    def one(tokens) -> str:
+        n = len(tokens)
+        arr = np.frombuffer(
+            "".join(tokens).encode("ascii"), dtype=np.uint8
+        ).reshape(n, 32)
+        vals = hexval[arr]
+        bits = np.empty((n, _SIM_BITS), dtype=np.int32)
+        bits[:, 0::2] = vals & 1
+        bits[:, 1::2] = (vals >> 1) & 1
+        ones = bits.sum(axis=0)
+        return "".join(np.where(2 * ones >= n, "1", "0"))
+
+    @pandas_udf("string")
+    def fp(hs: pd.Series) -> pd.Series:
+        return hs.map(one)
+
+    return fp
+
+
+def _sql_sim_vote(h: str = "h", j: str = "j") -> str:
+    """DuckDB vote expression for SimHash bit ``j`` (1-based, 1..64) of
+    token hash ``h``: bit j reads md5 hex digit ``(j+1)//2``; odd j
+    tests the digit's value bit 0, even j its bit 1. Shared by every
+    SimHash oracle so the Spark fold and the SQL can never disagree on
+    the bit layout."""
+    d = f"substr({h}, (({j})+1)//2, 1)"
+    return (
+        f"CASE WHEN CASE WHEN ({j}) % 2 = 1 "
+        f"THEN contains('{_SIM_ODD}', {d}) "
+        f"ELSE contains('{_SIM_EVEN}', {d}) END "
+        "THEN 1 ELSE -1 END"
+    )
 
 #: Rabin-Karp window hash over character 8-grams: base/modulus chosen so
 #: every intermediate stays far under 2^63 (codepoint < 2^21, power < M
@@ -330,8 +397,7 @@ def winnow_fp_expr(n, codes):
              list_transform(range(1, {_SIM_BITS + 1}), j ->
                CASE WHEN list_aggregate(
                  list_transform(hs, h ->
-                   CASE WHEN contains('13579bdf', substr(h, j, 1))
-                        THEN 1 ELSE -1 END), 'sum') >= 0
+                   {_sql_sim_vote("h", "j")}), 'sum') >= 0
                THEN '1' ELSE '0' END),
              '') AS simhash,
            CASE WHEN length(text) >= 8
@@ -355,11 +421,13 @@ def winnow_fp_expr(n, codes):
 def llm_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints, two families in one pass.
 
-    SimHash: per token-set hash, vote ±1 on each of 16 bit positions
-    (hex-digit parity of the token's md5), the sign vector is the
-    fingerprint — near-identical docs land within a small Hamming
-    distance. Pure array expressions; one md5 per distinct token, then
-    16 cheap digit tests.
+    SimHash: per token-set hash, vote ±1 on each of ``_SIM_BITS`` (64)
+    bit positions — each md5 hex digit contributes its low two value
+    bits, so one md5 per distinct token covers the full production
+    width (r8 VERDICT #2: the old 16-bit geometry saturated its block
+    keys beyond ~10^4 docs). The sign vector is the fingerprint —
+    near-identical docs land within a small Hamming distance. Pure
+    array expressions; one md5 per distinct token, then 32 digit reads.
 
     Winnowing-style min-shingle fingerprint: the minimum Rabin-Karp
     polynomial hash over all character 8-gram windows (short docs fall
@@ -380,32 +448,20 @@ def llm_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = base.select("doc_id", "winnow_fp", "hs")
     hs = F.col("hs")
-    # ONE fold over the token hashes accumulating all 16 bit-position
-    # vote counters as an int array — a per-bit fold would traverse the
-    # token array 16 times (measured ~4× slower at sf0.1)
-    acc0 = F.array(*[F.lit(0).cast("long") for _ in range(_SIM_BITS)])
-    votes = F.aggregate(
-        hs,
-        acc0,
-        lambda a, h: F.zip_with(
-            a,
-            F.transform(
-                F.sequence(F.lit(1), F.lit(_SIM_BITS)),
-                lambda j: F.when(
-                    F.lit("13579bdf").contains(h.substr(j, F.lit(1))),
-                    F.lit(1),
-                )
-                .otherwise(F.lit(-1))
-                .cast("long"),
-            ),
-            lambda x, y: x + y,
-        ),
-    )
-    bits = F.transform(
-        votes, lambda v: F.when(v >= 0, F.lit("1")).otherwise(F.lit("0"))
-    )
+    # The 64-bit vote accumulation is the second kernel (after winnow)
+    # where Spark's interpreted higher-order-function evaluator is the
+    # measured bottleneck: a one-fold-over-tokens × 64-counter array
+    # expression form costs ~5× the 16-bit version at sf0.1 (the fold
+    # pays 32 digit reads + 64 adds per token hash, all interpreted).
+    # The Arrow kernel below does the identical integer arithmetic in
+    # numpy — one uint8 view over the concatenated md5 hex, a 256-entry
+    # value lookup, two bit extractions, one column sum — and the
+    # corpus-wide DuckDB oracle (generated from the same
+    # ``_sql_sim_vote`` layout) pins equivalence exactly as the winnow
+    # kernel's oracle does. Bit layout: digit (j+1)//2, odd j → value
+    # bit 0, even j → bit 1.
     return docs.filter(F.size(hs) > 0).select(
-        "doc_id", F.concat_ws("", bits).alias("simhash"), "winnow_fp"
+        "doc_id", simhash_fp_pandas()("hs").alias("simhash"), "winnow_fp"
     )
 
 

@@ -2981,7 +2981,7 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
       SELECT user_id, ts, event_id, value,
              CASE WHEN LAG(ts) OVER w IS NULL
-                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS is_new
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -3008,10 +3008,14 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_session_stats_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W-EXT: batch SESSIONIZATION — the gaps-and-islands assignment of
-    events to sessions (a >30-minute silence starts a new session) plus
+    events to sessions (a ≥30-minute silence starts a new session) plus
     per-session stats, the batch twin of the streaming session window
     (`stream_session_windows`) and the foundation of engagement
-    analytics.
+    analytics. The boundary is ≥, not >, MATCHING Spark's
+    ``session_window`` half-open span [first, last + gap): an event
+    exactly 30 minutes after the last one opens a NEW session in both
+    forms, so the pair is equality-testable event-for-event
+    (tests/test_sessionization_equality.py, r8 VERDICT item #7).
 
     Exactness: the new-session flag and its running sum both run over
     the deterministic (ts, event_id) order; duration is an exact
@@ -3033,7 +3037,7 @@ def window_session_stats_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
         "value",
-        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1)
+        F.when(gap.isNull() | (gap >= 30 * 60 * 1_000_000), 1)
         .otherwise(0)
         .alias("is_new"),
     )
@@ -3060,4 +3064,291 @@ def window_session_stats_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("duration_minutes"),
             F.sum(dec("value")).cast("double").alias("total_value"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: the remaining TPC-H decision-support shapes (Q2/Q5/Q6/Q21),
+# completing the Q1-Q22 shape family within the testdata schema (no
+# partsupp table, no commit/receipt dates — Q2 and Q21 keep the query
+# SHAPE over the columns that exist; Q5 and Q6 are direct).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_forecast_revenue_change",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue_increase,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def agg_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT: TPC-H Q6 shape — the what-if revenue-change probe (the
+    discount-elimination forecast): one fully-pushed-down scan, zero
+    joins, one global aggregate. The optimizer stress here is the
+    opposite of Q19's: EVERY predicate (date range, discount band,
+    quantity cap) must reach the parquet scan as a pushed filter, so
+    at 100 TB the query reads only row groups whose min/max stats
+    overlap the band.
+
+    Exactness: the discount band compares EXACT DECIMAL(18,2) values —
+    a double comparison would disagree with the oracle on 0.05/0.07
+    boundary rows (the same boundary discipline as Q17/Q20).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & dec("l_discount").between(
+                F.lit("0.05").cast("decimal(18,2)"),
+                F.lit("0.07").cast("decimal(18,2)"),
+            )
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum_expr(dec("l_extendedprice") * dec("l_discount")).alias(
+                "revenue_increase"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "agg_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def agg_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT: TPC-H Q5 shape — LOCAL supplier volume: revenue where the
+    supplier and the ordering customer sit in the SAME nation, rolled
+    up per nation of one region. The star join with an extra
+    cross-dimension equality (c_nationkey = s_nationkey) is what
+    distinguishes it from the flagship rollup: the customer-nation
+    attribute must survive the orders⋈lineitem join to meet the
+    supplier side.
+
+    Scale shape: nation/region broadcast (bounded dims); customer and
+    supplier join by key with the nation-equality as a join-side
+    residual; the date filter pushes to the orders scan. The final
+    aggregate lands on ≤5 nation keys.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    asia_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_nationkey", "n_name")
+    cust_orders = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).select("o_orderkey", "c_nationkey")
+    rev = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias("rev"),
+    )
+    joined = (
+        rev.join(cust_orders, rev.l_orderkey == cust_orders.o_orderkey)
+        .join(
+            supplier,
+            (rev.l_suppkey == supplier.s_suppkey)
+            & (F.col("c_nationkey") == supplier.s_nationkey),
+        )
+        .join(
+            F.broadcast(asia_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        dsum_expr(F.col("rev")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "join_min_cost_supplier",
+    oracle="""
+    WITH offer AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS best_price
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+      SELECT partkey, suppkey, best_price
+      FROM offer
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY partkey ORDER BY best_price, suppkey
+      ) = 1
+    )
+    SELECT b.partkey, p.p_brand AS brand,
+           s.s_name AS supplier_name,
+           CAST(s.s_acctbal AS DOUBLE) AS supplier_acctbal,
+           CAST(b.best_price AS DOUBLE) AS best_price
+    FROM best b
+    JOIN part p     ON p.p_partkey = b.partkey
+    JOIN supplier s ON s.s_suppkey = b.suppkey
+    WHERE p.p_size >= 40
+    ORDER BY b.partkey
+    """,
+)
+def join_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-EXT: TPC-H Q2 shape — the MIN-COST SUPPLIER per part: the
+    reference benchmark's correlated scalar subquery
+    (``ps_supplycost = (SELECT MIN(...) WHERE ps_partkey = p_partkey)``)
+    re-expressed the distributed way: a per-(part, supplier) offer
+    aggregate, then ONE window rank per part picks the cheapest
+    supplier with a deterministic suppkey tie-break — no correlated
+    re-execution per row, one shuffle on the part key. (The testdata
+    carries no partsupp table, so the offer relation derives from
+    lineitem's observed prices; the plan shape is Q2's.)
+
+    Scale shape: the offer aggregate is map-side-combined on the
+    (partkey, suppkey) composite; the window and the part/supplier
+    attribute joins all hash on partkey/suppkey; the size filter
+    prunes before the attribute join.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    offer = li.groupBy(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_suppkey").alias("suppkey"),
+    ).agg(F.min(dec("l_extendedprice")).alias("best_price"))
+    w = Window.partitionBy("partkey").orderBy("best_price", "suppkey")
+    best = (
+        offer.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 40).select(
+        "p_partkey", "p_brand"
+    )
+    supplier = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    return (
+        best.join(part, best.partkey == part.p_partkey)
+        .join(supplier, best.suppkey == supplier.s_suppkey)
+        .select(
+            "partkey",
+            F.col("p_brand").alias("brand"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("s_acctbal").cast("double").alias("supplier_acctbal"),
+            F.col("best_price").cast("double").alias("best_price"),
+        )
+        .orderBy("partkey")
+    )
+
+
+@register(
+    "join_lone_late_supplier",
+    oracle="""
+    WITH li AS (
+      SELECT l.l_orderkey AS orderkey, l.l_suppkey AS suppkey,
+             l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS is_late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    late AS (
+      SELECT DISTINCT orderkey, suppkey FROM li WHERE is_late
+    ),
+    with_other AS (
+      SELECT DISTINCT t.orderkey, t.suppkey
+      FROM late t
+      WHERE EXISTS (SELECT 1 FROM li o
+                    WHERE o.orderkey = t.orderkey
+                      AND o.suppkey <> t.suppkey)
+        AND NOT EXISTS (SELECT 1 FROM late o2
+                        WHERE o2.orderkey = t.orderkey
+                          AND o2.suppkey <> t.suppkey)
+    )
+    SELECT s.s_name AS supplier_name,
+           CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM with_other w JOIN supplier s ON s.s_suppkey = w.suppkey
+    GROUP BY s.s_name
+    """,
+)
+def join_lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-EXT: TPC-H Q21 shape — SUPPLIERS WHO KEPT ORDERS WAITING: per
+    supplier, count multi-supplier orders where THIS supplier shipped
+    late (>60 days after ordering) and no other supplier on the order
+    did — the benchmark's hardest subquery pattern (EXISTS + NOT
+    EXISTS against the same fact), compiled to one LEFT SEMI and one
+    LEFT ANTI join on the order key with the supplier-inequality
+    predicate inside each join. (The testdata has no
+    commit/receipt-date pair, so lateness is ship-vs-order date; the
+    EXISTS/NOT-EXISTS shape is Q21's.)
+
+    Scale shape: all three relations derive from ONE lineitem⋈orders
+    pass; both semi/anti joins hash on the order key (co-partitioned
+    with the derivation, no extra shuffle under AQE); the final
+    aggregate lands on O(suppliers) keys.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    base = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_suppkey").alias("suppkey"),
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("is_late"),
+    )
+    late = base.filter("is_late").select("orderkey", "suppkey").distinct()
+    other = base.select(
+        F.col("orderkey").alias("o_orderkey2"),
+        F.col("suppkey").alias("o_suppkey2"),
+    )
+    other_late = late.select(
+        F.col("orderkey").alias("l_orderkey2"),
+        F.col("suppkey").alias("l_suppkey2"),
+    )
+    lone = (
+        late.join(
+            other,
+            (F.col("orderkey") == F.col("o_orderkey2"))
+            & (F.col("suppkey") != F.col("o_suppkey2")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("orderkey") == F.col("l_orderkey2"))
+            & (F.col("suppkey") != F.col("l_suppkey2")),
+            "left_anti",
+        )
+    )
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        lone.join(supplier, lone.suppkey == supplier.s_suppkey)
+        .groupBy(F.col("s_name").alias("supplier_name"))
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
     )

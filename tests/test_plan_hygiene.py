@@ -40,6 +40,7 @@ _NESTED_LOOP_ALLOWED = {
     "agg_event_type_lift",         # 1-row distinct-user-count broadcast
     "agg_idle_rich_customers",     # 1-row avg-balance threshold broadcast
     "llm_ivfpq_topk",              # 1-row packed cell table + query row
+    "llm_ivfpq_encoded_topk",      # same 1-row query/cells broadcast, read path
     "agg_weekday_seasonality",     # 1-row grand-total broadcast
     "agg_rolling_wau",             # O(days) axis broadcast, range join
     "agg_rfm_segments",            # 1-row recency-anchor (max date) broadcast

@@ -50,23 +50,26 @@ def test_oracle_queries_past_the_window_are_explicitly_designated():
 
 def test_family_witnesses_lead():
     """Each operator family keeps an always-in-window witness at the
-    head of the registry. The round-8 witness set also pins every query
-    whose plan code changed this round (connected components, adaptive
-    hyperplanes) inside the driver window."""
-    head = list(plans.QUERIES)[:12]
+    head of the registry. The round-9 witness set pins every query
+    whose plan code changed this round (connected-components
+    escalation, ANN oracle-floor guard, 64-bit SimHash producer)
+    plus the four round-9-born scale-toolkit/layout queries."""
+    head = list(plans.QUERIES)[:14]
     for name in (
-    "llm_minhash_lsh_pairs",
-    "llm_neardup_clusters",
-    "llm_embedding_neardup_clusters",
-    "llm_ann_hyperplane_buckets",
-    "stream_tumbling_window_counts",
-    "stream_true_tumbling_availablenow",
-    "ref_extract_functions",
-    "ref_sink_roundtrip",
-    "flagship_revenue_by_region",
-    "llm_hybrid_rrf_fusion",
-    "ref_ingest_folder_contracts",
-    "llm_exact_dedup_documents",
+        "llm_neardup_clusters",
+        "llm_embedding_neardup_clusters",
+        "llm_ann_hyperplane_buckets",
+        "llm_ann_bucketed_cosine_pairs",
+        "llm_ann_recall_report",
+        "llm_simhash_documents",
+        "llm_ivfpq_encoded_topk",
+        "agg_skewed_revenue_salted",
+        "join_hot_key_split_revenue",
+        "join_bucketed_priority_revenue",
+        "flagship_revenue_by_region",
+        "ref_extract_functions",
+        "stream_true_tumbling_availablenow",
+        "llm_exact_dedup_documents",
     ):
         assert name in head, f"{name} not in the registry head: {head}"
 
@@ -153,18 +156,28 @@ _ROTATED_IN_R8 = [
 ]
 
 
-def test_round8_rotation_brings_overflow_queries_into_window():
-    window = list(plans.QUERIES)[:_DRIVER_WINDOW]
-    missing = [n for n in _ROTATED_IN_R8 if n not in window]
-    assert missing == [], f"rotated-in queries fell back out of the window: {missing}"
+def test_round8_rotation_queries_have_driver_rows():
+    """The 38 queries rotated IN for round 8 earned their driver rows in
+    CORRECTNESS_r08 and rotated back out in round 9 (making room for the
+    full backlog-clearing rotation); pin that each really is
+    driver-green."""
+    import json
+    import pathlib
+
+    rows = json.loads(
+        (pathlib.Path(__file__).resolve().parent.parent / "CORRECTNESS_r08.json").read_text()
+    )
+    for n in _ROTATED_IN_R8:
+        r = rows[n]
+        assert r["rows_match"] and r["schema_match"] and r["hash_match"], n
 
 
-#: Operators registered straight into _OVERFLOW in the round that bore
-#: them (the window was already full). They are pytest-oracle-swept and
-#: must rotate INTO the window in a future round; grow this set only
-#: when a round adds operators after its window is finalized.
-_BORN_IN_OVERFLOW: set[str] = {
-    # round-8-born (the window was already rotated and full)
+#: Round-9 rotation contract (VERDICT r8 "Next round #1" — clear the
+#: backlog COMPLETELY): all 36 queries that had never earned a driver
+#: CORRECTNESS row — the 13 round-8-born plus the 23 round-7-born,
+#: i.e. the whole former _BORN_IN_OVERFLOW set — now sit inside the
+#: driver window, each earning its first driver row in round 9.
+_ROTATED_IN_R9 = [
     "agg_returned_items_report",
     "agg_cross_nation_volume",
     "agg_market_share_by_year",
@@ -178,9 +191,6 @@ _BORN_IN_OVERFLOW: set[str] = {
     "agg_rfm_segments",
     "window_session_stats_batch",
     "llm_bigram_surprisal_docs",
-    # round-7-born, still awaiting their first driver window slot after
-    # the round-8 near-full rotation (rotate these in round 9 — the
-    # backlog then clears entirely)
     "llm_zipf_slope_report",
     "llm_bpe_train_merges",
     "llm_bpe_segment_vocab",
@@ -204,6 +214,35 @@ _BORN_IN_OVERFLOW: set[str] = {
     "llm_winnow_collisions",
     "llm_kmeans_purity",
     "agg_nation_revenue_yoy",
+]
+
+
+def test_round9_rotation_brings_the_whole_backlog_into_window():
+    window = list(plans.QUERIES)[:_DRIVER_WINDOW]
+    missing = [n for n in _ROTATED_IN_R9 if n not in window]
+    assert missing == [], f"backlog queries missing from the window: {missing}"
+    # the four round-9-born queries register straight INTO the window,
+    # so the overflow-born exemption list is empty by construction
+    for n in (
+        "llm_ivfpq_encoded_topk",
+        "agg_skewed_revenue_salted",
+        "join_hot_key_split_revenue",
+        "join_bucketed_priority_revenue",
+    ):
+        assert n in window, n
+
+
+#: Operators registered straight into _OVERFLOW in the round that bore
+#: them (the window was already full). The round-9 full rotation
+#: emptied the historical backlog; the set now holds only the round-9
+#: TPC-H shape-completion queries added AFTER this round's window was
+#: finalized (rotate them in round 10). Grow this set only when a
+#: round adds operators after its window is finalized.
+_BORN_IN_OVERFLOW: set[str] = {
+    "agg_forecast_revenue_change",
+    "agg_local_supplier_volume",
+    "join_min_cost_supplier",
+    "join_lone_late_supplier",
 }
 
 

@@ -1,0 +1,83 @@
+"""Registered scale-toolkit queries (plans/scale_ops.py): the physical
+rewrites must show up in the PLAN — value parity with the plain-SQL
+oracles is covered by the oracle-parity sweep, so these tests pin what
+the oracle cannot see: the salted two-phase shape, the split join's
+broadcast/shuffle routing, and the bucketed join's missing exchanges.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from smart_contract_database_builder_spark import plans
+
+from conftest import SF_ORACLE
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    # NB: "formatted" lists every operator twice (tree + details) —
+    # use "simple" when COUNTING operator occurrences.
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_salted_agg_plan_has_two_aggregation_phases(spark):
+    """The salted rollup must aggregate twice — once on (key, salt),
+    once on the key — with the salt derived from a hash, not rand()
+    (rand() breaks task retry determinism)."""
+    df = plans.QUERIES["agg_skewed_revenue_salted"].fn(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 4  # partial+final × two phases
+    assert "pmod" in plan and "hash" in plan
+    assert "rand(" not in plan
+
+
+def test_hot_key_split_plan_routes_hot_keys_through_broadcast(spark):
+    """The split join must contain BOTH join strategies: a broadcast
+    hash join for the declared hot keys and a non-broadcast join for
+    the remainder, unioned."""
+    df = plans.QUERIES["join_hot_key_split_revenue"].fn(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "Union" in plan
+    # the cold path keeps an equi-join that is NOT the broadcast one;
+    # at test SF AQE may still choose broadcast for the small side, so
+    # assert the structural split (two joins), not the cold strategy
+    assert plan.count("Join") >= 2
+
+
+def test_bucketed_join_query_plan_is_exchange_free_up_to_final_agg(spark):
+    """join_bucketed_priority_revenue: the lineitem⋈orders join must
+    read both sides from the bucketed layout with NO Exchange on
+    either join input — the only shuffle allowed in the whole plan is
+    the final partial→final aggregate on the 5 priority keys. As in
+    tests/test_bucketing_layout.py, broadcast is disabled so the plan
+    shown is the one the layout exists for (fact⋈fact at a scale where
+    broadcast is impossible)."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        for k in saved:
+            spark.conf.set(k, "-1")
+        df = plans.QUERIES["join_bucketed_priority_revenue"].fn(
+            spark, SF_ORACLE
+        )
+        assert "Bucketed: true" in _plan(df)
+        plan = _plan(df, "simple")
+        assert "SortMergeJoin" in plan
+        # exactly ONE exchange: the final aggregate's. Neither join
+        # side re-shuffles — that is the entire point of the layout.
+        assert plan.count("Exchange") == 1, plan
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)

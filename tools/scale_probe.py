@@ -230,10 +230,89 @@ def buckets() -> None:
     sizes.unpersist()
 
 
+def simhash_blocks() -> None:
+    """SimHash block-bucket occupancy on the probe corpus — the r8
+    honest-finding probe, rerun after the 64-bit widening (r8 VERDICT
+    item #2): per 16-bit block key, how many buckets fall in each size
+    band, how many exceed ``_LSH_BUCKET_CAP`` (dropped whole), and how
+    many verified in-radius candidate pairs the banded query actually
+    emits. At 16 bits the 4-bit block keys saturated (zero surviving
+    buckets at 100×); at 64 bits the 65,536-key blocks must keep
+    surviving buckets and nonzero pairs."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from smart_contract_database_builder_spark.plans.llm_ops import (
+        _LSH_BUCKET_CAP,
+        _SIMH_BLOCK_W,
+        _SIMH_BLOCKS,
+        llm_simhash_hamming_pairs,
+    )
+    from smart_contract_database_builder_spark.plans.reference_ext import (
+        llm_simhash_documents,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEMORY", "6g"))
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    fps = llm_simhash_documents(spark, OUT).select("doc_id", "simhash")
+    blocks = fps.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block_idx"),
+                        F.substring(
+                            "simhash", b * _SIMH_BLOCK_W + 1, _SIMH_BLOCK_W
+                        ).alias("key"),
+                    )
+                    for b in range(_SIMH_BLOCKS)
+                ]
+            )
+        ).alias("blk"),
+    ).select("doc_id", "blk.block_idx", "blk.key")
+    sizes = blocks.groupBy("block_idx", "key").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    hist = (
+        sizes.select(
+            F.when(F.col("n") == 1, "a:1")
+            .when(F.col("n") <= 4, "b:2-4")
+            .when(F.col("n") <= 16, "c:5-16")
+            .when(F.col("n") <= _LSH_BUCKET_CAP, f"d:17-{_LSH_BUCKET_CAP}")
+            .otherwise(f"e:>{_LSH_BUCKET_CAP} (dropped)")
+            .alias("size_band")
+        )
+        .groupBy("size_band")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .orderBy("size_band")
+        .collect()
+    )
+    for r in hist:
+        print(f"block-bucket size {r['size_band'][2:]}: "
+              f"{r['n_buckets']} buckets")
+    surviving = sizes.filter(
+        (F.col("n") >= 2) & (F.col("n") <= _LSH_BUCKET_CAP)
+    ).count()
+    pairs = llm_simhash_hamming_pairs(spark, OUT).count()
+    print(f"surviving candidate buckets (2..{_LSH_BUCKET_CAP}): {surviving}")
+    print(f"verified in-radius pairs emitted: {pairs}")
+
+
 if __name__ == "__main__":
     if sys.argv[1] == "generate":
         generate()
     elif sys.argv[1] == "buckets":
         buckets()
+    elif sys.argv[1] == "simhash_blocks":
+        simhash_blocks()
     else:
         run(sys.argv[2:] if sys.argv[1] == "run" else sys.argv[1:])
