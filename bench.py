@@ -188,6 +188,11 @@ HEADLINE = [
     "agg_local_supplier_volume",
     "join_min_cost_supplier",
     "join_lone_late_supplier",
+    # round-9 sampling/diversity/mixing batch
+    "llm_mattr_lexical_diversity",
+    "llm_reservoir_sample_by_lang",
+    "llm_weighted_sample_docs",
+    "llm_source_kl_divergence",
 ]
 
 

@@ -109,12 +109,17 @@ _PRIORITY = [
 #: CORRECTNESS_r*.json artifact with plan code unchanged since.
 _OVERFLOW = [
     # round-9-born AFTER the window was finalized (the TPC-H
-    # shape-completion set Q2/Q5/Q6/Q21): pytest-oracle-swept now,
-    # rotate into the window in round 10
+    # shape-completion set Q2/Q5/Q6/Q21 and the sampling/diversity/
+    # mixing batch): pytest-oracle-swept now, rotate into the window
+    # in round 10
     "agg_forecast_revenue_change",
     "agg_local_supplier_volume",
     "join_min_cost_supplier",
     "join_lone_late_supplier",
+    "llm_mattr_lexical_diversity",
+    "llm_reservoir_sample_by_lang",
+    "llm_weighted_sample_docs",
+    "llm_source_kl_divergence",
     "llm_minhash_lsh_pairs",
     "stream_tumbling_window_counts",
     "ref_sink_roundtrip",

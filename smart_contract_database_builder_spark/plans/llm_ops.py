@@ -7595,3 +7595,320 @@ def llm_bigram_surprisal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_surprisal_nats"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9 batch B: sampling + diversity + mixing diagnostics
+# ---------------------------------------------------------------------------
+
+#: MATTR window (tokens). 25 is the literature's small-window default;
+#: the sliding kernel is O(n) regardless.
+_MATTR_W = 25
+
+
+def _mattr_pandas():
+    """Arrow-batched MATTR kernel: moving-average type-token ratio with
+    an O(n) sliding window (a token count map updated as the window
+    advances; the distinct count changes only when a count crosses
+    0↔1). Returns the exact integer SUM of per-window distinct counts
+    — the caller performs the single double division, so the kernel
+    stays integer-exact and the DuckDB oracle (the definitional
+    O(n·W) ``list_distinct`` form) matches bit-for-bit."""
+    import numpy as np  # noqa: F401  (parity with sibling kernels)
+    from pyspark.sql.functions import pandas_udf
+
+    def one(tokens) -> int:
+        n = len(tokens)
+        if n == 0:
+            return 0
+        w = min(_MATTR_W, n)
+        counts: dict = {}
+        distinct = 0
+        for i in range(w):
+            c = counts.get(tokens[i], 0)
+            if c == 0:
+                distinct += 1
+            counts[tokens[i]] = c + 1
+        total = distinct
+        for i in range(w, n):
+            inc = tokens[i]
+            c = counts.get(inc, 0)
+            if c == 0:
+                distinct += 1
+            counts[inc] = c + 1
+            out = tokens[i - w]
+            c = counts[out]
+            if c == 1:
+                distinct -= 1
+                del counts[out]
+            else:
+                counts[out] = c - 1
+            total += distinct
+        return total
+
+    @pandas_udf("long")
+    def fp(t: pd.Series) -> pd.Series:
+        return t.map(one)
+
+    return fp
+
+
+@register(
+    "llm_mattr_lexical_diversity",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS t, len({_SQL_TOKENS}) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(list_aggregate(
+                  list_transform(
+                    range(1, GREATEST(n - LEAST(n, {_MATTR_W}) + 1, 1) + 1),
+                    i -> len(list_distinct(
+                           t[i : i + LEAST(n, {_MATTR_W}) - 1]))),
+                  'sum') AS DOUBLE)
+             / (GREATEST(n - LEAST(n, {_MATTR_W}) + 1, 1)
+                * LEAST(n, {_MATTR_W})) AS mattr
+    FROM t
+    WHERE n > 0
+    """,
+)
+def llm_mattr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20 EXT: MATTR lexical diversity (Covington & McFall) — the
+    moving-average type-token ratio: mean over all {_MATTR_W}-token
+    windows of (distinct/window). Plain TTR collapses with document
+    length (long docs always repeat); MATTR is length-invariant, which
+    is what makes it usable as a corpus-wide quality signal (word-salad
+    and template spam sit at the extremes). Docs shorter than the
+    window fall back to single-window TTR.
+
+    Exactness: per-window distinct counts are integers; the kernel
+    returns their exact SUM and ONE double division produces the
+    ratio, so both engines agree bitwise. Scale shape: the sliding
+    kernel is O(n) per document via an incremental count map
+    (Arrow-batched — the definitional O(n·W) nested-distinct
+    expression form measured ~10× slower interpreted, the same
+    HOF-evaluator wall as the SimHash/winnow kernels); map-only, no
+    shuffle.
+    """
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("t")
+    ).withColumn("n", F.size("t")).filter(F.col("n") > 0)
+    w_eff = F.least(F.lit(_MATTR_W), F.col("n"))
+    n_windows = F.greatest(F.col("n") - w_eff + 1, F.lit(1))
+    return t.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        (
+            _mattr_pandas()("t").cast("double")
+            / (n_windows * w_eff).cast("double")
+        ).alias("mattr"),
+    )
+
+
+#: Reservoir size per language for the deterministic hash reservoir.
+_RESERVOIR_K = 20
+
+
+@register(
+    "llm_reservoir_sample_by_lang",
+    oracle=f"""
+    SELECT lang, doc_id,
+           CAST(rn AS BIGINT) AS sample_rank
+    FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn <= {_RESERVOIR_K}
+    """,
+)
+def llm_reservoir_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F23 EXT: deterministic HASH RESERVOIR — a uniform
+    {_RESERVOIR_K}-document sample per language as "the K smallest
+    hashes win". This is distributed reservoir sampling without RNG
+    state: md5(doc_id) is a fixed uniform permutation, so the K
+    smallest hashes per group are a uniform K-subset, identical on
+    every run, every engine, any partitioning, and STABLE under corpus
+    growth (a doc's key never changes — appending documents can only
+    displace, never reshuffle, the sample; classic seeded sampling
+    reshuffles everything when the row order shifts).
+
+    Scale shape: rank-over-hash per group; at cluster scale the window
+    is a per-group top-K (map-side heaps via the partial TakeOrdered
+    pattern), never a full per-group sort of the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _RESERVOIR_K)
+        .select("lang", "doc_id", F.col("rn").cast("long").alias("sample_rank"))
+    )
+
+
+#: Weighted-sample size (Efraimidis-Spirakis, without replacement).
+_ES_K = 30
+
+#: 2^32 + 1: maps the 8-hex-digit md5 prefix (0..2^32-1) to a uniform
+#: u strictly inside (0, 1) — never 0 (ln(0) = -inf) and never 1
+#: (key 0 for every weight).
+_ES_DEN = 4294967297.0
+
+
+@register(
+    "llm_weighted_sample_docs",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             len({_SQL_TOKENS}) AS n_tokens,
+             list_reduce(
+               list_transform(range(1, 9),
+                 i -> CAST(strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1
+                      AS BIGINT)),
+               (a, b) -> a * 16 + b) AS h
+      FROM documents
+      WHERE len({_SQL_TOKENS}) > 0
+    )
+    SELECT doc_id, lang,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor((-ln((CAST(h AS DOUBLE) + 1) / {_ES_DEN}))
+                      * 1000000 / n_tokens) AS BIGINT) AS key_micro
+    FROM w
+    ORDER BY key_micro, doc_id
+    LIMIT {_ES_K}
+    """,
+)
+def llm_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F23 EXT: WEIGHTED sampling without replacement
+    (Efraimidis-Spirakis): each document draws key = −ln(u)/w with
+    u uniform from its md5 prefix and w = its token count; the _ES_K
+    smallest keys are the sample. This is THE one-pass distributed
+    algorithm for token-weighted selection (P(doc in sample) ∝ tokens,
+    jointly without replacement) — the exact-sampling complement of
+    the systematic PPS operator, deterministic here by deriving u from
+    the content id instead of an RNG stream.
+
+    Exactness: u = (int(md5[0:8]) + 1) / 2^32+1 — exact int → exact
+    double division; ln is libm on BOTH engines (Arrow UDF vs DuckDB
+    ln); the key is floored to integer micro-units with the identical
+    multiply-then-divide order, so ties and ordering agree bitwise.
+    Scale shape: map pass + TakeOrdered(k) — no global sort, no
+    shuffle beyond the K-row result.
+    """
+    ln = _ln_libm()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(_tokens()).alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(_ES_DEN)
+    key = F.floor(
+        (-ln(u)) * F.lit(1_000_000.0) / F.col("n_tokens")
+    ).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            key.alias("key_micro"),
+        )
+        .orderBy("key_micro", "doc_id")
+        .limit(_ES_K)
+    )
+
+
+@register(
+    "llm_source_kl_divergence",
+    oracle=rf"""
+    WITH sw AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c_sw
+      FROM (SELECT source, unnest({_SQL_TOKENS}) AS term FROM documents)
+      GROUP BY source, term
+    ),
+    s AS (SELECT source, SUM(c_sw) AS n_s FROM sw GROUP BY source),
+    wtot AS (SELECT term, SUM(c_sw) AS c_w FROM sw GROUP BY term),
+    tot AS (SELECT SUM(c_sw) AS n FROM sw),
+    term_kl AS (
+      SELECT sw.source, sw.c_sw,
+             CAST(floor(ln(CAST(sw.c_sw * tot.n AS DOUBLE)
+                           / CAST(s.n_s * wtot.c_w AS DOUBLE))
+                        * 1000000) AS BIGINT) AS lr_micro
+      FROM sw JOIN s USING (source) JOIN wtot USING (term), tot
+    )
+    SELECT tk.source,
+           CAST(s.n_s AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(tk.c_sw * tk.lr_micro) AS DOUBLE)
+             / (CAST(s.n_s AS DOUBLE) * 1000000) AS kl_nats
+    FROM term_kl tk JOIN s ON s.source = tk.source
+    GROUP BY tk.source, s.n_s
+    """,
+)
+def llm_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20 EXT: per-source KL DIVERGENCE from the corpus unigram
+    distribution — KL(P_source ‖ P_corpus) in nats, the data-MIXING
+    diagnostic: sources far from the mixture dominate loss early in
+    training and want re-weighting (the DoReMi-style signal); sources
+    near zero add no diversity. Per source also reports token mass and
+    distinct-term usage.
+
+    Exactness: the micro-nat discipline — each term's log-ratio
+    ln((c_sw·N)/(n_s·c_w)) is computed ONCE over the O(sources×vocab)
+    relation (libm ln via the Arrow UDF; integer products are exact in
+    double below 2^53), floored to integer micro-nats; per-source
+    totals are exact int64 sums with ONE double division. Scale shape:
+    ONE token explode builds the (source, term) aggregate and every
+    marginal (n_s, c_w, N) DERIVES from it — never a second corpus
+    scan; the scoring join is term-keyed against the O(vocab) table.
+    """
+    ln = _ln_libm()
+    docs = load_table(spark, sf_dir, "documents")
+    sw = (
+        docs.select("source", F.explode(_tokens()).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c_sw"))
+    )
+    s = sw.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
+    wtot = sw.groupBy("term").agg(F.sum("c_sw").alias("c_w"))
+    tot = sw.agg(F.sum("c_sw").alias("n"))
+    ratio = (F.col("c_sw") * F.col("n")).cast("double") / (
+        F.col("n_s") * F.col("c_w")
+    ).cast("double")
+    term_kl = (
+        sw.join(s, "source")
+        .join(wtot, "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "c_sw",
+            F.floor(ln(ratio) * F.lit(1_000_000.0)).cast("long").alias(
+                "lr_micro"
+            ),
+        )
+    )
+    return (
+        term_kl.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum(F.col("c_sw") * F.col("lr_micro")).alias("s_micro"),
+            F.sum("c_sw").alias("n_s2"),
+        )
+        .select(
+            "source",
+            F.col("n_s2").cast("long").alias("n_tokens"),
+            "n_terms",
+            (
+                F.col("s_micro").cast("double")
+                / (F.col("n_s2").cast("double") * F.lit(1_000_000.0))
+            ).alias("kl_nats"),
+        )
+    )

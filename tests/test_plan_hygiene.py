@@ -45,6 +45,7 @@ _NESTED_LOOP_ALLOWED = {
     "agg_rolling_wau",             # O(days) axis broadcast, range join
     "agg_rfm_segments",            # 1-row recency-anchor (max date) broadcast
     "llm_bigram_surprisal_docs",   # 1-row smoothing-vocabulary (V) broadcast
+    "llm_source_kl_divergence",    # 1-row corpus-total (N) broadcast
 }
 
 #: Queries whose fn() triggers side effects/execution rather than just

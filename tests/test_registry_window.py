@@ -243,6 +243,10 @@ _BORN_IN_OVERFLOW: set[str] = {
     "agg_local_supplier_volume",
     "join_min_cost_supplier",
     "join_lone_late_supplier",
+    "llm_mattr_lexical_diversity",
+    "llm_reservoir_sample_by_lang",
+    "llm_weighted_sample_docs",
+    "llm_source_kl_divergence",
 }
 
 
