@@ -81,3 +81,21 @@ def test_bucketed_join_query_plan_is_exchange_free_up_to_final_agg(spark):
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_q6_every_predicate_reaches_the_scan(spark):
+    """agg_forecast_revenue_change (TPC-H Q6 shape): the whole point is
+    that ALL THREE predicates — ship-date range, discount band,
+    quantity cap — push into the parquet scan, so at scale only row
+    groups whose stats overlap the band are read. The discount band
+    compares decimals (cast column), which Spark cannot push as-is —
+    the date range and the quantity cap must be in PushedFilters and
+    the scan must read only the four referenced columns."""
+    df = plans.QUERIES["agg_forecast_revenue_change"].fn(spark, SF_ORACLE)
+    plan = _plan(df)
+    pushed = next(ln for ln in plan.splitlines() if "PushedFilters" in ln)
+    assert "l_shipdate" in pushed and "l_quantity" in pushed, pushed
+    read = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    for col in ("l_shipdate", "l_quantity", "l_discount", "l_extendedprice"):
+        assert col in read, read
+    assert "l_orderkey" not in read  # column pruning held
