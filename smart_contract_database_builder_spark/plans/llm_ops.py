@@ -6874,17 +6874,37 @@ def llm_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _source_fingerprint(*paths: str) -> str:
+    """Cheap content fingerprint of source parquet files: (size, mtime)
+    per file, hashed. Keying a derived store by row count alone is not
+    enough — a REGENERATED corpus with the same cardinality but
+    different content would silently serve stale derived data; size+
+    mtime changes on any rewrite."""
+    import hashlib
+    import os
+
+    parts = []
+    for p in paths:
+        st = os.stat(p)
+        parts.append(f"{p}:{st.st_size}:{int(st.st_mtime_ns)}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+
+
 def _pq_store_path(sf_dir: str, n_vectors: int) -> str:
-    """Deterministic store location for a corpus: keyed by the sf dir
-    AND the vector count so a regenerated corpus of different size can
-    never silently reuse stale codes."""
+    """Deterministic store location for a corpus: keyed by the sf dir,
+    the vector count AND the source file's size+mtime fingerprint, so
+    neither a resized nor a regenerated-in-place corpus can ever
+    silently reuse stale codes."""
     import os
     import re
     import tempfile
 
     tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
+    fp = _source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
     return os.path.join(
-        tempfile.gettempdir(), "spark_graft_pq_store", f"{tag}_{n_vectors}"
+        tempfile.gettempdir(),
+        "spark_graft_pq_store",
+        f"{tag}_{n_vectors}_{fp}",
     )
 
 

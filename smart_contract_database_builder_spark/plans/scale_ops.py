@@ -131,13 +131,21 @@ def join_hot_key_split_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bucket_store(sf_dir: str) -> tuple[str, str]:
     """(path prefix, table-name tag) for the bucketed layout of one sf
-    dir — tables live outside the repo and carry the sf tag so two sf
-    dirs never collide in the session catalog."""
+    dir — tables live outside the repo and carry the sf tag plus a
+    size+mtime fingerprint of BOTH source tables, so two sf dirs never
+    collide in the session catalog and a regenerated-in-place corpus
+    can never silently reuse stale bucketed files."""
     import os
     import re
     import tempfile
 
-    tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
+    from .llm_ops import _source_fingerprint
+
+    fp = _source_fingerprint(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        os.path.join(sf_dir, "orders.parquet"),
+    )
+    tag = f"{re.sub(r'[^A-Za-z0-9_]+', '_', sf_dir.strip('/'))}_{fp}"
     return (
         os.path.join(tempfile.gettempdir(), "spark_graft_bucketed", tag),
         tag,

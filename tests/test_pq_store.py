@@ -123,3 +123,27 @@ def test_mattr_kernel_matches_definitional_recompute(spark):
             len(set(toks[j : j + w])) for j in range(n - w + 1)
         )
         assert got[i] == expect, (i, got[i], expect)
+
+
+def test_store_key_changes_when_the_source_is_regenerated(tmp_path):
+    """A corpus regenerated IN PLACE (same path, same row count,
+    different bytes/mtime) must map to a DIFFERENT store key — stale
+    codes silently serving a new corpus is the failure mode the
+    fingerprint exists to prevent."""
+    import os
+
+    from smart_contract_database_builder_spark.plans.llm_ops import (
+        _source_fingerprint,
+    )
+
+    src = tmp_path / "embeddings.parquet"
+    src.write_bytes(b"v1-bytes")
+    fp1 = _source_fingerprint(str(src))
+    src.write_bytes(b"v2-bytes-longer")
+    fp2 = _source_fingerprint(str(src))
+    assert fp1 != fp2
+    # same size, different mtime also flips the key (rewrite-in-place)
+    src.write_bytes(b"v3-bytes-longer")
+    os.utime(src, ns=(1, 1))
+    fp3 = _source_fingerprint(str(src))
+    assert fp3 not in (fp1, fp2)
