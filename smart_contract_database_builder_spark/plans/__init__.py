@@ -241,6 +241,7 @@ _OVERFLOW = [
 #: seeds, binary codec stubs) — registered last, beyond the driver
 #: window; their assertions live in pytest.
 _TAIL = [
+    "agg_sketch_rollup_users",
     "agg_approx_distinct_users",
     "llm_approx_top_terms_sketch",
     "agg_percentile_prices_approx",

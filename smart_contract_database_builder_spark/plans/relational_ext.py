@@ -3352,3 +3352,47 @@ def join_lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("s_name").alias("supplier_name"))
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
     )
+
+
+@register("agg_sketch_rollup_users", oracle=None)
+def agg_sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT: SKETCH ALGEBRA rollup (rows-only: Apache DataSketches
+    HLL binary images are engine-internal, so no cross-engine oracle
+    can exist; pinned instead by tests/test_sketch_rollup.py) — the
+    production pattern for distinct-count rollups at 100 TB: persist
+    ONE compact HLL sketch per (day) partition, answer every
+    coarser-grain question (week, month, lifetime) by MERGING sketches
+    — no rescan of the fact data, ever. A daily sketch is ~KB
+    regardless of cardinality; the merge is register-wise max.
+
+    Emits per ISO week: the exact distinct users (small-scale truth),
+    the direct sketch estimate (one pass over the week), and the
+    MERGED estimate (union of that week's daily sketches) — the
+    equality of the last two is the mergeability property the whole
+    pattern rests on, and the test pins it exactly.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.concat_ws(
+            "-", F.year("ts"), F.lpad(F.weekofyear("ts"), 2, "0")
+        ).alias("week"),
+        "user_id",
+    )
+    daily = ev.groupBy("week", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.groupBy("week").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
+    )
+    direct = ev.groupBy("week").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias(
+            "est_direct"
+        ),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return direct.join(merged, "week").select(
+        "week",
+        F.col("exact_users").cast("long").alias("exact_users"),
+        F.col("est_direct").cast("long").alias("est_direct"),
+        F.col("est_merged").cast("long").alias("est_merged"),
+    )
