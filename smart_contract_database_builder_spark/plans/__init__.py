@@ -253,6 +253,7 @@ _TAIL = [
     "llm_multimodal_frame_sampling",
     "stream_stateful_running_totals",
     "stream_true_point_in_time",
+    "stream_true_scd2_closed",
 ]
 
 # A typo'd name here would silently no-op the reorder; fail at import

@@ -571,3 +571,37 @@ def stream_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "px_close",
         "n_events",
     )
+
+
+@register("stream_true_scd2_closed", oracle=None)
+def stream_true_scd2_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 TRUE-RUN twin (rows-only): the SCD2 history build executed
+    as a real stream — ``jobs.scd2_closed_versions``, an
+    ``applyInPandasWithState`` operator with EVENT-TIME TIMEOUTS that
+    buffers change records per key and emits each version the moment
+    the watermark makes its closure FINAL (nothing can arrive below
+    the watermark, so a closed pair below it can never be split by a
+    late record). Open rows never emit — not final on an unbounded
+    stream by definition. Rows-only: a true streaming run is
+    non-SQL-expressible per the driver contract's carve-out; its
+    correctness evidence is the exact equality to the batch
+    ``cdc_scd2_history``'s closed rows below the final watermark
+    (tests/test_streaming_scd2.py — sound everywhere, complete below
+    the watermark, late records dropped not rewritten).
+    """
+    out = jobs.run_to_memory(
+        jobs.scd2_closed_stream(spark, sf_dir),
+        "stream_true_scd2_q",
+        mode="append",
+    )
+    return out.select(
+        "user_id",
+        "op",
+        "value",
+        F.date_format(
+            F.timestamp_micros(F.col("valid_from_us")), _TS_FMT_US
+        ).alias("valid_from"),
+        F.date_format(
+            F.timestamp_micros(F.col("valid_to_us")), _TS_FMT_US
+        ).alias("valid_to"),
+    )

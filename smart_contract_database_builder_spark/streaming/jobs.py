@@ -378,3 +378,108 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str | None = None) -> D
 def _has_aggregate(df: DataFrame) -> bool:
     plan = df._jdf.queryExecution().analyzed().toString()
     return "Aggregate" in plan
+
+
+def scd2_closed_versions(events: DataFrame, delay: str = "1 hour") -> DataFrame:
+    """T-EXT TRUE-STREAMING SCD2 build — the incremental form of the
+    batch ``cdc_scd2_history`` window: each arriving change record
+    buffers in per-key state; a version's ``valid_to`` becomes FINAL
+    only once the watermark passes its successor's event time (below
+    the watermark nothing can insert between two versions, above it a
+    late record still could), at which point the closed version row
+    emits in append mode. Open rows (the key's last version) never
+    emit — they are not final on an unbounded stream by definition,
+    which is exactly the "outer results trail the watermark" semantics
+    of Spark's own stateful operators.
+
+    This is ``applyInPandasWithState`` with EVENT-TIME TIMEOUTS: when
+    a key holds a closable-but-not-yet-final pair, its timeout is set
+    to the successor's timestamp, so the group re-fires — in a
+    no-data micro-batch if need be — as soon as the watermark passes,
+    without waiting for more data on that key. State per key is the
+    buffered not-yet-final version list, bounded by delay × that key's
+    change rate.
+
+    Exactness: versions order by (ts, event_id) — the batch window's
+    exact sort key — and values ride through untouched, so every
+    emitted row equals the batch twin's row bit-for-bit (pinned in
+    tests/test_streaming_scd2.py: sound everywhere, complete below
+    the final watermark).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, op string, value double, "
+        "valid_from_us bigint, valid_to_us bigint"
+    )
+    state_schema = (
+        "ts array<bigint>, eid array<bigint>, "
+        "op array<string>, val array<double>"
+    )
+
+    def update(key, pdfs, state):
+        if state.exists:
+            ts, eid, op, val = state.get
+            buf = [
+                (int(t), int(e), o, float(v))
+                for t, e, o, v in zip(ts, eid, op, val)
+            ]
+        else:
+            buf = []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                micros = pdf["ts"].astype("int64") // 1000
+                for t, e, o, v in zip(
+                    micros, pdf["event_id"], pdf["event_type"], pdf["value"]
+                ):
+                    buf.append((int(t), int(e), str(o), float(v)))
+        buf.sort()
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        out = []
+        # a closed pair (v, next) is FINAL once next.ts < watermark:
+        # nothing can arrive below the watermark, so no record can ever
+        # insert between them and v's valid_to cannot change again
+        while len(buf) >= 2 and buf[1][0] < wm_us:
+            v = buf.pop(0)
+            out.append((key[0], v[2], v[3], v[0], buf[0][0]))
+        if buf:
+            state.update(
+                (
+                    [b[0] for b in buf],
+                    [b[1] for b in buf],
+                    [b[2] for b in buf],
+                    [b[3] for b in buf],
+                )
+            )
+        else:
+            state.remove()
+        if len(buf) >= 2:
+            # re-fire when the watermark passes the earliest pending
+            # successor (must be strictly beyond the current watermark)
+            state.setTimeoutTimestamp(
+                max(buf[1][0] // 1000 + 1, state.getCurrentWatermarkMs() + 1)
+            )
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "op", "value", "valid_from_us", "valid_to_us"],
+        )
+
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def scd2_closed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``scd2_closed_versions`` wired to the unbounded event source —
+    the full event stream is the change stream, exactly as the batch
+    SCD2 build treats it."""
+    return scd2_closed_versions(read_events_stream(spark, sf_dir))

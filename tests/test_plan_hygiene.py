@@ -55,6 +55,7 @@ _SKIP = {
     "stream_true_tumbling_availablenow",  # executes a streaming query
     "stream_true_point_in_time",        # executes a streaming query
     "stream_stateful_running_totals",   # executes a streaming query
+    "stream_true_scd2_closed",          # executes a streaming query
 }
 
 
