@@ -6890,10 +6890,21 @@ def _source_fingerprint(*paths: str) -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
 
 
+#: Encoder-arithmetic version for the persisted PQ store. The written
+#: codes bake in the WHOLE encode pipeline — the fixed-point scale,
+#: the centroid floor rule, the subspace geometry. BUMP THIS whenever
+#: any of `_iscale` / `ivf_quantized_cells` / `_pq_code_m` semantics
+#: change: the store survives across sessions, so without the bump a
+#: code change would silently serve codes written under the OLD
+#: arithmetic while the query side computes with the new one.
+_PQ_CODEC_VERSION = 1
+
+
 def _pq_store_path(sf_dir: str, n_vectors: int) -> str:
     """Deterministic store location for a corpus: keyed by the sf dir,
-    the vector count AND the source file's size+mtime fingerprint, so
-    neither a resized nor a regenerated-in-place corpus can ever
+    the vector count, the source file's size+mtime fingerprint AND the
+    encoder geometry/version, so neither a resized corpus, nor a
+    regenerated-in-place corpus, nor a changed encoder can ever
     silently reuse stale codes."""
     import os
     import re
@@ -6901,10 +6912,11 @@ def _pq_store_path(sf_dir: str, n_vectors: int) -> str:
 
     tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
     fp = _source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    geom = f"v{_PQ_CODEC_VERSION}m{_PQ_M}s{_PQ_SUB}"
     return os.path.join(
         tempfile.gettempdir(),
         "spark_graft_pq_store",
-        f"{tag}_{n_vectors}_{fp}",
+        f"{tag}_{n_vectors}_{fp}_{geom}",
     )
 
 

@@ -3373,8 +3373,15 @@ def agg_sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = _t(spark, sf_dir, "events").select(
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        # ISO week paired with the ISO WEEK-BASED year (YEAROFWEEK),
+        # not the calendar year: Dec 29-31 can belong to week 1 of the
+        # NEXT iso year and Jan 1-3 to week 52/53 of the PREVIOUS one —
+        # calendar-year pairing would merge those into nonexistent
+        # weeks at every year boundary
         F.concat_ws(
-            "-", F.year("ts"), F.lpad(F.weekofyear("ts"), 2, "0")
+            "-",
+            F.expr("extract(YEAROFWEEK FROM ts)"),
+            F.lpad(F.weekofyear("ts"), 2, "0"),
         ).alias("week"),
         "user_id",
     )

@@ -17,12 +17,8 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import dec
 from ..functions.skew import hot_key_split_join, salted_agg
-from ..sources.tables import load_table
 from .registry import register
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
+from .relational_ext import _t
 
 
 @register(
@@ -178,13 +174,20 @@ def join_bucketed_priority_revenue(
     tests/test_bucketing_layout.py). At 100 TB this is the difference
     between re-shuffling 100 TB per query and never re-shuffling it.
 
-    The write runs on first use per sf dir and is reused after (bench
-    reps past the first measure the pure co-located read path). Value
-    neutrality IS the oracle: the registered SQL is the plain join.
+    The write runs on first use per (sf dir, source fingerprint) and
+    is reused after — ACROSS sessions: the files persist while the
+    in-memory catalog entry dies with the session, so a fresh session
+    finding valid files re-ATTACHES them via ``register_bucketed``
+    (the same bucket-spec DDL) instead of rewriting. Value neutrality
+    IS the oracle: the registered SQL is the plain join.
     """
     import os
 
-    from ..sources.bucketing import co_located_join, write_bucketed
+    from ..sources.bucketing import (
+        co_located_join,
+        register_bucketed,
+        write_bucketed,
+    )
 
     base, tag = _bucket_store(sf_dir)
     lt, ot = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
@@ -197,14 +200,14 @@ def join_bucketed_priority_revenue(
     orders = _t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
     )
-    if not (
-        spark.catalog.tableExists(lt)
-        and spark.catalog.tableExists(ot)
-        and os.path.exists(os.path.join(base, "lineitem", "_SUCCESS"))
-        and os.path.exists(os.path.join(base, "orders", "_SUCCESS"))
-    ):
-        write_bucketed(li, lt, "orderkey", 8, os.path.join(base, "lineitem"))
-        write_bucketed(orders, ot, "orderkey", 8, os.path.join(base, "orders"))
+    for table, df, sub in ((lt, li, "lineitem"), (ot, orders, "orders")):
+        path = os.path.join(base, sub)
+        if spark.catalog.tableExists(table):
+            continue
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            register_bucketed(spark, table, "orderkey", 8, path)
+        else:
+            write_bucketed(df, table, "orderkey", 8, path)
     joined = co_located_join(spark, lt, ot, "orderkey")
     return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.sum("disc_price").cast("double").alias("revenue"),

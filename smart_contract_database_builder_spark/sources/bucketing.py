@@ -52,6 +52,31 @@ def write_bucketed(
     )
 
 
+def register_bucketed(
+    spark: SparkSession,
+    table: str,
+    key: str,
+    n_buckets: int,
+    path: str,
+) -> None:
+    """Re-attach an EXISTING bucketed layout to the (in-memory) session
+    catalog: the files survive across sessions, the catalog entry does
+    not — without re-registration every new session would pay the full
+    bucketed rewrite even though valid files sit on disk. The DDL
+    declares the same bucket spec the writer used (the catalog's
+    bucket metadata, not the files, is what lets the planner prove
+    co-partitioning), and the column schema is read from the files
+    themselves so a writer-side schema change can never silently
+    register a mismatched table."""
+    schema = spark.read.parquet(path).schema
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema)
+    spark.sql(
+        f"CREATE TABLE `{table}` ({cols}) USING parquet "
+        f"CLUSTERED BY (`{key}`) SORTED BY (`{key}`) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+    )
+
+
 def co_located_join(
     spark: SparkSession, left_table: str, right_table: str, key: str
 ) -> DataFrame:

@@ -91,40 +91,6 @@ def test_codes_store_layout(spark):
     assert codes.count() == emb.count()
 
 
-def test_mattr_kernel_matches_definitional_recompute(spark):
-    """The O(n) sliding MATTR kernel must equal the definitional
-    O(n·W) recompute (set over every window) on adversarial token
-    sequences: heavy repetition, all-distinct, shorter than the
-    window, and exactly window-sized."""
-    from smart_contract_database_builder_spark.plans.llm_ops import (
-        _MATTR_W,
-        _mattr_pandas,
-    )
-
-    cases = [
-        ["a"] * 100,
-        [f"t{i}" for i in range(100)],
-        ["x", "y", "x"],
-        [f"t{i % 7}" for i in range(_MATTR_W)],
-        [f"t{i % 3}" for i in range(_MATTR_W * 4)],
-        ["lone"],
-    ]
-    df = spark.createDataFrame(
-        [(i, t) for i, t in enumerate(cases)], "id long, t array<string>"
-    )
-    got = {
-        r["id"]: r["s"]
-        for r in df.select("id", _mattr_pandas()("t").alias("s")).collect()
-    }
-    for i, toks in enumerate(cases):
-        n = len(toks)
-        w = min(_MATTR_W, n)
-        expect = sum(
-            len(set(toks[j : j + w])) for j in range(n - w + 1)
-        )
-        assert got[i] == expect, (i, got[i], expect)
-
-
 def test_store_key_changes_when_the_source_is_regenerated(tmp_path):
     """A corpus regenerated IN PLACE (same path, same row count,
     different bytes/mtime) must map to a DIFFERENT store key — stale

@@ -99,3 +99,60 @@ def test_q6_every_predicate_reaches_the_scan(spark):
     for col in ("l_shipdate", "l_quantity", "l_discount", "l_extendedprice"):
         assert col in read, read
     assert "l_orderkey" not in read  # column pruning held
+
+
+def test_mattr_kernel_matches_definitional_recompute(spark):
+    """The O(n) sliding MATTR kernel must equal the definitional
+    O(n·W) recompute (set over every window) on adversarial token
+    sequences: heavy repetition, all-distinct, shorter than the
+    window, and exactly window-sized."""
+    from smart_contract_database_builder_spark.plans.llm_ops import (
+        _MATTR_W,
+        _mattr_pandas,
+    )
+
+    cases = [
+        ["a"] * 100,
+        [f"t{i}" for i in range(100)],
+        ["x", "y", "x"],
+        [f"t{i % 7}" for i in range(_MATTR_W)],
+        [f"t{i % 3}" for i in range(_MATTR_W * 4)],
+        ["lone"],
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "id long, t array<string>"
+    )
+    got = {
+        r["id"]: r["s"]
+        for r in df.select("id", _mattr_pandas()("t").alias("s")).collect()
+    }
+    for i, toks in enumerate(cases):
+        n = len(toks)
+        w = min(_MATTR_W, n)
+        expect = sum(
+            len(set(toks[j : j + w])) for j in range(n - w + 1)
+        )
+        assert got[i] == expect, (i, got[i], expect)
+
+
+def test_bucketed_store_reattaches_across_sessions_without_rewrite(spark):
+    """The bucketed files outlive the in-memory catalog: simulate a
+    fresh session by dropping the catalog entries, re-run the query,
+    and assert the on-disk layout was RE-ATTACHED (file mtimes
+    unchanged — no rewrite) while the plan still proves bucketing."""
+    import os
+
+    from smart_contract_database_builder_spark.plans.scale_ops import (
+        _bucket_store,
+    )
+
+    plans.QUERIES["join_bucketed_priority_revenue"].fn(spark, SF_ORACLE)
+    base, tag = _bucket_store(SF_ORACLE)
+    marker = os.path.join(base, "lineitem", "_SUCCESS")
+    t0 = os.path.getmtime(marker)
+    spark.sql(f"DROP TABLE IF EXISTS bkt_lineitem_{tag}")
+    spark.sql(f"DROP TABLE IF EXISTS bkt_orders_{tag}")
+    df = plans.QUERIES["join_bucketed_priority_revenue"].fn(spark, SF_ORACLE)
+    assert os.path.getmtime(marker) == t0, "files rewritten instead of reused"
+    assert "Bucketed: true" in _plan(df)
+    assert df.count() == 5
