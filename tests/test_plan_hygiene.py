@@ -76,6 +76,44 @@ def test_no_unexpected_cartesian_or_nested_loop(spark, name):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name}: nested-loop join outside the allowlist"
         )
+    # UDFs are the slow path, and ROW-AT-A-TIME Python UDFs the
+    # slowest: every Python boundary in the registry must be
+    # Arrow-batched (ArrowEvalPython / mapInPandas / applyInPandas) —
+    # a bare BatchEvalPython node means a per-row pickle round-trip
+    # crept into a registered plan. BatchEvalPythonUDTF is exempt:
+    # per-row evaluation IS the Python-UDTF operator semantic, and the
+    # one registered UDTF (U8) exists to demonstrate exactly that
+    # surface, with the Catalyst chunker as its scale twin.
+    import re
+
+    assert not re.search(r"BatchEvalPython(?!UDTF)", plan), (
+        f"{name}: row-at-a-time Python UDF in plan"
+    )
+
+
+def test_hot_relational_paths_run_in_whole_stage_codegen(spark):
+    """The scan→filter→project→partial-aggregate spine of the headline
+    relational queries must sit INSIDE WholeStageCodegen spans: these
+    are pure JVM expression pipelines, and an interpreter fallback
+    there (codegen disabled or an unsupported expression splitting the
+    span) would be a silent multi-× regression at 100 TB. AQE hides
+    the '*(n)' markers until the plan is final, so the assertion runs
+    on the EXECUTED plan."""
+    for name in ("agg_pricing_summary", "flagship_revenue_by_region",
+                 "agg_forecast_revenue_change"):
+        df = plans.QUERIES[name].fn(spark, SF_ORACLE)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # AQE's toString appends the UNSTARRED "Initial Plan" section
+        # after the final one — lint only the plan that actually ran
+        plan = plan.split("== Initial Plan ==")[0]
+        # '*(n)' prefixes are how the executed plan marks operators
+        # inside a WholeStageCodegen span
+        assert "*(" in plan, f"{name}: no WholeStageCodegen span at all"
+        ha = [ln for ln in plan.splitlines() if "HashAggregate" in ln]
+        assert ha and all("*(" in ln for ln in ha), (
+            f"{name}: aggregate outside codegen: {ha}"
+        )
 
 
 def test_ngram_jaccard_single_explode_reuse(spark):
