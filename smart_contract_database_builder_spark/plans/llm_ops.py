@@ -7742,6 +7742,13 @@ def llm_mattr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Reservoir size per language for the deterministic hash reservoir.
 _RESERVOIR_K = 20
 
+#: Prefilter over-keep factor: the hash threshold keeps an expected
+#: margin×K docs per group so the exact top-K window ranks a bounded
+#: survivor set instead of the corpus. At 16× the probability of a
+#: group keeping fewer than K survivors is Chernoff-negligible — and
+#: a bust FAILS FAST rather than sampling wrong (see the query).
+_RESERVOIR_MARGIN = 16
+
 
 @register(
     "llm_reservoir_sample_by_lang",
@@ -7770,16 +7777,67 @@ def llm_reservoir_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     displace, never reshuffle, the sample; classic seeded sampling
     reshuffles everything when the row order shifts).
 
-    Scale shape: rank-over-hash per group; at cluster scale the window
-    is a per-group top-K (map-side heaps via the partial TakeOrdered
-    pattern), never a full per-group sort of the corpus.
+    Scale shape — THRESHOLD PREFILTER, not a corpus window: ranking
+    the whole corpus per group would sort every group's rows at the
+    window. Instead, per-group sizes (a tiny broadcast aggregate) set
+    a hash threshold keeping an expected ``_RESERVOIR_MARGIN``×K
+    survivors per group; since ANY ≥K-row subset of smallest-hash
+    candidates provably contains the true top K, the exact window then
+    ranks only the O(K·margin · groups) survivor set. A margin bust
+    (astronomically unlikely at 16×, but "unlikely" is not "never")
+    cannot return a silently-wrong sample: a survivor-count check on
+    the same tiny aggregate FAILS FAST instead (the
+    ``_planes_at_oracle_floor`` discipline). The prefilter itself is a
+    pushed scan predicate — the corpus is read once, never shuffled.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        )
+        .cast("long")
+        .alias("h32"),
     )
+    sizes = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    # keep ~margin×K per group: hash32 < 2^32 · min(1, margin·K/n)
+    bound = F.least(
+        F.lit(4294967296.0),
+        F.lit(4294967296.0)
+        * F.lit(float(_RESERVOIR_MARGIN * _RESERVOIR_K))
+        / F.col("n_docs"),
+    )
+    survivors = docs.join(F.broadcast(sizes), "lang").filter(
+        F.col("h32") < bound
+    )
+    # fail fast if the margin ever busts: fewer than min(K, n) survivors
+    # in any group would make the window's top-K incomplete. Anchored
+    # on the SIZES side: a group whose every doc was filtered out has
+    # no survivor row at all, and a survivor-side check would silently
+    # miss exactly the worst bust.
+    short = (
+        sizes.join(
+            survivors.groupBy("lang").agg(F.count(F.lit(1)).alias("n_surv")),
+            "lang",
+            "left",
+        )
+        .filter(
+            F.coalesce(F.col("n_surv"), F.lit(0))
+            < F.least(F.lit(_RESERVOIR_K), F.col("n_docs"))
+        )
+        .collect()
+    )
+    if short:
+        raise ValueError(
+            "hash-reservoir prefilter margin busted for groups "
+            f"{[r['lang'] for r in short]}: raise _RESERVOIR_MARGIN"
+        )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
     return (
-        docs.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        survivors.select(
+            "lang", "doc_id", F.row_number().over(w).alias("rn")
+        )
         .filter(F.col("rn") <= _RESERVOIR_K)
         .select("lang", "doc_id", F.col("rn").cast("long").alias("sample_rank"))
     )

@@ -156,3 +156,16 @@ def test_bucketed_store_reattaches_across_sessions_without_rewrite(spark):
     assert os.path.getmtime(marker) == t0, "files rewritten instead of reused"
     assert "Bucketed: true" in _plan(df)
     assert df.count() == 5
+
+
+def test_reservoir_prefilter_fails_fast_when_margin_busts(spark, monkeypatch):
+    """The hash-reservoir prefilter must never sample silently wrong:
+    force a margin bust (threshold far too tight to keep K survivors)
+    and assert the loud failure path fires."""
+    import pytest
+
+    from smart_contract_database_builder_spark.plans import llm_ops
+
+    monkeypatch.setattr(llm_ops, "_RESERVOIR_MARGIN", 0.001)
+    with pytest.raises(ValueError, match="margin busted"):
+        llm_ops.llm_reservoir_sample_by_lang(spark, SF_ORACLE)
