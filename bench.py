@@ -193,6 +193,8 @@ HEADLINE = [
     "llm_reservoir_sample_by_lang",
     "llm_weighted_sample_docs",
     "llm_source_kl_divergence",
+    # round-9 graph-family completion
+    "llm_kcore_candidates",
 ]
 
 

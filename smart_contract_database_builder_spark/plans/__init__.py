@@ -120,6 +120,7 @@ _OVERFLOW = [
     "llm_reservoir_sample_by_lang",
     "llm_weighted_sample_docs",
     "llm_source_kl_divergence",
+    "llm_kcore_candidates",
     "llm_minhash_lsh_pairs",
     "stream_tumbling_window_counts",
     "ref_sink_roundtrip",

@@ -8002,3 +8002,137 @@ def llm_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kl_nats"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition on the candidate graph (graph family completion)
+# ---------------------------------------------------------------------------
+
+#: k-core threshold and unrolled peel rounds. Peeling converges in at
+#: most diameter-ish rounds on the bucket-local candidate graphs LSH
+#: emits; both engines run EXACTLY _KCORE_ROUNDS rounds (the oracle
+#: CTEs are generated from the same constant) and the fixpoint-reached
+#: property is pinned separately in pytest, so parity can never hinge
+#: on a convergence-detection difference.
+_KCORE_K = 2
+_KCORE_ROUNDS = 8
+
+
+def _sql_kcore_round(i: int) -> str:
+    """One unrolled peel round (DuckDB): degrees within the surviving
+    subgraph, then drop nodes under _KCORE_K. Every CTE here is
+    ``MATERIALIZED``: ``alive{{i-1}}`` is referenced TWICE per round,
+    so letting DuckDB inline it would re-expand the entire upstream
+    pipeline 2^rounds times — materialization is what keeps the
+    unrolled oracle linear in rounds (the Spark side's
+    ``localCheckpoint`` plays the same role)."""
+    return f"""
+    deg{i} AS MATERIALIZED (
+      SELECT e.src AS doc_id, CAST(COUNT(*) AS BIGINT) AS d
+      FROM edges e
+      JOIN alive{i - 1} a ON a.doc_id = e.src
+      JOIN alive{i - 1} b ON b.doc_id = e.dst
+      GROUP BY e.src
+    ),
+    alive{i} AS MATERIALIZED (
+      SELECT doc_id FROM deg{i} WHERE d >= {_KCORE_K}
+    )"""
+
+
+@register(
+    "llm_kcore_candidates",
+    oracle=rf"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_sql_word_ngrams("t")}) AS s
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+    ),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(md5('{i}|' || s)) AS m{i}" for i in range(_N_HASHES))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(m{2*b} || m{2*b+1}) AS key FROM sig"
+        for b in range(_N_HASHES // _BAND_ROWS)
+      )}
+    ),
+    bsz AS (
+      SELECT band_idx, key FROM bands
+      GROUP BY band_idx, key
+      HAVING COUNT(*) BETWEEN 2 AND {_LSH_BUCKET_CAP}
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bsz USING (band_idx, key)
+      JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key
+                  AND a.doc_id < b.doc_id
+    ),
+    edges AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM cand
+    ),
+    alive0 AS MATERIALIZED (
+      SELECT DISTINCT src AS doc_id FROM edges
+    ),
+    {",".join(_sql_kcore_round(i) for i in range(1, _KCORE_ROUNDS + 1))}
+    SELECT doc_id, d AS core_degree
+    FROM deg{_KCORE_ROUNDS}
+    WHERE d >= {_KCORE_K}
+    """,
+)
+def llm_kcore_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-EXT: K-CORE decomposition of the LSH candidate graph — the
+    maximal subgraph where every doc keeps ≥ ``_KCORE_K`` near-dup
+    neighbors after iteratively PEELING lower-degree nodes. The fourth
+    graph lens after components (membership), triangles (local
+    cliques) and PageRank (global hubs): the k-core is the DENSE
+    TEMPLATE CORE — boilerplate families so heavily duplicated that
+    removing their fringe still leaves a mutually-connected mass —
+    the highest-confidence "strip the template" set, robust to the
+    one-off chains that inflate raw degree.
+
+    Cross-engine exactness: peeling is pure integer degree counting;
+    both engines run EXACTLY ``_KCORE_ROUNDS`` unrolled rounds from
+    the same constant (the k-means/PageRank generated-oracle
+    discipline) and fixpoint-by-then is pinned in pytest, so parity
+    never hinges on convergence detection. Scale shape: edges come
+    from the SAME bucket-capped candidate generator as the dedup
+    family (degree bounded by the cap — which also bounds peel rounds:
+    degrees only shrink); each round is two node-keyed LEFT SEMI joins
+    + one hash agg on the O(edges) relation, localCheckpoint-ed so the
+    plan stays flat.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
+    cand = minhash_candidate_pairs(toked).select("doc_a", "doc_b")
+    edges = (
+        cand.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            cand.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    alive = edges.select(F.col("src").alias("doc_id")).distinct()
+    deg = None
+    for i in range(_KCORE_ROUNDS):
+        deg = (
+            edges.join(
+                alive.select(F.col("doc_id").alias("src")), "src", "left_semi"
+            )
+            .join(
+                alive.select(F.col("doc_id").alias("dst")), "dst", "left_semi"
+            )
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        )
+        alive = deg.filter(F.col("d") >= _KCORE_K).select("doc_id")
+        if i < _KCORE_ROUNDS - 1:
+            alive = alive.localCheckpoint(eager=True)
+    return deg.filter(F.col("d") >= _KCORE_K).select(
+        "doc_id", F.col("d").alias("core_degree")
+    )

@@ -247,6 +247,7 @@ _BORN_IN_OVERFLOW: set[str] = {
     "llm_reservoir_sample_by_lang",
     "llm_weighted_sample_docs",
     "llm_source_kl_divergence",
+    "llm_kcore_candidates",
 }
 
 

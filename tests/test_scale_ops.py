@@ -169,3 +169,37 @@ def test_reservoir_prefilter_fails_fast_when_margin_busts(spark, monkeypatch):
     monkeypatch.setattr(llm_ops, "_RESERVOIR_MARGIN", 0.001)
     with pytest.raises(ValueError, match="margin busted"):
         llm_ops.llm_reservoir_sample_by_lang(spark, SF_ORACLE)
+
+
+def test_kcore_matches_peel_to_fixpoint_recompute(spark):
+    """Definitional recompute for llm_kcore_candidates: peel the LSH
+    candidate graph in pure Python until a TRUE fixpoint (no round
+    limit) and require the surviving (doc_id, degree) set to match the
+    query EXACTLY. This pins both the peel arithmetic and the
+    convergence claim — if _KCORE_ROUNDS unrolled rounds were ever too
+    few for the fixpoint, the degree sets would diverge here before
+    any oracle could notice (the oracle runs the same round count)."""
+    from smart_contract_database_builder_spark.plans.llm_ops import _KCORE_K
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in plans.QUERIES["llm_minhash_lsh_pairs"].fn(
+            spark, SF_ORACLE
+        ).collect()
+    ]
+    adj: dict[str, set[str]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        keep = {n for n in alive if len(adj[n] & alive) >= _KCORE_K}
+        if keep == alive:
+            break
+        alive = keep
+    expected = {n: len(adj[n] & alive) for n in alive}
+
+    rows = plans.QUERIES["llm_kcore_candidates"].fn(spark, SF_ORACLE).collect()
+    got = {r["doc_id"]: r["core_degree"] for r in rows}
+    assert got == expected
+    assert all(d >= _KCORE_K for d in got.values())
