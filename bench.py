@@ -195,6 +195,8 @@ HEADLINE = [
     "llm_source_kl_divergence",
     # round-9 graph-family completion
     "llm_kcore_candidates",
+    # round-9 write-time band store (dedup twin of the encoded ANN store)
+    "llm_minhash_lsh_pairs_stored",
 ]
 
 

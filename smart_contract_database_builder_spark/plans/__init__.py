@@ -121,6 +121,7 @@ _OVERFLOW = [
     "llm_weighted_sample_docs",
     "llm_source_kl_divergence",
     "llm_kcore_candidates",
+    "llm_minhash_lsh_pairs_stored",
     "llm_minhash_lsh_pairs",
     "stream_tumbling_window_counts",
     "ref_sink_roundtrip",

@@ -779,7 +779,18 @@ def minhash_candidate_pairs_from_shingles(
     equals MIN over the raw multiset, so either relation is a valid
     input.
     """
-    bands = minhash_bands(sh)
+    return candidate_pairs_from_bands(minhash_bands(sh), bucket_cap)
+
+
+def candidate_pairs_from_bands(
+    bands: DataFrame, bucket_cap: int = _LSH_BUCKET_CAP
+) -> DataFrame:
+    """Bucket-capped pair expansion from a (doc_id, band_idx, key)
+    banded relation — the shared second stage of the query-time
+    generator and the write-time band store's read path
+    (``llm_minhash_lsh_pairs_stored``). When ``bands`` is a catalog
+    table bucketed on (band_idx, key), the groupBy here is
+    exchange-free (the catalog proves the partitioning)."""
     buckets = (
         bands.groupBy("band_idx", "key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
@@ -7015,6 +7026,86 @@ def llm_ivfpq_encoded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("approx_d2", "vec_id")
         .limit(10)
     )
+
+
+#: Band-store codec version: the stored bands bake in the WHOLE
+#: signature pipeline — tokenizer, shingle width, `_N_HASHES` seeds,
+#: band geometry. BUMP whenever any of `_tokens` / `_word_ngrams` /
+#: `minhash_bands` semantics change, for the same reason as
+#: `_PQ_CODEC_VERSION`: the store survives across sessions, so
+#: without the bump a code change would silently pair against bands
+#: written under the OLD pipeline.
+_MINHASH_CODEC_VERSION = 1
+
+
+def _minhash_store(sf_dir: str) -> tuple[str, str]:
+    """Deterministic band-store location + catalog tag for a corpus:
+    keyed by the sf dir, the documents file's size+mtime fingerprint,
+    and the signature geometry/version — a regenerated corpus or a
+    changed pipeline can never silently reuse stale bands."""
+    import os
+    import re
+    import tempfile
+
+    tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
+    fp = _source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    geom = f"v{_MINHASH_CODEC_VERSION}h{_N_HASHES}r{_BAND_ROWS}"
+    full = f"{tag}_{fp}_{geom}"
+    return (
+        os.path.join(tempfile.gettempdir(), "spark_graft_minhash_store", full),
+        full,
+    )
+
+
+@register(
+    "llm_minhash_lsh_pairs_stored",
+    oracle=QUERIES["llm_minhash_lsh_pairs"].oracle,
+)
+def llm_minhash_lsh_pairs_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 production layout — MinHash-LSH candidate pairs over the
+    WRITE-TIME BAND STORE (``sources/minhash_store.py``), the dedup
+    twin of ``llm_ivfpq_encoded_topk``: the corpus-wide
+    tokenize→shingle→minhash signature pass (the dominant cost of
+    every dedup query at 100 TB) runs ONCE at ingest, persisted as a
+    catalog table bucketed on (band_idx, key). The read path then
+
+    - never touches ``documents.parquet`` (each stored row is 3 short
+      strings, not the text), and
+    - assembles buckets with an EXCHANGE-FREE groupBy — the bucketed
+      layout pre-paid the shuffle, so the only exchange left in the
+      whole query is the final pair-count aggregate on the candidate
+      pairs themselves (both pinned in tests/test_minhash_store.py).
+
+    The store is built on first use per (sf dir, corpus fingerprint,
+    codec version) and re-ATTACHED — not rewritten — by later
+    sessions that find valid files. Exactness: the writer runs the
+    same ``minhash_bands`` expressions as the query-time form, so
+    this returns bit-identical pairs and reuses
+    ``llm_minhash_lsh_pairs``'s oracle unchanged — write-time banding
+    is a physical-layout change, not a semantic one.
+    """
+    import os
+
+    from ..sources.minhash_store import (
+        attach_minhash_bands,
+        write_minhash_bands,
+    )
+
+    base, tag = _minhash_store(sf_dir)
+    table = f"mh_bands_{tag}"
+    if not spark.catalog.tableExists(table):
+        if os.path.exists(os.path.join(base, "_SUCCESS")):
+            attach_minhash_bands(spark, table, base)
+        else:
+            docs = load_table(spark, sf_dir, "documents")
+            toked = fan_out_if_narrow(
+                docs.select("doc_id", _tokens().alias("t"))
+            )
+            sh = toked.select(
+                "doc_id", F.explode(_word_ngrams(F.col("t"))).alias("s")
+            )
+            write_minhash_bands(minhash_bands(sh), table, base)
+    return candidate_pairs_from_bands(spark.table(table))
 
 
 #: v2 curation: documents must sit inside this Flesch band (drops both

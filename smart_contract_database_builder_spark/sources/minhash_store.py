@@ -1,0 +1,70 @@
+"""Write-time MinHash band store — the production layout for the
+near-dup family, the dedup twin of ``pq_store.py``.
+
+``llm_minhash_lsh_pairs`` tokenizes, shingles and min-hashes the WHOLE
+corpus per query — at 100 TB that signature pass (a corpus-wide
+explode + 8-way MIN aggregate) dominates every dedup query, and every
+query in the family (pairs, clustering, representatives, incremental
+admission) repeats it on the same unchanged corpus. In the production
+layout the signature pass runs ONCE at ingest:
+
+- the ``(doc_id, band_idx, key)`` banded relation is persisted as a
+  catalog table ``bucketBy(n, band_idx, key)`` — the SHUFFLE, not
+  just the compute, is paid at write time: the read path's
+  ``groupBy(band_idx, key)`` (bucket assembly) is exchange-free
+  because the catalog proves the partitioning, so a candidate-pair
+  query over the store moves only the candidate pairs themselves.
+- each stored row is 3 short strings, not the document text — the
+  read path never touches ``documents.parquet`` at all.
+
+The stored bands are BIT-IDENTICAL to the query-time pipeline's (same
+``minhash_bands`` expressions write them), so a read-path query
+returns exactly ``llm_minhash_lsh_pairs``'s answer and reuses its
+DuckDB oracle unchanged — write-time banding is a physical-layout
+change, not a semantic one.
+
+Like ``bucketing.py``, the files survive the session while the
+catalog entry does not: a fresh session finding valid files
+re-ATTACHES them with the same bucket-spec DDL instead of rewriting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Fixed at write time — it IS the physical layout. Both the writer
+#: and the re-attach DDL must agree; pick for target scale as in
+#: bucketing.py (buckets ~ table_bytes / 128 MiB).
+_BAND_BUCKETS = 8
+
+
+def write_minhash_bands(bands: DataFrame, table: str, path: str) -> None:
+    """Persist the (doc_id, band_idx, key) banded relation as a
+    bucketed+sorted catalog table at ``path``. The pre-write
+    ``repartition`` aligns tasks with buckets (the small-files
+    discipline of ``write_bucketed``)."""
+    (
+        bands.repartition(_BAND_BUCKETS, F.col("band_idx"), F.col("key"))
+        .write.format("parquet")
+        .bucketBy(_BAND_BUCKETS, "band_idx", "key")
+        .sortBy("band_idx", "key")
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+
+
+def attach_minhash_bands(spark: SparkSession, table: str, path: str) -> None:
+    """Re-attach an existing band store to the session catalog with
+    the same bucket spec the writer used (the catalog's bucket
+    metadata is what lets the planner drop the groupBy exchange).
+    Schema is read from the files so a writer-side change can never
+    register a mismatched table."""
+    schema = spark.read.parquet(path).schema
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema)
+    spark.sql(
+        f"CREATE TABLE `{table}` ({cols}) USING parquet "
+        f"CLUSTERED BY (`band_idx`, `key`) SORTED BY (`band_idx`, `key`) "
+        f"INTO {_BAND_BUCKETS} BUCKETS LOCATION '{path}'"
+    )

@@ -248,6 +248,7 @@ _BORN_IN_OVERFLOW: set[str] = {
     "llm_weighted_sample_docs",
     "llm_source_kl_divergence",
     "llm_kcore_candidates",
+    "llm_minhash_lsh_pairs_stored",
 }
 
 
