@@ -197,6 +197,9 @@ HEADLINE = [
     "llm_kcore_candidates",
     # round-9 write-time band store (dedup twin of the encoded ANN store)
     "llm_minhash_lsh_pairs_stored",
+    # round-9 leakage-aware split (dedup family composed into the
+    # train/val/test decision)
+    "llm_train_split_leakage_aware",
 ]
 
 

@@ -122,6 +122,7 @@ _OVERFLOW = [
     "llm_source_kl_divergence",
     "llm_kcore_candidates",
     "llm_minhash_lsh_pairs_stored",
+    "llm_train_split_leakage_aware",
     "llm_minhash_lsh_pairs",
     "stream_tumbling_window_counts",
     "ref_sink_roundtrip",

@@ -8227,3 +8227,152 @@ def llm_kcore_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.filter(F.col("d") >= _KCORE_K).select(
         "doc_id", F.col("d").alias("core_degree")
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-aware train/val/test split (dedup family composed into the
+# one decision every training pipeline ships)
+# ---------------------------------------------------------------------------
+
+#: Hash-prefix thresholds for the ~80/10/10 split: a doc's GROUP key
+#: (near-dup cluster id, or its own id for singletons) hashes once,
+#: and the 4-hex-char prefix sorts against these. String thresholds on
+#: md5 hex are engine-portable with no integer parsing (the
+#: llm_mix_sample_by_lang discipline): 'cccc'/'10000' = .7999…,
+#: 'e666'/'10000' = .8999….
+_SPLIT_THR_TRAIN = "cccc"
+_SPLIT_THR_VAL = "e666"
+
+
+def leakage_aware_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level (doc_id, lang, n_chars, cluster_key, split) relation
+    behind ``llm_train_split_leakage_aware``: every document is
+    assigned train/val/test by hashing its near-dup CLUSTER id (its
+    own id if it has no candidate pair), so two near-duplicate
+    documents can never land in different splits — the split is a
+    pure function of the cluster key. Exposed separately so the
+    leakage property is testable at doc granularity
+    (tests/test_leakage_split.py joins the candidate pairs against
+    this and asserts zero straddlers)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
+    pairs = minhash_candidate_pairs(toked).select("doc_a", "doc_b")
+    comp = connected_components(pairs).select(
+        F.col("doc").alias("doc_id"), "cluster_id"
+    )
+    keyed = docs.select("doc_id", "lang", "n_chars").join(
+        comp, "doc_id", "left"
+    )
+    ck = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    h4 = F.substring(F.md5(ck.cast("string")), 1, 4)
+    return keyed.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        ck.alias("cluster_key"),
+        F.when(h4 < _SPLIT_THR_TRAIN, F.lit("train"))
+        .when(h4 < _SPLIT_THR_VAL, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+@register(
+    "llm_train_split_leakage_aware",
+    oracle=rf"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, unnest({_sql_word_ngrams("t")}) AS s
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+    ),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(md5('{i}|' || s)) AS m{i}" for i in range(_N_HASHES))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(m{2*b} || m{2*b+1}) AS key FROM sig"
+        for b in range(_N_HASHES // _BAND_ROWS)
+      )}
+    ),
+    bsz AS (
+      SELECT band_idx, key FROM bands
+      GROUP BY band_idx, key
+      HAVING COUNT(*) BETWEEN 2 AND {_LSH_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bsz USING (band_idx, key)
+      JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key
+                  AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM cand
+      UNION ALL
+      SELECT doc_b, doc_a FROM cand
+    ),
+    reach(a, b) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b
+    ),
+    comp AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+      FROM reach GROUP BY a
+    ),
+    keyed AS (
+      SELECT d.doc_id, d.lang, d.n_chars,
+             COALESCE(c.cluster_id, d.doc_id) AS cluster_key
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    assigned AS (
+      SELECT lang, n_chars, cluster_key,
+             CASE
+               WHEN substr(md5(CAST(cluster_key AS VARCHAR)), 1, 4)
+                    < '{_SPLIT_THR_TRAIN}' THEN 'train'
+               WHEN substr(md5(CAST(cluster_key AS VARCHAR)), 1, 4)
+                    < '{_SPLIT_THR_VAL}' THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM keyed
+    )
+    SELECT split, lang,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT cluster_key) AS n_clusters,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM assigned
+    GROUP BY split, lang
+    """,
+)
+def llm_train_split_leakage_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/J6/J7 composed into the decision every training pipeline
+    ships: a LEAKAGE-AWARE train/val/test split. Random or
+    hash-of-doc-id splits leak — near-duplicate documents straddle
+    train and test, and the held-out loss silently measures
+    memorization. Here the split is assigned by hashing the near-dup
+    CLUSTER id (connected components over the banded-MinHash candidate
+    graph; a doc's own id if it has no candidate pair), so the split
+    is a pure function of the cluster key and near-duplicates can
+    NEVER straddle splits — the pair-level zero-straddler property is
+    pinned at doc granularity in tests/test_leakage_split.py.
+
+    Determinism: hash thresholds on md5 hex prefixes (the
+    llm_mix_sample_by_lang discipline) — reproducible across runs,
+    engines, partition counts and cluster sizes, and STABLE under
+    corpus growth for unchanged clusters (a new doc reassigns only
+    the clusters it merges). Scale shape: the candidate generator and
+    CC are the production bucketed/bounded plans; the split itself
+    adds one LEFT join against the O(docs-with-pairs) component
+    relation and a pure map-side hash — no new shuffle hazard. The
+    report aggregates per (split, lang) for a stable driver row.
+    """
+    return (
+        leakage_aware_split_docs(spark, sf_dir)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_key").alias("n_clusters"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )

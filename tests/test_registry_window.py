@@ -249,6 +249,7 @@ _BORN_IN_OVERFLOW: set[str] = {
     "llm_source_kl_divergence",
     "llm_kcore_candidates",
     "llm_minhash_lsh_pairs_stored",
+    "llm_train_split_leakage_aware",
 }
 
 
