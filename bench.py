@@ -200,6 +200,8 @@ HEADLINE = [
     # round-9 leakage-aware split (dedup family composed into the
     # train/val/test decision)
     "llm_train_split_leakage_aware",
+    # round-9 distributed X^T X (PCA/whitening building block)
+    "llm_embedding_covariance",
 ]
 
 

@@ -123,6 +123,7 @@ _OVERFLOW = [
     "llm_kcore_candidates",
     "llm_minhash_lsh_pairs_stored",
     "llm_train_split_leakage_aware",
+    "llm_embedding_covariance",
     "llm_minhash_lsh_pairs",
     "stream_tumbling_window_counts",
     "ref_sink_roundtrip",

@@ -8376,3 +8376,153 @@ def llm_train_split_leakage_aware(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("n_chars").cast("long").alias("n_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding covariance / correlation matrix (distributed X^T X — the
+# PCA / whitening building block)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_embedding_covariance",
+    oracle=rf"""
+    WITH x AS (
+      SELECT vec_id, i - 1 AS i, {_SQL_ISCALE.format(v="e")} AS xi
+      FROM (
+        SELECT vec_id, unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+      )
+    ),
+    p AS (
+      SELECT a.i AS i, b.i AS j, SUM(a.xi * b.xi) AS pp
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2
+    ),
+    s AS (SELECT i, SUM(xi) AS s, COUNT(*) AS n FROM x GROUP BY i),
+    c AS (
+      SELECT p.i, p.j,
+             (CAST(pp AS DOUBLE) / si.n
+              - (CAST(si.s AS DOUBLE) * CAST(sj.s AS DOUBLE))
+                / (CAST(si.n AS DOUBLE) * CAST(si.n AS DOUBLE)))
+             / 1000000000000.0 AS cov
+      FROM p
+      JOIN s si ON si.i = p.i
+      JOIN s sj ON sj.i = p.j
+    )
+    SELECT c.i, c.j, c.cov,
+           c.cov / (sqrt(vi.cov) * sqrt(vj.cov)) AS corr
+    FROM c
+    JOIN c vi ON vi.i = c.i AND vi.j = c.i
+    JOIN c vj ON vj.i = c.j AND vj.j = c.j
+    """,
+)
+def llm_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5-adjacent EXT: the upper-triangle COVARIANCE and CORRELATION
+    matrix of the embedding corpus — distributed X^T X, the building
+    block behind PCA, ZCA whitening and Mahalanobis outlier scoring of
+    an embedding table. Correlated dimensions mean wasted capacity and
+    distance distortion; the whitening transform starts exactly here.
+
+    Scale shape (the part that matters at 10⁹ vectors): QUANTIZATION
+    stays a JVM expression (``_iscale`` per element — the exact
+    decimal-cast semantics the oracle shares; numpy's banker's
+    rounding must never substitute for it), and the Gram work runs as
+    an Arrow-batched ``mapInPandas`` kernel: each batch contributes
+    ONE exact int64 ``X^T X`` matmul (BLAS-shaped, not D² scalar
+    expressions) plus per-dim sums, emitting ≤ D(D+1)/2 + D partial
+    rows per batch — the shuffle moves O(batches · D²) tiny rows,
+    never O(n · D²), and the reduce is a hash aggregate over exact
+    integer partials (addition order free). The explode formulation
+    this replaced measured 6× the kernel's time at the 10× probe —
+    the same finding as MATTR/SimHash: per-element Catalyst
+    expressions lose to one vectorized kernel when the per-row work
+    is a dense numeric loop. Final joins are against 64-row
+    relations. Exactness: fixed-point ``_FP`` products summed as
+    int64 (exact; < 2^53 through sf0.1 so the int→double conversion
+    is lossless, and correctly rounded identically on both engines
+    beyond), then ONE shared division order for cov and corr on both
+    sides. Int64 partials hold to ~10⁹ rows at unit-norm embeddings;
+    past that, widen the partial sums to DECIMAL(38,0) at the
+    aggregate (same plan shape).
+    """
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = emb.select(
+        F.transform("embedding", lambda c: _iscale(c)).alias("sv")
+    )
+
+    def gram_partials(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["sv"].tolist(), dtype=np.int64)
+            d = X.shape[1]
+            g = X.T @ X
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype(np.int64),
+                    "j": ju.astype(np.int64),
+                    "pp": g[iu, ju],
+                    "n": np.zeros(len(iu), dtype=np.int64),
+                }
+            )
+            yield pd.DataFrame(
+                {
+                    "i": np.arange(d, dtype=np.int64),
+                    "j": np.full(d, -1, dtype=np.int64),
+                    "pp": X.sum(axis=0),
+                    "n": np.full(d, len(X), dtype=np.int64),
+                }
+            )
+
+    partials = vec.mapInPandas(
+        gram_partials, "i long, j long, pp long, n long"
+    )
+    prod = (
+        partials.filter(F.col("j") >= 0)
+        .groupBy("i", "j")
+        .agg(F.sum("pp").alias("pp"))
+    )
+    sums = (
+        partials.filter(F.col("j") == -1)
+        .groupBy("i")
+        .agg(F.sum("pp").alias("s"), F.sum("n").alias("n"))
+    )
+    si = sums.select(
+        F.col("i"), F.col("s").alias("s_i"), F.col("n").alias("n")
+    )
+    sj = sums.select(F.col("i").alias("j"), F.col("s").alias("s_j"))
+    cov = (
+        (
+            F.col("pp").cast("double") / F.col("n")
+            - (F.col("s_i").cast("double") * F.col("s_j").cast("double"))
+            / (F.col("n").cast("double") * F.col("n").cast("double"))
+        )
+        / F.lit(1000000000000.0)
+    )
+    cm = (
+        prod.join(si, "i")
+        .join(sj, "j")
+        .select("i", "j", cov.alias("cov"))
+    )
+    var = cm.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("d"), F.col("cov").alias("v")
+    )
+    return (
+        cm.join(var.select(F.col("d").alias("i"), F.col("v").alias("v_i")), "i")
+        .join(var.select(F.col("d").alias("j"), F.col("v").alias("v_j")), "j")
+        .select(
+            "i",
+            "j",
+            "cov",
+            (
+                F.col("cov") / (F.sqrt("v_i") * F.sqrt("v_j"))
+            ).alias("corr"),
+        )
+    )

@@ -250,6 +250,7 @@ _BORN_IN_OVERFLOW: set[str] = {
     "llm_kcore_candidates",
     "llm_minhash_lsh_pairs_stored",
     "llm_train_split_leakage_aware",
+    "llm_embedding_covariance",
 }
 
 

@@ -203,3 +203,40 @@ def test_kcore_matches_peel_to_fixpoint_recompute(spark):
     got = {r["doc_id"]: r["core_degree"] for r in rows}
     assert got == expected
     assert all(d >= _KCORE_K for d in got.values())
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    """Independent recompute: the fixed-point covariance/correlation
+    must agree with numpy's float64 covariance (population, ddof=0) to
+    quantization tolerance — this pins the SEMANTICS (centering,
+    normalization, triangle indexing) independently of the shared
+    cross-engine formula."""
+    import numpy as np
+
+    from smart_contract_database_builder_spark.sources.tables import (
+        load_table,
+    )
+
+    X = np.array(
+        [
+            r["embedding"]
+            for r in load_table(spark, SF_ORACLE, "embeddings")
+            .orderBy("vec_id")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    # mirror the engine's 1e-6 quantization so tolerance is tight
+    Xq = np.round(X, 6)
+    C = np.cov(Xq, rowvar=False, ddof=0)
+    R = C / np.sqrt(np.outer(np.diag(C), np.diag(C)))
+
+    rows = plans.QUERIES["llm_embedding_covariance"].fn(spark, SF_ORACLE).collect()
+    d = X.shape[1]
+    assert len(rows) == d * (d + 1) // 2
+    for r in rows:
+        assert r["i"] <= r["j"]
+        assert abs(r["cov"] - C[r["i"], r["j"]]) < 1e-9
+        assert abs(r["corr"] - R[r["i"], r["j"]]) < 1e-9
+    diag = {r["i"]: r["corr"] for r in rows if r["i"] == r["j"]}
+    assert all(abs(v - 1.0) < 1e-12 for v in diag.values())
