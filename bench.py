@@ -202,6 +202,7 @@ HEADLINE = [
     "llm_train_split_leakage_aware",
     # round-9 distributed X^T X (PCA/whitening building block)
     "llm_embedding_covariance",
+    "llm_embedding_mahalanobis",
 ]
 
 

@@ -258,6 +258,7 @@ _TAIL = [
     "stream_stateful_running_totals",
     "stream_true_point_in_time",
     "stream_true_scd2_closed",
+    "llm_embedding_mahalanobis",
 ]
 
 # A typo'd name here would silently no-op the reorder; fail at import

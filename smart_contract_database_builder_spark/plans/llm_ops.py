@@ -8384,6 +8384,63 @@ def llm_train_split_leakage_aware(spark: SparkSession, sf_dir: str) -> DataFrame
 # ---------------------------------------------------------------------------
 
 
+def gram_moment_relations(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Exact second/first-moment relations of the embedding corpus —
+    the shared engine of ``llm_embedding_covariance`` (full matrix
+    out) and ``llm_embedding_mahalanobis`` (moments in, inverse on
+    the driver): quantization is the JVM ``_iscale`` expression, then
+    each Arrow batch contributes ONE exact int64 ``X^T X`` matmul and
+    per-dim sums, emitting ≤ D(D+1)/2 + D partial rows per batch.
+    Returns ``(prod, sums)``: the upper-triangle product sums
+    (i, j, pp) and the per-dim (i, s, n)."""
+
+    vec = emb.select(
+        F.transform("embedding", lambda c: _iscale(c)).alias("sv")
+    )
+
+    def gram_partials(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["sv"].tolist(), dtype=np.int64)
+            d = X.shape[1]
+            g = X.T @ X
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype(np.int64),
+                    "j": ju.astype(np.int64),
+                    "pp": g[iu, ju],
+                    "n": np.zeros(len(iu), dtype=np.int64),
+                }
+            )
+            yield pd.DataFrame(
+                {
+                    "i": np.arange(d, dtype=np.int64),
+                    "j": np.full(d, -1, dtype=np.int64),
+                    "pp": X.sum(axis=0),
+                    "n": np.full(d, len(X), dtype=np.int64),
+                }
+            )
+
+    partials = vec.mapInPandas(
+        gram_partials, "i long, j long, pp long, n long"
+    )
+    prod = (
+        partials.filter(F.col("j") >= 0)
+        .groupBy("i", "j")
+        .agg(F.sum("pp").alias("pp"))
+    )
+    sums = (
+        partials.filter(F.col("j") == -1)
+        .groupBy("i")
+        .agg(F.sum("pp").alias("s"), F.sum("n").alias("n"))
+    )
+    return prod, sums
+
+
 @register(
     "llm_embedding_covariance",
     oracle=rf"""
@@ -8447,53 +8504,8 @@ def llm_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     past that, widen the partial sums to DECIMAL(38,0) at the
     aggregate (same plan shape).
     """
-    import pandas as pd
-
     emb = load_table(spark, sf_dir, "embeddings")
-    vec = emb.select(
-        F.transform("embedding", lambda c: _iscale(c)).alias("sv")
-    )
-
-    def gram_partials(batches):
-        import numpy as np
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = np.array(pdf["sv"].tolist(), dtype=np.int64)
-            d = X.shape[1]
-            g = X.T @ X
-            iu, ju = np.triu_indices(d)
-            yield pd.DataFrame(
-                {
-                    "i": iu.astype(np.int64),
-                    "j": ju.astype(np.int64),
-                    "pp": g[iu, ju],
-                    "n": np.zeros(len(iu), dtype=np.int64),
-                }
-            )
-            yield pd.DataFrame(
-                {
-                    "i": np.arange(d, dtype=np.int64),
-                    "j": np.full(d, -1, dtype=np.int64),
-                    "pp": X.sum(axis=0),
-                    "n": np.full(d, len(X), dtype=np.int64),
-                }
-            )
-
-    partials = vec.mapInPandas(
-        gram_partials, "i long, j long, pp long, n long"
-    )
-    prod = (
-        partials.filter(F.col("j") >= 0)
-        .groupBy("i", "j")
-        .agg(F.sum("pp").alias("pp"))
-    )
-    sums = (
-        partials.filter(F.col("j") == -1)
-        .groupBy("i")
-        .agg(F.sum("pp").alias("s"), F.sum("n").alias("n"))
-    )
+    prod, sums = gram_moment_relations(emb)
     si = sums.select(
         F.col("i"), F.col("s").alias("s_i"), F.col("n").alias("n")
     )
@@ -8526,3 +8538,71 @@ def llm_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("corr"),
         )
     )
+
+
+#: Mahalanobis scoring: ridge added to the covariance diagonal before
+#: inversion (guards rank deficiency when n < D or dimensions are
+#: collinear), and the outlier-report size.
+_MAHA_RIDGE = 1e-9
+_MAHA_TOPK = 20
+
+
+@register("llm_embedding_mahalanobis", oracle=None)
+def llm_embedding_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F57's consumer: MAHALANOBIS outlier scoring of the embedding
+    table — distance under the corpus's own covariance geometry,
+    which catches outliers that Euclidean distance misses when
+    dimensions are correlated (the standard embedding-QA screen
+    before ANN indexing or SemDeDup: mis-embedded rows, truncation
+    artifacts, wrong-modality strays score far from the mass).
+
+    Rows-only by necessity: the score needs C⁻¹, and a matrix inverse
+    is not SQL-expressible — correctness is pinned instead by a full
+    numpy recompute (tests/test_scale_ops.py) plus determinism across
+    invocations. Scale shape: moments come from the shared exact-int64
+    Arrow matmul (``gram_moment_relations``); the driver collects only
+    the O(D²) aggregated moment rows (the bounded-action pattern of
+    the IVF-PQ probe-cell pick — D=64 ⇒ 2,144 rows regardless of
+    corpus size), inverts the D×D matrix once, and ships (μ, C⁻¹)
+    into a second Arrow kernel whose per-batch work is two (B×D)·
+    (D×D) matmuls — the corpus is scanned twice and shuffled never
+    (the final TakeOrdered moves ``_MAHA_TOPK`` rows).
+    """
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    prod, sums = gram_moment_relations(emb)
+    mom = {(r["i"], r["j"]): r["pp"] for r in prod.collect()}
+    svec = {r["i"]: (r["s"], r["n"]) for r in sums.collect()}
+    d = len(svec)
+    n = svec[0][1]
+    s = np.array([svec[i][0] for i in range(d)], dtype=np.float64)
+    c = np.zeros((d, d), dtype=np.float64)
+    for (i, j), pp in mom.items():
+        v = (pp / n - (s[i] * s[j]) / (n * n)) / 1e12
+        c[i, j] = v
+        c[j, i] = v
+    mu = s / n / 1e6
+    cinv = np.linalg.inv(c + _MAHA_RIDGE * np.eye(d))
+
+    def maha_scores(batches):
+        import numpy as np  # noqa: F811 — executor-side import
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            Y = X - mu
+            m2 = np.einsum("ij,ij->i", Y @ cinv, Y)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "m2": m2,
+                }
+            )
+
+    scored = emb.select("vec_id", "label", "embedding").mapInPandas(
+        maha_scores, "vec_id long, label int, m2 double"
+    )
+    return scored.orderBy(F.desc("m2"), "vec_id").limit(_MAHA_TOPK)

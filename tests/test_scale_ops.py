@@ -240,3 +240,46 @@ def test_embedding_covariance_matches_numpy(spark):
         assert abs(r["corr"] - R[r["i"], r["j"]]) < 1e-9
     diag = {r["i"]: r["corr"] for r in rows if r["i"] == r["j"]}
     assert all(abs(v - 1.0) < 1e-12 for v in diag.values())
+
+
+def test_mahalanobis_matches_numpy_recompute(spark):
+    """Full independent recompute of llm_embedding_mahalanobis: build
+    the quantized covariance, ridge-regularize, invert, and score all
+    vectors in numpy; the query's top-K (ids AND scores) must agree to
+    float tolerance, and two invocations must agree exactly."""
+    import numpy as np
+
+    from smart_contract_database_builder_spark.plans.llm_ops import (
+        _MAHA_RIDGE,
+        _MAHA_TOPK,
+    )
+    from smart_contract_database_builder_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = (
+        load_table(spark, SF_ORACLE, "embeddings").orderBy("vec_id").collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Xq = np.round(X, 6)
+    C = np.cov(Xq, rowvar=False, ddof=0)
+    mu = Xq.mean(axis=0)
+    cinv = np.linalg.inv(C + _MAHA_RIDGE * np.eye(X.shape[1]))
+    Y = X - mu
+    m2 = np.einsum("ij,ij->i", Y @ cinv, Y)
+    order = np.lexsort((ids, -m2))[:_MAHA_TOPK]
+    expected = {int(ids[k]): m2[k] for k in order}
+
+    got = plans.QUERIES["llm_embedding_mahalanobis"].fn(spark, SF_ORACLE).collect()
+    assert len(got) == _MAHA_TOPK
+    assert [r["vec_id"] for r in got] == [int(ids[k]) for k in order]
+    for r in got:
+        assert abs(r["m2"] - expected[r["vec_id"]]) < 1e-6 * max(
+            1.0, abs(expected[r["vec_id"]])
+        )
+
+    again = plans.QUERIES["llm_embedding_mahalanobis"].fn(spark, SF_ORACLE).collect()
+    assert [(r["vec_id"], r["m2"]) for r in got] == [
+        (r["vec_id"], r["m2"]) for r in again
+    ]
