@@ -6916,17 +6916,20 @@ def _pq_store_path(sf_dir: str, n_vectors: int) -> str:
     the vector count, the source file's size+mtime fingerprint AND the
     encoder geometry/version, so neither a resized corpus, nor a
     regenerated-in-place corpus, nor a changed encoder can ever
-    silently reuse stale codes."""
+    silently reuse stale codes. Rooted in the per-user 0700 store
+    root (``sources/store_root.py``) so no other local user can plant
+    a pre-built store at a predictable path."""
     import os
     import re
-    import tempfile
+
+    from ..sources.store_root import store_root
 
     tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
     fp = _source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
     geom = f"v{_PQ_CODEC_VERSION}m{_PQ_M}s{_PQ_SUB}"
     return os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_pq_store",
+        store_root(),
+        "pq_store",
         f"{tag}_{n_vectors}_{fp}_{geom}",
     )
 
@@ -6958,9 +6961,8 @@ def llm_ivfpq_encoded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle is llm_ivfpq_topk's UNCHANGED — write-time encoding is
     a physical-layout change, not a semantic one.
     """
-    import os
-
     from ..sources.pq_store import (
+        pq_store_complete,
         read_pq_cells,
         read_pq_codes,
         write_pq_encoded,
@@ -6968,7 +6970,10 @@ def llm_ivfpq_encoded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     store = _pq_store_path(sf_dir, emb.count())
-    if not os.path.exists(os.path.join(store, "codes", "_SUCCESS")):
+    # gate on the store-level DONE marker (written after BOTH tables),
+    # not a per-table _SUCCESS: a build interrupted between the two
+    # writes must fail the gate and rebuild, never persist half-built
+    if not pq_store_complete(store):
         write_pq_encoded(emb, store)
 
     packed = read_pq_cells(spark, store).agg(
@@ -7045,14 +7050,15 @@ def _minhash_store(sf_dir: str) -> tuple[str, str]:
     changed pipeline can never silently reuse stale bands."""
     import os
     import re
-    import tempfile
+
+    from ..sources.store_root import store_root
 
     tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
     fp = _source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
     geom = f"v{_MINHASH_CODEC_VERSION}h{_N_HASHES}r{_BAND_ROWS}"
     full = f"{tag}_{fp}_{geom}"
     return (
-        os.path.join(tempfile.gettempdir(), "spark_graft_minhash_store", full),
+        os.path.join(store_root(), "minhash_store", full),
         full,
     )
 
@@ -8209,8 +8215,20 @@ def llm_kcore_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     alive = edges.select(F.col("src").alias("doc_id")).distinct()
+    # Convergence is OBSERVED, not assumed (the CC fail-fast
+    # discipline): each round's survivor count is compared with the
+    # previous round's — equal counts mean the round peeled nothing,
+    # and since degrees only shrink when nodes drop, that IS the
+    # fixpoint (remaining unrolled rounds are no-ops on both engines,
+    # so breaking early is result-identical). If all _KCORE_ROUNDS
+    # rounds run and the LAST one still removed nodes — a chain-heavy
+    # graph peeling one layer per round — the true k-core needs more
+    # rounds than the oracle unrolls, and silently returning the
+    # superset would pass driver parity while both engines are wrong;
+    # fail loudly instead.
     deg = None
-    for i in range(_KCORE_ROUNDS):
+    prev_n = None
+    for _ in range(_KCORE_ROUNDS):
         deg = (
             edges.join(
                 alive.select(F.col("doc_id").alias("src")), "src", "left_semi"
@@ -8221,9 +8239,23 @@ def llm_kcore_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.count(F.lit(1)).cast("long").alias("d"))
         )
-        alive = deg.filter(F.col("d") >= _KCORE_K).select("doc_id")
-        if i < _KCORE_ROUNDS - 1:
-            alive = alive.localCheckpoint(eager=True)
+        alive = (
+            deg.filter(F.col("d") >= _KCORE_K)
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+        n = alive.count()
+        if prev_n is not None and n == prev_n:
+            break
+        prev_n = n
+    else:
+        raise RuntimeError(
+            f"k-core peel did not converge in {_KCORE_ROUNDS} rounds "
+            f"(last round still removed nodes: {prev_n} -> {n} "
+            "survivors); the unrolled-round oracle would agree on a "
+            "SUPERSET of the true k-core — raise _KCORE_ROUNDS (and "
+            "regenerate the oracle from it) for this graph topology"
+        )
     return deg.filter(F.col("d") >= _KCORE_K).select(
         "doc_id", F.col("d").alias("core_degree")
     )

@@ -125,25 +125,42 @@ def join_hot_key_split_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Bucketed-layout codec version: the stored tables bake in DERIVED
+#: values (``disc_price = l_extendedprice * (1 - l_discount)`` under
+#: ``dec()`` decimal semantics) plus the projected column set and the
+#: bucket spec. BUMP whenever ``dec()`` semantics, the projected
+#: expressions, or the bucket count/key change — the files survive
+#: across sessions, so without the bump a code change would silently
+#: serve values derived under the OLD arithmetic (the same failure
+#: mode ``_PQ_CODEC_VERSION`` / ``_MINHASH_CODEC_VERSION`` close for
+#: their stores).
+_BUCKET_CODEC_VERSION = 1
+
+
 def _bucket_store(sf_dir: str) -> tuple[str, str]:
     """(path prefix, table-name tag) for the bucketed layout of one sf
-    dir — tables live outside the repo and carry the sf tag plus a
-    size+mtime fingerprint of BOTH source tables, so two sf dirs never
-    collide in the session catalog and a regenerated-in-place corpus
-    can never silently reuse stale bucketed files."""
+    dir — tables live in the per-user store root and carry the sf tag,
+    a size+mtime fingerprint of BOTH source tables, AND the layout
+    codec version, so two sf dirs never collide in the session
+    catalog, a regenerated-in-place corpus can never silently reuse
+    stale bucketed files, and a change to the derivation arithmetic
+    can never silently serve values computed under the old rules."""
     import os
     import re
-    import tempfile
 
+    from ..sources.store_root import store_root
     from .llm_ops import _source_fingerprint
 
     fp = _source_fingerprint(
         os.path.join(sf_dir, "lineitem.parquet"),
         os.path.join(sf_dir, "orders.parquet"),
     )
-    tag = f"{re.sub(r'[^A-Za-z0-9_]+', '_', sf_dir.strip('/'))}_{fp}"
+    tag = (
+        f"{re.sub(r'[^A-Za-z0-9_]+', '_', sf_dir.strip('/'))}"
+        f"_{fp}_v{_BUCKET_CODEC_VERSION}"
+    )
     return (
-        os.path.join(tempfile.gettempdir(), "spark_graft_bucketed", tag),
+        os.path.join(store_root(), "bucketed", tag),
         tag,
     )
 

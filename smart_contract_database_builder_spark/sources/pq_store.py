@@ -77,13 +77,32 @@ def write_pq_encoded(emb: DataFrame, path: str) -> None:
         "cell",
         *[_pq_code_m(F.col("sv"), m).alias(f"c{m}") for m in range(_PQ_M)],
     )
+    # cells/ BEFORE codes/, and a store-level DONE marker after both:
+    # the reuse gate keys on the marker, so a build interrupted between
+    # any two writes leaves a store that fails the gate and is rebuilt
+    # (mode=overwrite heals partial leftovers) instead of persisting
+    # forever with a missing table.
+    cells.write.mode("overwrite").parquet(f"{path}/cells")
     (
         codes.repartition("cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{path}/codes")
     )
-    cells.write.mode("overwrite").parquet(f"{path}/cells")
+    import os
+
+    with open(os.path.join(path, "_STORE_COMPLETE"), "w") as fh:
+        fh.write("cells+codes\n")
+
+
+def pq_store_complete(path: str) -> bool:
+    """True iff a prior ``write_pq_encoded`` ran to completion — the
+    store-level DONE marker is written strictly after BOTH tables, so
+    a crash mid-build can never leave a store that passes this gate
+    with a missing or partial table."""
+    import os
+
+    return os.path.exists(os.path.join(path, "_STORE_COMPLETE"))
 
 
 def read_pq_codes(spark: SparkSession, path: str) -> DataFrame:

@@ -1,0 +1,58 @@
+"""Per-user root directory for cross-session derived stores.
+
+The engine persists derived layouts across sessions — the bucketed
+fact tables (``sources/bucketing.py``), the IVF-PQ encoded store
+(``sources/pq_store.py``), the MinHash band store
+(``sources/minhash_store.py``) and the near-dup component store. A
+world-shared location under ``tempfile.gettempdir()`` would let any
+other local user PRE-CREATE a store path with planted parquet +
+``_SUCCESS`` markers: the fingerprint is embedded in the path, never
+re-verified against content, so the query would trust planted rows as
+answers. Rooting every store in a per-user 0700 directory (ownership
+and permissions VERIFIED, not assumed, on every resolve) closes that
+hole without changing any store's keying discipline.
+
+``SPARK_GRAFT_STORE_ROOT`` overrides the location (e.g. to point at
+cluster-local scratch or a shared team cache on hosts where that is
+the right trade); the ownership/permission check still runs unless
+the override is used, since an explicit root is an explicit trust
+decision.
+"""
+
+from __future__ import annotations
+
+import os
+import stat
+import tempfile
+
+
+def store_root() -> str:
+    """Resolve (creating if needed) the per-user derived-store root.
+
+    Default: ``<tmpdir>/spark_graft_stores_<uid>`` created with mode
+    0700. Refuses to use a directory owned by another uid or writable
+    by group/other — a pre-created path fails loudly instead of
+    silently serving planted store files.
+    """
+    override = os.environ.get("SPARK_GRAFT_STORE_ROOT")
+    if override:
+        os.makedirs(override, exist_ok=True)
+        return override
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stores_{os.getuid()}"
+    )
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    st = os.stat(root)
+    if st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"derived-store root {root} is owned by uid {st.st_uid}, "
+            f"not the current user ({os.getuid()}) — refusing to trust "
+            "a directory another user controls"
+        )
+    if st.st_mode & (stat.S_IWGRP | stat.S_IWOTH):
+        raise RuntimeError(
+            f"derived-store root {root} is group/other-writable "
+            f"(mode {oct(st.st_mode & 0o777)}) — refusing: another "
+            "user could plant store files"
+        )
+    return root

@@ -1,0 +1,66 @@
+"""Derived-store security + completeness guarantees (r9 ADVICE).
+
+Covers sources/store_root.py (per-user 0700 root, ownership verified
+— a predictable world-shared path would let another local user plant
+a pre-built store the fingerprinted path would trust) and the PQ
+store's interrupted-build healing (the reuse gate keys on a DONE
+marker written strictly after both tables, so a crash between the
+cells/ and codes/ writes can never persist a half-built store).
+"""
+
+from __future__ import annotations
+
+import os
+import stat
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from smart_contract_database_builder_spark.sources.store_root import store_root
+from smart_contract_database_builder_spark.sources.pq_store import (
+    pq_store_complete,
+)
+
+
+def test_store_root_is_per_user_and_private():
+    root = store_root()
+    st = os.stat(root)
+    assert st.st_uid == os.getuid()
+    assert not (st.st_mode & (stat.S_IWGRP | stat.S_IWOTH)), oct(st.st_mode)
+    assert str(os.getuid()) in os.path.basename(root)
+
+
+def test_store_root_env_override(tmp_path, monkeypatch):
+    override = str(tmp_path / "custom_root")
+    monkeypatch.setenv("SPARK_GRAFT_STORE_ROOT", override)
+    assert store_root() == override
+    assert os.path.isdir(override)
+
+
+def test_store_root_refuses_other_writable(tmp_path, monkeypatch):
+    """A pre-created group/other-writable root must be refused — that
+    is exactly the planted-store scenario."""
+    import tempfile
+    import unittest.mock as mock
+
+    bad_tmp = str(tmp_path)
+    with mock.patch.object(tempfile, "gettempdir", return_value=bad_tmp):
+        root = os.path.join(bad_tmp, f"spark_graft_stores_{os.getuid()}")
+        os.makedirs(root, mode=0o700)
+        os.chmod(root, 0o777)
+        with pytest.raises(RuntimeError, match="writable"):
+            store_root()
+
+
+def test_pq_store_gate_requires_done_marker(tmp_path):
+    """A store left by an interrupted build — per-table _SUCCESS
+    present but no store-level DONE marker — must FAIL the reuse gate
+    (the r9 half-built-store hazard: codes/ written, cells/ missing)."""
+    store = str(tmp_path / "store")
+    os.makedirs(os.path.join(store, "codes"))
+    open(os.path.join(store, "codes", "_SUCCESS"), "w").close()
+    assert not pq_store_complete(store)
+    open(os.path.join(store, "_STORE_COMPLETE"), "w").close()
+    assert pq_store_complete(store)
