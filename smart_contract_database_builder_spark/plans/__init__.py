@@ -24,42 +24,105 @@ from . import llm_ops  # noqa: E402,F401
 from . import scale_ops  # noqa: E402,F401
 from . import streaming_batch  # noqa: E402,F401
 
-#: Queries the driver window must cover first. ROUND-9 ROTATION
-#: (VERDICT r8 "Next round #1" — clear the backlog COMPLETELY): the
-#: window's 50 slots hold the 36 queries that had NEVER earned a
-#: driver CORRECTNESS row (the 13 round-8-born + the 23 round-7-born,
-#: exactly tests/test_registry_window.py's former _BORN_IN_OVERFLOW
-#: set) behind 14 witnesses. The witnesses pin every query whose PLAN
-#: CODE CHANGED this round inside the window — connected-components
-#: escalation (both neardup cluster queries), the ANN oracle-floor
-#: guard (hyperplane buckets / bucketed cosine pairs / recall report),
-#: the 64-bit SimHash producer — plus the four ROUND-9-BORN queries
-#: (write-time-encoded IVF-PQ, salted aggregation, hot-key split join,
-#: bucketed co-located join), and one standing witness each for core
-#: relational, the reference family, true streaming, and exact dedup.
-#: (llm_simhash_hamming_pairs, llm_pagerank_candidates,
-#: llm_bigram_surprisal_docs and window_session_stats_batch also
-#: changed this round — they are already in the backlog block below.)
+#: Queries the driver window must cover first. ROUND-11 ROTATION
+#: (VERDICT r9+r10 "Next round #1", two rounds owed): the window's 50
+#: slots hold the 12 round-9-born queries that never earned a driver
+#: CORRECTNESS row, behind witnesses for every plan whose CODE CHANGED
+#: in r10 or this round — the store-root/codec-version hardening
+#: (IVF-PQ encoded store, bucketed join) and the round-11 S21
+#: band-store + shared cluster-store adoption across the whole dedup
+#: graph/verify family — plus one standing witness each for core
+#: relational, the reference family, true streaming, and exact dedup,
+#: and freshness fillers re-earning rows for the r4/r5-evidence era.
 #: Everything rotated out is driver-green in some CORRECTNESS_r*.json
 #: with plan code unchanged since, and stays under the pytest oracle
 #: sweep (tests/test_oracle_parity.py, exact-match at sf0.01).
 _PRIORITY = [
-    # --- witnesses: changed-plan + round-9-born + standing family ---
+    # --- ROUND-11 ROTATION, part 1: the 12 round-9-born queries that
+    # sat in _OVERFLOW through r10 (VERDICT r9+r10 "Next round #1",
+    # two rounds owed) — each earns its first driver CORRECTNESS row
+    # this round ---
+    "agg_forecast_revenue_change",
+    "agg_local_supplier_volume",
+    "join_min_cost_supplier",
+    "join_lone_late_supplier",
+    "llm_kcore_candidates",
+    "llm_mattr_lexical_diversity",
+    "llm_reservoir_sample_by_lang",
+    "llm_weighted_sample_docs",
+    "llm_source_kl_divergence",
+    "llm_train_split_leakage_aware",
+    "llm_embedding_covariance",
+    "llm_minhash_lsh_pairs_stored",
+    # --- changed-plan witnesses: store-root/codec-version r10 changes
+    # touch the read paths of the two store-backed queries; the S21
+    # band-store adoption + shared near-dup cluster store (this round)
+    # change every plan in the dedup graph/verify family ---
+    "llm_ivfpq_encoded_topk",
+    "join_bucketed_priority_revenue",
+    "llm_minhash_lsh_pairs",
     "llm_neardup_clusters",
     "llm_embedding_neardup_clusters",
-    "llm_ann_hyperplane_buckets",
-    "llm_ann_bucketed_cosine_pairs",
-    "llm_ann_recall_report",
-    "llm_simhash_documents",
-    "llm_ivfpq_encoded_topk",
-    "agg_skewed_revenue_salted",
-    "join_hot_key_split_revenue",
-    "join_bucketed_priority_revenue",
+    "llm_cluster_best_representative",
+    "llm_triangle_counts",
+    "llm_pagerank_candidates",
+    "llm_containment_pairs",
+    "llm_edit_distance_pairs",
+    "llm_minhash_estimate_calibration",
+    "llm_incremental_neardup",
+    # --- standing family witnesses: core relational, reference
+    # family, true streaming, exact dedup ---
     "flagship_revenue_by_region",
     "ref_extract_functions",
     "stream_true_tumbling_availablenow",
     "llm_exact_dedup_documents",
-    # --- never driver-sampled: round-8-born ---
+    # --- freshness fillers: the queries whose newest driver evidence
+    # is oldest (r4/r5) re-earn current-round rows; replaced by
+    # round-11-born queries if operators are added this round ---
+    "filter_point_lookup",
+    "filter_type_predicate",
+    "filter_suffix_predicate",
+    "join_semi_anti_customers",
+    "agg_distinct_counts",
+    "agg_grouping_shapes",
+    "window_top3_orders_per_customer",
+    "window_running_revenue_by_date",
+    "window_lag_lead_first_last",
+    "window_rank_variants",
+    "topk_orders_by_price",
+    "set_ops_customer_keys",
+    "scalar_date_parts_orders",
+    "scalar_math_lineitem",
+    "scalar_map_explode_props",
+    "llm_cosine_topk_bruteforce",
+    "llm_tfidf_top_terms",
+    "stream_sliding_window_avg",
+    "stream_session_windows",
+    "llm_repetition_signals",
+    "llm_mix_sample_by_lang",
+    "llm_pii_redaction",
+]
+
+#: Oracle-CARRYING queries deliberately registered just past the
+#: driver's 50-query window (it is full): their oracles still run in
+#: pytest (tests/test_oracle_parity.py sweeps every oracle at sf0.01),
+#: they just lose the per-round driver row. Grow this list consciously
+#: — whatever sits here trades driver-visible correctness evidence for
+#: a slot. After the round-9 FULL rotation the never-driver-sampled
+#: backlog is EMPTY: every query below is driver-green in some
+#: CORRECTNESS_r*.json artifact with plan code unchanged since.
+_OVERFLOW = [
+    # Every query here is driver-green in some CORRECTNESS_r*.json
+    # artifact (pinned by tests/test_registry_window.py) and stays
+    # under the pytest oracle sweep (tests/test_oracle_parity.py,
+    # exact-match at sf0.01). After the round-11 rotation the
+    # never-driver-sampled backlog is EMPTY.
+    "llm_ann_hyperplane_buckets",
+    "llm_ann_bucketed_cosine_pairs",
+    "llm_ann_recall_report",
+    "llm_simhash_documents",
+    "agg_skewed_revenue_salted",
+    "join_hot_key_split_revenue",
     "agg_returned_items_report",
     "agg_cross_nation_volume",
     "agg_market_share_by_year",
@@ -73,13 +136,11 @@ _PRIORITY = [
     "agg_rfm_segments",
     "window_session_stats_batch",
     "llm_bigram_surprisal_docs",
-    # --- never driver-sampled: round-7-born ---
     "llm_zipf_slope_report",
     "llm_bpe_train_merges",
     "llm_bpe_segment_vocab",
     "llm_langid_confusion_matrix",
     "window_rolling_7day_revenue",
-    "llm_pagerank_candidates",
     "stream_hourly_ohlc",
     "agg_idle_rich_customers",
     "join_excess_quantity_suppliers",
@@ -91,45 +152,15 @@ _PRIORITY = [
     "window_seasonal_naive_mape",
     "agg_weekday_seasonality",
     "llm_curriculum_order",
-    "llm_incremental_neardup",
     "llm_simhash_hamming_pairs",
     "agg_rolling_wau",
     "llm_winnow_collisions",
     "llm_kmeans_purity",
     "agg_nation_revenue_yoy",
-]
-
-#: Oracle-CARRYING queries deliberately registered just past the
-#: driver's 50-query window (it is full): their oracles still run in
-#: pytest (tests/test_oracle_parity.py sweeps every oracle at sf0.01),
-#: they just lose the per-round driver row. Grow this list consciously
-#: — whatever sits here trades driver-visible correctness evidence for
-#: a slot. After the round-9 FULL rotation the never-driver-sampled
-#: backlog is EMPTY: every query below is driver-green in some
-#: CORRECTNESS_r*.json artifact with plan code unchanged since.
-_OVERFLOW = [
-    # round-9-born AFTER the window was finalized (the TPC-H
-    # shape-completion set Q2/Q5/Q6/Q21 and the sampling/diversity/
-    # mixing batch): pytest-oracle-swept now, rotate into the window
-    # in round 10
-    "agg_forecast_revenue_change",
-    "agg_local_supplier_volume",
-    "join_min_cost_supplier",
-    "join_lone_late_supplier",
-    "llm_mattr_lexical_diversity",
-    "llm_reservoir_sample_by_lang",
-    "llm_weighted_sample_docs",
-    "llm_source_kl_divergence",
-    "llm_kcore_candidates",
-    "llm_minhash_lsh_pairs_stored",
-    "llm_train_split_leakage_aware",
-    "llm_embedding_covariance",
-    "llm_minhash_lsh_pairs",
     "stream_tumbling_window_counts",
     "ref_sink_roundtrip",
     "llm_hybrid_rrf_fusion",
     "ref_ingest_folder_contracts",
-    "llm_triangle_counts",
     "llm_pmi_collocations",
     "agg_retention_cohorts",
     "llm_kmeans_lloyd",
@@ -145,9 +176,7 @@ _OVERFLOW = [
     "agg_data_quality_report",
     "llm_bm25_batch_topk",
     "llm_decontaminate_multi",
-    "llm_containment_pairs",
     "llm_interleave_by_source",
-    "llm_cluster_best_representative",
     "llm_corpus_length_report",
     "llm_pps_sample_by_tokens",
     "cdc_scd2_history",
@@ -161,7 +190,6 @@ _OVERFLOW = [
     "agg_mad_outliers",
     "scalar_gapfill_daily_revenue",
     "agg_ohlc_daily_value",
-    "llm_edit_distance_pairs",
     "llm_ngram_novelty",
     "llm_semdedup_representatives",
     "llm_mode_token_by_lang",
@@ -190,7 +218,6 @@ _OVERFLOW = [
     "llm_bigram_lm_top",
     "llm_dedup_rate_by_source",
     "llm_heavy_hitters",
-    "llm_minhash_estimate_calibration",
     "agg_pricing_summary",
     "join_order_customer_nation",
     "scalar_json_props_events",
@@ -215,29 +242,7 @@ _OVERFLOW = [
     "ref_abi_signature_render",
     "llm_langid_stopword",
     "join_range_event_pairs",
-    "llm_cosine_topk_bruteforce",
-    "llm_tfidf_top_terms",
-    "stream_sliding_window_avg",
-    "stream_session_windows",
-    "scalar_map_explode_props",
-    "llm_repetition_signals",
-    "llm_mix_sample_by_lang",
     "llm_vocab_coverage",
-    "llm_pii_redaction",
-    "filter_point_lookup",
-    "filter_type_predicate",
-    "filter_suffix_predicate",
-    "join_semi_anti_customers",
-    "agg_distinct_counts",
-    "agg_grouping_shapes",
-    "window_top3_orders_per_customer",
-    "window_running_revenue_by_date",
-    "window_lag_lead_first_last",
-    "window_rank_variants",
-    "topk_orders_by_price",
-    "set_ops_customer_keys",
-    "scalar_date_parts_orders",
-    "scalar_math_lineitem",
 ]
 
 #: Genuinely rows-only queries (no cross-engine oracle can exist:

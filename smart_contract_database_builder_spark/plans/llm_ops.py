@@ -8220,25 +8220,36 @@ def llm_kcore_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # previous round's — equal counts mean the round peeled nothing,
     # and since degrees only shrink when nodes drop, that IS the
     # fixpoint (remaining unrolled rounds are no-ops on both engines,
-    # so breaking early is result-identical). If all _KCORE_ROUNDS
-    # rounds run and the LAST one still removed nodes — a chain-heavy
-    # graph peeling one layer per round — the true k-core needs more
-    # rounds than the oracle unrolls, and silently returning the
-    # superset would pass driver parity while both engines are wrong;
-    # fail loudly instead.
-    deg = None
-    prev_n = None
-    for _ in range(_KCORE_ROUNDS):
-        deg = (
+    # so breaking early is result-identical). A graph may also
+    # converge EXACTLY at round _KCORE_ROUNDS — the final round removes
+    # nodes and a further round would remove none; that is a correct,
+    # oracle-matching result, so loop exhaustion triggers one extra
+    # VERIFICATION degree pass rather than an unconditional failure.
+    # Only if that verification round would still peel nodes does the
+    # oracle's unrolled-round count genuinely undershoot the true
+    # k-core (both engines agree on a SUPERSET) — fail loudly then.
+
+    def _degree_pass(alive_df: DataFrame) -> DataFrame:
+        return (
             edges.join(
-                alive.select(F.col("doc_id").alias("src")), "src", "left_semi"
+                alive_df.select(F.col("doc_id").alias("src")),
+                "src",
+                "left_semi",
             )
             .join(
-                alive.select(F.col("doc_id").alias("dst")), "dst", "left_semi"
+                alive_df.select(F.col("doc_id").alias("dst")),
+                "dst",
+                "left_semi",
             )
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.count(F.lit(1)).cast("long").alias("d"))
         )
+
+    deg = None
+    prev_n = None
+    n = None
+    for _ in range(_KCORE_ROUNDS):
+        deg = _degree_pass(alive)
         alive = (
             deg.filter(F.col("d") >= _KCORE_K)
             .select("doc_id")
@@ -8249,13 +8260,19 @@ def llm_kcore_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_n = n
     else:
-        raise RuntimeError(
-            f"k-core peel did not converge in {_KCORE_ROUNDS} rounds "
-            f"(last round still removed nodes: {prev_n} -> {n} "
-            "survivors); the unrolled-round oracle would agree on a "
-            "SUPERSET of the true k-core — raise _KCORE_ROUNDS (and "
-            "regenerate the oracle from it) for this graph topology"
+        n_verify = (
+            _degree_pass(alive).filter(F.col("d") >= _KCORE_K).count()
         )
+        if n_verify != n:
+            raise RuntimeError(
+                f"k-core peel did not converge in {_KCORE_ROUNDS} "
+                f"rounds (a verification round would still remove "
+                f"nodes: {n} -> {n_verify} survivors); the "
+                "unrolled-round oracle would agree on a SUPERSET of "
+                "the true k-core — raise _KCORE_ROUNDS (and "
+                "regenerate the oracle from it) for this graph "
+                "topology"
+            )
     return deg.filter(F.col("d") >= _KCORE_K).select(
         "doc_id", F.col("d").alias("core_degree")
     )

@@ -3,7 +3,8 @@
 The engine persists derived layouts across sessions — the bucketed
 fact tables (``sources/bucketing.py``), the IVF-PQ encoded store
 (``sources/pq_store.py``), the MinHash band store
-(``sources/minhash_store.py``) and the near-dup component store. A
+(``sources/minhash_store.py``) and the near-dup cluster store
+(``sources/cluster_store.py``). A
 world-shared location under ``tempfile.gettempdir()`` would let any
 other local user PRE-CREATE a store path with planted parquet +
 ``_SUCCESS`` markers: the fingerprint is embedded in the path, never
@@ -42,7 +43,20 @@ def store_root() -> str:
         tempfile.gettempdir(), f"spark_graft_stores_{os.getuid()}"
     )
     os.makedirs(root, mode=0o700, exist_ok=True)
-    st = os.stat(root)
+    # lstat, NOT stat: stat follows symlinks, so an attacker in the
+    # shared tmpdir could pre-create a SYMLINK at the predictable path
+    # pointing at a victim-owned 0700 directory (e.g. ~/.ssh) — the
+    # uid/mode checks would pass on the TARGET and store writes would
+    # be redirected into it. Reject any non-directory (symlink, file,
+    # fifo) at the path outright.
+    st = os.lstat(root)
+    if not stat.S_ISDIR(st.st_mode):
+        raise RuntimeError(
+            f"derived-store root {root} is not a real directory "
+            f"(mode {oct(st.st_mode)}) — a pre-created symlink or "
+            "special file at this predictable path would redirect "
+            "store writes; refusing"
+        )
     if st.st_uid != os.getuid():
         raise RuntimeError(
             f"derived-store root {root} is owned by uid {st.st_uid}, "

@@ -50,22 +50,25 @@ def test_oracle_queries_past_the_window_are_explicitly_designated():
 
 def test_family_witnesses_lead():
     """Each operator family keeps an always-in-window witness at the
-    head of the registry. The round-9 witness set pins every query
-    whose plan code changed this round (connected-components
-    escalation, ANN oracle-floor guard, 64-bit SimHash producer)
-    plus the four round-9-born scale-toolkit/layout queries."""
-    head = list(plans.QUERIES)[:14]
+    head of the registry. The round-11 witness set pins every query
+    whose plan code changed in r10 or r11 (store-root/codec-version
+    hardening; the S21 band-store + shared cluster-store adoption
+    across the dedup graph/verify family) plus standing family
+    witnesses."""
+    head = list(plans.QUERIES)[:28]
     for name in (
+        "llm_ivfpq_encoded_topk",
+        "join_bucketed_priority_revenue",
+        "llm_minhash_lsh_pairs",
         "llm_neardup_clusters",
         "llm_embedding_neardup_clusters",
-        "llm_ann_hyperplane_buckets",
-        "llm_ann_bucketed_cosine_pairs",
-        "llm_ann_recall_report",
-        "llm_simhash_documents",
-        "llm_ivfpq_encoded_topk",
-        "agg_skewed_revenue_salted",
-        "join_hot_key_split_revenue",
-        "join_bucketed_priority_revenue",
+        "llm_cluster_best_representative",
+        "llm_triangle_counts",
+        "llm_pagerank_candidates",
+        "llm_containment_pairs",
+        "llm_edit_distance_pairs",
+        "llm_minhash_estimate_calibration",
+        "llm_incremental_neardup",
         "flagship_revenue_by_region",
         "ref_extract_functions",
         "stream_true_tumbling_availablenow",
@@ -217,41 +220,67 @@ _ROTATED_IN_R9 = [
 ]
 
 
-def test_round9_rotation_brings_the_whole_backlog_into_window():
-    window = list(plans.QUERIES)[:_DRIVER_WINDOW]
-    missing = [n for n in _ROTATED_IN_R9 if n not in window]
-    assert missing == [], f"backlog queries missing from the window: {missing}"
-    # the four round-9-born queries register straight INTO the window,
-    # so the overflow-born exemption list is empty by construction
-    for n in (
+def test_round9_rotation_queries_have_driver_rows():
+    """The 36 backlog queries rotated IN for round 9 (plus the four
+    round-9-born scale-toolkit queries) earned their driver rows in
+    CORRECTNESS_r09/r10 and rotated back out in round 11; pin that
+    each really is driver-green."""
+    import json
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    rows = json.loads((root / "CORRECTNESS_r09.json").read_text())
+    rows.update(
+        {
+            n: r
+            for n, r in json.loads(
+                (root / "CORRECTNESS_r10.json").read_text()
+            ).items()
+            if r.get("hash_match")
+        }
+    )
+    for n in _ROTATED_IN_R9 + [
         "llm_ivfpq_encoded_topk",
         "agg_skewed_revenue_salted",
         "join_hot_key_split_revenue",
         "join_bucketed_priority_revenue",
-    ):
-        assert n in window, n
+    ]:
+        r = rows[n]
+        assert r["rows_match"] and r["schema_match"] and r["hash_match"], n
 
 
-#: Operators registered straight into _OVERFLOW in the round that bore
-#: them (the window was already full). The round-9 full rotation
-#: emptied the historical backlog; the set now holds only the round-9
-#: TPC-H shape-completion queries added AFTER this round's window was
-#: finalized (rotate them in round 10). Grow this set only when a
-#: round adds operators after its window is finalized.
-_BORN_IN_OVERFLOW: set[str] = {
+#: Round-11 rotation contract (VERDICT r9+r10 "Next round #1", two
+#: rounds owed): the 12 round-9-born queries that sat in _OVERFLOW
+#: through round 10 must now hold window slots, each earning its
+#: first driver CORRECTNESS row in round 11.
+_ROTATED_IN_R11 = [
     "agg_forecast_revenue_change",
     "agg_local_supplier_volume",
     "join_min_cost_supplier",
     "join_lone_late_supplier",
+    "llm_kcore_candidates",
     "llm_mattr_lexical_diversity",
     "llm_reservoir_sample_by_lang",
     "llm_weighted_sample_docs",
     "llm_source_kl_divergence",
-    "llm_kcore_candidates",
-    "llm_minhash_lsh_pairs_stored",
     "llm_train_split_leakage_aware",
     "llm_embedding_covariance",
-}
+    "llm_minhash_lsh_pairs_stored",
+]
+
+
+def test_round11_rotation_brings_the_owed_backlog_into_window():
+    window = list(plans.QUERIES)[:_DRIVER_WINDOW]
+    missing = [n for n in _ROTATED_IN_R11 if n not in window]
+    assert missing == [], f"owed backlog missing from the window: {missing}"
+
+
+#: Operators registered straight into _OVERFLOW in the round that bore
+#: them (the window was already full). The round-11 rotation moved the
+#: last such set (the 12 round-9-born queries) into the window, so the
+#: never-driver-sampled backlog is EMPTY. Grow this set only when a
+#: round adds operators after its window is finalized.
+_BORN_IN_OVERFLOW: set[str] = set()
 
 
 def test_rotated_out_queries_have_prior_driver_green_rows():

@@ -24,7 +24,11 @@ from smart_contract_database_builder_spark.sources.pq_store import (
 )
 
 
-def test_store_root_is_per_user_and_private():
+def test_store_root_is_per_user_and_private(monkeypatch):
+    # An ambient override would make this assert uid/mode properties
+    # of an arbitrary directory (and fail on hosts that set it) —
+    # the test targets the DEFAULT per-user root.
+    monkeypatch.delenv("SPARK_GRAFT_STORE_ROOT", raising=False)
     root = store_root()
     st = os.stat(root)
     assert st.st_uid == os.getuid()
@@ -45,12 +49,31 @@ def test_store_root_refuses_other_writable(tmp_path, monkeypatch):
     import tempfile
     import unittest.mock as mock
 
+    monkeypatch.delenv("SPARK_GRAFT_STORE_ROOT", raising=False)
     bad_tmp = str(tmp_path)
     with mock.patch.object(tempfile, "gettempdir", return_value=bad_tmp):
         root = os.path.join(bad_tmp, f"spark_graft_stores_{os.getuid()}")
         os.makedirs(root, mode=0o700)
         os.chmod(root, 0o777)
         with pytest.raises(RuntimeError, match="writable"):
+            store_root()
+
+
+def test_store_root_refuses_symlink(tmp_path, monkeypatch):
+    """A pre-created SYMLINK at the predictable path must be refused —
+    os.stat would follow it to a victim-owned 0700 target (passing the
+    uid/mode checks) and redirect store writes into that directory."""
+    import tempfile
+    import unittest.mock as mock
+
+    monkeypatch.delenv("SPARK_GRAFT_STORE_ROOT", raising=False)
+    bad_tmp = str(tmp_path)
+    victim = tmp_path / "victim_private"
+    victim.mkdir(mode=0o700)
+    with mock.patch.object(tempfile, "gettempdir", return_value=bad_tmp):
+        root = os.path.join(bad_tmp, f"spark_graft_stores_{os.getuid()}")
+        os.symlink(str(victim), root)
+        with pytest.raises(RuntimeError, match="not a real directory"):
             store_root()
 
 
