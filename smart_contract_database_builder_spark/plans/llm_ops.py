@@ -739,18 +739,25 @@ def minhash_candidate_pairs(
     return minhash_candidate_pairs_from_shingles(sh, bucket_cap)
 
 
-def minhash_bands(sh: DataFrame) -> DataFrame:
-    """(doc_id, band_idx, key) banded-MinHash relation from an exploded
-    (doc_id, s) shingle relation — the shared first stage of the pair
-    generator and the incremental near-dup admitter: signatures are 8
-    MIN aggregates in ONE groupBy(doc) pass, bands explode as an array
-    expression (no per-band self-join)."""
-    sig = sh.groupBy("doc_id").agg(
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, m0..m7) signature relation from an exploded (doc_id, s)
+    shingle relation: 8 MIN aggregates in ONE groupBy(doc) pass (no
+    per-seed explosion). MIN over a DISTINCT shingle set equals MIN
+    over the raw multiset, so either relation is a valid input."""
+    return sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"m{i}")
             for i in range(_N_HASHES)
         ]
     )
+
+
+def bands_from_signatures(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, key) banded relation from a signature
+    relation — a row-wise md5 projection, no shuffle. Split from
+    ``minhash_signatures`` so the S21 store build can persist the
+    expensive signature pass and derive bands from the WRITTEN files
+    (guaranteeing sigs/bands consistency without re-aggregating)."""
     return sig.select(
         "doc_id",
         F.explode(
@@ -765,6 +772,13 @@ def minhash_bands(sh: DataFrame) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.key")
+
+
+def minhash_bands(sh: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, key) banded-MinHash relation from an exploded
+    (doc_id, s) shingle relation — the shared first stage of the pair
+    generator and the incremental near-dup admitter."""
+    return bands_from_signatures(minhash_signatures(sh))
 
 
 def minhash_candidate_pairs_from_shingles(
@@ -1064,8 +1078,10 @@ def llm_cluster_best_representative(spark: SparkSession, sf_dir: str) -> DataFra
     """
     docs = load_table(spark, sf_dir, "documents")
     toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
-    pairs = minhash_candidate_pairs(toked).select("doc_a", "doc_b")
-    comp = connected_components(pairs).select(
+    # cluster relation from the CLUSTER store (one CC solve per corpus,
+    # candidates from the S21 band store); only the quality signal
+    # still reads the corpus — a per-row projection, no signature pass
+    comp = neardup_components_stored(spark, sf_dir).select(
         F.col("doc").alias("doc_id"), "cluster_id"
     )
     t = F.col("t")
@@ -1170,8 +1186,11 @@ def llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # candidates from the S21 band store: the signature MIN-aggregate
+    # never runs at query time; the shingle relation above feeds only
+    # the containment verify joins (which genuinely need the shingles)
     cand = (
-        minhash_candidate_pairs_from_shingles(sh)
+        minhash_candidate_pairs_stored(spark, sf_dir)
         .select("doc_a", "doc_b")
         .hint("merge")
     )
@@ -1509,11 +1528,14 @@ def llm_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DuckDB), min per reachability set — an independent fixpoint
     formulation of the same components. Only docs with at least one
     candidate pair appear (singletons are trivially their own cluster).
+
+    Round 11: candidates come from the S21 band store and the solved
+    labels persist in the CLUSTER store (``neardup_components_stored``)
+    — the corpus signature pass and the iterative CC solve each run
+    once per corpus, not once per query. Physical-layout change only:
+    the oracle is unchanged.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
-    pairs = minhash_candidate_pairs(toked).select("doc_a", "doc_b")
-    comp = connected_components(pairs)
+    comp = neardup_components_stored(spark, sf_dir)
     return comp.select(
         F.col("doc").alias("doc_id"),
         "cluster_id",
@@ -4989,26 +5011,27 @@ def llm_minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFr
     a 100 TB dedup run — E[est] = J and the observed error column is
     the empirical √(J(1−J)/8).
 
-    One shared DISTINCT shingle relation feeds the signature pipeline,
-    the candidate generator, the per-doc sizes, and both intersection
-    sides (the `llm_ngram_jaccard_topk` ReusedExchange discipline); the
-    verify joins carry sort-merge hints because BOTH sides are
-    corpus-proportional (the r6 scale-probe lesson — a size-estimated
-    broadcast here is fatal at scale). Estimates and truths are integer
-    ratios: one double division each, bitwise on both engines.
+    Round 11: the candidate pairs AND the signature components come
+    from the S21 store (``minhash_candidate_pairs_stored`` /
+    ``minhash_sigs_stored`` — the stored sigs table exists exactly so
+    the estimate side of this report never re-runs the corpus
+    signature aggregate). The shingle relation feeds only what
+    genuinely needs shingles: per-doc sizes and the true-Jaccard
+    intersection joins, which carry sort-merge hints because BOTH
+    sides are corpus-proportional (the r6 scale-probe lesson — a
+    size-estimated broadcast here is fatal at scale). Estimates and
+    truths are integer ratios: one double division each, bitwise on
+    both engines.
     """
     docs = load_table(spark, sf_dir, "documents")
     toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
     sh = toked.select(
         "doc_id", F.explode(_word_ngrams(F.col("t"))).alias("s")
     ).distinct()
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"m{i}")
-            for i in range(_N_HASHES)
-        ]
+    sig = minhash_sigs_stored(spark, sf_dir)
+    cand = minhash_candidate_pairs_stored(spark, sf_dir).select(
+        "doc_a", "doc_b"
     )
-    cand = minhash_candidate_pairs_from_shingles(sh).select("doc_a", "doc_b")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     x, y = sh.alias("x"), sh.alias("y").hint("merge")
     inter = (
@@ -5127,10 +5150,11 @@ def llm_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: everything is integer counts over md5-derived edges —
     bit-identical on both engines.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
+    # candidate edges from the S21 band store: the whole query never
+    # touches documents.parquet (round 11 — see minhash_candidate_
+    # pairs_stored)
     edges = (
-        minhash_candidate_pairs(toked)
+        minhash_candidate_pairs_stored(spark, sf_dir)
         .select("doc_a", "doc_b")
     )
     e1 = edges.alias("e1")
@@ -5820,8 +5844,12 @@ def llm_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the DuckDB oracle stays the plain two-arg form.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
-    cand = minhash_candidate_pairs(toked).select("doc_a", "doc_b")
+    # candidates from the S21 band store — documents.parquet is read
+    # once here, for the verify stage's prefixes only (no query-time
+    # signature pass)
+    cand = minhash_candidate_pairs_stored(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
     pref = docs.select(
         "doc_id", F.substring("text", 1, _ED_PREFIX).alias("pref")
     )
@@ -6599,9 +6627,11 @@ def llm_pagerank_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoints between iterations so the plan stays flat at any
     iteration count. Oracle iterations are GENERATED from ``_PR_ITERS``.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
-    cand = minhash_candidate_pairs(toked).select("doc_a", "doc_b")
+    # candidate edges from the S21 band store (round 11): the whole
+    # query never touches documents.parquet
+    cand = minhash_candidate_pairs_stored(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
     # Edge reuse across _PR_ITERS+1 consumers rides an eager
     # localCheckpoint, NOT persist (r9, closing the r8 perf watch): the
     # r8 leak fix paired persist with a final extra eager checkpoint of
@@ -7039,8 +7069,11 @@ def llm_ivfpq_encoded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: `minhash_bands` semantics change, for the same reason as
 #: `_PQ_CODEC_VERSION`: the store survives across sessions, so
 #: without the bump a code change would silently pair against bands
-#: written under the OLD pipeline.
-_MINHASH_CODEC_VERSION = 1
+#: written under the OLD pipeline. v2 (round 11): store layout adds
+#: the <base>/sigs signature table, moves bands to <base>/bands, and
+#: gates reuse on a store-level _STORE_COMPLETE marker — a layout
+#: change, so v1 stores are never half-reused.
+_MINHASH_CODEC_VERSION = 2
 
 
 def _minhash_store(sf_dir: str) -> tuple[str, str]:
@@ -7060,6 +7093,91 @@ def _minhash_store(sf_dir: str) -> tuple[str, str]:
     return (
         os.path.join(store_root(), "minhash_store", full),
         full,
+    )
+
+
+def _ensure_minhash_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Attach-or-build-once gate for the S21 store: returns the
+    session catalog table name holding the bucketed bands plus the
+    store base path (``<base>/sigs`` holds the signature table).
+
+    Build on FIRST USE per (sf dir, corpus fingerprint, codec
+    version): the corpus-wide tokenize→shingle→minhash signature pass
+    — the dominant cost of every dedup query at 100 TB — runs once,
+    is persisted, and every later query in the family (pairs,
+    clustering, representatives, graph lenses, calibration,
+    incremental admission, leakage split) reads the store instead.
+    Later SESSIONS finding valid files re-ATTACH without rewriting.
+    The sigs table is written first, bands are derived from the
+    WRITTEN sigs files (one aggregate pass total, and the two tables
+    cannot disagree), and the store-level ``_STORE_COMPLETE`` marker
+    lands strictly after both (the pq_store discipline)."""
+    import os
+
+    from ..sources.minhash_store import (
+        attach_minhash_bands,
+        mark_minhash_store_complete,
+        minhash_store_complete,
+        read_minhash_sigs,
+        write_minhash_bands,
+        write_minhash_sigs,
+    )
+
+    base, tag = _minhash_store(sf_dir)
+    table = f"mh_bands_{tag}"
+    bands_path = os.path.join(base, "bands")
+    if not spark.catalog.tableExists(table):
+        if minhash_store_complete(base):
+            attach_minhash_bands(spark, table, bands_path)
+        else:
+            docs = load_table(spark, sf_dir, "documents")
+            toked = fan_out_if_narrow(
+                docs.select("doc_id", _tokens().alias("t"))
+            )
+            sh = toked.select(
+                "doc_id", F.explode(_word_ngrams(F.col("t"))).alias("s")
+            )
+            write_minhash_sigs(
+                minhash_signatures(sh), os.path.join(base, "sigs")
+            )
+            stored_sigs = read_minhash_sigs(spark, os.path.join(base, "sigs"))
+            write_minhash_bands(
+                bands_from_signatures(stored_sigs), table, bands_path
+            )
+            mark_minhash_store_complete(base)
+    return table, base
+
+
+def minhash_bands_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, band_idx, key) banded relation from the S21 store
+    (attach-or-build-once): a catalog table bucketed on (band_idx,
+    key), so downstream bucket assembly is EXCHANGE-FREE."""
+    table, _base = _ensure_minhash_store(spark, sf_dir)
+    return spark.table(table)
+
+
+def minhash_sigs_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, m0..m7) signature relation from the S21 store —
+    the Jaccard-estimate verify stage reads this instead of re-running
+    the corpus signature aggregate."""
+    import os
+
+    from ..sources.minhash_store import read_minhash_sigs
+
+    _table, base = _ensure_minhash_store(spark, sf_dir)
+    return read_minhash_sigs(spark, os.path.join(base, "sigs"))
+
+
+def minhash_candidate_pairs_stored(
+    spark: SparkSession, sf_dir: str, bucket_cap: int = _LSH_BUCKET_CAP
+) -> DataFrame:
+    """``minhash_candidate_pairs`` over the S21 store — bit-identical
+    pairs (the writer ran the same signature expressions), but the
+    candidate stage never touches ``documents.parquet`` and the
+    bucket-assembly groupBy is exchange-free. The shared candidate
+    generator for the whole dedup graph/verify family."""
+    return candidate_pairs_from_bands(
+        minhash_bands_stored(spark, sf_dir), bucket_cap
     )
 
 
@@ -7090,28 +7208,44 @@ def llm_minhash_lsh_pairs_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``llm_minhash_lsh_pairs``'s oracle unchanged — write-time banding
     is a physical-layout change, not a semantic one.
     """
+    return minhash_candidate_pairs_stored(spark, sf_dir)
+
+
+#: Cluster-store codec version: the stored labels bake in the
+#: connected-components algorithm (min-label + star escalation) and
+#: the candidate generator's bucket cap — bump when either changes.
+_CLUSTER_CODEC_VERSION = 1
+
+
+def neardup_components_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc, cluster_id) near-dup component relation from the CLUSTER
+    store (``sources/cluster_store.py``) — built ONCE per (corpus
+    fingerprint, signature codec, CC codec) from the S21 band store's
+    candidate pairs, then a single parquet scan for every consumer
+    (cluster membership, best representative, leakage-aware split).
+    The iterative CC solve — driver-looped, localCheckpoint-ed — runs
+    once per corpus per codec instead of once per query."""
     import os
 
-    from ..sources.minhash_store import (
-        attach_minhash_bands,
-        write_minhash_bands,
+    from ..sources.cluster_store import (
+        cluster_store_complete,
+        read_cluster_map,
+        write_cluster_map,
     )
+    from ..sources.store_root import store_root
 
-    base, tag = _minhash_store(sf_dir)
-    table = f"mh_bands_{tag}"
-    if not spark.catalog.tableExists(table):
-        if os.path.exists(os.path.join(base, "_SUCCESS")):
-            attach_minhash_bands(spark, table, base)
-        else:
-            docs = load_table(spark, sf_dir, "documents")
-            toked = fan_out_if_narrow(
-                docs.select("doc_id", _tokens().alias("t"))
-            )
-            sh = toked.select(
-                "doc_id", F.explode(_word_ngrams(F.col("t"))).alias("s")
-            )
-            write_minhash_bands(minhash_bands(sh), table, base)
-    return candidate_pairs_from_bands(spark.table(table))
+    _mh_base, tag = _minhash_store(sf_dir)
+    base = os.path.join(
+        store_root(),
+        "cluster_store",
+        f"{tag}_cc{_CLUSTER_CODEC_VERSION}c{_LSH_BUCKET_CAP}",
+    )
+    if not cluster_store_complete(base):
+        pairs = minhash_candidate_pairs_stored(spark, sf_dir).select(
+            "doc_a", "doc_b"
+        )
+        write_cluster_map(connected_components(pairs), base)
+    return read_cluster_map(spark, base)
 
 
 #: v2 curation: documents must sit inside this Flesch band (drops both
@@ -7343,21 +7477,17 @@ def llm_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     its corpus-neighbor count, so a softer policy (admit if < k
     neighbors) reads the same relation.
 
-    Scale shape: one shared signature pipeline over both sides
-    (``minhash_bands``); the admission probe is a (band, key) equi-join
-    of batch bands against corpus bands, with corpus MEGA-BUCKETS
-    dropped by the same ``_LSH_BUCKET_CAP`` guard as the pair family —
-    a stop-word-like band key (every doc collides) would otherwise
-    fan each batch doc out corpus-wide. At 100 TB the corpus bands are
-    a standing indexed table maintained incrementally; only the batch
-    side is computed per run.
+    Scale shape: bands come from the S21 band store (round 11 — "the
+    corpus bands are a standing indexed table" is now literal: the
+    store IS that table, bucketed on (band_idx, key) so the admission
+    probe's equi-join and the bucket-size guard are both exchange-free
+    on the corpus side). Corpus MEGA-BUCKETS are dropped by the same
+    ``_LSH_BUCKET_CAP`` guard as the pair family — a stop-word-like
+    band key (every doc collides) would otherwise fan each batch doc
+    out corpus-wide. In production only the batch side is computed per
+    run; here the batch slice reads the same store.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
-    sh = toked.select(
-        "doc_id", F.explode(_word_ngrams(F.col("t"))).alias("s")
-    )
-    bands = minhash_bands(sh)
+    bands = minhash_bands_stored(spark, sf_dir)
     is_batch = (F.col("doc_id") % _INC_ND_MOD) == _INC_ND_REM
     corpus = bands.filter(~is_batch)
     batch = bands.filter(is_batch)
@@ -8202,9 +8332,11 @@ def llm_kcore_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     + one hash agg on the O(edges) relation, localCheckpoint-ed so the
     plan stays flat.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
-    cand = minhash_candidate_pairs(toked).select("doc_a", "doc_b")
+    # candidate edges from the S21 band store (round 11): the whole
+    # query never touches documents.parquet
+    cand = minhash_candidate_pairs_stored(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
     edges = (
         cand.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionAll(
@@ -8302,11 +8434,14 @@ def leakage_aware_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure function of the cluster key. Exposed separately so the
     leakage property is testable at doc granularity
     (tests/test_leakage_split.py joins the candidate pairs against
-    this and asserts zero straddlers)."""
+    this and asserts zero straddlers).
+
+    Round 11: the cluster relation comes from the shared CLUSTER store
+    (``neardup_components_stored``) — this query previously re-ran the
+    full signature pass AND the CC solve (the 6.7× 10×-probe outlier,
+    SCALE.md r9); both now amortize across the whole dedup family."""
     docs = load_table(spark, sf_dir, "documents")
-    toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
-    pairs = minhash_candidate_pairs(toked).select("doc_a", "doc_b")
-    comp = connected_components(pairs).select(
+    comp = neardup_components_stored(spark, sf_dir).select(
         F.col("doc").alias("doc_id"), "cluster_id"
     )
     keyed = docs.select("doc_id", "lang", "n_chars").join(

@@ -23,12 +23,22 @@ returns exactly ``llm_minhash_lsh_pairs``'s answer and reuses its
 DuckDB oracle unchanged — write-time banding is a physical-layout
 change, not a semantic one.
 
+Store layout v2 (round 11) adds the SIGNATURE table alongside the
+bands — ``<base>/sigs`` holds one ``(doc_id, m0..m7)`` row per
+document so the Jaccard-estimate verify stage (signature component
+agreement) also skips the corpus pass — and a store-level
+``_STORE_COMPLETE`` marker written strictly after BOTH tables (the
+``pq_store.py`` discipline): a crash between the sigs and bands
+writes can never persist a store that passes the reuse gate.
+
 Like ``bucketing.py``, the files survive the session while the
 catalog entry does not: a fresh session finding valid files
 re-ATTACHES them with the same bucket-spec DDL instead of rewriting.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -68,3 +78,28 @@ def attach_minhash_bands(spark: SparkSession, table: str, path: str) -> None:
         f"CLUSTERED BY (`band_idx`, `key`) SORTED BY (`band_idx`, `key`) "
         f"INTO {_BAND_BUCKETS} BUCKETS LOCATION '{path}'"
     )
+
+
+def write_minhash_sigs(sigs: DataFrame, path: str) -> None:
+    """Persist the per-document signature table ``(doc_id, m0..mN)``.
+    One short row per document, so a handful of evenly-sized files
+    suffices at any corpus size where the band store itself fits."""
+    sigs.repartition(_BAND_BUCKETS).write.parquet(path, mode="overwrite")
+
+
+def read_minhash_sigs(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def mark_minhash_store_complete(path: str) -> None:
+    """Store-level DONE marker — called strictly AFTER both the sigs
+    and bands writes (the ``pq_store.py`` discipline)."""
+    with open(os.path.join(path, "_STORE_COMPLETE"), "w") as fh:
+        fh.write("sigs+bands\n")
+
+
+def minhash_store_complete(path: str) -> bool:
+    """True iff a prior store build ran to completion: a crash between
+    the sigs and bands writes leaves per-table ``_SUCCESS`` markers
+    but never this gate."""
+    return os.path.exists(os.path.join(path, "_STORE_COMPLETE"))

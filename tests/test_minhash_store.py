@@ -71,10 +71,10 @@ def test_stored_plan_bucket_assembly_is_exchange_free(spark):
 
 def test_store_reused_across_invocations(spark):
     """Second invocation for the same corpus must reuse the store —
-    the band files' mtime does not change."""
+    the store-level DONE marker's mtime does not change."""
     base, _tag = _minhash_store(SF_ORACLE)
     plans.QUERIES["llm_minhash_lsh_pairs_stored"].fn(spark, SF_ORACLE)
-    marker = os.path.join(base, "_SUCCESS")
+    marker = os.path.join(base, "_STORE_COMPLETE")
     t0 = os.path.getmtime(marker)
     plans.QUERIES["llm_minhash_lsh_pairs_stored"].fn(spark, SF_ORACLE)
     assert os.path.getmtime(marker) == t0
@@ -89,9 +89,114 @@ def test_store_reattaches_in_fresh_catalog(spark):
     base, tag = _minhash_store(SF_ORACLE)
     table = f"mh_bands_{tag}"
     plans.QUERIES["llm_minhash_lsh_pairs_stored"].fn(spark, SF_ORACLE)
-    marker = os.path.join(base, "_SUCCESS")
+    marker = os.path.join(base, "_STORE_COMPLETE")
     t0 = os.path.getmtime(marker)
     spark.sql(f"DROP TABLE IF EXISTS `{table}`")
     df = plans.QUERIES["llm_minhash_lsh_pairs_stored"].fn(spark, SF_ORACLE)
     assert os.path.getmtime(marker) == t0, "re-attach rewrote the store"
     assert _plan(df, "simple").count("Exchange") == 1
+
+
+def test_half_built_store_is_rebuilt_not_served(spark, tmp_path, monkeypatch):
+    """A store missing the _STORE_COMPLETE marker — the state a crash
+    between the sigs and bands writes leaves behind — must be rebuilt,
+    never attached (the pq_store completeness discipline)."""
+    from smart_contract_database_builder_spark.sources.minhash_store import (
+        minhash_store_complete,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_STORE_ROOT", str(tmp_path))
+    base, tag = _minhash_store(SF_ORACLE)
+    # simulate the crash artifact: sigs written, bands+marker missing
+    os.makedirs(os.path.join(base, "sigs"), exist_ok=True)
+    open(os.path.join(base, "sigs", "_SUCCESS"), "w").close()
+    assert not minhash_store_complete(base)
+    spark.sql(f"DROP TABLE IF EXISTS `mh_bands_{tag}`")
+    pairs = _pairs("llm_minhash_lsh_pairs_stored")(spark)
+    assert minhash_store_complete(base)
+    assert pairs == _pairs("llm_minhash_lsh_pairs")(spark)
+    spark.sql(f"DROP TABLE IF EXISTS `mh_bands_{tag}`")
+
+
+def test_stored_sigs_match_query_time_signatures(spark):
+    """The persisted sigs table must agree bit-for-bit with the
+    query-time signature pipeline (the calibration query's estimate
+    side reads the store)."""
+    from smart_contract_database_builder_spark.plans.llm_ops import (
+        _tokens,
+        _word_ngrams,
+        fan_out_if_narrow,
+        minhash_signatures,
+        minhash_sigs_stored,
+    )
+    from smart_contract_database_builder_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    stored = {r["doc_id"]: tuple(r[f"m{i}"] for i in range(8))
+              for r in minhash_sigs_stored(spark, SF_ORACLE).collect()}
+    docs = load_table(spark, SF_ORACLE, "documents")
+    toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
+    sh = toked.select("doc_id", F.explode(_word_ngrams(F.col("t"))).alias("s"))
+    live = {r["doc_id"]: tuple(r[f"m{i}"] for i in range(8))
+            for r in minhash_signatures(sh).collect()}
+    assert stored == live and len(stored) > 0
+
+
+def test_dedup_family_adopts_the_store(spark, tmp_path, monkeypatch):
+    """The graph/verify family must route its candidate stage through
+    the S21 store: with a fresh store root, running ONE family member
+    builds the store exactly once, and every other member reuses it
+    (marker mtime frozen) — no per-query signature pass remains."""
+    from smart_contract_database_builder_spark.sources.minhash_store import (
+        minhash_store_complete,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_STORE_ROOT", str(tmp_path))
+    base, tag = _minhash_store(SF_ORACLE)
+    spark.sql(f"DROP TABLE IF EXISTS `mh_bands_{tag}`")
+    assert not minhash_store_complete(base)
+    plans.QUERIES["llm_triangle_counts"].fn(spark, SF_ORACLE).collect()
+    marker = os.path.join(base, "_STORE_COMPLETE")
+    t0 = os.path.getmtime(marker)
+    for name in (
+        "llm_pagerank_candidates",
+        "llm_kcore_candidates",
+        "llm_neardup_clusters",
+        "llm_cluster_best_representative",
+        "llm_minhash_estimate_calibration",
+        "llm_incremental_neardup",
+        "llm_train_split_leakage_aware",
+    ):
+        plans.QUERIES[name].fn(spark, SF_ORACLE).collect()
+        assert os.path.getmtime(marker) == t0, f"{name} rebuilt the store"
+    spark.sql(f"DROP TABLE IF EXISTS `mh_bands_{tag}`")
+
+
+def test_cluster_store_built_once_and_reused(spark, tmp_path, monkeypatch):
+    """The CC label relation persists in the cluster store: the first
+    consumer builds it, later consumers (and repeat invocations) read
+    the files without re-running the iterative solve."""
+    from smart_contract_database_builder_spark.plans.llm_ops import (
+        neardup_components_stored,
+    )
+    from smart_contract_database_builder_spark.sources.store_root import (
+        store_root,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_STORE_ROOT", str(tmp_path))
+    _base, tag = _minhash_store(SF_ORACLE)
+    spark.sql(f"DROP TABLE IF EXISTS `mh_bands_{tag}`")
+    plans.QUERIES["llm_neardup_clusters"].fn(spark, SF_ORACLE).collect()
+    roots = os.listdir(os.path.join(store_root(), "cluster_store"))
+    assert len(roots) == 1
+    marker = os.path.join(
+        store_root(), "cluster_store", roots[0], "_STORE_COMPLETE"
+    )
+    t0 = os.path.getmtime(marker)
+    plans.QUERIES["llm_cluster_best_representative"].fn(
+        spark, SF_ORACLE
+    ).collect()
+    comp = neardup_components_stored(spark, SF_ORACLE)
+    assert os.path.getmtime(marker) == t0
+    assert comp.count() > 0
+    spark.sql(f"DROP TABLE IF EXISTS `mh_bands_{tag}`")
