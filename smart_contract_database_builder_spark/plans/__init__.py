@@ -95,12 +95,14 @@ _PRIORITY = [
     "scalar_math_lineitem",
     "scalar_map_explode_props",
     "llm_cosine_topk_bruteforce",
-    "llm_tfidf_top_terms",
-    "stream_sliding_window_avg",
-    "stream_session_windows",
-    "llm_repetition_signals",
-    "llm_mix_sample_by_lang",
-    "llm_pii_redaction",
+    # --- round-11-born operators: sentence dedup, repetition profile,
+    # DSIR importance, cluster-size histogram, c-TF-IDF, fertility ---
+    "llm_sentence_dedup_fraction",
+    "llm_repetition_ngram_profile",
+    "llm_dsir_importance",
+    "llm_cluster_size_histogram",
+    "llm_ctfidf_by_lang",
+    "llm_tokenizer_fertility_by_lang",
 ]
 
 #: Oracle-CARRYING queries deliberately registered just past the
@@ -112,6 +114,12 @@ _PRIORITY = [
 #: backlog is EMPTY: every query below is driver-green in some
 #: CORRECTNESS_r*.json artifact with plan code unchanged since.
 _OVERFLOW = [
+    "llm_tfidf_top_terms",
+    "stream_sliding_window_avg",
+    "stream_session_windows",
+    "llm_repetition_signals",
+    "llm_mix_sample_by_lang",
+    "llm_pii_redaction",
     # Every query here is driver-green in some CORRECTNESS_r*.json
     # artifact (pinned by tests/test_registry_window.py) and stays
     # under the pytest oracle sweep (tests/test_oracle_parity.py,

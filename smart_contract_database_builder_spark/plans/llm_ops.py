@@ -6263,11 +6263,36 @@ def _sql_bpe_iteration(i: int) -> str:
     )"""
 
 
+#: Session-scoped BPE trainer cache (round 11): four queries (train /
+#: segment / encode / fertility) consume the SAME trained state, and
+#: each used to re-run the full iterative trainer. Every relation the
+#: trainer returns is eager-localCheckpoint-ed, so the cached
+#: DataFrames are materialized blocks owned by the SparkContext —
+#: valid exactly as long as the (applicationId-keyed) session, and the
+#: corpus fingerprint in the key bars a regenerated corpus from
+#: reusing stale merges. The in-session twin of the store_root
+#: cross-session pattern: CHEAP state cached per session, EXPENSIVE
+#: layouts persisted per corpus.
+_BPE_STATE_CACHE: dict[tuple, tuple] = {}
+
+
 def _bpe_state(spark: SparkSession, sf_dir: str, merges: int = _BPE_MERGES):
     """Shared BPE trainer driver: returns ``(merge_rows, v)`` — the
     per-iteration 1-row merge relations and the FINAL segmented
     vocabulary (word, cnt, syms) after ``merges`` iterations. See
-    ``llm_bpe_train_merges`` for the algorithm and scale shape."""
+    ``llm_bpe_train_merges`` for the algorithm and scale shape.
+    Cached per (session, corpus fingerprint, merges): the trainer runs
+    once per session however many consumers ask."""
+    import os
+
+    key = (
+        spark.sparkContext.applicationId,
+        _source_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+        merges,
+    )
+    hit = _BPE_STATE_CACHE.get(key)
+    if hit is not None:
+        return hit
     docs = load_table(spark, sf_dir, "documents")
     v = (
         docs.select(F.explode(_tokens()).alias("word"))
@@ -6381,6 +6406,7 @@ def _bpe_state(spark: SparkSession, sf_dir: str, merges: int = _BPE_MERGES):
             )
             .localCheckpoint(eager=True)
         )
+    _BPE_STATE_CACHE[key] = (merge_rows, v)
     return merge_rows, v
 
 
@@ -8790,3 +8816,545 @@ def llm_embedding_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
         maha_scores, "vec_id long, label int, m2 double"
     )
     return scored.orderBy(F.desc("m2"), "vec_id").limit(_MAHA_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Round-11 operators: sentence-level dedup signal, n-gram repetition
+# profile, DSIR importance weights, cluster-size histogram, c-TF-IDF
+# class terms, tokenizer fertility fairness
+# ---------------------------------------------------------------------------
+
+#: Minimum trimmed fragment length for a sentence to count — kills the
+#: empty tail fragment a trailing terminator produces plus punctuation
+#: noise; shared by both engines.
+_SENT_MIN_CHARS = 3
+
+
+@register(
+    "llm_sentence_dedup_fraction",
+    oracle=rf"""
+    WITH sent AS (
+      SELECT DISTINCT doc_id, md5(s) AS k
+      FROM (
+        SELECT doc_id, trim(f) AS s
+        FROM (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '[.!?]+')) AS f
+          FROM documents
+        )
+      )
+      WHERE len(s) >= {_SENT_MIN_CHARS}
+    ),
+    nd AS (
+      SELECT k, COUNT(*) AS n_docs FROM sent GROUP BY k
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sentences,
+           CAST(SUM(CASE WHEN nd.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_sentences,
+           CAST(SUM(CASE WHEN nd.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_fraction
+    FROM sent s JOIN nd ON nd.k = s.k
+    GROUP BY s.doc_id
+    """,
+)
+def llm_sentence_dedup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-EXT: SENTENCE-level duplication signal — per document, the
+    fraction of its distinct sentences that also appear in at least
+    one OTHER document (the C4 "three-sentence span" / CCNet
+    paragraph-dedup family at sentence granularity): high fractions
+    flag boilerplate skeletons that document-level MinHash misses when
+    the surrounding text differs. Sentences are lowercased terminator
+    splits, trimmed, with fragments under ``_SENT_MIN_CHARS`` chars
+    dropped.
+
+    Scale shape: sentences shuffle by their 128-bit md5 key — two
+    short columns, never the text — through one DISTINCT, one count
+    aggregate (map-side partial combine collapses the boilerplate
+    key's replicas early) and one key join whose probe side is the
+    same hashed relation; a viral sentence is ONE hot key handled by
+    AQE skew splitting, not a quadratic pair expansion. Fraction is a
+    double ratio of exact ints — bitwise cross-engine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sent = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), r"[.!?]+")).alias("f"),
+        )
+        .select("doc_id", F.trim(F.col("f")).alias("s"))
+        .filter(F.length("s") >= _SENT_MIN_CHARS)
+        .select("doc_id", F.md5("s").alias("k"))
+        .distinct()
+    )
+    nd = sent.groupBy("k").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        sent.join(nd, "k")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sentences"),
+            F.sum((F.col("n_docs") >= 2).cast("int"))
+            .cast("long")
+            .alias("n_dup_sentences"),
+        )
+        .select(
+            "doc_id",
+            "n_sentences",
+            "n_dup_sentences",
+            (
+                F.col("n_dup_sentences").cast("double")
+                / F.col("n_sentences")
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+@register(
+    "llm_repetition_ngram_profile",
+    oracle=rf"""
+    WITH toked AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    g AS (
+      SELECT doc_id, 2 AS n, unnest({_sql_word_ngrams("t", 2)}) AS g
+      FROM toked
+      UNION ALL
+      SELECT doc_id, 3 AS n, unnest({_sql_word_ngrams("t", 3)}) AS g
+      FROM toked
+      UNION ALL
+      SELECT doc_id, 4 AS n, unnest({_sql_word_ngrams("t", 4)}) AS g
+      FROM toked
+    ),
+    cnt AS (
+      SELECT doc_id, n, g, COUNT(*) AS c FROM g GROUP BY doc_id, n, g
+    )
+    SELECT doc_id, n, n_grams, n_uniq, top_c,
+           1.0 - CAST(n_uniq AS DOUBLE) / n_grams AS dup_frac,
+           CAST(top_c AS DOUBLE) / n_grams AS top_frac
+    FROM (
+      SELECT doc_id, n,
+             CAST(SUM(c) AS BIGINT) AS n_grams,
+             CAST(COUNT(*) AS BIGINT) AS n_uniq,
+             CAST(MAX(c) AS BIGINT) AS top_c
+      FROM cnt GROUP BY doc_id, n
+    )
+    """,
+)
+def llm_repetition_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20 EXT: the full Gopher REPETITION PROFILE — duplicate-mass and
+    top-gram fractions for word 2-, 3- AND 4-grams in one relation
+    (Rae et al.'s "duplicate n-gram fraction" family; F22 reports the
+    bigram column only). A doc that passes the bigram gate but fails
+    at 4-grams is the verbatim-refrain case quality filters miss with
+    a single n.
+
+    Scale shape: ONE corpus scan — the three gram levels explode from
+    a single flattened array expression per document, so the expensive
+    text pass is not repeated per n (the oracle's three-way UNION is
+    the same multiset) — then one (doc, n, gram) hash aggregate with
+    map-side combine and one (doc, n) rollup carrying sum/count/max in
+    the same shuffle. Per-doc gram counts are bounded by doc length;
+    the n column adds fanout 3, not a new shuffle key distribution.
+    Fractions are double ratios of exact ints — bitwise cross-engine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
+
+    # single-arg lambda via a factory closure: a two-parameter lambda
+    # would make F.transform bind the second param to the ELEMENT
+    # INDEX, silently replacing the n tag
+    def _level(n: int):
+        return F.transform(
+            _word_ngrams(F.col("t"), n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")),
+        )
+
+    levels = F.flatten(F.array(_level(2), _level(3), _level(4)))
+    grams = toked.select("doc_id", F.explode(levels).alias("x")).select(
+        "doc_id", F.col("x.n").alias("n"), F.col("x.g").alias("g")
+    )
+    cnt = grams.groupBy("doc_id", "n", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg = cnt.groupBy("doc_id", "n").agg(
+        F.sum("c").cast("long").alias("n_grams"),
+        F.count(F.lit(1)).cast("long").alias("n_uniq"),
+        F.max("c").cast("long").alias("top_c"),
+    )
+    return agg.select(
+        "doc_id",
+        "n",
+        "n_grams",
+        "n_uniq",
+        "top_c",
+        (
+            F.lit(1.0) - F.col("n_uniq").cast("double") / F.col("n_grams")
+        ).alias("dup_frac"),
+        (F.col("top_c").cast("double") / F.col("n_grams")).alias("top_frac"),
+    )
+
+
+#: DSIR hashed-n-gram geometry: bucket = first _DSIR_PREF hex chars of
+#: md5(bigram) → 16^_DSIR_PREF buckets. Hashing to a FIXED bucket
+#: space is the whole trick (Xie et al., "Data Selection for Language
+#: Models via Importance Resampling", 2023): the importance model
+#: needs O(buckets) state, not O(vocab²), at any corpus size.
+_DSIR_PREF = 3
+_DSIR_BUCKETS = 16 ** _DSIR_PREF
+
+
+@register(
+    "llm_dsir_importance",
+    oracle=rf"""
+    WITH toked AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    g AS (
+      SELECT doc_id, substr(md5(s), 1, {_DSIR_PREF}) AS b
+      FROM (
+        SELECT doc_id, unnest({_sql_word_ngrams("t", 2)}) AS s FROM toked
+      )
+    ),
+    tgt AS (
+      SELECT b, COUNT(*) AS tc FROM g
+      WHERE doc_id % {_DECON_MOD} = {_DECON_REM} GROUP BY b
+    ),
+    srcg AS (
+      SELECT doc_id, b FROM g WHERE doc_id % {_DECON_MOD} <> {_DECON_REM}
+    ),
+    src AS (SELECT b, COUNT(*) AS sc FROM srcg GROUP BY b),
+    tot AS (
+      SELECT (SELECT COALESCE(SUM(tc), 0) FROM tgt) AS tt,
+             (SELECT COALESCE(SUM(sc), 0) FROM src) AS st
+    ),
+    w AS (
+      SELECT src.b,
+             CAST(floor(ln(CAST(COALESCE(tgt.tc, 0) + 1 AS DOUBLE)
+                           / CAST(tot.tt + {_DSIR_BUCKETS} AS DOUBLE))
+                        * 1000000) AS BIGINT)
+             - CAST(floor(ln(CAST(src.sc + 1 AS DOUBLE)
+                             / CAST(tot.st + {_DSIR_BUCKETS} AS DOUBLE))
+                          * 1000000) AS BIGINT) AS w_fp
+      FROM src LEFT JOIN tgt ON tgt.b = src.b CROSS JOIN tot
+    ),
+    dc AS (SELECT doc_id, b, COUNT(*) AS c FROM srcg GROUP BY doc_id, b)
+    SELECT dc.doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_grams,
+           CAST(SUM(c * w_fp) AS BIGINT) AS score_fp,
+           CAST(SUM(c * w_fp) AS DOUBLE) / 1000000.0 / SUM(c)
+             AS avg_log_ratio
+    FROM dc JOIN w ON w.b = dc.b
+    GROUP BY dc.doc_id
+    """,
+)
+def llm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-EXT: DSIR importance weights (Xie et al. 2023) — score every
+    raw-corpus document by how much more likely its hashed-bigram
+    profile is under a TARGET distribution than under the raw corpus:
+    avg log p_target(b)/q_raw(b) over the doc's bigram buckets, with
+    add-one smoothing over the fixed {_DSIR_BUCKETS}-bucket space.
+    The target here is the deterministic ``doc_id % {_DECON_MOD}``
+    slice the decontamination family already uses as its stand-in for
+    "trusted high-quality corpus"; positive scores mark documents to
+    up-sample when matching pretraining data to a target domain.
+
+    Scale shape: the importance MODEL is O(buckets) — two bucket-count
+    aggregates and a ≤{_DSIR_BUCKETS}-row weight relation that
+    BROADCASTS to the per-doc join regardless of corpus size; the
+    per-doc pass is one hash aggregate on (doc, bucket). Cross-engine
+    exactness: bucket log-ratios are floored to integer micro-nats
+    (the unigram-surprisal discipline — libm ``ln`` via the Arrow UDF
+    on the tiny weight relation, never per document), so the per-doc
+    sum is EXACT int64 arithmetic and the final double division is
+    bitwise on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
+    g = toked.select(
+        "doc_id", F.explode(_word_ngrams(F.col("t"), 2)).alias("s")
+    ).select("doc_id", F.substring(F.md5("s"), 1, _DSIR_PREF).alias("b"))
+    is_tgt = (F.col("doc_id") % _DECON_MOD) == _DECON_REM
+    tgt = g.filter(is_tgt).groupBy("b").agg(F.count(F.lit(1)).alias("tc"))
+    srcg = g.filter(~is_tgt)
+    src = srcg.groupBy("b").agg(F.count(F.lit(1)).alias("sc"))
+    tt = tgt.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("tt"))
+    st = src.agg(F.coalesce(F.sum("sc"), F.lit(0)).alias("st"))
+    ln = _ln_libm()
+
+    def _ln_fp(num, den):
+        return F.floor(
+            ln(num.cast("double") / den.cast("double")) * F.lit(1000000.0)
+        ).cast("long")
+
+    w = (
+        src.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(st))
+        .select(
+            "b",
+            (
+                _ln_fp(
+                    F.coalesce(F.col("tc"), F.lit(0)) + 1,
+                    F.col("tt") + _DSIR_BUCKETS,
+                )
+                - _ln_fp(F.col("sc") + 1, F.col("st") + _DSIR_BUCKETS)
+            ).alias("w_fp"),
+        )
+    )
+    dc = srcg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        dc.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.sum(F.col("c") * F.col("w_fp")).cast("long").alias("score_fp"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "score_fp",
+            (
+                F.col("score_fp").cast("double")
+                / F.lit(1000000.0)
+                / F.col("n_grams")
+            ).alias("avg_log_ratio"),
+        )
+    )
+
+
+@register(
+    "llm_cluster_size_histogram",
+    oracle=rf"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, unnest({_sql_word_ngrams("t")}) AS s
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+    ),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(md5('{i}|' || s)) AS m{i}" for i in range(_N_HASHES))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(m{2*b} || m{2*b+1}) AS key FROM sig"
+        for b in range(_N_HASHES // _BAND_ROWS)
+      )}
+    ),
+    bsz AS (
+      SELECT band_idx, key FROM bands
+      GROUP BY band_idx, key
+      HAVING COUNT(*) BETWEEN 2 AND {_LSH_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bsz USING (band_idx, key)
+      JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key
+                  AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM cand
+      UNION ALL
+      SELECT doc_b, doc_a FROM cand
+    ),
+    reach(a, b) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b
+    ),
+    comp AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+      FROM reach GROUP BY a
+    ),
+    sizes AS (
+      SELECT cluster_id, COUNT(*) AS sz FROM comp GROUP BY cluster_id
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY sz
+    """,
+)
+def llm_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 EXT: near-dup CLUSTER SIZE DISTRIBUTION — how many clusters
+    exist at each size and how many documents they hold. The
+    before/after report every dedup run ships (expected token savings
+    = Σ (size−1) over clusters; a fat tail says "template family,
+    strip not drop"). Fourth consumer of the shared CLUSTER store:
+    the whole query is one parquet scan of the persisted label
+    relation plus two tiny aggregates — at 100 TB this report costs
+    seconds because the signature pass and the CC solve were paid at
+    ingest (``neardup_components_stored``). Oracle: the identical
+    candidate graph closed by DuckDB's recursive CTE, then the same
+    double aggregate. Integer counts only — bitwise cross-engine.
+    """
+    comp = neardup_components_stored(spark, sf_dir)
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            F.col("sz").cast("long").alias("cluster_size"),
+            "n_clusters",
+            (F.col("sz") * F.col("n_clusters")).cast("long").alias("n_docs"),
+        )
+    )
+
+
+#: c-TF-IDF report size and minimum in-class support.
+_CTFIDF_TOPK = 10
+_CTFIDF_MIN_C = 5
+
+
+@register(
+    "llm_ctfidf_by_lang",
+    oracle=rf"""
+    WITH tf AS (
+      SELECT lang, term, COUNT(*) AS c
+      FROM (SELECT lang, unnest({_SQL_TOKENS}) AS term FROM documents)
+      GROUP BY lang, term
+    ),
+    ft AS (SELECT term, CAST(SUM(c) AS BIGINT) AS ftot FROM tf GROUP BY term),
+    nc AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS total_tok,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM tf
+    ),
+    scored AS (
+      SELECT tf.lang, tf.term,
+             CAST(tf.c AS DOUBLE)
+               * ln(1.0 + (CAST(total_tok AS DOUBLE) / n_langs) / ftot)
+               AS ctfidf
+      FROM tf CROSS JOIN nc JOIN ft ON ft.term = tf.term
+      WHERE tf.c >= {_CTFIDF_MIN_C}
+    ),
+    ranked AS (
+      SELECT lang, term, ctfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY ctfidf DESC, term
+             ) AS rn
+      FROM scored
+    )
+    SELECT lang, term, ctfidf, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {_CTFIDF_TOPK}
+    """,
+)
+def llm_ctfidf_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20 EXT: class-based TF-IDF (the BERTopic c-TF-IDF statistic)
+    with language as the class — the top-{_CTFIDF_TOPK} terms MOST
+    DISTINCTIVE of each language slice, scored tf_c,t · ln(1 + A/f_t)
+    where A is the average class token mass and f_t the term's
+    cross-class frequency. The corpus-characterization twin of
+    per-document TF-IDF (F20): this is the report that tells a
+    curation run what each source/language cluster is actually about.
+
+    Scale shape: one corpus explode → (class, term) hash aggregate
+    (map-side combine; the key space is vocab × classes, uniform);
+    the idf factor depends on the TERM alone, so libm ``ln`` (the
+    BM25 Arrow-UDF discipline — JVM Math.log is 1 ulp off) runs once
+    per vocabulary term on the O(vocab) relation, never per class
+    row; the final top-k is one window pass per class partition.
+    Ranking doubles are products of exact ints with a shared per-term
+    idf — bitwise comparable, ties broken by term.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("lang", F.explode(_tokens()).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ft = tf.groupBy("term").agg(F.sum("c").cast("long").alias("ftot"))
+    nc = tf.agg(
+        F.sum("c").cast("long").alias("total_tok"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+    ln = _ln_libm()
+    idf = ft.crossJoin(F.broadcast(nc)).select(
+        "term",
+        ln(
+            F.lit(1.0)
+            + (F.col("total_tok").cast("double") / F.col("n_langs"))
+            / F.col("ftot")
+        ).alias("idf"),
+    )
+    scored = (
+        tf.filter(F.col("c") >= _CTFIDF_MIN_C)
+        .join(idf, "term")
+        .select(
+            "lang",
+            "term",
+            (F.col("c").cast("double") * F.col("idf")).alias("ctfidf"),
+        )
+    )
+    byl = Window.partitionBy("lang").orderBy(F.desc("ctfidf"), "term")
+    return (
+        scored.select(
+            "lang",
+            "term",
+            "ctfidf",
+            F.row_number().over(byl).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= _CTFIDF_TOPK)
+    )
+
+
+@register(
+    "llm_tokenizer_fertility_by_lang",
+    oracle=rf"""
+    WITH v0 AS (
+      SELECT term AS word, CAST(COUNT(*) AS BIGINT) AS cnt,
+             regexp_extract_all(term, '.') AS syms
+      FROM (SELECT unnest({_SQL_TOKENS}) AS term FROM documents)
+      GROUP BY term
+    ),{",".join(_sql_bpe_iteration(i) for i in range(1, _BPE_MERGES + 1))},
+    seg AS (
+      SELECT word, CAST(len(syms) AS BIGINT) AS n_syms
+      FROM v{_BPE_MERGES}
+    ),
+    dw AS (
+      SELECT lang, unnest({_SQL_TOKENS}) AS word FROM documents
+    )
+    SELECT dw.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(seg.n_syms) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(seg.n_syms) AS DOUBLE) / COUNT(*) AS fertility
+    FROM dw JOIN seg ON seg.word = dw.word
+    GROUP BY dw.lang
+    """,
+)
+def llm_tokenizer_fertility_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """U-EXT: per-LANGUAGE tokenizer fertility — BPE tokens per word
+    for each language slice under the corpus-trained merge table. The
+    multilingual-fairness report (a language with 2× fertility pays 2×
+    the context budget per word and trains on fewer effective
+    documents per token); this is the number that decides whether the
+    tokenizer or the data mix needs rebalancing BEFORE a run is
+    priced. Completes the tokenizer family: train (U9) → inspect
+    (U10) → encode (U11) → audit fertility by class (this).
+
+    Scale shape: identical to ``llm_bpe_encode_stats`` — the encode is
+    a JOIN of the (lang, word) explode against the O(vocab) segmented
+    relation (broadcast while small, AQE decides past the threshold),
+    rolled up by language instead of document; the iterative trainer
+    runs in ``_bpe_state`` exactly as U9 (word-level state, generated
+    unrolled oracle). Fertility is a double ratio of exact ints —
+    bitwise cross-engine.
+    """
+    _, v = _bpe_state(spark, sf_dir)
+    seg = v.select("word", F.size("syms").cast("long").alias("n_syms"))
+    docs = load_table(spark, sf_dir, "documents")
+    dw = docs.select("lang", F.explode(_tokens()).alias("word"))
+    return (
+        dw.join(seg, "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_bpe_tokens",
+            (
+                F.col("n_bpe_tokens").cast("double") / F.col("n_words")
+            ).alias("fertility"),
+        )
+    )

@@ -46,6 +46,8 @@ _NESTED_LOOP_ALLOWED = {
     "agg_rfm_segments",            # 1-row recency-anchor (max date) broadcast
     "llm_bigram_surprisal_docs",   # 1-row smoothing-vocabulary (V) broadcast
     "llm_source_kl_divergence",    # 1-row corpus-total (N) broadcast
+    "llm_ctfidf_by_lang",          # 1-row (total_tok, n_langs) broadcast
+    "llm_dsir_importance",         # two 1-row gram-total broadcasts
 }
 
 #: Queries whose fn() triggers side effects/execution rather than just
