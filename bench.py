@@ -232,6 +232,8 @@ HEADLINE = [
     "llm_cluster_size_histogram",
     "llm_ctfidf_by_lang",
     "llm_tokenizer_fertility_by_lang",
+    "llm_contrastive_pairs",
+    "llm_nb_langid",
 ]
 
 

@@ -91,10 +91,8 @@ _PRIORITY = [
     "window_rank_variants",
     "topk_orders_by_price",
     "set_ops_customer_keys",
-    "scalar_date_parts_orders",
-    "scalar_math_lineitem",
     "scalar_map_explode_props",
-    "llm_cosine_topk_bruteforce",
+    "llm_ngram_jaccard_topk",
     # --- round-11-born operators: sentence dedup, repetition profile,
     # DSIR importance, cluster-size histogram, c-TF-IDF, fertility ---
     "llm_sentence_dedup_fraction",
@@ -103,6 +101,8 @@ _PRIORITY = [
     "llm_cluster_size_histogram",
     "llm_ctfidf_by_lang",
     "llm_tokenizer_fertility_by_lang",
+    "llm_contrastive_pairs",
+    "llm_nb_langid",
 ]
 
 #: Oracle-CARRYING queries deliberately registered just past the
@@ -114,6 +114,9 @@ _PRIORITY = [
 #: backlog is EMPTY: every query below is driver-green in some
 #: CORRECTNESS_r*.json artifact with plan code unchanged since.
 _OVERFLOW = [
+    "llm_cosine_topk_bruteforce",
+    "scalar_date_parts_orders",
+    "scalar_math_lineitem",
     "llm_tfidf_top_terms",
     "stream_sliding_window_avg",
     "stream_session_windows",
@@ -202,7 +205,6 @@ _OVERFLOW = [
     "llm_semdedup_representatives",
     "llm_mode_token_by_lang",
     "llm_readability_scores",
-    "llm_ngram_jaccard_topk",
     "stream_dedup_first_event",
     "stream_static_enrich_segments",
     "stream_stream_join_attribution",

@@ -959,8 +959,11 @@ def llm_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 6, killed the driver building the y-side broadcast the static
     # size estimate chose) nor build an unspillable shuffled-hash map
     # from one. Sort-merge is the only join whose both sides spill.
+    # candidates from the S21 band store (round 11, mirroring
+    # llm_containment_pairs): the signature MIN-aggregate never runs
+    # at query time; the shingle relation feeds only the verify joins
     cand = (
-        minhash_candidate_pairs_from_shingles(sh)
+        minhash_candidate_pairs_stored(spark, sf_dir)
         .select("doc_a", "doc_b")
         .hint("merge")
     )
@@ -9356,5 +9359,259 @@ def llm_tokenizer_fertility_by_lang(
             (
                 F.col("n_bpe_tokens").cast("double") / F.col("n_words")
             ).alias("fertility"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 batch 2: contrastive pair mining, SQL-trained naive-Bayes
+# language ID
+# ---------------------------------------------------------------------------
+
+#: Contrastive-mining geometry: anchors are a deterministic corpus
+#: slice; per anchor keep the single nearest SAME-label vector
+#: (positive) and the _CP_NEG nearest DIFFERENT-label vectors (hard
+#: negatives). Salt bounds the phase-1 top-k partitions (the knn-join
+#: discipline).
+_CP_MOD, _CP_REM = 40, 1
+_CP_POS = 1
+_CP_NEG = 5
+_CP_SALT = 8
+
+
+@register(
+    "llm_contrastive_pairs",
+    oracle=rf"""
+    WITH a AS (
+      SELECT vec_id AS query_id, label AS qlabel, embedding AS qe,
+             {_sql_int_dot("embedding", "embedding")} AS nq
+      FROM embeddings WHERE vec_id % {_CP_MOD} = {_CP_REM}
+    ),
+    s AS (
+      SELECT a.query_id,
+             CASE WHEN e.label = a.qlabel THEN 'positive'
+                  ELSE 'negative' END AS role,
+             e.vec_id,
+             CAST({_sql_int_dot("e.embedding", "a.qe")} AS DOUBLE)
+               / (sqrt(CAST({_sql_int_dot("e.embedding", "e.embedding")}
+                            AS DOUBLE))
+                  * sqrt(CAST(a.nq AS DOUBLE))) AS cosine
+      FROM embeddings e JOIN a ON e.vec_id <> a.query_id
+    ),
+    r AS (
+      SELECT query_id, role, vec_id, cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id, role ORDER BY cosine DESC, vec_id
+             ) AS rnk
+      FROM s
+    )
+    SELECT query_id, role, vec_id, cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM r
+    WHERE (role = 'positive' AND rnk <= {_CP_POS})
+       OR (role = 'negative' AND rnk <= {_CP_NEG})
+    """,
+)
+def llm_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F21 EXT: CONTRASTIVE PAIR MINING — for each anchor embedding,
+    the nearest same-label vector (positive) and the {_CP_NEG} nearest
+    different-label vectors (HARD negatives, the ones closest to the
+    decision boundary). This is the batch-mining step behind
+    contrastive / triplet embedding training (SimCLR/SBERT-style hard
+    negative mining): random negatives are trivially separable, the
+    nearest wrong-label ones carry the gradient.
+
+    Scale shape: the anchor slice broadcasts (deterministic
+    ``vec_id % {_CP_MOD}`` — a fixed fraction of the corpus);
+    candidate self-norms are hoisted BEFORE the fan-out so they are
+    computed once per vector, not once per (vector, anchor); the
+    per-(anchor, role) top-k runs in the TWO-PHASE salted window of
+    the k-NN join (phase 1 ranks inside (anchor, role, salt) slices —
+    bounded partitions at any corpus size; phase 2 ranks the ≤ k·S
+    survivors). Cosines are IEEE doubles from exact fixed-point int64
+    sums — bitwise cross-engine, deterministic tie-break.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter((F.col("vec_id") % _CP_MOD) == _CP_REM).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+        _int_dot("embedding", "embedding").alias("nq"),
+    )
+    cand = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        _int_dot("embedding", "embedding").alias("na"),
+    )
+    cosine = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na").cast("double"))
+        * F.sqrt(F.col("nq").cast("double"))
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(a))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.when(F.col("label") == F.col("qlabel"), F.lit("positive"))
+            .otherwise(F.lit("negative"))
+            .alias("role"),
+            "vec_id",
+            "na",
+            "nq",
+            _int_dot("embedding", "qe").alias("dot"),
+        )
+        .select("query_id", "role", "vec_id", cosine.alias("cosine"))
+    )
+    k_for = F.when(F.col("role") == "positive", F.lit(_CP_POS)).otherwise(
+        F.lit(_CP_NEG)
+    )
+    phase1 = Window.partitionBy(
+        "query_id", "role", F.col("vec_id") % _CP_SALT
+    ).orderBy(F.desc("cosine"), "vec_id")
+    survivors = scored.withColumn(
+        "r1", F.row_number().over(phase1)
+    ).filter(F.col("r1") <= k_for)
+    phase2 = Window.partitionBy("query_id", "role").orderBy(
+        F.desc("cosine"), "vec_id"
+    )
+    return (
+        survivors.select(
+            "query_id",
+            "role",
+            "vec_id",
+            "cosine",
+            F.row_number().over(phase2).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= k_for)
+    )
+
+
+#: Naive-Bayes language ID: hashed-unigram buckets (md5 prefix → 256
+#: buckets), train on the complement of the held-out slice, add-one
+#: smoothing over the full observed bucket domain, integer micro-nat
+#: log-probabilities so every per-doc score is an exact int64 sum.
+_NB_MOD, _NB_REM = 5, 0
+_NB_PREF = 2
+_NB_BUCKETS = 16 ** _NB_PREF
+
+
+@register(
+    "llm_nb_langid",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, lang, substr(md5(term), 1, {_NB_PREF}) AS b
+      FROM (
+        SELECT doc_id, lang, unnest({_SQL_TOKENS}) AS term FROM documents
+      )
+    ),
+    train AS (SELECT * FROM tok WHERE doc_id % {_NB_MOD} <> {_NB_REM}),
+    heldout AS (SELECT * FROM tok WHERE doc_id % {_NB_MOD} = {_NB_REM}),
+    dom AS (SELECT DISTINCT b FROM tok),
+    langs AS (SELECT DISTINCT lang FROM train),
+    cnt AS (SELECT lang, b, COUNT(*) AS c FROM train GROUP BY lang, b),
+    tot AS (SELECT lang, COUNT(*) AS t FROM train GROUP BY lang),
+    w AS (
+      SELECT langs.lang, dom.b,
+             CAST(floor(ln(CAST(COALESCE(cnt.c, 0) + 1 AS DOUBLE)
+                           / CAST(tot.t + {_NB_BUCKETS} AS DOUBLE))
+                        * 1000000) AS BIGINT) AS lp_fp
+      FROM langs CROSS JOIN dom
+      JOIN tot ON tot.lang = langs.lang
+      LEFT JOIN cnt ON cnt.lang = langs.lang AND cnt.b = dom.b
+    ),
+    dc AS (
+      SELECT doc_id, lang AS true_lang, b, COUNT(*) AS c
+      FROM heldout GROUP BY doc_id, lang, b
+    ),
+    scores AS (
+      SELECT dc.doc_id, dc.true_lang, w.lang AS cand_lang,
+             SUM(dc.c * w.lp_fp) AS score_fp
+      FROM dc JOIN w ON w.b = dc.b
+      GROUP BY dc.doc_id, dc.true_lang, w.lang
+    ),
+    ranked AS (
+      SELECT doc_id, true_lang, cand_lang, score_fp,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY score_fp DESC, cand_lang
+             ) AS rn
+      FROM scores
+    )
+    SELECT doc_id, true_lang, cand_lang AS pred_lang,
+           CAST(score_fp AS BIGINT) AS score_fp,
+           (cand_lang = true_lang) AS correct
+    FROM ranked WHERE rn = 1
+    """,
+)
+def llm_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-EXT: multinomial NAIVE BAYES language ID, trained and applied
+    entirely as SQL aggregates (the fastText-linear-classifier shape
+    without model files): hashed-unigram bucket likelihoods learned on
+    the 4/5 train slice, argmax posterior on the held-out 1/5 — the
+    supervised upgrade of the F20 stopword heuristic, evaluated
+    against the corpus's own labels (per-doc correct flag; the
+    confusion rollup is one GROUP BY away). Uniform class priors:
+    argmax is over per-class likelihood sums.
+
+    Scale shape: the MODEL is O(langs × {_NB_BUCKETS}) — learned in
+    one hash aggregate over the train slice and BROADCAST to scoring
+    at any corpus size; scoring is one (doc, bucket) aggregate + one
+    ≤langs-per-doc argmax window. Cross-engine exactness: bucket
+    log-likelihoods are floored to integer micro-nats (libm ``ln`` on
+    the tiny weight relation — the DSIR/surprisal discipline), so
+    every posterior is an exact int64 sum and the (score DESC, lang)
+    argmax is deterministic on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = fan_out_if_narrow(
+        docs.select("doc_id", "lang", F.explode(_tokens()).alias("term"))
+    ).select(
+        "doc_id", "lang", F.substring(F.md5("term"), 1, _NB_PREF).alias("b")
+    )
+    is_held = (F.col("doc_id") % _NB_MOD) == _NB_REM
+    train = tok.filter(~is_held)
+    heldout = tok.filter(is_held)
+    dom = tok.select("b").distinct()
+    langs = train.select("lang").distinct()
+    cnt = train.groupBy("lang", "b").agg(F.count(F.lit(1)).alias("c"))
+    tot = train.groupBy("lang").agg(F.count(F.lit(1)).alias("t"))
+    ln = _ln_libm()
+    w = (
+        langs.crossJoin(dom)
+        .join(tot, "lang")
+        .join(cnt, ["lang", "b"], "left")
+        .select(
+            "lang",
+            "b",
+            F.floor(
+                ln(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                    / (F.col("t") + _NB_BUCKETS).cast("double")
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("lp_fp"),
+        )
+    )
+    dc = heldout.groupBy(
+        "doc_id", F.col("lang").alias("true_lang"), "b"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    scores = (
+        dc.join(F.broadcast(w.withColumnRenamed("lang", "cand_lang")), "b")
+        .groupBy("doc_id", "true_lang", "cand_lang")
+        .agg(F.sum(F.col("c") * F.col("lp_fp")).alias("score_fp"))
+    )
+    byd = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_fp"), "cand_lang"
+    )
+    return (
+        scores.withColumn("rn", F.row_number().over(byd))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "true_lang",
+            F.col("cand_lang").alias("pred_lang"),
+            F.col("score_fp").cast("long").alias("score_fp"),
+            (F.col("cand_lang") == F.col("true_lang")).alias("correct"),
         )
     )

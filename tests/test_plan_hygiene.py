@@ -48,6 +48,8 @@ _NESTED_LOOP_ALLOWED = {
     "llm_source_kl_divergence",    # 1-row corpus-total (N) broadcast
     "llm_ctfidf_by_lang",          # 1-row (total_tok, n_langs) broadcast
     "llm_dsir_importance",         # two 1-row gram-total broadcasts
+    "llm_contrastive_pairs",       # anchor-slice broadcast (knn-join shape)
+    "llm_nb_langid",               # langs × bucket-domain model build (≤1.3k rows)
 }
 
 #: Queries whose fn() triggers side effects/execution rather than just
