@@ -2244,22 +2244,17 @@ def llm_embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFram
     ``llm_neardup_clusters`` (text side). Semantic near-duplicates
     chain (A≈B≈C with A,C in different buckets still cluster via B), so
     the transitive closure, not the pair list, is what an
-    embedding-dedup pipeline keeps.
+    embedding-dedup pipeline keeps. Oracle: recursive-CTE closure of
+    the identical candidate graph.
 
-    Registered in the _OVERFLOW block: oracle-carrying (recursive-CTE
-    closure of the identical candidate graph), swept by the pytest
-    oracle-parity suite; deliberately past the full driver window.
+    Round 11: the solved labels persist in the embedding CLUSTER
+    store (``emb_neardup_components_stored``, the cluster_store
+    pattern keyed by the embeddings fingerprint + LSH geometry) — the
+    hyperplane bucketing, the exact-cosine verify and the iterative
+    CC solve run once per corpus, and every later invocation is one
+    parquet scan. Physical-layout change only: oracle unchanged.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    pairs = ann_cosine_pairs(
-        emb,
-        n_planes=_planes_at_oracle_floor(
-            emb.count(), "llm_embedding_neardup_clusters"
-        ),
-    ).select(
-        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
-    )
-    comp = connected_components(pairs)
+    comp = emb_neardup_components_stored(spark, sf_dir)
     return comp.select(
         F.col("doc").alias("vec_id"),
         "cluster_id",
@@ -7152,13 +7147,20 @@ def _ensure_minhash_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         write_minhash_sigs,
     )
 
+    from ..sources.store_root import build_tmp, publish_build
+
     base, tag = _minhash_store(sf_dir)
     table = f"mh_bands_{tag}"
-    bands_path = os.path.join(base, "bands")
     if not spark.catalog.tableExists(table):
-        if minhash_store_complete(base):
-            attach_minhash_bands(spark, table, bands_path)
-        else:
+        if not minhash_store_complete(base):
+            # Build into a unique sibling dir and publish with ONE
+            # atomic rename: a concurrent session building the same
+            # store can never interleave part-files with ours, and the
+            # final path either doesn't exist or is complete. The
+            # bands table is written under a throwaway catalog name
+            # (an EXTERNAL table — dropping it keeps the files) so the
+            # real name can attach at the PUBLISHED location.
+            tmp = build_tmp(base)
             docs = load_table(spark, sf_dir, "documents")
             toked = fan_out_if_narrow(
                 docs.select("doc_id", _tokens().alias("t"))
@@ -7167,13 +7169,19 @@ def _ensure_minhash_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
                 "doc_id", F.explode(_word_ngrams(F.col("t"))).alias("s")
             )
             write_minhash_sigs(
-                minhash_signatures(sh), os.path.join(base, "sigs")
+                minhash_signatures(sh), os.path.join(tmp, "sigs")
             )
-            stored_sigs = read_minhash_sigs(spark, os.path.join(base, "sigs"))
+            stored_sigs = read_minhash_sigs(spark, os.path.join(tmp, "sigs"))
+            tmp_table = f"{table}__build_{os.path.basename(tmp).split('-')[-1]}"
             write_minhash_bands(
-                bands_from_signatures(stored_sigs), table, bands_path
+                bands_from_signatures(stored_sigs),
+                tmp_table,
+                os.path.join(tmp, "bands"),
             )
-            mark_minhash_store_complete(base)
+            spark.sql(f"DROP TABLE IF EXISTS `{tmp_table}`")
+            mark_minhash_store_complete(tmp)
+            publish_build(tmp, base)
+        attach_minhash_bands(spark, table, os.path.join(base, "bands"))
     return table, base
 
 
@@ -7272,6 +7280,47 @@ def neardup_components_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not cluster_store_complete(base):
         pairs = minhash_candidate_pairs_stored(spark, sf_dir).select(
             "doc_a", "doc_b"
+        )
+        write_cluster_map(connected_components(pairs), base)
+    return read_cluster_map(spark, base)
+
+
+def emb_neardup_components_stored(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(doc, cluster_id) EMBEDDING near-dup component relation from
+    the cluster store — the embedding-space twin of
+    ``neardup_components_stored``: hyperplane-LSH bucketing, the
+    exact-cosine verify join and the iterative CC solve run once per
+    (embeddings fingerprint, plane count, bucket cap, CC codec); every
+    later invocation is a single parquet scan. The plane count is part
+    of the key because it SELF-SIZES from the corpus row count — a
+    grown corpus changes the geometry and must rebuild."""
+    import os
+    import re
+
+    from ..sources.cluster_store import (
+        cluster_store_complete,
+        read_cluster_map,
+        write_cluster_map,
+    )
+    from ..sources.store_root import store_root
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _planes_at_oracle_floor(
+        emb.count(), "llm_embedding_neardup_clusters"
+    )
+    tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
+    fp = _source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    base = os.path.join(
+        store_root(),
+        "emb_cluster_store",
+        f"{tag}_{fp}_p{planes}"
+        f"_cc{_CLUSTER_CODEC_VERSION}c{_ANN_BUCKET_CAP}",
+    )
+    if not cluster_store_complete(base):
+        pairs = ann_cosine_pairs(emb, n_planes=planes).select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
         )
         write_cluster_map(connected_components(pairs), base)
     return read_cluster_map(spark, base)

@@ -38,12 +38,19 @@ _CLUSTER_FILES = 8
 def write_cluster_map(comp: DataFrame, path: str) -> None:
     """Persist the (doc, cluster_id) component relation, then the
     store-level DONE marker — strictly in that order, so a crash
-    mid-write can never leave a store that passes the reuse gate."""
+    mid-write can never leave a store that passes the reuse gate.
+    Built in a sibling tmp dir and published by one atomic rename
+    (``store_root.build_tmp``/``publish_build``), so a concurrent
+    builder of the same store can never interleave part-files."""
+    from .store_root import build_tmp, publish_build
+
+    tmp = build_tmp(path)
     comp.repartition(_CLUSTER_FILES).write.parquet(
-        os.path.join(path, "components"), mode="overwrite"
+        os.path.join(tmp, "components"), mode="overwrite"
     )
-    with open(os.path.join(path, "_STORE_COMPLETE"), "w") as fh:
+    with open(os.path.join(tmp, "_STORE_COMPLETE"), "w") as fh:
         fh.write("components\n")
+    publish_build(tmp, path)
 
 
 def read_cluster_map(spark: SparkSession, path: str) -> DataFrame:

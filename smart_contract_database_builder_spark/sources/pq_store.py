@@ -80,19 +80,25 @@ def write_pq_encoded(emb: DataFrame, path: str) -> None:
     # cells/ BEFORE codes/, and a store-level DONE marker after both:
     # the reuse gate keys on the marker, so a build interrupted between
     # any two writes leaves a store that fails the gate and is rebuilt
-    # (mode=overwrite heals partial leftovers) instead of persisting
-    # forever with a missing table.
-    cells.write.mode("overwrite").parquet(f"{path}/cells")
+    # instead of persisting forever with a missing table. Built in a
+    # sibling tmp dir and published by one atomic rename (round 11),
+    # so a concurrent builder of the same store can never interleave
+    # part-files at the shared final path.
+    import os
+
+    from .store_root import build_tmp, publish_build
+
+    tmp = build_tmp(path)
+    cells.write.mode("overwrite").parquet(f"{tmp}/cells")
     (
         codes.repartition("cell")
         .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(f"{path}/codes")
+        .parquet(f"{tmp}/codes")
     )
-    import os
-
-    with open(os.path.join(path, "_STORE_COMPLETE"), "w") as fh:
+    with open(os.path.join(tmp, "_STORE_COMPLETE"), "w") as fh:
         fh.write("cells+codes\n")
+    publish_build(tmp, path)
 
 
 def pq_store_complete(path: str) -> bool:

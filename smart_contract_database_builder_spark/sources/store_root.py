@@ -23,6 +23,7 @@ decision.
 from __future__ import annotations
 
 import os
+import shutil
 import stat
 import tempfile
 
@@ -70,3 +71,54 @@ def store_root() -> str:
             "user could plant store files"
         )
     return root
+
+
+def build_tmp(final: str) -> str:
+    """Unique sibling build directory for ``final``: stores are built
+    HERE and published by one atomic rename, so a concurrent session
+    building the same store can never interleave its part-files with
+    ours at the shared final path, and a crashed build never leaves
+    anything at the final path at all (its ``.build-*`` droppings are
+    invisible to the reuse gate and reaped by the next builder)."""
+    parent = os.path.dirname(final)
+    os.makedirs(parent, exist_ok=True)
+    # reap stale siblings from crashed builds of THIS store (> 1 day
+    # old — a live concurrent build is minutes old and must survive)
+    import time
+
+    prefix = os.path.basename(final) + ".build-"
+    for entry in os.listdir(parent):
+        if entry.startswith(prefix):
+            p = os.path.join(parent, entry)
+            try:
+                if time.time() - os.lstat(p).st_mtime > 86400:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+    tmp = f"{final}.build-{os.getpid()}-{os.urandom(4).hex()}"
+    os.makedirs(tmp)
+    return tmp
+
+
+def publish_build(tmp: str, final: str) -> None:
+    """Atomically publish a COMPLETED build dir (marker already
+    inside): one rename on the same filesystem. If ``final`` already
+    exists COMPLETE, another session won the race — discard ours and
+    use the winner's (both builds are deterministic functions of the
+    same fingerprinted inputs, so either result is correct). If it
+    exists INCOMPLETE — a leftover from an older layout or a pre-
+    tmp-discipline crash — replace it: an incomplete final dir must
+    never shadow a finished build."""
+    try:
+        os.rename(tmp, final)
+        return
+    except OSError:
+        pass
+    if os.path.exists(os.path.join(final, "_STORE_COMPLETE")):
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
+    shutil.rmtree(final, ignore_errors=True)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -87,3 +87,45 @@ def test_pq_store_gate_requires_done_marker(tmp_path):
     assert not pq_store_complete(store)
     open(os.path.join(store, "_STORE_COMPLETE"), "w").close()
     assert pq_store_complete(store)
+
+
+def test_publish_build_loser_discards_and_winner_stands(tmp_path):
+    """Two sessions building the same store: the second publish finds
+    a COMPLETE final dir and must discard its own build, leaving the
+    winner's files untouched."""
+    from smart_contract_database_builder_spark.sources.store_root import (
+        build_tmp,
+        publish_build,
+    )
+
+    final = str(tmp_path / "store")
+    t1 = build_tmp(final)
+    open(os.path.join(t1, "data"), "w").write("winner")
+    open(os.path.join(t1, "_STORE_COMPLETE"), "w").close()
+    publish_build(t1, final)
+    t2 = build_tmp(final)
+    open(os.path.join(t2, "data"), "w").write("loser")
+    open(os.path.join(t2, "_STORE_COMPLETE"), "w").close()
+    publish_build(t2, final)
+    assert open(os.path.join(final, "data")).read() == "winner"
+    assert not os.path.exists(t2)
+
+
+def test_publish_build_replaces_incomplete_final(tmp_path):
+    """An INCOMPLETE dir at the final path (older layout / pre-tmp
+    crash) must be replaced by a finished build, never shadow it."""
+    from smart_contract_database_builder_spark.sources.store_root import (
+        build_tmp,
+        publish_build,
+    )
+
+    final = str(tmp_path / "store")
+    os.makedirs(final)
+    open(os.path.join(final, "partial"), "w").close()  # no marker
+    t = build_tmp(final)
+    open(os.path.join(t, "data"), "w").write("fresh")
+    open(os.path.join(t, "_STORE_COMPLETE"), "w").close()
+    publish_build(t, final)
+    assert open(os.path.join(final, "data")).read() == "fresh"
+    assert os.path.exists(os.path.join(final, "_STORE_COMPLETE"))
+    assert not os.path.exists(os.path.join(final, "partial"))
