@@ -234,6 +234,7 @@ HEADLINE = [
     "llm_tokenizer_fertility_by_lang",
     "llm_contrastive_pairs",
     "llm_nb_langid",
+    "llm_embedding_sq8_error",
 ]
 
 

@@ -81,7 +81,6 @@ _PRIORITY = [
     # round-11-born queries if operators are added this round ---
     "filter_point_lookup",
     "filter_type_predicate",
-    "filter_suffix_predicate",
     "join_semi_anti_customers",
     "agg_distinct_counts",
     "agg_grouping_shapes",
@@ -103,6 +102,7 @@ _PRIORITY = [
     "llm_tokenizer_fertility_by_lang",
     "llm_contrastive_pairs",
     "llm_nb_langid",
+    "llm_embedding_sq8_error",
 ]
 
 #: Oracle-CARRYING queries deliberately registered just past the
@@ -114,6 +114,7 @@ _PRIORITY = [
 #: backlog is EMPTY: every query below is driver-green in some
 #: CORRECTNESS_r*.json artifact with plan code unchanged since.
 _OVERFLOW = [
+    "filter_suffix_predicate",
     "llm_cosine_topk_bruteforce",
     "scalar_date_parts_orders",
     "scalar_math_lineitem",

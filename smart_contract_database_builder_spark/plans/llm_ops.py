@@ -9664,3 +9664,144 @@ def llm_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cand_lang") == F.col("true_lang")).alias("correct"),
         )
     )
+
+
+#: SQ8 scalar quantization: per-DIMENSION min/max over the corpus,
+#: 256 levels, mid-rise reconstruction. All arithmetic in the shared
+#: _FP fixed-point domain so codes and reconstruction errors are
+#: exact integers on both engines.
+_SQ8_LEVELS = 256
+_SQ8_TOPK = 20
+
+
+@register(
+    "llm_embedding_sq8_error",
+    oracle=rf"""
+    WITH s AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> {_SQL_ISCALE.format(v="x")}) AS sv
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT d, MIN(sv[d]) AS mn, MAX(sv[d]) AS mx
+      FROM s, range(1, 65) r(d)
+      GROUP BY d
+    ),
+    packed AS (
+      SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs
+      FROM dims
+    ),
+    coded AS (
+      SELECT vec_id, label,
+             list_transform(range(1, 65), d ->
+               CASE WHEN mxs[d] = mns[d] THEN 0
+                    ELSE LEAST({_SQ8_LEVELS - 1},
+                               ((sv[d] - mns[d]) * {_SQ8_LEVELS})
+                                 // (mxs[d] - mns[d]))
+               END) AS codes,
+             sv, mns, mxs
+      FROM s CROSS JOIN packed
+    ),
+    errs AS (
+      SELECT vec_id, label,
+             list_aggregate(
+               list_transform(range(1, 65), d ->
+                 CAST(sv[d] - CASE WHEN mxs[d] = mns[d] THEN mns[d]
+                      ELSE mns[d] + ((2 * codes[d] + 1)
+                                     * (mxs[d] - mns[d]))
+                                    // {2 * _SQ8_LEVELS}
+                      END AS BIGINT)
+                 * CAST(sv[d] - CASE WHEN mxs[d] = mns[d] THEN mns[d]
+                      ELSE mns[d] + ((2 * codes[d] + 1)
+                                     * (mxs[d] - mns[d]))
+                                    // {2 * _SQ8_LEVELS}
+                      END AS BIGINT)),
+               'sum') AS se_fp
+      FROM coded
+    )
+    SELECT vec_id, label,
+           CAST(se_fp AS BIGINT) AS se_fp,
+           CAST(se_fp AS DOUBLE) / (64.0 * {_FP} * {_FP}) AS mse
+    FROM errs
+    ORDER BY se_fp DESC, vec_id
+    LIMIT {_SQ8_TOPK}
+    """,
+)
+def llm_embedding_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-EXT: SQ8 scalar quantization AUDIT — encode every embedding
+    with per-dimension 8-bit uniform quantizers (corpus min/max, the
+    FAISS ``SQ8`` layout) and report the {_SQ8_TOPK} worst-reconstructed
+    vectors by exact squared error. Completes the vector-codec family
+    (PQ / IVF / IVF-PQ / SQ8): SQ8 is the 4×-compression layout you
+    pick when PQ's distortion is too high, and this report is the
+    accept/reject audit — outlier vectors that saturate a dimension's
+    range are exactly the ones a per-dim quantizer serves worst.
+
+    Scale shape: the quantizer is a 64-row (dim, min, max) aggregate
+    packed into ONE broadcast row; encode + reconstruct + error are a
+    single map stage over one corpus scan (array expressions, no
+    explode survives the aggregate); the top-k is a TakeOrdered of K
+    rows. Cross-engine exactness: everything happens in the shared
+    ``_FP`` fixed-point domain — codes are integer floor-divisions,
+    mid-rise reconstruction is integer arithmetic, and the squared
+    error is an exact int64 sum (the double MSE divides at output
+    only).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: _iscale(x)).alias("sv"),
+    )
+    dims = (
+        s.select(F.posexplode("sv").alias("d0", "v"))
+        .groupBy((F.col("d0") + 1).alias("d"))
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    )
+    packed = dims.agg(
+        F.array_sort(
+            F.collect_list(F.struct("d", "mn", "mx"))
+        ).alias("dmm")
+    ).select(
+        F.transform("dmm", lambda x: x["mn"]).alias("mns"),
+        F.transform("dmm", lambda x: x["mx"]).alias("mxs"),
+    )
+    # integer floor-division is `div` on both engines; element_at is
+    # the 1-based accessor mirroring DuckDB's list[d] (Spark's arr[d]
+    # is 0-based and must not appear here)
+    code_d = (
+        "CASE WHEN element_at(mxs, d) = element_at(mns, d) "
+        "THEN CAST(0 AS BIGINT) "
+        f"ELSE LEAST(CAST({_SQ8_LEVELS - 1} AS BIGINT), "
+        f"((element_at(sv, d) - element_at(mns, d)) * {_SQ8_LEVELS}) "
+        "div (element_at(mxs, d) - element_at(mns, d))) END"
+    )
+    recon_d = (
+        "CASE WHEN element_at(mxs, d) = element_at(mns, d) "
+        "THEN element_at(mns, d) "
+        f"ELSE element_at(mns, d) + ((2 * ({code_d}) + 1) "
+        "* (element_at(mxs, d) - element_at(mns, d))) "
+        f"div {2 * _SQ8_LEVELS} END"
+    )
+    se_expr = F.expr(
+        "aggregate(transform(sequence(1, size(sv)), d -> "
+        f"CAST(element_at(sv, d) - ({recon_d}) AS BIGINT) "
+        f"* CAST(element_at(sv, d) - ({recon_d}) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    errs = s.crossJoin(F.broadcast(packed)).select(
+        "vec_id", "label", se_expr.alias("se_fp")
+    )
+    return (
+        errs.select(
+            "vec_id",
+            "label",
+            F.col("se_fp").cast("long").alias("se_fp"),
+            (
+                F.col("se_fp").cast("double")
+                / F.lit(64.0 * _FP * _FP)
+            ).alias("mse"),
+        )
+        .orderBy(F.desc("se_fp"), "vec_id")
+        .limit(_SQ8_TOPK)
+    )

@@ -50,6 +50,7 @@ _NESTED_LOOP_ALLOWED = {
     "llm_dsir_importance",         # two 1-row gram-total broadcasts
     "llm_contrastive_pairs",       # anchor-slice broadcast (knn-join shape)
     "llm_nb_langid",               # langs × bucket-domain model build (≤1.3k rows)
+    "llm_embedding_sq8_error",     # 1-row packed per-dim quantizer broadcast
 }
 
 #: Queries whose fn() triggers side effects/execution rather than just
