@@ -235,6 +235,7 @@ HEADLINE = [
     "llm_contrastive_pairs",
     "llm_nb_langid",
     "llm_embedding_sq8_error",
+    "llm_cross_source_overlap",
 ]
 
 

@@ -87,7 +87,6 @@ _PRIORITY = [
     "window_top3_orders_per_customer",
     "window_running_revenue_by_date",
     "window_lag_lead_first_last",
-    "window_rank_variants",
     "topk_orders_by_price",
     "set_ops_customer_keys",
     "scalar_map_explode_props",
@@ -103,6 +102,7 @@ _PRIORITY = [
     "llm_contrastive_pairs",
     "llm_nb_langid",
     "llm_embedding_sq8_error",
+    "llm_cross_source_overlap",
 ]
 
 #: Oracle-CARRYING queries deliberately registered just past the
@@ -114,6 +114,7 @@ _PRIORITY = [
 #: backlog is EMPTY: every query below is driver-green in some
 #: CORRECTNESS_r*.json artifact with plan code unchanged since.
 _OVERFLOW = [
+    "window_rank_variants",
     "filter_suffix_predicate",
     "llm_cosine_topk_bruteforce",
     "scalar_date_parts_orders",

@@ -9805,3 +9805,102 @@ def llm_embedding_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("se_fp"), "vec_id")
         .limit(_SQ8_TOPK)
     )
+
+
+#: Cross-source overlap fingerprint: the first _XSRC_PREFIX chars of
+#: the canonical (lowercased, whitespace-collapsed) text — the
+#: prefix-fingerprint dedup family's key, which catches re-served
+#: content whose tails diverge (ads, footers) where the full-text
+#: exact key goes vacuously empty.
+_XSRC_PREFIX = 40
+
+
+@register(
+    "llm_cross_source_overlap",
+    oracle=rf"""
+    WITH keyed AS (
+      SELECT DISTINCT source,
+             md5(substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                        1, {_XSRC_PREFIX})) AS k
+      FROM documents
+    ),
+    src_sizes AS (
+      SELECT source, COUNT(*) AS n_keys FROM keyed GROUP BY source
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared,
+           CAST(COUNT(*) AS DOUBLE) / LEAST(sa.n_keys, sb.n_keys)
+             AS overlap_coeff
+    FROM keyed a
+    JOIN keyed b ON a.k = b.k AND a.source < b.source
+    JOIN src_sizes sa ON sa.source = a.source
+    JOIN src_sizes sb ON sb.source = b.source
+    GROUP BY a.source, b.source, sa.n_keys, sb.n_keys
+    """,
+)
+def llm_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 EXT: CROSS-SOURCE overlap matrix — for every source pair,
+    how many canonical content-PREFIX fingerprints (first
+    {_XSRC_PREFIX} canonical chars — the prefix-dedup family's key,
+    robust to diverging tails) they share, and the overlap coefficient
+    |A∩B|/min(|A|,|B|). The crawl-triage diagnostic every
+    multi-source curation run starts with: two crawls with high
+    overlap are re-serving each other's content, and the smaller one
+    adds little beyond its unique slice — this decides which sources
+    to drop BEFORE paying full pairwise dedup.
+
+    Scale shape: documents reduce to DISTINCT (source, 128-bit key)
+    rows — the text never shuffles; the pair stage is a key-equi
+    self-join whose per-key fanout is bounded by the SOURCE COUNT
+    (≤ S rows per key, so worst case S² per key, with S a handful —
+    never corpus-quadratic); the matrix is an O(S²) aggregate joined
+    to the O(S) size relation. Integer counts and one double ratio —
+    bitwise cross-engine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "source",
+        F.md5(
+            F.substring(
+                F.regexp_replace(
+                    F.trim(F.lower(F.col("text"))), r"\s+", " "
+                ),
+                1,
+                _XSRC_PREFIX,
+            )
+        ).alias("k"),
+    ).distinct()
+    sizes = keyed.groupBy("source").agg(F.count(F.lit(1)).alias("n_keys"))
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_keys").alias("na")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_keys").alias("nb")
+    )
+    return (
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / F.least(F.col("na"), F.col("nb"))
+            ).alias("overlap_coeff"),
+        )
+    )
