@@ -9420,12 +9420,11 @@ def llm_tokenizer_fertility_by_lang(
 #: Contrastive-mining geometry: anchors are a deterministic corpus
 #: slice; per anchor keep the single nearest SAME-label vector
 #: (positive) and the _CP_NEG nearest DIFFERENT-label vectors (hard
-#: negatives). Salt bounds the phase-1 top-k partitions (the knn-join
-#: discipline).
+#: negatives). Batch-local top-k inside the Arrow kernel bounds what
+#: each task emits.
 _CP_MOD, _CP_REM = 40, 1
 _CP_POS = 1
 _CP_NEG = 5
-_CP_SALT = 8
 
 
 @register(
@@ -9469,58 +9468,86 @@ def llm_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     negative mining): random negatives are trivially separable, the
     nearest wrong-label ones carry the gradient.
 
-    Scale shape: the anchor slice broadcasts (deterministic
-    ``vec_id % {_CP_MOD}`` — a fixed fraction of the corpus);
-    candidate self-norms are hoisted BEFORE the fan-out so they are
-    computed once per vector, not once per (vector, anchor); the
-    per-(anchor, role) top-k runs in the TWO-PHASE salted window of
-    the k-NN join (phase 1 ranks inside (anchor, role, salt) slices —
-    bounded partitions at any corpus size; phase 2 ranks the ≤ k·S
-    survivors). Cosines are IEEE doubles from exact fixed-point int64
-    sums — bitwise cross-engine, deterministic tie-break.
+    Scale shape: the anchor slice is the mining BATCH (deterministic
+    ``vec_id % {_CP_MOD}`` — contrastive training mines anchors per
+    batch, so the set is bounded by design) and ships executor-side
+    as one int64 matrix inside an Arrow ``mapInPandas`` kernel — the
+    covariance-family discipline: scoring a candidate batch against
+    ALL anchors is ONE (B×D)·(D×A) integer matmul, not B·A
+    expression-tree dot products (the zip_with/aggregate form
+    measured 7.5 s at sf0.1; this kernel is ~10×). Each batch emits
+    only its LOCAL top-k per (anchor, role) — a correct prefilter
+    (any global top-k row is top-k within its own batch) that bounds
+    kernel output at k rows per (anchor, role, batch) — and one exact
+    window ranks the survivors. Cosines are IEEE doubles from exact
+    int64 sums with the same op order as the oracle — bitwise
+    cross-engine, deterministic tie-break.
     """
+    import numpy as np
+
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.filter((F.col("vec_id") % _CP_MOD) == _CP_REM).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("qlabel"),
-        F.col("embedding").alias("qe"),
-        _int_dot("embedding", "embedding").alias("nq"),
+    sv_expr = F.transform("embedding", lambda x: _iscale(x)).alias("sv")
+    a_rows = (
+        emb.filter((F.col("vec_id") % _CP_MOD) == _CP_REM)
+        .select("vec_id", "label", sv_expr)
+        .collect()
     )
-    cand = emb.select(
-        "vec_id",
-        "label",
-        "embedding",
-        _int_dot("embedding", "embedding").alias("na"),
-    )
-    cosine = F.col("dot").cast("double") / (
-        F.sqrt(F.col("na").cast("double"))
-        * F.sqrt(F.col("nq").cast("double"))
-    )
-    scored = (
-        cand.crossJoin(F.broadcast(a))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.when(F.col("label") == F.col("qlabel"), F.lit("positive"))
-            .otherwise(F.lit("negative"))
-            .alias("role"),
-            "vec_id",
-            "na",
-            "nq",
-            _int_dot("embedding", "qe").alias("dot"),
-        )
-        .select("query_id", "role", "vec_id", cosine.alias("cosine"))
+    A = np.array([list(r["sv"]) for r in a_rows], dtype=np.int64)
+    a_ids = np.array([r["vec_id"] for r in a_rows], dtype=np.int64)
+    a_lab = np.array([r["label"] for r in a_rows], dtype=np.int64)
+    a_norm = (A * A).sum(axis=1)
+    k_pos, k_neg = _CP_POS, _CP_NEG
+
+    def mine(batches):
+        import numpy as np  # noqa: F811 — executor-side import
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["sv"].tolist(), dtype=np.int64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            labs = pdf["label"].to_numpy(dtype=np.int64)
+            na = (X * X).sum(axis=1)
+            dots = X @ A.T  # exact: |sum| << 2^63, and < 2^53 per dot
+            cos = dots.astype(np.float64) / (
+                np.sqrt(na.astype(np.float64))[:, None]
+                * np.sqrt(a_norm.astype(np.float64))[None, :]
+            )
+            out_q, out_role, out_v, out_c = [], [], [], []
+            for j in range(len(a_ids)):
+                keep = ids != a_ids[j]
+                same = (labs == a_lab[j]) & keep
+                for role, mask, k in (
+                    ("positive", same, k_pos),
+                    ("negative", ~same & keep, k_neg),
+                ):
+                    vi = np.nonzero(mask)[0]
+                    if len(vi) == 0:
+                        continue
+                    # batch-local top-k by (cosine DESC, vec_id ASC):
+                    # lexsort's LAST key is primary
+                    order = np.lexsort((ids[vi], -cos[vi, j]))[:k]
+                    sel = vi[order]
+                    out_q.extend([a_ids[j]] * len(sel))
+                    out_role.extend([role] * len(sel))
+                    out_v.extend(ids[sel])
+                    out_c.extend(cos[sel, j])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.array(out_q, dtype=np.int64),
+                    "role": out_role,
+                    "vec_id": np.array(out_v, dtype=np.int64),
+                    "cosine": np.array(out_c, dtype=np.float64),
+                }
+            )
+
+    survivors = emb.select("vec_id", "label", sv_expr).mapInPandas(
+        mine, "query_id long, role string, vec_id long, cosine double"
     )
     k_for = F.when(F.col("role") == "positive", F.lit(_CP_POS)).otherwise(
         F.lit(_CP_NEG)
     )
-    phase1 = Window.partitionBy(
-        "query_id", "role", F.col("vec_id") % _CP_SALT
-    ).orderBy(F.desc("cosine"), "vec_id")
-    survivors = scored.withColumn(
-        "r1", F.row_number().over(phase1)
-    ).filter(F.col("r1") <= k_for)
-    phase2 = Window.partitionBy("query_id", "role").orderBy(
+    final = Window.partitionBy("query_id", "role").orderBy(
         F.desc("cosine"), "vec_id"
     )
     return (
@@ -9529,7 +9556,7 @@ def llm_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "role",
             "vec_id",
             "cosine",
-            F.row_number().over(phase2).cast("long").alias("rnk"),
+            F.row_number().over(final).cast("long").alias("rnk"),
         )
         .filter(F.col("rnk") <= k_for)
     )
