@@ -200,3 +200,27 @@ def test_cluster_store_built_once_and_reused(spark, tmp_path, monkeypatch):
     assert os.path.getmtime(marker) == t0
     assert comp.count() > 0
     spark.sql(f"DROP TABLE IF EXISTS `mh_bands_{tag}`")
+
+
+def test_emb_cluster_store_built_once_and_reused(spark, tmp_path, monkeypatch):
+    """The embedding-side cluster store mirrors the text side: first
+    consumer builds (hyperplane LSH + cosine verify + CC solve), later
+    invocations read the files (marker mtime frozen)."""
+    from smart_contract_database_builder_spark.sources.store_root import (
+        store_root,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_STORE_ROOT", str(tmp_path))
+    plans.QUERIES["llm_embedding_neardup_clusters"].fn(
+        spark, SF_ORACLE
+    ).collect()
+    root = os.path.join(store_root(), "emb_cluster_store")
+    stores = os.listdir(root)
+    assert len(stores) == 1
+    marker = os.path.join(root, stores[0], "_STORE_COMPLETE")
+    t0 = os.path.getmtime(marker)
+    out = plans.QUERIES["llm_embedding_neardup_clusters"].fn(
+        spark, SF_ORACLE
+    ).collect()
+    assert os.path.getmtime(marker) == t0
+    assert len(out) > 0
