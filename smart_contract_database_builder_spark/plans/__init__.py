@@ -87,12 +87,12 @@ _PRIORITY = [
     "window_top3_orders_per_customer",
     "window_running_revenue_by_date",
     "window_lag_lead_first_last",
-    "topk_orders_by_price",
-    "set_ops_customer_keys",
-    "scalar_map_explode_props",
     "llm_ngram_jaccard_topk",
     # --- round-11-born operators: sentence dedup, repetition profile,
-    # DSIR importance, cluster-size histogram, c-TF-IDF, fertility ---
+    # DSIR importance, cluster-size histogram, c-TF-IDF, fertility,
+    # plus batch 3 (boilerplate / JL audit / code-switch) — three
+    # freshness fillers (topk / set-ops / map-explode, all multi-round
+    # green with plans unchanged) moved to _OVERFLOW to make room ---
     "llm_sentence_dedup_fraction",
     "llm_repetition_ngram_profile",
     "llm_dsir_importance",
@@ -103,6 +103,9 @@ _PRIORITY = [
     "llm_nb_langid",
     "llm_embedding_sq8_error",
     "llm_cross_source_overlap",
+    "llm_boilerplate_sentences",
+    "llm_jl_projection_audit",
+    "llm_code_switch_docs",
 ]
 
 #: Oracle-CARRYING queries deliberately registered just past the
@@ -114,6 +117,12 @@ _PRIORITY = [
 #: backlog is EMPTY: every query below is driver-green in some
 #: CORRECTNESS_r*.json artifact with plan code unchanged since.
 _OVERFLOW = [
+    # r11 batch-3 evictions: freshness fillers whose plans are
+    # unchanged since their last driver-green row (r4/r5 era, re-green
+    # under the pytest sweep every session)
+    "topk_orders_by_price",
+    "set_ops_customer_keys",
+    "scalar_map_explode_props",
     "window_rank_variants",
     "filter_suffix_predicate",
     "llm_cosine_topk_bruteforce",

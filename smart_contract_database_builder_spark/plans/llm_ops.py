@@ -9931,3 +9931,402 @@ def llm_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_coeff"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 batch 3: per-source boilerplate detection, JL random-projection
+# audit, segment-level code-switch detection
+# ---------------------------------------------------------------------------
+
+#: A sentence is boilerplate within its source iff it appears in at
+#: least this many distinct documents AND in at least 1/_BOILER_DENOM
+#: of the source's documents (integer cross-multiplied — no float
+#: threshold compare anywhere near the gate).
+_BOILER_MIN_DOCS = 2
+_BOILER_DENOM = 4
+
+
+@register(
+    "llm_boilerplate_sentences",
+    oracle=rf"""
+    WITH sent AS (
+      SELECT DISTINCT doc_id, source, md5(s) AS k, len(s) AS chars
+      FROM (
+        SELECT doc_id, source, trim(f) AS s
+        FROM (
+          SELECT doc_id, source,
+                 unnest(string_split_regex(lower(text), '[.!?]+')) AS f
+          FROM documents
+        )
+      )
+      WHERE len(s) >= {_SENT_MIN_CHARS}
+    ),
+    freq AS (
+      SELECT source, k, COUNT(*) AS n_docs
+      FROM sent GROUP BY source, k
+    ),
+    srcsize AS (
+      SELECT source, COUNT(DISTINCT doc_id) AS src_docs
+      FROM sent GROUP BY source
+    )
+    SELECT s.doc_id, s.source,
+           CAST(COUNT(*) AS BIGINT) AS n_sentences,
+           CAST(SUM(CASE WHEN f.n_docs >= {_BOILER_MIN_DOCS}
+                          AND f.n_docs * {_BOILER_DENOM} >= z.src_docs
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boiler_sentences,
+           CAST(SUM(s.chars) AS BIGINT) AS chars_total,
+           CAST(SUM(CASE WHEN f.n_docs >= {_BOILER_MIN_DOCS}
+                          AND f.n_docs * {_BOILER_DENOM} >= z.src_docs
+                         THEN 0 ELSE s.chars END) AS BIGINT)
+             AS chars_kept
+    FROM sent s
+    JOIN freq f ON f.source = s.source AND f.k = s.k
+    JOIN srcsize z ON z.source = s.source
+    GROUP BY s.doc_id, s.source
+    """,
+)
+def llm_boilerplate_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-EXT: CCNet-style PER-SOURCE boilerplate detection — a sentence
+    that recurs across a large fraction of one source's documents
+    (nav chrome, cookie banners, license footers) is boilerplate for
+    that source, and the per-document report (sentences flagged, chars
+    kept after removal) is the cleaning plan a crawl-curation pass
+    executes. Differs from ``llm_sentence_dedup_fraction``: the gate is
+    source-relative frequency (>= 1/4 of the source's docs AND
+    >= 2 docs), not corpus-wide >=2-doc duplication — a quote
+    shared by two articles is NOT boilerplate here.
+
+    Scale shape: sentences shuffle as (source, md5) key pairs with a
+    char-length int — never text. One DISTINCT, one (source, key)
+    count with map-side partial combine, one per-source doc count
+    (broadcast back: #sources rows), one key join against the same
+    hashed relation. The frequency gate is integer cross-multiplied
+    (``n_docs * 4 >= src_docs``) so the boiler/keep split is exact
+    on both engines. At 100 TB each source's sentence keys spread over
+    the full cluster — no per-source partition is ever materialized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sent = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), r"[.!?]+")).alias("f"),
+        )
+        .select("doc_id", "source", F.trim(F.col("f")).alias("s"))
+        .filter(F.length("s") >= _SENT_MIN_CHARS)
+        .select(
+            "doc_id",
+            "source",
+            F.md5("s").alias("k"),
+            F.length("s").alias("chars"),
+        )
+        .distinct()
+    )
+    freq = sent.groupBy("source", "k").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    srcsize = sent.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("src_docs")
+    )
+    boiler = (F.col("n_docs") >= _BOILER_MIN_DOCS) & (
+        F.col("n_docs") * _BOILER_DENOM >= F.col("src_docs")
+    )
+    return (
+        sent.join(freq, ["source", "k"])
+        .join(F.broadcast(srcsize), "source")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sentences"),
+            F.sum(boiler.cast("int")).cast("long").alias("n_boiler_sentences"),
+            F.sum("chars").cast("long").alias("chars_total"),
+            F.sum(F.when(boiler, F.lit(0)).otherwise(F.col("chars")))
+            .cast("long")
+            .alias("chars_kept"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_sentences",
+            "n_boiler_sentences",
+            "chars_total",
+            "chars_kept",
+        )
+    )
+
+
+#: Johnson-Lindenstrauss audit geometry: project the 64-d embeddings
+#: onto _JL_K Rademacher (±1) directions and measure squared-distance
+#: distortion on the consecutive-id pair sample. The sign matrix is
+#: derived from md5 so both engines (and any future rebuild) agree on
+#: it without shipping state: sign(d, k) = +1 iff the first hex char
+#: of md5("{d}_{k}") has even parity.
+_JL_K = 16
+_JL_DIM = 64
+
+
+def _jl_signs() -> list[list[int]]:
+    import hashlib
+
+    even = set("02468ace")
+    return [
+        [
+            1
+            if hashlib.md5(f"{d}_{k}".encode()).hexdigest()[0] in even
+            else -1
+            for d in range(_JL_DIM)
+        ]
+        for k in range(_JL_K)
+    ]
+
+
+def _jl_oracle() -> str:
+    signs = _jl_signs()
+    iscale = _SQL_ISCALE.format(v="x[1]")
+    projs = ",\n           ".join(
+        f"CAST(list_sum(list_transform(list_zip(embedding, "
+        f"{signs[k]}), x -> {iscale} * x[2])) AS BIGINT) AS p{k}"
+        for k in range(_JL_K)
+    )
+    da = _SQL_ISCALE.format(v="x[1]")
+    db = _SQL_ISCALE.format(v="x[2]")
+    proj_d2 = " + ".join(
+        f"(a.p{k} - b.p{k}) * (a.p{k} - b.p{k})" for k in range(_JL_K)
+    )
+    return rf"""
+    WITH p AS (
+      SELECT vec_id, embedding,
+           {projs}
+      FROM embeddings
+    )
+    SELECT vec_id_a, vec_id_b, orig_d2, proj_d2,
+           CAST(proj_d2 AS DOUBLE) / {_JL_K} / CAST(orig_d2 AS DOUBLE)
+             AS distortion
+    FROM (
+      SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+             CAST(list_sum(list_transform(
+               list_zip(a.embedding, b.embedding),
+               x -> ({da} - {db}) * ({da} - {db}))) AS BIGINT) AS orig_d2,
+             {proj_d2} AS proj_d2
+      FROM p a JOIN p b ON b.vec_id = a.vec_id + 1
+    )
+    WHERE orig_d2 > 0
+    """
+
+
+@register("llm_jl_projection_audit", oracle=_jl_oracle())
+def llm_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-EXT: JOHNSON-LINDENSTRAUSS random-projection audit, completing
+    the vector-codec family (PQ subspace codes, IVF-PQ, SQ8 scalar
+    quantization, now dense dimensionality reduction): project each
+    embedding onto ``_JL_K`` Rademacher ±1 directions and report, for
+    the consecutive-id pair sample, the squared-distance distortion
+    ``(proj_d2 / K) / orig_d2`` — the quantity the JL lemma bounds and
+    the number that decides whether a 4× cheaper index preserves
+    neighborhood structure.
+
+    Float parity: components quantize through the engine-standard
+    ``_iscale`` fixed point, projections are exact int64 sign-sums
+    (order-independent — a ±1 matmul needs no float accumulation at
+    all), both squared distances are exact int64, and the one double
+    division at the end is bitwise-reproducible IEEE-754 on equal
+    inputs. The sign matrix is md5-derived (see ``_jl_signs``) so the
+    Spark literal and the oracle's inlined lists are provably the same
+    bits with no shared state.
+
+    Scale shape: the projection is a per-row map (K=16 zip_with folds
+    inside whole-stage codegen, no shuffle); the pair sample joins on
+    ``vec_id + 1`` — an equi-join both engines hash-partition, linear
+    in the corpus, and at 100 TB the natural choice is id-range
+    bucketing so consecutive ids co-locate and the exchange vanishes.
+    A full-pair audit would be quadratic by construction; the
+    consecutive sample is the standard unbiased stand-in (ids carry no
+    geometric order).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    signs = _jl_signs()
+    proj_cols = [
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.array(*[F.lit(s) for s in signs[k]]),
+                lambda x, s: _iscale(x) * s,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias(f"p{k}")
+        for k in range(_JL_K)
+    ]
+    p = emb.select("vec_id", "embedding", *proj_cols)
+    a = p.alias("a")
+    b = p.alias("b")
+    orig_d2 = F.aggregate(
+        F.zip_with(
+            F.col("a.embedding"),
+            F.col("b.embedding"),
+            lambda x, y: (_iscale(x) - _iscale(y)) * (_iscale(x) - _iscale(y)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    proj_d2 = None
+    for k in range(_JL_K):
+        term = (F.col(f"a.p{k}") - F.col(f"b.p{k}")) * (
+            F.col(f"a.p{k}") - F.col(f"b.p{k}")
+        )
+        proj_d2 = term if proj_d2 is None else proj_d2 + term
+    return (
+        a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1)
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+            orig_d2.alias("orig_d2"),
+            proj_d2.alias("proj_d2"),
+        )
+        .filter(F.col("orig_d2") > 0)
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            "orig_d2",
+            "proj_d2",
+            (
+                F.col("proj_d2").cast("double")
+                / F.lit(_JL_K)
+                / F.col("orig_d2").cast("double")
+            ).alias("distortion"),
+        )
+    )
+
+#: A document is code-switch-flagged when its majority language holds
+#: less than 4/5 of its classified segments (integer cross-multiplied:
+#: ``major_cnt * 5 < n_segments * 4`` — no float threshold compare).
+_MIXED_NUM = 4
+_MIXED_DENOM = 5
+
+
+def _code_switch_oracle() -> str:
+    hits = ", ".join(
+        f"{_sql_hits(lang)} AS {lang}" for lang in ("en", "de", "fr", "es")
+    )
+    return rf"""
+    WITH sent AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, trim(f) AS s
+        FROM (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '[.!?]+')) AS f
+          FROM documents
+        )
+      )
+      WHERE len(s) >= {_SENT_MIN_CHARS}
+    ),
+    seg AS (
+      SELECT doc_id,
+             CASE
+               WHEN en = 0 AND de = 0 AND fr = 0 AND es = 0 THEN 'unknown'
+               WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+               WHEN de >= fr AND de >= es THEN 'de'
+               WHEN fr >= es THEN 'fr'
+               ELSE 'es'
+             END AS predicted
+      FROM (
+        SELECT doc_id, {hits}
+        FROM (
+          SELECT doc_id, string_split_regex(s, '\s+') AS t FROM sent
+        )
+      )
+    ),
+    cnt AS (
+      SELECT doc_id, predicted, COUNT(*) AS c
+      FROM seg WHERE predicted <> 'unknown'
+      GROUP BY doc_id, predicted
+    ),
+    tot AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_segments,
+             CAST(COUNT(*) AS BIGINT) AS n_langs
+      FROM cnt GROUP BY doc_id
+    ),
+    major AS (
+      SELECT doc_id, predicted AS major_lang, c,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY c DESC, predicted
+             ) AS rn
+      FROM cnt
+    )
+    SELECT t.doc_id, t.n_segments, t.n_langs, m.major_lang,
+           CAST(m.c AS DOUBLE) / t.n_segments AS major_frac,
+           m.c * {_MIXED_DENOM} < t.n_segments * {_MIXED_NUM} AS is_mixed
+    FROM tot t JOIN major m ON m.doc_id = t.doc_id AND m.rn = 1
+    """
+
+
+@register("llm_code_switch_docs", oracle=_code_switch_oracle())
+def llm_code_switch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20 EXT: CODE-SWITCH detection — run the stopword-lexicon
+    language classifier (``llm_langid_stopword``'s exact decision rule)
+    at SEGMENT grain and report each document's language composition:
+    classified-segment count, distinct languages seen, the majority
+    language with its fraction, and a mixed flag when the majority
+    holds under 4/5 of segments. Mixed-language documents break
+    monolingual tokenizer/dedup assumptions and are routed to their
+    own pipeline branch in practice; document-grain langid (one label
+    per doc) cannot see them by construction.
+
+    Scale shape: segment classification is a per-row array expression
+    (no shuffle); the composition rolls up through one
+    (doc_id, predicted) hash aggregate with map-side combine — at most
+    4 rows per doc reach the per-doc stage, so the majority argmax
+    window runs on an O(docs) relation with bounded partitions. The
+    mixed gate is integer cross-multiplied; the only double is the
+    reported fraction (exact-int division, bitwise cross-engine).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sent = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), r"[.!?]+")).alias("f"),
+        )
+        .select("doc_id", F.trim(F.col("f")).alias("s"))
+        .filter(F.length("s") >= _SENT_MIN_CHARS)
+    )
+    tok = sent.select("doc_id", F.split("s", r"\s+").alias("t"))
+    t = F.col("t")
+    def _lex_hits(words: tuple[str, ...]) -> Column:
+        # factory (not a default-arg lambda): higher-order-function
+        # lambdas must be unary — an extra parameter would be bound to
+        # the element index by PySpark
+        return F.size(F.filter(t, lambda x: x.isin(*words)))
+
+    hits = {lang: _lex_hits(words) for lang, words in _LEXICONS.items()}
+    en, de, fr, es = hits["en"], hits["de"], hits["fr"], hits["es"]
+    predicted = (
+        F.when((en == 0) & (de == 0) & (fr == 0) & (es == 0), F.lit("unknown"))
+        .when((en >= de) & (en >= fr) & (en >= es), F.lit("en"))
+        .when((de >= fr) & (de >= es), F.lit("de"))
+        .when(fr >= es, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    seg = tok.select("doc_id", predicted.alias("predicted")).filter(
+        F.col("predicted") != "unknown"
+    )
+    cnt = seg.groupBy("doc_id", "predicted").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_segments"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("predicted"))
+    major = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("predicted").alias("major_lang"), "c")
+    )
+    return tot.join(major, "doc_id").select(
+        "doc_id",
+        "n_segments",
+        "n_langs",
+        "major_lang",
+        (F.col("c").cast("double") / F.col("n_segments")).alias("major_frac"),
+        (F.col("c") * _MIXED_DENOM < F.col("n_segments") * _MIXED_NUM).alias(
+            "is_mixed"
+        ),
+    )
