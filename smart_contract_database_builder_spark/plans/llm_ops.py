@@ -10145,26 +10145,32 @@ def llm_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     signs = _jl_signs()
+    # Quantize ONCE per row — the 16 projection folds and the distance
+    # fold all reuse the same int64 array, so the decimal fixed-point
+    # cast runs 64 times per row, not 16x64
+    q = emb.select(
+        "vec_id", F.transform(F.col("embedding"), _iscale).alias("q")
+    )
     proj_cols = [
         F.aggregate(
             F.zip_with(
-                F.col("embedding"),
+                F.col("q"),
                 F.array(*[F.lit(s) for s in signs[k]]),
-                lambda x, s: _iscale(x) * s,
+                lambda x, s: x * s,
             ),
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         ).alias(f"p{k}")
         for k in range(_JL_K)
     ]
-    p = emb.select("vec_id", "embedding", *proj_cols)
+    p = q.select("vec_id", "q", *proj_cols)
     a = p.alias("a")
     b = p.alias("b")
     orig_d2 = F.aggregate(
         F.zip_with(
-            F.col("a.embedding"),
-            F.col("b.embedding"),
-            lambda x, y: (_iscale(x) - _iscale(y)) * (_iscale(x) - _iscale(y)),
+            F.col("a.q"),
+            F.col("b.q"),
+            lambda x, y: (x - y) * (x - y),
         ),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
