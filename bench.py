@@ -236,6 +236,9 @@ HEADLINE = [
     "llm_nb_langid",
     "llm_embedding_sq8_error",
     "llm_cross_source_overlap",
+    "llm_boilerplate_sentences",
+    "llm_jl_projection_audit",
+    "llm_code_switch_docs",
 ]
 
 
