@@ -239,6 +239,10 @@ HEADLINE = [
     "llm_boilerplate_sentences",
     "llm_jl_projection_audit",
     "llm_code_switch_docs",
+    "llm_matryoshka_audit",
+    "llm_domain_mix_temperature",
+    "llm_blocklist_policy_filter",
+    "agg_benford_first_digit",
 ]
 
 

@@ -83,10 +83,6 @@ _PRIORITY = [
     "filter_type_predicate",
     "join_semi_anti_customers",
     "agg_distinct_counts",
-    "agg_grouping_shapes",
-    "window_top3_orders_per_customer",
-    "window_running_revenue_by_date",
-    "window_lag_lead_first_last",
     "llm_ngram_jaccard_topk",
     # --- round-11-born operators: sentence dedup, repetition profile,
     # DSIR importance, cluster-size histogram, c-TF-IDF, fertility,
@@ -106,6 +102,15 @@ _PRIORITY = [
     "llm_boilerplate_sentences",
     "llm_jl_projection_audit",
     "llm_code_switch_docs",
+    # --- batch 4: matryoshka truncation audit, temperature mixture
+    # planner, blocklist policy filter, Benford first-digit audit —
+    # four freshness fillers (grouping-shapes + the r4-era window
+    # trio, all multi-round green with plans unchanged) moved to
+    # _OVERFLOW to make room ---
+    "llm_matryoshka_audit",
+    "llm_domain_mix_temperature",
+    "llm_blocklist_policy_filter",
+    "agg_benford_first_digit",
 ]
 
 #: Oracle-CARRYING queries deliberately registered just past the
@@ -117,6 +122,13 @@ _PRIORITY = [
 #: backlog is EMPTY: every query below is driver-green in some
 #: CORRECTNESS_r*.json artifact with plan code unchanged since.
 _OVERFLOW = [
+    # r11 batch-4 evictions: freshness fillers whose plans are
+    # unchanged since their last driver-green row (r4-era, re-green
+    # under the pytest sweep every session)
+    "agg_grouping_shapes",
+    "window_top3_orders_per_customer",
+    "window_running_revenue_by_date",
+    "window_lag_lead_first_last",
     # r11 batch-3 evictions: freshness fillers whose plans are
     # unchanged since their last driver-green row (r4/r5 era, re-green
     # under the pytest sweep every session)

@@ -10336,3 +10336,327 @@ def llm_code_switch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_mixed"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka prefix-truncation audit (F-EXT, round 11 batch 4)
+# ---------------------------------------------------------------------------
+
+#: Prefix lengths audited by the Matryoshka truncation report. Each k
+#: is a candidate "cheap index" dimensionality; retained_k answers how
+#: much of the full-vector squared distance the first k dims carry.
+_MATRYOSHKA_KS = (8, 16, 32)
+
+
+def _matryoshka_oracle() -> str:
+    iscale_a = _SQL_ISCALE.format(v="x[1]")
+    iscale_b = _SQL_ISCALE.format(v="x[2]")
+    d2 = (
+        "CAST(list_sum(list_transform(list_zip({ea}, {eb}), "
+        f"x -> ({iscale_a} - {iscale_b}) * ({iscale_a} - {iscale_b})"
+        ")) AS BIGINT)"
+    )
+    trunc_cols = ",\n             ".join(
+        d2.format(ea=f"a.embedding[1:{k}]", eb=f"b.embedding[1:{k}]")
+        + f" AS d2_k{k}"
+        for k in _MATRYOSHKA_KS
+    )
+    retained = ",\n           ".join(
+        f"CAST(d2_k{k} AS DOUBLE) / CAST(orig_d2 AS DOUBLE) AS retained_k{k}"
+        for k in _MATRYOSHKA_KS
+    )
+    ks = ", ".join(f"d2_k{k}" for k in _MATRYOSHKA_KS)
+    return rf"""
+    SELECT vec_id_a, vec_id_b, orig_d2, {ks},
+           {retained}
+    FROM (
+      SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+             {d2.format(ea="a.embedding", eb="b.embedding")} AS orig_d2,
+             {trunc_cols}
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    )
+    WHERE orig_d2 > 0
+    """
+
+
+@register("llm_matryoshka_audit", oracle=_matryoshka_oracle())
+def llm_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-EXT: MATRYOSHKA prefix-truncation audit — the dimensionality-
+    reduction twin of ``llm_jl_projection_audit`` for embeddings whose
+    training front-loads information into the leading dims (MRL,
+    Kusupati et al. 2022): for each consecutive-id pair, the fraction
+    of full-vector squared distance retained by the first k ∈ {8,16,32}
+    dimensions. A corpus whose retained_k32 is ~1.0 can serve ANN from
+    a 2x-cheaper prefix index with no re-embedding; a flat profile says
+    truncation is unsafe and JL projection / PQ is the right codec.
+
+    Float parity: components quantize once per row through the
+    engine-standard ``_iscale`` fixed point; every prefix distance is
+    an exact int64 sum of nonneg terms (so retained_k is monotone in k
+    by construction — pinned in tests); the double divisions at the
+    end are bitwise-reproducible on equal inputs.
+
+    Scale shape: one scan, per-row quantize + three prefix folds inside
+    whole-stage codegen, and the same linear ``vec_id + 1`` equi-join
+    as the JL audit (id-range bucketing makes the exchange vanish at
+    100 TB). No quadratic pair step anywhere.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", F.transform(F.col("embedding"), _iscale).alias("q")
+    )
+    a = q.alias("a")
+    b = q.alias("b")
+
+    def d2(ca, cb):
+        return F.aggregate(
+            F.zip_with(ca, cb, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    trunc = [
+        d2(
+            F.slice(F.col("a.q"), 1, k), F.slice(F.col("b.q"), 1, k)
+        ).alias(f"d2_k{k}")
+        for k in _MATRYOSHKA_KS
+    ]
+    pairs = (
+        a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1)
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+            d2(F.col("a.q"), F.col("b.q")).alias("orig_d2"),
+            *trunc,
+        )
+        .filter(F.col("orig_d2") > 0)
+    )
+    retained = [
+        (
+            F.col(f"d2_k{k}").cast("double")
+            / F.col("orig_d2").cast("double")
+        ).alias(f"retained_k{k}")
+        for k in _MATRYOSHKA_KS
+    ]
+    return pairs.select(
+        "vec_id_a",
+        "vec_id_b",
+        "orig_d2",
+        *[f"d2_k{k}" for k in _MATRYOSHKA_KS],
+        *retained,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-reweighted source mixture (F-EXT, round 11 batch 4)
+# ---------------------------------------------------------------------------
+
+#: Sampling temperatures for the mixture planner. Restricted to
+#: dyadic roots (T, sqrt(T), sqrt(sqrt(T))) ON PURPOSE: IEEE-754
+#: requires sqrt to be correctly rounded, so unlike pow(T, 0.3) the
+#: weights are bitwise identical across Spark's JVM and DuckDB's libm.
+_MIX_ALPHAS = (1.0, 0.5, 0.25)
+
+#: Token budget the effective-epochs column is quoted against.
+_MIX_BUDGET_TOKENS = 1_000_000
+
+#: Weights quantize to integer micro-units before normalization so the
+#: per-alpha totals are exact int64 sums (summation-order-proof).
+_MIX_WQ = 1_000_000
+
+
+def _mix_weight_sql(alpha: float) -> str:
+    t = "CAST(n_tokens AS DOUBLE)"
+    if alpha == 1.0:
+        w = t
+    elif alpha == 0.5:
+        w = f"sqrt({t})"
+    elif alpha == 0.25:
+        w = f"sqrt(sqrt({t}))"
+    else:  # pragma: no cover - guarded by _MIX_ALPHAS
+        raise ValueError(f"non-dyadic alpha {alpha}")
+    return f"CAST(floor({w} * {_MIX_WQ}) AS BIGINT)"
+
+
+def _mix_temperature_oracle() -> str:
+    arms = "\n      UNION ALL\n".join(
+        f"      SELECT source, n_tokens, CAST({a} AS DOUBLE) AS alpha,"
+        f" {_mix_weight_sql(a)} AS weight_q FROM s"
+        for a in _MIX_ALPHAS
+    )
+    return rf"""
+    WITH s AS (
+      SELECT source,
+             CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    arms AS (
+{arms}
+    )
+    SELECT source, alpha, n_tokens, weight_q,
+           CAST(weight_q AS DOUBLE)
+             / CAST(SUM(weight_q) OVER (PARTITION BY alpha) AS DOUBLE)
+             AS p,
+           CAST(weight_q AS DOUBLE)
+             / CAST(SUM(weight_q) OVER (PARTITION BY alpha) AS DOUBLE)
+             * {_MIX_BUDGET_TOKENS} / CAST(n_tokens AS DOUBLE)
+             AS eff_epochs
+    FROM arms
+    """
+
+
+@register("llm_domain_mix_temperature", oracle=_mix_temperature_oracle())
+def llm_domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-EXT: TEMPERATURE-REWEIGHTED source mixture planner — the
+    multilingual/multi-domain sampling rule (p_i proportional to
+    T_i^alpha; Conneau & Lample 2019, mT5) over per-source token
+    counts: for each alpha in {1, 0.5, 0.25}, each source's sampling
+    probability and effective epochs at a fixed token budget. Lower
+    temperature flattens the mixture — the planner shows exactly how
+    many times a small source would repeat before the big ones finish
+    one pass, the number that decides the alpha a curation run ships.
+
+    Float parity: alphas are restricted to dyadic roots so the weights
+    are single/double sqrt applications — correctly rounded by IEEE
+    mandate in BOTH engines, unlike a general pow — then floored to
+    integer micro-units; the per-alpha totals are exact int64 window
+    sums and the final divisions are bitwise on equal inputs.
+
+    Scale shape: one corpus scan for the token counts (map-side
+    combine onto O(sources) keys); everything downstream — the
+    three-arm union and the per-alpha window — runs on a relation of
+    3 x sources rows, driver-free and broadcast-sized at any corpus
+    scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.sum(F.size(_tokens())).cast("long").alias("n_tokens")
+    )
+    t = F.col("n_tokens").cast("double")
+
+    def w(alpha: float):
+        if alpha == 1.0:
+            return t
+        if alpha == 0.5:
+            return F.sqrt(t)
+        return F.sqrt(F.sqrt(t))
+
+    # One corpus scan: the three temperature arms expand PER ROW of the
+    # O(sources) aggregate (explode of a 3-struct array), not as a
+    # 3-way union whose branches would each re-run the corpus agg.
+    arm = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(alpha).cast("double").alias("alpha"),
+                    F.floor(w(alpha) * _MIX_WQ).cast("long").alias("weight_q"),
+                )
+                for alpha in _MIX_ALPHAS
+            ]
+        )
+    )
+    arms = s.select("source", "n_tokens", arm.alias("a")).select(
+        "source", "n_tokens", F.col("a.alpha").alias("alpha"),
+        F.col("a.weight_q").alias("weight_q"),
+    )
+    win = Window.partitionBy("alpha")
+    p = F.col("weight_q").cast("double") / F.sum("weight_q").over(win).cast(
+        "double"
+    )
+    return arms.select(
+        "source",
+        "alpha",
+        "n_tokens",
+        "weight_q",
+        p.alias("p"),
+        (p * _MIX_BUDGET_TOKENS / F.col("n_tokens").cast("double")).alias(
+            "eff_epochs"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocklist policy filter (F-EXT, round 11 batch 4)
+# ---------------------------------------------------------------------------
+
+#: Deterministic term blocklist (stand-in for the wordlist file a real
+#: safety pass broadcasts; terms chosen from the synthetic vocabulary
+#: so the policy split exercises all three buckets).
+_BLOCKLIST = ("slow", "dup")
+
+#: Policy gates, integer cross-multiplied (no float threshold compare):
+#: drop at >= 1/20 flagged-token ratio, review at >= 1/50.
+_BLOCK_DROP_DENOM = 20
+_BLOCK_REVIEW_DENOM = 50
+
+
+def _blocklist_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BLOCKLIST)
+    return rf"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len({_SQL_TOKENS}) AS n_tok,
+             len(list_filter({_SQL_TOKENS},
+                             t -> list_contains([{terms}], t))) AS n_flagged
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(n_flagged AS BIGINT) AS n_flagged,
+           CAST(n_flagged AS DOUBLE) / CAST(n_tok AS DOUBLE) AS flag_ratio,
+           CASE
+             WHEN n_flagged * {_BLOCK_DROP_DENOM} >= n_tok THEN 'drop'
+             WHEN n_flagged * {_BLOCK_REVIEW_DENOM} >= n_tok THEN 'review'
+             ELSE 'keep'
+           END AS policy
+    FROM t
+    WHERE n_tok > 0
+    """
+
+
+@register("llm_blocklist_policy_filter", oracle=_blocklist_oracle())
+def llm_blocklist_policy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-EXT: BLOCKLIST POLICY filter — the safety/content-policy pass
+    every production corpus runs (UT1/badword lists, domain policies):
+    per document, occurrences of blocklisted terms (occurrence COUNT,
+    not distinct-term membership — one slur repeated 50 times must
+    outscore 50 clean tokens) and a three-way policy decision with
+    integer cross-multiplied thresholds: drop at >=1/20 of tokens
+    flagged, review at >=1/50, keep otherwise.
+
+    Scale shape: pure per-row map — tokenize, one array filter against
+    the broadcast-literal blocklist, two integer compares — inside
+    whole-stage codegen; no shuffle, no join, no UDF. A real wordlist
+    (thousands of terms) swaps the literal array for a broadcast join
+    on token with identical semantics; the plan stays one scan wide.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    block = F.array(*[F.lit(t) for t in _BLOCKLIST])
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tok"),
+        F.size(
+            F.filter(toks, lambda x: F.array_contains(block, x))
+        ).alias("n_flagged"),
+    ).filter(F.col("n_tok") > 0)
+    return t.select(
+        "doc_id",
+        "source",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.col("n_flagged").cast("long").alias("n_flagged"),
+        (
+            F.col("n_flagged").cast("double") / F.col("n_tok").cast("double")
+        ).alias("flag_ratio"),
+        F.when(
+            F.col("n_flagged") * _BLOCK_DROP_DENOM >= F.col("n_tok"),
+            F.lit("drop"),
+        )
+        .when(
+            F.col("n_flagged") * _BLOCK_REVIEW_DENOM >= F.col("n_tok"),
+            F.lit("review"),
+        )
+        .otherwise(F.lit("keep"))
+        .alias("policy"),
+    )

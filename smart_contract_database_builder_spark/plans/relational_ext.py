@@ -3403,3 +3403,71 @@ def agg_sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_direct").cast("long").alias("est_direct"),
         F.col("est_merged").cast("long").alias("est_merged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (A-EXT, round 11 batch 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_benford_first_digit",
+    oracle="""
+    WITH d AS (
+      SELECT substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                    1, 1) AS digit
+      FROM orders
+      WHERE o_totalprice >= 1
+    )
+    SELECT digit,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS obs_frac,
+           log10(1.0 + 1.0 / CAST(digit AS BIGINT)) AS exp_frac,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER () AS DOUBLE)
+             - log10(1.0 + 1.0 / CAST(digit AS BIGINT)) AS deviation
+    FROM d
+    GROUP BY digit
+    """,
+)
+def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT: BENFORD first-digit audit — the classic data-quality /
+    fraud lens over a monetary column: observed first-significant-digit
+    frequencies of order totals vs the Benford expectation
+    log10(1 + 1/d), with the signed deviation per digit. A synthetic or
+    tampered amount column jumps out as a fat deviation row; a
+    naturally multiplicative one hugs zero.
+
+    Float parity: the first digit comes from the INT64 floor rendered
+    as a string (never from float log10 of the price — a value sitting
+    on a power-of-10 boundary would flip digits between engines;
+    DuckDB CAST(double AS BIGINT) also rounds where Spark truncates,
+    which FLOOR-before-cast sidesteps). Counts are exact; the Benford
+    expectation applies libm log10 to the nine exact constants
+    1+1/d — the engine-pinned-libm precedent the LM family set — and
+    the two divisions are bitwise on equal inputs.
+
+    Scale shape: one scan, map-side partial count onto NINE keys, one
+    9-row window for the total — the aggregate any 100 TB fact table
+    can afford; the filter pushes to the parquet scan.
+    """
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        ).alias("digit")
+    )
+    cnt = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    win = Window.partitionBy()
+    obs = F.col("n_orders").cast("double") / F.sum("n_orders").over(win).cast(
+        "double"
+    )
+    exp_frac = F.log10(1.0 + 1.0 / F.col("digit").cast("long"))
+    return cnt.select(
+        "digit",
+        "n_orders",
+        obs.alias("obs_frac"),
+        exp_frac.alias("exp_frac"),
+        (obs - exp_frac).alias("deviation"),
+    )

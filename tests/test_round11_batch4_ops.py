@@ -1,0 +1,113 @@
+"""Operator-level invariants for the round-11 batch-4 operators:
+Matryoshka truncation audit, temperature mixture planner, blocklist
+policy filter, and the Benford first-digit audit. Cross-engine value
+parity lives in test_oracle_parity; these pin the properties the
+oracle equality can't express (monotonicity, flattening, policy
+consistency, distribution mass).
+"""
+
+import math
+
+import pytest
+
+from smart_contract_database_builder_spark.plans.llm_ops import (
+    _BLOCK_DROP_DENOM,
+    _BLOCK_REVIEW_DENOM,
+    _MATRYOSHKA_KS,
+    _MIX_ALPHAS,
+    llm_blocklist_policy_filter,
+    llm_domain_mix_temperature,
+    llm_matryoshka_audit,
+)
+from smart_contract_database_builder_spark.plans.relational_ext import (
+    agg_benford_first_digit,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_matryoshka_retained_is_monotone_and_bounded(spark):
+    """Prefix distances are partial sums of nonneg terms, so
+    d2_k8 <= d2_k16 <= d2_k32 <= orig_d2 and every retained_k sits in
+    [0, 1] — the property that makes the audit readable as 'fraction
+    of distance carried by the prefix'."""
+    rows = llm_matryoshka_audit(spark, SF).collect()
+    assert rows
+    for r in rows:
+        ks = list(_MATRYOSHKA_KS)
+        seq = [r[f"d2_k{k}"] for k in ks] + [r.orig_d2]
+        assert seq == sorted(seq), r
+        for k in ks:
+            assert 0.0 <= r[f"retained_k{k}"] <= 1.0, r
+
+
+def test_matryoshka_leading_dims_carry_signal(spark):
+    """On any non-degenerate corpus the 32-dim prefix of a 64-dim
+    vector retains a nontrivial distance fraction on average (if this
+    fails the slicing is off-by-one or reading the wrong end)."""
+    import pyspark.sql.functions as F
+
+    avg32 = (
+        llm_matryoshka_audit(spark, SF)
+        .agg(F.avg("retained_k32"))
+        .collect()[0][0]
+    )
+    assert 0.2 < avg32 < 1.0
+
+
+def test_mix_temperature_probabilities_normalize(spark):
+    """Per alpha, the sampling probabilities sum to 1 (up to fp dust)
+    and every source appears exactly once."""
+    rows = llm_domain_mix_temperature(spark, SF).collect()
+    for alpha in _MIX_ALPHAS:
+        arm = [r for r in rows if r.alpha == alpha]
+        srcs = [r.source for r in arm]
+        assert len(srcs) == len(set(srcs))
+        assert math.isclose(sum(r.p for r in arm), 1.0, rel_tol=1e-9)
+
+
+def test_mix_temperature_flattens_with_lower_alpha(spark):
+    """Lower temperature flattens the mixture: the max source
+    probability is nonincreasing and the min is nondecreasing as alpha
+    drops 1 -> 0.5 -> 0.25 — the reason the knob exists."""
+    rows = llm_domain_mix_temperature(spark, SF).collect()
+    maxes, mins = [], []
+    for alpha in sorted(_MIX_ALPHAS, reverse=True):
+        ps = [r.p for r in rows if r.alpha == alpha]
+        maxes.append(max(ps))
+        mins.append(min(ps))
+    assert maxes == sorted(maxes, reverse=True)
+    assert mins == sorted(mins)
+
+
+def test_blocklist_policy_matches_ratio_gates(spark):
+    """The policy bucket is exactly the integer cross-multiplied gate
+    applied to (n_flagged, n_tok) — no float threshold drift — and the
+    sf0.01 corpus exercises all three buckets."""
+    rows = llm_blocklist_policy_filter(spark, SF).collect()
+    seen = set()
+    for r in rows:
+        if r.n_flagged * _BLOCK_DROP_DENOM >= r.n_tok:
+            want = "drop"
+        elif r.n_flagged * _BLOCK_REVIEW_DENOM >= r.n_tok:
+            want = "review"
+        else:
+            want = "keep"
+        assert r.policy == want, r
+        assert abs(r.flag_ratio - r.n_flagged / r.n_tok) < 1e-15
+        seen.add(r.policy)
+    assert seen == {"drop", "review", "keep"}
+
+
+def test_benford_fractions_are_distributions(spark):
+    """Observed and expected first-digit fractions each sum to 1 over
+    the nine digits, and the expectation matches log10(1+1/d)."""
+    rows = agg_benford_first_digit(spark, SF).collect()
+    assert {r.digit for r in rows} == {str(d) for d in range(1, 10)}
+    assert math.isclose(sum(r.obs_frac for r in rows), 1.0, rel_tol=1e-12)
+    assert math.isclose(sum(r.exp_frac for r in rows), 1.0, rel_tol=1e-12)
+    for r in rows:
+        assert math.isclose(
+            r.exp_frac, math.log10(1 + 1 / int(r.digit)), rel_tol=1e-12
+        )
+        assert math.isclose(r.deviation, r.obs_frac - r.exp_frac, abs_tol=1e-15)
