@@ -243,6 +243,8 @@ HEADLINE = [
     "llm_domain_mix_temperature",
     "llm_blocklist_policy_filter",
     "agg_benford_first_digit",
+    "llm_lsh_band_coverage",
+    "agg_revenue_gini_by_nation",
 ]
 
 

@@ -79,10 +79,8 @@ _PRIORITY = [
     # --- freshness fillers: the queries whose newest driver evidence
     # is oldest (r4/r5) re-earn current-round rows; replaced by
     # round-11-born queries if operators are added this round ---
-    "filter_point_lookup",
     "filter_type_predicate",
     "join_semi_anti_customers",
-    "agg_distinct_counts",
     "llm_ngram_jaccard_topk",
     # --- round-11-born operators: sentence dedup, repetition profile,
     # DSIR importance, cluster-size histogram, c-TF-IDF, fertility,
@@ -111,6 +109,12 @@ _PRIORITY = [
     "llm_domain_mix_temperature",
     "llm_blocklist_policy_filter",
     "agg_benford_first_digit",
+    # --- batch 5: LSH band-coverage curve (reads the S21 band store),
+    # Gini revenue concentration — two more freshness fillers
+    # (point-lookup / distinct-counts, r4-green, plans unchanged)
+    # moved to _OVERFLOW to make room ---
+    "llm_lsh_band_coverage",
+    "agg_revenue_gini_by_nation",
 ]
 
 #: Oracle-CARRYING queries deliberately registered just past the
@@ -122,9 +126,11 @@ _PRIORITY = [
 #: backlog is EMPTY: every query below is driver-green in some
 #: CORRECTNESS_r*.json artifact with plan code unchanged since.
 _OVERFLOW = [
-    # r11 batch-4 evictions: freshness fillers whose plans are
+    # r11 batch-4/5 evictions: freshness fillers whose plans are
     # unchanged since their last driver-green row (r4-era, re-green
     # under the pytest sweep every session)
+    "filter_point_lookup",
+    "agg_distinct_counts",
     "agg_grouping_shapes",
     "window_top3_orders_per_customer",
     "window_running_revenue_by_date",

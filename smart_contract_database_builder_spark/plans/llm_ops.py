@@ -10660,3 +10660,116 @@ def llm_blocklist_policy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("keep"))
         .alias("policy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH band-coverage curve (F-EXT, round 11 batch 5)
+# ---------------------------------------------------------------------------
+
+
+def _band_coverage_oracle() -> str:
+    return rf"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_sql_word_ngrams("t")}) AS s
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+    ),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(md5('{i}|' || s)) AS m{i}" for i in range(_N_HASHES))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(m{2*b} || m{2*b+1}) AS key FROM sig"
+        for b in range(_N_HASHES // _BAND_ROWS)
+      )}
+    ),
+    bsz AS (
+      SELECT band_idx, key FROM bands
+      GROUP BY band_idx, key
+      HAVING COUNT(*) BETWEEN 2 AND {_LSH_BUCKET_CAP}
+    ),
+    pairfb AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             MIN(a.band_idx) AS first_band
+      FROM bands a
+      JOIN bsz USING (band_idx, key)
+      JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key
+                  AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    perband AS (
+      SELECT first_band, CAST(COUNT(*) AS BIGINT) AS new_pairs
+      FROM pairfb GROUP BY first_band
+    )
+    SELECT first_band, new_pairs,
+           CAST(SUM(new_pairs) OVER (ORDER BY first_band) AS BIGINT)
+             AS cum_pairs,
+           CAST(SUM(new_pairs) OVER (ORDER BY first_band) AS DOUBLE)
+             / CAST(SUM(new_pairs) OVER () AS DOUBLE) AS coverage_frac
+    FROM perband
+    """
+
+
+@register("llm_lsh_band_coverage", oracle=_band_coverage_oracle())
+def llm_lsh_band_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-EXT: LSH BAND-COVERAGE curve — the measured answer to "how
+    many bands does this corpus actually need": for each band index b,
+    the candidate pairs whose FIRST co-bucketing band is b (new_pairs),
+    the cumulative pairs discoverable from bands 0..b alone, and that
+    cumulative count as a fraction of the full 4-band candidate set.
+    A curve that saturates by band 1 says the ingest pipeline can halve
+    its band storage and shuffle; a flat curve says every band earns
+    its keep — the S-curve theory (1-(1-s^r)^b) calibrated on the
+    corpus itself, completing the planner pair with
+    ``llm_minhash_estimate_calibration`` (which calibrates r, this
+    calibrates b).
+
+    Reads the S21 band store (attach-or-build-once): the corpus
+    signature pass never runs at query time, bucket assembly is
+    exchange-free on the (band_idx, key) bucketing, and everything
+    after the per-pair MIN lands on a FOUR-row relation. The oracle
+    replays the signature pipeline in SQL — the stored bands are
+    bit-identical by the store's write-path contract.
+
+    Scale shape: identical to the production pair generator (bucket
+    cap bounds expansion; the per-pair MIN aggregate shuffles once on
+    the pair key) plus two O(bands)-row windows.
+    """
+    bands = minhash_bands_stored(spark, sf_dir)
+    buckets = (
+        bands.groupBy("band_idx", "key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter((F.size("ds") > 1) & (F.size("ds") <= _LSH_BUCKET_CAP))
+    )
+    ds = F.col("ds")
+    pairs = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    pairfb = (
+        buckets.select("band_idx", F.explode(pairs).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.min("band_idx").alias("first_band"))
+    )
+    perband = pairfb.groupBy("first_band").agg(
+        F.count(F.lit(1)).cast("long").alias("new_pairs")
+    )
+    cum = Window.orderBy("first_band").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    return perband.select(
+        "first_band",
+        "new_pairs",
+        F.sum("new_pairs").over(cum).cast("long").alias("cum_pairs"),
+        (
+            F.sum("new_pairs").over(cum).cast("double")
+            / F.sum("new_pairs").over(tot).cast("double")
+        ).alias("coverage_frac"),
+    )

@@ -3471,3 +3471,99 @@ def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         exp_frac.alias("exp_frac"),
         (obs - exp_frac).alias("deviation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini revenue-concentration audit (A-EXT, round 11 batch 5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_revenue_gini_by_nation",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_nationkey,
+             o.o_custkey,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT c_nationkey, cents,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY cents, o_custkey) AS i
+      FROM spend
+    ),
+    agg AS (
+      SELECT c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             SUM(cents) AS sum_x,
+             SUM(i * cents) AS sum_ix
+      FROM ranked GROUP BY c_nationkey
+    )
+    SELECT n.n_name AS nation,
+           a.n_customers,
+           CAST(a.sum_x AS DOUBLE) / 100 AS revenue,
+           CAST(2 * a.sum_ix - (a.n_customers + 1) * a.sum_x AS DOUBLE)
+             / CAST(a.n_customers * a.sum_x AS DOUBLE) AS gini
+    FROM agg a JOIN nation n ON n.n_nationkey = a.c_nationkey
+    """,
+)
+def agg_revenue_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT: GINI revenue concentration per nation — the inequality
+    audit over purchasing customers: G = (2·Σi·x_i − (n+1)·Σx)/(n·Σx)
+    with spend ranked ascending (ties broken by custkey, so the rank —
+    and therefore the statistic — is deterministic cross-engine).
+    G ≈ 0 says revenue is spread evenly; G → 1 says a handful of
+    customers carry the nation — the whale-dependence number that
+    complements ``agg_key_skew_report``'s partition-skew lens with an
+    economic one.
+
+    Float parity: spend moves through exact DECIMAL(18,2) into integer
+    CENTS; ranks are integers; Σx and Σi·x accumulate exactly on both
+    engines (Spark: DECIMAL(38,0) sums of long products; DuckDB:
+    HUGEINT sums of BIGINT — both exact integer arithmetic), and the
+    single double division at the end is bitwise on equal inputs. At
+    cluster scale the int64 product i·cents needs the same
+    DECIMAL(38,0) widening Spark already applies — noted, not hit, at
+    bench SFs.
+
+    Scale shape: one orders scan aggregated to O(customers) keys
+    (map-side combine), a per-nation window on that relation (the sort
+    is per-nation, never global), a 25-key final aggregate and a
+    broadcast nation join.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            (F.sum(dec("o_totalprice")) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("cents", "o_custkey")
+    ranked = spend.select(
+        "c_nationkey", "cents", F.row_number().over(w).alias("i")
+    )
+    agg = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("sum_x"),
+        F.sum((F.col("i") * F.col("cents")).cast("decimal(38,0)")).alias(
+            "sum_ix"
+        ),
+    )
+    return agg.join(F.broadcast(n), agg.c_nationkey == n.n_nationkey).select(
+        F.col("n_name").alias("nation"),
+        "n_customers",
+        (F.col("sum_x").cast("double") / 100).alias("revenue"),
+        (
+            (2 * F.col("sum_ix") - (F.col("n_customers") + 1) * F.col("sum_x"))
+            .cast("double")
+            / (F.col("n_customers") * F.col("sum_x")).cast("double")
+        ).alias("gini"),
+    )

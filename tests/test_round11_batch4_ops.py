@@ -1,6 +1,7 @@
-"""Operator-level invariants for the round-11 batch-4 operators:
+"""Operator-level invariants for the round-11 batch-4/5 operators:
 Matryoshka truncation audit, temperature mixture planner, blocklist
-policy filter, and the Benford first-digit audit. Cross-engine value
+policy filter, Benford first-digit audit, LSH band-coverage curve and
+the Gini concentration audit. Cross-engine value
 parity lives in test_oracle_parity; these pin the properties the
 oracle equality can't express (monotonicity, flattening, policy
 consistency, distribution mass).
@@ -111,3 +112,67 @@ def test_benford_fractions_are_distributions(spark):
             r.exp_frac, math.log10(1 + 1 / int(r.digit)), rel_tol=1e-12
         )
         assert math.isclose(r.deviation, r.obs_frac - r.exp_frac, abs_tol=1e-15)
+
+
+def test_band_coverage_curve_is_cumulative_and_complete(spark):
+    """cum_pairs is the running sum of new_pairs, the final coverage
+    fraction is exactly 1.0, and the curve's total equals the
+    production pair generator's candidate-pair count (same bands, same
+    bucket cap — the curve is a decomposition of that set, not a
+    different one)."""
+    from smart_contract_database_builder_spark.plans.llm_ops import (
+        llm_lsh_band_coverage,
+        llm_minhash_lsh_pairs,
+    )
+
+    rows = sorted(
+        llm_lsh_band_coverage(spark, SF).collect(),
+        key=lambda r: r.first_band,
+    )
+    assert rows and all(0 <= r.first_band <= 3 for r in rows)
+    run = 0
+    for r in rows:
+        assert r.new_pairs >= 1
+        run += r.new_pairs
+        assert r.cum_pairs == run
+    assert rows[-1].coverage_frac == 1.0
+    n_pairs = llm_minhash_lsh_pairs(spark, SF).count()
+    assert rows[-1].cum_pairs == n_pairs
+
+
+def test_gini_matches_pure_python_recompute(spark):
+    """Per-nation Gini equals the textbook formula recomputed in pure
+    Python from the same spend relation, and sits in [0, 1)."""
+    import pyspark.sql.functions as F
+
+    from smart_contract_database_builder_spark.functions.numeric import dec
+    from smart_contract_database_builder_spark.plans.relational_ext import (
+        agg_revenue_gini_by_nation,
+    )
+    from smart_contract_database_builder_spark.sources.tables import load_table
+
+    got = {r.nation: r for r in agg_revenue_gini_by_nation(spark, SF).collect()}
+    assert got and all(0.0 <= r.gini < 1.0 for r in got.values())
+
+    o = load_table(spark, SF, "orders")
+    c = load_table(spark, SF, "customer")
+    n = load_table(spark, SF, "nation")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg((F.sum(dec("o_totalprice")) * 100).cast("long").alias("cents"))
+        .join(n, F.col("c_nationkey") == n.n_nationkey)
+        .select("n_name", "o_custkey", "cents")
+        .collect()
+    )
+    by_nation = {}
+    for r in spend:
+        by_nation.setdefault(r.n_name, []).append((r.cents, r.o_custkey))
+    for nation, xs in by_nation.items():
+        xs.sort()
+        nn = len(xs)
+        sum_x = sum(x for x, _ in xs)
+        sum_ix = sum((i + 1) * x for i, (x, _) in enumerate(xs))
+        want = (2 * sum_ix - (nn + 1) * sum_x) / (nn * sum_x)
+        assert got[nation].n_customers == nn
+        assert abs(got[nation].gini - want) < 1e-12, nation
