@@ -245,6 +245,7 @@ HEADLINE = [
     "agg_benford_first_digit",
     "llm_lsh_band_coverage",
     "agg_revenue_gini_by_nation",
+    "llm_dedup_survivorship",
 ]
 
 

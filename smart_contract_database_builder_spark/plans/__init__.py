@@ -80,7 +80,6 @@ _PRIORITY = [
     # is oldest (r4/r5) re-earn current-round rows; replaced by
     # round-11-born queries if operators are added this round ---
     "filter_type_predicate",
-    "join_semi_anti_customers",
     "llm_ngram_jaccard_topk",
     # --- round-11-born operators: sentence dedup, repetition profile,
     # DSIR importance, cluster-size histogram, c-TF-IDF, fertility,
@@ -115,6 +114,10 @@ _PRIORITY = [
     # moved to _OVERFLOW to make room ---
     "llm_lsh_band_coverage",
     "agg_revenue_gini_by_nation",
+    # --- batch 6: the dedup survivorship ledger (composes the exact
+    # content-key stage with the persisted cluster store) — one more
+    # r4-green filler (semi/anti join) to _OVERFLOW ---
+    "llm_dedup_survivorship",
 ]
 
 #: Oracle-CARRYING queries deliberately registered just past the
@@ -132,6 +135,7 @@ _OVERFLOW = [
     "filter_point_lookup",
     "agg_distinct_counts",
     "agg_grouping_shapes",
+    "join_semi_anti_customers",
     "window_top3_orders_per_customer",
     "window_running_revenue_by_date",
     "window_lag_lead_first_last",

@@ -10832,3 +10832,200 @@ def llm_lsh_band_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("new_pairs").over(tot).cast("double")
         ).alias("coverage_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup survivorship accounting (F-EXT, round 11 batch 6)
+# ---------------------------------------------------------------------------
+
+
+def _survivorship_oracle() -> str:
+    return rf"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, source,
+             len({_SQL_TOKENS}) AS n_tok,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+               AS content_key
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest({_sql_word_ngrams("t")}) AS s
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+    ),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(md5('{i}|' || s)) AS m{i}" for i in range(_N_HASHES))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(m{2*b} || m{2*b+1}) AS key FROM sig"
+        for b in range(_N_HASHES // _BAND_ROWS)
+      )}
+    ),
+    bsz AS (
+      SELECT band_idx, key FROM bands
+      GROUP BY band_idx, key
+      HAVING COUNT(*) BETWEEN 2 AND {_LSH_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bsz USING (band_idx, key)
+      JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key
+                  AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM cand
+      UNION ALL
+      SELECT doc_b, doc_a FROM cand
+    ),
+    reach(a, b) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b
+    ),
+    comp AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+      FROM reach GROUP BY a
+    ),
+    ex AS (
+      SELECT doc_id, source, n_tok, content_key,
+             doc_id = MIN(doc_id) OVER (PARTITION BY content_key) AS s_exact
+      FROM base
+    ),
+    exs AS (
+      SELECT e.doc_id, e.source, e.n_tok,
+             COALESCE(c.cluster_id, e.doc_id) AS ckey
+      FROM ex e LEFT JOIN comp c USING (doc_id)
+      WHERE e.s_exact
+    ),
+    nd AS (
+      SELECT doc_id, source, n_tok,
+             doc_id = MIN(doc_id) OVER (PARTITION BY ckey) AS s_near
+      FROM exs
+    ),
+    tot AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM base GROUP BY source
+    ),
+    exagg AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS exact_tokens
+      FROM exs GROUP BY source
+    ),
+    ndagg AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS kept_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS kept_tokens
+      FROM nd WHERE s_near GROUP BY source
+    )
+    SELECT t.source, t.n_docs, t.n_tokens,
+           COALESCE(e.exact_docs, 0) AS exact_docs,
+           COALESCE(e.exact_tokens, 0) AS exact_tokens,
+           COALESCE(n.kept_docs, 0) AS kept_docs,
+           COALESCE(n.kept_tokens, 0) AS kept_tokens,
+           CAST(COALESCE(n.kept_docs, 0) AS DOUBLE)
+             / CAST(t.n_docs AS DOUBLE) AS kept_doc_frac,
+           CAST(COALESCE(n.kept_tokens, 0) AS DOUBLE)
+             / CAST(t.n_tokens AS DOUBLE) AS kept_token_frac
+    FROM tot t
+    LEFT JOIN exagg e ON e.source = t.source
+    LEFT JOIN ndagg n ON n.source = t.source
+    """
+
+
+@register("llm_dedup_survivorship", oracle=_survivorship_oracle())
+def llm_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-EXT: DEDUP SURVIVORSHIP accounting — the per-source ledger a
+    curation run publishes after its dedup stages: documents and
+    tokens entering, surviving exact dedup (canonical = min doc_id per
+    canonicalized-content key), and surviving near-dup dedup (the
+    minimum exact-survivor per MinHash-LSH connected component keeps
+    the cluster; everything else drops), with kept-doc and kept-token
+    fractions. The number that tells you WHICH source is paying for
+    the corpus's duplication — crawl sources collapse, curated ones
+    pass through.
+
+    Composition: the exact stage is the engine's own content-key
+    relation; the near-dup stage reads the persisted CLUSTER store
+    (one CC solve per corpus, S21 band store underneath) — this query
+    adds two window passes and three O(sources) aggregates on top of
+    relations the stores already paid for. The oracle replays the full
+    pipeline (content keys, signature pass, banded candidates,
+    recursive-CTE components) independently in SQL.
+
+    Scale shape: content-key window and cluster-key window both
+    shuffle two short columns keyed by uniform hashes/ids; the final
+    joins land on O(sources) rows. No text moves past the first
+    projection; no step is quadratic (candidates come bucket-capped
+    from the store).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(_tokens()).alias("n_tok"),
+        F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")).alias(
+            "content_key"
+        ),
+    )
+    wk = Window.partitionBy("content_key")
+    ex = base.withColumn(
+        "s_exact", F.col("doc_id") == F.min("doc_id").over(wk)
+    )
+    comp = neardup_components_stored(spark, sf_dir).select(
+        F.col("doc").alias("doc_id"), "cluster_id"
+    )
+    exs = (
+        ex.filter("s_exact")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            F.coalesce("cluster_id", "doc_id").alias("ckey"),
+        )
+    )
+    wc = Window.partitionBy("ckey")
+    nd = exs.withColumn(
+        "s_near", F.col("doc_id") == F.min("doc_id").over(wc)
+    )
+    tot = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+    exagg = exs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_docs"),
+        F.sum("n_tok").cast("long").alias("exact_tokens"),
+    )
+    ndagg = (
+        nd.filter("s_near")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("kept_docs"),
+            F.sum("n_tok").cast("long").alias("kept_tokens"),
+        )
+    )
+    z = F.lit(0).cast("long")
+    return (
+        tot.join(exagg, "source", "left")
+        .join(ndagg, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.coalesce("exact_docs", z).alias("exact_docs"),
+            F.coalesce("exact_tokens", z).alias("exact_tokens"),
+            F.coalesce("kept_docs", z).alias("kept_docs"),
+            F.coalesce("kept_tokens", z).alias("kept_tokens"),
+            (
+                F.coalesce("kept_docs", z).cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("kept_doc_frac"),
+            (
+                F.coalesce("kept_tokens", z).cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("kept_token_frac"),
+        )
+    )

@@ -176,3 +176,24 @@ def test_gini_matches_pure_python_recompute(spark):
         want = (2 * sum_ix - (nn + 1) * sum_x) / (nn * sum_x)
         assert got[nation].n_customers == nn
         assert abs(got[nation].gini - want) < 1e-12, nation
+
+
+def test_survivorship_ledger_is_internally_consistent(spark):
+    """Per source: kept <= exact <= entering (docs AND tokens), the
+    fractions are the exact ratios, and the global exact-survivor
+    count equals the content-key relation's distinct-key count (the
+    two formulations of exact dedup must agree)."""
+    from smart_contract_database_builder_spark.plans.llm_ops import (
+        llm_dedup_survivorship,
+        llm_exact_dedup_documents,
+    )
+
+    rows = llm_dedup_survivorship(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.kept_docs <= r.exact_docs <= r.n_docs, r
+        assert 0 < r.kept_tokens <= r.exact_tokens <= r.n_tokens, r
+        assert abs(r.kept_doc_frac - r.kept_docs / r.n_docs) < 1e-15
+        assert abs(r.kept_token_frac - r.kept_tokens / r.n_tokens) < 1e-15
+    n_keys = llm_exact_dedup_documents(spark, SF).count()
+    assert sum(r.exact_docs for r in rows) == n_keys
