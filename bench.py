@@ -246,6 +246,8 @@ HEADLINE = [
     "llm_lsh_band_coverage",
     "agg_revenue_gini_by_nation",
     "llm_dedup_survivorship",
+    "agg_functional_dependencies",
+    "agg_event_drift_report",
 ]
 
 

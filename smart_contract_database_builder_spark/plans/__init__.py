@@ -79,8 +79,6 @@ _PRIORITY = [
     # --- freshness fillers: the queries whose newest driver evidence
     # is oldest (r4/r5) re-earn current-round rows; replaced by
     # round-11-born queries if operators are added this round ---
-    "filter_type_predicate",
-    "llm_ngram_jaccard_topk",
     # --- round-11-born operators: sentence dedup, repetition profile,
     # DSIR importance, cluster-size histogram, c-TF-IDF, fertility,
     # plus batch 3 (boilerplate / JL audit / code-switch) — three
@@ -118,6 +116,11 @@ _PRIORITY = [
     # content-key stage with the persisted cluster store) — one more
     # r4-green filler (semi/anti join) to _OVERFLOW ---
     "llm_dedup_survivorship",
+    # --- batch 7: data-profiling lenses (functional-dependency
+    # discovery, event-mix drift) — the last r4-era filler
+    # (type-predicate filter) to _OVERFLOW ---
+    "agg_functional_dependencies",
+    "agg_event_drift_report",
 ]
 
 #: Oracle-CARRYING queries deliberately registered just past the
@@ -136,6 +139,11 @@ _OVERFLOW = [
     "agg_distinct_counts",
     "agg_grouping_shapes",
     "join_semi_anti_customers",
+    "filter_type_predicate",
+    # band-store family member whose r11 plan change is witnessed by
+    # the 11 sibling dedup graph/verify queries inside the window
+    # (same candidate generator); stays under the pytest oracle sweep
+    "llm_ngram_jaccard_topk",
     "window_top3_orders_per_customer",
     "window_running_revenue_by_date",
     "window_lag_lead_first_last",

@@ -3567,3 +3567,165 @@ def agg_revenue_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_customers") * F.col("sum_x")).cast("double")
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-profiling lenses (A-EXT, round 11 batch 7)
+# ---------------------------------------------------------------------------
+
+#: Candidate functional dependencies profiled over lineitem: does the
+#: determinant column fix the dependent column? (orderkey→suppkey
+#: fails on multi-supplier orders; partkey→suppkey fails on
+#: multi-sourced parts — the VIOLATION COUNTS are the profile.)
+_FD_PAIRS = (
+    ("l_orderkey", "l_suppkey"),
+    ("l_partkey", "l_suppkey"),
+    ("l_suppkey", "l_partkey"),
+)
+
+
+def _fd_oracle() -> str:
+    arms = "\n    UNION ALL\n".join(
+        f"""    SELECT '{det} -> {dep}' AS fd,
+           CAST(COUNT(*) AS BIGINT) AS n_det_values,
+           CAST(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           CAST(MAX(n_dep) AS BIGINT) AS max_dep_per_det,
+           CAST(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS violation_frac
+    FROM (
+      SELECT {det}, COUNT(DISTINCT {dep}) AS n_dep
+      FROM lineitem GROUP BY {det}
+    )"""
+        for det, dep in _FD_PAIRS
+    )
+    return f"\n{arms}\n"
+
+
+@register("agg_functional_dependencies", oracle=_fd_oracle())
+def agg_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT: FUNCTIONAL-DEPENDENCY profiling — for each candidate
+    determinant→dependent column pair, how many determinant values
+    map to more than one dependent value (the violation count that
+    decides whether a column can key a dimension, dedupe a join, or
+    partition a layout). The schema-discovery primitive every data
+    profiler runs before modeling a new 100 TB table; complements the
+    null/range checks of ``agg_data_quality_report``.
+
+    Scale shape: one groupBy per candidate pair (uniform keys,
+    map-side partial COUNT DISTINCT collapse), each reduced to a
+    1-row aggregate before the 3-row union — the fact table is
+    scanned once per pair with only the two profiled columns read
+    (column pruning reaches the parquet scan). Violation fraction is
+    a double ratio of exact ints.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    arms = None
+    for det, dep in _FD_PAIRS:
+        per_det = (
+            li.select(det, dep)
+            .groupBy(det)
+            .agg(F.countDistinct(dep).alias("n_dep"))
+        )
+        arm = per_det.agg(
+            F.lit(f"{det} -> {dep}").alias("fd"),
+            F.count(F.lit(1)).cast("long").alias("n_det_values"),
+            F.sum((F.col("n_dep") > 1).cast("int"))
+            .cast("long")
+            .alias("n_violating"),
+            F.max("n_dep").cast("long").alias("max_dep_per_det"),
+            (
+                F.sum((F.col("n_dep") > 1).cast("int")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("violation_frac"),
+        )
+        arms = arm if arms is None else arms.unionByName(arm)
+    return arms
+
+
+@register(
+    "agg_event_drift_report",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, epoch_us(ts) AS us FROM events
+    ),
+    m AS (
+      SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM b
+    ),
+    halves AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN us < mid THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_early,
+             CAST(SUM(CASE WHEN us >= mid THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late
+      FROM b, m GROUP BY event_type
+    )
+    SELECT event_type, n_early, n_late,
+           CAST(n_early AS DOUBLE)
+             / CAST(SUM(n_early) OVER () AS DOUBLE) AS share_early,
+           CAST(n_late AS DOUBLE)
+             / CAST(SUM(n_late) OVER () AS DOUBLE) AS share_late,
+           CAST(n_late AS DOUBLE)
+             / CAST(SUM(n_late) OVER () AS DOUBLE)
+             - CAST(n_early AS DOUBLE)
+               / CAST(SUM(n_early) OVER () AS DOUBLE) AS share_drift,
+           CAST(n_late + 1 AS DOUBLE) / CAST(n_early + 1 AS DOUBLE)
+             AS smoothed_ratio
+    FROM halves
+    """,
+)
+def agg_event_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT: EVENT-MIX DRIFT report — per event type, frequency in
+    the early vs late half of the stream's time range (midpoint of
+    the epoch-microsecond span), share-of-traffic in each half, the
+    share delta, and an add-one-smoothed late/early ratio. The
+    monitoring lens that catches a logger change or product shift
+    that per-day counts bury — and for a training corpus with
+    timestamps, the temporal analogue of ``llm_cross_source_overlap``.
+
+    Float parity: the split point is integer epoch-microsecond
+    arithmetic ((min+max) integer-halved — identical int64 math both
+    engines, no timestamp-interval semantics involved); counts exact;
+    the four derived columns are double ratios of exact ints.
+
+    Scale shape: one events scan (two columns) → a 1-row min/max
+    broadcast → one event_type hash agg with map-side combine → an
+    O(types)-row window. The fact table never shuffles by row.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("us")
+    )
+    m = ev.agg(
+        ((F.min("us") + F.max("us")) / 2).cast("long").alias("mid")
+    )
+    halves = (
+        ev.join(F.broadcast(m))
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("us") < F.col("mid")).cast("int"))
+            .cast("long")
+            .alias("n_early"),
+            F.sum((F.col("us") >= F.col("mid")).cast("int"))
+            .cast("long")
+            .alias("n_late"),
+        )
+    )
+    w = Window.partitionBy()
+    se = F.col("n_early").cast("double") / F.sum("n_early").over(w).cast(
+        "double"
+    )
+    sl = F.col("n_late").cast("double") / F.sum("n_late").over(w).cast(
+        "double"
+    )
+    return halves.select(
+        "event_type",
+        "n_early",
+        "n_late",
+        se.alias("share_early"),
+        sl.alias("share_late"),
+        (sl - se).alias("share_drift"),
+        (
+            (F.col("n_late") + 1).cast("double")
+            / (F.col("n_early") + 1).cast("double")
+        ).alias("smoothed_ratio"),
+    )

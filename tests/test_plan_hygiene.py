@@ -51,6 +51,7 @@ _NESTED_LOOP_ALLOWED = {
     "llm_contrastive_pairs",       # anchor-slice broadcast (knn-join shape)
     "llm_nb_langid",               # langs × bucket-domain model build (≤1.3k rows)
     "llm_embedding_sq8_error",     # 1-row packed per-dim quantizer broadcast
+    "agg_event_drift_report",      # 1-row epoch-midpoint broadcast
 }
 
 #: Queries whose fn() triggers side effects/execution rather than just

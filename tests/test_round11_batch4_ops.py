@@ -197,3 +197,48 @@ def test_survivorship_ledger_is_internally_consistent(spark):
         assert abs(r.kept_token_frac - r.kept_tokens / r.n_tokens) < 1e-15
     n_keys = llm_exact_dedup_documents(spark, SF).count()
     assert sum(r.exact_docs for r in rows) == n_keys
+
+
+def test_fd_profile_flags_real_violations(spark):
+    """partkey->suppkey and suppkey->partkey must violate on TPC-H-ish
+    data (multi-sourced parts / multi-part suppliers), the violation
+    fraction is the exact ratio, and max_dep_per_det >= 2 whenever any
+    determinant violates."""
+    from smart_contract_database_builder_spark.plans.relational_ext import (
+        agg_functional_dependencies,
+    )
+
+    rows = {r.fd: r for r in agg_functional_dependencies(spark, SF).collect()}
+    assert set(rows) == {
+        "l_orderkey -> l_suppkey",
+        "l_partkey -> l_suppkey",
+        "l_suppkey -> l_partkey",
+    }
+    for r in rows.values():
+        assert 0 <= r.n_violating <= r.n_det_values
+        assert abs(r.violation_frac - r.n_violating / r.n_det_values) < 1e-15
+        if r.n_violating:
+            assert r.max_dep_per_det >= 2
+    assert rows["l_partkey -> l_suppkey"].n_violating > 0
+    assert rows["l_suppkey -> l_partkey"].n_violating > 0
+
+
+def test_event_drift_shares_are_distributions(spark):
+    """Early and late shares each sum to 1, the drift column is their
+    exact difference, and early+late counts cover every event."""
+    from smart_contract_database_builder_spark.plans.relational_ext import (
+        agg_event_drift_report,
+    )
+    from smart_contract_database_builder_spark.sources.tables import load_table
+
+    rows = agg_event_drift_report(spark, SF).collect()
+    assert rows
+    assert abs(sum(r.share_early for r in rows) - 1.0) < 1e-12
+    assert abs(sum(r.share_late for r in rows) - 1.0) < 1e-12
+    for r in rows:
+        assert abs(r.share_drift - (r.share_late - r.share_early)) < 1e-15
+        assert abs(
+            r.smoothed_ratio - (r.n_late + 1) / (r.n_early + 1)
+        ) < 1e-12
+    total = sum(r.n_early + r.n_late for r in rows)
+    assert total == load_table(spark, SF, "events").count()
