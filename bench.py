@@ -248,6 +248,9 @@ HEADLINE = [
     "llm_dedup_survivorship",
     "agg_functional_dependencies",
     "agg_event_drift_report",
+    "llm_incremental_simhash",
+    "llm_topic_keyword_assignment",
+    "llm_source_lang_entropy",
 ]
 
 

@@ -64,10 +64,7 @@ _PRIORITY = [
     "llm_neardup_clusters",
     "llm_embedding_neardup_clusters",
     "llm_cluster_best_representative",
-    "llm_triangle_counts",
     "llm_pagerank_candidates",
-    "llm_containment_pairs",
-    "llm_edit_distance_pairs",
     "llm_minhash_estimate_calibration",
     "llm_incremental_neardup",
     # --- standing family witnesses: core relational, reference
@@ -121,6 +118,16 @@ _PRIORITY = [
     # (type-predicate filter) to _OVERFLOW ---
     "agg_functional_dependencies",
     "agg_event_drift_report",
+    # --- batch 8: incremental SimHash admission (S22-backed,
+    # completes the incremental family across all three dedup
+    # geometries), rule-based topic tagging, per-source language
+    # entropy — three multi-round-green band-store witnesses
+    # (containment / edit-distance / triangles) delegate the shared
+    # candidate-generator change to their in-window siblings and move
+    # to _OVERFLOW ---
+    "llm_incremental_simhash",
+    "llm_topic_keyword_assignment",
+    "llm_source_lang_entropy",
 ]
 
 #: Oracle-CARRYING queries deliberately registered just past the
@@ -140,10 +147,13 @@ _OVERFLOW = [
     "agg_grouping_shapes",
     "join_semi_anti_customers",
     "filter_type_predicate",
-    # band-store family member whose r11 plan change is witnessed by
-    # the 11 sibling dedup graph/verify queries inside the window
-    # (same candidate generator); stays under the pytest oracle sweep
+    # band-store family members whose r11 plan change is witnessed by
+    # the sibling dedup graph/verify queries inside the window (same
+    # candidate generator); all stay under the pytest oracle sweep
     "llm_ngram_jaccard_topk",
+    "llm_containment_pairs",
+    "llm_edit_distance_pairs",
+    "llm_triangle_counts",
     "window_top3_orders_per_customer",
     "window_running_revenue_by_date",
     "window_lag_lead_first_last",

@@ -11029,3 +11029,370 @@ def llm_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_token_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11 batch 8: incremental SimHash admission, topic tagging,
+# source language entropy
+# ---------------------------------------------------------------------------
+
+
+def _inc_simhash_oracle() -> str:
+    fps_cte = rf"""
+      SELECT doc_id,
+             array_to_string(
+               list_transform(range(1, {_SIMH_BITS + 1}), j ->
+                 CASE WHEN list_aggregate(
+                   list_transform(hs, h ->
+                     {_sql_sim_vote("h", "j")}), 'sum') >= 0
+                 THEN '1' ELSE '0' END),
+               '') AS simhash
+      FROM (
+        SELECT doc_id,
+               list_transform(list_distinct({_SQL_TOKENS}),
+                              x -> md5(x)) AS hs
+        FROM documents
+      )
+      WHERE len(hs) > 0
+    """
+    ham = (
+        f"len(list_filter(range(1, {_SIMH_BITS + 1}), "
+        f"i -> substr(fa.simhash, i, 1) <> substr(fb.simhash, i, 1)))"
+    )
+    return rf"""
+    WITH fps AS ({fps_cte}),
+    corpus AS (
+      SELECT * FROM fps WHERE doc_id % {_INC_ND_MOD} <> {_INC_ND_REM}
+    ),
+    batch AS (
+      SELECT * FROM fps WHERE doc_id % {_INC_ND_MOD} = {_INC_ND_REM}
+    ),
+    cblocks AS (
+      SELECT doc_id, b AS block_idx,
+             substr(simhash, b * {_SIMH_BLOCK_W} + 1,
+                    {_SIMH_BLOCK_W}) AS key
+      FROM corpus, (SELECT unnest(range({_SIMH_BLOCKS})) AS b)
+    ),
+    ok AS (
+      SELECT block_idx, key FROM cblocks
+      GROUP BY block_idx, key HAVING COUNT(*) <= {_LSH_BUCKET_CAP}
+    ),
+    bblocks AS (
+      SELECT doc_id, b AS block_idx,
+             substr(simhash, b * {_SIMH_BLOCK_W} + 1,
+                    {_SIMH_BLOCK_W}) AS key
+      FROM batch, (SELECT unnest(range({_SIMH_BLOCKS})) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS batch_doc, c.doc_id AS corpus_doc
+      FROM bblocks b
+      JOIN ok USING (block_idx, key)
+      JOIN cblocks c ON c.block_idx = b.block_idx AND c.key = b.key
+    ),
+    hits AS (
+      SELECT cand.batch_doc AS doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_corpus_within_radius
+      FROM cand
+      JOIN fps fa ON fa.doc_id = cand.batch_doc
+      JOIN fps fb ON fb.doc_id = cand.corpus_doc
+      WHERE {ham} <= {_SIMH_RADIUS}
+      GROUP BY 1
+    )
+    SELECT b.doc_id,
+           COALESCE(h.n_corpus_within_radius, 0) AS n_corpus_within_radius,
+           h.n_corpus_within_radius IS NULL AS admitted
+    FROM batch b LEFT JOIN hits h ON h.doc_id = b.doc_id
+    """
+
+
+@register("llm_incremental_simhash", oracle=_inc_simhash_oracle())
+def llm_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 EXT: INCREMENTAL SIMHASH admission — the Hamming-geometry
+    member completing the incremental family (exact content-key anti
+    join, MinHash-band admission, now SimHash): a batch document is
+    admitted only when NO standing-corpus document sits within Hamming
+    radius {_SIMH_RADIUS} of its fingerprint. Pigeonhole banding makes
+    the radius check exact-recall (an in-radius pair always shares a
+    block), unlike the probabilistic MinHash admitter — this is the
+    admitter you use when the rejection SLA is "never admit a
+    near-copy", at the price of the weighted-feature geometry.
+
+    Scale shape: fingerprints come from the S22 store (the corpus vote
+    pass never runs at admission time; in production only the BATCH
+    side computes prints per run); corpus mega-blocks drop at the
+    bucket cap before the probe join; the Hamming verify is 4 XOR+
+    popcount ops per candidate.
+    """
+    fps = simhash_fps_stored(spark, sf_dir)
+    is_batch = (F.col("doc_id") % _INC_ND_MOD) == _INC_ND_REM
+    corpus = fps.filter(~is_batch)
+    batch = fps.filter(is_batch)
+
+    def blocks(df):
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("block_idx"),
+                            F.substring(
+                                "simhash",
+                                b * _SIMH_BLOCK_W + 1,
+                                _SIMH_BLOCK_W,
+                            ).alias("key"),
+                        )
+                        for b in range(_SIMH_BLOCKS)
+                    ]
+                )
+            ).alias("blk"),
+        ).select("doc_id", "blk.block_idx", "blk.key")
+
+    cblocks = blocks(corpus)
+    ok = (
+        cblocks.groupBy("block_idx", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= _LSH_BUCKET_CAP)
+        .select("block_idx", "key")
+    )
+    cand = (
+        blocks(batch)
+        .withColumnRenamed("doc_id", "batch_doc")
+        .join(ok, ["block_idx", "key"])
+        .join(
+            cblocks.select(
+                "block_idx", "key", F.col("doc_id").alias("corpus_doc")
+            ),
+            ["block_idx", "key"],
+        )
+        .select("batch_doc", "corpus_doc")
+        .distinct()
+    )
+    fa = fps.select(F.col("doc_id").alias("batch_doc"), F.col("simhash").alias("sa"))
+    fb = fps.select(F.col("doc_id").alias("corpus_doc"), F.col("simhash").alias("sb"))
+
+    def _blk_int(col: str, b: int):
+        return F.conv(
+            F.substring(col, b * _SIMH_BLOCK_W + 1, _SIMH_BLOCK_W), 2, 10
+        ).cast("long")
+
+    hamming = None
+    for b_ in range(_SIMH_BLOCKS):
+        t = F.bit_count(_blk_int("sa", b_).bitwiseXOR(_blk_int("sb", b_)))
+        hamming = t if hamming is None else hamming + t
+    hits = (
+        cand.join(fa, "batch_doc")
+        .join(fb, "corpus_doc")
+        .filter(hamming <= _SIMH_RADIUS)
+        .groupBy("batch_doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_corpus_within_radius"))
+    )
+    return (
+        batch.select("doc_id")
+        .join(hits.withColumnRenamed("batch_doc", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_corpus_within_radius", F.lit(0))
+            .cast("long")
+            .alias("n_corpus_within_radius"),
+            F.col("n_corpus_within_radius").isNull().alias("admitted"),
+        )
+    )
+
+
+#: Rule-based taxonomy for zero-shot topic tagging: topic → keyword
+#: list, drawn from the synthetic vocabulary. A production taxonomy
+#: swaps these literals for a broadcast (topic, keyword) relation
+#: with identical semantics.
+_TOPICS = (
+    ("execution", ("scan", "filter", "join", "merge", "sort")),
+    ("sizing", ("fast", "slow", "big", "small")),
+    ("storage", ("table", "row", "column", "key", "value")),
+    ("streaming", ("stream", "window", "batch", "spark")),
+)
+
+
+def _topic_oracle() -> str:
+    hits = ", ".join(
+        "len(list_filter(t, x -> list_contains(["
+        + ", ".join(f"'{k}'" for k in kws)
+        + f"], x))) AS {name}"
+        for name, kws in _TOPICS
+    )
+    names = [name for name, _ in _TOPICS]
+    argmax = "CASE WHEN " + " AND ".join(f"{n} = 0" for n in names)
+    argmax += " THEN 'unassigned'"
+    for i, n in enumerate(names):
+        rest = names[i + 1:]
+        if rest:
+            cond = " AND ".join(f"{n} >= {r}" for r in rest)
+            argmax += f" WHEN {cond} THEN '{n}'"
+        else:
+            argmax += f" ELSE '{n}'"
+    argmax += " END"
+    win = " + ".join(
+        f"CASE WHEN {argmax} = '{n}' THEN {n} ELSE 0 END" for n in names
+    )
+    total = " + ".join(names)
+    return rf"""
+    WITH h AS (
+      SELECT doc_id, len(t) AS n_tok, {hits}
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+      WHERE len(t) > 0
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           {argmax} AS topic,
+           CAST({win} AS BIGINT) AS n_hits,
+           CAST({total} AS BIGINT) AS n_topic_tokens,
+           CAST({total} AS DOUBLE) / CAST(n_tok AS DOUBLE) AS coverage
+    FROM h
+    """
+
+
+@register("llm_topic_keyword_assignment", oracle=_topic_oracle())
+def llm_topic_keyword_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-EXT: RULE-BASED TOPIC tagging — the zero-shot taxonomy pass a
+    curation run uses before any trained classifier exists: per
+    document, keyword-occurrence counts per topic, the argmax topic
+    (deterministic fixed priority on ties, 'unassigned' on zero hits),
+    the winner's hit count and total taxonomy coverage. Domain tags
+    feed the mixture planner (sample by topic, not just source) and
+    the c-TF-IDF report validates them.
+
+    Scale shape: pure per-row map — tokenize once, one array filter
+    per topic against broadcast-literal keyword lists, a CASE-chain
+    argmax — all in whole-stage codegen; no shuffle, no join, no UDF.
+    A production-size taxonomy becomes a broadcast (topic, keyword)
+    join + one (doc, topic) aggregate with identical semantics.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    base = docs.select(
+        "doc_id", toks.alias("t"), F.size(toks).alias("n_tok")
+    ).filter(F.col("n_tok") > 0)
+    def _contains(arr):
+        return lambda x: F.array_contains(arr, x)
+
+    hit_cols = []
+    for name, kws in _TOPICS:
+        arr = F.array(*[F.lit(k) for k in kws])
+        hit_cols.append(
+            F.size(F.filter(F.col("t"), _contains(arr))).alias(name)
+        )
+    h = base.select("doc_id", "n_tok", *hit_cols)
+    names = [name for name, _ in _TOPICS]
+    topic = F.when(
+        sum(F.col(n) for n in names) == 0, F.lit("unassigned")
+    )
+    for i, n in enumerate(names):
+        rest = names[i + 1:]
+        if rest:
+            cond = None
+            for r in rest:
+                c = F.col(n) >= F.col(r)
+                cond = c if cond is None else (cond & c)
+            topic = topic.when(cond, F.lit(n))
+        else:
+            topic = topic.otherwise(F.lit(n))
+    total = sum(F.col(n) for n in names)
+    win = None
+    for n in names:
+        term = F.when(F.col("topic") == n, F.col(n)).otherwise(F.lit(0))
+        win = term if win is None else win + term
+    return (
+        h.withColumn("topic", topic)
+        .select(
+            "doc_id",
+            F.col("n_tok").cast("long").alias("n_tok"),
+            "topic",
+            win.cast("long").alias("n_hits"),
+            total.cast("long").alias("n_topic_tokens"),
+            (total.cast("double") / F.col("n_tok").cast("double")).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
+@register(
+    "llm_source_lang_entropy",
+    oracle=rf"""
+    WITH c AS (
+      SELECT source, lang, COUNT(*) AS c
+      FROM documents GROUP BY source, lang
+    ),
+    s AS (
+      SELECT source,
+             SUM(c) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_langs,
+             MAX(c) AS max_c,
+             SUM(c * {_SQL_LN_MICRO.format(x='c')}) AS sl
+      FROM c GROUP BY source
+    )
+    SELECT source,
+           CAST(n AS BIGINT) AS n_docs,
+           n_langs,
+           CAST(max_c AS DOUBLE) / CAST(n AS DOUBLE) AS majority_share,
+           CAST({_SQL_LN_MICRO.format(x='n')} * n - sl AS DOUBLE)
+             / (CAST(n AS DOUBLE) * 1000000) AS lang_entropy_nats
+    FROM s
+    """,
+)
+def llm_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-EXT: per-source LANGUAGE-MIX entropy — composition diversity
+    of each source: Shannon entropy over its language distribution
+    (H = (n·ln n − Σ c·ln c)/n), language count and majority share.
+    The corpus-composition lens that tells a mixture plan which
+    sources are monolingual pipes and which are mixed crawls — the
+    source-grain complement of per-doc code-switch detection (F67)
+    and the entropy twin of the cross-source overlap matrix.
+
+    Cross-engine exactness: the token-entropy discipline — ln is
+    quantized to integer micro-nats (libm ln via the Arrow batch
+    helper, applied to the O(sources × langs) count relation), so the
+    Σ c·ln c accumulates exactly as int64 and one double division
+    lands the result.
+
+    Scale shape: one (source, lang) hash agg with map-side combine —
+    two short group keys over any corpus size — then an O(sources)
+    rollup; the ln table is a tiny projection of the same relation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    ln = _ln_libm()
+    cl = c.select(
+        "source",
+        "c",
+        F.floor(ln(F.col("c").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("lnc"),
+    )
+    s = cl.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.max("c").cast("long").alias("max_c"),
+        F.sum(F.col("c") * F.col("lnc")).cast("long").alias("sl"),
+    )
+    s = s.select(
+        "source",
+        "n",
+        "n_langs",
+        "max_c",
+        "sl",
+        F.floor(ln(F.col("n").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("lnn"),
+    )
+    return s.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        "n_langs",
+        (F.col("max_c").cast("double") / F.col("n").cast("double")).alias(
+            "majority_share"
+        ),
+        (
+            (F.col("lnn") * F.col("n") - F.col("sl")).cast("double")
+            / (F.col("n").cast("double") * 1_000_000)
+        ).alias("lang_entropy_nats"),
+    )

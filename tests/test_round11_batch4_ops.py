@@ -242,3 +242,75 @@ def test_event_drift_shares_are_distributions(spark):
         ) < 1e-12
     total = sum(r.n_early + r.n_late for r in rows)
     assert total == load_table(spark, SF, "events").count()
+
+
+def test_incremental_simhash_admission_is_radius_consistent(spark):
+    """Admitted iff zero corpus neighbors within the Hamming radius;
+    the batch slice is exactly doc_id % MOD == REM; both decisions
+    appear on the sf0.01 corpus."""
+    from smart_contract_database_builder_spark.plans.llm_ops import (
+        _INC_ND_MOD,
+        _INC_ND_REM,
+        llm_incremental_simhash,
+    )
+
+    rows = llm_incremental_simhash(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_id % _INC_ND_MOD == _INC_ND_REM
+        assert r.admitted == (r.n_corpus_within_radius == 0)
+    decisions = {r.admitted for r in rows}
+    assert decisions == {True, False}
+
+
+def test_topic_assignment_matches_recount(spark):
+    """The argmax topic, winner hit count and coverage agree with a
+    pure-Python recount over the same tokenization."""
+    from smart_contract_database_builder_spark.plans.llm_ops import (
+        _TOPICS,
+        llm_topic_keyword_assignment,
+    )
+    from smart_contract_database_builder_spark.sources.tables import load_table
+
+    got = {
+        r.doc_id: r
+        for r in llm_topic_keyword_assignment(spark, SF).collect()
+    }
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    kw = {name: set(kws) for name, kws in _TOPICS}
+    names = [name for name, _ in _TOPICS]
+    seen_topics = set()
+    for d in docs:
+        toks = d.text.strip().lower().split()
+        if not toks:
+            continue
+        hits = {n: sum(1 for t in toks if t in kw[n]) for n in names}
+        if all(v == 0 for v in hits.values()):
+            want = "unassigned"
+        else:
+            want = max(names, key=lambda n: (hits[n], -names.index(n)))
+        r = got[d.doc_id]
+        assert r.topic == want, (d.doc_id, r.topic, want, hits)
+        assert r.n_topic_tokens == sum(hits.values())
+        if want != "unassigned":
+            assert r.n_hits == hits[want]
+        seen_topics.add(r.topic)
+    assert len(seen_topics) >= 3
+
+
+def test_source_lang_entropy_bounds(spark):
+    """0 <= H <= ln(n_langs) per source (within micro-nat quantization
+    slack), and a single-language source has exactly H = 0."""
+    import math
+
+    from smart_contract_database_builder_spark.plans.llm_ops import (
+        llm_source_lang_entropy,
+    )
+
+    rows = llm_source_lang_entropy(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert -1e-5 <= r.lang_entropy_nats <= math.log(r.n_langs) + 1e-5, r
+        if r.n_langs == 1:
+            assert abs(r.lang_entropy_nats) < 1e-5
+        assert 0 < r.majority_share <= 1.0
