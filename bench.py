@@ -251,6 +251,7 @@ HEADLINE = [
     "llm_incremental_simhash",
     "llm_topic_keyword_assignment",
     "llm_source_lang_entropy",
+    "llm_setsim_join_exact",
 ]
 
 

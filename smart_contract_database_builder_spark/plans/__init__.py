@@ -63,7 +63,6 @@ _PRIORITY = [
     "llm_minhash_lsh_pairs",
     "llm_neardup_clusters",
     "llm_embedding_neardup_clusters",
-    "llm_cluster_best_representative",
     "llm_pagerank_candidates",
     "llm_minhash_estimate_calibration",
     "llm_incremental_neardup",
@@ -128,6 +127,11 @@ _PRIORITY = [
     "llm_incremental_simhash",
     "llm_topic_keyword_assignment",
     "llm_source_lang_entropy",
+    # --- batch 9: exact set-similarity join via prefix filtering
+    # (the deterministic-recall counterpart of MinHash-LSH) — the
+    # cluster-store read path delegates its witness to the in-window
+    # neardup-clusters / leakage-split consumers ---
+    "llm_setsim_join_exact",
 ]
 
 #: Oracle-CARRYING queries deliberately registered just past the
@@ -154,6 +158,9 @@ _OVERFLOW = [
     "llm_containment_pairs",
     "llm_edit_distance_pairs",
     "llm_triangle_counts",
+    # cluster-store read path witnessed by the in-window
+    # neardup-clusters and leakage-split consumers
+    "llm_cluster_best_representative",
     "window_top3_orders_per_customer",
     "window_running_revenue_by_date",
     "window_lag_lead_first_last",

@@ -11396,3 +11396,178 @@ def llm_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n").cast("double") * 1_000_000)
         ).alias("lang_entropy_nats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join via prefix filtering (F-EXT, round 11 batch 9)
+# ---------------------------------------------------------------------------
+
+#: Jaccard threshold for the exact similarity join, as a ratio of
+#: integers so every gate cross-multiplies exactly: J >= 3/5.
+_SSJ_T_NUM = 3
+_SSJ_T_DEN = 5
+
+
+def _ssj_oracle() -> str:
+    n, d = _SSJ_T_NUM, _SSJ_T_DEN
+    return rf"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM (
+        SELECT doc_id, unnest({_sql_word_ngrams("t")}) AS s
+        FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    rk AS (
+      SELECT s, ROW_NUMBER() OVER (ORDER BY COUNT(*), s) AS rank
+      FROM sh GROUP BY s
+    ),
+    ordered AS (
+      SELECT sh.doc_id, rk.rank,
+             ROW_NUMBER() OVER (PARTITION BY sh.doc_id
+                                ORDER BY rk.rank) AS pos,
+             sizes.n
+      FROM sh JOIN rk USING (s) JOIN sizes USING (doc_id)
+    ),
+    prefix AS (
+      SELECT doc_id, rank, n FROM ordered
+      WHERE pos <= n - (({n} * n + {d} - 1) // {d}) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM prefix a
+      JOIN prefix b ON b.rank = a.rank AND a.doc_id < b.doc_id
+                   AND {n} * a.n <= {d} * b.n
+                   AND {n} * b.n <= {d} * a.n
+    ),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS o
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(o AS BIGINT) AS n_shared,
+           CAST(o AS DOUBLE) / (sa.n + sb.n - o) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE {d} * o >= {n} * (sa.n + sb.n - o)
+    """
+
+
+@register("llm_setsim_join_exact", oracle=_ssj_oracle())
+def llm_setsim_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 EXT: EXACT set-similarity self-join via PREFIX FILTERING
+    (AllPairs/PPJoin family, Bayardo et al. 2007 / Xiao et al. 2008) —
+    every document pair whose 3-gram-shingle Jaccard is >= 3/5, with
+    ZERO misses: the deterministic-recall counterpart of the MinHash
+    band generator, for the pipelines whose SLA is "find every
+    near-duplicate", not "find most". Candidates are pairs sharing at
+    least one PREFIX shingle — each document's first
+    n − ceil(t·n) + 1 shingles in global rarity order — which is
+    complete by the prefix-filtering theorem; an exact overlap verify
+    with the integer cross-multiplied threshold gate finishes the
+    join.
+
+    Scale shape: the global rarity order puts HIGH-df shingles last,
+    so they never enter prefixes — the hot-key/stop-word hazard that
+    forces a bucket cap on the LSH path is pruned by construction
+    here, and the length gate (t·|a| <= |b| <= |a|/t, cross-
+    multiplied) runs inside the prefix join. Cost model vs LSH: one
+    extra corpus aggregate (the df ranks) and a wider candidate set
+    in exchange for exact recall — the measured trade
+    ``llm_ann_recall_report`` quantifies from the other side. All
+    joins are key-equi joins on uniform shingle ranks; the verify
+    stage touches |candidates| x |shingles-per-doc| rows, never the
+    corpus square.
+
+    Exactness: counts, ranks and both gates are integers; the one
+    double division is bitwise on equal inputs. Ties in the rarity
+    order break on the shingle string, so the order — and the prefix
+    sets — are engine-identical.
+    """
+    from pyspark.sql.window import Window as W
+
+    n_, d_ = _SSJ_T_NUM, _SSJ_T_DEN
+    docs = load_table(spark, sf_dir, "documents")
+    toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
+    sh = (
+        toked.select("doc_id", F.explode(_word_ngrams(F.col("t"))).alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    rk = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(
+            "s",
+            F.row_number().over(W.orderBy("df", "s")).alias("rank"),
+        )
+    )
+    ordered = (
+        sh.join(rk, "s")
+        .join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "rank",
+            "n",
+            F.row_number()
+            .over(W.partitionBy("doc_id").orderBy("rank"))
+            .alias("pos"),
+        )
+    )
+    prefix = ordered.filter(
+        F.col("pos")
+        <= F.col("n") - F.floor((n_ * F.col("n") + d_ - 1) / d_) + 1
+    ).select("doc_id", "rank", "n")
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), "rank", F.col("n").alias("na")
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), "rank", F.col("n").alias("nb")
+    )
+    cand = (
+        a.join(
+            b,
+            (a.rank == b.rank)
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (n_ * F.col("na") <= d_ * F.col("nb"))
+            & (n_ * F.col("nb") <= d_ * F.col("na")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    x, y = sh.alias("x"), sh.alias("y").hint("merge")
+    shared = (
+        cand.hint("merge")
+        .join(x, F.col("doc_a") == F.col("x.doc_id"))
+        .join(
+            y,
+            (F.col("doc_b") == F.col("y.doc_id"))
+            & (F.col("y.s") == F.col("x.s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    sa = sizes.alias("sa").hint("merge")
+    sb = sizes.alias("sb").hint("merge")
+    return (
+        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(
+            d_ * F.col("o")
+            >= n_ * (F.col("sa.n") + F.col("sb.n") - F.col("o"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("o").cast("long").alias("n_shared"),
+            (
+                F.col("o").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("o"))
+            ).alias("jaccard"),
+        )
+    )

@@ -65,7 +65,6 @@ def test_family_witnesses_lead():
         "llm_minhash_lsh_pairs",
         "llm_neardup_clusters",
         "llm_embedding_neardup_clusters",
-        "llm_cluster_best_representative",
         "llm_pagerank_candidates",
         "llm_minhash_estimate_calibration",
         "llm_incremental_neardup",

@@ -314,3 +314,39 @@ def test_source_lang_entropy_bounds(spark):
         if r.n_langs == 1:
             assert abs(r.lang_entropy_nats) < 1e-5
         assert 0 < r.majority_share <= 1.0
+
+
+def test_setsim_exact_join_is_complete_vs_bruteforce(spark, oracle):
+    """Prefix filtering must lose NOTHING: the join's pair set equals
+    the brute-force all-pairs Jaccard >= 3/5 set (the property that
+    separates it from the LSH family)."""
+    from smart_contract_database_builder_spark.plans.llm_ops import (
+        llm_setsim_join_exact,
+    )
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in llm_setsim_join_exact(spark, SF).collect()
+    }
+    want = {
+        (a, b)
+        for a, b in oracle.execute(r"""
+            WITH sh AS (SELECT DISTINCT doc_id, s FROM (
+              SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t)-1),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE [] END) AS s
+              FROM (SELECT doc_id,
+                           string_split_regex(trim(lower(text)), '\s+') AS t
+                    FROM documents))),
+            sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+            p AS (SELECT x.doc_id a, y.doc_id b, COUNT(*) o
+                  FROM sh x JOIN sh y ON y.s = x.s AND x.doc_id < y.doc_id
+                  GROUP BY 1, 2)
+            SELECT a, b FROM p
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE 5 * o >= 3 * (sa.n + sb.n - o)
+        """).fetchall()
+    }
+    assert got == want and len(got) > 0
