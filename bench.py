@@ -257,7 +257,7 @@ HEADLINE = [
 
 def _build_session(cpus: str) -> SparkSession:
     n_cpus = int(cpus) if str(cpus).isdigit() else 8
-    spark = (
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("smart-contract-database-builder-spark-bench")
         .config("spark.sql.shuffle.partitions", str(n_cpus))
@@ -265,8 +265,18 @@ def _build_session(cpus: str) -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .getOrCreate()
     )
+    # Shuffle scratch in default /tmp is eviction-prone: the round-11
+    # driver bench died mid-run on `blockmgr-*/temp_shuffle_* (No such
+    # file or directory)` when a tmp cleaner swept /tmp. Root the
+    # scratch under the verified per-user store dir instead.
+    try:
+        from smart_contract_database_builder_spark.sources.store_root import scratch_dir
+
+        builder = builder.config("spark.local.dir", scratch_dir())
+    except Exception:
+        pass
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark
 

@@ -6283,14 +6283,22 @@ def _bpe_state(spark: SparkSession, sf_dir: str, merges: int = _BPE_MERGES):
     once per session however many consumers ask."""
     import os
 
+    app_id = spark.sparkContext.applicationId
     key = (
-        spark.sparkContext.applicationId,
+        app_id,
         _source_fingerprint(os.path.join(sf_dir, "documents.parquet")),
         merges,
     )
     hit = _BPE_STATE_CACHE.get(key)
     if hit is not None:
         return hit
+    # Evict dead-session entries: bench CLEAN mode builds one session
+    # per query, so applicationId-keyed state would otherwise
+    # accumulate for the process lifetime, pinning localCheckpoint-ed
+    # blocks of STOPPED SparkContexts. Entries for the live session
+    # stay (the whole point of the cache).
+    for stale in [k for k in _BPE_STATE_CACHE if k[0] != app_id]:
+        del _BPE_STATE_CACHE[stale]
     docs = load_table(spark, sf_dir, "documents")
     v = (
         docs.select(F.explode(_tokens()).alias("word"))
@@ -9476,12 +9484,16 @@ def llm_tokenizer_fertility_by_lang(
 # language ID
 # ---------------------------------------------------------------------------
 
-#: Contrastive-mining geometry: anchors are a deterministic corpus
-#: slice; per anchor keep the single nearest SAME-label vector
-#: (positive) and the _CP_NEG nearest DIFFERENT-label vectors (hard
-#: negatives). Batch-local top-k inside the Arrow kernel bounds what
-#: each task emits.
-_CP_MOD, _CP_REM = 40, 1
+#: Contrastive-mining geometry: anchors are a FIXED-SIZE batch — the
+#: _CP_K rows with the smallest md5(vec_id) (deterministic, uniform,
+#: engine-portable: both Spark's md5() and DuckDB's md5() emit
+#: lowercase hex over the decimal string) — per anchor keep the single
+#: nearest SAME-label vector (positive) and the _CP_NEG nearest
+#: DIFFERENT-label vectors (hard negatives). Batch-local top-k inside
+#: the Arrow kernel bounds what each task emits. _CP_K is a structural
+#: bound: the driver collect and the task-closure anchor matrix are
+#: O(K·D) at ANY corpus size (a modulus slice would grow linearly).
+_CP_K = 16
 _CP_POS = 1
 _CP_NEG = 5
 
@@ -9492,7 +9504,11 @@ _CP_NEG = 5
     WITH a AS (
       SELECT vec_id AS query_id, label AS qlabel, embedding AS qe,
              {_sql_int_dot("embedding", "embedding")} AS nq
-      FROM embeddings WHERE vec_id % {_CP_MOD} = {_CP_REM}
+      FROM (
+        SELECT vec_id, label, embedding FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {_CP_K}
+      )
     ),
     s AS (
       SELECT a.query_id,
@@ -9527,9 +9543,10 @@ def llm_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     negative mining): random negatives are trivially separable, the
     nearest wrong-label ones carry the gradient.
 
-    Scale shape: the anchor slice is the mining BATCH (deterministic
-    ``vec_id % {_CP_MOD}`` — contrastive training mines anchors per
-    batch, so the set is bounded by design) and ships executor-side
+    Scale shape: the anchor slice is the mining BATCH — the ``_CP_K``
+    rows with the smallest ``md5(vec_id)`` (a distributed TakeOrdered;
+    the driver collect is O(K·D) REGARDLESS of corpus size, the F53
+    reservoir discipline) — and ships executor-side
     as one int64 matrix inside an Arrow ``mapInPandas`` kernel — the
     covariance-family discipline: scoring a candidate batch against
     ALL anchors is ONE (B×D)·(D×A) integer matmul, not B·A
@@ -9546,11 +9563,22 @@ def llm_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     sv_expr = F.transform("embedding", lambda x: _iscale(x)).alias("sv")
+    out_schema = "query_id long, role string, vec_id long, cosine double"
     a_rows = (
-        emb.filter((F.col("vec_id") % _CP_MOD) == _CP_REM)
-        .select("vec_id", "label", sv_expr)
+        emb.select(
+            "vec_id",
+            "label",
+            sv_expr,
+            F.md5(F.col("vec_id").cast("string")).alias("hk"),
+        )
+        .orderBy("hk", "vec_id")
+        .limit(_CP_K)
         .collect()
     )
+    if not a_rows:
+        # empty corpus: a 0-row anchor matrix would crash `X @ A.T`
+        # inside the kernel — short-circuit with the final schema.
+        return spark.createDataFrame([], out_schema + ", rnk long")
     A = np.array([list(r["sv"]) for r in a_rows], dtype=np.int64)
     a_ids = np.array([r["vec_id"] for r in a_rows], dtype=np.int64)
     a_lab = np.array([r["label"] for r in a_rows], dtype=np.int64)
@@ -9601,7 +9629,7 @@ def llm_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     survivors = emb.select("vec_id", "label", sv_expr).mapInPandas(
-        mine, "query_id long, role string, vec_id long, cosine double"
+        mine, out_schema
     )
     k_for = F.when(F.col("role") == "positive", F.lit(_CP_POS)).otherwise(
         F.lit(_CP_NEG)

@@ -3410,9 +3410,22 @@ def agg_sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: The nine Benford expectations log10(1+1/d), d=1..9, computed ONCE
+#: by CPython's libm log10 and injected as shortest-round-trip decimal
+#: literals into BOTH the Spark plan and the DuckDB oracle: literal
+#: parse is correctly rounded on both engines, so the constants are
+#: bitwise identical by construction — no dependence on whose log10
+#: (JVM Math.log10 is only 1-ulp-bounded; DuckDB's is libm) evaluates
+#: at query time.
+_BENFORD_EXP = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
+_BENFORD_SQL_CASE = "CASE digit " + " ".join(
+    f"WHEN '{d}' THEN {v!r}" for d, v in _BENFORD_EXP.items()
+) + " END"
+
+
 @register(
     "agg_benford_first_digit",
-    oracle="""
+    oracle=f"""
     WITH d AS (
       SELECT substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
                     1, 1) AS digit
@@ -3423,10 +3436,10 @@ def agg_sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(COUNT(*) AS DOUBLE)
              / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS obs_frac,
-           log10(1.0 + 1.0 / CAST(digit AS BIGINT)) AS exp_frac,
+           {_BENFORD_SQL_CASE} AS exp_frac,
            CAST(COUNT(*) AS DOUBLE)
              / CAST(SUM(COUNT(*)) OVER () AS DOUBLE)
-             - log10(1.0 + 1.0 / CAST(digit AS BIGINT)) AS deviation
+             - {_BENFORD_SQL_CASE} AS deviation
     FROM d
     GROUP BY digit
     """,
@@ -3444,9 +3457,11 @@ def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a power-of-10 boundary would flip digits between engines;
     DuckDB CAST(double AS BIGINT) also rounds where Spark truncates,
     which FLOOR-before-cast sidesteps). Counts are exact; the Benford
-    expectation applies libm log10 to the nine exact constants
-    1+1/d — the engine-pinned-libm precedent the LM family set — and
-    the two divisions are bitwise on equal inputs.
+    expectation is the nine CONSTANTS log10(1+1/d) computed once by
+    CPython libm and pinned as round-trip literals in both plans
+    (``_BENFORD_EXP``) — neither engine's log10 runs at query time,
+    so the 1-ulp JVM-vs-libm hazard cannot arise on any platform —
+    and the two divisions are bitwise on equal inputs.
 
     Scale shape: one scan, map-side partial count onto NINE keys, one
     9-row window for the total — the aggregate any 100 TB fact table
@@ -3463,7 +3478,12 @@ def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = F.col("n_orders").cast("double") / F.sum("n_orders").over(win).cast(
         "double"
     )
-    exp_frac = F.log10(1.0 + 1.0 / F.col("digit").cast("long"))
+    exp_frac = F.element_at(
+        F.create_map(
+            *[F.lit(x) for d, v in _BENFORD_EXP.items() for x in (str(d), v)]
+        ),
+        F.col("digit"),
+    )
     return cnt.select(
         "digit",
         "n_orders",
@@ -3683,10 +3703,12 @@ def agg_event_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     that per-day counts bury — and for a training corpus with
     timestamps, the temporal analogue of ``llm_cross_source_overlap``.
 
-    Float parity: the split point is integer epoch-microsecond
-    arithmetic ((min+max) integer-halved — identical int64 math both
-    engines, no timestamp-interval semantics involved); counts exact;
-    the four derived columns are double ratios of exact ints.
+    Float parity: the split point is PURE int64 arithmetic — Spark
+    ``div`` and DuckDB ``//`` both truncate integer quotients toward
+    zero (verified: DuckDB ``(-7)//2 = -3``), so (min+max) div 2 is
+    identical at every sign and magnitude; a double-division round
+    trip would lose exactness past 2^53 epoch-microseconds. Counts
+    exact; the four derived columns are double ratios of exact ints.
 
     Scale shape: one events scan (two columns) → a 1-row min/max
     broadcast → one event_type hash agg with map-side combine → an
@@ -3696,7 +3718,7 @@ def agg_event_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.unix_micros("ts").alias("us")
     )
     m = ev.agg(
-        ((F.min("us") + F.max("us")) / 2).cast("long").alias("mid")
+        F.expr("(min(us) + max(us)) div 2").cast("long").alias("mid")
     )
     halves = (
         ev.join(F.broadcast(m))

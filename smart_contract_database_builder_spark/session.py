@@ -58,6 +58,16 @@ def get_spark(
     builder = builder.master(master or f"local[{cpus}]")
 
     conf = dict(_DEFAULTS)
+    # Shuffle scratch must NOT live in default /tmp: tmp-cleaner eviction
+    # deletes temp_shuffle_* files mid-job (observed: round-11 driver
+    # bench rc=1 on exactly this). Only effective for a NEW JVM —
+    # getOrCreate on an active session keeps its existing local dirs.
+    try:
+        from .sources.store_root import scratch_dir
+
+        conf["spark.local.dir"] = scratch_dir()
+    except Exception:
+        pass  # unwritable tmpdir: fall back to Spark's default
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)

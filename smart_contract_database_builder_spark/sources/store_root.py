@@ -73,6 +73,28 @@ def store_root() -> str:
     return root
 
 
+def scratch_dir() -> str:
+    """Durable per-user scratch directory for Spark's ``spark.local.dir``
+    (shuffle spill, block-manager temp files, broadcast scratch).
+
+    The default ``/tmp`` is subject to tmpwatch/systemd-tmpfiles-style
+    eviction, which deletes ``temp_shuffle_*`` files out from under a
+    long-running job (the round-11 driver bench died exactly this way:
+    ``blockmgr-*/temp_shuffle_* (No such file or directory)`` mid-stage).
+    Rooting the scratch under the verified per-user store root keeps it
+    on the same filesystem but inside a directory whose lifetime we own.
+    ``SPARK_GRAFT_SCRATCH`` overrides (e.g. to point at instance-local
+    NVMe on a real cluster node).
+    """
+    override = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if override:
+        os.makedirs(override, exist_ok=True)
+        return override
+    scratch = os.path.join(store_root(), "spark_local")
+    os.makedirs(scratch, mode=0o700, exist_ok=True)
+    return scratch
+
+
 def build_tmp(final: str) -> str:
     """Unique sibling build directory for ``final``: stores are built
     HERE and published by one atomic rename, so a concurrent session
@@ -122,3 +144,15 @@ def publish_build(tmp: str, final: str) -> None:
         os.rename(tmp, final)
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
+    # The fallback rename can lose to a THIRD outcome: a concurrent
+    # builder re-created `final` between our rmtree and our rename, but
+    # its build is incomplete (or the rename failed for another reason
+    # entirely). Returning silently would leave callers reading a path
+    # with no complete store and failing later with an opaque parquet
+    # error — verify the invariant this function exists to provide.
+    if not os.path.exists(os.path.join(final, "_STORE_COMPLETE")):
+        raise RuntimeError(
+            f"store publish failed: no complete store at {final} after "
+            "rename fallback (concurrent incomplete build or rename "
+            "error) — retry the build"
+        )
