@@ -24,24 +24,73 @@ from . import llm_ops  # noqa: E402,F401
 from . import scale_ops  # noqa: E402,F401
 from . import streaming_batch  # noqa: E402,F401
 
-#: Queries the driver window must cover first. ROUND-11 ROTATION
-#: (VERDICT r9+r10 "Next round #1", two rounds owed): the window's 50
-#: slots hold the 12 round-9-born queries that never earned a driver
-#: CORRECTNESS row, behind witnesses for every plan whose CODE CHANGED
-#: in r10 or this round — the store-root/codec-version hardening
-#: (IVF-PQ encoded store, bucketed join) and the round-11 S21
-#: band-store + shared cluster-store adoption across the whole dedup
-#: graph/verify family — plus one standing witness each for core
-#: relational, the reference family, true streaming, and exact dedup,
-#: and freshness fillers re-earning rows for the r4/r5-evidence era.
-#: Everything rotated out is driver-green in some CORRECTNESS_r*.json
-#: with plan code unchanged since, and stays under the pytest oracle
-#: sweep (tests/test_oracle_parity.py, exact-match at sf0.01).
+#: Queries the driver window must cover first. ROUND-12 ROTATION
+#: (VERDICT r11 "Next round #3" + the freshness-guard policy now
+#: encoded in tests/test_evidence_freshness.py): the window's 50
+#: slots hold (a) witnesses for every plan whose CODE CHANGED this
+#: round — the fixed-K contrastive anchor batch, the literal-pinned
+#: Benford expectations, the int64-div drift midpoint — (b) one
+#: standing witness each for core relational, the reference family,
+#: true streaming, and exact dedup, and (c) the 23 oracle queries
+#: whose newest driver evidence is oldest (the whole r4/r5 cohort).
+#: Round-12-born operators register uncurated and land between
+#: _PRIORITY and _OVERFLOW — inside the window while it has room.
+#: Everything rotated out is driver-green in CORRECTNESS_r11 (or an
+#: earlier artifact with plan code unchanged since) and stays under
+#: the pytest oracle sweep (tests/test_oracle_parity.py, exact-match
+#: at sf0.01).
 _PRIORITY = [
-    # --- ROUND-11 ROTATION, part 1: the 12 round-9-born queries that
-    # sat in _OVERFLOW through r10 (VERDICT r9+r10 "Next round #1",
-    # two rounds owed) — each earns its first driver CORRECTNESS row
-    # this round ---
+    # --- changed-plan witnesses (r12: anchor-batch bound, Benford
+    # literal pinning, drift int64 midpoint) ---
+    "llm_contrastive_pairs",
+    "agg_benford_first_digit",
+    "agg_event_drift_report",
+    # --- standing family witnesses: core relational, reference
+    # family, true streaming, exact dedup ---
+    "flagship_revenue_by_region",
+    "ref_extract_functions",
+    "stream_true_tumbling_availablenow",
+    "llm_exact_dedup_documents",
+    # --- freshness rotation: the r4-evidence cohort (14) ---
+    "agg_distinct_counts",
+    "agg_grouping_shapes",
+    "filter_point_lookup",
+    "filter_suffix_predicate",
+    "filter_type_predicate",
+    "join_semi_anti_customers",
+    "scalar_date_parts_orders",
+    "scalar_math_lineitem",
+    "set_ops_customer_keys",
+    "topk_orders_by_price",
+    "window_lag_lead_first_last",
+    "window_rank_variants",
+    "window_running_revenue_by_date",
+    "window_top3_orders_per_customer",
+    # --- freshness rotation: the r5-evidence cohort (9) ---
+    "llm_cosine_topk_bruteforce",
+    "llm_mix_sample_by_lang",
+    "llm_pii_redaction",
+    "llm_repetition_signals",
+    "llm_tfidf_top_terms",
+    "llm_vocab_coverage",
+    "scalar_map_explode_props",
+    "stream_session_windows",
+    "stream_sliding_window_avg",
+]
+
+#: Oracle-CARRYING queries deliberately registered just past the
+#: driver's 50-query window (it is full): their oracles still run in
+#: pytest (tests/test_oracle_parity.py sweeps every oracle at sf0.01),
+#: they just lose the per-round driver row. Grow this list consciously
+#: — whatever sits here trades driver-visible correctness evidence for
+#: a slot. After the round-9 FULL rotation the never-driver-sampled
+#: backlog is EMPTY: every query below is driver-green in some
+#: CORRECTNESS_r*.json artifact with plan code unchanged since.
+_OVERFLOW = [
+    # r12 rotation: the whole round-11 window (12 r9-born + 8 store
+    # witnesses + the r11-born operator batches) earned green r11
+    # rows with plans unchanged since — rotated out to refresh the
+    # r4/r5-evidence cohort
     "agg_forecast_revenue_change",
     "agg_local_supplier_volume",
     "join_min_cost_supplier",
@@ -54,10 +103,6 @@ _PRIORITY = [
     "llm_train_split_leakage_aware",
     "llm_embedding_covariance",
     "llm_minhash_lsh_pairs_stored",
-    # --- changed-plan witnesses: store-root/codec-version r10 changes
-    # touch the read paths of the two store-backed queries; the S21
-    # band-store adoption + shared near-dup cluster store (this round)
-    # change every plan in the dedup graph/verify family ---
     "llm_ivfpq_encoded_topk",
     "join_bucketed_priority_revenue",
     "llm_minhash_lsh_pairs",
@@ -66,121 +111,39 @@ _PRIORITY = [
     "llm_pagerank_candidates",
     "llm_minhash_estimate_calibration",
     "llm_incremental_neardup",
-    # --- standing family witnesses: core relational, reference
-    # family, true streaming, exact dedup ---
-    "flagship_revenue_by_region",
-    "ref_extract_functions",
-    "stream_true_tumbling_availablenow",
-    "llm_exact_dedup_documents",
-    # --- freshness fillers: the queries whose newest driver evidence
-    # is oldest (r4/r5) re-earn current-round rows; replaced by
-    # round-11-born queries if operators are added this round ---
-    # --- round-11-born operators: sentence dedup, repetition profile,
-    # DSIR importance, cluster-size histogram, c-TF-IDF, fertility,
-    # plus batch 3 (boilerplate / JL audit / code-switch) — three
-    # freshness fillers (topk / set-ops / map-explode, all multi-round
-    # green with plans unchanged) moved to _OVERFLOW to make room ---
     "llm_sentence_dedup_fraction",
     "llm_repetition_ngram_profile",
     "llm_dsir_importance",
     "llm_cluster_size_histogram",
     "llm_ctfidf_by_lang",
     "llm_tokenizer_fertility_by_lang",
-    "llm_contrastive_pairs",
     "llm_nb_langid",
     "llm_embedding_sq8_error",
     "llm_cross_source_overlap",
     "llm_boilerplate_sentences",
     "llm_jl_projection_audit",
     "llm_code_switch_docs",
-    # --- batch 4: matryoshka truncation audit, temperature mixture
-    # planner, blocklist policy filter, Benford first-digit audit —
-    # four freshness fillers (grouping-shapes + the r4-era window
-    # trio, all multi-round green with plans unchanged) moved to
-    # _OVERFLOW to make room ---
     "llm_matryoshka_audit",
     "llm_domain_mix_temperature",
     "llm_blocklist_policy_filter",
-    "agg_benford_first_digit",
-    # --- batch 5: LSH band-coverage curve (reads the S21 band store),
-    # Gini revenue concentration — two more freshness fillers
-    # (point-lookup / distinct-counts, r4-green, plans unchanged)
-    # moved to _OVERFLOW to make room ---
     "llm_lsh_band_coverage",
     "agg_revenue_gini_by_nation",
-    # --- batch 6: the dedup survivorship ledger (composes the exact
-    # content-key stage with the persisted cluster store) — one more
-    # r4-green filler (semi/anti join) to _OVERFLOW ---
     "llm_dedup_survivorship",
-    # --- batch 7: data-profiling lenses (functional-dependency
-    # discovery, event-mix drift) — the last r4-era filler
-    # (type-predicate filter) to _OVERFLOW ---
     "agg_functional_dependencies",
-    "agg_event_drift_report",
-    # --- batch 8: incremental SimHash admission (S22-backed,
-    # completes the incremental family across all three dedup
-    # geometries), rule-based topic tagging, per-source language
-    # entropy — three multi-round-green band-store witnesses
-    # (containment / edit-distance / triangles) delegate the shared
-    # candidate-generator change to their in-window siblings and move
-    # to _OVERFLOW ---
     "llm_incremental_simhash",
     "llm_topic_keyword_assignment",
     "llm_source_lang_entropy",
-    # --- batch 9: exact set-similarity join via prefix filtering
-    # (the deterministic-recall counterpart of MinHash-LSH) — the
-    # cluster-store read path delegates its witness to the in-window
-    # neardup-clusters / leakage-split consumers ---
     "llm_setsim_join_exact",
-]
-
-#: Oracle-CARRYING queries deliberately registered just past the
-#: driver's 50-query window (it is full): their oracles still run in
-#: pytest (tests/test_oracle_parity.py sweeps every oracle at sf0.01),
-#: they just lose the per-round driver row. Grow this list consciously
-#: — whatever sits here trades driver-visible correctness evidence for
-#: a slot. After the round-9 FULL rotation the never-driver-sampled
-#: backlog is EMPTY: every query below is driver-green in some
-#: CORRECTNESS_r*.json artifact with plan code unchanged since.
-_OVERFLOW = [
-    # r11 batch-4/5 evictions: freshness fillers whose plans are
-    # unchanged since their last driver-green row (r4-era, re-green
-    # under the pytest sweep every session)
-    "filter_point_lookup",
-    "agg_distinct_counts",
-    "agg_grouping_shapes",
-    "join_semi_anti_customers",
-    "filter_type_predicate",
     # band-store family members whose r11 plan change is witnessed by
-    # the sibling dedup graph/verify queries inside the window (same
-    # candidate generator); all stay under the pytest oracle sweep
+    # the sibling dedup graph/verify queries (same candidate
+    # generator); all stay under the pytest oracle sweep
     "llm_ngram_jaccard_topk",
     "llm_containment_pairs",
     "llm_edit_distance_pairs",
     "llm_triangle_counts",
-    # cluster-store read path witnessed by the in-window
-    # neardup-clusters and leakage-split consumers
+    # cluster-store read path witnessed by the neardup-clusters and
+    # leakage-split consumers
     "llm_cluster_best_representative",
-    "window_top3_orders_per_customer",
-    "window_running_revenue_by_date",
-    "window_lag_lead_first_last",
-    # r11 batch-3 evictions: freshness fillers whose plans are
-    # unchanged since their last driver-green row (r4/r5 era, re-green
-    # under the pytest sweep every session)
-    "topk_orders_by_price",
-    "set_ops_customer_keys",
-    "scalar_map_explode_props",
-    "window_rank_variants",
-    "filter_suffix_predicate",
-    "llm_cosine_topk_bruteforce",
-    "scalar_date_parts_orders",
-    "scalar_math_lineitem",
-    "llm_tfidf_top_terms",
-    "stream_sliding_window_avg",
-    "stream_session_windows",
-    "llm_repetition_signals",
-    "llm_mix_sample_by_lang",
-    "llm_pii_redaction",
     # Every query here is driver-green in some CORRECTNESS_r*.json
     # artifact (pinned by tests/test_registry_window.py) and stays
     # under the pytest oracle sweep (tests/test_oracle_parity.py,
@@ -310,7 +273,6 @@ _OVERFLOW = [
     "ref_abi_signature_render",
     "llm_langid_stopword",
     "join_range_event_pairs",
-    "llm_vocab_coverage",
 ]
 
 #: Genuinely rows-only queries (no cross-engine oracle can exist:

@@ -35,39 +35,33 @@ def test_oracle_queries_fill_the_driver_window_exactly():
 def test_oracle_queries_past_the_window_are_explicitly_designated():
     """Pushing an oracle query out of the window must be a conscious,
     named decision (_OVERFLOW), never a silent side effect of a new
-    registration."""
+    registration. _OVERFLOW entries may still SIT inside the window
+    while the current round's new operators accumulate (spare slots
+    earn them extra driver evidence — harmless), so the invariant is:
+    everything past the window is an _OVERFLOW suffix."""
     names = list(plans.QUERIES)
     late = [
         n
         for i, n in enumerate(names)
         if plans.QUERIES[n].oracle is not None and i >= _DRIVER_WINDOW
     ]
-    assert late == _OVERFLOW, (
-        f"oracle queries beyond the driver window {late} != designated "
-        f"overflow {_OVERFLOW}"
+    assert late == _OVERFLOW[len(_OVERFLOW) - len(late):], (
+        f"oracle queries beyond the driver window {late} are not the "
+        f"designated overflow suffix"
     )
 
 
 def test_family_witnesses_lead():
     """Each operator family keeps an always-in-window witness at the
-    head of the registry. The round-11 witness set pins every query
-    whose plan code changed in r10 or r11 (store-root/codec-version
-    hardening; the S21 band-store + shared cluster-store adoption
-    across the dedup graph/verify family) plus standing family
-    witnesses."""
-    head = list(plans.QUERIES)[:28]
-    # containment / edit-distance / triangles / ngram-jaccard delegate
-    # the shared candidate-generator change to these in-window siblings
-    # (same band-store read path) and sit at the top of _OVERFLOW.
+    head of the registry. The round-12 witness set pins every query
+    whose plan code changed this round (the fixed-K contrastive
+    anchor batch, the literal-pinned Benford expectations, the
+    int64-div drift midpoint) plus the standing family witnesses."""
+    head = list(plans.QUERIES)[:10]
     for name in (
-        "llm_ivfpq_encoded_topk",
-        "join_bucketed_priority_revenue",
-        "llm_minhash_lsh_pairs",
-        "llm_neardup_clusters",
-        "llm_embedding_neardup_clusters",
-        "llm_pagerank_candidates",
-        "llm_minhash_estimate_calibration",
-        "llm_incremental_neardup",
+        "llm_contrastive_pairs",
+        "agg_benford_first_digit",
+        "agg_event_drift_report",
         "flagship_revenue_by_region",
         "ref_extract_functions",
         "stream_true_tumbling_availablenow",
@@ -268,10 +262,56 @@ _ROTATED_IN_R11 = [
 ]
 
 
-def test_round11_rotation_brings_the_owed_backlog_into_window():
+def test_round11_rotation_queries_have_driver_rows():
+    """The 12 round-9-born queries rotated IN for round 11 earned
+    their first driver rows in CORRECTNESS_r11 and rotated back out in
+    round 12; pin that each really is driver-green."""
+    import json
+    import pathlib
+
+    rows = json.loads(
+        (pathlib.Path(__file__).resolve().parent.parent / "CORRECTNESS_r11.json").read_text()
+    )
+    for n in _ROTATED_IN_R11:
+        r = rows[n]
+        assert r["rows_match"] and r["schema_match"] and r["hash_match"], n
+
+
+#: Round-12 rotation contract (VERDICT r11 "Next round #3"): the 23
+#: queries whose newest driver evidence was oldest (the whole r4 and
+#: r5 cohorts) hold window slots this round, each re-earning a
+#: current-round CORRECTNESS row.
+_ROTATED_IN_R12 = [
+    "agg_distinct_counts",
+    "agg_grouping_shapes",
+    "filter_point_lookup",
+    "filter_suffix_predicate",
+    "filter_type_predicate",
+    "join_semi_anti_customers",
+    "scalar_date_parts_orders",
+    "scalar_math_lineitem",
+    "set_ops_customer_keys",
+    "topk_orders_by_price",
+    "window_lag_lead_first_last",
+    "window_rank_variants",
+    "window_running_revenue_by_date",
+    "window_top3_orders_per_customer",
+    "llm_cosine_topk_bruteforce",
+    "llm_mix_sample_by_lang",
+    "llm_pii_redaction",
+    "llm_repetition_signals",
+    "llm_tfidf_top_terms",
+    "llm_vocab_coverage",
+    "scalar_map_explode_props",
+    "stream_session_windows",
+    "stream_sliding_window_avg",
+]
+
+
+def test_round12_rotation_refreshes_the_stale_cohorts():
     window = list(plans.QUERIES)[:_DRIVER_WINDOW]
-    missing = [n for n in _ROTATED_IN_R11 if n not in window]
-    assert missing == [], f"owed backlog missing from the window: {missing}"
+    missing = [n for n in _ROTATED_IN_R12 if n not in window]
+    assert missing == [], f"stale cohort missing from the window: {missing}"
 
 
 #: Operators registered straight into _OVERFLOW in the round that bore
@@ -312,7 +352,7 @@ def test_rotated_out_queries_have_prior_driver_green_rows():
 
 def test_only_genuinely_rows_only_queries_trail_the_overflow():
     names = list(plans.QUERIES)
-    trailing = names[_DRIVER_WINDOW + len(_OVERFLOW):]
+    trailing = names[-len(_TAIL):]
     assert trailing == _TAIL
     assert all(plans.QUERIES[n].oracle is None for n in trailing)
     # each trailing query documents WHY it has no oracle
