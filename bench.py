@@ -252,6 +252,15 @@ HEADLINE = [
     "llm_topic_keyword_assignment",
     "llm_source_lang_entropy",
     "llm_setsim_join_exact",
+    # round 12
+    "llm_bloom_dedup_audit",
+    "llm_heaps_law_by_source",
+    "llm_char_class_profile",
+    "agg_priority_late_orders",
+    "agg_event_daily_anomaly",
+    "agg_customer_ltv_cohorts",
+    "llm_centroid_shift_by_label",
+    "llm_unique_ngram_ratio",
 ]
 
 

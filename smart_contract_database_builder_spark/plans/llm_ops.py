@@ -11599,3 +11599,459 @@ def llm_setsim_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 batch 1: Bloom-filter admission audit, Heaps-law vocabulary
+# growth, character-class profiling
+# ---------------------------------------------------------------------------
+
+#: Bloom geometry: k independent md5-derived positions in a 16^4-slot
+#: space. Positions are the 4-hex-char md5 prefixes of key‖'#'‖i —
+#: engine-portable strings, no hex→int conversion needed — so the
+#: "bit array" is a DISTINCT-position relation capped at 65,536 rows
+#: at ANY corpus size: the structural bound that makes the probe side
+#: a broadcast join.
+_BLOOM_K = 3
+_BLOOM_HEX = 4
+
+
+def _bloom_pos_sql(key: str, i: int) -> str:
+    return f"substr(md5({key} || '#{i}'), 1, {_BLOOM_HEX})"
+
+
+@register(
+    "llm_bloom_dedup_audit",
+    oracle=rf"""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS k
+      FROM documents
+    ),
+    existing AS (SELECT * FROM keyed WHERE doc_id % 2 = 0),
+    incoming AS (SELECT * FROM keyed WHERE doc_id % 2 = 1),
+    bits AS (
+      SELECT DISTINCT pos FROM existing, UNNEST([{
+        ", ".join(_bloom_pos_sql("k", i) for i in range(_BLOOM_K))
+      }]) AS t(pos)
+    ),
+    probed AS (
+      SELECT n.doc_id, n.source, n.k,
+             (SELECT COUNT(*) FROM bits b WHERE b.pos IN ({
+               ", ".join(_bloom_pos_sql("n.k", i) for i in range(_BLOOM_K))
+             })) = {_BLOOM_K} AS rejected,
+             EXISTS (SELECT 1 FROM existing e WHERE e.k = n.k) AS is_dup
+      FROM incoming n
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN rejected THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rejected,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true_dup,
+           CAST(SUM(CASE WHEN rejected AND NOT is_dup THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positive,
+           CAST(SUM(CASE WHEN rejected AND NOT is_dup THEN 1 ELSE 0 END)
+                AS DOUBLE)
+             / CAST(COUNT(*) - SUM(CASE WHEN is_dup THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS fp_rate
+    FROM probed
+    GROUP BY source
+    """,
+)
+def llm_bloom_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/J10 EXT: BLOOM-FILTER ADMISSION audit — the streaming-ingest
+    companion of exact dedup: an m-slot, k-hash Bloom membership
+    structure built from the EXISTING corpus's content keys screens
+    the INCOMING slice before the expensive exact-dedup shuffle, and
+    this audit reports, per source, how many incoming docs the filter
+    rejects, how many are true duplicates, and the observed
+    false-positive count/rate (rejected but genuinely novel) — the
+    number that says whether m and k are sized right for the corpus.
+
+    Exactness: positions are md5-prefix strings (identical both
+    engines); all counts exact int64; the one rate is a double ratio
+    of exact ints. Rejection means ALL k positions present — evaluated
+    as an exact membership count against the distinct-position
+    relation, which is semantically the bit-array test.
+
+    Scale shape: the "bit array" is a DISTINCT-position relation
+    structurally capped at 16^{_BLOOM_HEX} rows regardless of corpus
+    size — it BROADCASTS; the probe is a per-row explode of k=
+    {_BLOOM_K} positions + broadcast hash join + per-doc hash agg
+    (map-side combinable), and the exact-dup verify joins on the
+    uniform 128-bit content key. No step is corpus×corpus; the
+    incoming slice never joins the existing TEXT, only its key set.
+    At 100 TB the same plan stands — the filter relation stays 64Ki
+    rows (one would raise _BLOOM_HEX to size m for the corpus, which
+    changes only the broadcast's constant).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "))
+    keyed = docs.select("doc_id", "source", key.alias("k"))
+    existing = keyed.filter(F.col("doc_id") % 2 == 0)
+    incoming = keyed.filter(F.col("doc_id") % 2 == 1)
+
+    def pos(i: int, col: str = "k") -> Column:
+        return F.substring(
+            F.md5(F.concat(F.col(col), F.lit(f"#{i}"))), 1, _BLOOM_HEX
+        )
+
+    bits = (
+        existing.select(
+            F.explode(F.array(*[pos(i) for i in range(_BLOOM_K)])).alias(
+                "pos"
+            )
+        )
+        .distinct()
+        .withColumn("bit", F.lit(1))
+    )
+    probe = incoming.select(
+        "doc_id",
+        "source",
+        "k",
+        F.explode(F.array(*[pos(i) for i in range(_BLOOM_K)])).alias("pos"),
+    )
+    hits = (
+        probe.join(F.broadcast(bits), "pos", "left")
+        .groupBy("doc_id", "source", "k")
+        .agg(
+            (F.sum(F.coalesce("bit", F.lit(0))) == _BLOOM_K).alias(
+                "rejected"
+            )
+        )
+    )
+    exact = existing.select("k").distinct().withColumn("present", F.lit(True))
+    probed = hits.join(exact, "k", "left").select(
+        "source",
+        "rejected",
+        F.coalesce("present", F.lit(False)).alias("is_dup"),
+    )
+    fp = (F.col("rejected") & ~F.col("is_dup")).cast("long")
+    return probed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new"),
+        F.sum(F.col("rejected").cast("long")).cast("long").alias("n_rejected"),
+        F.sum(F.col("is_dup").cast("long")).cast("long").alias("n_true_dup"),
+        F.sum(fp).cast("long").alias("n_false_positive"),
+        (
+            F.sum(fp).cast("double")
+            / (
+                F.count(F.lit(1)) - F.sum(F.col("is_dup").cast("long"))
+            ).cast("double")
+        ).alias("fp_rate"),
+    )
+
+
+@register(
+    "llm_heaps_law_by_source",
+    oracle=rf"""
+    WITH tc AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT source, unnest({_SQL_TOKENS}) AS term FROM documents)
+      GROUP BY source, term
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS hapax_frac,
+           ln(CAST(COUNT(*) AS DOUBLE))
+             / ln(CAST(SUM(c) AS DOUBLE)) AS heaps_beta
+    FROM tc
+    GROUP BY source
+    """,
+)
+def llm_heaps_law_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20/A29 EXT: HEAPS'-LAW vocabulary-growth audit — per source,
+    token mass N, distinct-type count V, hapax-legomena count/fraction,
+    and the Heaps exponent proxy β = ln V / ln N (V ≈ K·N^β; natural
+    text sits near β≈0.5, template/boilerplate corpora collapse toward
+    0, ID-dump garbage inflates toward 1). The Zipf slope's
+    (``llm_zipf_slope_report``) dual: Zipf reads the frequency
+    distribution's shape, Heaps reads the vocabulary's growth — a
+    source whose β breaks from its siblings is a curation flag.
+
+    Exactness: N, V, hapax are exact int64 from one hash agg; β is
+    libm ln (Arrow UDF, the ``_ln_libm`` discipline — DuckDB's ln IS
+    libm) applied to exact-int doubles on an O(sources)-row relation,
+    then one double division. Scale shape: ONE token explode →
+    (source, term) hash agg with map-side combine (the c-TF-IDF
+    scan shape) → O(sources×vocab) rows collapse to O(sources); the
+    ln UDF touches rows AFTER the collapse, never per token.
+    """
+    ln = _ln_libm()
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("source", F.explode(_tokens()).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = tc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("n_hapax"),
+    )
+    return per.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        (
+            F.col("n_hapax").cast("double") / F.col("n_types").cast("double")
+        ).alias("hapax_frac"),
+        (
+            ln(F.col("n_types").cast("double"))
+            / ln(F.col("n_tokens").cast("double"))
+        ).alias("heaps_beta"),
+    )
+
+
+#: Character classes for the profile — EXPLICIT ASCII classes on both
+#: engines (Java's \s and RE2's \s disagree on \x0B, and unicode
+#: letter classes disagree more): counts come from stripping the
+#: class and differencing lengths is avoided entirely — each class is
+#: counted by replacing its COMPLEMENT and measuring what remains, so
+#: the four counts are consistent by construction and no engine's
+#: length() semantics for astral chars is load-bearing.
+_CHAR_CLASSES = [
+    ("letters", "A-Za-z"),
+    ("digits", "0-9"),
+    ("spaces", " \\t\\n\\r\\f"),
+]
+
+
+@register(
+    "llm_char_class_profile",
+    oracle=rf"""
+    WITH per_doc AS (
+      SELECT source,
+             {", ".join(
+               f"length(regexp_replace(text, '[^{cls}]', '', 'g')) AS {name}"
+               for name, cls in _CHAR_CLASSES
+             )},
+             length(regexp_replace(text,
+               '[{"".join(cls for _, cls in _CHAR_CLASSES)}]', '', 'g'))
+               AS other
+      FROM documents
+    )
+    SELECT source,
+           {", ".join(
+             f"CAST(SUM({name}) AS BIGINT) AS n_{name}"
+             for name, _ in _CHAR_CLASSES
+           )},
+           CAST(SUM(other) AS BIGINT) AS n_other,
+           CAST(SUM(other) AS DOUBLE)
+             / CAST(SUM(letters) + SUM(digits) + SUM(spaces) + SUM(other)
+                    AS DOUBLE) AS other_frac
+    FROM per_doc
+    GROUP BY source
+    """,
+)
+def llm_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 EXT: CHARACTER-CLASS profile — per source, the corpus's
+    character mass split into ASCII letters / digits / whitespace /
+    other, plus the other-class share: the OCR-garbage and
+    binary-contamination lens (scanned-PDF noise, mojibake, and
+    markup-heavy sources all surface as a fat ``other_frac`` long
+    before any model-based quality score runs).
+
+    Exactness: classes are explicit ASCII sets (never \\s or unicode
+    categories — Java regex and RE2 disagree at the edges); each count
+    is length(keep-only-class), so the FOUR counts partition the text
+    by construction and no engine's length() convention for
+    supplementary-plane characters can skew a difference. Sums exact
+    int64; the share is one double ratio.
+
+    Scale shape: per-row regexp_replace + length fold inside
+    whole-stage codegen (no explode — character counting never leaves
+    the row), then a map-side-combined hash agg onto O(sources) keys.
+    The cheapest full-corpus profile in the family: one scan, zero
+    joins, zero Python.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cols = [
+        F.length(
+            F.regexp_replace(F.col("text"), f"[^{cls}]", "")
+        ).alias(name)
+        for name, cls in _CHAR_CLASSES
+    ]
+    all_cls = "".join(cls for _, cls in _CHAR_CLASSES)
+    per_doc = docs.select(
+        "source",
+        *cols,
+        F.length(F.regexp_replace(F.col("text"), f"[{all_cls}]", "")).alias(
+            "other"
+        ),
+    )
+    total = sum(
+        (F.sum(name) for name, _ in _CHAR_CLASSES), F.sum("other")
+    )
+    return per_doc.groupBy("source").agg(
+        *[
+            F.sum(name).cast("long").alias(f"n_{name}")
+            for name, _ in _CHAR_CLASSES
+        ],
+        F.sum("other").cast("long").alias("n_other"),
+        (F.sum("other").cast("double") / total.cast("double")).alias(
+            "other_frac"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 batch 2: centroid-shift audit, unique-n-gram compression
+# proxy
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_centroid_shift_by_label",
+    oracle=rf"""
+    WITH x AS (
+      SELECT label, i, {_SQL_ISCALE.format(v="e")} AS iv
+      FROM (
+        SELECT label, unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+      )
+    ),
+    nl AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM embeddings GROUP BY label
+    ),
+    ng AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM embeddings),
+    sl AS (SELECT label, i, SUM(iv) AS s_li FROM x GROUP BY label, i),
+    sg AS (SELECT i, SUM(s_li) AS s_gi FROM sl GROUP BY i),
+    cen AS (
+      SELECT sl.label,
+             sl.s_li // nl.n_vecs AS c_li,
+             sg.s_gi // ng.n_all AS c_gi
+      FROM sl JOIN nl ON sl.label = nl.label
+              JOIN sg ON sl.i = sg.i, ng
+    ),
+    dots AS (
+      SELECT label,
+             SUM(c_li * c_gi) AS dot_lg,
+             SUM(c_li * c_li) AS nrm_l,
+             SUM(c_gi * c_gi) AS nrm_g
+      FROM cen GROUP BY label
+    )
+    SELECT d.label, nl.n_vecs,
+           CAST(dot_lg AS DOUBLE)
+             / (sqrt(CAST(nrm_l AS DOUBLE)) * sqrt(CAST(nrm_g AS DOUBLE)))
+             AS cosine_to_global,
+           sqrt(CAST(nrm_l AS DOUBLE)) / sqrt(CAST(nrm_g AS DOUBLE))
+             AS norm_ratio
+    FROM dots d JOIN nl ON d.label = nl.label
+    """,
+)
+def llm_centroid_shift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 EXT: CENTROID-SHIFT audit — per label, the cosine between
+    the label's centroid and the GLOBAL corpus centroid plus their
+    norm ratio: the embedding-space drift lens (a label whose centroid
+    swings away from the mixture marks a cluster the sampler
+    over/under-weighs; a norm ratio far from 1 marks scale drift that
+    breaks dot-product retrieval). ``llm_centroid_by_label`` reports
+    the centroids; this reports their GEOMETRY against the mixture.
+
+    Exactness: per-dim sums are exact int64 over ``_iscale`` fixed
+    point; centroids are TRUNCATING integer division (Spark ``div`` ≡
+    DuckDB ``//`` at every sign — the drift-report precedent), which
+    caps each centroid component at the original ~2^20 scale so the
+    D-term dots stay ≤ 2^46, exact in int64; the final cosine/sqrt is
+    bitwise IEEE on equal ints. Scale shape: one posexplode →
+    (label, dim) hash agg (map-side combine; D×L rows), the global
+    sums DERIVE from it (no second corpus pass), and everything after
+    the first agg is O(D×L) — at 10⁹ vectors the corpus is scanned
+    once and the geometry runs on a few thousand rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label", F.posexplode("embedding").alias("i", "e")
+    ).select("label", "i", _iscale(F.col("e")).alias("iv"))
+    nl = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    ng = emb.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    sl = x.groupBy("label", "i").agg(F.sum("iv").alias("s_li"))
+    sg = sl.groupBy("i").agg(F.sum("s_li").alias("s_gi"))
+    cen = (
+        sl.join(nl, "label")
+        .join(F.broadcast(sg), "i")
+        .crossJoin(F.broadcast(ng))
+        .select(
+            "label",
+            F.expr("s_li div n_vecs").alias("c_li"),
+            F.expr("s_gi div n_all").alias("c_gi"),
+        )
+    )
+    dots = cen.groupBy("label").agg(
+        F.sum(F.col("c_li") * F.col("c_gi")).alias("dot_lg"),
+        F.sum(F.col("c_li") * F.col("c_li")).alias("nrm_l"),
+        F.sum(F.col("c_gi") * F.col("c_gi")).alias("nrm_g"),
+    )
+    return dots.join(nl, "label").select(
+        "label",
+        "n_vecs",
+        (
+            F.col("dot_lg").cast("double")
+            / (
+                F.sqrt(F.col("nrm_l").cast("double"))
+                * F.sqrt(F.col("nrm_g").cast("double"))
+            )
+        ).alias("cosine_to_global"),
+        (
+            F.sqrt(F.col("nrm_l").cast("double"))
+            / F.sqrt(F.col("nrm_g").cast("double"))
+        ).alias("norm_ratio"),
+    )
+
+
+@register(
+    "llm_unique_ngram_ratio",
+    oracle=rf"""
+    WITH grams AS (
+      SELECT source, unnest({_sql_word_ngrams("t", 3)}) AS g
+      FROM (SELECT source, {_SQL_TOKENS} AS t FROM documents)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(DISTINCT g) AS BIGINT) AS n_unique,
+           CAST(COUNT(DISTINCT g) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS unique_ratio
+    FROM grams
+    GROUP BY source
+    """,
+)
+def llm_unique_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F22 EXT: UNIQUE-3-GRAM ratio — per source, total word 3-grams,
+    distinct 3-grams, and their ratio: the cheap COMPRESSIBILITY proxy
+    (gzip-style redundancy without running a codec). Templated or
+    boilerplate-heavy sources collapse toward 0 — exactly the
+    repetition a dedup pass must not be asked to absorb —
+    while natural prose sits high. ``llm_repetition_signals`` scores
+    repetition WITHIN a doc; this scores it ACROSS a source, where
+    template reuse hides.
+
+    Exactness: both counts exact int64 (COUNT DISTINCT is exact on
+    both engines); one double ratio. Scale shape: one token explode →
+    3-gram transform in-row → hash agg keyed (source, gram) for the
+    distinct side with map-side partial dedup; grams shuffle as
+    strings once — at corpus scale the distinct count swaps to the
+    documented HLL twin exactly like the percentile family's approx
+    variant, same plan otherwise.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "source", F.explode(_word_ngrams(_tokens(), 3)).alias("g")
+    )
+    return grams.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.countDistinct("g").cast("long").alias("n_unique"),
+        (
+            F.countDistinct("g").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("unique_ratio"),
+    )

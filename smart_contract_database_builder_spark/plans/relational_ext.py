@@ -3751,3 +3751,245 @@ def agg_event_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_early") + 1).cast("double")
         ).alias("smoothed_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Order-priority pipeline check (A-EXT, round 12 batch 1 — the TPC-H
+# Q4 shape: EXISTS-semi-join + tiny-domain aggregate)
+# ---------------------------------------------------------------------------
+
+_PRIO_Q_START, _PRIO_Q_END = "1996-07-01", "1996-10-01"
+
+
+@register(
+    "agg_priority_late_orders",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_flagged_orders
+    FROM orders
+    WHERE o_orderdate >= DATE '{_PRIO_Q_START}'
+      AND o_orderdate < DATE '{_PRIO_Q_END}'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_returnflag = 'R'
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT: ORDER-PRIORITY pipeline check (the TPC-H Q4 shape; this
+    testdata's lineitem carries l_returnflag rather than
+    commit/receipt dates, so the per-line failure predicate is "line
+    was returned") — for one quarter, how many orders of each priority
+    class had at least one failed lineitem: the order-fulfilment SLA
+    report, and the canonical EXISTS-semi-join benchmark shape (an
+    order with five flagged lines must count ONCE — a plain join
+    would multiply it).
+
+    Scale shape: the date filter pushes to the orders parquet scan
+    (one quarter of the fact table); the EXISTS compiles to a LEFT
+    SEMI hash join keyed on the uniform l_orderkey — the semi join
+    short-circuits per key and never materializes the multiplicity —
+    and the final aggregate collapses onto the five-value priority
+    domain with map-side combine. Both fact tables shuffle only their
+    key columns; at 100 TB this is the partition-pruned semi-join
+    every warehouse runs nightly.
+    """
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_PRIO_Q_START).cast("date"))
+        & (F.col("o_orderdate") < F.lit(_PRIO_Q_END).cast("date"))
+    )
+    late = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        o.join(
+            late,
+            o["o_orderkey"] == late["l_orderkey"],
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_flagged_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 batch 2: robust daily-volume anomaly, customer-LTV cohorts
+# ---------------------------------------------------------------------------
+
+#: Robust z-score convention: 0.6745·(x−median)/MAD (the consistency
+#: constant that makes MAD comparable to σ under normality) and the
+#: standard 3.5 cutoff (Iglewicz–Hoaglin).
+_ANOM_C = 0.6745
+_ANOM_CUT = 3.5
+
+
+@register(
+    "agg_event_daily_anomaly",
+    oracle=f"""
+    WITH daily AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ),
+    med AS (SELECT quantile_cont(n_events, 0.5) AS med FROM daily),
+    mad AS (
+      SELECT quantile_cont(abs(n_events - med), 0.5) AS mad
+      FROM daily, med
+    )
+    SELECT day, n_events,
+           CASE WHEN mad.mad = 0 THEN NULL
+                ELSE {_ANOM_C} * (n_events - med.med) / mad.mad END
+             AS robust_z,
+           CASE WHEN mad.mad = 0 THEN FALSE
+                ELSE abs({_ANOM_C} * (n_events - med.med) / mad.mad)
+                     > {_ANOM_CUT} END AS is_anomaly
+    FROM daily, med, mad
+    """,
+)
+def agg_event_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT: DAILY-VOLUME ANOMALY detection — per calendar day, the
+    event count and its ROBUST z-score against the median/MAD of all
+    daily counts, with the standard |z|>3.5 flag: the logging-outage /
+    bot-spike monitor that mean±σ misses whenever the anomaly itself
+    inflates the baseline (the reason MAD, not stddev, is the
+    denominator — one 100× spike day moves the median by nothing).
+    ``agg_mad_outliers`` applies this rule to a VALUE column; this is
+    its time-series twin over the event stream's day axis.
+
+    Exactness: daily counts exact int64; both medians are exact
+    interpolated percentiles (``percentile`` ≡ ``quantile_cont``, the
+    agg_percentile_prices precedent); z is raw double arithmetic
+    sharing the two literal constants; MAD=0 degenerates to NULL/no
+    flag identically on both engines.
+
+    Scale shape: one events scan → hash agg onto O(days) keys →
+    two exact percentiles over the O(days) relation (tiny at any
+    corpus scale: ten years is 3,653 rows) broadcast back as 1-row
+    scalars. The fact table is touched once.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    med = daily.agg(F.expr("percentile(n_events, 0.5D)").alias("med"))
+    mad = (
+        daily.crossJoin(F.broadcast(med))
+        .select(F.abs(F.col("n_events") - F.col("med")).alias("adev"))
+        .agg(F.expr("percentile(adev, 0.5D)").alias("mad"))
+    )
+    z = (
+        F.lit(_ANOM_C)
+        * (F.col("n_events") - F.col("med"))
+        / F.col("mad")
+    )
+    return (
+        daily.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .select(
+            "day",
+            "n_events",
+            F.when(F.col("mad") == 0, F.lit(None).cast("double"))
+            .otherwise(z)
+            .alias("robust_z"),
+            F.when(F.col("mad") == 0, F.lit(False))
+            .otherwise(F.abs(z) > _ANOM_CUT)
+            .alias("is_anomaly"),
+        )
+    )
+
+
+@register(
+    "agg_customer_ltv_cohorts",
+    oracle="""
+    WITH first_order AS (
+      SELECT o_custkey,
+             MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS m0
+      FROM orders GROUP BY o_custkey
+    ),
+    sized AS (
+      SELECT m0, COUNT(*) AS cohort_size FROM first_order GROUP BY m0
+    ),
+    rev AS (
+      SELECT f.m0,
+             (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.m0
+               AS month_offset,
+             COUNT(DISTINCT o.o_custkey) AS n_buyers,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev_dec
+      FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT printf('%04d-%02d', (r.m0 - 1) // 12, ((r.m0 - 1) % 12) + 1)
+             AS cohort_month,
+           CAST(r.month_offset AS BIGINT) AS month_offset,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST(r.n_buyers AS BIGINT) AS n_buyers,
+           CAST(r.rev_dec AS DOUBLE) AS revenue,
+           CAST(r.rev_dec AS DOUBLE) / s.cohort_size AS ltv_per_customer
+    FROM rev r JOIN sized s ON r.m0 = s.m0
+    WHERE r.month_offset <= 6
+    """,
+)
+def agg_customer_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT: LIFETIME-VALUE cohorts — customers grouped by
+    first-order month, and for each cohort the revenue contributed N
+    months later plus per-customer LTV (first two quarters shown):
+    the revenue-side twin of ``agg_retention_cohorts`` (which counts
+    presence; this weighs it). The month axis is pure integer
+    arithmetic (year·12+month) on BOTH engines, so no
+    months_between/date_diff semantic gap can bite.
+
+    Exactness: cohort keys and offsets are exact ints; revenue sums
+    in DECIMAL(18,2) (order-independent) and converts to double only
+    at the output edge; buyer counts are exact distinct counts; the
+    per-customer LTV is one double division. Scale shape: a
+    customer-keyed min-aggregate (map-side combinable), one fact join
+    on the uniform o_custkey, and a hash agg onto O(cohorts×offsets)
+    keys — the distinct count shuffles (cohort, offset, custkey)
+    once; nothing is row-multiplied.
+    """
+    o = _t(spark, sf_dir, "orders")
+    m = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m")
+    first = o.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias(
+            "m0"
+        )
+    )
+    sized = first.groupBy("m0").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    rev = (
+        o.join(first, "o_custkey")
+        .select(
+            "m0",
+            (
+                (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+                - F.col("m0")
+            ).alias("month_offset"),
+            "o_custkey",
+            dec("o_totalprice").alias("p"),
+        )
+        .groupBy("m0", "month_offset")
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_buyers"),
+            F.sum("p").alias("rev_dec"),
+        )
+        .filter(F.col("month_offset") <= 6)
+    )
+    cohort_month = F.format_string(
+        "%04d-%02d",
+        F.expr("(m0 - 1) div 12"),
+        ((F.col("m0") - 1) % 12 + 1).cast("int"),
+    )
+    return rev.join(sized, "m0").select(
+        cohort_month.alias("cohort_month"),
+        F.col("month_offset").cast("long").alias("month_offset"),
+        "cohort_size",
+        "n_buyers",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        (
+            F.col("rev_dec").cast("double")
+            / F.col("cohort_size").cast("double")
+        ).alias("ltv_per_customer"),
+    )

@@ -52,6 +52,8 @@ _NESTED_LOOP_ALLOWED = {
     "llm_nb_langid",               # langs × bucket-domain model build (≤1.3k rows)
     "llm_embedding_sq8_error",     # 1-row packed per-dim quantizer broadcast
     "agg_event_drift_report",      # 1-row epoch-midpoint broadcast
+    "agg_event_daily_anomaly",     # 1-row median + 1-row MAD broadcasts
+    "llm_centroid_shift_by_label", # 1-row corpus-count (n_all) broadcast
 }
 
 #: Queries whose fn() triggers side effects/execution rather than just
