@@ -261,6 +261,9 @@ HEADLINE = [
     "agg_customer_ltv_cohorts",
     "llm_centroid_shift_by_label",
     "llm_unique_ngram_ratio",
+    "llm_incremental_embedding_admission",
+    "llm_minhash_bbit_audit",
+    "llm_embedding_norm_outliers",
 ]
 
 

@@ -12055,3 +12055,356 @@ def llm_unique_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("unique_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 batch 3: incremental embedding admission (4th incremental
+# geometry), b-bit MinHash resolution audit, norm-outlier screening
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_incremental_embedding_admission",
+    oracle=rf"""
+    WITH s AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> {_SQL_ISCALE.format(v="x")}) AS sv
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, sv,
+             {_sql_bucket_expr()} AS bucket,
+             sqrt(CAST(CAST(list_aggregate(
+               list_transform(list_zip(sv, sv), x -> x[1] * x[2]),
+               'sum') AS BIGINT) AS DOUBLE)) AS nrm
+      FROM s
+    ),
+    corpus AS (
+      SELECT * FROM n WHERE vec_id % {_INC_ND_MOD} <> {_INC_ND_REM}
+    ),
+    batch AS (
+      SELECT * FROM n WHERE vec_id % {_INC_ND_MOD} = {_INC_ND_REM}
+    ),
+    ok AS (
+      SELECT bucket FROM corpus GROUP BY bucket
+      HAVING COUNT(*) <= {_ANN_BUCKET_CAP}
+    ),
+    hits AS (
+      SELECT b.vec_id,
+             COUNT(DISTINCT c.vec_id) AS n_corpus_neighbors
+      FROM batch b
+      JOIN ok USING (bucket)
+      JOIN corpus c ON c.bucket = b.bucket
+      WHERE CAST(CAST(list_aggregate(
+              list_transform(list_zip(b.sv, c.sv), p -> p[1] * p[2]),
+              'sum') AS BIGINT) AS DOUBLE) / (b.nrm * c.nrm)
+            >= {_NEAR_DUP_COSINE}
+      GROUP BY b.vec_id
+    )
+    SELECT b.vec_id,
+           CAST(COALESCE(h.n_corpus_neighbors, 0) AS BIGINT)
+             AS n_corpus_neighbors,
+           h.vec_id IS NULL AS admitted
+    FROM batch b LEFT JOIN hits h ON b.vec_id = h.vec_id
+    """,
+)
+def llm_incremental_embedding_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """J10 EXT: INCREMENTAL EMBEDDING admission — completes the
+    incremental-ingest family across all FOUR dedup geometries (exact
+    content-key anti join, MinHash-band admission, SimHash-Hamming
+    admission, now embedding-cosine): an incoming vector batch is
+    admitted only where NO standing-corpus vector shares a hyperplane
+    bucket AND sits at cosine ≥ {_NEAR_DUP_COSINE} — the semantic
+    near-copy gate (paraphrases that evade token-level MinHash still
+    collide here). Emits per-batch-vector neighbor counts so a softer
+    admit-if-<k policy reads the same relation.
+
+    Scale shape: the corpus side's bucket bits are a write-time store
+    in production (the S20 discipline — only the BATCH side computes
+    per run); corpus mega-buckets drop at ``_ANN_BUCKET_CAP`` before
+    the probe join, so each batch vector fans out bucket-locally,
+    never corpus-wide; the exact-cosine verify touches only bucket
+    collisions. Fixed-point int64 dots, one shared scaled vector per
+    row (the ``ann_cosine_pairs`` plan hygiene).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_planes = _planes_at_oracle_floor(
+        emb.count(), "llm_incremental_embedding_admission"
+    )
+    scaled = fan_out_if_narrow(emb).select(
+        "vec_id", F.transform("embedding", _iscale).alias("sv")
+    )
+    dot_self = F.aggregate(
+        F.zip_with("sv", "sv", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    n = scaled.select(
+        "vec_id",
+        "sv",
+        _bucket_expr(n_planes=n_planes).alias("bucket"),
+    ).select(
+        "vec_id", "sv", "bucket", F.sqrt(dot_self.cast("double")).alias("nrm")
+    )
+    is_batch = (F.col("vec_id") % _INC_ND_MOD) == _INC_ND_REM
+    corpus = n.filter(~is_batch)
+    batch = n.filter(is_batch)
+    ok = (
+        corpus.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") <= _ANN_BUCKET_CAP)
+        .select("bucket")
+    )
+    b = batch.alias("b")
+    c = corpus.alias("c")
+    pair_dot = F.aggregate(
+        F.zip_with("b.sv", "c.sv", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    hits = (
+        b.join(F.broadcast(ok), "bucket")
+        .join(c, "bucket")
+        .filter(
+            pair_dot.cast("double") / (F.col("b.nrm") * F.col("c.nrm"))
+            >= _NEAR_DUP_COSINE
+        )
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(F.countDistinct("c.vec_id").alias("n_corpus_neighbors"))
+    )
+    return (
+        batch.select("vec_id")
+        .join(hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("n_corpus_neighbors", F.lit(0))
+            .cast("long")
+            .alias("n_corpus_neighbors"),
+            F.col("n_corpus_neighbors").isNull().alias("admitted"),
+        )
+    )
+
+
+#: b-bit MinHash resolution: keep only the LAST hex nibble (b=4 bits)
+#: of each of the 8 signature components. Debias: under independence a
+#: nibble collides with probability c=1/16 even at J=0, so
+#: est = (m/k − c)/(1 − c).
+_BBIT_HEX = 1
+_BBIT_C = 1.0 / 16.0
+
+
+@register(
+    "llm_minhash_bbit_audit",
+    oracle=rf"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM (
+        SELECT doc_id, unnest({_sql_word_ngrams("t")}) AS s
+        FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+      )
+    ),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(md5('{i}|' || s)) AS m{i}" for i in range(_N_HASHES))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(m{2*b} || m{2*b+1}) AS key FROM sig"
+        for b in range(_N_HASHES // _BAND_ROWS)
+      )}
+    ),
+    bsz AS (
+      SELECT band_idx, key FROM bands
+      GROUP BY band_idx, key
+      HAVING COUNT(*) BETWEEN 2 AND {_LSH_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bsz USING (band_idx, key)
+      JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key
+                  AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST({" + ".join(
+             f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END"
+             for i in range(_N_HASHES)
+           )} AS BIGINT) AS n_match_full,
+           CAST({" + ".join(
+             f"CASE WHEN substr(a.m{i}, 32, {_BBIT_HEX}) = "
+             f"substr(b.m{i}, 32, {_BBIT_HEX}) THEN 1 ELSE 0 END"
+             for i in range(_N_HASHES)
+           )} AS BIGINT) AS n_match_b4,
+           CAST({" + ".join(
+             f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END"
+             for i in range(_N_HASHES)
+           )} AS DOUBLE) / {_N_HASHES} AS est_full,
+           (CAST({" + ".join(
+             f"CASE WHEN substr(a.m{i}, 32, {_BBIT_HEX}) = "
+             f"substr(b.m{i}, 32, {_BBIT_HEX}) THEN 1 ELSE 0 END"
+             for i in range(_N_HASHES)
+           )} AS DOUBLE) / {_N_HASHES} - {_BBIT_C}) / (1.0 - {_BBIT_C})
+             AS est_b4
+    FROM cand c
+    JOIN sig a ON a.doc_id = c.doc_a
+    JOIN sig b ON b.doc_id = c.doc_b
+    """,
+)
+def llm_minhash_bbit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J16 EXT: b-BIT MinHash resolution audit (Li & König 2010) — for
+    every stored candidate pair, the Jaccard estimate from FULL
+    128-bit signature components vs the debiased estimate from only
+    the last 4 bits of each ((m/k − 1/16)/(1 − 1/16)): the number
+    that says whether the signature store can ship 32× smaller
+    (4 bits vs 128 per component) for this corpus's similarity range.
+    ``llm_minhash_estimate_calibration`` audits the estimator against
+    TRUE Jaccard; this audits the cheap estimator against the full
+    one.
+
+    Scale shape: reads the S21 store twice — candidate pairs from the
+    bucketed band table (exchange-free assembly) and signatures from
+    the sigs table; the audit joins O(pairs) rows against the
+    8-short-column signature relation on the uniform doc key. Nothing
+    re-tokenizes: the corpus pass was paid at ingest. Estimates are
+    double ratios of exact int match counts (shared literal
+    constants), bitwise cross-engine.
+    """
+    pairs = minhash_candidate_pairs_stored(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    sigs = minhash_sigs_stored(spark, sf_dir)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    full_m = sum(
+        (F.col(f"a.m{i}") == F.col(f"b.m{i}")).cast("int")
+        for i in range(_N_HASHES)
+    )
+    b4_m = sum(
+        (
+            F.substring(F.col(f"a.m{i}"), 32, _BBIT_HEX)
+            == F.substring(F.col(f"b.m{i}"), 32, _BBIT_HEX)
+        ).cast("int")
+        for i in range(_N_HASHES)
+    )
+    return (
+        pairs.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(b, F.col("doc_b") == F.col("b.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            full_m.cast("long").alias("n_match_full"),
+            b4_m.cast("long").alias("n_match_b4"),
+            (full_m.cast("double") / F.lit(float(_N_HASHES))).alias(
+                "est_full"
+            ),
+            (
+                (b4_m.cast("double") / F.lit(float(_N_HASHES)) - _BBIT_C)
+                / (1.0 - _BBIT_C)
+            ).alias("est_b4"),
+        )
+    )
+
+
+#: Norm-outlier screening: the robust |z| cutoff shared with the
+#: daily-anomaly lens (Iglewicz–Hoaglin 3.5 at the 0.6745 consistency
+#: constant).
+_NORM_C = 0.6745
+_NORM_CUT = 3.5
+
+
+@register(
+    "llm_embedding_norm_outliers",
+    oracle=rf"""
+    WITH nrm AS (
+      SELECT vec_id, label,
+             sqrt(CAST({_sql_int_dot("embedding", "embedding")} AS DOUBLE))
+               AS nrm
+      FROM embeddings
+    ),
+    med AS (
+      SELECT label, quantile_cont(nrm, 0.5) AS med FROM nrm GROUP BY label
+    ),
+    mad AS (
+      SELECT n.label, quantile_cont(abs(n.nrm - m.med), 0.5) AS mad
+      FROM nrm n JOIN med m ON n.label = m.label
+      GROUP BY n.label
+    )
+    SELECT n.label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           MIN(m.med) AS median_norm,
+           MIN(d.mad) AS mad_norm,
+           CAST(SUM(CASE WHEN d.mad > 0
+                          AND abs({_NORM_C} * (n.nrm - m.med) / d.mad)
+                              > {_NORM_CUT}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(SUM(CASE WHEN d.mad > 0
+                          AND abs({_NORM_C} * (n.nrm - m.med) / d.mad)
+                              > {_NORM_CUT}
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS outlier_share
+    FROM nrm n
+    JOIN med m ON n.label = m.label
+    JOIN mad d ON n.label = d.label
+    GROUP BY n.label
+    """,
+)
+def llm_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4/F57 EXT: embedding NORM-OUTLIER screening — per label, the
+    median and MAD of vector norms and how many vectors sit beyond the
+    robust |z|>{_NORM_CUT} cutoff: the embedding-table health check
+    (a batch of zero vectors, an unnormalized encoder run, or a dtype
+    regression all surface as norm outliers before they poison
+    retrieval). The A52 robust-z rule applied to vector geometry.
+
+    Exactness: norms are sqrt of EXACT int64 self-dots (the fixed-
+    point discipline), so the per-group interpolated percentiles see
+    bitwise-identical inputs on both engines (the percentile ≡
+    quantile_cont precedent); the z-expression shares its two literal
+    constants. Scale shape: one scan computes all norms in codegen;
+    two per-label exact percentiles over the O(vectors)-row norm
+    relation (two short columns — at 10⁹ vectors the documented
+    percentile_approx twin swaps in, same plan); the flag pass joins
+    two O(labels)-row broadcasts.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = emb.select(
+        "vec_id",
+        "label",
+        F.sqrt(_int_dot("embedding", "embedding").cast("double")).alias(
+            "nrm"
+        ),
+    )
+    med = nrm.groupBy("label").agg(
+        F.expr("percentile(nrm, 0.5D)").alias("med")
+    )
+    mad = (
+        nrm.join(F.broadcast(med), "label")
+        .select("label", F.abs(F.col("nrm") - F.col("med")).alias("adev"))
+        .groupBy("label")
+        .agg(F.expr("percentile(adev, 0.5D)").alias("mad"))
+    )
+    z_out = (F.col("mad") > 0) & (
+        F.abs(
+            F.lit(_NORM_C) * (F.col("nrm") - F.col("med")) / F.col("mad")
+        )
+        > _NORM_CUT
+    )
+    return (
+        nrm.join(F.broadcast(med), "label")
+        .join(F.broadcast(mad), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.min("med").alias("median_norm"),
+            F.min("mad").alias("mad_norm"),
+            F.sum(z_out.cast("long")).cast("long").alias("n_outliers"),
+            (
+                F.sum(z_out.cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("outlier_share"),
+        )
+    )
