@@ -264,6 +264,8 @@ HEADLINE = [
     "llm_incremental_embedding_admission",
     "llm_minhash_bbit_audit",
     "llm_embedding_norm_outliers",
+    "llm_js_divergence_source_pairs",
+    "agg_reorder_gap_distribution",
 ]
 
 

@@ -12408,3 +12408,149 @@ def llm_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("outlier_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 batch 4: pairwise source JS divergence
+# ---------------------------------------------------------------------------
+
+#: floor(ln(2)·1e6) — the micro-nat contribution of a term present in
+#: exactly one side of a JS pair (ln(2p/(p+0)) = ln 2), pinned as a
+#: shared literal so neither engine's ln(2) evaluates at query time.
+_LN2_MICRO = 693_147
+
+
+@register(
+    "llm_js_divergence_source_pairs",
+    oracle=rf"""
+    WITH sw AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT source, unnest({_SQL_TOKENS}) AS term FROM documents)
+      GROUP BY source, term
+    ),
+    tot AS (SELECT source, SUM(c) AS n FROM sw GROUP BY source),
+    pairrows AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             a.c AS ca, b.c AS cb, ta.n AS na, tb.n AS nb
+      FROM sw a
+      JOIN sw b ON a.term = b.term AND a.source < b.source
+      JOIN tot ta ON ta.source = a.source
+      JOIN tot tb ON tb.source = b.source
+    ),
+    shared AS (
+      SELECT source_a, source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_terms,
+             SUM(ca) AS ca_sum, SUM(cb) AS cb_sum,
+             MIN(na) AS na, MIN(nb) AS nb,
+             SUM(ca * CAST(floor(ln(
+               CAST(2 * ca * nb AS DOUBLE)
+                 / CAST(ca * nb + cb * na AS DOUBLE)) * 1000000)
+               AS BIGINT)) AS sa_micro,
+             SUM(cb * CAST(floor(ln(
+               CAST(2 * cb * na AS DOUBLE)
+                 / CAST(ca * nb + cb * na AS DOUBLE)) * 1000000)
+               AS BIGINT)) AS sb_micro
+      FROM pairrows GROUP BY source_a, source_b
+    )
+    SELECT source_a, source_b, n_shared_terms,
+           0.5 * (
+             CAST(sa_micro + (na - ca_sum) * {_LN2_MICRO} AS DOUBLE)
+               / (CAST(na AS DOUBLE) * 1000000)
+             + CAST(sb_micro + (nb - cb_sum) * {_LN2_MICRO} AS DOUBLE)
+               / (CAST(nb AS DOUBLE) * 1000000)
+           ) AS js_nats
+    FROM shared
+    """,
+)
+def llm_js_divergence_source_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """F55 EXT: pairwise JENSEN-SHANNON divergence between source
+    unigram distributions — the symmetric, bounded (≤ ln 2) drift
+    matrix over source pairs: KL (F55) scores each source against the
+    corpus MIXTURE, JS says which PAIRS of sources are
+    interchangeable (near 0 → merge/drop one; near ln 2 → disjoint
+    registers that need separate mixture weights). The distributional
+    upgrade of the J33 overlap-coefficient matrix (which counts shared
+    documents; this compares what the sources SAY).
+
+    Exactness: one-sided terms contribute exactly (mass/N)·ln 2 —
+    folded in CLOSED FORM via the pinned ``_LN2_MICRO`` literal (no
+    full-outer join, no engine ln(2)); shared terms get libm ln of an
+    exact integer ratio (products ≤ 2^53), floored to micro-nats;
+    per-pair totals are exact int64 sums with the final double edge
+    shared expression-for-expression. Scale shape: ONE token explode
+    → (source, term) hash agg; the pair join is term-keyed with
+    fanout bounded by the SOURCE count per term (the J33 shape — S²
+    per key, S a handful at any corpus size); everything after the
+    agg is O(S² × shared-vocab) and collapses map-side to O(S²).
+    """
+    ln = _ln_libm()
+    docs = load_table(spark, sf_dir, "documents")
+    sw = (
+        docs.select("source", F.explode(_tokens()).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = sw.groupBy("source").agg(F.sum("c").alias("n"))
+    a = sw.alias("a")
+    b = sw.alias("b")
+    ta = tot.alias("ta")
+    tb = tot.alias("tb")
+    both = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .join(F.broadcast(ta), F.col("a.source") == F.col("ta.source"))
+        .join(F.broadcast(tb), F.col("b.source") == F.col("tb.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.col("a.c").alias("ca"),
+            F.col("b.c").alias("cb"),
+            F.col("ta.n").alias("na"),
+            F.col("tb.n").alias("nb"),
+        )
+    )
+    denom = (F.col("ca") * F.col("nb") + F.col("cb") * F.col("na")).cast(
+        "double"
+    )
+    lra = F.floor(
+        ln((2 * F.col("ca") * F.col("nb")).cast("double") / denom)
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    lrb = F.floor(
+        ln((2 * F.col("cb") * F.col("na")).cast("double") / denom)
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    shared = both.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared_terms"),
+        F.sum("ca").alias("ca_sum"),
+        F.sum("cb").alias("cb_sum"),
+        F.min("na").alias("na"),
+        F.min("nb").alias("nb"),
+        F.sum(F.col("ca") * lra).alias("sa_micro"),
+        F.sum(F.col("cb") * lrb).alias("sb_micro"),
+    )
+    return shared.select(
+        "source_a",
+        "source_b",
+        "n_shared_terms",
+        (
+            0.5
+            * (
+                (
+                    F.col("sa_micro")
+                    + (F.col("na") - F.col("ca_sum")) * _LN2_MICRO
+                ).cast("double")
+                / (F.col("na").cast("double") * F.lit(1_000_000.0))
+                + (
+                    F.col("sb_micro")
+                    + (F.col("nb") - F.col("cb_sum")) * _LN2_MICRO
+                ).cast("double")
+                / (F.col("nb").cast("double") * F.lit(1_000_000.0))
+            )
+        ).alias("js_nats"),
+    )

@@ -3993,3 +3993,69 @@ def agg_customer_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("cohort_size").cast("double")
         ).alias("ltv_per_customer"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 batch 4: customer reorder-gap distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_reorder_gap_distribution",
+    oracle="""
+    WITH gaps AS (
+      SELECT o_custkey,
+             datediff('day',
+               lag(CAST(o_orderdate AS DATE)) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               CAST(o_orderdate AS DATE)) AS gap_days
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_repeat_customers,
+           quantile_cont(gap_days, 0.5) AS median_gap_days,
+           quantile_cont(gap_days, 0.9) AS p90_gap_days,
+           CAST(SUM(gap_days) AS DOUBLE) / COUNT(*) AS mean_gap_days
+    FROM gaps WHERE gap_days IS NOT NULL
+    """,
+)
+def agg_reorder_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/W-EXT: REORDER-GAP distribution — the inter-purchase-time
+    report behind every repeat-rate and churn-window decision: across
+    all consecutive same-customer order pairs, the count of gaps and
+    repeat customers plus the median / p90 / mean gap in days. The
+    cadence complement of A42's RFM recency (which reads only the
+    LAST gap to today).
+
+    Exactness: gaps are exact integer day differences from a
+    deterministic lag window (date, then orderkey tie-break — same-day
+    reorders yield gap 0, never engine-ordering noise); percentiles
+    are exact interpolated (percentile ≡ quantile_cont on identical
+    int inputs); the mean is one double division of exact ints.
+
+    Scale shape: one orders scan → lag window partitioned by the
+    uniform o_custkey (each customer's orders are a handful of rows —
+    no skew, no WindowExec single-partition hazard) → one global
+    aggregate with two exact percentiles over the O(orders) short
+    gap column (the documented percentile_approx twin swaps in at
+    warehouse scale, same plan).
+    """
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            F.to_date("o_orderdate"),
+            F.lag(F.to_date("o_orderdate")).over(w),
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.countDistinct("o_custkey").cast("long").alias("n_repeat_customers"),
+        F.expr("percentile(gap_days, 0.5D)").alias("median_gap_days"),
+        F.expr("percentile(gap_days, 0.9D)").alias("p90_gap_days"),
+        (
+            F.sum("gap_days").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_gap_days"),
+    )
