@@ -12015,13 +12015,17 @@ def llm_centroid_shift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH grams AS (
       SELECT source, unnest({_sql_word_ngrams("t", 3)}) AS g
       FROM (SELECT source, {_SQL_TOKENS} AS t FROM documents)
+    ),
+    gc AS (
+      SELECT source, g, CAST(COUNT(*) AS BIGINT) AS c
+      FROM grams GROUP BY source, g
     )
     SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS n_grams,
-           CAST(COUNT(DISTINCT g) AS BIGINT) AS n_unique,
-           CAST(COUNT(DISTINCT g) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           CAST(SUM(c) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
              AS unique_ratio
-    FROM grams
+    FROM gc
     GROUP BY source
     """,
 )
@@ -12035,24 +12039,35 @@ def llm_unique_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition WITHIN a doc; this scores it ACROSS a source, where
     template reuse hides.
 
-    Exactness: both counts exact int64 (COUNT DISTINCT is exact on
-    both engines); one double ratio. Scale shape: one token explode →
-    3-gram transform in-row → hash agg keyed (source, gram) for the
-    distinct side with map-side partial dedup; grams shuffle as
-    strings once — at corpus scale the distinct count swaps to the
-    documented HLL twin exactly like the percentile family's approx
-    variant, same plan otherwise.
+    Exactness: both counts exact int64; one double ratio. Scale
+    shape: TWO-LEVEL aggregate, never COUNT(DISTINCT) alongside
+    COUNT(*) — mixing them makes Spark plan an Expand that duplicates
+    every exploded gram row (measured 8.1 s vs 1.0 s at sf0.1, 9.5×
+    growth at the 10× probe). Level 1 hash-aggs (source, gram) with
+    map-side combine collapsing repeated grams before the exchange —
+    repetition is exactly what this lens measures, so the templated
+    sources that score low also shuffle least; level 2 collapses to
+    O(sources). ``fan_out_if_narrow`` matters here for the same
+    reason it does in the MinHash signature pass: the 3-gram
+    construction is a CPU-heavy array transform that runs in the SCAN
+    stage, so its parallelism is the split count — a single small
+    parquet file pins it to one core (measured 7.3 s single-task vs
+    sub-second fanned at sf0.1). At corpus scale the distinct side
+    swaps to the documented HLL twin, same plan otherwise.
     """
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
+    grams = fan_out_if_narrow(docs).select(
         "source", F.explode(_word_ngrams(_tokens(), 3)).alias("g")
     )
-    return grams.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_grams"),
-        F.countDistinct("g").cast("long").alias("n_unique"),
+    gc = grams.groupBy("source", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return gc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_grams"),
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
         (
-            F.countDistinct("g").cast("double")
-            / F.count(F.lit(1)).cast("double")
+            F.count(F.lit(1)).cast("double")
+            / F.sum("c").cast("double")
         ).alias("unique_ratio"),
     )
 
