@@ -266,6 +266,11 @@ HEADLINE = [
     "llm_embedding_norm_outliers",
     "llm_js_divergence_source_pairs",
     "agg_reorder_gap_distribution",
+    "stream_window_topk_events",
+    "agg_supplier_concentration_hhi",
+    "agg_customer_pareto_share",
+    "llm_embedding_variance_spectrum",
+    "llm_shard_balance_report",
 ]
 
 

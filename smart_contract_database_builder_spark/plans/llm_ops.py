@@ -12569,3 +12569,183 @@ def llm_js_divergence_source_pairs(
             )
         ).alias("js_nats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 batch 5: variance spectrum (PCA-lite), shard-balance audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_embedding_variance_spectrum",
+    oracle=rf"""
+    WITH x AS (
+      SELECT i - 1 AS i, {_SQL_ISCALE.format(v="e")} AS xi
+      FROM (
+        SELECT unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+      )
+    ),
+    s AS (
+      SELECT i, SUM(xi) AS s, SUM(xi * xi) AS pp, COUNT(*) AS n
+      FROM x GROUP BY i
+    ),
+    v AS (
+      SELECT i,
+             (CAST(pp AS DOUBLE) / n
+              - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+             / 1000000000000.0 AS variance
+      FROM s
+    ),
+    q AS (
+      SELECT i, variance,
+             CAST(floor(variance * 1000000000) AS BIGINT) AS var_q
+      FROM v
+    ),
+    r AS (
+      SELECT i, variance,
+             ROW_NUMBER() OVER (ORDER BY variance DESC, i) AS rnk,
+             SUM(var_q) OVER (ORDER BY variance DESC, i
+               ROWS UNBOUNDED PRECEDING) AS cum_q,
+             SUM(var_q) OVER () AS total_q
+      FROM q
+    )
+    SELECT CAST(i AS BIGINT) AS dim, variance, CAST(rnk AS BIGINT) AS rnk,
+           CAST(cum_q AS DOUBLE) / CAST(total_q AS DOUBLE) AS cum_share
+    FROM r
+    """,
+)
+def llm_embedding_variance_spectrum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """F57 EXT: VARIANCE SPECTRUM — per embedding dimension, its
+    variance, rank, and the cumulative variance share of the top-k
+    dims in rank order: the PCA-lite screening that says how
+    concentrated the representation is BEFORE paying an
+    eigendecomposition (cum_share hitting 0.95 by rank 16 licenses the
+    Matryoshka/JL 4× index; a flat spectrum says the dims pull their
+    weight). The diagonal of F57's covariance with the decision
+    attached.
+
+    Exactness: per-dim moment sums are exact int64 over ``_iscale``
+    fixed point (the covariance discipline, same oracle expression);
+    the cumulative share accumulates integer NANO-QUANTIZED variances
+    (floor(var·1e9) of bitwise-equal doubles) because a running
+    DOUBLE sum is NOT order-stable across engines even on a pinned
+    sort order — DuckDB evaluates window aggregates with a segment
+    tree, so its additions associate differently (measured 1-ulp
+    drift from rank 31). Scale shape: one posexplode → per-dim hash agg with
+    map-side combine (D keys — no skew possible); everything after is
+    O(D) rows and one tiny window.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(F.posexplode("embedding").alias("i", "e")).select(
+        "i", _iscale(F.col("e")).alias("xi")
+    )
+    s = x.groupBy("i").agg(
+        F.sum("xi").alias("s"),
+        F.sum(F.col("xi") * F.col("xi")).alias("pp"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    v = s.select(
+        "i",
+        (
+            (
+                F.col("pp").cast("double") / F.col("n")
+                - (F.col("s").cast("double") * F.col("s").cast("double"))
+                / (F.col("n").cast("double") * F.col("n").cast("double"))
+            )
+            / F.lit(1e12)
+        ).alias("variance"),
+    )
+    q = v.select(
+        "i",
+        "variance",
+        F.floor(F.col("variance") * F.lit(1e9)).cast("long").alias("var_q"),
+    )
+    order = Window.orderBy(F.desc("variance"), "i")
+    run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    return q.select(
+        F.col("i").cast("long").alias("dim"),
+        "variance",
+        F.row_number().over(order).cast("long").alias("rnk"),
+        (
+            F.sum("var_q").over(run).cast("double")
+            / F.sum("var_q").over(wall).cast("double")
+        ).alias("cum_share"),
+    )
+
+
+#: Shard fan: one hex char of md5(doc_id) → 16 shards (engine-portable
+#: strings, the _NB_PREF bucket discipline).
+_SHARD_HEX = 1
+_SHARD_FAN = 16 ** _SHARD_HEX
+
+
+@register(
+    "llm_shard_balance_report",
+    oracle=rf"""
+    WITH sharded AS (
+      SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, {_SHARD_HEX}) AS shard,
+             len({_SQL_TOKENS}) AS n_tok
+      FROM documents
+    ),
+    per AS (
+      SELECT shard,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM sharded GROUP BY shard
+    )
+    SELECT shard, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE)
+             / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS token_share,
+           CAST(n_tokens * {_SHARD_FAN} AS DOUBLE)
+             / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS balance_ratio
+    FROM per
+    """,
+)
+def llm_shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F39 EXT: SHARD-BALANCE audit — hash-assign every document to
+    one of {_SHARD_FAN} training shards (md5 of the doc id — the
+    assignment a distributed data loader actually uses) and report
+    per-shard doc/token mass, token share, and the balance ratio
+    (share × fan; 1.0 = perfectly even): the pre-flight check that
+    catches token-mass skew before a training run stalls on its
+    fattest shard. Interleave order (F39) fixes WITHIN-shard order;
+    this audits the split ACROSS shards.
+
+    Exactness: shard keys are md5-prefix strings (identical both
+    engines); counts exact int64; two double ratios. Scale shape:
+    per-row hash + token count in codegen, one hash agg onto
+    {_SHARD_FAN} keys with map-side combine, one {_SHARD_FAN}-row
+    window — the cheapest possible full-corpus audit; at a real
+    10⁴-shard fan the same plan stands with a wider key domain.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sharded = docs.select(
+        F.substring(
+            F.md5(F.col("doc_id").cast("string")), 1, _SHARD_HEX
+        ).alias("shard"),
+        F.size(_tokens()).alias("n_tok"),
+    )
+    per = sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+    wall = Window.partitionBy()
+    return per.select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        (
+            F.col("n_tokens").cast("double")
+            / F.sum("n_tokens").over(wall).cast("double")
+        ).alias("token_share"),
+        (
+            (F.col("n_tokens") * _SHARD_FAN).cast("double")
+            / F.sum("n_tokens").over(wall).cast("double")
+        ).alias("balance_ratio"),
+    )

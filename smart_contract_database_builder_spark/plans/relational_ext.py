@@ -4059,3 +4059,181 @@ def agg_reorder_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("mean_gap_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 batch 5: revenue-concentration lenses (HHI, Pareto share)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_supplier_concentration_hhi",
+    oracle="""
+    WITH sup_rev AS (
+      SELECT s.s_nationkey,
+             l.l_suppkey,
+             CAST(FLOOR(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))))
+               AS BIGINT) AS rev_usd
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ),
+    nat AS (
+      SELECT s_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             SUM(rev_usd) AS total_usd,
+             SUM(rev_usd * rev_usd) AS sq_sum
+      FROM sup_rev GROUP BY 1
+    )
+    SELECT n.n_name AS nation,
+           a.n_suppliers,
+           CAST(a.total_usd AS BIGINT) AS total_revenue_usd,
+           CAST(a.sq_sum AS DOUBLE) / (CAST(a.total_usd AS DOUBLE)
+                       * CAST(a.total_usd AS DOUBLE)) AS hhi,
+           1.0 / a.n_suppliers AS hhi_floor
+    FROM nat a JOIN nation n ON a.s_nationkey = n.n_nationkey
+    """,
+)
+def agg_supplier_concentration_hhi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A48 EXT: HERFINDAHL-HIRSCHMAN supplier concentration — per
+    nation, the HHI of supplier revenue shares (Σ share², 1/n for
+    perfect competition, 1.0 for monopoly) plus the 1/n floor for
+    calibration: the supply-risk twin of the A48 Gini (Gini reads
+    inequality of the distribution, HHI reads how few hands hold it —
+    antitrust's number). A nation whose HHI runs far above its floor
+    is a single-supplier failure domain.
+
+    Exactness: shares are computed on WHOLE-DOLLAR floored revenues
+    so the whole pipeline is exact int64 — a double square-sum
+    differs by summation order between engines (measured 1-ulp
+    drift), and a wide-DECIMAL square-sum differs at the
+    decimal→double EDGE (Java BigDecimal.doubleValue is correctly
+    rounded to the true value; a scaled-int128-then-divide conversion
+    is not). int64→double conversion IS correctly rounded on both
+    engines, so the final division sees bitwise-equal inputs. Scale
+    note: int64 squares hold to ~$3B per supplier; past that the
+    metric moves to micro-unit integer output.
+
+    Scale shape: one lineitem scan → (nation, supplier) hash agg with
+    map-side combine (uniform supplier keys) → O(nations) rollup with
+    a 25-row dimension broadcast. The fact table never shuffles by
+    row.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    sup_rev = (
+        l.join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+               l["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.floor(F.sum(rev)).cast("long").alias("rev_usd"))
+    )
+    nat = sup_rev.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("rev_usd").alias("total_usd"),
+        F.sum(F.col("rev_usd") * F.col("rev_usd")).alias("sq_sum"),
+    )
+    return nat.join(
+        F.broadcast(n), nat["s_nationkey"] == n["n_nationkey"]
+    ).select(
+        F.col("n_name").alias("nation"),
+        "n_suppliers",
+        F.col("total_usd").cast("long").alias("total_revenue_usd"),
+        (
+            F.col("sq_sum").cast("double")
+            / (
+                F.col("total_usd").cast("double")
+                * F.col("total_usd").cast("double")
+            )
+        ).alias("hhi"),
+        (F.lit(1.0) / F.col("n_suppliers").cast("double")).alias(
+            "hhi_floor"
+        ),
+    )
+
+
+#: Pareto bands: revenue share of the top 1% / 10% / 20% of customers
+#: (by spend). Band membership is an exact integer-rank threshold so
+#: both engines cut identically.
+_PARETO_BANDS = [(1, 100), (10, 100), (20, 100)]
+
+
+@register(
+    "agg_customer_pareto_share",
+    oracle=f"""
+    WITH spend AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_dec
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT spend_dec,
+             ROW_NUMBER() OVER (ORDER BY spend_dec DESC, o_custkey) AS rnk,
+             COUNT(*) OVER () AS n,
+             SUM(spend_dec) OVER () AS total_dec
+      FROM spend
+    )
+    {" UNION ALL ".join(
+      f'''SELECT '{num}%' AS band,
+           CAST(SUM(CASE WHEN rnk * {den} <= n * {num}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN rnk * {den} <= n * {num}
+                         THEN spend_dec ELSE 0 END) AS DOUBLE)
+             / CAST(MIN(total_dec) AS DOUBLE) AS revenue_share
+      FROM ranked'''
+      for num, den in _PARETO_BANDS
+    )}
+    """,
+)
+def agg_customer_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A48 EXT: PARETO revenue-share bands — the share of total order
+    revenue contributed by the top 1% / 10% / 20% of customers by
+    spend: the whale-dependence report ("do 20% of customers carry
+    80%?") that Gini compresses into one number and this spells out
+    at the thresholds businesses actually quote.
+
+    Exactness: per-customer spend in DECIMAL; band membership is an
+    exact integer cross-multiplied rank test (rnk·100 ≤ n·pct — no
+    float percent, no engine rounding at the cut); band revenue stays
+    DECIMAL until the one double share division.
+
+    Scale shape: one orders scan → custkey hash agg (uniform keys,
+    map-side combine) → a global rank over the O(customers) spend
+    relation (two short columns; at warehouse scale this is the
+    classic total-order-by-spend — a range-partitioned sort, not a
+    single-partition window: the documented swap is rank via
+    percent_rank on a range-partitioned sort) → three counting
+    passes folded into one aggregate per band.
+    """
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice")).alias("spend_dec")
+    )
+    w = Window.orderBy(F.desc("spend_dec"), "o_custkey")
+    wall = Window.partitionBy()
+    ranked = spend.select(
+        "spend_dec",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("spend_dec").over(wall).alias("total_dec"),
+    )
+    bands = None
+    for num, den in _PARETO_BANDS:
+        in_band = F.col("rnk") * den <= F.col("n") * num
+        b = ranked.agg(
+            F.lit(f"{num}%").alias("band"),
+            F.sum(in_band.cast("long")).cast("long").alias("n_customers"),
+            (
+                F.sum(
+                    F.when(in_band, F.col("spend_dec")).otherwise(
+                        F.lit(0).cast("decimal(18,2)")
+                    )
+                ).cast("double")
+                / F.min("total_dec").cast("double")
+            ).alias("revenue_share"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    return bands

@@ -605,3 +605,64 @@ def stream_true_scd2_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.timestamp_micros(F.col("valid_to_us")), _TS_FMT_US
         ).alias("valid_to"),
     )
+
+
+@register(
+    "stream_window_topk_events",
+    oracle=f"""
+    WITH wc AS (
+      SELECT strftime(time_bucket(INTERVAL '60 minutes', ts),
+                      '{_SQL_TS_FMT}') AS window_start,
+             event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY window_start
+               ORDER BY n_events DESC, event_type) AS rnk
+      FROM wc
+    )
+    SELECT window_start, event_type, n_events, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def stream_window_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2/T11 EXT: WINDOWED TOP-K — per hourly tumbling window, the
+    three busiest event types with deterministic dense ordering
+    (count DESC, type ASC tie-break): the trending-now rollup every
+    event dashboard streams. The window aggregate is the identical
+    mergeable shape as the tumbling counts (T2), so under readStream
+    the state is one count per open (window, type); the top-k rank
+    runs on the O(windows × types) aggregate relation, never the
+    event stream.
+
+    Scale shape: shuffle keyed (window, type) — time-uniform,
+    map-side combinable; the rank window partitions by window_start
+    over a tiny relation (types per window bounded by the type
+    domain). Counts exact; no floats anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wc = (
+        ev.groupBy(
+            F.window("ts", "60 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    rank_w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), "event_type"
+    )
+    return (
+        wc.select(
+            "window_start",
+            "event_type",
+            "n_events",
+            F.row_number().over(rank_w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
