@@ -284,6 +284,23 @@ def _build_session(cpus: str) -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # ~200 queries in ONE JVM accumulate codegen caches, catalog
+        # state and block-manager entries; the 1g local-mode default
+        # heap OOM'd a sort-merge spill read ~190 queries in (r12).
+        # 32 executor threads also need room to sort concurrently.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_BENCH_MEM", "8g"),
+        )
+        # JVM unified logging writes to STDOUT by default; a
+        # gc,alloc warning mid-run corrupts this process's one-JSON-
+        # line stdout contract (observed: GCLocker retry warnings as
+        # the only stdout output of a dying run). Route all JVM log
+        # output to stderr.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Xlog:disable -Xlog:all=warning:stderr",
+        )
     )
     # Shuffle scratch in default /tmp is eviction-prone: the round-11
     # driver bench died mid-run on `blockmgr-*/temp_shuffle_* (No such
@@ -349,6 +366,7 @@ def main() -> None:
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     if clean:
         # isolation mode: one fresh SparkSession per query — the
         # regression-gate adjudicator (see module docstring)
@@ -358,7 +376,10 @@ def main() -> None:
                 continue
             spark = _build_session(cpus)
             _warm(spark, qs)
-            timings[name] = _time_query(spark, fn, sf_dir, reps)
+            try:
+                timings[name] = _time_query(spark, fn, sf_dir, reps)
+            except Exception as e:  # noqa: BLE001 — record, keep going
+                errors[name] = f"{type(e).__name__}: {e}"[:200]
             spark.stop()
     else:
         spark = _build_session(cpus)
@@ -367,7 +388,14 @@ def main() -> None:
             fn = qs.get(name)
             if fn is None:
                 continue
-            timings[name] = _time_query(spark, fn, sf_dir, reps)
+            # One failing query must not erase the whole artifact
+            # (rounds 11 and 12 both nearly lost their perf evidence
+            # to a single late-run environment failure): record the
+            # error VISIBLY and keep timing the rest.
+            try:
+                timings[name] = _time_query(spark, fn, sf_dir, reps)
+            except Exception as e:  # noqa: BLE001
+                errors[name] = f"{type(e).__name__}: {e}"[:200]
 
     total = round(sum(timings.values()), 3)
     # ONE compact line, the process's first and only stdout output:
@@ -389,6 +417,7 @@ def main() -> None:
                 "tier": tier,
                 "clean": clean,
                 "n_queries": len(timings),
+                "errors": errors,
                 "total_sec": total,
             },
             separators=(",", ":"),
