@@ -271,6 +271,8 @@ HEADLINE = [
     "agg_customer_pareto_share",
     "llm_embedding_variance_spectrum",
     "llm_shard_balance_report",
+    "agg_dau_wau_stickiness",
+    "llm_shared_prefix_report",
 ]
 
 

@@ -12763,3 +12763,90 @@ def llm_shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_tokens").over(wall).cast("double")
         ).alias("balance_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 batch 6: shared-prefix report (inference prefix-cache
+# planning)
+# ---------------------------------------------------------------------------
+
+#: Prefix length (tokens) for the cache-hit simulation — the system
+#: prompt / template length class a serving cache keys on.
+_PREFIX_K = 8
+
+
+@register(
+    "llm_shared_prefix_report",
+    oracle=rf"""
+    WITH pref AS (
+      SELECT doc_id,
+             array_to_string(t[1:{_PREFIX_K}], ' ') AS prefix,
+             len(t) AS n_tok
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+      WHERE len(t) >= {_PREFIX_K}
+    ),
+    grp AS (
+      SELECT prefix,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM pref GROUP BY prefix
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_prefixes,
+           CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_prefixes,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_docs >= 2 THEN n_docs ELSE 0 END) AS BIGINT)
+             AS n_docs_sharing,
+           CAST(SUM(CASE WHEN n_docs >= 2 THEN n_docs ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(n_docs) AS DOUBLE) AS share_docs_sharing,
+           CAST(SUM(CASE WHEN n_docs >= 2 THEN (n_docs - 1) ELSE 0 END)
+                * {_PREFIX_K} AS BIGINT) AS cacheable_prefix_tokens
+    FROM grp
+    """,
+)
+def llm_shared_prefix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F24 EXT: SHARED-PREFIX report — group documents by their first
+    {_PREFIX_K} tokens and report how many prefixes are shared, what
+    fraction of docs share one, and the token mass a prefix cache
+    would serve from cache (one fill per group, the rest are hits):
+    the inference-side planning twin of dedup — serving stacks key
+    KV-caches on shared prompt prefixes, and a corpus whose docs open
+    identically (templates, boilerplate headers) is exactly where
+    prefix caching pays.
+
+    Exactness: prefixes are exact token-array slices rendered with a
+    single-space joiner (identical both engines); all counts exact
+    int64; one double share. Scale shape: per-row slice + join in
+    codegen, one hash agg keyed by the prefix string (uniform unless
+    the corpus is template-heavy — which is the finding, and a
+    map-side combine absorbs it), then a 1-row rollup. The corpus is
+    scanned once; nothing joins.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pref = docs.select(
+        F.array_join(F.slice(_tokens(), 1, _PREFIX_K), " ").alias("prefix"),
+        F.size(_tokens()).alias("n_tok"),
+    ).filter(F.col("n_tok") >= _PREFIX_K)
+    grp = pref.groupBy("prefix").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+    shared = F.col("n_docs") >= 2
+    return grp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_prefixes"),
+        F.sum(shared.cast("long")).cast("long").alias("n_shared_prefixes"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum(F.when(shared, F.col("n_docs")).otherwise(0))
+        .cast("long")
+        .alias("n_docs_sharing"),
+        (
+            F.sum(F.when(shared, F.col("n_docs")).otherwise(0)).cast("double")
+            / F.sum("n_docs").cast("double")
+        ).alias("share_docs_sharing"),
+        (
+            F.sum(F.when(shared, F.col("n_docs") - 1).otherwise(0))
+            * _PREFIX_K
+        )
+        .cast("long")
+        .alias("cacheable_prefix_tokens"),
+    )

@@ -4237,3 +4237,70 @@ def agg_customer_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         bands = b if bands is None else bands.unionByName(b)
     return bands
+
+
+# ---------------------------------------------------------------------------
+# Round-12 batch 6: DAU/WAU stickiness
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_dau_wau_stickiness",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud),
+    wau AS (
+      SELECT days.d, CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS wau
+      FROM days
+      JOIN ud ON ud.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+      GROUP BY days.d
+    ),
+    dau AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY d
+    )
+    SELECT strftime(w.d, '%Y-%m-%d') AS day,
+           dau.dau, w.wau,
+           CAST(dau.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+    FROM wau w JOIN dau ON dau.d = w.d
+    """,
+)
+def agg_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A33 EXT: DAU/WAU STICKINESS per day — the engagement ratio
+    (what fraction of this week's actives showed up today) that
+    product teams track as THE habit metric: DAU and WAU both rise in
+    a growth spurt, but stickiness only rises when the same users
+    return. Derives both numerators from ONE (user, day)-distinct
+    relation — A33's rolling-WAU band join and the plain DAU agg —
+    so the three reports (A16 cumulative, A33 WAU, this) share one
+    distinct pass.
+
+    Exactness: both counts exact distinct int64; one double ratio.
+    Scale shape: the (user, day) DISTINCT relation band-joins the day
+    axis with ≤7× fan-out (linear in distinct user-days, never raw
+    events); the DAU agg reads the same relation; the final join is
+    day-keyed over O(days) rows.
+    """
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    days = ud.select(F.col("d").alias("day_d")).distinct()
+    wau = (
+        F.broadcast(days)
+        .join(
+            ud,
+            (ud.d >= F.date_sub(F.col("day_d"), 6))
+            & (ud.d <= F.col("day_d")),
+        )
+        .groupBy("day_d")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    return wau.join(dau, wau["day_d"] == dau["d"]).select(
+        F.date_format("day_d", "yyyy-MM-dd").alias("day"),
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+            "stickiness"
+        ),
+    )

@@ -43,6 +43,7 @@ _NESTED_LOOP_ALLOWED = {
     "llm_ivfpq_encoded_topk",      # same 1-row query/cells broadcast, read path
     "agg_weekday_seasonality",     # 1-row grand-total broadcast
     "agg_rolling_wau",             # O(days) axis broadcast, range join
+    "agg_dau_wau_stickiness",      # same O(days) axis broadcast range join
     "agg_rfm_segments",            # 1-row recency-anchor (max date) broadcast
     "llm_bigram_surprisal_docs",   # 1-row smoothing-vocabulary (V) broadcast
     "llm_source_kl_divergence",    # 1-row corpus-total (N) broadcast
