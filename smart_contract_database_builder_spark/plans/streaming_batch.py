@@ -643,26 +643,10 @@ def stream_window_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain). Counts exact; no floats anywhere.
     """
     ev = load_table(spark, sf_dir, "events")
-    wc = (
-        ev.groupBy(
-            F.window("ts", "60 minutes").alias("w"), F.col("event_type")
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
-        .select(
-            F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
-            "event_type",
-            "n_events",
-        )
-    )
-    rank_w = Window.partitionBy("window_start").orderBy(
-        F.desc("n_events"), "event_type"
-    )
-    return (
-        wc.select(
-            "window_start",
-            "event_type",
-            "n_events",
-            F.row_number().over(rank_w).cast("long").alias("rnk"),
-        )
-        .filter(F.col("rnk") <= 3)
+    ranked = jobs.topk_types_per_window(jobs.hourly_type_counts(ev))
+    return ranked.select(
+        F.date_format("window_start", _TS_FMT).alias("window_start"),
+        "event_type",
+        "n_events",
+        "rnk",
     )

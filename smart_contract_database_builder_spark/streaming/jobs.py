@@ -80,6 +80,44 @@ def tumbling_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def hourly_type_counts(events: DataFrame) -> DataFrame:
+    """T14 stage 1: hourly tumbling counts per event type (shared
+    batch/stream) — the mergeable aggregate whose streaming state is
+    one count per open (window, type)."""
+    return (
+        events.groupBy(F.window("ts", "60 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def topk_types_per_window(counts: DataFrame, k: int = 3) -> DataFrame:
+    """T14 stage 2: deterministic top-k rank over the AGGREGATE
+    relation (count DESC, type ASC). Rank-after-aggregate is not an
+    append-mode streaming operator, so in a true stream this stage
+    runs per micro-batch on the drained aggregate (foreachBatch /
+    post-drain) — the standard pattern; the test asserts the drained
+    form equals the batch twin exactly."""
+    from pyspark.sql.window import Window
+
+    rank_w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), "event_type"
+    )
+    return (
+        counts.select(
+            "window_start",
+            "event_type",
+            "n_events",
+            F.row_number().over(rank_w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def hourly_ohlc(events: DataFrame) -> DataFrame:
     """T2-EXT: per-hour OHLC downsampling (shared batch/stream).
 

@@ -392,3 +392,29 @@ def test_stream_point_in_time_matches_batch_in_band(spark):
     missing = [e for e in want if e in closed and e not in got]
     assert missing == []
     assert any(e in closed for e in want)  # the region is non-trivial
+
+
+def test_stream_window_topk_equals_batch(spark):
+    """T14: the hourly type counts run as a TRUE stream (watermark +
+    availableNow into memory); the top-k rank runs on the drained
+    aggregate (the foreachBatch position). Must equal the registered
+    batch twin exactly."""
+    from smart_contract_database_builder_spark import plans
+    from pyspark.sql import functions as F
+
+    ev_stream = jobs.read_events_stream(spark, SF_ORACLE)
+    counts = jobs.run_to_memory(
+        jobs.hourly_type_counts(ev_stream.withWatermark("ts", "1 hour")),
+        "t14_counts",
+    )
+    got = jobs.topk_types_per_window(counts).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "n_events",
+        "rnk",
+    )
+    want = plans.QUERIES["stream_window_topk_events"].fn(spark, SF_ORACLE)
+    assert _sorted_rows(got) == _sorted_rows(want)
+    assert got.count() > 0
