@@ -9185,9 +9185,15 @@ def llm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
+    # localCheckpoint: the hashed-bigram relation feeds THREE
+    # aggregates (target buckets, raw buckets, per-doc buckets) —
+    # left lazy, the explode + md5 pass re-executes per consumer
+    # (the setsim lesson; measured 2.65 s -> 1.99 s clean-session).
     g = toked.select(
         "doc_id", F.explode(_word_ngrams(F.col("t"), 2)).alias("s")
-    ).select("doc_id", F.substring(F.md5("s"), 1, _DSIR_PREF).alias("b"))
+    ).select(
+        "doc_id", F.substring(F.md5("s"), 1, _DSIR_PREF).alias("b")
+    ).localCheckpoint(eager=True)
     is_tgt = (F.col("doc_id") % _DECON_MOD) == _DECON_REM
     tgt = g.filter(is_tgt).groupBy("b").agg(F.count(F.lit(1)).alias("tc"))
     srcg = g.filter(~is_tgt)
