@@ -273,6 +273,7 @@ HEADLINE = [
     "llm_shard_balance_report",
     "agg_dau_wau_stickiness",
     "llm_shared_prefix_report",
+    "llm_incremental_embedding_admission_stored",
 ]
 
 

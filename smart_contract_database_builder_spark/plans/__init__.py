@@ -86,7 +86,22 @@ _PRIORITY = [
 #: a slot. After the round-9 FULL rotation the never-driver-sampled
 #: backlog is EMPTY: every query below is driver-green in some
 #: CORRECTNESS_r*.json artifact with plan code unchanged since.
+#: Operators registered straight into _OVERFLOW in the round that
+#: bore them (the window was already full). Exempt from the
+#: evidence-freshness guard until a later round's rotation windows
+#: them; their oracles run in the pytest sweep from birth. Grow this
+#: set consciously — it defers driver evidence by at least one round.
+_BORN_IN_OVERFLOW = {
+    # r12 late-round: the S23 stored admission read path (the
+    # query-time twin holds the window slot; the stored twin's
+    # store/bit-identity contract is pinned in
+    # tests/test_annbucket_store.py)
+    "llm_incremental_embedding_admission_stored",
+}
+
 _OVERFLOW = [
+    # r12 late-round overflow-born (see _BORN_IN_OVERFLOW)
+    "llm_incremental_embedding_admission_stored",
     # r12 rotation: the whole round-11 window (12 r9-born + 8 store
     # witnesses + the r11-born operator batches) earned green r11
     # rows with plans unchanged since — rotated out to refresh the

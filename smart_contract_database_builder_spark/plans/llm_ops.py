@@ -12169,21 +12169,10 @@ def llm_incremental_embedding_admission(
     n_planes = _planes_at_oracle_floor(
         emb.count(), "llm_incremental_embedding_admission"
     )
-    scaled = fan_out_if_narrow(emb).select(
-        "vec_id", F.transform("embedding", _iscale).alias("sv")
-    )
-    dot_self = F.aggregate(
-        F.zip_with("sv", "sv", lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda a, v: a + v,
-    )
-    n = scaled.select(
-        "vec_id",
-        "sv",
-        _bucket_expr(n_planes=n_planes).alias("bucket"),
-    ).select(
-        "vec_id", "sv", "bucket", F.sqrt(dot_self.cast("double")).alias("nrm")
-    )
+    # _emb_bucket_rows is the SHARED encode (defined with the S23
+    # store below): the store writer runs the same expressions, so
+    # the stored read path is bit-identical to this twin.
+    n = _emb_bucket_rows(emb, n_planes)
     is_batch = (F.col("vec_id") % _INC_ND_MOD) == _INC_ND_REM
     corpus = n.filter(~is_batch)
     batch = n.filter(is_batch)
@@ -12855,4 +12844,168 @@ def llm_shared_prefix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("cacheable_prefix_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S23: write-time hyperplane-bucket store + stored admission read path
+# ---------------------------------------------------------------------------
+
+#: Bucket-store codec version — bakes the _iscale fixed-point scale,
+#: the plane-weight derivation and the bucket-bit construction; bump
+#: when any of them changes.
+_ANNB_CODEC_VERSION = 1
+
+
+def _emb_bucket_rows(emb: DataFrame, n_planes: int) -> DataFrame:
+    """(vec_id, bucket, sv, nrm) encode pass — THE shared expressions:
+    the query-time admission and the S23 store writer both call this,
+    so stored rows are bit-identical to query-time ones by
+    construction."""
+    scaled = fan_out_if_narrow(emb).select(
+        "vec_id", F.transform("embedding", _iscale).alias("sv")
+    )
+    dot_self = F.aggregate(
+        F.zip_with("sv", "sv", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    return scaled.select(
+        "vec_id",
+        _bucket_expr(n_planes=n_planes).alias("bucket"),
+        "sv",
+    ).select(
+        "vec_id", "bucket", "sv", F.sqrt(dot_self.cast("double")).alias("nrm")
+    )
+
+
+def _emb_bucket_store(sf_dir: str, n_planes: int) -> tuple[str, str]:
+    """Fingerprint-keyed store location — (sf dir, embeddings
+    fingerprint, plane count, codec version), the S20/S21/S22
+    discipline: a regenerated corpus, a grown geometry or a changed
+    encode can never silently serve stale rows."""
+    import os
+    import re
+
+    from ..sources.store_root import store_root
+
+    tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
+    fp = _source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    full = f"{tag}_{fp}_p{n_planes}_v{_ANNB_CODEC_VERSION}"
+    return os.path.join(store_root(), "annbucket_store", full), full
+
+
+def _ensure_emb_bucket_store(
+    spark: SparkSession, sf_dir: str, n_planes: int
+) -> str:
+    """Attach-or-build-once gate for the S23 store: returns the
+    session catalog table name holding the bucketed corpus encode.
+    Build on FIRST USE per (corpus fingerprint, planes, codec); later
+    sessions finding valid files re-ATTACH without re-encoding."""
+    import os
+
+    from ..sources.annbucket_store import (
+        attach_emb_buckets,
+        emb_bucket_store_complete,
+        mark_emb_bucket_store_complete,
+        write_emb_buckets,
+    )
+    from ..sources.store_root import build_tmp, publish_build
+
+    base, tag = _emb_bucket_store(sf_dir, n_planes)
+    table = f"emb_buckets_{tag}"
+    if not spark.catalog.tableExists(table):
+        if not emb_bucket_store_complete(base):
+            tmp = build_tmp(base)
+            emb = load_table(spark, sf_dir, "embeddings")
+            tmp_table = (
+                f"{table}__build_{os.path.basename(tmp).split('-')[-1]}"
+            )
+            write_emb_buckets(
+                _emb_bucket_rows(emb, n_planes),
+                tmp_table,
+                os.path.join(tmp, "buckets"),
+            )
+            spark.sql(f"DROP TABLE IF EXISTS `{tmp_table}`")
+            mark_emb_bucket_store_complete(tmp)
+            publish_build(tmp, base)
+        attach_emb_buckets(spark, table, os.path.join(base, "buckets"))
+    return table
+
+
+def emb_buckets_stored(
+    spark: SparkSession, sf_dir: str, n_planes: int
+) -> DataFrame:
+    """(vec_id, bucket, sv, nrm) from the S23 store — a catalog table
+    bucketed on the bucket key, so probe joins against the corpus
+    side are exchange-free."""
+    return spark.table(_ensure_emb_bucket_store(spark, sf_dir, n_planes))
+
+
+@register(
+    "llm_incremental_embedding_admission_stored",
+    oracle=QUERIES["llm_incremental_embedding_admission"].oracle,
+)
+def llm_incremental_embedding_admission_stored(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """J35 production layout — embedding admission over the WRITE-TIME
+    BUCKET STORE (``sources/annbucket_store.py``, S23): the corpus
+    side's encode pass (64 fixed-point casts + {_N_PLANES} plane dots
+    per vector — the dominant cost of the admission lens at 10⁹
+    vectors, 6.8× growth at the 100× probe in the query-time form)
+    runs ONCE at ingest, persisted as a catalog table bucketed on the
+    bucket key. The read path encodes only the BATCH slice; the
+    corpus side is a store scan whose probe-join shuffle was pre-paid
+    at write time. Completes the store family across all four dedup
+    geometries: exact keys (cheap per run), S21 MinHash bands, S22
+    SimHash fingerprints, S23 embedding buckets.
+
+    Exactness: the writer runs ``_emb_bucket_rows`` — the SAME
+    expressions as the query-time twin — so this returns
+    bit-identical decisions and reuses its oracle unchanged
+    (write-time encoding is a physical-layout change, not a semantic
+    one; pinned in tests/test_annbucket_store.py).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_planes = _planes_at_oracle_floor(
+        emb.count(), "llm_incremental_embedding_admission_stored"
+    )
+    n = emb_buckets_stored(spark, sf_dir, n_planes)
+    is_batch = (F.col("vec_id") % _INC_ND_MOD) == _INC_ND_REM
+    corpus = n.filter(~is_batch)
+    batch = n.filter(is_batch)
+    ok = (
+        corpus.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") <= _ANN_BUCKET_CAP)
+        .select("bucket")
+    )
+    b = batch.alias("b")
+    c = corpus.alias("c")
+    pair_dot = F.aggregate(
+        F.zip_with("b.sv", "c.sv", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    hits = (
+        b.join(F.broadcast(ok), "bucket")
+        .join(c, "bucket")
+        .filter(
+            pair_dot.cast("double") / (F.col("b.nrm") * F.col("c.nrm"))
+            >= _NEAR_DUP_COSINE
+        )
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(F.countDistinct("c.vec_id").alias("n_corpus_neighbors"))
+    )
+    return (
+        batch.select("vec_id")
+        .join(hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("n_corpus_neighbors", F.lit(0))
+            .cast("long")
+            .alias("n_corpus_neighbors"),
+            F.col("n_corpus_neighbors").isNull().alias("admitted"),
+        )
     )

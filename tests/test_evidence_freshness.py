@@ -75,7 +75,15 @@ def find_stale(
 
 def test_no_oracle_query_evidence_is_stale():
     latest, current = _load_history(_ROOT)
-    oracle_qs = [n for n, s in plans.QUERIES.items() if s.oracle]
+    oracle_qs = [
+        n
+        for n, s in plans.QUERIES.items()
+        if s.oracle and n not in plans._BORN_IN_OVERFLOW
+    ]
+    # overflow-born operators (window already full in their birth
+    # round) are exempt until a later rotation windows them — their
+    # oracles run in the pytest sweep from birth, and the registry
+    # test pins that the exemption list is real overflow residents.
     window = list(plans.QUERIES)[:_WINDOW]
     stale = find_stale(latest, window, oracle_qs, current)
     assert stale == [], (

@@ -314,12 +314,12 @@ def test_round12_rotation_refreshes_the_stale_cohorts():
     assert missing == [], f"stale cohort missing from the window: {missing}"
 
 
-#: Operators registered straight into _OVERFLOW in the round that bore
-#: them (the window was already full). The round-11 rotation moved the
-#: last such set (the 12 round-9-born queries) into the window, so the
-#: never-driver-sampled backlog is EMPTY. Grow this set only when a
-#: round adds operators after its window is finalized.
-_BORN_IN_OVERFLOW: set[str] = set()
+#: Operators registered straight into _OVERFLOW in the round that
+#: bore them — now sourced from the registry so the freshness guard
+#: shares the same exemption (plans/__init__.py _BORN_IN_OVERFLOW).
+from smart_contract_database_builder_spark.plans import (  # noqa: E402
+    _BORN_IN_OVERFLOW,
+)
 
 
 def test_rotated_out_queries_have_prior_driver_green_rows():
