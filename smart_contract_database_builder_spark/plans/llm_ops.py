@@ -2156,6 +2156,16 @@ def ann_cosine_pairs(
     n = b.select(
         "vec_id", "sv", "bucket", F.sqrt(dot_self.cast("double")).alias("nrm")
     )
+    return ann_cosine_pairs_from_rows(n, bucket_cap)
+
+
+def ann_cosine_pairs_from_rows(
+    n: DataFrame, bucket_cap: int = _ANN_BUCKET_CAP
+) -> DataFrame:
+    """The pair stage of ``ann_cosine_pairs`` over an already-encoded
+    (vec_id, bucket, sv, nrm) relation — split out so the S23 bucket
+    store's read paths (which load the encode from disk) share the
+    exact bucket-cap + verify expressions with the query-time form."""
     ok = (
         n.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("bsz"))
@@ -7327,7 +7337,13 @@ def emb_neardup_components_stored(
         f"_cc{_CLUSTER_CODEC_VERSION}c{_ANN_BUCKET_CAP}",
     )
     if not cluster_store_complete(base):
-        pairs = ann_cosine_pairs(emb, n_planes=planes).select(
+        # the candidate pairs come from the S23 bucket store (round
+        # 12): the corpus encode is paid once at ingest and SHARED
+        # between the admission lens and this CC build, instead of
+        # re-encoding per store build.
+        pairs = ann_cosine_pairs_from_rows(
+            emb_buckets_stored(spark, sf_dir, planes)
+        ).select(
             F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
         )
         write_cluster_map(connected_components(pairs), base)
