@@ -274,6 +274,8 @@ HEADLINE = [
     "agg_dau_wau_stickiness",
     "llm_shared_prefix_report",
     "llm_incremental_embedding_admission_stored",
+    "llm_simhash_bit_balance",
+    "llm_vocab_coverage_curve",
 ]
 
 

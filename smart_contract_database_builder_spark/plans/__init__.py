@@ -97,11 +97,17 @@ _BORN_IN_OVERFLOW = {
     # store/bit-identity contract is pinned in
     # tests/test_annbucket_store.py)
     "llm_incremental_embedding_admission_stored",
+    # r12 late-round audits: S22 bit balance (store-read) and the
+    # vocabulary coverage curve
+    "llm_simhash_bit_balance",
+    "llm_vocab_coverage_curve",
 }
 
 _OVERFLOW = [
     # r12 late-round overflow-born (see _BORN_IN_OVERFLOW)
     "llm_incremental_embedding_admission_stored",
+    "llm_simhash_bit_balance",
+    "llm_vocab_coverage_curve",
     # r12 rotation: the whole round-11 window (12 r9-born + 8 store
     # witnesses + the r11-born operator batches) earned green r11
     # rows with plans unchanged since — rotated out to refresh the

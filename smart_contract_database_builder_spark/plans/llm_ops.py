@@ -13025,3 +13025,169 @@ def llm_incremental_embedding_admission_stored(
             F.col("n_corpus_neighbors").isNull().alias("admitted"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 late batch 2: SimHash bit-balance audit, vocabulary
+# coverage curve
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_simhash_bit_balance",
+    oracle=rf"""
+    WITH fps AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform(range(1, {_SIMH_BITS + 1}), j ->
+                 CASE WHEN list_aggregate(
+                   list_transform(hs, h ->
+                     {_sql_sim_vote("h", "j")}), 'sum') >= 0
+                 THEN '1' ELSE '0' END),
+               '') AS simhash
+      FROM (
+        SELECT doc_id,
+               list_transform(list_distinct({_SQL_TOKENS}),
+                              x -> md5(x)) AS hs
+        FROM documents
+      )
+      WHERE len(hs) > 0
+    ),
+    bits AS (
+      SELECT j AS bit_idx,
+             CAST(SUM(CASE WHEN substr(simhash, j + 1, 1) = '1'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_set,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM fps, (SELECT unnest(range({_SIMH_BITS})) AS j)
+      GROUP BY j
+    )
+    SELECT CAST(bit_idx AS BIGINT) AS bit_idx, n_set, n_docs,
+           CAST(n_set AS DOUBLE) / CAST(n_docs AS DOUBLE) AS set_frac,
+           abs(CAST(2 * n_set - n_docs AS DOUBLE))
+             / CAST(n_docs AS DOUBLE) AS imbalance
+    FROM bits
+    """,
+)
+def llm_simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S22 EXT: SimHash BIT-BALANCE audit — per fingerprint bit
+    position, the fraction of corpus documents with that bit set and
+    its imbalance |2p−1|: a healthy SimHash has every bit near 0.5
+    (each carries a full bit of discrimination); a skewed bit wastes
+    Hamming resolution and inflates block collisions. The S22 audit
+    twin of the S21 band-coverage curve — band coverage asks "how
+    many bands does THIS corpus need", this asks "are the 64 bits
+    pulling their weight on THIS corpus".
+
+    Scale shape: reads the S22 fingerprint store (the corpus vote
+    pass never runs at audit time) — one (doc_id, simhash) scan, a
+    64-way in-row explode of single chars, and a hash agg onto 64
+    keys with map-side combine. Counts exact int64; two double ratios.
+    """
+    fps = simhash_fps_stored(spark, sf_dir)
+    bits = fps.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_SIMH_BITS - 1))).alias(
+            "bit_idx"
+        ),
+        "simhash",
+    ).select(
+        "bit_idx",
+        F.substring(F.col("simhash"), F.col("bit_idx") + 1, F.lit(1)).alias(
+            "bit"
+        ),
+    )
+    return (
+        bits.groupBy("bit_idx")
+        .agg(
+            F.sum((F.col("bit") == "1").cast("long"))
+            .cast("long")
+            .alias("n_set"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        .select(
+            F.col("bit_idx").cast("long").alias("bit_idx"),
+            "n_set",
+            "n_docs",
+            (
+                F.col("n_set").cast("double") / F.col("n_docs").cast("double")
+            ).alias("set_frac"),
+            (
+                F.abs((2 * F.col("n_set") - F.col("n_docs")).cast("double"))
+                / F.col("n_docs").cast("double")
+            ).alias("imbalance"),
+        )
+    )
+
+
+#: Vocabulary budget checkpoints for the coverage curve.
+_VOCAB_KS = [1_000, 4_000, 16_000]
+
+
+@register(
+    "llm_vocab_coverage_curve",
+    oracle=rf"""
+    WITH tc AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest({_SQL_TOKENS}) AS term FROM documents)
+      GROUP BY term
+    ),
+    tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM tc)
+    {" UNION ALL ".join(
+      f'''SELECT CAST({k} AS BIGINT) AS vocab_size,
+           CAST((SELECT SUM(c) FROM (
+              SELECT c FROM tc ORDER BY c DESC, term LIMIT {k})) AS BIGINT)
+             AS tokens_covered,
+           CAST((SELECT SUM(c) FROM (
+              SELECT c FROM tc ORDER BY c DESC, term LIMIT {k})) AS DOUBLE)
+             / CAST(tot.n AS DOUBLE) AS coverage,
+           CAST(tot.v AS BIGINT) AS n_types
+      FROM tot'''
+      for k in _VOCAB_KS
+    )}
+    """,
+)
+def llm_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F28 EXT: VOCABULARY COVERAGE curve — the fraction of corpus
+    token mass covered by the top-k most frequent terms at the
+    standard budget checkpoints ({", ".join(map(str, _VOCAB_KS))}):
+    the number that sizes a tokenizer vocabulary BEFORE training one
+    (coverage 0.98 at 16k says a 32k BPE vocab is headroom, not
+    need). F28 audits a FIXED vocab's coverage; this sweeps the
+    budget axis. The Zipf slope (A29) models the same distribution;
+    this reads the decision quantity straight off it.
+
+    Exactness: term counts exact int64 from one hash agg; each
+    checkpoint's covered mass is an exact int64 sum over a
+    deterministic top-k (count DESC, term ASC — TakeOrdered, never a
+    global rank window: the setsim lesson); the coverage share is one
+    double division. Scale shape: ONE token explode → vocab hash agg
+    with map-side combine; each checkpoint is a distributed
+    TakeOrdered of k short rows + a 1-row sum — O(vocab log k), the
+    corpus is scanned once.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select(F.explode(_tokens()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = tc.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    out = None
+    for k in _VOCAB_KS:
+        topk = tc.orderBy(F.desc("c"), "term").limit(k)
+        row = (
+            topk.agg(F.sum("c").alias("covered"))
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(k).cast("long").alias("vocab_size"),
+                F.col("covered").cast("long").alias("tokens_covered"),
+                (
+                    F.col("covered").cast("double")
+                    / F.col("n").cast("double")
+                ).alias("coverage"),
+                F.col("v").cast("long").alias("n_types"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -55,6 +55,7 @@ _NESTED_LOOP_ALLOWED = {
     "agg_event_drift_report",      # 1-row epoch-midpoint broadcast
     "agg_event_daily_anomaly",     # 1-row median + 1-row MAD broadcasts
     "llm_centroid_shift_by_label", # 1-row corpus-count (n_all) broadcast
+    "llm_vocab_coverage_curve",    # 1-row corpus-total (n, v) broadcast
 }
 
 #: Queries whose fn() triggers side effects/execution rather than just
