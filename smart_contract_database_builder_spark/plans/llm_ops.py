@@ -11672,10 +11672,19 @@ def _bloom_pos_sql(key: str, i: int) -> str:
       }]) AS t(pos)
     ),
     probed AS (
+      -- rejection is the SUBSET test "every probe position is set":
+      -- per-position membership ANDed, NOT a matched-row count — a
+      -- COUNT(*)=k formulation under-counts when a key's k md5-prefix
+      -- positions self-collide (duplicate positions match the same
+      -- DISTINCT bits row once), diverging from true Bloom semantics
+      -- and from the Spark plan / pure-Python twin (~4.6e-5/doc).
       SELECT n.doc_id, n.source, n.k,
-             (SELECT COUNT(*) FROM bits b WHERE b.pos IN ({
-               ", ".join(_bloom_pos_sql("n.k", i) for i in range(_BLOOM_K))
-             })) = {_BLOOM_K} AS rejected,
+             ({
+               " AND ".join(
+                   f"{_bloom_pos_sql('n.k', i)} IN (SELECT pos FROM bits)"
+                   for i in range(_BLOOM_K)
+               )
+             }) AS rejected,
              EXISTS (SELECT 1 FROM existing e WHERE e.k = n.k) AS is_dup
       FROM incoming n
     )

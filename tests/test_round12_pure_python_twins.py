@@ -151,3 +151,79 @@ def test_js_divergence_pure_python_twin(spark):
             r = got[(sa, sb)]
             assert r.n_shared_terms == len(shared), (sa, sb)
             assert abs(r.js_nats - js) < 1e-12, (sa, sb)
+
+
+def test_bloom_oracle_subset_semantics_under_self_collision():
+    """The oracle's rejection test must use SUBSET semantics (every
+    probe position set), not a matched-row COUNT(*)=k — the two
+    diverge when a key's k md5-prefix positions self-collide. With
+    the production 16^4-slot geometry a collision is ~4.6e-5/doc
+    (absent from the checked-in corpora), so this pins the ORACLE
+    EXPRESSION SHAPE at a shrunken 16-slot geometry (HEX=1) where
+    collisions are common, against Python subset semantics."""
+    import duckdb
+
+    K, HEX = 3, 1
+
+    def pos_sql(key: str, i: int) -> str:
+        return f"substr(md5({key} || '#{i}'), 1, {HEX})"
+
+    keys = [f"key-{i}" for i in range(400)]
+    existing, incoming = keys[::2], keys[1::2]
+
+    def positions(k: str):
+        return {
+            hashlib.md5(f"{k}#{i}".encode()).hexdigest()[:HEX] for i in range(K)
+        }
+
+    # the shrunken geometry must actually exercise the collision path
+    assert any(len(positions(k)) < K for k in incoming)
+
+    bits = set().union(*(positions(k) for k in existing))
+    want = {k: positions(k) <= bits for k in incoming}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE existing AS SELECT * FROM (VALUES %s) t(k)"
+        % ", ".join(f"('{k}')" for k in existing)
+    )
+    con.execute(
+        "CREATE TABLE incoming AS SELECT * FROM (VALUES %s) t(k)"
+        % ", ".join(f"('{k}')" for k in incoming)
+    )
+    rejected_expr = " AND ".join(
+        f"{pos_sql('n.k', i)} IN (SELECT pos FROM bits)" for i in range(K)
+    )
+    got = dict(
+        con.execute(
+            f"""
+            WITH bits AS (
+              SELECT DISTINCT pos FROM existing, UNNEST([{
+                ", ".join(pos_sql("k", i) for i in range(K))
+              }]) AS t(pos)
+            )
+            SELECT n.k, {rejected_expr} AS rejected FROM incoming n
+            """
+        ).fetchall()
+    )
+    assert got == want
+    # and the COUNT(*)-of-matched-bits formulation the oracle moved
+    # away from really does diverge on the colliding keys
+    colliding = [k for k in incoming if len(positions(k)) < K]
+    count_form = dict(
+        con.execute(
+            f"""
+            WITH bits AS (
+              SELECT DISTINCT pos FROM existing, UNNEST([{
+                ", ".join(pos_sql("k", i) for i in range(K))
+              }]) AS t(pos)
+            )
+            SELECT n.k,
+                   (SELECT COUNT(*) FROM bits b WHERE b.pos IN ({
+                     ", ".join(pos_sql("n.k", i) for i in range(K))
+                   })) = {K} AS rejected
+            FROM incoming n
+            """
+        ).fetchall()
+    )
+    assert any(count_form[k] != want[k] for k in colliding if want[k])
