@@ -28,21 +28,49 @@ import stat
 import tempfile
 
 
+def _default_base() -> str:
+    """Base directory for the default store root: the user cache dir
+    (``$XDG_CACHE_HOME`` or ``~/.cache``), NOT the system tmpdir.
+
+    Rooting under the tmpdir — even in an owned 0700 subdirectory —
+    leaves stores and shuffle scratch exposed to systemd-tmpfiles /
+    tmpwatch-style cleaners, which recurse into /tmp subdirectories
+    and evict by age/atime regardless of ownership (the round-11
+    driver bench died exactly this way). The cache dir is outside
+    every standard tmp-cleaner's sweep. Falls back to the tmpdir only
+    when no writable home/cache location exists (containerized
+    no-home environments).
+    """
+    cache = os.environ.get("XDG_CACHE_HOME")
+    if not cache:
+        home = os.path.expanduser("~")
+        if home and home != "~" and os.path.isdir(home):
+            cache = os.path.join(home, ".cache")
+    if cache:
+        try:
+            os.makedirs(cache, exist_ok=True)
+        except OSError:
+            cache = None
+        else:
+            if not os.access(cache, os.W_OK):
+                cache = None
+    return cache or tempfile.gettempdir()
+
+
 def store_root() -> str:
     """Resolve (creating if needed) the per-user derived-store root.
 
-    Default: ``<tmpdir>/spark_graft_stores_<uid>`` created with mode
-    0700. Refuses to use a directory owned by another uid or writable
-    by group/other — a pre-created path fails loudly instead of
-    silently serving planted store files.
+    Default: ``<cache-dir>/spark_graft_stores_<uid>`` created with
+    mode 0700 (tmpdir fallback only when no home — see
+    ``_default_base``). Refuses to use a directory owned by another
+    uid or writable by group/other — a pre-created path fails loudly
+    instead of silently serving planted store files.
     """
     override = os.environ.get("SPARK_GRAFT_STORE_ROOT")
     if override:
         os.makedirs(override, exist_ok=True)
         return override
-    root = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_stores_{os.getuid()}"
-    )
+    root = os.path.join(_default_base(), f"spark_graft_stores_{os.getuid()}")
     os.makedirs(root, mode=0o700, exist_ok=True)
     # lstat, NOT stat: stat follows symlinks, so an attacker in the
     # shared tmpdir could pre-create a SYMLINK at the predictable path
@@ -81,8 +109,10 @@ def scratch_dir() -> str:
     eviction, which deletes ``temp_shuffle_*`` files out from under a
     long-running job (the round-11 driver bench died exactly this way:
     ``blockmgr-*/temp_shuffle_* (No such file or directory)`` mid-stage).
-    Rooting the scratch under the verified per-user store root keeps it
-    on the same filesystem but inside a directory whose lifetime we own.
+    The scratch lives under the verified per-user store root, which
+    itself defaults to the user CACHE dir (``~/.cache``), outside the
+    tmp cleaners' recursive sweep — ownership of a /tmp subdirectory
+    does not exempt it from age/atime-based eviction.
     ``SPARK_GRAFT_SCRATCH`` overrides (e.g. to point at instance-local
     NVMe on a real cluster node).
     """

@@ -46,35 +46,53 @@ def test_store_root_env_override(tmp_path, monkeypatch):
 def test_store_root_refuses_other_writable(tmp_path, monkeypatch):
     """A pre-created group/other-writable root must be refused — that
     is exactly the planted-store scenario."""
-    import tempfile
-    import unittest.mock as mock
-
     monkeypatch.delenv("SPARK_GRAFT_STORE_ROOT", raising=False)
-    bad_tmp = str(tmp_path)
-    with mock.patch.object(tempfile, "gettempdir", return_value=bad_tmp):
-        root = os.path.join(bad_tmp, f"spark_graft_stores_{os.getuid()}")
-        os.makedirs(root, mode=0o700)
-        os.chmod(root, 0o777)
-        with pytest.raises(RuntimeError, match="writable"):
-            store_root()
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    root = os.path.join(str(tmp_path), f"spark_graft_stores_{os.getuid()}")
+    os.makedirs(root, mode=0o700)
+    os.chmod(root, 0o777)
+    with pytest.raises(RuntimeError, match="writable"):
+        store_root()
 
 
 def test_store_root_refuses_symlink(tmp_path, monkeypatch):
     """A pre-created SYMLINK at the predictable path must be refused —
     os.stat would follow it to a victim-owned 0700 target (passing the
     uid/mode checks) and redirect store writes into that directory."""
-    import tempfile
-    import unittest.mock as mock
-
     monkeypatch.delenv("SPARK_GRAFT_STORE_ROOT", raising=False)
-    bad_tmp = str(tmp_path)
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
     victim = tmp_path / "victim_private"
     victim.mkdir(mode=0o700)
-    with mock.patch.object(tempfile, "gettempdir", return_value=bad_tmp):
-        root = os.path.join(bad_tmp, f"spark_graft_stores_{os.getuid()}")
-        os.symlink(str(victim), root)
-        with pytest.raises(RuntimeError, match="not a real directory"):
-            store_root()
+    root = os.path.join(str(tmp_path), f"spark_graft_stores_{os.getuid()}")
+    os.symlink(str(victim), root)
+    with pytest.raises(RuntimeError, match="not a real directory"):
+        store_root()
+
+
+def test_default_root_avoids_system_tmpdir(monkeypatch):
+    """tmp cleaners recurse into /tmp subdirectories and evict by
+    age/atime regardless of ownership, so the DEFAULT root must live
+    under the user cache dir whenever a home exists — the tmpdir is a
+    last-resort fallback only (no-home containers)."""
+    import tempfile
+
+    monkeypatch.delenv("SPARK_GRAFT_STORE_ROOT", raising=False)
+    monkeypatch.delenv("XDG_CACHE_HOME", raising=False)
+    root = store_root()
+    tmp = os.path.realpath(tempfile.gettempdir())
+    assert not os.path.realpath(root).startswith(tmp + os.sep)
+    assert os.path.realpath(root).startswith(
+        os.path.realpath(os.path.join(os.path.expanduser("~"), ".cache"))
+    )
+
+
+def test_default_root_honors_xdg_cache_home(tmp_path, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_STORE_ROOT", raising=False)
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "xdg"))
+    root = store_root()
+    assert root == str(tmp_path / "xdg" / f"spark_graft_stores_{os.getuid()}")
+    st = os.stat(root)
+    assert not (st.st_mode & (stat.S_IWGRP | stat.S_IWOTH))
 
 
 def test_pq_store_gate_requires_done_marker(tmp_path):
