@@ -12987,19 +12987,26 @@ def llm_incremental_embedding_admission_stored(
     SimHash fingerprints, S23 embedding buckets.
 
     Exactness: the writer runs ``_emb_bucket_rows`` — the SAME
-    expressions as the query-time twin — so this returns
-    bit-identical decisions and reuses its oracle unchanged
-    (write-time encoding is a physical-layout change, not a semantic
-    one; pinned in tests/test_annbucket_store.py).
+    expressions this read path applies to the batch slice at query
+    time — so this returns bit-identical decisions and reuses its
+    oracle unchanged (write-time encoding is a physical-layout
+    change, not a semantic one; pinned in
+    tests/test_annbucket_store.py).
+
+    The BATCH side is encoded AT QUERY TIME from the raw embeddings
+    relation — a genuinely new incoming batch cannot exist in a
+    write-time store — and only the CORPUS side is a store scan; the
+    batch slice of the stored relation is filtered out so a re-run
+    after the batch has been ingested still demonstrates the
+    production shape.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     n_planes = _planes_at_oracle_floor(
         emb.count(), "llm_incremental_embedding_admission_stored"
     )
-    n = emb_buckets_stored(spark, sf_dir, n_planes)
     is_batch = (F.col("vec_id") % _INC_ND_MOD) == _INC_ND_REM
-    corpus = n.filter(~is_batch)
-    batch = n.filter(is_batch)
+    corpus = emb_buckets_stored(spark, sf_dir, n_planes).filter(~is_batch)
+    batch = _emb_bucket_rows(emb.filter(is_batch), n_planes)
     ok = (
         corpus.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("bsz"))
