@@ -945,6 +945,15 @@ def llm_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_lsh_recall.py quantifies it vs the exact all-pairs
     computation on the test corpus).
     """
+    return _ngram_jaccard_pairs(spark, sf_dir).orderBy(
+        F.desc("jaccard"), "doc_a", "doc_b"
+    ).limit(50)
+
+
+def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, n_shared, jaccard) — exact word-3-gram Jaccard
+    over the S21 band-store candidate pairs; the shared verify stage
+    behind ``llm_ngram_jaccard_topk`` and the threshold sweep."""
     docs = load_table(spark, sf_dir, "documents")
     toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
     sh = (
@@ -992,8 +1001,6 @@ def llm_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("sa.n") + F.col("sb.n") - F.col("n_shared"))
             ).alias("jaccard"),
         )
-        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
-        .limit(50)
     )
 
 
@@ -13207,3 +13214,299 @@ def llm_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round-13 batch 1: dedup threshold sweep, semantic centroid outliers
+# ---------------------------------------------------------------------------
+
+#: Jaccard cutoffs swept by the threshold-sensitivity report. Literal
+#: decimal strings parse to identical doubles on both engines.
+_SWEEP_THRESHOLDS = ["0.5", "0.6", "0.7", "0.8", "0.9"]
+
+
+@register(
+    "llm_dedup_threshold_sweep",
+    oracle=rf"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM (
+        SELECT doc_id, unnest({_sql_word_ngrams("t")}) AS s
+        FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(md5('{i}|' || s)) AS m{i}" for i in range(_N_HASHES))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(m{2*b} || m{2*b+1}) AS key FROM sig"
+        for b in range(_N_HASHES // _BAND_ROWS)
+      )}
+    ),
+    bsz AS (
+      SELECT band_idx, key FROM bands
+      GROUP BY band_idx, key
+      HAVING COUNT(*) BETWEEN 2 AND {_LSH_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bsz USING (band_idx, key)
+      JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key
+                  AND a.doc_id < b.doc_id
+    ),
+    jac AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(COUNT(*) AS DOUBLE)
+               / (sa.n + sb.n - COUNT(*)) AS jaccard
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      GROUP BY c.doc_a, c.doc_b, sa.n, sb.n
+    )
+    SELECT t.threshold,
+           CAST(COUNT(j.doc_a) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT j.doc_b) AS BIGINT) AS n_docs_removed,
+           CAST(COUNT(DISTINCT j.doc_b) AS DOUBLE)
+             / (SELECT COUNT(*) FROM documents) AS removed_share
+    FROM (SELECT unnest([{", ".join(_SWEEP_THRESHOLDS)}]) AS threshold) t
+    LEFT JOIN jac j ON j.jaccard >= t.threshold
+    GROUP BY t.threshold
+    """,
+)
+def llm_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 EXT: DEDUP THRESHOLD SENSITIVITY sweep — the tuning report
+    behind every near-dup deployment: for each Jaccard cutoff in
+    {{0.5 … 0.9}}, how many verified candidate pairs survive and how
+    many documents the keep-first policy would remove (distinct
+    higher-id member of a surviving pair), as a count and as a share
+    of the corpus. Pipelines pick their threshold from exactly this
+    curve (too low → aggressive deletion, too high → residual dups);
+    computing all five points from ONE candidate+verify pass is the
+    whole economy.
+
+    Exactness: Jaccard is an exact int ratio (shared with
+    ``llm_ngram_jaccard_topk``); thresholds are shared decimal
+    literals, so the ``>=`` compares identical doubles; counts exact
+    int64.
+
+    Scale shape: candidates come from the S21 band store (no
+    query-time signature pass) and the exact-Jaccard verify runs ONCE
+    over candidate×shingle rows (the bounded banded join of
+    ``_ngram_jaccard_pairs``); the sweep then explodes only the
+    O(|verified pairs|) relation 5× and hash-aggregates — the
+    threshold axis never touches the corpus. At 100 TB the sweep
+    costs the same as one verify pass plus a 5× explode of a
+    pair-id relation.
+    """
+    pairs = _ngram_jaccard_pairs(spark, sf_dir)
+    thresholds = F.array(
+        *[F.expr(f"CAST({t} AS DOUBLE)") for t in _SWEEP_THRESHOLDS]
+    )
+    hits = (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.explode(thresholds).alias("threshold"),
+        )
+        .filter(F.col("jaccard") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.countDistinct("doc_b").cast("long").alias("n_docs_removed"),
+        )
+    )
+    n_docs = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    axis = spark.range(1).select(
+        F.explode(thresholds).alias("threshold")
+    )
+    return (
+        axis.join(hits, "threshold", "left")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs_removed", F.lit(0))
+            .cast("long")
+            .alias("n_docs_removed"),
+            (
+                F.coalesce("n_docs_removed", F.lit(0)).cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("removed_share"),
+        )
+    )
+
+
+def _sql_hug_dot(a: str, b: str) -> str:
+    """Exact HUGEINT dot of two already-int-scaled lists (DuckDB side
+    of the decimal-fold discipline in ``_dec_dot``)."""
+    return (
+        f"CAST(list_aggregate(list_transform(list_zip({a}, {b}), "
+        f"x -> CAST(x[1] AS HUGEINT) * x[2]), 'sum') AS HUGEINT)"
+    )
+
+
+def _dec_dot(a: Column | str, b: Column | str) -> Column:
+    """Exact decimal(38,0) dot of two already-int-scaled (int64) array
+    columns — order-free and overflow-safe at ANY corpus size (the
+    int64 ``_int_dot`` fold is bounded only when one side is a raw
+    per-row vector; centroid SUM vectors grow with group size)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: x.cast("decimal(19,0)") * y.cast("decimal(19,0)"),
+        ),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, v: acc + v,
+    )
+
+
+@register(
+    "llm_semantic_outlier_docs",
+    oracle=rf"""
+    WITH sv AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               v -> {_SQL_ISCALE.format(v="v")}) AS x
+      FROM embeddings
+    ),
+    comp AS (
+      -- parallel unnest = positional explode (DuckDB has no WITH
+      -- ORDINALITY; lockstep unnests carry the index)
+      SELECT label, i, SUM(v) AS s
+      FROM (SELECT label, unnest(x) AS v,
+                   unnest(range(1, len(x) + 1)) AS i
+            FROM sv)
+      GROUP BY label, i
+    ),
+    cent AS (
+      SELECT label, list(s ORDER BY i) AS cs FROM comp GROUP BY label
+    ),
+    cosr AS (
+      SELECT sv.vec_id, sv.label,
+             CAST({_sql_hug_dot("sv.x", "c.cs")} AS DOUBLE)
+               / (sqrt(CAST({_sql_int_dot("e.embedding", "e.embedding")}
+                            AS DOUBLE))
+                  * sqrt(CAST({_sql_hug_dot("c.cs", "c.cs")} AS DOUBLE)))
+               AS cos_c
+      FROM sv
+      JOIN cent c ON c.label = sv.label
+      JOIN embeddings e ON e.vec_id = sv.vec_id
+    ),
+    med AS (
+      SELECT label, quantile_cont(cos_c, 0.5) AS med FROM cosr GROUP BY label
+    ),
+    mad AS (
+      SELECT r.label, quantile_cont(abs(r.cos_c - m.med), 0.5) AS mad
+      FROM cosr r JOIN med m ON r.label = m.label
+      GROUP BY r.label
+    )
+    SELECT r.label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           MIN(m.med) AS median_cos,
+           MIN(d.mad) AS mad_cos,
+           CAST(SUM(CASE WHEN d.mad > 0
+                          AND {_NORM_C} * (m.med - r.cos_c) / d.mad
+                              > {_NORM_CUT}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(SUM(CASE WHEN d.mad > 0
+                          AND {_NORM_C} * (m.med - r.cos_c) / d.mad
+                              > {_NORM_CUT}
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS outlier_share
+    FROM cosr r
+    JOIN med m ON r.label = m.label
+    JOIN mad d ON r.label = d.label
+    GROUP BY r.label
+    """,
+)
+def llm_semantic_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4/J7 EXT: SEMANTIC OUTLIER screening — per label, vectors
+    whose DIRECTION sits far from the label centroid (robust one-sided
+    z of cosine-to-centroid below the group median): the curation op
+    that catches mislabeled docs, encoder glitches and off-topic
+    contamination that norm screening (magnitude) cannot see. The
+    centroid enters as the per-label component-SUM vector — cosine to
+    the sum equals cosine to the mean (scaling cancels), so no
+    division by group size ever happens and the geometry stays exact.
+
+    Exactness: component sums are exact int64 (fixed-point
+    discipline); both centroid-side dots fold in DECIMAL(38,0) /
+    HUGEINT (``_dec_dot`` — the int64 fold would overflow once group
+    sums grow with corpus size), so every cosine input is exact and
+    the per-label interpolated percentiles see bitwise-identical
+    doubles (the ``llm_embedding_norm_outliers`` precedent); the
+    outlier rule shares its two literal constants.
+
+    Scale shape: one posexplode+hash-agg computes all centroids (64
+    rows per label); the O(labels)-row centroid relation BROADCASTS
+    back onto the scan, so scoring is one map pass; two per-label
+    exact percentiles over a two-column relation (the documented
+    percentile_approx twin swaps in at 10⁹ rows); no vector ever
+    joins another vector.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    sv = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", _iscale).alias("x"),
+        _int_dot("embedding", "embedding").alias("xx"),
+    )
+    comp = sv.select(
+        "label", F.posexplode("x").alias("i", "v")
+    ).groupBy("label", "i").agg(F.sum("v").alias("s"))
+    cent = comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "s"))),
+            lambda st: st["s"],
+        ).alias("cs")
+    )
+    cosr = sv.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        (
+            _dec_dot("x", "cs").cast("double")
+            / (
+                F.sqrt(F.col("xx").cast("double"))
+                * F.sqrt(_dec_dot("cs", "cs").cast("double"))
+            )
+        ).alias("cos_c"),
+    )
+    med = cosr.groupBy("label").agg(
+        F.expr("percentile(cos_c, 0.5D)").alias("med")
+    )
+    mad = (
+        cosr.join(F.broadcast(med), "label")
+        .select("label", F.abs(F.col("cos_c") - F.col("med")).alias("adev"))
+        .groupBy("label")
+        .agg(F.expr("percentile(adev, 0.5D)").alias("mad"))
+    )
+    low = (F.col("mad") > 0) & (
+        F.lit(_NORM_C) * (F.col("med") - F.col("cos_c")) / F.col("mad")
+        > _NORM_CUT
+    )
+    return (
+        cosr.join(F.broadcast(med), "label")
+        .join(F.broadcast(mad), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.min("med").alias("median_cos"),
+            F.min("mad").alias("mad_cos"),
+            F.sum(low.cast("long")).cast("long").alias("n_outliers"),
+            (
+                F.sum(low.cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("outlier_share"),
+        )
+    )

@@ -4304,3 +4304,179 @@ def agg_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 batch 1: order-backlog sweep line, referential-integrity audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_orders_backlog_timeseries",
+    oracle="""
+    WITH spans AS (
+      -- the synthetic data has ~20% of orders whose last shipdate
+      -- precedes the orderdate; clamp so every span is open at least
+      -- on its order day (both engines apply the same clamp)
+      SELECT o.o_orderkey,
+             CAST(o.o_orderdate AS DATE) AS s,
+             GREATEST(CAST(o.o_orderdate AS DATE), CAST(m.mx AS DATE)) AS e
+      FROM orders o
+      JOIN (SELECT l_orderkey, MAX(l_shipdate) AS mx
+            FROM lineitem GROUP BY l_orderkey) m
+        ON m.l_orderkey = o.o_orderkey
+    ),
+    days AS (
+      SELECT DISTINCT d FROM (
+        SELECT s AS d FROM spans
+        UNION ALL SELECT e + 1 FROM spans
+      )
+    ),
+    opened AS (SELECT s AS d, COUNT(*) AS n FROM spans GROUP BY s),
+    closed AS (SELECT e + 1 AS d, COUNT(*) AS n FROM spans GROUP BY 1),
+    stab AS (
+      SELECT days.d, COUNT(sp.s) AS n
+      FROM days LEFT JOIN spans sp ON sp.s <= days.d AND sp.e >= days.d
+      GROUP BY days.d
+    )
+    SELECT strftime(stab.d, '%Y-%m-%d') AS day,
+           CAST(COALESCE(o.n, 0) AS BIGINT) AS n_opened,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_closed,
+           CAST(stab.n AS BIGINT) AS backlog
+    FROM stab
+    LEFT JOIN opened o ON o.d = stab.d
+    LEFT JOIN closed c ON c.d = stab.d
+    """,
+)
+def agg_orders_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A51 EXT: OPEN-ORDER BACKLOG per day as a SWEEP LINE — the
+    interval-stabbing query ("how many orders were open on day d")
+    every ops dashboard needs, computed WITHOUT the interval×day range
+    join: each order's open interval [orderdate, last shipdate]
+    becomes a +1 delta at open and a -1 delta the day after close;
+    the per-day deltas aggregate map-side, and one running sum over
+    the tiny (O(distinct days), ~2.4k rows at ANY scale factor) delta
+    relation reconstructs the backlog exactly.
+
+    The DuckDB oracle deliberately uses the NAIVE formulation — a
+    non-equi stab join of days×spans — so the sweep line is checked
+    against an independent definition, not a transcription of itself.
+
+    Exactness: all counts exact int64; day strings 'yyyy-MM-dd'.
+
+    Scale shape: close dates come from ONE groupBy(orderkey) over
+    lineitem (uniform key, map-side combinable); the delta agg
+    shuffles O(distinct days) rows; the final cumulative window runs
+    on a single partition of ~date-range rows — thousands, corpus-
+    size-independent — which is the sweep line's whole point: a
+    days×orders range join (what the oracle does) would be O(days·N)
+    and is exactly what this plan avoids at 100 TB.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    close = li.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("e")
+    )
+    spans = orders.join(
+        close, orders.o_orderkey == close.l_orderkey
+    ).select(
+        F.to_date("o_orderdate").alias("s"),
+        # ~20% of synthetic orders ship "before" ordering; clamp so
+        # every span is open at least on its order day (oracle clamps
+        # identically)
+        F.greatest(F.to_date("o_orderdate"), F.col("e")).alias("e"),
+    )
+    opened = spans.groupBy(F.col("s").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_opened"), F.lit(0).alias("n_closed")
+    )
+    closed = spans.groupBy(F.date_add("e", 1).alias("d")).agg(
+        F.lit(0).alias("n_opened"), F.count(F.lit(1)).alias("n_closed")
+    )
+    daily = (
+        opened.unionByName(closed)
+        .groupBy("d")
+        .agg(
+            F.sum("n_opened").cast("long").alias("n_opened"),
+            F.sum("n_closed").cast("long").alias("n_closed"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_opened",
+        "n_closed",
+        F.sum(F.col("n_opened") - F.col("n_closed"))
+        .over(w)
+        .cast("long")
+        .alias("backlog"),
+    )
+
+
+#: FK edges of the TPC-H-ish star: (edge label, child table, child key,
+#: parent table, parent key). The audit emits one row per edge.
+_FK_EDGES = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+@register(
+    "agg_referential_integrity_audit",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT '{label}' AS edge,
+           CAST(COUNT(*) AS BIGINT) AS n_child,
+           CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphans,
+           CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS orphan_rate
+    FROM {child} c
+    LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p ON c.{ck} = p.{pk}
+    """
+        for label, child, ck, parent, pk in _FK_EDGES
+    ),
+)
+def agg_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A52 EXT: REFERENTIAL-INTEGRITY AUDIT across every FK edge of
+    the star schema — the data-quality gate a warehouse runs after
+    every load: per edge, the child row count, the number of orphan
+    children (no matching parent key), and the orphan rate. A
+    non-zero row here means a broken ingest (partial parent load,
+    key-type drift, truncation) that would silently drop rows from
+    every downstream inner join.
+
+    Exactness: counts exact int64; one double ratio per edge.
+
+    Scale shape: each edge is one left join child→DISTINCT(parent
+    keys) counted map-side — Catalyst broadcasts the SF-constant
+    parents (nation, region) and shuffle-joins the SF-proportional
+    ones on their uniform primary keys; the 7 edge reports are
+    independent single-row aggregates unioned at the end, so the
+    whole audit is embarrassingly parallel across edges. No text, no
+    wide rows — keys only — so at 100 TB the audit moves 8-byte
+    columns exclusively.
+    """
+    out = None
+    for label, child, ck, parent, pk in _FK_EDGES:
+        c = _t(spark, sf_dir, child)
+        p = _t(spark, sf_dir, parent).select(pk).distinct()
+        orphan = F.col(pk).isNull()
+        row = (
+            c.join(p, c[ck] == p[pk], "left")
+            .agg(
+                F.lit(label).alias("edge"),
+                F.count(F.lit(1)).cast("long").alias("n_child"),
+                F.sum(orphan.cast("long")).cast("long").alias("n_orphans"),
+                (
+                    F.sum(orphan.cast("long")).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ).alias("orphan_rate"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

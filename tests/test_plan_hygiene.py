@@ -56,6 +56,7 @@ _NESTED_LOOP_ALLOWED = {
     "agg_event_daily_anomaly",     # 1-row median + 1-row MAD broadcasts
     "llm_centroid_shift_by_label", # 1-row corpus-count (n_all) broadcast
     "llm_vocab_coverage_curve",    # 1-row corpus-total (n, v) broadcast
+    "llm_dedup_threshold_sweep",   # 1-row corpus-count broadcast onto 5-row axis
 }
 
 #: Queries whose fn() triggers side effects/execution rather than just
