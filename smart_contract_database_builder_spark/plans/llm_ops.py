@@ -13510,3 +13510,207 @@ def llm_semantic_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("outlier_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 batch 2: sign-bit Hamming ANN, cross-source near-dup matrix
+# ---------------------------------------------------------------------------
+
+#: Verified-Jaccard cutoff for the cross-source near-dup matrix —
+#: a shared decimal literal (same discipline as _SWEEP_THRESHOLDS).
+_XSRC_J = "0.7"
+
+
+@register(
+    "llm_sign_hamming_topk",
+    oracle=rf"""
+    WITH q AS (
+      SELECT list_transform(embedding,
+               v -> {_SQL_ISCALE.format(v="v")}) AS qx,
+             embedding AS qe
+      FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}
+    ),
+    d AS (
+      SELECT e.vec_id, e.label,
+             list_transform(e.embedding,
+               v -> {_SQL_ISCALE.format(v="v")}) AS x,
+             e.embedding AS de
+      FROM embeddings e WHERE e.vec_id <> {_QUERY_VEC_ID}
+    )
+    SELECT d.vec_id, d.label,
+           CAST(list_aggregate(list_transform(list_zip(d.x, q.qx),
+                 p -> CASE WHEN (p[1] >= 0) <> (p[2] >= 0)
+                           THEN 1 ELSE 0 END), 'sum') AS BIGINT)
+             AS hamming,
+           CAST({_sql_int_dot("d.de", "q.qe")} AS DOUBLE)
+             / (sqrt(CAST({_sql_int_dot("d.de", "d.de")} AS DOUBLE))
+                * sqrt(CAST({_sql_int_dot("q.qe", "q.qe")} AS DOUBLE)))
+             AS cosine
+    FROM d, q
+    ORDER BY hamming, d.vec_id
+    LIMIT 10
+    """,
+)
+def llm_sign_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F38/J8 EXT: SIGN-BIT HAMMING top-k — the 1-bit-per-dimension
+    binary sketch (sign of each component) ranked by Hamming distance
+    to the query's sketch, with each hit's exact cosine alongside: the
+    cheapest ANN codec there is (64 dims → one machine word; distance
+    = popcount of an XOR) and the standard re-rank front end when the
+    float vectors are too big to scan. Completes the sketch family:
+    SimHash binarizes token sets, this binarizes the embedding itself.
+
+    Exactness: signs are taken on the fixed-point ints (zero counts
+    as non-negative on both engines); Hamming is an exact int sum;
+    the reported cosine is the exact int-dot ratio.
+
+    Scale shape: the 1-row query sketch broadcasts; every candidate
+    is scored in one codegen map stage (no shuffle, no join) and
+    TakeOrdered keeps k rows per partition — at 10⁹ vectors the scan
+    reads 8-byte sketches from a store (the S20 discipline applies
+    verbatim), not 256-byte floats; ties break on vec_id so the top-k
+    is deterministic.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.transform("embedding", _iscale).alias("qx"),
+        F.col("embedding").alias("qe"),
+    )
+    d = emb.filter(F.col("vec_id") != _QUERY_VEC_ID).select(
+        "vec_id",
+        "label",
+        F.transform("embedding", _iscale).alias("x"),
+        F.col("embedding").alias("de"),
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            "x", "qx", lambda a, b: ((a >= 0) != (b >= 0)).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        d.join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            ham.alias("hamming"),
+            (
+                _int_dot("de", "qe").cast("double")
+                / (
+                    F.sqrt(_int_dot("de", "de").cast("double"))
+                    * F.sqrt(_int_dot("qe", "qe").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+        .orderBy("hamming", "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "llm_cross_source_neardup_matrix",
+    oracle=rf"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM (
+        SELECT doc_id, unnest({_sql_word_ngrams("t")}) AS s
+        FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(md5('{i}|' || s)) AS m{i}" for i in range(_N_HASHES))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(m{2*b} || m{2*b+1}) AS key FROM sig"
+        for b in range(_N_HASHES // _BAND_ROWS)
+      )}
+    ),
+    bsz AS (
+      SELECT band_idx, key FROM bands
+      GROUP BY band_idx, key
+      HAVING COUNT(*) BETWEEN 2 AND {_LSH_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bsz USING (band_idx, key)
+      JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key
+                  AND a.doc_id < b.doc_id
+    ),
+    jac AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(COUNT(*) AS DOUBLE)
+               / (sa.n + sb.n - COUNT(*)) AS jaccard
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      GROUP BY c.doc_a, c.doc_b, sa.n, sb.n
+    ),
+    near AS (SELECT * FROM jac WHERE jaccard >= {_XSRC_J}),
+    tot AS (SELECT COUNT(*) AS n FROM near)
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM tot) AS pair_share
+    FROM near
+    JOIN documents da ON da.doc_id = near.doc_a
+    JOIN documents db ON db.doc_id = near.doc_b
+    GROUP BY 1, 2
+    """,
+)
+def llm_cross_source_neardup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/J33 EXT: CROSS-SOURCE NEAR-DUP MATRIX — for every source
+    pair, how many VERIFIED near-duplicate pairs (exact word-3-gram
+    Jaccard ≥ {_XSRC_J} on the S21 band-store candidates) straddle
+    it. The near-dup complement of ``llm_cross_source_overlap``
+    (which counts EXACT content-key collisions): mirrors with light
+    edits, syndicated boilerplate, and scraper double-coverage show
+    up here and nowhere else, and the matrix is how a pipeline
+    decides which source to demote when cross-source contamination
+    is found.
+
+    Exactness: Jaccard is the exact int ratio; the cutoff is a shared
+    decimal literal; counts exact int64; one double share.
+
+    Scale shape: everything up to the verified pair relation is the
+    shared ``_ngram_jaccard_pairs`` machinery (band-store candidates,
+    bounded verify); the source attribution joins move only (doc_id,
+    source) pairs — never text — and the final matrix is an
+    O(sources²)-row hash agg. The 1-row total broadcasts for the
+    share column.
+    """
+    near = _ngram_jaccard_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= F.expr(f"CAST({_XSRC_J} AS DOUBLE)")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    da, db = docs.alias("da").hint("merge"), docs.alias("db").hint("merge")
+    attributed = (
+        near.join(da, F.col("doc_a") == F.col("da.doc_id"))
+        .join(db, F.col("doc_b") == F.col("db.doc_id"))
+        .select(
+            F.least("da.source", "db.source").alias("source_a"),
+            F.greatest("da.source", "db.source").alias("source_b"),
+        )
+    )
+    tot = attributed.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        attributed.groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            (
+                F.col("n_pairs").cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("pair_share"),
+        )
+    )

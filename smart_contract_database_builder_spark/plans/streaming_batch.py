@@ -650,3 +650,119 @@ def stream_window_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "rnk",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13: watermark lateness audit (distributed prefix scan)
+# ---------------------------------------------------------------------------
+
+#: Candidate watermark delays audited, as (hours, microseconds).
+_WM_DELAYS = [(1, 3_600_000_000), (6, 21_600_000_000), (24, 86_400_000_000)]
+
+#: Arrival-order bucket width for the distributed prefix scan: the
+#: running max over all PRECEDING events factors into (max within my
+#: bucket so far) ∪ (max of every earlier bucket), so only the
+#: O(n/width) bucket-summary relation ever needs a global window.
+_WM_BUCKET = 65_536
+
+
+@register(
+    "stream_watermark_late_audit",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, epoch_us(ts) AS us FROM events
+    ),
+    r AS (
+      SELECT event_id, us,
+             MAX(us) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS hwm
+      FROM e
+    )
+    SELECT CAST(t.w_hours AS BIGINT) AS w_hours,
+           CAST(COUNT(CASE WHEN r.hwm - r.us > t.w_us THEN 1 END) AS BIGINT)
+             AS n_late,
+           CAST(COUNT(CASE WHEN r.hwm - r.us > t.w_us THEN 1 END) AS DOUBLE)
+             / (SELECT COUNT(*) FROM e) AS late_share
+    FROM (VALUES {", ".join(f"({h}, {us})" for h, us in _WM_DELAYS)})
+           t(w_hours, w_us)
+    CROSS JOIN r
+    GROUP BY t.w_hours
+    """,
+)
+def stream_watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2/T4 EXT: WATERMARK LATENESS audit — for candidate watermark
+    delays (1 h / 6 h / 24 h), how many events a streaming job would
+    DROP because they arrive after the high-water mark (max event
+    time over all earlier arrivals, arrival order = event_id) has
+    passed their timestamp by more than the delay. This is the curve
+    an engineer reads before picking ``withWatermark``: too short
+    silently drops the tail, too long holds state forever.
+
+    The running max is a PREFIX SCAN, which a naive window
+    (ORDER BY event_id over everything — what the oracle does) would
+    serialize onto one partition. The plan instead factors it:
+    arrival order splits into {_WM_BUCKET}-wide event_id buckets;
+    within-bucket running maxes parallelize per bucket, the per-
+    bucket maxima form an O(n/{_WM_BUCKET}) summary whose own prefix
+    max IS cheap to compute globally, and the two recombine with one
+    broadcast join — the textbook two-level scan, so no stage ever
+    sorts the full stream on one core.
+
+    Exactness: epoch-microsecond int64 arithmetic throughout; the
+    first event's null high-water mark is dropped by comparison
+    semantics on both engines; delays are shared integer literals.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("us")
+    )
+    ev = ev.withColumn("bkt", F.floor(F.col("event_id") / _WM_BUCKET))
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scanned = ev.select(
+        "event_id", "us", "bkt", F.max("us").over(w_in).alias("in_max")
+    )
+    bsum = ev.groupBy("bkt").agg(F.max("us").alias("bmax"))
+    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bpre = bsum.select("bkt", F.max("bmax").over(w_b).alias("pre_max"))
+    hwm = F.greatest(
+        F.coalesce("in_max", F.lit(None).cast("long")),
+        F.coalesce("pre_max", F.lit(None).cast("long")),
+    )
+    lateness = (hwm - F.col("us")).alias("lateness")
+    scored = scanned.join(F.broadcast(bpre), "bkt").select(lateness)
+    total = load_table(spark, sf_dir, "events").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    axis = F.array(
+        *[
+            F.struct(
+                F.lit(h).cast("long").alias("w_hours"),
+                F.lit(us).alias("w_us"),
+            )
+            for h, us in _WM_DELAYS
+        ]
+    )
+    return (
+        scored.select(
+            F.explode(axis).alias("w"), F.col("lateness")
+        )
+        .groupBy(F.col("w.w_hours").alias("w_hours"))
+        .agg(
+            F.sum(
+                (F.col("lateness") > F.col("w.w_us")).cast("long")
+            ).cast("long").alias("n_late")
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w_hours",
+            F.coalesce("n_late", F.lit(0)).cast("long").alias("n_late"),
+            (
+                F.coalesce("n_late", F.lit(0)).cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("late_share"),
+        )
+    )

@@ -57,6 +57,9 @@ _NESTED_LOOP_ALLOWED = {
     "llm_centroid_shift_by_label", # 1-row corpus-count (n_all) broadcast
     "llm_vocab_coverage_curve",    # 1-row corpus-total (n, v) broadcast
     "llm_dedup_threshold_sweep",   # 1-row corpus-count broadcast onto 5-row axis
+    "llm_sign_hamming_topk",       # 1-row query-sketch broadcast
+    "llm_cross_source_neardup_matrix",  # 1-row pair-total broadcast
+    "stream_watermark_late_audit", # 1-row event-total broadcast
 }
 
 #: Queries whose fn() triggers side effects/execution rather than just
