@@ -13714,3 +13714,129 @@ def llm_cross_source_neardup_matrix(spark: SparkSession, sf_dir: str) -> DataFra
             ).alias("pair_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 batch 3: IVF cell-balance audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_ivf_cell_balance",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> {_SQL_ISCALE.format(v="x")}) AS sv
+      FROM embeddings
+    ),
+    comp AS (
+      SELECT label AS cell, d, SUM(sv[d]) AS sm, COUNT(*) AS cnt
+      FROM s, range(1, 65) r(d)
+      GROUP BY label, d
+    ),
+    cq AS (
+      SELECT cell, d,
+             CAST(FLOOR(CAST(sm AS DOUBLE) / cnt) AS BIGINT) AS c
+      FROM comp
+    ),
+    dist AS (
+      SELECT s.vec_id, cq.cell,
+             SUM((s.sv[cq.d] - cq.c) * (s.sv[cq.d] - cq.c)) AS d2
+      FROM s, cq
+      GROUP BY s.vec_id, cq.cell
+    ),
+    best AS (
+      SELECT vec_id, cell
+      FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id ORDER BY d2, cell
+               ) AS rn
+        FROM dist
+      )
+      WHERE rn = 1
+    ),
+    sizes AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM best GROUP BY cell
+    ),
+    axis AS (SELECT DISTINCT cell FROM cq)
+    SELECT a.cell,
+           CAST(COALESCE(z.n_vecs, 0) AS BIGINT) AS n_vecs,
+           CAST(COALESCE(z.n_vecs, 0) AS DOUBLE)
+             / (SELECT COUNT(*) FROM s) AS size_share,
+           CAST(COALESCE(z.n_vecs, 0) AS DOUBLE)
+             * (SELECT COUNT(*) FROM axis) / (SELECT COUNT(*) FROM s)
+             AS balance_ratio
+    FROM axis a LEFT JOIN sizes z ON z.cell = a.cell
+    """,
+)
+def llm_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F38b EXT: IVF CELL-BALANCE audit — per inverted-list cell, how
+    many vectors the nearest-quantized-centroid assignment puts there,
+    its corpus share, and its balance ratio (share × n_cells; 1.0 =
+    perfectly even). THE health metric of an IVF index: a hot cell
+    means nprobe-bounded queries still scan a corpus-scale list (the
+    ANN latency cliff), an empty cell means wasted fanout — either
+    reading says re-train the coarse quantizer. Shares the exact
+    quantized-centroid assignment of ``llm_ivf_topk``, so the audit
+    measures the index the queries actually use.
+
+    Exactness: assignment is the integer (d2, cell) argmin over
+    quantized centroids (the llm_ivf_topk discipline — no double
+    folds); counts exact int64; two double ratios of exact ints.
+
+    Scale shape: the SF-constant cell table broadcasts; assignment is
+    one codegen map stage (array argmin per row — no crossJoin
+    fanout, no shuffle-per-cell); the size agg shuffles O(cells)
+    rows. At 10⁹ vectors this is a scan + one tiny hash agg — the
+    same pass the S20 store writer already runs, so in production
+    the audit reads the store's partition sizes for free.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    sv = emb.select(
+        "vec_id", F.transform("embedding", lambda x: _iscale(x)).alias("sv")
+    )
+    cell_rows = ivf_quantized_cells(emb)
+    cells = cell_rows.agg(
+        F.collect_list(F.struct("cell", "centroid")).alias("cells")
+    )
+
+    def best_cell(vec: Column) -> Column:
+        return F.array_min(
+            F.transform(
+                "cells",
+                lambda c: F.struct(
+                    _cell_dist2(vec, c["centroid"]).alias("d2"),
+                    c["cell"].alias("cell"),
+                ),
+            )
+        )["cell"]
+
+    sizes = (
+        sv.crossJoin(F.broadcast(cells))
+        .select(best_cell(F.col("sv")).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    )
+    totals = cell_rows.agg(
+        F.count(F.lit(1)).alias("n_cells")
+    ).crossJoin(emb.agg(F.count(F.lit(1)).alias("n_all")))
+    return (
+        cell_rows.select("cell")
+        .join(sizes, "cell", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "cell",
+            F.coalesce("n_vecs", F.lit(0)).cast("long").alias("n_vecs"),
+            (
+                F.coalesce("n_vecs", F.lit(0)).cast("double")
+                / F.col("n_all").cast("double")
+            ).alias("size_share"),
+            (
+                F.coalesce("n_vecs", F.lit(0)).cast("double")
+                * F.col("n_cells").cast("double")
+                / F.col("n_all").cast("double")
+            ).alias("balance_ratio"),
+        )
+    )

@@ -4480,3 +4480,182 @@ def agg_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFra
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round-13 batch 3: brand-affinity lift, CUSUM drift alarm
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_brand_affinity_lift",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    bc AS (SELECT brand, COUNT(*) AS n FROM ob GROUP BY brand),
+    tot AS (SELECT COUNT(DISTINCT o) AS n_orders FROM ob),
+    pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM ob a JOIN ob b ON a.o = b.o AND a.brand < b.brand
+      GROUP BY 1, 2
+    )
+    SELECT p.brand_a, p.brand_b, p.n_both,
+           CAST(p.n_both AS DOUBLE) * (SELECT n_orders FROM tot)
+             / (CAST(ca.n AS DOUBLE) * cb.n) AS lift
+    FROM pairs p
+    JOIN bc ca ON ca.brand = p.brand_a
+    JOIN bc cb ON cb.brand = p.brand_b
+    """,
+)
+def agg_brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A53 EXT: MARKET-BASKET BRAND AFFINITY — for every brand pair,
+    the number of orders containing both and the lift
+    P(a,b)·N / (P(a)·P(b)·N²)⁻¹-normalized co-occurrence: >1 means
+    the brands are bought together more than independence predicts.
+    The co-occurrence/association primitive (basket analysis,
+    cross-sell, complement detection) the engine was missing.
+
+    Exactness: all counts exact int64 over DISTINCT (order, brand);
+    lift is one double expression of exact ints, identical shape both
+    engines.
+
+    Scale shape: the pair expansion is a SELF-JOIN ON ORDER KEY, so
+    its fan-out is bounded by brands-per-order (≤ lines-per-order,
+    ~7) — per-order quadratic, corpus-linear, never brand-domain ×
+    corpus; the brand-count relation is SF-constant (brand domain)
+    and broadcasts onto the O(brand²) pair aggregate. The distinct
+    pass shuffles (order, brand) 8-byte/short-string pairs only.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    bc = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("n"))
+    tot = ob.agg(F.countDistinct("o").alias("n_orders"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"),
+            F.col("b.brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    ca = bc.select(F.col("brand").alias("brand_a"), F.col("n").alias("na"))
+    cb = bc.select(F.col("brand").alias("brand_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_both",
+            (
+                F.col("n_both").cast("double")
+                * F.col("n_orders")
+                / (F.col("na").cast("double") * F.col("nb"))
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "window_cusum_drift_alarm",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, COUNT(*) AS t_days, SUM(x) AS x_sum
+      FROM daily GROUP BY event_type
+    ),
+    scaled AS (
+      SELECT d.event_type, d.d, d.x,
+             s.t_days, s.x_sum,
+             s.t_days * d.x - s.x_sum AS y
+      FROM daily d JOIN stats s ON s.event_type = d.event_type
+    ),
+    pre AS (
+      SELECT event_type, d, x, t_days, x_sum,
+             SUM(y) OVER (PARTITION BY event_type ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS sp
+      FROM scaled
+    ),
+    cus AS (
+      SELECT event_type, d, x, t_days, x_sum,
+             sp - MIN(sp) OVER (PARTITION BY event_type ORDER BY d
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS c
+      FROM pre
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day, x AS n_events,
+           CAST(c AS DOUBLE) / t_days AS cusum,
+           c > x_sum AS alarm
+    FROM cus
+    """,
+)
+def window_cusum_drift_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W12 EXT: CUSUM DRIFT ALARM per event type — the classic
+    one-sided cumulative-sum control chart over daily event counts,
+    flagging the day a type's volume has drifted more than one
+    average day's worth above its own mean. The recurrence
+    ``c_t = max(0, c_{t-1} + y_t)`` looks sequential, but it has the
+    closed prefix form ``c_t = S_t - min_{i<=t} S_i`` — two window
+    functions — which is what makes it runnable on a cluster at all.
+
+    Exactness: everything stays in INTEGERS until the final column —
+    the mean subtraction is scaled out (``y = T·x − ΣX`` instead of
+    ``x − ΣX/T``), so prefix sums, prefix mins and the alarm
+    comparison are exact int64 on both engines; the one double is a
+    final per-row division.
+
+    Scale shape: the daily aggregate is map-side combinable and
+    reduces the stream to O(types × days) rows before ANY window
+    runs; both windows partition by event_type over that tiny
+    relation. The alarm threshold (drift > one mean day, c' > ΣX in
+    scaled units) is derived from the data — no tunable literal to
+    drift between engines.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("t_days"), F.sum("x").alias("x_sum")
+    )
+    scaled = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "d",
+        "x",
+        "t_days",
+        "x_sum",
+        (F.col("t_days") * F.col("x") - F.col("x_sum")).alias("y"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pre = scaled.withColumn("sp", F.sum("y").over(w))
+    cus = pre.withColumn("c", F.col("sp") - F.min("sp").over(w))
+    return cus.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("x").alias("n_events"),
+        (F.col("c").cast("double") / F.col("t_days")).alias("cusum"),
+        (F.col("c") > F.col("x_sum")).alias("alarm"),
+    )

@@ -60,6 +60,8 @@ _NESTED_LOOP_ALLOWED = {
     "llm_sign_hamming_topk",       # 1-row query-sketch broadcast
     "llm_cross_source_neardup_matrix",  # 1-row pair-total broadcast
     "stream_watermark_late_audit", # 1-row event-total broadcast
+    "llm_ivf_cell_balance",        # 1-row (n_cells, n_all) totals broadcast
+    "agg_brand_affinity_lift",     # 1-row order-total broadcast
 }
 
 #: Queries whose fn() triggers side effects/execution rather than just
