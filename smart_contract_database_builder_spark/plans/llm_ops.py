@@ -13840,3 +13840,273 @@ def llm_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("balance_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 batch 4: embedding coverage audit, LSH cap-loss audit,
+# dedup length-bias audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_embedding_coverage_audit",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           (SELECT COUNT(*) FROM embeddings) AS n_vecs,
+           (SELECT COUNT(*) FROM documents d
+             WHERE EXISTS (SELECT 1 FROM embeddings e
+                            WHERE e.vec_id = d.doc_id)) AS n_embedded,
+           (SELECT COUNT(*) FROM embeddings e
+             WHERE NOT EXISTS (SELECT 1 FROM documents d
+                                WHERE d.doc_id = e.vec_id)) AS n_orphan_vecs,
+           CAST((SELECT COUNT(*) FROM documents d
+                  WHERE EXISTS (SELECT 1 FROM embeddings e
+                                 WHERE e.vec_id = d.doc_id)) AS DOUBLE)
+             / (SELECT COUNT(*) FROM documents) AS coverage
+    """,
+)
+def llm_embedding_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21/J9 EXT: EMBEDDING COVERAGE audit — the vector-table twin of
+    the FK integrity audit: how many documents have an embedding row
+    (vec_id = doc_id), how many vectors point at no document, and the
+    corpus coverage share. Run before any semantic dedup / ANN stage:
+    a coverage gap means the "near-dup free" guarantee silently
+    excludes the unembedded slice, and orphan vectors mean the encode
+    job read a stale corpus.
+
+    Exactness: exact int64 counts, one double ratio.
+
+    Scale shape: two semi/anti joins on uniform 8-byte keys (the
+    FK-audit shape) aggregated to single rows — at any scale this
+    moves ids only; the five scalars combine with 1-row cross joins.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_vecs = emb.agg(F.count(F.lit(1)).alias("n_vecs"))
+    n_embedded = (
+        docs.join(emb, docs.doc_id == emb.vec_id, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_embedded"))
+    )
+    n_orphan = (
+        emb.join(docs, docs.doc_id == emb.vec_id, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphan_vecs"))
+    )
+    return (
+        n_docs.crossJoin(F.broadcast(n_vecs))
+        .crossJoin(F.broadcast(n_embedded))
+        .crossJoin(F.broadcast(n_orphan))
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.col("n_embedded").cast("long").alias("n_embedded"),
+            F.col("n_orphan_vecs").cast("long").alias("n_orphan_vecs"),
+            (
+                F.col("n_embedded").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("coverage"),
+        )
+    )
+
+
+@register(
+    "llm_lsh_cap_loss_audit",
+    oracle=rf"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM (
+        SELECT doc_id, unnest({_sql_word_ngrams("t")}) AS s
+        FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+      )
+    ),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(md5('{i}|' || s)) AS m{i}" for i in range(_N_HASHES))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(m{2*b} || m{2*b+1}) AS key FROM sig"
+        for b in range(_N_HASHES // _BAND_ROWS)
+      )}
+    ),
+    bsz AS (
+      SELECT band_idx, key, COUNT(*) AS sz
+      FROM bands GROUP BY band_idx, key
+    )
+    SELECT CAST(band_idx AS BIGINT) AS band_idx,
+           CAST(COUNT(CASE WHEN sz > 1 THEN 1 END) AS BIGINT)
+             AS n_buckets,
+           CAST(COUNT(CASE WHEN sz > {_LSH_BUCKET_CAP} THEN 1 END) AS BIGINT)
+             AS n_capped,
+           CAST(COALESCE(SUM(CASE WHEN sz > {_LSH_BUCKET_CAP}
+                                  THEN sz END), 0) AS BIGINT)
+             AS docs_in_capped,
+           CAST(COALESCE(SUM(CASE WHEN sz > {_LSH_BUCKET_CAP}
+                                  THEN sz * (sz - 1) / 2 END), 0) AS BIGINT)
+             AS pairs_suppressed
+    FROM bsz
+    GROUP BY band_idx
+    """,
+)
+def llm_lsh_cap_loss_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 EXT: LSH CAP-LOSS audit — the integrity report for the
+    ``_LSH_BUCKET_CAP`` recall bound every banded dedup query carries:
+    per band, how many multi-doc buckets exist, how many exceed the
+    cap (and are dropped whole by the pair generator), how many docs
+    sit inside dropped buckets, and how many candidate pairs that
+    suppresses. The documented recall contract, MEASURED per corpus —
+    when pairs_suppressed spikes (a boilerplate flood hashing into
+    one bucket), the pipeline raises the cap or pre-filters the
+    boilerplate, and this is the number that says so.
+
+    Reads the S21 band store: bucket sizes are one exchange-free
+    groupBy on the store's (band_idx, key) bucketing, and everything
+    after is an O(bands)-row aggregate. Counts exact int64
+    (``sz*(sz-1)/2`` exact integer arithmetic both engines).
+
+    Scale shape: the only corpus-proportional relation is the stored
+    band table; its bucket-size agg is map-side combinable and
+    shuffle-free on the bucketed layout. Nothing expands pairs —
+    the audit counts what the generator would NOT expand.
+    """
+    bands = minhash_bands_stored(spark, sf_dir)
+    bsz = bands.groupBy("band_idx", "key").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    capped = F.col("sz") > _LSH_BUCKET_CAP
+    return bsz.groupBy(F.col("band_idx").cast("long").alias("band_idx")).agg(
+        F.sum((F.col("sz") > 1).cast("long")).cast("long").alias("n_buckets"),
+        F.sum(capped.cast("long")).cast("long").alias("n_capped"),
+        F.coalesce(
+            F.sum(F.when(capped, F.col("sz"))), F.lit(0)
+        ).cast("long").alias("docs_in_capped"),
+        F.coalesce(
+            F.sum(
+                F.when(capped, F.col("sz") * (F.col("sz") - 1) / 2)
+            ),
+            F.lit(0),
+        ).cast("long").alias("pairs_suppressed"),
+    )
+
+
+@register(
+    "llm_dedup_length_bias",
+    oracle=rf"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM (
+        SELECT doc_id, unnest({_sql_word_ngrams("t")}) AS s
+        FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(md5('{i}|' || s)) AS m{i}" for i in range(_N_HASHES))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(m{2*b} || m{2*b+1}) AS key FROM sig"
+        for b in range(_N_HASHES // _BAND_ROWS)
+      )}
+    ),
+    bsz AS (
+      SELECT band_idx, key FROM bands
+      GROUP BY band_idx, key
+      HAVING COUNT(*) BETWEEN 2 AND {_LSH_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bsz USING (band_idx, key)
+      JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key
+                  AND a.doc_id < b.doc_id
+    ),
+    jac AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(COUNT(*) AS DOUBLE)
+               / (sa.n + sb.n - COUNT(*)) AS jaccard
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      GROUP BY c.doc_a, c.doc_b, sa.n, sb.n
+    ),
+    removed AS (
+      SELECT DISTINCT doc_b AS doc_id FROM jac WHERE jaccard >= {_XSRC_J}
+    ),
+    flagged AS (
+      SELECT d.source, d.n_chars,
+             EXISTS (SELECT 1 FROM removed r WHERE r.doc_id = d.doc_id)
+               AS is_removed
+      FROM documents d
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN is_removed THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           CAST(SUM(CASE WHEN NOT is_removed THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN is_removed THEN n_chars ELSE 0 END) AS DOUBLE)
+             / NULLIF(SUM(CASE WHEN is_removed THEN 1 ELSE 0 END), 0)
+             AS mean_chars_removed,
+           CAST(SUM(CASE WHEN NOT is_removed THEN n_chars ELSE 0 END)
+                AS DOUBLE)
+             / NULLIF(SUM(CASE WHEN NOT is_removed THEN 1 ELSE 0 END), 0)
+             AS mean_chars_kept
+    FROM flagged
+    GROUP BY source
+    """,
+)
+def llm_dedup_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/A13 EXT: DEDUP LENGTH-BIAS audit — per source, the mean
+    length of documents the keep-first near-dup policy would REMOVE
+    (verified Jaccard ≥ {_XSRC_J}, higher-id member) versus the mean
+    length of what it keeps. Dedup is supposed to delete redundancy,
+    not systematically delete LONG documents — a removed-mean far
+    above the kept-mean says the shingle geometry over-matches long
+    docs and the training mix is about to lose its long-context tail.
+
+    Exactness: length sums are exact int64 over the int n_chars
+    column; means are double ratios of exact ints (NULL when a side
+    is empty, identically on both engines).
+
+    Scale shape: the removal set derives from the shared band-store
+    verify stage (``_ngram_jaccard_pairs``); the flag join is a LEFT
+    SEMI on doc_id against an O(removed) id set; the report is a
+    per-source hash agg over (source, n_chars, flag) — no text
+    moves, and the audit adds one id-set join to the dedup pass it
+    audits.
+    """
+    removed = (
+        _ngram_jaccard_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= F.expr(f"CAST({_XSRC_J} AS DOUBLE)"))
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_removed", F.lit(True))
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    flagged = docs.join(removed, "doc_id", "left").select(
+        "source",
+        "n_chars",
+        F.coalesce("is_removed", F.lit(False)).alias("is_removed"),
+    )
+    rm = F.col("is_removed")
+    n_rm = F.sum(rm.cast("long"))
+    n_kp = F.sum((~rm).cast("long"))
+    return flagged.groupBy("source").agg(
+        n_rm.cast("long").alias("n_removed"),
+        n_kp.cast("long").alias("n_kept"),
+        (
+            F.sum(F.when(rm, F.col("n_chars")).otherwise(0)).cast("double")
+            / F.nullif(n_rm, F.lit(0))
+        ).alias("mean_chars_removed"),
+        (
+            F.sum(F.when(~rm, F.col("n_chars")).otherwise(0)).cast("double")
+            / F.nullif(n_kp, F.lit(0))
+        ).alias("mean_chars_kept"),
+    )

@@ -62,6 +62,7 @@ _NESTED_LOOP_ALLOWED = {
     "stream_watermark_late_audit", # 1-row event-total broadcast
     "llm_ivf_cell_balance",        # 1-row (n_cells, n_all) totals broadcast
     "agg_brand_affinity_lift",     # 1-row order-total broadcast
+    "llm_embedding_coverage_audit",  # four 1-row count aggregates cross-joined
 }
 
 #: Queries whose fn() triggers side effects/execution rather than just
