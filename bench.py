@@ -278,6 +278,20 @@ HEADLINE = [
     "llm_incremental_embedding_admission_stored",
     "llm_simhash_bit_balance",
     "llm_vocab_coverage_curve",
+    # round 13
+    "agg_orders_backlog_timeseries",
+    "agg_referential_integrity_audit",
+    "llm_dedup_threshold_sweep",
+    "llm_semantic_outlier_docs",
+    "llm_sign_hamming_topk",
+    "llm_cross_source_neardup_matrix",
+    "stream_watermark_late_audit",
+    "llm_ivf_cell_balance",
+    "agg_brand_affinity_lift",
+    "window_cusum_drift_alarm",
+    "llm_embedding_coverage_audit",
+    "llm_lsh_cap_loss_audit",
+    "llm_dedup_length_bias",
 ]
 
 

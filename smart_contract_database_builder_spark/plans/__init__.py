@@ -24,58 +24,66 @@ from . import llm_ops  # noqa: E402,F401
 from . import scale_ops  # noqa: E402,F401
 from . import streaming_batch  # noqa: E402,F401
 
-#: Queries the driver window must cover first. ROUND-12 ROTATION
-#: (VERDICT r11 "Next round #3" + the freshness-guard policy now
-#: encoded in tests/test_evidence_freshness.py): the window's 50
-#: slots hold (a) witnesses for every plan whose CODE CHANGED this
-#: round — the fixed-K contrastive anchor batch, the literal-pinned
-#: Benford expectations, the int64-div drift midpoint — (b) one
-#: standing witness each for core relational, the reference family,
-#: true streaming, and exact dedup, and (c) the 23 oracle queries
-#: whose newest driver evidence is oldest (the whole r4/r5 cohort).
-#: Round-12-born operators register uncurated and land between
-#: _PRIORITY and _OVERFLOW — inside the window while it has room.
-#: Everything rotated out is driver-green in CORRECTNESS_r11 (or an
-#: earlier artifact with plan code unchanged since) and stays under
-#: the pytest oracle sweep (tests/test_oracle_parity.py, exact-match
-#: at sf0.01).
+#: Queries the driver window must cover first. ROUND-13 ROTATION
+#: (freshness-guard policy, tests/test_evidence_freshness.py): the
+#: window's 50 slots hold (a) witnesses for every plan whose CODE or
+#: ORACLE changed this round — the Bloom audit's subset-semantics
+#: oracle and the S23 stored-admission batch-slice split — plus the
+#: two r12 overflow-born audits earning their first driver rows,
+#: (b) one standing witness each for core relational, the reference
+#: family, true streaming, and exact dedup, (c) the whole r6-evidence
+#: cohort (11) and the 18 oldest r7-evidence queries. The 13
+#: round-13-born operators register uncurated and fill the window to
+#: exactly 50. Everything rotated out (the r12 window, incl. the
+#: r12-born cohort now appended to _OVERFLOW) is driver-green in
+#: CORRECTNESS_r12 with plan code unchanged since, and stays under
+#: the pytest oracle sweep (tests/test_oracle_parity.py).
 _PRIORITY = [
-    # --- changed-plan witnesses (r12: anchor-batch bound, Benford
-    # literal pinning, drift int64 midpoint) ---
-    "llm_contrastive_pairs",
-    "agg_benford_first_digit",
-    "agg_event_drift_report",
+    # --- changed-plan witnesses (r13: Bloom oracle subset semantics,
+    # stored-admission batch-slice encode) + r12 overflow-born
+    # audits rotating in for their first driver rows ---
+    "llm_bloom_dedup_audit",
+    "llm_incremental_embedding_admission_stored",
+    "llm_simhash_bit_balance",
+    "llm_vocab_coverage_curve",
     # --- standing family witnesses: core relational, reference
     # family, true streaming, exact dedup ---
     "flagship_revenue_by_region",
     "ref_extract_functions",
     "stream_true_tumbling_availablenow",
     "llm_exact_dedup_documents",
-    # --- freshness rotation: the r4-evidence cohort (14) ---
-    "agg_distinct_counts",
-    "agg_grouping_shapes",
-    "filter_point_lookup",
-    "filter_suffix_predicate",
-    "filter_type_predicate",
-    "join_semi_anti_customers",
-    "scalar_date_parts_orders",
-    "scalar_math_lineitem",
-    "set_ops_customer_keys",
-    "topk_orders_by_price",
-    "window_lag_lead_first_last",
-    "window_rank_variants",
-    "window_running_revenue_by_date",
-    "window_top3_orders_per_customer",
-    # --- freshness rotation: the r5-evidence cohort (9) ---
-    "llm_cosine_topk_bruteforce",
-    "llm_mix_sample_by_lang",
-    "llm_pii_redaction",
-    "llm_repetition_signals",
-    "llm_tfidf_top_terms",
-    "llm_vocab_coverage",
-    "scalar_map_explode_props",
-    "stream_session_windows",
-    "stream_sliding_window_avg",
+    # --- freshness rotation: the whole r6-evidence cohort (11) ---
+    "llm_ann_multitable_pairs",
+    "llm_duplicate_spans",
+    "llm_bm25_topk",
+    "llm_stratified_sample",
+    "llm_incremental_dedup",
+    "llm_gopher_quality_filter",
+    "llm_training_order",
+    "ref_sources_explode",
+    "ref_abi_signature_render",
+    "llm_langid_stopword",
+    "join_range_event_pairs",
+    # --- freshness rotation: the 18 oldest r7-evidence queries (the
+    # remaining 19 of that cohort rotate in round 14) ---
+    "stream_dedup_first_event",
+    "stream_static_enrich_segments",
+    "stream_stream_join_attribution",
+    "agg_percentile_prices",
+    "llm_knn_join_topk",
+    "llm_decontaminate_overlap",
+    "llm_sequence_packing",
+    "llm_token_budget_per_source",
+    "llm_chunk_documents",
+    "cdc_merge_latest_snapshot",
+    "llm_span_dedup_trim",
+    "llm_curation_pipeline",
+    "llm_token_entropy",
+    "llm_unigram_surprisal",
+    "llm_quality_percentile_by_lang",
+    "agg_histogram_prices",
+    "funnel_conversion_events",
+    "join_asof_tolerance",
 ]
 
 #: Oracle-CARRYING queries deliberately registered just past the
@@ -91,23 +99,61 @@ _PRIORITY = [
 #: evidence-freshness guard until a later round's rotation windows
 #: them; their oracles run in the pytest sweep from birth. Grow this
 #: set consciously — it defers driver evidence by at least one round.
-_BORN_IN_OVERFLOW = {
-    # r12 late-round: the S23 stored admission read path (the
-    # query-time twin holds the window slot; the stored twin's
-    # store/bit-identity contract is pinned in
-    # tests/test_annbucket_store.py)
-    "llm_incremental_embedding_admission_stored",
-    # r12 late-round audits: S22 bit balance (store-read) and the
-    # vocabulary coverage curve
-    "llm_simhash_bit_balance",
-    "llm_vocab_coverage_curve",
-}
+_BORN_IN_OVERFLOW: set[str] = set()
+# (r13: the three r12 overflow-born queries rotated into _PRIORITY —
+# the exemption list is empty until a future round is forced to bear
+# an operator past a full window again.)
 
 _OVERFLOW = [
-    # r12 late-round overflow-born (see _BORN_IN_OVERFLOW)
-    "llm_incremental_embedding_admission_stored",
-    "llm_simhash_bit_balance",
-    "llm_vocab_coverage_curve",
+    # r13 rotation: the r12-born cohort — every one driver-green in
+    # CORRECTNESS_r12, plans unchanged since
+    "llm_heaps_law_by_source",
+    "llm_char_class_profile",
+    "agg_priority_late_orders",
+    "agg_event_daily_anomaly",
+    "agg_customer_ltv_cohorts",
+    "llm_centroid_shift_by_label",
+    "llm_unique_ngram_ratio",
+    "llm_incremental_embedding_admission",
+    "llm_minhash_bbit_audit",
+    "llm_embedding_norm_outliers",
+    "llm_js_divergence_source_pairs",
+    "agg_reorder_gap_distribution",
+    "stream_window_topk_events",
+    "agg_supplier_concentration_hhi",
+    "agg_customer_pareto_share",
+    "llm_embedding_variance_spectrum",
+    "llm_shard_balance_report",
+    "agg_dau_wau_stickiness",
+    "llm_shared_prefix_report",
+    # r13 rotation: the r12 _PRIORITY (changed-plan witnesses + the
+    # r4/r5-evidence cohorts, all driver-green in CORRECTNESS_r12)
+    "llm_contrastive_pairs",
+    "agg_benford_first_digit",
+    "agg_event_drift_report",
+    "agg_distinct_counts",
+    "agg_grouping_shapes",
+    "filter_point_lookup",
+    "filter_suffix_predicate",
+    "filter_type_predicate",
+    "join_semi_anti_customers",
+    "scalar_date_parts_orders",
+    "scalar_math_lineitem",
+    "set_ops_customer_keys",
+    "topk_orders_by_price",
+    "window_lag_lead_first_last",
+    "window_rank_variants",
+    "window_running_revenue_by_date",
+    "window_top3_orders_per_customer",
+    "llm_cosine_topk_bruteforce",
+    "llm_mix_sample_by_lang",
+    "llm_pii_redaction",
+    "llm_repetition_signals",
+    "llm_tfidf_top_terms",
+    "llm_vocab_coverage",
+    "scalar_map_explode_props",
+    "stream_session_windows",
+    "stream_sliding_window_avg",
     # r12 rotation: the whole round-11 window (12 r9-born + 8 store
     # witnesses + the r11-born operator batches) earned green r11
     # rows with plans unchanged since — rotated out to refresh the
@@ -247,24 +293,6 @@ _OVERFLOW = [
     "llm_semdedup_representatives",
     "llm_mode_token_by_lang",
     "llm_readability_scores",
-    "stream_dedup_first_event",
-    "stream_static_enrich_segments",
-    "stream_stream_join_attribution",
-    "agg_percentile_prices",
-    "llm_knn_join_topk",
-    "llm_decontaminate_overlap",
-    "llm_sequence_packing",
-    "llm_token_budget_per_source",
-    "llm_chunk_documents",
-    "cdc_merge_latest_snapshot",
-    "llm_span_dedup_trim",
-    "llm_curation_pipeline",
-    "llm_token_entropy",
-    "llm_unigram_surprisal",
-    "llm_quality_percentile_by_lang",
-    "agg_histogram_prices",
-    "funnel_conversion_events",
-    "join_asof_tolerance",
     "stream_stream_left_outer",
     "window_rolling_zscore_events",
     "llm_bigram_lm_top",
@@ -283,17 +311,6 @@ _OVERFLOW = [
     "llm_fingerprint_dedup_prefix",
     "llm_text_stats_by_lang",
     "llm_quality_scores",
-    "llm_ann_multitable_pairs",
-    "llm_duplicate_spans",
-    "llm_bm25_topk",
-    "llm_stratified_sample",
-    "llm_incremental_dedup",
-    "llm_gopher_quality_filter",
-    "llm_training_order",
-    "ref_sources_explode",
-    "ref_abi_signature_render",
-    "llm_langid_stopword",
-    "join_range_event_pairs",
 ]
 
 #: Genuinely rows-only queries (no cross-engine oracle can exist:

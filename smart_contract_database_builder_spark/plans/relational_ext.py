@@ -4349,7 +4349,7 @@ def agg_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_orders_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A51 EXT: OPEN-ORDER BACKLOG per day as a SWEEP LINE — the
+    """A58 EXT: OPEN-ORDER BACKLOG per day as a SWEEP LINE — the
     interval-stabbing query ("how many orders were open on day d")
     every ops dashboard needs, computed WITHOUT the interval×day range
     join: each order's open interval [orderdate, last shipdate]
@@ -4442,7 +4442,7 @@ _FK_EDGES = [
     ),
 )
 def agg_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A52 EXT: REFERENTIAL-INTEGRITY AUDIT across every FK edge of
+    """A59 EXT: REFERENTIAL-INTEGRITY AUDIT across every FK edge of
     the star schema — the data-quality gate a warehouse runs after
     every load: per edge, the child row count, the number of orphan
     children (no matching parent key), and the orphan rate. A
@@ -4511,7 +4511,7 @@ def agg_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFra
     """,
 )
 def agg_brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A53 EXT: MARKET-BASKET BRAND AFFINITY — for every brand pair,
+    """A60 EXT: MARKET-BASKET BRAND AFFINITY — for every brand pair,
     the number of orders containing both and the lift
     P(a,b)·N / (P(a)·P(b)·N²)⁻¹-normalized co-occurrence: >1 means
     the brands are bought together more than independence predicts.

@@ -53,15 +53,17 @@ def test_oracle_queries_past_the_window_are_explicitly_designated():
 
 def test_family_witnesses_lead():
     """Each operator family keeps an always-in-window witness at the
-    head of the registry. The round-12 witness set pins every query
-    whose plan code changed this round (the fixed-K contrastive
-    anchor batch, the literal-pinned Benford expectations, the
-    int64-div drift midpoint) plus the standing family witnesses."""
+    head of the registry. The round-13 witness set pins every query
+    whose plan or oracle changed this round (the Bloom audit's
+    subset-semantics oracle, the S23 stored-admission batch-slice
+    split) plus the two r12 overflow-born audits earning their first
+    driver rows and the standing family witnesses."""
     head = list(plans.QUERIES)[:10]
     for name in (
-        "llm_contrastive_pairs",
-        "agg_benford_first_digit",
-        "agg_event_drift_report",
+        "llm_bloom_dedup_audit",
+        "llm_incremental_embedding_admission_stored",
+        "llm_simhash_bit_balance",
+        "llm_vocab_coverage_curve",
         "flagship_revenue_by_region",
         "ref_extract_functions",
         "stream_true_tumbling_availablenow",
@@ -308,9 +310,65 @@ _ROTATED_IN_R12 = [
 ]
 
 
-def test_round12_rotation_refreshes_the_stale_cohorts():
+def test_round12_rotation_queries_have_driver_rows():
+    """The r4/r5-evidence cohorts rotated IN for round 12 earned their
+    refreshed driver rows in CORRECTNESS_r12 and rotated back out in
+    round 13; pin that each really is driver-green."""
+    import json
+    import pathlib
+
+    rows = json.loads(
+        (pathlib.Path(__file__).resolve().parent.parent / "CORRECTNESS_r12.json").read_text()
+    )
+    for n in _ROTATED_IN_R12:
+        r = rows[n]
+        assert r["rows_match"] and r["schema_match"] and r["hash_match"], n
+
+
+#: Round-13 rotation contract: the r6-evidence cohort (whole) and the
+#: 18 oldest r7-evidence queries hold window slots this round,
+#: together with the changed-plan witnesses (Bloom oracle, stored
+#: admission) and the r12 overflow-born audits.
+_ROTATED_IN_R13 = [
+    "llm_bloom_dedup_audit",
+    "llm_incremental_embedding_admission_stored",
+    "llm_simhash_bit_balance",
+    "llm_vocab_coverage_curve",
+    "llm_ann_multitable_pairs",
+    "llm_duplicate_spans",
+    "llm_bm25_topk",
+    "llm_stratified_sample",
+    "llm_incremental_dedup",
+    "llm_gopher_quality_filter",
+    "llm_training_order",
+    "ref_sources_explode",
+    "ref_abi_signature_render",
+    "llm_langid_stopword",
+    "join_range_event_pairs",
+    "stream_dedup_first_event",
+    "stream_static_enrich_segments",
+    "stream_stream_join_attribution",
+    "agg_percentile_prices",
+    "llm_knn_join_topk",
+    "llm_decontaminate_overlap",
+    "llm_sequence_packing",
+    "llm_token_budget_per_source",
+    "llm_chunk_documents",
+    "cdc_merge_latest_snapshot",
+    "llm_span_dedup_trim",
+    "llm_curation_pipeline",
+    "llm_token_entropy",
+    "llm_unigram_surprisal",
+    "llm_quality_percentile_by_lang",
+    "agg_histogram_prices",
+    "funnel_conversion_events",
+    "join_asof_tolerance",
+]
+
+
+def test_round13_rotation_refreshes_the_stale_cohorts():
     window = list(plans.QUERIES)[:_DRIVER_WINDOW]
-    missing = [n for n in _ROTATED_IN_R12 if n not in window]
+    missing = [n for n in _ROTATED_IN_R13 if n not in window]
     assert missing == [], f"stale cohort missing from the window: {missing}"
 
 
