@@ -1,0 +1,219 @@
+"""Mathematical invariants of the round-13 operators.
+
+The oracle-parity sweep proves Spark == DuckDB; these pin that both
+are RIGHT — each operator's defining inequality/identity holds on the
+real corpus, so a same-bug-both-engines regression cannot hide behind
+parity.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from smart_contract_database_builder_spark import plans
+from smart_contract_database_builder_spark.sources.tables import load_table
+
+from conftest import SF_ORACLE
+
+
+def _rows(spark, name):
+    return plans.QUERIES[name].fn(spark, SF_ORACLE).collect()
+
+
+def test_backlog_is_conserved(spark):
+    """The sweep line conserves flow: backlog_t = Σ opened - Σ closed
+    up to t, never negative, and the final day's backlog is total
+    opened minus total closed (= 0 when every span closes in range)."""
+    rows = sorted(_rows(spark, "agg_orders_backlog_timeseries"),
+                  key=lambda r: r.day)
+    run = 0
+    for r in rows:
+        run += r.n_opened - r.n_closed
+        assert r.backlog == run, (r.day, r.backlog, run)
+        assert r.backlog >= 0, r
+    assert sum(r.n_opened for r in rows) == sum(r.n_closed for r in rows)
+
+
+def test_referential_integrity_edges_complete_and_bounded(spark):
+    rows = {r.edge: r for r in _rows(spark, "agg_referential_integrity_audit")}
+    assert len(rows) == 7
+    for r in rows.values():
+        assert 0 <= r.n_orphans <= r.n_child, r
+        assert abs(r.orphan_rate - r.n_orphans / r.n_child) < 1e-15
+    # child counts must equal the raw table sizes (no rows lost to the join)
+    li = load_table(spark, SF_ORACLE, "lineitem").count()
+    assert rows["lineitem.l_orderkey->orders"].n_child == li
+    assert rows["lineitem.l_partkey->part"].n_child == li
+
+
+def test_threshold_sweep_is_antitone(spark):
+    """Raising the cutoff can only shrink the surviving set."""
+    rows = sorted(_rows(spark, "llm_dedup_threshold_sweep"),
+                  key=lambda r: r.threshold)
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi.n_pairs <= lo.n_pairs, (lo, hi)
+        assert hi.n_docs_removed <= lo.n_docs_removed, (lo, hi)
+    for r in rows:
+        assert r.n_docs_removed <= r.n_pairs or r.n_pairs == 0
+        assert 0.0 <= r.removed_share <= 1.0
+
+
+def test_semantic_outliers_bounded_and_consistent(spark):
+    for r in _rows(spark, "llm_semantic_outlier_docs"):
+        assert -1.0 - 1e-12 <= r.median_cos <= 1.0 + 1e-12, r
+        assert r.mad_cos >= 0.0, r
+        assert 0 <= r.n_outliers <= r.n_vecs, r
+        assert abs(r.outlier_share - r.n_outliers / r.n_vecs) < 1e-15
+
+
+def test_sign_hamming_topk_agrees_with_numpy(spark):
+    """Third implementation: recompute the sketch + Hamming ranking
+    from the raw parquet in numpy and pin the returned top-10 set."""
+    import numpy as np
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, SF_ORACLE, "embeddings").collect()
+    }
+    from decimal import Decimal, ROUND_HALF_UP
+
+    def iscale(v: float) -> int:
+        # exact binary value -> DECIMAL(18,6) HALF_UP, the engines' cast
+        return int(
+            Decimal(float(v)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            ) * 1_000_000
+        )
+
+    def sketch(v):
+        return np.array([iscale(x) >= 0 for x in v])
+
+    q = sketch(emb[7])
+    ham = {
+        vid: int((sketch(v) != q).sum())
+        for vid, v in emb.items()
+        if vid != 7
+    }
+    want = sorted(ham, key=lambda vid: (ham[vid], vid))[:10]
+    got = [r.vec_id for r in _rows(spark, "llm_sign_hamming_topk")]
+    assert got == want
+    for r in _rows(spark, "llm_sign_hamming_topk"):
+        assert 0 <= r.hamming <= 64
+        assert -1.0 - 1e-12 <= r.cosine <= 1.0 + 1e-12
+
+
+def test_cross_source_matrix_shares_sum_to_one(spark):
+    rows = _rows(spark, "llm_cross_source_neardup_matrix")
+    assert rows, "no near-dup pairs at the cutoff — vacuous matrix"
+    assert abs(sum(r.pair_share for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert r.source_a <= r.source_b, r
+        assert r.n_pairs >= 1
+
+
+def test_watermark_lateness_is_antitone_in_delay(spark):
+    rows = sorted(_rows(spark, "stream_watermark_late_audit"),
+                  key=lambda r: r.w_hours)
+    assert [r.w_hours for r in rows] == [1, 6, 24]
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi.n_late <= lo.n_late, (lo, hi)
+    for r in rows:
+        assert 0.0 <= r.late_share < 1.0
+
+
+def test_watermark_prefix_scan_matches_sequential(spark):
+    """The two-level distributed prefix scan must equal the sequential
+    definition — recompute lateness counts in pure Python over the raw
+    parquet (arrival order = event_id)."""
+    ev = sorted(
+        (r.event_id, r.us)
+        for r in load_table(spark, SF_ORACLE, "events")
+        .selectExpr("event_id", "unix_micros(ts) AS us")
+        .collect()
+    )
+    best = None
+    late = {1: 0, 6: 0, 24: 0}
+    for _eid, us in ev:
+        if best is not None:
+            for h, w in ((1, 3_600_000_000), (6, 21_600_000_000),
+                         (24, 86_400_000_000)):
+                if best - us > w:
+                    late[h] += 1
+        best = us if best is None else max(best, us)
+    got = {r.w_hours: r.n_late for r in _rows(spark, "stream_watermark_late_audit")}
+    assert got == late
+
+
+def test_ivf_cell_balance_accounts_for_every_vector(spark):
+    rows = _rows(spark, "llm_ivf_cell_balance")
+    n_all = load_table(spark, SF_ORACLE, "embeddings").count()
+    assert sum(r.n_vecs for r in rows) == n_all
+    assert abs(sum(r.size_share for r in rows) - 1.0) < 1e-9
+    mean_ratio = sum(r.balance_ratio for r in rows) / len(rows)
+    assert abs(mean_ratio - 1.0) < 1e-9  # ratios average to 1 by definition
+
+
+def test_brand_affinity_counts_bounded_by_marginals(spark):
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    part = load_table(spark, SF_ORACLE, "part")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    marg = {r.p_brand: r.n for r in
+            ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for r in _rows(spark, "agg_brand_affinity_lift"):
+        assert r.n_both <= min(marg[r.brand_a], marg[r.brand_b]), r
+        assert r.lift > 0
+
+
+def test_cusum_is_nonnegative_and_resets(spark):
+    rows = _rows(spark, "window_cusum_drift_alarm")
+    assert rows
+    by_type: dict[str, int] = {}
+    for r in rows:
+        assert r.cusum >= -1e-12, r
+        by_type[r.event_type] = by_type.get(r.event_type, 0) + 1
+    # the closed form S_t - min prefix hits exactly 0 whenever the
+    # running sum makes a new low — every type must touch 0 at least
+    # once (its first new-low day)
+    for t in by_type:
+        zeros = [r for r in rows if r.event_type == t and r.cusum == 0.0]
+        assert zeros, f"{t}: cusum never touches 0"
+
+
+def test_embedding_coverage_identities(spark):
+    (r,) = _rows(spark, "llm_embedding_coverage_audit")
+    assert r.n_embedded <= min(r.n_docs, r.n_vecs)
+    assert r.n_orphan_vecs == r.n_vecs - r.n_embedded
+    assert abs(r.coverage - r.n_embedded / r.n_docs) < 1e-15
+
+
+def test_cap_loss_consistency(spark):
+    for r in _rows(spark, "llm_lsh_cap_loss_audit"):
+        assert r.n_capped <= r.n_buckets + r.n_capped  # capped excluded from >1..cap? see below
+        # every capped bucket holds > cap docs, so docs_in_capped > cap * n_capped
+        if r.n_capped:
+            assert r.docs_in_capped > 64 * r.n_capped
+            assert r.pairs_suppressed >= r.docs_in_capped  # sz(sz-1)/2 > sz for sz>3
+        else:
+            assert r.docs_in_capped == 0 and r.pairs_suppressed == 0
+
+
+def test_length_bias_counts_partition_corpus(spark):
+    rows = _rows(spark, "llm_dedup_length_bias")
+    docs = load_table(spark, SF_ORACLE, "documents")
+    per_source = {r.source: r.n for r in
+                  docs.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    for r in rows:
+        assert r.n_removed + r.n_kept == per_source[r.source], r
+        if r.n_removed:
+            assert r.mean_chars_removed is not None and r.mean_chars_removed > 0
+        else:
+            assert r.mean_chars_removed is None
