@@ -945,15 +945,18 @@ def llm_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_lsh_recall.py quantifies it vs the exact all-pairs
     computation on the test corpus).
     """
-    return _ngram_jaccard_pairs(spark, sf_dir).orderBy(
+    return _ngram_jaccard_pairs_compute(spark, sf_dir).orderBy(
         F.desc("jaccard"), "doc_a", "doc_b"
     ).limit(50)
 
 
-def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ngram_jaccard_pairs_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, n_shared, jaccard) — exact word-3-gram Jaccard
-    over the S21 band-store candidate pairs; the shared verify stage
-    behind ``llm_ngram_jaccard_topk`` and the threshold sweep."""
+    over the S21 band-store candidate pairs; the QUERY-TIME verify
+    stage. ``llm_ngram_jaccard_topk`` runs it per query (the family's
+    always-verified twin); the S24 store writer runs it once and the
+    audit consumers read the stored result
+    (``_ngram_jaccard_pairs_stored``)."""
     docs = load_table(spark, sf_dir, "documents")
     toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
     sh = (
@@ -7218,6 +7221,73 @@ def minhash_bands_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table)
 
 
+#: S24 verified-pair store codec: bakes the shingle geometry, the
+#: signature/banding geometry (via the S21 key components), the
+#: bucket cap, and the exact-Jaccard verify expressions. Bump when
+#: any of them changes.
+_JACCARD_CODEC_VERSION = 1
+
+
+def _jaccard_store(sf_dir: str) -> tuple[str, str]:
+    """Deterministic S24 store location: keyed like the S21 band store
+    (documents fingerprint + signature geometry) plus the bucket cap
+    and the verify codec version — a regenerated corpus, a re-banded
+    geometry or a changed verify can never silently serve stale
+    pairs."""
+    import os
+    import re
+
+    from ..sources.store_root import store_root
+
+    tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
+    fp = _source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    geom = (
+        f"v{_JACCARD_CODEC_VERSION}m{_MINHASH_CODEC_VERSION}"
+        f"h{_N_HASHES}r{_BAND_ROWS}c{_LSH_BUCKET_CAP}"
+    )
+    return os.path.join(store_root(), "jaccard_store", f"{tag}_{fp}_{geom}"), tag
+
+
+def _ensure_jaccard_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once gate for the S24 verified-pair store: on first use
+    per (corpus fingerprint, geometry, codec) the query-time verify
+    (``_ngram_jaccard_pairs_compute``) runs once and its result is
+    published atomically; every later call — in this session or any
+    other — returns the parquet path without touching the corpus."""
+    import os
+
+    from ..sources.jaccard_store import (
+        jaccard_store_complete,
+        mark_jaccard_store_complete,
+        write_jaccard_pairs,
+    )
+    from ..sources.store_root import build_tmp, publish_build
+
+    base, _tag = _jaccard_store(sf_dir)
+    if not jaccard_store_complete(base):
+        tmp = build_tmp(base)
+        write_jaccard_pairs(
+            _ngram_jaccard_pairs_compute(spark, sf_dir),
+            os.path.join(tmp, "pairs"),
+        )
+        mark_jaccard_store_complete(tmp)
+        publish_build(tmp, base)
+    return os.path.join(base, "pairs")
+
+
+def _ngram_jaccard_pairs_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, n_shared, jaccard) from the S24 store — the
+    production read path of the exact-Jaccard verify stage: the
+    candidate×shingle intersection join runs once per corpus at
+    write time, and every audit consumer (threshold sweep,
+    cross-source matrix, length bias) is an O(|verified pairs|)
+    parquet scan. Bit-identical to the query-time verify by the
+    writer contract (tests/test_jaccard_store.py)."""
+    from ..sources.jaccard_store import read_jaccard_pairs
+
+    return read_jaccard_pairs(spark, _ensure_jaccard_store(spark, sf_dir))
+
+
 def minhash_sigs_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The (doc_id, m0..m7) signature relation from the S21 store —
     the Jaccard-estimate verify stage reads this instead of re-running
@@ -13296,16 +13366,16 @@ def llm_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals, so the ``>=`` compares identical doubles; counts exact
     int64.
 
-    Scale shape: candidates come from the S21 band store (no
-    query-time signature pass) and the exact-Jaccard verify runs ONCE
-    over candidate×shingle rows (the bounded banded join of
-    ``_ngram_jaccard_pairs``); the sweep then explodes only the
-    O(|verified pairs|) relation 5× and hash-aggregates — the
-    threshold axis never touches the corpus. At 100 TB the sweep
-    costs the same as one verify pass plus a 5× explode of a
-    pair-id relation.
+    Scale shape: reads the S24 verified-pair store
+    (``_ngram_jaccard_pairs_stored``) — the candidate generation
+    (S21 bands) AND the exact-Jaccard verify are both write-time
+    passes, so the sweep explodes only the O(|verified pairs|)
+    parquet relation 5× and hash-aggregates; the threshold axis
+    never touches the corpus. At 100 TB the sweep is a pair-scale
+    scan, and the one-time verify cost is shared with every other
+    audit in the family.
     """
-    pairs = _ngram_jaccard_pairs(spark, sf_dir)
+    pairs = _ngram_jaccard_pairs_stored(spark, sf_dir)
     thresholds = F.array(
         *[F.expr(f"CAST({t} AS DOUBLE)") for t in _SWEEP_THRESHOLDS]
     )
@@ -13679,14 +13749,14 @@ def llm_cross_source_neardup_matrix(spark: SparkSession, sf_dir: str) -> DataFra
     Exactness: Jaccard is the exact int ratio; the cutoff is a shared
     decimal literal; counts exact int64; one double share.
 
-    Scale shape: everything up to the verified pair relation is the
-    shared ``_ngram_jaccard_pairs`` machinery (band-store candidates,
-    bounded verify); the source attribution joins move only (doc_id,
-    source) pairs — never text — and the final matrix is an
+    Scale shape: the verified pair relation is an S24 store scan
+    (``_ngram_jaccard_pairs_stored`` — candidates and verify both
+    pre-paid at write time); the source attribution joins move only
+    (doc_id, source) pairs — never text — and the final matrix is an
     O(sources²)-row hash agg. The 1-row total broadcasts for the
     share column.
     """
-    near = _ngram_jaccard_pairs(spark, sf_dir).filter(
+    near = _ngram_jaccard_pairs_stored(spark, sf_dir).filter(
         F.col("jaccard") >= F.expr(f"CAST({_XSRC_J} AS DOUBLE)")
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
@@ -14073,15 +14143,15 @@ def llm_dedup_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     column; means are double ratios of exact ints (NULL when a side
     is empty, identically on both engines).
 
-    Scale shape: the removal set derives from the shared band-store
-    verify stage (``_ngram_jaccard_pairs``); the flag join is a LEFT
+    Scale shape: the removal set derives from the S24 verified-pair
+    store (``_ngram_jaccard_pairs_stored``); the flag join is a LEFT
     SEMI on doc_id against an O(removed) id set; the report is a
     per-source hash agg over (source, n_chars, flag) — no text
-    moves, and the audit adds one id-set join to the dedup pass it
-    audits.
+    moves, and the audit adds one id-set join to the one-time verify
+    pass it audits.
     """
     removed = (
-        _ngram_jaccard_pairs(spark, sf_dir)
+        _ngram_jaccard_pairs_stored(spark, sf_dir)
         .filter(F.col("jaccard") >= F.expr(f"CAST({_XSRC_J} AS DOUBLE)"))
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
