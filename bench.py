@@ -292,6 +292,7 @@ HEADLINE = [
     "llm_embedding_coverage_audit",
     "llm_lsh_cap_loss_audit",
     "llm_dedup_length_bias",
+    "window_user_burst_rate",
 ]
 
 

@@ -64,8 +64,10 @@ _PRIORITY = [
     "ref_abi_signature_render",
     "llm_langid_stopword",
     "join_range_event_pairs",
-    # --- freshness rotation: the 18 oldest r7-evidence queries (the
-    # remaining 19 of that cohort rotate in round 14) ---
+    # --- freshness rotation: the 17 oldest r7-evidence queries (the
+    # remaining 20 of that cohort, incl. join_asof_tolerance — bumped
+    # for the late-round burst operator, still inside the 8-round
+    # freshness bound — rotate in round 14) ---
     "stream_dedup_first_event",
     "stream_static_enrich_segments",
     "stream_stream_join_attribution",
@@ -83,7 +85,6 @@ _PRIORITY = [
     "llm_quality_percentile_by_lang",
     "agg_histogram_prices",
     "funnel_conversion_events",
-    "join_asof_tolerance",
 ]
 
 #: Oracle-CARRYING queries deliberately registered just past the
@@ -105,6 +106,9 @@ _BORN_IN_OVERFLOW: set[str] = set()
 # an operator past a full window again.)
 
 _OVERFLOW = [
+    # r13 late swap: bumped from _PRIORITY for the burst operator
+    # (driver-green r7, rotates back in round 14)
+    "join_asof_tolerance",
     # r13 rotation: the r12-born cohort — every one driver-green in
     # CORRECTNESS_r12, plans unchanged since
     "llm_heaps_law_by_source",

@@ -4659,3 +4659,74 @@ def window_cusum_drift_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c").cast("double") / F.col("t_days")).alias("cusum"),
         (F.col("c") > F.col("x_sum")).alias("alarm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 batch 5: per-user sliding-window burst detection
+# ---------------------------------------------------------------------------
+
+#: Sliding burst window width in epoch microseconds (1 hour).
+_BURST_US = 3_600_000_000
+
+
+@register(
+    "window_user_burst_rate",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us FROM events
+    ),
+    r AS (
+      SELECT user_id,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+                            RANGE BETWEEN {_BURST_US - 1} PRECEDING
+                                      AND CURRENT ROW) AS w
+      FROM e
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(w) AS BIGINT) AS max_burst_1h,
+           CAST(MAX(w) AS DOUBLE) / COUNT(*) AS burst_share
+    FROM r
+    GROUP BY user_id
+    """,
+)
+def window_user_burst_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W13 EXT: PER-USER SLIDING-WINDOW BURST rate — for every user,
+    the maximum number of their events inside ANY 1-hour sliding
+    window (RANGE frame over event time, not a tumbling bucket that
+    splits bursts at grid edges): the rate-limiting / bot-detection
+    primitive. A user with 40 events spread over a month and a user
+    with 40 events in one hour look identical to a count — only the
+    burst column separates them.
+
+    Exactness: epoch-microsecond int64 ordering and exact counts; the
+    inclusive [t-1h+1µs, t] frame is the same closed-open hour on
+    both engines ({_BURST_US - 1} PRECEDING inclusive ≡ strictly
+    less than one hour back).
+
+    Scale shape: the RANGE-frame window partitions by user_id —
+    thousands of independent partitions, each linear in that user's
+    events (two-pointer frame maintenance, no per-row rescan); the
+    per-user reduce is a map-side-combinable MAX/COUNT. Event-time
+    skew (one bot user with millions of events) degrades ONE
+    partition linearly, not quadratically, and the documented
+    mitigation is pre-bucketing that user's rows by coarse time then
+    merging window boundaries — the same two-level trick as the
+    watermark prefix scan.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-(_BURST_US - 1), 0)
+    )
+    r = ev.select("user_id", F.count(F.lit(1)).over(w).alias("w"))
+    return r.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max("w").cast("long").alias("max_burst_1h"),
+        (
+            F.max("w").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("burst_share"),
+    )

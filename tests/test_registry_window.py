@@ -362,7 +362,8 @@ _ROTATED_IN_R13 = [
     "llm_quality_percentile_by_lang",
     "agg_histogram_prices",
     "funnel_conversion_events",
-    "join_asof_tolerance",
+    # join_asof_tolerance was bumped late-round for the burst
+    # operator (still inside the freshness bound; rotates r14)
 ]
 
 
