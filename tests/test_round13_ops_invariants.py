@@ -217,3 +217,30 @@ def test_length_bias_counts_partition_corpus(spark):
             assert r.mean_chars_removed is not None and r.mean_chars_removed > 0
         else:
             assert r.mean_chars_removed is None
+
+
+def test_burst_rate_bounds_and_sequential_twin(spark):
+    """max_burst is between 1 and n_events; recompute one user's burst
+    with a pure-Python two-pointer over the raw parquet."""
+    rows = {r.user_id: r for r in _rows(spark, "window_user_burst_rate")}
+    for r in rows.values():
+        assert 1 <= r.max_burst_1h <= r.n_events, r
+        assert abs(r.burst_share - r.max_burst_1h / r.n_events) < 1e-15
+    ev = (
+        load_table(spark, SF_ORACLE, "events")
+        .selectExpr("user_id", "unix_micros(ts) AS us")
+        .collect()
+    )
+    by_user: dict[int, list[int]] = {}
+    for e in ev:
+        by_user.setdefault(e.user_id, []).append(e.us)
+    W = 3_600_000_000
+    for uid in list(by_user)[:5]:
+        ts = sorted(by_user[uid])
+        best, lo = 1, 0
+        for hi in range(len(ts)):
+            while ts[hi] - ts[lo] >= W:
+                lo += 1
+            best = max(best, hi - lo + 1)
+        assert rows[uid].max_burst_1h == best, uid
+        assert rows[uid].n_events == len(ts)
