@@ -293,6 +293,7 @@ HEADLINE = [
     "llm_lsh_cap_loss_audit",
     "llm_dedup_length_bias",
     "window_user_burst_rate",
+    "llm_media_payload_dedup",
 ]
 
 

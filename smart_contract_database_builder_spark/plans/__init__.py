@@ -84,7 +84,6 @@ _PRIORITY = [
     "llm_unigram_surprisal",
     "llm_quality_percentile_by_lang",
     "agg_histogram_prices",
-    "funnel_conversion_events",
 ]
 
 #: Oracle-CARRYING queries deliberately registered just past the
@@ -106,9 +105,11 @@ _BORN_IN_OVERFLOW: set[str] = set()
 # an operator past a full window again.)
 
 _OVERFLOW = [
-    # r13 late swap: bumped from _PRIORITY for the burst operator
-    # (driver-green r7, rotates back in round 14)
+    # r13 late swaps: bumped from _PRIORITY for the burst operator
+    # and the multimodal payload dedup (driver-green r7, rotate back
+    # in round 14)
     "join_asof_tolerance",
+    "funnel_conversion_events",
     # r13 rotation: the r12-born cohort — every one driver-green in
     # CORRECTNESS_r12, plans unchanged since
     "llm_heaps_law_by_source",

@@ -14180,3 +14180,125 @@ def llm_dedup_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(n_kp, F.lit(0))
         ).alias("mean_chars_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 batch 6: multimodal binary payload dedup (first ORACLE-
+# carrying multimodal query — the payload is a pure function of the
+# id, so DuckDB can rebuild the same bytes)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_media_payload_dedup",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS media_id FROM documents),
+    payload AS (
+      -- the media_from_documents hash-chain, rebuilt in SQL: hex
+      -- concat == byte concat, one from_hex at the end
+      SELECT media_id,
+             ['image', 'audio', 'video'][(media_id % 3) + 1] AS kind,
+             string_agg(md5(CAST(media_id AS VARCHAR) || ':'
+                            || CAST(j AS VARCHAR)), ''
+                        ORDER BY j) AS hexdata
+      FROM ids, UNNEST(range(13)) t(j)
+      WHERE j < 8 + media_id % 5
+      GROUP BY media_id
+    ),
+    crawl AS (
+      SELECT kind, hexdata FROM payload
+      UNION ALL
+      SELECT kind, hexdata FROM payload
+    ),
+    keyed AS (
+      -- DuckDB's md5 takes VARCHAR only, so the content key is the
+      -- md5 of the LOWERCASE HEX of the payload on BOTH engines — a
+      -- bijective re-encoding, so grouping is identical to hashing
+      -- the raw bytes
+      SELECT kind,
+             md5(hexdata) AS content_key,
+             CAST(len(hexdata) / 2 AS BIGINT) AS n_bytes
+      FROM crawl
+    ),
+    grp AS (
+      SELECT kind, content_key,
+             COUNT(*) AS copies,
+             MIN(n_bytes) AS n_bytes
+      FROM keyed
+      GROUP BY kind, content_key
+    )
+    SELECT kind,
+           CAST(COUNT(*) AS BIGINT) AS n_payloads,
+           CAST(SUM(copies) AS BIGINT) AS n_rows,
+           CAST(SUM(copies - 1) AS BIGINT) AS n_dup_rows,
+           CAST(SUM(copies * n_bytes) AS BIGINT) AS bytes_total,
+           CAST(SUM(n_bytes) AS BIGINT) AS bytes_unique,
+           1.0 - CAST(SUM(n_bytes) AS DOUBLE)
+                   / CAST(SUM(copies * n_bytes) AS DOUBLE)
+             AS savings_ratio
+    FROM grp
+    GROUP BY kind
+    """,
+)
+def llm_media_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 EXT over BINARY media columns — the first ORACLE-carrying
+    multimodal query: exact payload dedup across a simulated
+    re-crawl (the corpus unioned with an id-shifted copy carrying
+    byte-identical payloads — what a second crawl of the same CDN
+    looks like), reporting per modality the unique-payload count,
+    duplicate rows, and the storage-savings ratio content-addressed
+    dedup would deliver. The multimodal twin of
+    ``llm_exact_dedup_documents``: hash the BYTES, never decode.
+
+    The payload is the ``media_from_documents`` hash-chain — a pure
+    function of the id — so DuckDB rebuilds the identical bytes in
+    SQL (hex-concat == byte-concat) and verifies the md5 grouping
+    bit-for-bit; this is what moves the multimodal family off the
+    rows-only tail.
+
+    Scale shape: one md5 per payload computed WHERE THE BYTES LIVE
+    (map-side, no decode, no Python); the shuffle moves (kind,
+    128-bit key, length) rows — never payload bytes; the report is an
+    O(kinds)-row hash agg. At 100 TB of video this is the only
+    tractable dedup pass there is, and it is one scan + one
+    key-shuffle.
+    """
+    from ..sources.multimodal import media_from_documents
+
+    media = media_from_documents(spark, sf_dir).select(
+        "media_id", "kind", "data"
+    )
+    off = media.agg((F.max("media_id") + 1).alias("off"))
+    mirror = media.crossJoin(F.broadcast(off)).select(
+        (F.col("media_id") + F.col("off")).alias("media_id"),
+        "kind",
+        "data",
+    )
+    crawl = media.unionByName(mirror)
+    keyed = crawl.select(
+        "kind",
+        # md5 over the lowercase hex of the bytes (not the bytes
+        # directly): DuckDB's md5 is VARCHAR-only, and hex is a
+        # bijection, so the grouping is identical — production would
+        # hash the raw bytes and skip the re-encode
+        F.md5(F.lower(F.hex("data"))).alias("content_key"),
+        F.length("data").cast("long").alias("n_bytes"),
+    )
+    grp = keyed.groupBy("kind", "content_key").agg(
+        F.count(F.lit(1)).alias("copies"),
+        F.min("n_bytes").alias("n_bytes"),
+    )
+    return grp.groupBy("kind").agg(
+        F.count(F.lit(1)).cast("long").alias("n_payloads"),
+        F.sum("copies").cast("long").alias("n_rows"),
+        F.sum(F.col("copies") - 1).cast("long").alias("n_dup_rows"),
+        F.sum(F.col("copies") * F.col("n_bytes"))
+        .cast("long")
+        .alias("bytes_total"),
+        F.sum("n_bytes").cast("long").alias("bytes_unique"),
+        (
+            F.lit(1.0)
+            - F.sum("n_bytes").cast("double")
+            / F.sum(F.col("copies") * F.col("n_bytes")).cast("double")
+        ).alias("savings_ratio"),
+    )

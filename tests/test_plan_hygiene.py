@@ -63,6 +63,7 @@ _NESTED_LOOP_ALLOWED = {
     "llm_ivf_cell_balance",        # 1-row (n_cells, n_all) totals broadcast
     "agg_brand_affinity_lift",     # 1-row order-total broadcast
     "llm_embedding_coverage_audit",  # four 1-row count aggregates cross-joined
+    "llm_media_payload_dedup",     # 1-row max-id offset broadcast (re-crawl view)
 }
 
 #: Queries whose fn() triggers side effects/execution rather than just

@@ -361,9 +361,9 @@ _ROTATED_IN_R13 = [
     "llm_unigram_surprisal",
     "llm_quality_percentile_by_lang",
     "agg_histogram_prices",
-    "funnel_conversion_events",
-    # join_asof_tolerance was bumped late-round for the burst
-    # operator (still inside the freshness bound; rotates r14)
+    # join_asof_tolerance and funnel_conversion_events were bumped
+    # late-round for the burst operator and the multimodal payload
+    # dedup (still inside the freshness bound; rotate r14)
 ]
 
 
