@@ -294,6 +294,8 @@ HEADLINE = [
     "llm_dedup_length_bias",
     "window_user_burst_rate",
     "llm_media_payload_dedup",
+    "llm_weak_link_edges",
+    "agg_customer_spend_trend",
 ]
 
 

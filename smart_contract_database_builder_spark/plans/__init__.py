@@ -64,10 +64,11 @@ _PRIORITY = [
     "ref_abi_signature_render",
     "llm_langid_stopword",
     "join_range_event_pairs",
-    # --- freshness rotation: the 17 oldest r7-evidence queries (the
-    # remaining 20 of that cohort, incl. join_asof_tolerance — bumped
-    # for the late-round burst operator, still inside the 8-round
-    # freshness bound — rotate in round 14) ---
+    # --- freshness rotation: the 15 oldest r7-evidence queries (the
+    # remaining 22 of that cohort, incl. the four bumped late-round
+    # for the burst / media-dedup / weak-link / spend-trend
+    # operators, all still inside the 8-round freshness bound —
+    # rotate in round 14) ---
     "stream_dedup_first_event",
     "stream_static_enrich_segments",
     "stream_stream_join_attribution",
@@ -82,8 +83,6 @@ _PRIORITY = [
     "llm_curation_pipeline",
     "llm_token_entropy",
     "llm_unigram_surprisal",
-    "llm_quality_percentile_by_lang",
-    "agg_histogram_prices",
 ]
 
 #: Oracle-CARRYING queries deliberately registered just past the
@@ -110,6 +109,8 @@ _OVERFLOW = [
     # in round 14)
     "join_asof_tolerance",
     "funnel_conversion_events",
+    "llm_quality_percentile_by_lang",
+    "agg_histogram_prices",
     # r13 rotation: the r12-born cohort — every one driver-green in
     # CORRECTNESS_r12, plans unchanged since
     "llm_heaps_law_by_source",

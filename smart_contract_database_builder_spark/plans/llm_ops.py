@@ -14302,3 +14302,115 @@ def llm_media_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.col("copies") * F.col("n_bytes")).cast("double")
         ).alias("savings_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 batch 7: weak-link edges in the dedup candidate graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_weak_link_edges",
+    oracle=rf"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM (
+        SELECT doc_id, unnest({_sql_word_ngrams("t")}) AS s
+        FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+      )
+    ),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(md5('{i}|' || s)) AS m{i}" for i in range(_N_HASHES))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(m{2*b} || m{2*b+1}) AS key FROM sig"
+        for b in range(_N_HASHES // _BAND_ROWS)
+      )}
+    ),
+    bsz AS (
+      SELECT band_idx, key FROM bands
+      GROUP BY band_idx, key
+      HAVING COUNT(*) BETWEEN 2 AND {_LSH_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bsz USING (band_idx, key)
+      JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key
+                  AND a.doc_id < b.doc_id
+    ),
+    adj AS (
+      SELECT doc_a AS u, doc_b AS v FROM cand
+      UNION ALL
+      SELECT doc_b, doc_a FROM cand
+    ),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u),
+    common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n
+      FROM cand c
+      JOIN adj x ON x.u = c.doc_a
+      JOIN adj y ON y.u = c.doc_b AND y.v = x.v
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT c.doc_a, c.doc_b, da.d AS deg_a, db.d AS deg_b
+    FROM cand c
+    LEFT JOIN common m ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b
+    JOIN deg da ON da.u = c.doc_a
+    JOIN deg db ON db.u = c.doc_b
+    WHERE m.n IS NULL
+    """,
+)
+def llm_weak_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7/J17 EXT: WEAK-LINK edges of the dedup candidate graph —
+    candidate pairs whose endpoints share NO common neighbor (the
+    edge sits in no triangle), with each endpoint's degree. The
+    cluster-fragility audit that pairs with the triangle counts: a
+    near-dup cluster held together by weak links is usually a
+    hub-and-spoke boilerplate chain (strip the template), while a
+    triangle-dense cluster is a true duplicate clique (collapse it);
+    weak links are also exactly the edges whose removal splits a
+    component, so this is where a pipeline looks before trusting a
+    giant cluster.
+
+    Exactness: pure integer set algebra over md5-derived edges.
+
+    Scale shape: candidates come from the S21 band store; the
+    common-neighbor wedge join shuffles on node keys and its fan-out
+    is DEGREE-BOUNDED BY CONSTRUCTION (the LSH bucket cap caps a
+    node's neighbors per band) — the same structural guard the
+    triangle count relies on; degrees are one hash agg over the
+    adjacency list.
+    """
+    cand = minhash_candidate_pairs_stored(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    adj = cand.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        cand.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    x = adj.alias("x").hint("merge")
+    y = adj.alias("y").hint("merge")
+    common = (
+        cand.join(x, F.col("x.u") == F.col("doc_a"))
+        .join(
+            y,
+            (F.col("y.u") == F.col("doc_b"))
+            & (F.col("y.v") == F.col("x.v")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    da = deg.select(F.col("u").alias("doc_a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("u").alias("doc_b"), F.col("d").alias("deg_b"))
+    return (
+        cand.join(common, ["doc_a", "doc_b"], "left")
+        .filter(F.col("n").isNull())
+        .join(da, "doc_a")
+        .join(db, "doc_b")
+        .select("doc_a", "doc_b", "deg_a", "deg_b")
+    )

@@ -4730,3 +4730,82 @@ def window_user_burst_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("w").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("burst_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 batch 7: per-customer spend-trend OLS
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_customer_spend_trend",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS x,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS y
+      FROM orders
+    ),
+    s AS (
+      SELECT o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx,
+             SUM(CAST(x AS BIGINT) * x) AS sxx,
+             SUM(y) AS sy,
+             SUM(x * y) AS sxy
+      FROM o GROUP BY o_custkey
+    )
+    SELECT o_custkey AS custkey, n AS n_orders,
+           CAST(sy AS DOUBLE) AS total_spend,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_per_day
+    FROM s
+    WHERE n >= 3 AND n * sxx - sx * sx <> 0
+    """,
+)
+def agg_customer_spend_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A61 EXT: PER-CUSTOMER SPEND TREND — ordinary least squares of
+    order value against order date, one regression per customer in a
+    single aggregation pass: the slope (currency/day) that separates
+    growing accounts from churning ones long before a retention flag
+    fires. The grouped-OLS primitive (the corpus-level Zipf slope is
+    its one-group cousin) every CRM scorecard needs.
+
+    Exactness: x is integer epoch-days, y exact DECIMAL(18,2); all
+    five sufficient statistics are exact integer/decimal SUMs
+    (order-free), and the slope is ONE double division of exact
+    quantities — bitwise identical on both engines. Customers with
+    <3 orders or a degenerate x-variance are excluded identically.
+
+    Scale shape: one map-side-combinable groupBy(custkey) computes
+    every regression simultaneously — no per-customer iteration, no
+    window, no second pass; the output is O(customers). This is the
+    canonical "millions of tiny models in one shuffle" shape.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("x"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+    )
+    s = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x").cast("long") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        s.filter((F.col("n") >= 3) & (denom != 0))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("n").alias("n_orders"),
+            F.col("sy").cast("double").alias("total_spend"),
+            (
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                .cast("double")
+                / denom.cast("double")
+            ).alias("slope_per_day"),
+        )
+    )

@@ -359,11 +359,11 @@ _ROTATED_IN_R13 = [
     "llm_curation_pipeline",
     "llm_token_entropy",
     "llm_unigram_surprisal",
-    "llm_quality_percentile_by_lang",
-    "agg_histogram_prices",
-    # join_asof_tolerance and funnel_conversion_events were bumped
-    # late-round for the burst operator and the multimodal payload
-    # dedup (still inside the freshness bound; rotate r14)
+    # join_asof_tolerance, funnel_conversion_events,
+    # llm_quality_percentile_by_lang and agg_histogram_prices were
+    # bumped late-round for the burst / media-dedup / weak-link /
+    # spend-trend operators (still inside the freshness bound;
+    # rotate r14)
 ]
 
 

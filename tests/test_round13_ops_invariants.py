@@ -244,3 +244,58 @@ def test_burst_rate_bounds_and_sequential_twin(spark):
             best = max(best, hi - lo + 1)
         assert rows[uid].max_burst_1h == best, uid
         assert rows[uid].n_events == len(ts)
+
+
+def test_weak_links_have_no_common_neighbor(spark):
+    """Recompute adjacency in Python and pin: every reported edge has
+    an empty neighbor intersection, every non-reported candidate edge
+    a non-empty one, and degrees match."""
+    from smart_contract_database_builder_spark.plans.llm_ops import (
+        minhash_candidate_pairs_stored,
+    )
+
+    cand = [
+        (r.doc_a, r.doc_b)
+        for r in minhash_candidate_pairs_stored(spark, SF_ORACLE)
+        .select("doc_a", "doc_b")
+        .collect()
+    ]
+    adj: dict[int, set[int]] = {}
+    for a, b in cand:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    weak = {(a, b) for a, b in cand if not (adj[a] & adj[b])}
+    rows = _rows(spark, "llm_weak_link_edges")
+    got = {(r.doc_a, r.doc_b) for r in rows}
+    assert got == weak and len(cand) > 0
+    for r in rows:
+        assert r.deg_a == len(adj[r.doc_a]) and r.deg_b == len(adj[r.doc_b])
+
+
+def test_spend_trend_matches_numpy_ols(spark):
+    import numpy as np
+
+    orders = load_table(spark, SF_ORACLE, "orders").selectExpr(
+        "o_custkey",
+        "datediff(to_date(o_orderdate), to_date('1970-01-01')) AS x",
+        "cast(o_totalprice AS decimal(18,2)) AS y",
+    ).collect()
+    by_c: dict[int, list] = {}
+    for r in orders:
+        by_c.setdefault(r.o_custkey, []).append((r.x, float(r.y)))
+    rows = {r.custkey: r for r in _rows(spark, "agg_customer_spend_trend")}
+    import random
+    rng = random.Random(13)
+    checked = 0
+    for c in rng.sample(sorted(by_c), 50):
+        pts = by_c[c]
+        xs = np.array([p[0] for p in pts], dtype=np.float64)
+        ys = np.array([p[1] for p in pts], dtype=np.float64)
+        if len(pts) < 3 or np.all(xs == xs[0]):
+            assert c not in rows
+            continue
+        slope = np.polyfit(xs, ys, 1)[0]
+        assert abs(rows[c].slope_per_day - slope) < 1e-6 * max(1, abs(slope)), c
+        assert rows[c].n_orders == len(pts)
+        checked += 1
+    assert checked > 30
