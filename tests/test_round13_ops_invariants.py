@@ -299,3 +299,29 @@ def test_spend_trend_matches_numpy_ols(spark):
         assert rows[c].n_orders == len(pts)
         checked += 1
     assert checked > 30
+
+
+def test_new_ops_prune_their_scans(spark):
+    """Column pruning must reach the parquet scan: a 2-column
+    projection that reads the whole row at 100 TB is wrong even when
+    the answer is right."""
+    import re
+
+    def schemas(name):
+        df = plans.QUERIES[name].fn(spark, SF_ORACLE)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        return re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+
+    for sch in schemas("agg_customer_spend_trend"):
+        assert set(c.split(":")[0] for c in sch.split(",")) <= {
+            "o_custkey", "o_totalprice", "o_orderdate"
+        }, sch
+    for sch in schemas("agg_orders_backlog_timeseries"):
+        assert set(c.split(":")[0] for c in sch.split(",")) <= {
+            "o_orderkey", "o_orderdate", "l_orderkey", "l_shipdate"
+        }, sch
+    for sch in schemas("llm_media_payload_dedup"):
+        cols = {c.split(":")[0] for c in sch.split(",") if c}
+        assert cols <= {"doc_id"}, sch  # empty = count-only scan, fine
