@@ -325,3 +325,40 @@ def test_new_ops_prune_their_scans(spark):
     for sch in schemas("llm_media_payload_dedup"):
         cols = {c.split(":")[0] for c in sch.split(",") if c}
         assert cols <= {"doc_id"}, sch  # empty = count-only scan, fine
+
+
+def test_media_payload_dedup_pure_python_twin(spark):
+    """Third implementation from the raw parquet: rebuild the
+    hash-chain payloads in Python, simulate the re-crawl union, and
+    pin every column of the per-kind report."""
+    import hashlib
+
+    doc_ids = [
+        r.doc_id for r in load_table(spark, SF_ORACLE, "documents")
+        .select("doc_id").collect()
+    ]
+    kinds = ("image", "audio", "video")
+    per: dict[str, dict[str, tuple[int, int]]] = {}
+    for mid in doc_ids:
+        kind = kinds[mid % 3]
+        hexdata = "".join(
+            hashlib.md5(f"{mid}:{j}".encode()).hexdigest()
+            for j in range(8 + mid % 5)
+        )
+        key = hashlib.md5(hexdata.encode()).hexdigest()
+        n_bytes = len(hexdata) // 2
+        grp = per.setdefault(kind, {})
+        copies, _ = grp.get(key, (0, n_bytes))
+        grp[key] = (copies + 2, n_bytes)  # crawl A + mirror copy
+    got = {r.kind: r for r in _rows(spark, "llm_media_payload_dedup")}
+    assert set(got) == set(per)
+    for kind, grp in per.items():
+        r = got[kind]
+        assert r.n_payloads == len(grp)
+        assert r.n_rows == sum(c for c, _ in grp.values())
+        assert r.n_dup_rows == sum(c - 1 for c, _ in grp.values())
+        assert r.bytes_total == sum(c * b for c, b in grp.values())
+        assert r.bytes_unique == sum(b for _, b in grp.values())
+        assert abs(
+            r.savings_ratio - (1 - r.bytes_unique / r.bytes_total)
+        ) < 1e-15
