@@ -296,6 +296,7 @@ HEADLINE = [
     "llm_media_payload_dedup",
     "llm_weak_link_edges",
     "agg_customer_spend_trend",
+    "llm_dedup_quality_interaction",
 ]
 
 

@@ -98,12 +98,17 @@ _PRIORITY = [
 #: evidence-freshness guard until a later round's rotation windows
 #: them; their oracles run in the pytest sweep from birth. Grow this
 #: set consciously — it defers driver evidence by at least one round.
-_BORN_IN_OVERFLOW: set[str] = set()
-# (r13: the three r12 overflow-born queries rotated into _PRIORITY —
-# the exemption list is empty until a future round is forced to bear
-# an operator past a full window again.)
+_BORN_IN_OVERFLOW: set[str] = {
+    # r13 late-round: the dedup x quality composition audit (the
+    # window was full with the 17 earlier newborns; its inputs — the
+    # S24 removal set and the F30 filter — both hold window slots,
+    # and its oracle runs in the pytest sweep from birth)
+    "llm_dedup_quality_interaction",
+}
 
 _OVERFLOW = [
+    # r13 late-round overflow-born (see _BORN_IN_OVERFLOW)
+    "llm_dedup_quality_interaction",
     # r13 late swaps: bumped from _PRIORITY for the burst operator
     # and the multimodal payload dedup (driver-green r7, rotate back
     # in round 14)

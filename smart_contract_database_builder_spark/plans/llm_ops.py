@@ -14414,3 +14414,153 @@ def llm_weak_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(db, "doc_b")
         .select("doc_a", "doc_b", "deg_a", "deg_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 batch 8: dedup × quality interaction audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_dedup_quality_interaction",
+    oracle=rf"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM (
+        SELECT doc_id, unnest({_sql_word_ngrams("t")}) AS s
+        FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(md5('{i}|' || s)) AS m{i}" for i in range(_N_HASHES))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(m{2*b} || m{2*b+1}) AS key FROM sig"
+        for b in range(_N_HASHES // _BAND_ROWS)
+      )}
+    ),
+    bsz AS (
+      SELECT band_idx, key FROM bands
+      GROUP BY band_idx, key
+      HAVING COUNT(*) BETWEEN 2 AND {_LSH_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bsz USING (band_idx, key)
+      JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key
+                  AND a.doc_id < b.doc_id
+    ),
+    jac AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(COUNT(*) AS DOUBLE)
+               / (sa.n + sb.n - COUNT(*)) AS jaccard
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      GROUP BY c.doc_a, c.doc_b, sa.n, sb.n
+    ),
+    removed AS (
+      SELECT DISTINCT doc_b AS doc_id FROM jac WHERE jaccard >= {_XSRC_J}
+    ),
+    tc AS (
+      SELECT doc_id, term, COUNT(*) AS c, LEN(term) AS l
+      FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents)
+      GROUP BY doc_id, term
+    ),
+    quality AS (
+      SELECT doc_id,
+             CAST(
+               SUM(c) BETWEEN {_G_MIN_TOK} AND {_G_MAX_TOK}
+               AND CAST(SUM(l * c) AS DOUBLE) / SUM(c)
+                   BETWEEN {_G_MIN_MWL} AND {_G_MAX_MWL}
+               AND CAST(MAX(c) AS DOUBLE) / SUM(c) <= {_G_MAX_TOP_FRAC}
+               AND MAX(CASE WHEN term IN ({_SQL_STOPWORDS})
+                            THEN 1 ELSE 0 END) = 1
+             AS BOOLEAN) AS keep
+      FROM tc GROUP BY doc_id
+    ),
+    flagged AS (
+      SELECT d.source, q.keep,
+             EXISTS (SELECT 1 FROM removed r WHERE r.doc_id = d.doc_id)
+               AS is_removed
+      FROM documents d JOIN quality q ON q.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN is_removed THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           CAST(SUM(CASE WHEN NOT is_removed THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN is_removed AND keep THEN 1 ELSE 0 END)
+                AS DOUBLE)
+             / NULLIF(SUM(CASE WHEN is_removed THEN 1 ELSE 0 END), 0)
+             AS removed_quality_share,
+           CAST(SUM(CASE WHEN NOT is_removed AND keep THEN 1 ELSE 0 END)
+                AS DOUBLE)
+             / NULLIF(SUM(CASE WHEN NOT is_removed THEN 1 ELSE 0 END), 0)
+             AS kept_quality_share
+    FROM flagged
+    GROUP BY source
+    """,
+)
+def llm_dedup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6×F30 EXT: DEDUP × QUALITY interaction audit — per source,
+    the Gopher quality-pass rate among documents the near-dup policy
+    REMOVES versus among what it keeps. The question every curation
+    run must answer before shipping: is dedup deleting junk
+    (removed-quality-share well below kept) or deleting gold
+    (shares comparable — the removed docs were fine, only redundant)?
+    Composes two pipelines this engine already runs — the S24
+    verified-pair removal set and the F30 rule-chain filter — into
+    the ledger row a data lead actually reads.
+
+    Exactness: the quality verdict is the exact Gopher rule chain
+    (integer ratios, shared literals); counts exact int64; the two
+    shares are double ratios with identical NULL degeneracy.
+
+    Scale shape: the removal set is an S24 store scan; the quality
+    flags are the F30 two-hash-agg pass (map-side combinable); the
+    interaction is one id-keyed join + a per-source hash agg over
+    (source, keep, flag) — the audit costs one join more than the
+    filters it composes.
+    """
+    removed = (
+        _ngram_jaccard_pairs_stored(spark, sf_dir)
+        .filter(F.col("jaccard") >= F.expr(f"CAST({_XSRC_J} AS DOUBLE)"))
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_removed", F.lit(True))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    quality = gopher_quality_filter(docs).select("doc_id", "keep")
+    flagged = (
+        docs.select("doc_id", "source")
+        .join(quality, "doc_id")
+        .join(removed, "doc_id", "left")
+        .select(
+            "source",
+            "keep",
+            F.coalesce("is_removed", F.lit(False)).alias("is_removed"),
+        )
+    )
+    rm = F.col("is_removed")
+    n_rm = F.sum(rm.cast("long"))
+    n_kp = F.sum((~rm).cast("long"))
+    return flagged.groupBy("source").agg(
+        n_rm.cast("long").alias("n_removed"),
+        n_kp.cast("long").alias("n_kept"),
+        (
+            F.sum((rm & F.col("keep")).cast("long")).cast("double")
+            / F.nullif(n_rm, F.lit(0))
+        ).alias("removed_quality_share"),
+        (
+            F.sum(((~rm) & F.col("keep")).cast("long")).cast("double")
+            / F.nullif(n_kp, F.lit(0))
+        ).alias("kept_quality_share"),
+    )
