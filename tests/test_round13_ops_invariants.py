@@ -362,3 +362,20 @@ def test_media_payload_dedup_pure_python_twin(spark):
         assert abs(
             r.savings_ratio - (1 - r.bytes_unique / r.bytes_total)
         ) < 1e-15
+
+
+def test_dedup_quality_interaction_consistency(spark):
+    rows = _rows(spark, "llm_dedup_quality_interaction")
+    docs = load_table(spark, SF_ORACLE, "documents")
+    per_source = {r.source: r.n for r in
+                  docs.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    # the removal set must agree with the length-bias audit's
+    bias = {r.source: r for r in _rows(spark, "llm_dedup_length_bias")}
+    for r in rows:
+        assert r.n_removed + r.n_kept == per_source[r.source], r
+        assert r.n_removed == bias[r.source].n_removed
+        if r.n_removed:
+            assert 0.0 <= r.removed_quality_share <= 1.0
+        else:
+            assert r.removed_quality_share is None
+        assert 0.0 <= r.kept_quality_share <= 1.0
