@@ -297,6 +297,7 @@ HEADLINE = [
     "llm_weak_link_edges",
     "agg_customer_spend_trend",
     "llm_dedup_quality_interaction",
+    "llm_corpus_delta_report",
 ]
 
 

@@ -104,11 +104,14 @@ _BORN_IN_OVERFLOW: set[str] = {
     # S24 removal set and the F30 filter — both hold window slots,
     # and its oracle runs in the pytest sweep from birth)
     "llm_dedup_quality_interaction",
+    # r13 late-round: the snapshot-diff changelog (same rationale)
+    "llm_corpus_delta_report",
 }
 
 _OVERFLOW = [
     # r13 late-round overflow-born (see _BORN_IN_OVERFLOW)
     "llm_dedup_quality_interaction",
+    "llm_corpus_delta_report",
     # r13 late swaps: bumped from _PRIORITY for the burst operator
     # and the multimodal payload dedup (driver-green r7, rotate back
     # in round 14)

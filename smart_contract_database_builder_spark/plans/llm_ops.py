@@ -14564,3 +14564,114 @@ def llm_dedup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFrame
             / F.nullif(n_kp, F.lit(0))
         ).alias("kept_quality_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 batch 9: corpus snapshot-diff report
+# ---------------------------------------------------------------------------
+
+#: Snapshot simulation residues: docs with id%10==_DELTA_ADD exist
+#: only in the NEW snapshot (freshly crawled), id%10==_DELTA_DEL only
+#: in the OLD one (dropped from the crawl), id%10==_DELTA_CHG carry a
+#: marker suffix in the old snapshot (re-extraction changed them).
+_DELTA_ADD, _DELTA_DEL, _DELTA_CHG = 3, 7, 5
+
+
+@register(
+    "llm_corpus_delta_report",
+    oracle=rf"""
+    WITH new_snap AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS k
+      FROM documents WHERE doc_id % 10 <> {_DELTA_DEL}
+    ),
+    old_snap AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(trim(lower(
+               CASE WHEN doc_id % 10 = {_DELTA_CHG}
+                    THEN text || ' v1' ELSE text END)), '\s+', ' ', 'g'))
+               AS k
+      FROM documents WHERE doc_id % 10 <> {_DELTA_ADD}
+    ),
+    j AS (
+      SELECT COALESCE(n.source, o.source) AS source,
+             n.doc_id AS nid, o.doc_id AS oid,
+             n.k AS nk, o.k AS ok
+      FROM new_snap n
+      FULL OUTER JOIN old_snap o ON o.doc_id = n.doc_id
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN oid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_added,
+           CAST(SUM(CASE WHEN nid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           CAST(SUM(CASE WHEN nid IS NOT NULL AND oid IS NOT NULL
+                          AND nk <> ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed,
+           CAST(SUM(CASE WHEN nk = ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unchanged,
+           CAST(SUM(CASE WHEN nk = ok THEN 0 ELSE 1 END) AS DOUBLE)
+             / COUNT(*) AS churn_rate
+    FROM j
+    GROUP BY source
+    """,
+)
+def llm_corpus_delta_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/J10 EXT: CORPUS SNAPSHOT DIFF — the changelog an incremental
+    ingest publishes between two crawls: per source, documents added,
+    removed, changed (same id, different canonical content key) and
+    unchanged, plus the churn rate. This is the report that decides
+    whether downstream stores (S20-S24) re-encode: zero churn means
+    every fingerprint-keyed store re-attaches as-is. The two
+    snapshots are simulated from the one corpus by id residue
+    (added/removed slices and a marker-suffix re-extraction for the
+    changed slice) — the comparison machinery is the product.
+
+    Exactness: content keys are the canonical md5 discipline of exact
+    dedup; counts exact int64; one double ratio.
+
+    Scale shape: ONE full-outer join on the uniform doc_id key —
+    ids and 128-bit keys only, text never moves (keys are computed
+    at the scan) — then a per-source hash agg. At 100 TB a snapshot
+    diff is exactly this join, and it shuffles 24 bytes per doc.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = lambda c: F.md5(F.regexp_replace(F.trim(F.lower(c)), r"\s+", " "))  # noqa: E731
+    new_snap = docs.filter(F.col("doc_id") % 10 != _DELTA_DEL).select(
+        F.col("doc_id").alias("nid"),
+        F.col("source").alias("nsource"),
+        key(F.col("text")).alias("nk"),
+    )
+    old_text = F.when(
+        F.col("doc_id") % 10 == _DELTA_CHG, F.concat(F.col("text"), F.lit(" v1"))
+    ).otherwise(F.col("text"))
+    old_snap = docs.filter(F.col("doc_id") % 10 != _DELTA_ADD).select(
+        F.col("doc_id").alias("oid"),
+        F.col("source").alias("osource"),
+        key(old_text).alias("ok"),
+    )
+    j = new_snap.join(
+        old_snap, new_snap.nid == old_snap.oid, "full_outer"
+    ).select(
+        F.coalesce("nsource", "osource").alias("source"),
+        "nid",
+        "oid",
+        "nk",
+        "ok",
+    )
+    same = F.col("nk") == F.col("ok")
+    return j.groupBy("source").agg(
+        F.sum(F.col("oid").isNull().cast("long")).cast("long").alias("n_added"),
+        F.sum(F.col("nid").isNull().cast("long")).cast("long").alias("n_removed"),
+        F.sum(
+            (F.col("nid").isNotNull() & F.col("oid").isNotNull() & ~same)
+            .cast("long")
+        ).cast("long").alias("n_changed"),
+        F.sum(F.coalesce(same, F.lit(False)).cast("long"))
+        .cast("long")
+        .alias("n_unchanged"),
+        (
+            F.sum((~F.coalesce(same, F.lit(False))).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("churn_rate"),
+    )

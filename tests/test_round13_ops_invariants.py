@@ -379,3 +379,31 @@ def test_dedup_quality_interaction_consistency(spark):
         else:
             assert r.removed_quality_share is None
         assert 0.0 <= r.kept_quality_share <= 1.0
+
+
+def test_corpus_delta_accounts_for_every_doc(spark):
+    """added+removed+changed+unchanged covers the union of both
+    snapshots; the simulated residues give exact expected counts."""
+    rows = _rows(spark, "llm_corpus_delta_report")
+    docs = [(r.doc_id, r.source) for r in
+            load_table(spark, SF_ORACLE, "documents")
+            .select("doc_id", "source").collect()]
+    per: dict[str, dict[str, int]] = {}
+    for did, src in docs:
+        d = per.setdefault(src, {"a": 0, "r": 0, "c": 0, "u": 0})
+        m = did % 10
+        if m == 3:
+            d["a"] += 1
+        elif m == 7:
+            d["r"] += 1
+        elif m == 5:
+            d["c"] += 1
+        else:
+            d["u"] += 1
+    for r in rows:
+        e = per[r.source]
+        assert (r.n_added, r.n_removed, r.n_changed, r.n_unchanged) == (
+            e["a"], e["r"], e["c"], e["u"]
+        ), r.source
+        total = e["a"] + e["r"] + e["c"] + e["u"]
+        assert abs(r.churn_rate - (total - e["u"]) / total) < 1e-15
