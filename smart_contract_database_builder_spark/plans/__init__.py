@@ -24,35 +24,94 @@ from . import llm_ops  # noqa: E402,F401
 from . import scale_ops  # noqa: E402,F401
 from . import streaming_batch  # noqa: E402,F401
 
-#: Queries the driver window must cover first. ROUND-13 ROTATION
+#: Queries the driver window must cover first. ROUND-14 ROTATION
 #: (freshness-guard policy, tests/test_evidence_freshness.py): the
-#: window's 50 slots hold (a) witnesses for every plan whose CODE or
-#: ORACLE changed this round — the Bloom audit's subset-semantics
-#: oracle and the S23 stored-admission batch-slice split — plus the
-#: two r12 overflow-born audits earning their first driver rows,
-#: (b) one standing witness each for core relational, the reference
-#: family, true streaming, and exact dedup, (c) the whole r6-evidence
-#: cohort (11) and the 18 oldest r7-evidence queries. The 13
-#: round-13-born operators register uncurated and fill the window to
-#: exactly 50. Everything rotated out (the r12 window, incl. the
-#: r12-born cohort now appended to _OVERFLOW) is driver-green in
-#: CORRECTNESS_r12 with plan code unchanged since, and stays under
-#: the pytest oracle sweep (tests/test_oracle_parity.py).
+#: window's 50 slots hold (a) the two r13 overflow-born audits
+#: earning their FIRST driver rows ever (the r13 verdict's top ask),
+#: (b) the one query whose plan AND oracle changed this round — the
+#: cap-loss audit's pairs_suppressed arithmetic moved from a double
+#: detour to exact integer halving on both engines, (c) one standing
+#: witness each for core relational, the reference family, true
+#: streaming, and exact dedup, (d) the WHOLE remaining r7-evidence
+#: cohort (23 queries — the freshness guard's oldest cohort, at the
+#: 8-round bound's edge; this is also the verdict's "keep rotation
+#: slots for the oldest cohort" ask, covered with room to spare).
+#: That is 30 curated slots; round-14-born operators register
+#: uncurated and fill toward 50, with any spare slots falling to the
+#: _OVERFLOW head (the freshly-green r13 window — harmless extra
+#: evidence). Everything rotated out (the r13 _PRIORITY plus the 16
+#: other r13-born operators, now at the _OVERFLOW head) is
+#: driver-green in CORRECTNESS_r13 with plan code unchanged since,
+#: and stays under the pytest oracle sweep
+#: (tests/test_oracle_parity.py).
 _PRIORITY = [
-    # --- changed-plan witnesses (r13: Bloom oracle subset semantics,
-    # stored-admission batch-slice encode) + r12 overflow-born
-    # audits rotating in for their first driver rows ---
-    "llm_bloom_dedup_audit",
-    "llm_incremental_embedding_admission_stored",
-    "llm_simhash_bit_balance",
-    "llm_vocab_coverage_curve",
+    # --- the r13 overflow-born audits: first driver rows ever
+    # (VERDICT r13 "Next round #1") ---
+    "llm_dedup_quality_interaction",
+    "llm_corpus_delta_report",
+    # --- changed-plan witness (r14: pairs_suppressed exact integer
+    # halving in both the Spark plan and the DuckDB oracle) ---
+    "llm_lsh_cap_loss_audit",
     # --- standing family witnesses: core relational, reference
     # family, true streaming, exact dedup ---
     "flagship_revenue_by_region",
     "ref_extract_functions",
     "stream_true_tumbling_availablenow",
     "llm_exact_dedup_documents",
-    # --- freshness rotation: the whole r6-evidence cohort (11) ---
+    # --- freshness rotation: the whole remaining r7-evidence cohort
+    # (23 queries; newest driver row r7, guard floor reaches them at
+    # r16 — refreshed now so the guard never needs an exemption) ---
+    "agg_histogram_prices",
+    "agg_pricing_summary",
+    "funnel_conversion_events",
+    "join_asof_latest_order",
+    "join_asof_tolerance",
+    "join_order_customer_nation",
+    "llm_bigram_lm_top",
+    "llm_centroid_by_label",
+    "llm_dedup_rate_by_source",
+    "llm_fingerprint_dedup_prefix",
+    "llm_heavy_hitters",
+    "llm_ngram_jaccard_topk",
+    "llm_quality_percentile_by_lang",
+    "llm_quality_scores",
+    "llm_text_stats_by_lang",
+    "ref_bundle_hash_by_source",
+    "ref_content_id_documents",
+    "ref_dedup_documents",
+    "ref_error_routing_permissive",
+    "ref_etherscan_parse",
+    "scalar_json_props_events",
+    "stream_stream_left_outer",
+    "window_rolling_zscore_events",
+]
+
+#: Operators registered straight into _OVERFLOW in the round that
+#: bore them (the window was already full). Exempt from the
+#: evidence-freshness guard until a later round's rotation windows
+#: them; their oracles run in the pytest sweep from birth. EMPTY
+#: after the round-14 rotation (VERDICT r13 "Next round #1" done):
+#: every oracle-carrying query has either a driver-green CORRECTNESS
+#: row or a current window slot. Grow this set consciously — it
+#: defers driver evidence by at least one round.
+_BORN_IN_OVERFLOW: set[str] = set()
+
+#: Oracle-CARRYING queries deliberately registered just past the
+#: driver's 50-query window (it is full): their oracles still run in
+#: pytest (tests/test_oracle_parity.py sweeps every oracle at sf0.01),
+#: they just lose the per-round driver row. Every query below is
+#: driver-green in some CORRECTNESS_r*.json artifact with plan code
+#: unchanged since (pinned by tests/test_registry_window.py). Grow
+#: this list consciously — whatever sits here trades driver-visible
+#: correctness evidence for a slot.
+_OVERFLOW = [
+    # r14 rotation: the r13 _PRIORITY (changed-plan witnesses,
+    # r12 overflow-born audits, r6/r7-evidence cohorts) — every one
+    # driver-green in CORRECTNESS_r13, plans unchanged since
+    "llm_bloom_dedup_audit",
+    "llm_incremental_embedding_admission_stored",
+    "llm_simhash_bit_balance",
+    "llm_vocab_coverage_curve",
     "llm_ann_multitable_pairs",
     "llm_duplicate_spans",
     "llm_bm25_topk",
@@ -64,11 +123,6 @@ _PRIORITY = [
     "ref_abi_signature_render",
     "llm_langid_stopword",
     "join_range_event_pairs",
-    # --- freshness rotation: the 15 oldest r7-evidence queries (the
-    # remaining 22 of that cohort, incl. the four bumped late-round
-    # for the burst / media-dedup / weak-link / spend-trend
-    # operators, all still inside the 8-round freshness bound —
-    # rotate in round 14) ---
     "stream_dedup_first_event",
     "stream_static_enrich_segments",
     "stream_stream_join_attribution",
@@ -83,42 +137,25 @@ _PRIORITY = [
     "llm_curation_pipeline",
     "llm_token_entropy",
     "llm_unigram_surprisal",
-]
-
-#: Oracle-CARRYING queries deliberately registered just past the
-#: driver's 50-query window (it is full): their oracles still run in
-#: pytest (tests/test_oracle_parity.py sweeps every oracle at sf0.01),
-#: they just lose the per-round driver row. Grow this list consciously
-#: — whatever sits here trades driver-visible correctness evidence for
-#: a slot. After the round-9 FULL rotation the never-driver-sampled
-#: backlog is EMPTY: every query below is driver-green in some
-#: CORRECTNESS_r*.json artifact with plan code unchanged since.
-#: Operators registered straight into _OVERFLOW in the round that
-#: bore them (the window was already full). Exempt from the
-#: evidence-freshness guard until a later round's rotation windows
-#: them; their oracles run in the pytest sweep from birth. Grow this
-#: set consciously — it defers driver evidence by at least one round.
-_BORN_IN_OVERFLOW: set[str] = {
-    # r13 late-round: the dedup x quality composition audit (the
-    # window was full with the 17 earlier newborns; its inputs — the
-    # S24 removal set and the F30 filter — both hold window slots,
-    # and its oracle runs in the pytest sweep from birth)
-    "llm_dedup_quality_interaction",
-    # r13 late-round: the snapshot-diff changelog (same rationale)
-    "llm_corpus_delta_report",
-}
-
-_OVERFLOW = [
-    # r13 late-round overflow-born (see _BORN_IN_OVERFLOW)
-    "llm_dedup_quality_interaction",
-    "llm_corpus_delta_report",
-    # r13 late swaps: bumped from _PRIORITY for the burst operator
-    # and the multimodal payload dedup (driver-green r7, rotate back
-    # in round 14)
-    "join_asof_tolerance",
-    "funnel_conversion_events",
-    "llm_quality_percentile_by_lang",
-    "agg_histogram_prices",
+    # r14 rotation: the 16 other r13-born operators (all
+    # driver-green in CORRECTNESS_r13; the 17th, the cap-loss audit,
+    # holds a window slot as this round's changed-plan witness)
+    "agg_orders_backlog_timeseries",
+    "agg_referential_integrity_audit",
+    "agg_brand_affinity_lift",
+    "window_cusum_drift_alarm",
+    "window_user_burst_rate",
+    "agg_customer_spend_trend",
+    "llm_dedup_threshold_sweep",
+    "llm_semantic_outlier_docs",
+    "llm_sign_hamming_topk",
+    "llm_cross_source_neardup_matrix",
+    "llm_ivf_cell_balance",
+    "llm_embedding_coverage_audit",
+    "llm_dedup_length_bias",
+    "llm_media_payload_dedup",
+    "llm_weak_link_edges",
+    "stream_watermark_late_audit",
     # r13 rotation: the r12-born cohort — every one driver-green in
     # CORRECTNESS_r12, plans unchanged since
     "llm_heaps_law_by_source",
@@ -218,7 +255,6 @@ _OVERFLOW = [
     # band-store family members whose r11 plan change is witnessed by
     # the sibling dedup graph/verify queries (same candidate
     # generator); all stay under the pytest oracle sweep
-    "llm_ngram_jaccard_topk",
     "llm_containment_pairs",
     "llm_edit_distance_pairs",
     "llm_triangle_counts",
@@ -307,24 +343,6 @@ _OVERFLOW = [
     "llm_semdedup_representatives",
     "llm_mode_token_by_lang",
     "llm_readability_scores",
-    "stream_stream_left_outer",
-    "window_rolling_zscore_events",
-    "llm_bigram_lm_top",
-    "llm_dedup_rate_by_source",
-    "llm_heavy_hitters",
-    "agg_pricing_summary",
-    "join_order_customer_nation",
-    "scalar_json_props_events",
-    "join_asof_latest_order",
-    "ref_content_id_documents",
-    "ref_dedup_documents",
-    "ref_bundle_hash_by_source",
-    "ref_etherscan_parse",
-    "ref_error_routing_permissive",
-    "llm_centroid_by_label",
-    "llm_fingerprint_dedup_prefix",
-    "llm_text_stats_by_lang",
-    "llm_quality_scores",
 ]
 
 #: Genuinely rows-only queries (no cross-engine oracle can exist:

@@ -14013,7 +14013,7 @@ def llm_embedding_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   THEN sz END), 0) AS BIGINT)
              AS docs_in_capped,
            CAST(COALESCE(SUM(CASE WHEN sz > {_LSH_BUCKET_CAP}
-                                  THEN sz * (sz - 1) / 2 END), 0) AS BIGINT)
+                                  THEN sz * (sz - 1) END), 0) // 2 AS BIGINT)
              AS pairs_suppressed
     FROM bsz
     GROUP BY band_idx
@@ -14032,8 +14032,11 @@ def llm_lsh_cap_loss_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reads the S21 band store: bucket sizes are one exchange-free
     groupBy on the store's (band_idx, key) bucketing, and everything
-    after is an O(bands)-row aggregate. Counts exact int64
-    (``sz*(sz-1)/2`` exact integer arithmetic both engines).
+    after is an O(bands)-row aggregate. Counts exact int64 at any
+    magnitude: both engines sum the always-even product ``sz*(sz-1)``
+    in integer arithmetic and halve the integral sum afterwards
+    (``shiftright`` / ``// 2``) — no double detour, so exactness does
+    not stop at 2^53.
 
     Scale shape: the only corpus-proportional relation is the stored
     band table; its bucket-size agg is map-side combinable and
@@ -14051,11 +14054,17 @@ def llm_lsh_cap_loss_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(
             F.sum(F.when(capped, F.col("sz"))), F.lit(0)
         ).cast("long").alias("docs_in_capped"),
-        F.coalesce(
-            F.sum(
-                F.when(capped, F.col("sz") * (F.col("sz") - 1) / 2)
+        F.shiftright(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        capped,
+                        F.col("sz").cast("long") * (F.col("sz") - F.lit(1)),
+                    )
+                ),
+                F.lit(0).cast("long"),
             ),
-            F.lit(0),
+            1,
         ).cast("long").alias("pairs_suppressed"),
     )
 

@@ -57,6 +57,33 @@ def _default_base() -> str:
     return cache or tempfile.gettempdir()
 
 
+def _evict_legacy_tmpdir_root(new_root: str) -> None:
+    """Remove the pre-relocation store root at
+    ``<tmpdir>/spark_graft_stores_<uid>`` if one lingers.
+
+    The default root moved from the system tmpdir to the user cache
+    dir (see ``_default_base``); without this sweep an old tmpdir copy
+    is silently orphaned — rebuilt from scratch at the new location
+    while the stale bytes sit in /tmp until a tmp cleaner evicts them.
+    Stores are rebuildable caches keyed by content fingerprint, so the
+    safe migration is deletion, not adoption: trusting parquet found
+    in the world-writable tmpdir is exactly the attack the relocation
+    closed. Only sweeps a real directory owned by the current uid;
+    any failure is non-fatal (a tmp cleaner will finish the job).
+    """
+    legacy = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stores_{os.getuid()}"
+    )
+    if os.path.realpath(legacy) == os.path.realpath(new_root):
+        return  # tmpdir fallback in effect — the "legacy" path IS the root
+    try:
+        st = os.lstat(legacy)
+    except OSError:
+        return
+    if stat.S_ISDIR(st.st_mode) and st.st_uid == os.getuid():
+        shutil.rmtree(legacy, ignore_errors=True)
+
+
 def store_root() -> str:
     """Resolve (creating if needed) the per-user derived-store root.
 
@@ -71,6 +98,7 @@ def store_root() -> str:
         os.makedirs(override, exist_ok=True)
         return override
     root = os.path.join(_default_base(), f"spark_graft_stores_{os.getuid()}")
+    _evict_legacy_tmpdir_root(root)
     os.makedirs(root, mode=0o700, exist_ok=True)
     # lstat, NOT stat: stat follows symlinks, so an attacker in the
     # shared tmpdir could pre-create a SYMLINK at the predictable path

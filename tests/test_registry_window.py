@@ -53,17 +53,15 @@ def test_oracle_queries_past_the_window_are_explicitly_designated():
 
 def test_family_witnesses_lead():
     """Each operator family keeps an always-in-window witness at the
-    head of the registry. The round-13 witness set pins every query
-    whose plan or oracle changed this round (the Bloom audit's
-    subset-semantics oracle, the S23 stored-admission batch-slice
-    split) plus the two r12 overflow-born audits earning their first
-    driver rows and the standing family witnesses."""
+    head of the registry. The round-14 witness set pins the two r13
+    overflow-born audits earning their FIRST driver rows ever, the
+    cap-loss audit (its pairs_suppressed arithmetic changed in both
+    engines this round), and the standing family witnesses."""
     head = list(plans.QUERIES)[:10]
     for name in (
-        "llm_bloom_dedup_audit",
-        "llm_incremental_embedding_admission_stored",
-        "llm_simhash_bit_balance",
-        "llm_vocab_coverage_curve",
+        "llm_dedup_quality_interaction",
+        "llm_corpus_delta_report",
+        "llm_lsh_cap_loss_audit",
         "flagship_revenue_by_region",
         "ref_extract_functions",
         "stream_true_tumbling_availablenow",
@@ -367,9 +365,60 @@ _ROTATED_IN_R13 = [
 ]
 
 
-def test_round13_rotation_refreshes_the_stale_cohorts():
+def test_round13_rotation_queries_have_driver_rows():
+    """The r6/r7-evidence cohorts and changed-plan witnesses rotated
+    IN for round 13 earned their refreshed driver rows in
+    CORRECTNESS_r13 and rotated back out in round 14; pin that each
+    really is driver-green."""
+    import json
+    import pathlib
+
+    rows = json.loads(
+        (pathlib.Path(__file__).resolve().parent.parent / "CORRECTNESS_r13.json").read_text()
+    )
+    for n in _ROTATED_IN_R13:
+        r = rows[n]
+        assert r["rows_match"] and r["schema_match"] and r["hash_match"], n
+
+
+#: Round-14 rotation contract (VERDICT r13 "Next round #1" + #8): the
+#: two r13 overflow-born audits (first driver rows EVER), the cap-loss
+#: audit (pairs_suppressed arithmetic changed in both engines this
+#: round), and the whole remaining r7-evidence cohort (23 — the
+#: freshness guard's oldest) hold window slots this round.
+_ROTATED_IN_R14 = [
+    "llm_dedup_quality_interaction",
+    "llm_corpus_delta_report",
+    "llm_lsh_cap_loss_audit",
+    "agg_histogram_prices",
+    "agg_pricing_summary",
+    "funnel_conversion_events",
+    "join_asof_latest_order",
+    "join_asof_tolerance",
+    "join_order_customer_nation",
+    "llm_bigram_lm_top",
+    "llm_centroid_by_label",
+    "llm_dedup_rate_by_source",
+    "llm_fingerprint_dedup_prefix",
+    "llm_heavy_hitters",
+    "llm_ngram_jaccard_topk",
+    "llm_quality_percentile_by_lang",
+    "llm_quality_scores",
+    "llm_text_stats_by_lang",
+    "ref_bundle_hash_by_source",
+    "ref_content_id_documents",
+    "ref_dedup_documents",
+    "ref_error_routing_permissive",
+    "ref_etherscan_parse",
+    "scalar_json_props_events",
+    "stream_stream_left_outer",
+    "window_rolling_zscore_events",
+]
+
+
+def test_round14_rotation_refreshes_the_stale_cohorts():
     window = list(plans.QUERIES)[:_DRIVER_WINDOW]
-    missing = [n for n in _ROTATED_IN_R13 if n not in window]
+    missing = [n for n in _ROTATED_IN_R14 if n not in window]
     assert missing == [], f"stale cohort missing from the window: {missing}"
 
 

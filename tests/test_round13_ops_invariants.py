@@ -196,11 +196,15 @@ def test_embedding_coverage_identities(spark):
 
 
 def test_cap_loss_consistency(spark):
+    from smart_contract_database_builder_spark.plans.llm_ops import _LSH_BUCKET_CAP
+
     for r in _rows(spark, "llm_lsh_cap_loss_audit"):
-        assert r.n_capped <= r.n_buckets + r.n_capped  # capped excluded from >1..cap? see below
+        # capped buckets have sz > cap >= 2 > 1, so every capped bucket
+        # is also counted among the multi-doc buckets
+        assert r.n_capped <= r.n_buckets
         # every capped bucket holds > cap docs, so docs_in_capped > cap * n_capped
         if r.n_capped:
-            assert r.docs_in_capped > 64 * r.n_capped
+            assert r.docs_in_capped > _LSH_BUCKET_CAP * r.n_capped
             assert r.pairs_suppressed >= r.docs_in_capped  # sz(sz-1)/2 > sz for sz>3
         else:
             assert r.docs_in_capped == 0 and r.pairs_suppressed == 0

@@ -95,6 +95,48 @@ def test_default_root_honors_xdg_cache_home(tmp_path, monkeypatch):
     assert not (st.st_mode & (stat.S_IWGRP | stat.S_IWOTH))
 
 
+def test_legacy_tmpdir_root_is_evicted(tmp_path, monkeypatch):
+    """The default root moved from <tmpdir>/spark_graft_stores_<uid>
+    to the user cache dir (r12 ADVICE); a store directory lingering at
+    the OLD path must be swept on resolve — otherwise it sits orphaned
+    in /tmp until a tmp cleaner evicts it (r13 ADVICE)."""
+    import tempfile
+
+    fake_tmp = tmp_path / "faketmp"
+    fake_tmp.mkdir()
+    monkeypatch.setattr(tempfile, "tempdir", str(fake_tmp))
+    monkeypatch.delenv("SPARK_GRAFT_STORE_ROOT", raising=False)
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "cache"))
+    legacy = fake_tmp / f"spark_graft_stores_{os.getuid()}"
+    legacy.mkdir(mode=0o700)
+    (legacy / "stale_store").mkdir()
+    root = store_root()
+    assert root == str(
+        tmp_path / "cache" / f"spark_graft_stores_{os.getuid()}"
+    )
+    assert not legacy.exists(), "stale tmpdir store root must be swept"
+
+
+def test_legacy_eviction_skips_foreign_dir(tmp_path, monkeypatch):
+    """Never rmtree a path another uid owns (or a non-dir): the sweep
+    must be as conservative as the root checks themselves. Simulated
+    with a symlink at the legacy path — lstat sees a non-dir."""
+    import tempfile
+
+    fake_tmp = tmp_path / "faketmp"
+    fake_tmp.mkdir()
+    monkeypatch.setattr(tempfile, "tempdir", str(fake_tmp))
+    monkeypatch.delenv("SPARK_GRAFT_STORE_ROOT", raising=False)
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "cache"))
+    target = tmp_path / "victim"
+    target.mkdir()
+    (target / "keep").write_text("x")
+    legacy = fake_tmp / f"spark_graft_stores_{os.getuid()}"
+    os.symlink(str(target), str(legacy))
+    store_root()
+    assert (target / "keep").exists(), "sweep must not follow symlinks"
+
+
 def test_pq_store_gate_requires_done_marker(tmp_path):
     """A store left by an interrupted build — per-table _SUCCESS
     present but no store-level DONE marker — must FAIL the reuse gate
