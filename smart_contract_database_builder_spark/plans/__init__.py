@@ -356,6 +356,7 @@ _TAIL = [
     "agg_percentile_prices_approx",
     "sample_orders_seeded",
     "llm_ml_minhash_join",
+    "llm_media_payload_dedup_raw",
     "llm_multimodal_image_features",
     "llm_multimodal_audio_features",
     "llm_multimodal_resize",

@@ -14313,6 +14313,65 @@ def llm_media_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("llm_media_payload_dedup_raw")
+def llm_media_payload_dedup_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 EXT, production form of ``llm_media_payload_dedup`` — the
+    content key is computed DIRECTLY on the BINARY column
+    (``sha2(data, 256)``), no hex re-encode: the oracle twin hashes
+    ``md5(lower(hex(data)))`` purely because DuckDB's md5 is
+    VARCHAR-only, which doubles the hashed bytes. Rows-only by the
+    same token (no cross-engine oracle can hash raw bytes), so the
+    evidence is tests/test_multimodal.py pinning that this plan and
+    the hex twin produce IDENTICAL reports — hex is a bijection, so
+    every (kind, content_key) group has the same membership under
+    either key.
+
+    sha-256 rather than xxhash64 because a content-ADDRESSED dedup
+    key must survive 100 TB of payloads without birthday collisions:
+    64-bit keys collide in expectation past ~5 billion objects;
+    256-bit keys never will.
+
+    Scale shape: identical to the twin — one map-side hash where the
+    bytes live, a (kind, key, length) shuffle that never moves
+    payloads, and an O(kinds) final agg — minus the 2× hex encode.
+    """
+    from ..sources.multimodal import media_from_documents
+
+    media = media_from_documents(spark, sf_dir).select(
+        "media_id", "kind", "data"
+    )
+    off = media.agg((F.max("media_id") + 1).alias("off"))
+    mirror = media.crossJoin(F.broadcast(off)).select(
+        (F.col("media_id") + F.col("off")).alias("media_id"),
+        "kind",
+        "data",
+    )
+    crawl = media.unionByName(mirror)
+    keyed = crawl.select(
+        "kind",
+        F.sha2(F.col("data"), 256).alias("content_key"),
+        F.length("data").cast("long").alias("n_bytes"),
+    )
+    grp = keyed.groupBy("kind", "content_key").agg(
+        F.count(F.lit(1)).alias("copies"),
+        F.min("n_bytes").alias("n_bytes"),
+    )
+    return grp.groupBy("kind").agg(
+        F.count(F.lit(1)).cast("long").alias("n_payloads"),
+        F.sum("copies").cast("long").alias("n_rows"),
+        F.sum(F.col("copies") - 1).cast("long").alias("n_dup_rows"),
+        F.sum(F.col("copies") * F.col("n_bytes"))
+        .cast("long")
+        .alias("bytes_total"),
+        F.sum("n_bytes").cast("long").alias("bytes_unique"),
+        (
+            F.lit(1.0)
+            - F.sum("n_bytes").cast("double")
+            / F.sum(F.col("copies") * F.col("n_bytes")).cast("double")
+        ).alias("savings_ratio"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-13 batch 7: weak-link edges in the dedup candidate graph
 # ---------------------------------------------------------------------------

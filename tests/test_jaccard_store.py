@@ -94,3 +94,55 @@ def test_half_built_store_is_rebuilt_not_served(spark, tmp_path, monkeypatch):
     assert df.count() > 0
     shutil.rmtree(base, ignore_errors=True)
     assert path  # silence lint
+
+
+def test_geometry_or_codec_mismatch_never_serves_stale_pairs(
+    spark, tmp_path, monkeypatch
+):
+    """A store built under a DIFFERENT bucket cap, banding geometry or
+    verify codec must not be served: the cap/geometry/codec are part
+    of the store KEY, so a mismatch resolves to a different path whose
+    completeness gate is closed — the S21 band store's own guard,
+    extended to S24 (VERDICT r13 #6)."""
+    from smart_contract_database_builder_spark.plans import llm_ops
+    from smart_contract_database_builder_spark.sources.jaccard_store import (
+        jaccard_store_complete,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_STORE_ROOT", str(tmp_path))
+    base, _tag = _jaccard_store(SF_ORACLE)
+    _ensure_jaccard_store(spark, SF_ORACLE)
+    assert jaccard_store_complete(base)
+
+    # bucket-cap flip: different key, closed gate
+    monkeypatch.setattr(llm_ops, "_LSH_BUCKET_CAP", llm_ops._LSH_BUCKET_CAP + 1)
+    base_cap, _ = _jaccard_store(SF_ORACLE)
+    assert base_cap != base
+    assert not jaccard_store_complete(base_cap)
+    monkeypatch.undo()
+
+    # verify-codec bump: different key, closed gate
+    monkeypatch.setenv("SPARK_GRAFT_STORE_ROOT", str(tmp_path))
+    monkeypatch.setattr(
+        llm_ops, "_JACCARD_CODEC_VERSION", llm_ops._JACCARD_CODEC_VERSION + 1
+    )
+    base_codec, _ = _jaccard_store(SF_ORACLE)
+    assert base_codec != base and base_codec != base_cap
+    assert not jaccard_store_complete(base_codec)
+    monkeypatch.undo()
+
+    # banding-geometry flip (rows per band): different key, closed gate
+    monkeypatch.setenv("SPARK_GRAFT_STORE_ROOT", str(tmp_path))
+    monkeypatch.setattr(llm_ops, "_BAND_ROWS", llm_ops._BAND_ROWS + 1)
+    base_geom, _ = _jaccard_store(SF_ORACLE)
+    assert base_geom not in (base, base_cap, base_codec)
+    assert not jaccard_store_complete(base_geom)
+    monkeypatch.undo()
+
+    # and the matched key still reuses the one real build
+    monkeypatch.setenv("SPARK_GRAFT_STORE_ROOT", str(tmp_path))
+    marker = os.path.join(base, "_STORE_COMPLETE")
+    t0 = os.stat(marker).st_mtime_ns
+    _ensure_jaccard_store(spark, SF_ORACLE)
+    assert os.stat(marker).st_mtime_ns == t0
+    shutil.rmtree(str(tmp_path), ignore_errors=True)

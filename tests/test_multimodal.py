@@ -170,3 +170,30 @@ def test_media_corpus_roundtrips_binary_parquet_via_corpus_sink(spark, tmp_path)
             and rd["mean_byte"] == rh["mean_byte"]
             and rd["width"] == rh["width"]
         )
+
+
+def test_raw_byte_hash_twin_matches_hex_form(spark):
+    """llm_media_payload_dedup_raw (sha2 on the BINARY column, the
+    production key) must produce the IDENTICAL dedup report to the
+    oracle-carrying hex form (md5 over lowercase hex) — hex encoding
+    is a bijection, so the (kind, content_key) group memberships, and
+    therefore every copies/bytes aggregate, are the same."""
+    from smart_contract_database_builder_spark import plans
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["kind", "n_payloads", "n_rows", "n_dup_rows",
+            "bytes_total", "bytes_unique"]
+
+    def report(name):
+        rows = plans.QUERIES[name].fn(spark, sf).collect()
+        out = {}
+        for r in rows:
+            out[r["kind"]] = tuple(r[c] for c in cols[1:]) + (
+                round(r["savings_ratio"], 12),
+            )
+        return out
+
+    hexed = report("llm_media_payload_dedup")
+    raw = report("llm_media_payload_dedup_raw")
+    assert hexed == raw
+    assert raw and all(v[1] > 0 for v in raw.values())  # non-vacuous

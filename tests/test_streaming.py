@@ -418,3 +418,131 @@ def test_stream_window_topk_equals_batch(spark):
     want = plans.QUERIES["stream_window_topk_events"].fn(spark, SF_ORACLE)
     assert _sorted_rows(got) == _sorted_rows(want)
     assert got.count() > 0
+
+
+def test_watermark_audit_predicts_true_streaming_drops(spark, tmp_path):
+    """T15 equivalence witness (VERDICT r13 #7): the BATCH
+    watermark-lateness audit (`stream_watermark_late_audit`) claims to
+    report how many rows a watermarked streaming job would DROP at a
+    given delay. Prove it against a TRUE Structured Streaming run: an
+    engineered arrival sequence drains availableNow (one file per
+    micro-batch, so the watermark advances between arrival chunks
+    exactly as the audit's arrival-order prefix max does), and the
+    stateful operator's own `numRowsDroppedByWatermark` must equal
+    the audit's n_late at the 1-hour delay — and 0 at 6 hours.
+
+    The fixture keeps every lateness far from both engines' boundary
+    predicates (on-time rows are strictly increasing maxima, late
+    rows lag the running max by exactly 3 h >> 1 h + window width),
+    so the equality tests semantics, not tie-breaking."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from smart_contract_database_builder_spark import plans
+    from smart_contract_database_builder_spark.sources.tables import (
+        TESTDATA_SCHEMAS,
+    )
+
+    t0 = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC, micros
+    chunks, per_chunk = 12, 10
+    late_positions = {3, 7}
+    late_chunks = set(range(4, 10))
+    rows, max_us = [], t0
+    for c in range(chunks):
+        chunk_rows = []
+        for i in range(per_chunk):
+            eid = c * per_chunk + i
+            if c in late_chunks and i in late_positions:
+                us = max_us - 3 * 3_600_000_000  # 3 h late
+            else:
+                max_us += 120_000_000  # fresh maximum every on-time row
+                us = max_us
+            chunk_rows.append((eid, us))
+        rows.append(chunk_rows)
+    n_total = chunks * per_chunk
+    n_late_expected = len(late_chunks) * len(late_positions)
+
+    def table(chunk_rows):
+        return pa.table(
+            {
+                "event_id": pa.array([r[0] for r in chunk_rows], pa.int64()),
+                "ts": pa.array(
+                    [r[1] for r in chunk_rows], pa.timestamp("us")
+                ),
+                "user_id": pa.array(
+                    [r[0] % 7 for r in chunk_rows], pa.int64()
+                ),
+                "event_type": pa.array(["click"] * len(chunk_rows)),
+                "value": pa.array([1.0] * len(chunk_rows), pa.float64()),
+                "props": pa.array(["{}"] * len(chunk_rows)),
+            }
+        )
+
+    # audit input: the whole sequence as one events.parquet
+    audit_dir = tmp_path / "audit"
+    audit_dir.mkdir()
+    pq.write_table(
+        table([r for ch in rows for r in ch]), audit_dir / "events.parquet"
+    )
+    audit = {
+        r["w_hours"]: r["n_late"]
+        for r in plans.QUERIES["stream_watermark_late_audit"]
+        .fn(spark, str(audit_dir))
+        .collect()
+    }
+    assert audit[1] == n_late_expected  # non-vacuous: real drops at 1 h
+    assert audit[6] == 0 and audit[24] == 0
+
+    # streaming input: one file per arrival chunk, mtimes in arrival
+    # order (the file source processes oldest-first)
+    stream_dir = tmp_path / "arrivals"
+    stream_dir.mkdir()
+    for c, chunk_rows in enumerate(rows):
+        p = stream_dir / f"chunk_{c:03d}.parquet"
+        pq.write_table(table(chunk_rows), p)
+        os.utime(p, (1_700_000_000 + 10 * c, 1_700_000_000 + 10 * c))
+
+    def drops_at(delay: str, qname: str) -> tuple[int, int]:
+        stream = (
+            spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(stream_dir))
+            .withWatermark("ts", delay)
+            .groupBy(F.window("ts", "60 seconds").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in json.loads(p.json).get("stateOperators", [])
+        )
+        final = (
+            spark.table(qname)
+            .groupBy("w")
+            .agg(F.max("n").alias("n"))
+            .agg(F.sum("n").alias("total"))
+            .collect()[0]["total"]
+        )
+        return dropped, final
+
+    dropped_1h, retained_1h = drops_at("1 hour", "t_wm_audit_1h")
+    assert dropped_1h == audit[1], (
+        f"streaming dropped {dropped_1h}, audit predicted {audit[1]}"
+    )
+    assert retained_1h == n_total - audit[1]
+
+    dropped_6h, retained_6h = drops_at("6 hours", "t_wm_audit_6h")
+    assert dropped_6h == audit[6] == 0
+    assert retained_6h == n_total
