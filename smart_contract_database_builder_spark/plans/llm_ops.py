@@ -14743,3 +14743,682 @@ def llm_corpus_delta_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("churn_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-14 batch 1: sequence-budget and curation-policy planning audits
+# ---------------------------------------------------------------------------
+
+#: Candidate sequence-length caps (tokens) for the truncation sweep —
+#: the axis a context-length decision reads.
+_TRUNC_CAPS = (32, 64, 128, 256)
+
+
+@register(
+    "llm_truncation_loss_curve",
+    oracle=f"""
+    WITH n AS (SELECT len({_SQL_TOKENS}) AS n_tok FROM documents)
+    SELECT CAST(cap AS BIGINT) AS cap,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_tok > cap THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_truncated,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+           CAST(SUM(GREATEST(n_tok - cap, 0)) AS BIGINT) AS tokens_dropped,
+           CAST(SUM(GREATEST(n_tok - cap, 0)) AS DOUBLE) / SUM(n_tok)
+             AS drop_share
+    FROM (VALUES {", ".join(f"({c})" for c in _TRUNC_CAPS)}) c(cap)
+    CROSS JOIN n
+    GROUP BY cap
+    """,
+)
+def llm_truncation_loss_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19 EXT: TRUNCATION-LOSS curve — for each candidate sequence cap
+    ({", ".join(str(c) for c in _TRUNC_CAPS)} tokens), how many
+    documents a hard truncation would cut and what fraction of the
+    corpus's tokens it throws away. This is the curve read before
+    fixing a training context length (the packing/chunking operators
+    assume a cap; this prices it): too short silently discards the
+    long-document tail, and the drop_share column is that loss made
+    measurable.
+
+    Scale shape: ONE corpus scan computes each doc's token count;
+    the cap axis is a 4-element literal explode over the tiny
+    (n_tok)-projection, and the rollup is a map-side-combinable hash
+    agg on a 4-value key. No joins, no windows; integer counts exact,
+    one IEEE divide per row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(F.size(_tokens()).alias("n_tok"))
+    axis = F.array(*[F.lit(c).cast("long") for c in _TRUNC_CAPS])
+    return (
+        toked.select("n_tok", F.explode(axis).alias("cap"))
+        .groupBy("cap")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("n_tok") > F.col("cap")).cast("long"))
+            .cast("long")
+            .alias("n_docs_truncated"),
+            F.sum("n_tok").cast("long").alias("tokens_total"),
+            F.sum(F.greatest(F.col("n_tok") - F.col("cap"), F.lit(0)))
+            .cast("long")
+            .alias("tokens_dropped"),
+            (
+                F.sum(
+                    F.greatest(F.col("n_tok") - F.col("cap"), F.lit(0))
+                ).cast("double")
+                / F.sum("n_tok").cast("double")
+            ).alias("drop_share"),
+        )
+    )
+
+
+#: Max integer repetition count per source — the "4-epoch rule"
+#: (repeating data beyond ~4 epochs stops helping; Muennighoff et al.
+#: 2023, "Scaling Data-Constrained Language Models").
+_UPSAMPLE_CAP = 4
+
+
+@register(
+    "llm_upsample_plan_integer",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             SUM(len({_SQL_TOKENS})) AS n_tokens,
+             COUNT(*) AS n_docs
+      FROM documents
+      GROUP BY source
+    ),
+    m AS (SELECT MAX(n_tokens) AS t_max, COUNT(*) AS n_sources FROM s),
+    plan AS (
+      SELECT source, n_docs, n_tokens,
+             LEAST({_UPSAMPLE_CAP}, GREATEST(1, t_max // n_tokens))
+               AS repeats,
+             n_sources
+      FROM s CROSS JOIN m
+    ),
+    tot AS (SELECT SUM(repeats * n_tokens) AS t_up FROM plan)
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(repeats AS BIGINT) AS repeats,
+           CAST(repeats * n_tokens AS BIGINT) AS upsampled_tokens,
+           CAST(repeats * n_tokens AS DOUBLE) / t_up AS achieved_share,
+           CAST(1.0 AS DOUBLE) / n_sources AS target_share
+    FROM plan CROSS JOIN tot
+    """,
+)
+def llm_upsample_plan_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F22 EXT: INTEGER UPSAMPLING plan — the executable version of a
+    target mix: per source, the whole-number repeat count that moves
+    the corpus toward a uniform token mix without downsampling the
+    largest source, capped at {_UPSAMPLE_CAP} repeats (the data-
+    constrained scaling result that repetition beyond ~4 epochs stops
+    buying quality). Emits the achieved post-upsampling share next to
+    the uniform target so the residual imbalance is visible — the
+    report a data-mixing run ships with.
+
+    Scale shape: everything derives from ONE per-source token
+    aggregate (map-side combinable over the corpus scan); the plan
+    arithmetic runs on the O(sources) relation with two broadcast
+    scalars (max, total). Integer division (``div``/``//``) keeps the
+    repeat counts exact on both engines; shares are single IEEE
+    divides of exact integers.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.sum(F.size(_tokens())).cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    m = s.agg(
+        F.max("n_tokens").alias("t_max"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    plan = s.crossJoin(F.broadcast(m)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.least(
+            F.lit(_UPSAMPLE_CAP).cast("long"),
+            F.greatest(F.lit(1).cast("long"), F.expr("t_max div n_tokens")),
+        ).alias("repeats"),
+        "n_sources",
+    )
+    tot = plan.agg(
+        F.sum(F.col("repeats") * F.col("n_tokens")).alias("t_up")
+    )
+    return plan.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.col("repeats").cast("long").alias("repeats"),
+        (F.col("repeats") * F.col("n_tokens"))
+        .cast("long")
+        .alias("upsampled_tokens"),
+        (
+            (F.col("repeats") * F.col("n_tokens")).cast("double")
+            / F.col("t_up").cast("double")
+        ).alias("achieved_share"),
+        (F.lit(1.0) / F.col("n_sources").cast("double")).alias(
+            "target_share"
+        ),
+    )
+
+
+#: The ablation matrix's filter set — the four Gopher rule families,
+#: as VIOLATION predicates over the per-doc rule inputs
+#: (``gopher_quality_filter_from_tokens`` emits them).
+_ABLATION_FILTERS = ("len_rule", "mwl_rule", "rep_rule", "stop_rule")
+
+
+def _sql_ablation_flags() -> str:
+    """DuckDB twin of the violation flags over the gopher-stats CTE."""
+    return f"""
+      SELECT doc_id,
+             NOT (n_tok BETWEEN {_G_MIN_TOK} AND {_G_MAX_TOK}) AS len_rule,
+             NOT (CAST(n_chars_tok AS DOUBLE) / n_tok
+                  BETWEEN {_G_MIN_MWL} AND {_G_MAX_MWL}) AS mwl_rule,
+             CAST(top_c AS DOUBLE) / n_tok > {_G_MAX_TOP_FRAC} AS rep_rule,
+             has_stop = 0 AS stop_rule
+      FROM agg
+    """
+
+
+@register(
+    "llm_filter_ablation_matrix",
+    oracle=f"""
+    WITH tc AS (
+      SELECT doc_id, term, COUNT(*) AS c, LEN(term) AS l
+      FROM (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+      )
+      GROUP BY doc_id, term
+    ),
+    agg AS (
+      SELECT doc_id,
+             SUM(c) AS n_tok,
+             SUM(l * c) AS n_chars_tok,
+             MAX(c) AS top_c,
+             MAX(CASE WHEN term IN ({_SQL_STOPWORDS}) THEN 1 ELSE 0 END)
+               AS has_stop
+      FROM tc
+      GROUP BY doc_id
+    ),
+    flags AS ({{flags}}),
+    pairs AS (
+      SELECT * FROM (VALUES {{pair_values}}) p(filter_a, filter_b)
+    ),
+    scored AS (
+      SELECT p.filter_a, p.filter_b,
+             CASE p.filter_a {{dispatch}} END AS fa,
+             CASE p.filter_b {{dispatch}} END AS fb
+      FROM flags f CROSS JOIN pairs p
+    )
+    SELECT filter_a, filter_b,
+           CAST(SUM(CASE WHEN fa AND fb THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_both,
+           CAST(SUM(CASE WHEN fa AND NOT fb THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_only_a,
+           CAST(SUM(CASE WHEN fb AND NOT fa THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_only_b,
+           CASE WHEN SUM(CASE WHEN fa OR fb THEN 1 ELSE 0 END) = 0
+                THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(SUM(CASE WHEN fa AND fb THEN 1 ELSE 0 END)
+                          AS DOUBLE)
+                     / SUM(CASE WHEN fa OR fb THEN 1 ELSE 0 END)
+           END AS overlap_jaccard
+    FROM scored
+    GROUP BY filter_a, filter_b
+    """.format(
+        flags=_sql_ablation_flags(),
+        pair_values=", ".join(
+            f"('{a}', '{b}')"
+            for i, a in enumerate(_ABLATION_FILTERS)
+            for b in _ABLATION_FILTERS[i + 1:]
+        ),
+        dispatch=" ".join(
+            f"WHEN '{name}' THEN {name}" for name in _ABLATION_FILTERS
+        ),
+    ),
+)
+def llm_filter_ablation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F30 EXT: FILTER ABLATION matrix — for every pair of the four
+    Gopher rule families (token-count bounds, mean-word-length bounds,
+    repetition bound, must-contain-a-stopword), how many documents
+    each pair rejects jointly vs exclusively, with the overlap
+    Jaccard. This is the report that tells a curation pipeline which
+    filters are redundant (high overlap — one can be dropped from the
+    hot path) and which carry unique signal (high exclusive counts) —
+    the ablation run behind every published filter stack, without
+    re-running the corpus once per subset.
+
+    Shares the rule inputs (and thresholds) with
+    ``llm_gopher_quality_filter`` by construction, so the matrix
+    audits exactly the filters the pipeline runs.
+
+    Scale shape: the per-doc rule inputs come from the same two hash
+    aggregates as the gopher filter (one corpus scan); the pair axis
+    is a 6-element literal explode over the tiny per-doc flag
+    projection, and the rollup aggregates on a 6-value key with
+    map-side combine. Counts exact; the Jaccard is one IEEE divide
+    with an exact-integer zero guard on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    stats = gopher_quality_filter(docs)
+    flags = stats.select(
+        "doc_id",
+        (~F.col("n_tok").between(_G_MIN_TOK, _G_MAX_TOK)).alias("len_rule"),
+        (
+            ~F.col("mean_word_len").between(_G_MIN_MWL, _G_MAX_MWL)
+        ).alias("mwl_rule"),
+        (F.col("top_token_frac") > _G_MAX_TOP_FRAC).alias("rep_rule"),
+        (~F.col("has_stopword")).alias("stop_rule"),
+    )
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("filter_a"),
+                F.lit(b).alias("filter_b"),
+                F.col(a).alias("fa"),
+                F.col(b).alias("fb"),
+            )
+            for i, a in enumerate(_ABLATION_FILTERS)
+            for b in _ABLATION_FILTERS[i + 1:]
+        ]
+    )
+    exploded = flags.select(F.explode(pair_structs).alias("p")).select(
+        "p.filter_a", "p.filter_b", "p.fa", "p.fb"
+    )
+    n_union = F.sum((F.col("fa") | F.col("fb")).cast("long"))
+    n_both = F.sum((F.col("fa") & F.col("fb")).cast("long"))
+    return exploded.groupBy("filter_a", "filter_b").agg(
+        n_both.cast("long").alias("n_both"),
+        F.sum((F.col("fa") & ~F.col("fb")).cast("long"))
+        .cast("long")
+        .alias("n_only_a"),
+        F.sum((F.col("fb") & ~F.col("fa")).cast("long"))
+        .cast("long")
+        .alias("n_only_b"),
+        F.when(n_union == 0, F.lit(0.0))
+        .otherwise(n_both.cast("double") / n_union.cast("double"))
+        .alias("overlap_jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-14 batch 2: mergeable-sketch audit + multimodal length integrity
+# ---------------------------------------------------------------------------
+
+#: KMV sketch size (k minimum hash values) and the hash-space width
+#: used for the estimate (first 12 hex chars of md5 = 48 bits — small
+#: enough for exact BIGINT/double arithmetic on both engines).
+_KMV_K = 64
+_KMV_SPACE = float(1 << 48)
+
+
+@register(
+    "llm_kmv_distinct_audit",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT source, s
+      FROM (
+        SELECT source, unnest({_sql_word_ngrams("t")}) AS s
+        FROM (SELECT source, {_SQL_TOKENS} AS t FROM documents)
+      )
+    ),
+    h AS (
+      SELECT DISTINCT source,
+             list_aggregate(list_transform(range(1, 13), i ->
+               CAST(strpos('0123456789abcdef',
+                           substr(md5(s), CAST(i AS INTEGER), 1)) - 1
+                    AS BIGINT)
+               * CAST(power(16, 12 - i) AS BIGINT)), 'sum') AS hv
+      FROM sh
+    ),
+    ranked AS (
+      SELECT source, hv,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n_hashes
+      FROM h
+    ),
+    kth AS (
+      SELECT source, n_hashes, hv AS h_k
+      FROM ranked WHERE rn = {_KMV_K}
+    ),
+    exact AS (
+      SELECT source, COUNT(*) AS n_exact FROM sh GROUP BY source
+    )
+    SELECT e.source,
+           CAST(e.n_exact AS BIGINT) AS n_exact,
+           COALESCE(CAST({_KMV_K} - 1 AS DOUBLE) * {_KMV_SPACE!r}
+                      / CAST(k.h_k AS DOUBLE),
+                    CAST(e.n_exact AS DOUBLE)) AS est_kmv,
+           (COALESCE(CAST({_KMV_K} - 1 AS DOUBLE) * {_KMV_SPACE!r}
+                       / CAST(k.h_k AS DOUBLE),
+                     CAST(e.n_exact AS DOUBLE))
+            - CAST(e.n_exact AS DOUBLE)) / CAST(e.n_exact AS DOUBLE)
+             AS rel_err
+    FROM exact e LEFT JOIN kth k ON e.source = k.source
+    """,
+)
+def llm_kmv_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 EXT: KMV (k-minimum-values) DISTINCT-SHINGLE sketch audit —
+    per source, the {_KMV_K}-value KMV estimate of the distinct
+    3-gram count next to the exact count and the relative error. KMV
+    is the mergeable-sketch workhorse for distinct counting at scale
+    (union of sketches = sketch of union, so per-shard sketches
+    combine on the reduce side in O(k)); unlike the HLL twins
+    (``agg_approx_distinct_users``), its estimator is a pure function
+    of md5 — so this one carries a full cross-engine oracle, making
+    it the family's driver-checkable member.
+
+    Estimator: with h_k the k-th smallest 48-bit hash of the distinct
+    shingle set, est = (k-1) * 2^48 / h_k (the order-statistics
+    estimator); sources with fewer than k distinct hashes fall back
+    to their exact count (the sketch stores them exhaustively).
+
+    Scale shape: distinct (source, shingle) and distinct (source,
+    hash) are map-side-combinable hash aggregates on the shingle
+    stream; the k-th order statistic runs as a rank-limited window —
+    Spark's WindowGroupLimit pushes rn <= k into the sort, so every
+    map task forwards at most k rows per source and the per-source
+    sort never sees the full hash relation. The estimate itself is
+    O(sources) arithmetic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = fan_out_if_narrow(docs.select("source", _tokens().alias("t")))
+    sh = toked.select(
+        "source", F.explode(_word_ngrams(F.col("t"))).alias("s")
+    ).distinct()
+    h = sh.select(
+        "source",
+        F.conv(F.substring(F.md5("s"), 1, 12), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    ).distinct()
+    w = Window.partitionBy("source").orderBy("hv")
+    kth = (
+        h.select("source", "hv", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == _KMV_K)
+        .select("source", F.col("hv").alias("h_k"))
+    )
+    exact = sh.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    est = F.coalesce(
+        F.lit(float(_KMV_K - 1)) * F.lit(_KMV_SPACE)
+        / F.col("h_k").cast("double"),
+        F.col("n_exact").cast("double"),
+    )
+    return exact.join(kth, "source", "left").select(
+        "source",
+        "n_exact",
+        est.alias("est_kmv"),
+        (
+            (est - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double")
+        ).alias("rel_err"),
+    )
+
+
+@register(
+    "llm_media_length_integrity",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             ['image', 'audio', 'video'][(doc_id % 3) + 1] AS kind,
+             8 + doc_id % 5 AS n_blocks
+      FROM documents
+    )
+    SELECT kind,
+           CAST(n_blocks AS BIGINT) AS n_blocks,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(n_blocks * 16 AS BIGINT) AS bytes_each,
+           CAST(COUNT(*) * n_blocks * 16 AS BIGINT) AS bytes_total
+    FROM m
+    GROUP BY kind, n_blocks
+    """,
+)
+def llm_media_length_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/F-multimodal EXT: MEDIA LENGTH-INTEGRITY histogram — per
+    (kind, block-count) cell, the payload population and byte volume,
+    with the block count MEASURED from the stored bytes
+    (``length(data) / 16``), never trusted from metadata. The oracle
+    rebuilds the same histogram from the id arithmetic that *defines*
+    the corpus (payload = 16-byte md5 chain, 8 + id%5 blocks), so a
+    driver-green row certifies the binary payloads on disk are
+    byte-length-correct end to end — the cheap integrity pass a
+    multimodal ingest runs before any decode is attempted, and the
+    capacity histogram a storage planner reads.
+
+    Scale shape: one scan of the media relation computing
+    ``length(data)`` where the bytes live; the shuffle carries (kind,
+    n_blocks, count) — never payloads; output is O(kinds × 5) rows.
+    """
+    from ..sources.multimodal import media_from_documents
+
+    media = media_from_documents(spark, sf_dir)
+    measured = media.select(
+        "kind",
+        (F.length("data").cast("long") / F.lit(16))
+        .cast("long")
+        .alias("n_blocks"),
+    )
+    return measured.groupBy("kind", "n_blocks").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.col("n_blocks") * 16).cast("long").alias("bytes_each"),
+        (F.count(F.lit(1)) * F.col("n_blocks") * 16)
+        .cast("long")
+        .alias("bytes_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-14 batch 3: ANN geometry tuning + decontamination gram-size sweep
+# ---------------------------------------------------------------------------
+
+#: Bucket-width axis for the hyperplane sweep: prefixes of the
+#: _N_PLANES-bit sign bucket (nbits planes = first nbits bits), so the
+#: whole curve derives from ONE bucket computation.
+_ANN_SWEEP_BITS = (4, 6, 8)
+
+
+@register(
+    "llm_ann_bucket_width_sweep",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id,
+             {_sql_bucket_expr()} AS bucket
+      FROM (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> {_SQL_ISCALE.format(v="x")}) AS sv
+        FROM embeddings
+      )
+    ),
+    sizes AS (
+      SELECT nbits, substr(bucket, 1, CAST(nbits AS INTEGER)) AS pfx,
+             COUNT(*) AS sz
+      FROM b CROSS JOIN (VALUES {", ".join(f"({n})" for n in _ANN_SWEEP_BITS)}) t(nbits)
+      GROUP BY nbits, pfx
+    )
+    SELECT CAST(nbits AS BIGINT) AS nbits,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(COUNT(CASE WHEN sz > 1 THEN 1 END) AS BIGINT)
+             AS n_multi_buckets,
+           CAST(MAX(sz) AS BIGINT) AS max_bucket,
+           CAST(COALESCE(SUM(CASE WHEN sz > 1 AND sz <= {_ANN_BUCKET_CAP}
+                                  THEN sz * (sz - 1) END), 0) // 2
+                AS BIGINT) AS candidate_pairs,
+           CAST(COALESCE(SUM(CASE WHEN sz > {_ANN_BUCKET_CAP}
+                                  THEN sz * (sz - 1) END), 0) // 2
+                AS BIGINT) AS pairs_suppressed
+    FROM sizes
+    GROUP BY nbits
+    """,
+)
+def llm_ann_bucket_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/S20 EXT: ANN BUCKET-WIDTH sweep — the tuning curve for the
+    hyperplane-LSH geometry: for each candidate plane count
+    ({", ".join(str(n) for n in _ANN_SWEEP_BITS)}), the bucket
+    population, the largest bucket, and the candidate-pair volume the
+    bucketed join would generate (split at the ``_ANN_BUCKET_CAP``
+    mega-bucket guard into generated vs suppressed). Fewer planes →
+    fatter buckets → more candidates (higher recall, more compute);
+    this curve is how the plane count is chosen, the embedding twin
+    of ``llm_lsh_band_coverage``.
+
+    The sweep derives every width from ONE bucket computation: an
+    nbits-plane bucket is the nbits-bit PREFIX of the
+    {_N_PLANES}-plane sign bucket (plane i's bit does not depend on
+    the plane count), so the corpus is scanned and sign-hashed once
+    and the axis explodes only the (vec_id, bucket) projection.
+
+    Exactness: fixed-point integer plane dots (no RNG, no float
+    order-dependence); pair counts sum the always-even integer
+    product and halve the integral sum (``shiftright``/``// 2``).
+
+    Scale shape: one embedding scan + {len(_ANN_SWEEP_BITS)}× explode
+    of the key-only projection; two map-side-combinable hash aggs
+    (bucket sizes, then the O(2^nbits)-row rollup). No pair is ever
+    materialized — the curve PRICES the join without running it.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_planes = _planes_at_oracle_floor(
+        emb.count(), "llm_ann_bucket_width_sweep"
+    )
+    buckets = emb.select(
+        "vec_id", F.transform("embedding", _iscale).alias("sv")
+    ).select("vec_id", _bucket_expr(n_planes=n_planes).alias("bucket"))
+    axis = F.array(*[F.lit(n) for n in _ANN_SWEEP_BITS])
+    sizes = (
+        buckets.select("bucket", F.explode(axis).alias("nbits"))
+        .select(
+            "nbits",
+            F.substring(F.col("bucket"), 1, 8).substr(
+                F.lit(1), F.col("nbits")
+            ).alias("pfx"),
+        )
+        .groupBy("nbits", "pfx")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    in_cap = (F.col("sz") > 1) & (F.col("sz") <= _ANN_BUCKET_CAP)
+    over = F.col("sz") > _ANN_BUCKET_CAP
+    even_sum = lambda cond: F.shiftright(  # noqa: E731
+        F.coalesce(
+            F.sum(
+                F.when(
+                    cond, F.col("sz").cast("long") * (F.col("sz") - F.lit(1))
+                )
+            ),
+            F.lit(0).cast("long"),
+        ),
+        1,
+    ).cast("long")
+    return sizes.groupBy(F.col("nbits").cast("long").alias("nbits")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum((F.col("sz") > 1).cast("long"))
+        .cast("long")
+        .alias("n_multi_buckets"),
+        F.max("sz").cast("long").alias("max_bucket"),
+        even_sum(in_cap).alias("candidate_pairs"),
+        even_sum(over).alias("pairs_suppressed"),
+    )
+
+
+#: Gram sizes for the decontamination sweep — bracketing the
+#: production _DECON_N (the published recipes use 8-13 grams on
+#: real-token corpora; the synthetic corpus's shorter docs need a
+#: proportionally shorter axis).
+_DECON_SWEEP_NS = (3, 4, 5)
+
+
+@register(
+    "llm_decontaminate_ngram_sweep",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT CAST({n} AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n_flagged_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_hit_occurrences,
+           CAST(COUNT(DISTINCT c.doc_id) AS DOUBLE)
+             / (SELECT COUNT(*) FROM documents
+                WHERE doc_id % {_DECON_MOD} <> {_DECON_REM})
+             AS flagged_share
+    FROM (
+      SELECT doc_id, unnest({_sql_word_ngrams("t", n)}) AS g
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+      WHERE doc_id % {_DECON_MOD} <> {_DECON_REM}
+    ) c
+    JOIN (
+      SELECT DISTINCT g FROM (
+        SELECT unnest({_sql_word_ngrams("t", n)}) AS g
+        FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+              WHERE doc_id % {_DECON_MOD} = {_DECON_REM})
+      )
+    ) b USING (g)
+    """
+        for n in _DECON_SWEEP_NS
+    ),
+)
+def llm_decontaminate_ngram_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """F20/J9 EXT: DECONTAMINATION GRAM-SIZE sweep — how many training
+    documents the benchmark-overlap filter flags at each candidate
+    n-gram size ({", ".join(str(n) for n in _DECON_SWEEP_NS)}). The
+    gram size is decontamination's one real knob (short grams
+    over-flag boilerplate collisions, long grams miss paraphrase
+    overlap); published recipes picked 8-13 by exactly this curve,
+    and this computes all points in one pass instead of one corpus
+    scan per candidate.
+
+    Scale shape: the corpus is TOKENIZED ONCE; each doc fans out to
+    its tagged (n, gram) stream via one explode of the concatenated
+    per-n transforms. The benchmark side is eval-suite-sized, so its
+    distinct (n, gram) set broadcasts, and the flag join is
+    broadcast-hash — no shuffle of the corpus gram stream; the rollup
+    is an O(|axis|) hash agg. Counts exact; the share is one IEEE
+    divide.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
+    def _tag(n: int) -> Column:
+        # NB: a two-argument transform lambda would receive
+        # (element, INDEX) — n must be captured in a real closure
+        return F.transform(
+            _word_ngrams(F.col("t"), n),
+            lambda g: F.struct(
+                F.lit(n).cast("long").alias("n"), g.alias("g")
+            ),
+        )
+
+    tagged = F.flatten(F.array(*[_tag(n) for n in _DECON_SWEEP_NS]))
+    grams = toked.select(
+        "doc_id", F.explode(tagged).alias("x")
+    ).select("doc_id", "x.n", "x.g")
+    is_bench = (F.col("doc_id") % _DECON_MOD) == _DECON_REM
+    bench = (
+        grams.filter(is_bench).select("n", "g").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    n_corpus_docs = docs.filter(
+        (F.col("doc_id") % _DECON_MOD) != _DECON_REM
+    ).agg(F.count(F.lit(1)).alias("n_corpus"))
+    return (
+        grams.filter(~is_bench)
+        .join(F.broadcast(bench), ["n", "g"], "inner")
+        .groupBy("n")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_flagged_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_hit_occurrences"),
+        )
+        .crossJoin(F.broadcast(n_corpus_docs))
+        .select(
+            "n",
+            "n_flagged_docs",
+            "n_hit_occurrences",
+            (
+                F.col("n_flagged_docs").cast("double")
+                / F.col("n_corpus").cast("double")
+            ).alias("flagged_share"),
+        )
+    )

@@ -766,3 +766,94 @@ def stream_watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("late_share"),
         )
     )
+
+
+#: State-window width for the sizing audit: 1-hour tumbling windows —
+#: the grain `stream_hourly_ohlc` and the tumbling jobs actually key
+#: state by.
+_WM_STATE_WINDOW_US = 3_600_000_000
+
+
+@register(
+    "stream_watermark_state_audit",
+    oracle=f"""
+    WITH w AS (
+      SELECT epoch_us(ts) // {_WM_STATE_WINDOW_US} AS slot,
+             COUNT(*) AS n_events
+      FROM events
+      GROUP BY slot
+    ),
+    m AS (SELECT MAX(epoch_us(ts)) AS mx FROM events)
+    SELECT CAST(t.w_hours AS BIGINT) AS w_hours,
+           CAST(COUNT(*) AS BIGINT) AS n_windows_total,
+           CAST(COUNT(CASE WHEN (w.slot + 1) * {_WM_STATE_WINDOW_US}
+                                > m.mx - t.w_us THEN 1 END) AS BIGINT)
+             AS n_windows_open,
+           CAST(COALESCE(SUM(CASE WHEN (w.slot + 1) * {_WM_STATE_WINDOW_US}
+                                       > m.mx - t.w_us
+                                  THEN w.n_events END), 0) AS BIGINT)
+             AS n_events_open,
+           CAST(COUNT(CASE WHEN (w.slot + 1) * {_WM_STATE_WINDOW_US}
+                                > m.mx - t.w_us THEN 1 END) AS DOUBLE)
+             / COUNT(*) AS open_share
+    FROM (VALUES {", ".join(f"({h}, {us})" for h, us in _WM_DELAYS)})
+           t(w_hours, w_us)
+    CROSS JOIN w CROSS JOIN m
+    GROUP BY t.w_hours
+    """,
+)
+def stream_watermark_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2/T4 EXT: WATERMARK STATE-SIZE audit — the sizing complement of
+    ``stream_watermark_late_audit``: that one prices what a delay
+    DROPS; this one prices what it HOLDS. For each candidate delay
+    (1 h / 6 h / 24 h), how many 1-hour tumbling windows a streaming
+    aggregation would still keep in its state store when the stream's
+    high-water mark reaches the corpus max (windows whose end the
+    watermark has not yet passed — exactly the eviction predicate
+    `window.end <= watermark` that `test_streaming`'s true-run
+    witness pins), how many events those open windows cover, and the
+    open fraction. Together the two audits are the
+    `withWatermark` decision: lateness curve = data loss, state curve
+    = memory held.
+
+    Scale shape: ONE map-side-combinable window-count aggregate over
+    the events scan (key = epoch-hour slot), one broadcast max; the
+    delay axis crosses the O(hours) window relation only. Integer
+    microsecond arithmetic throughout; the share is one IEEE divide.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("us")
+    )
+    w = ev.groupBy(
+        F.expr(f"us div {_WM_STATE_WINDOW_US}").alias("slot")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    m = ev.agg(F.max("us").alias("mx"))
+    axis = F.array(
+        *[
+            F.struct(
+                F.lit(h).cast("long").alias("w_hours"),
+                F.lit(us).alias("w_us"),
+            )
+            for h, us in _WM_DELAYS
+        ]
+    )
+    is_open = (
+        (F.col("slot") + 1) * _WM_STATE_WINDOW_US
+        > F.col("mx") - F.col("w.w_us")
+    )
+    return (
+        w.crossJoin(F.broadcast(m))
+        .select("slot", "n_events", "mx", F.explode(axis).alias("w"))
+        .groupBy(F.col("w.w_hours").alias("w_hours"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows_total"),
+            F.sum(is_open.cast("long")).cast("long").alias("n_windows_open"),
+            F.coalesce(F.sum(F.when(is_open, F.col("n_events"))), F.lit(0))
+            .cast("long")
+            .alias("n_events_open"),
+            (
+                F.sum(is_open.cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("open_share"),
+        )
+    )

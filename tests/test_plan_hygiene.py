@@ -64,6 +64,10 @@ _NESTED_LOOP_ALLOWED = {
     "agg_brand_affinity_lift",     # 1-row order-total broadcast
     "llm_embedding_coverage_audit",  # four 1-row count aggregates cross-joined
     "llm_media_payload_dedup",     # 1-row max-id offset broadcast (re-crawl view)
+    "llm_media_payload_dedup_raw",  # same 1-row max-id offset broadcast
+    "llm_upsample_plan_integer",   # 1-row (t_max, n_sources) + 1-row total broadcasts
+    "llm_decontaminate_ngram_sweep",  # 1-row corpus-doc-count broadcast
+    "stream_watermark_state_audit",  # 1-row stream-max broadcast
 }
 
 #: Queries whose fn() triggers side effects/execution rather than just

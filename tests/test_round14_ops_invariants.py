@@ -1,0 +1,170 @@
+"""Mathematical invariants of the round-14 operators.
+
+The oracle-parity sweep proves Spark == DuckDB; these pin that both
+are RIGHT — each operator's defining inequality/identity holds on the
+real corpus, so a same-bug-both-engines regression cannot hide behind
+parity.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from smart_contract_database_builder_spark import plans
+from smart_contract_database_builder_spark.sources.tables import load_table
+
+from conftest import SF_ORACLE
+
+
+def _rows(spark, name):
+    return plans.QUERIES[name].fn(spark, SF_ORACLE).collect()
+
+
+def test_truncation_curve_is_monotone(spark):
+    """A larger cap can only truncate fewer docs and drop fewer
+    tokens; every row's totals agree; drop_share is the exact ratio."""
+    rows = sorted(_rows(spark, "llm_truncation_loss_curve"),
+                  key=lambda r: r.cap)
+    totals = {r.tokens_total for r in rows}
+    n_docs = {r.n_docs for r in rows}
+    assert len(totals) == 1 and len(n_docs) == 1
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_docs_truncated >= b.n_docs_truncated
+        assert a.tokens_dropped >= b.tokens_dropped
+    for r in rows:
+        assert 0 <= r.tokens_dropped <= r.tokens_total
+        assert abs(r.drop_share - r.tokens_dropped / r.tokens_total) < 1e-15
+    # non-vacuous: the smallest cap must actually truncate something
+    assert rows[0].n_docs_truncated > 0
+
+
+def test_upsample_plan_respects_cap_and_shares_sum_to_one(spark):
+    from smart_contract_database_builder_spark.plans.llm_ops import (
+        _UPSAMPLE_CAP,
+    )
+
+    rows = _rows(spark, "llm_upsample_plan_integer")
+    assert rows
+    t_max = max(r.n_tokens for r in rows)
+    for r in rows:
+        assert 1 <= r.repeats <= _UPSAMPLE_CAP
+        assert r.upsampled_tokens == r.repeats * r.n_tokens
+        # the largest source is never upsampled
+        if r.n_tokens == t_max:
+            assert r.repeats == 1
+        # integer plan: repeats = min(cap, max(1, t_max // n_tokens))
+        assert r.repeats == min(_UPSAMPLE_CAP, max(1, t_max // r.n_tokens))
+    assert abs(sum(r.achieved_share for r in rows) - 1.0) < 1e-12
+    assert abs(sum(r.target_share for r in rows) - 1.0) < 1e-12
+
+
+def test_ablation_matrix_counts_are_consistent(spark):
+    """Pairs are symmetric-complete (all 6 unordered), each cell's
+    counts bound each other, and the per-filter violation totals are
+    consistent across every pair that mentions the filter."""
+    rows = _rows(spark, "llm_filter_ablation_matrix")
+    assert len(rows) == 6
+    totals = {}
+    for r in rows:
+        assert r.n_both >= 0 and r.n_only_a >= 0 and r.n_only_b >= 0
+        union = r.n_both + r.n_only_a + r.n_only_b
+        if union:
+            assert abs(r.overlap_jaccard - r.n_both / union) < 1e-15
+        else:
+            assert r.overlap_jaccard == 0.0
+        for name, n in ((r.filter_a, r.n_both + r.n_only_a),
+                        (r.filter_b, r.n_both + r.n_only_b)):
+            assert totals.setdefault(name, n) == n, (
+                f"{name}: inconsistent violation total across pairs"
+            )
+    assert set(totals) == {"len_rule", "mwl_rule", "rep_rule", "stop_rule"}
+    # non-vacuous: at least one filter rejects something on the corpus
+    assert any(n > 0 for n in totals.values())
+
+
+def test_kmv_estimate_brackets_exact_count(spark):
+    """KMV with k=64 has relative standard error ~1/sqrt(k-2) ≈ 13%;
+    assert the estimate lands within 5 RSE of exact (a same-bug
+    regression like hashing the doc instead of the shingle lands
+    orders of magnitude away), and rel_err is the exact ratio."""
+    rows = _rows(spark, "llm_kmv_distinct_audit")
+    assert rows
+    for r in rows:
+        assert r.n_exact > 0
+        assert abs(r.rel_err - (r.est_kmv - r.n_exact) / r.n_exact) < 1e-12
+        if r.n_exact >= 64:
+            assert abs(r.rel_err) < 5 / (64 - 2) ** 0.5, r
+        else:
+            assert r.est_kmv == float(r.n_exact)
+
+
+def test_media_length_histogram_covers_the_corpus(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    n_docs = docs.count()
+    rows = _rows(spark, "llm_media_length_integrity")
+    assert sum(r.n for r in rows) == n_docs
+    for r in rows:
+        assert 8 <= r.n_blocks <= 12
+        assert r.bytes_each == 16 * r.n_blocks
+        assert r.bytes_total == r.n * r.bytes_each
+    # all three kinds and all five block counts appear
+    assert {r.kind for r in rows} == {"image", "audio", "video"}
+    assert {r.n_blocks for r in rows} == {8, 9, 10, 11, 12}
+
+
+def test_ann_sweep_is_monotone_in_plane_count(spark):
+    """Fewer planes merge buckets: bucket count rises with nbits while
+    max bucket size and candidate volume fall; the 8-bit row must
+    agree with the standing hyperplane-bucket query."""
+    rows = sorted(_rows(spark, "llm_ann_bucket_width_sweep"),
+                  key=lambda r: r.nbits)
+    assert [r.nbits for r in rows] == [4, 6, 8]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_buckets <= b.n_buckets
+        assert a.max_bucket >= b.max_bucket
+        assert (a.candidate_pairs + a.pairs_suppressed
+                >= b.candidate_pairs + b.pairs_suppressed)
+    full = {r.bucket: r.n_vecs
+            for r in _rows(spark, "llm_ann_hyperplane_buckets")}
+    r8 = rows[-1]
+    assert r8.n_buckets == len(full)
+    assert r8.max_bucket == max(full.values())
+    expected_pairs = sum(v * (v - 1) // 2 for v in full.values()
+                         if 1 < v <= 1024)
+    assert r8.candidate_pairs == expected_pairs
+
+
+def test_decon_sweep_flags_shrink_with_gram_size(spark):
+    """Longer grams can only flag fewer docs (an n+1-gram hit implies
+    two n-gram hits), and the sweep's n=4 row must equal the standing
+    decontaminate operator's flagged-doc count."""
+    rows = sorted(_rows(spark, "llm_decontaminate_ngram_sweep"),
+                  key=lambda r: r.n)
+    assert [r.n for r in rows] == [3, 4, 5]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_flagged_docs >= b.n_flagged_docs
+        assert a.n_hit_occurrences >= b.n_hit_occurrences
+    assert rows[0].n_flagged_docs > 0  # non-vacuous
+    standing = len(_rows(spark, "llm_decontaminate_overlap"))
+    assert rows[1].n_flagged_docs == standing
+
+
+def test_state_audit_open_windows_shrink_with_delay(spark):
+    """A longer watermark delay keeps MORE windows open (state is
+    evicted later); totals agree across rows; the open set is never
+    empty (the newest window is always open) nor the whole corpus."""
+    rows = sorted(_rows(spark, "stream_watermark_state_audit"),
+                  key=lambda r: r.w_hours)
+    assert [r.w_hours for r in rows] == [1, 6, 24]
+    totals = {r.n_windows_total for r in rows}
+    assert len(totals) == 1
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_windows_open <= b.n_windows_open
+        assert a.n_events_open <= b.n_events_open
+    for r in rows:
+        assert 1 <= r.n_windows_open <= r.n_windows_total
+        assert abs(r.open_share
+                   - r.n_windows_open / r.n_windows_total) < 1e-15
