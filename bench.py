@@ -298,6 +298,19 @@ HEADLINE = [
     "agg_customer_spend_trend",
     "llm_dedup_quality_interaction",
     "llm_corpus_delta_report",
+    # round 14
+    "llm_truncation_loss_curve",
+    "llm_upsample_plan_integer",
+    "llm_filter_ablation_matrix",
+    "llm_kmv_distinct_audit",
+    "llm_media_length_integrity",
+    "llm_ann_bucket_width_sweep",
+    "llm_decontaminate_ngram_sweep",
+    "stream_watermark_state_audit",
+    "llm_media_payload_dedup_raw",
+    "llm_rare_token_tail_mass",
+    "llm_bigram_entropy_rate",
+    "stream_shard_merge_lateness",
 ]
 
 

@@ -15422,3 +15422,217 @@ def llm_decontaminate_ngram_sweep(
             ).alias("flagged_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-14 batch 4: vocabulary pruning mass + bigram entropy rate
+# ---------------------------------------------------------------------------
+
+#: Frequency cutoffs for the rare-token tail: tokens seen <= k times
+#: corpus-wide are candidates for vocab pruning / UNK-folding.
+_RARE_KS = (1, 2, 5)
+
+
+@register(
+    "llm_rare_token_tail_mass",
+    oracle=f"""
+    WITH tf AS (
+      SELECT lang, term, COUNT(*) AS c
+      FROM (
+        SELECT lang, unnest({_SQL_TOKENS}) AS term FROM documents
+      )
+      GROUP BY lang, term
+    )
+    SELECT lang,
+           CAST(k AS BIGINT) AS k,
+           CAST(COUNT(CASE WHEN c <= k THEN 1 END) AS BIGINT)
+             AS n_rare_types,
+           CAST(COALESCE(SUM(CASE WHEN c <= k THEN c END), 0) AS BIGINT)
+             AS n_rare_tokens,
+           CAST(COUNT(CASE WHEN c <= k THEN 1 END) AS DOUBLE) / COUNT(*)
+             AS type_share,
+           CAST(COALESCE(SUM(CASE WHEN c <= k THEN c END), 0) AS DOUBLE)
+             / SUM(c) AS mass_share
+    FROM tf
+    CROSS JOIN (VALUES {", ".join(f"({k})" for k in _RARE_KS)}) t(k)
+    GROUP BY lang, k
+    """,
+)
+def llm_rare_token_tail_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F24/U13 EXT: RARE-TOKEN TAIL MASS — per language, the share of
+    vocabulary TYPES and of token OCCURRENCES carried by tokens seen
+    at most k times (k = {", ".join(str(k) for k in _RARE_KS)}). The
+    vocabulary-pruning decision curve: Zipf's law says most types are
+    rare but most mass is not — this measures exactly how much
+    corpus mass an UNK-fold at each cutoff would orphan. Complements
+    the Zipf slope (F43) and Heaps curve (F76), which fit the law;
+    this prices acting on it.
+
+    Scale shape: ONE (lang, term) hash aggregate over the token
+    stream (map-side combinable — the same relation every vocab
+    operator pays); the k axis explodes only the O(vocab) count
+    relation, and the rollup keys on (lang, k). Counts exact; the
+    shares are single IEEE divides.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = fan_out_if_narrow(docs.select("lang", _tokens().alias("t")))
+    tf = (
+        toked.select("lang", F.explode("t").alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    axis = F.array(*[F.lit(k).cast("long") for k in _RARE_KS])
+    rare = F.col("c") <= F.col("k")
+    return (
+        tf.select("lang", "c", F.explode(axis).alias("k"))
+        .groupBy("lang", "k")
+        .agg(
+            F.sum(rare.cast("long")).cast("long").alias("n_rare_types"),
+            F.coalesce(F.sum(F.when(rare, F.col("c"))), F.lit(0))
+            .cast("long")
+            .alias("n_rare_tokens"),
+            (
+                F.sum(rare.cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("type_share"),
+            (
+                F.coalesce(F.sum(F.when(rare, F.col("c"))), F.lit(0))
+                .cast("double")
+                / F.sum("c").cast("double")
+            ).alias("mass_share"),
+        )
+    )
+
+
+@register(
+    "llm_bigram_entropy_rate",
+    oracle=rf"""
+    WITH toked AS (
+      SELECT lang, {_SQL_TOKENS} AS t FROM documents
+      WHERE len({_SQL_TOKENS}) >= 2
+    ),
+    pairs AS (
+      SELECT lang, t[i] AS w1, t[i + 1] AS w2
+      FROM toked, UNNEST(range(1, len(t))) AS u(i)
+    ),
+    big AS (
+      SELECT lang, w1, w2, COUNT(*) AS c12
+      FROM pairs GROUP BY lang, w1, w2
+    ),
+    uni AS (
+      SELECT lang, w1, SUM(c12) AS c1 FROM big GROUP BY lang, w1
+    ),
+    sb AS (
+      SELECT lang,
+             SUM(c12) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_bigram_types,
+             SUM(c12 * {_SQL_LN_MICRO.format(x='c12')}) AS sl_bg
+      FROM big GROUP BY lang
+    ),
+    su AS (
+      SELECT lang, SUM(c1 * {_SQL_LN_MICRO.format(x='c1')}) AS sl_prev
+      FROM uni GROUP BY lang
+    )
+    SELECT sb.lang,
+           CAST(sb.n AS BIGINT) AS n_bigrams,
+           sb.n_bigram_types,
+           CAST(su.sl_prev - sb.sl_bg AS DOUBLE)
+             / (CAST(sb.n AS DOUBLE) * 1000000) AS cond_entropy_nats,
+           CAST({_SQL_LN_MICRO.format(x='sb.n')} * sb.n - su.sl_prev
+                AS DOUBLE)
+             / (CAST(sb.n AS DOUBLE) * 1000000) AS prev_entropy_nats
+    FROM sb JOIN su USING (lang)
+    """,
+)
+def llm_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F41/F44 EXT: bigram ENTROPY RATE per language — the conditional
+    entropy H(next | prev) = H(W1,W2) − H(W1) in nats, next to the
+    context-free H(W1). The gap between the two is how much one token
+    of context buys: tiny conditional entropy marks template/
+    boilerplate-dominated languages (the next token is nearly
+    determined — cheap to model, poor training signal), and the pair
+    is the corpus-level complement of the per-doc surprisal scores
+    (F41/F44). Both reduce to two Σ c·ln c sums over the bigram and
+    prev-marginal count relations, so no probability is ever
+    materialized.
+
+    Cross-engine exactness: the token-entropy discipline — ln
+    quantized to integer micro-nats (libm via the Arrow helper, over
+    the DISTINCT count values only), exact int64 sums, one double
+    division per output value.
+
+    Scale shape: ONE corpus scan → bigram explode → (lang, w1, w2)
+    hash agg with map-side combine (the same relation the bigram LM
+    pays), persisted because three branches read it; the marginal
+    DERIVES from it (no second pass), rollups key on lang, and the
+    ln table is a broadcast over O(distinct counts) values.
+    """
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", _tokens().alias("t")
+    )
+    toked = docs.filter(F.size("t") >= 2)
+    pairs = toked.select(
+        "lang",
+        F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"),
+        "t",
+    ).select(
+        "lang",
+        F.element_at("t", F.col("i")).alias("w1"),
+        F.element_at("t", F.col("i") + 1).alias("w2"),
+    )
+    big = (
+        pairs.groupBy("lang", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    uni = big.groupBy("lang", "w1").agg(F.sum("c12").alias("c1"))
+    sb_pre = big.groupBy("lang").agg(
+        F.sum("c12").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_bigram_types"),
+    )
+    ln_udf = _ln_libm()
+    distinct_vals = (
+        big.select(F.col("c12").alias("v"))
+        .union(uni.select(F.col("c1").alias("v")))
+        .union(sb_pre.select(F.col("n").alias("v")))
+        .distinct()
+    )
+    ln_table = distinct_vals.select(
+        "v",
+        F.floor(ln_udf(F.col("v").cast("double")) * _LN_MICRO)
+        .cast("long")
+        .alias("ln_micro"),
+    )
+    sl_bg = (
+        big.join(F.broadcast(ln_table), big.c12 == ln_table.v)
+        .groupBy("lang")
+        .agg(F.sum(F.col("c12") * F.col("ln_micro")).alias("sl_bg"))
+    )
+    sl_prev = (
+        uni.join(F.broadcast(ln_table), uni.c1 == ln_table.v)
+        .groupBy("lang")
+        .agg(F.sum(F.col("c1") * F.col("ln_micro")).alias("sl_prev"))
+    )
+    out = (
+        sb_pre.join(
+            F.broadcast(ln_table.withColumnRenamed("ln_micro", "ln_n")),
+            sb_pre.n == F.col("v"),
+        )
+        .join(sl_bg, "lang")
+        .join(sl_prev, "lang")
+    )
+    return out.select(
+        "lang",
+        F.col("n").cast("long").alias("n_bigrams"),
+        "n_bigram_types",
+        (
+            (F.col("sl_prev") - F.col("sl_bg")).cast("double")
+            / (F.col("n").cast("double") * F.lit(float(_LN_MICRO)))
+        ).alias("cond_entropy_nats"),
+        (
+            (F.col("ln_n") * F.col("n") - F.col("sl_prev")).cast("double")
+            / (F.col("n").cast("double") * F.lit(float(_LN_MICRO)))
+        ).alias("prev_entropy_nats"),
+    )

@@ -857,3 +857,104 @@ def stream_watermark_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("open_share"),
         )
     )
+
+@register(
+    "stream_shard_merge_lateness",
+    oracle=f"""
+    WITH e AS (
+      SELECT md5(CAST(event_id AS VARCHAR)) AS ak, epoch_us(ts) AS us
+      FROM events
+    ),
+    r AS (
+      SELECT us,
+             MAX(us) OVER (ORDER BY ak
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS hwm
+      FROM e
+    ),
+    late AS (
+      SELECT quantile_cont(CAST(hwm - us AS DOUBLE), [0.5, 0.9, 0.99]) AS q,
+             MAX(hwm - us) AS mx,
+             COUNT(*) AS n_late
+      FROM r WHERE hwm - us > 0
+    ),
+    tot AS (SELECT COUNT(*) AS n_events FROM e)
+    SELECT CAST(tot.n_events AS BIGINT) AS n_events,
+           CAST(late.n_late AS BIGINT) AS n_late,
+           CAST(late.n_late AS DOUBLE) / tot.n_events AS late_share,
+           q[1] AS p50_late_us,
+           q[2] AS p90_late_us,
+           q[3] AS p99_late_us,
+           CAST(late.mx AS BIGINT) AS max_late_us
+    FROM late CROSS JOIN tot
+    """,
+)
+def stream_shard_merge_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T15 EXT: SHARD-MERGE LATENESS percentiles — exact p50/p90/p99/max
+    of the positive lateness a watermarked consumer would observe if
+    the event stream arrived through an UNORDERED shard merge. The
+    corpus's native arrival order (event_id) is perfectly time-sorted
+    — T15 measures it and honestly reports zero late events — but a
+    real collector fans in from many shards and interleaves, so the
+    sizing question "what delay covers the p99 of disorder" needs a
+    disorder model: here arrival order is the md5 of the event id
+    (deterministic on both engines), the standard worst-case shuffle
+    a shard merge approaches as shard count grows. The answer is the
+    inverse of T15's — that audit prices three candidate delays, this
+    reads the delay off the distribution.
+
+    Exact interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont`` on the same doubles) are the
+    oracle-checkable anchor; at corpus scale the same query swaps to
+    ``percentile_approx`` (mergeable t-digest).
+
+    Scale shape: the running max over the arrival order is the T15
+    two-level distributed prefix scan transplanted onto the hash
+    axis: the 3-hex arrival-key prefix buckets the stream into 4096
+    lexicographic segments (bucket order IS arrival order), the
+    within-bucket window parallelizes per segment, the O(4096)
+    bucket-summary prefix recombines with one broadcast join — no
+    single-partition global sort. Integer microsecond lateness cast
+    to double once before interpolation on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.md5(F.col("event_id").cast("string")).alias("ak"),
+        F.unix_micros("ts").alias("us"),
+    )
+    ev = ev.withColumn("bkt", F.substring("ak", 1, 3))
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("ak")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scanned = ev.select(
+        "ak", "us", "bkt", F.max("us").over(w_in).alias("in_max")
+    )
+    bsum = ev.groupBy("bkt").agg(F.max("us").alias("bmax"))
+    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bpre = bsum.select("bkt", F.max("bmax").over(w_b).alias("pre_max"))
+    hwm = F.greatest(
+        F.coalesce("in_max", F.lit(None).cast("long")),
+        F.coalesce("pre_max", F.lit(None).cast("long")),
+    )
+    scored = scanned.join(F.broadcast(bpre), "bkt").select(
+        (hwm - F.col("us")).alias("lateness")
+    )
+    late = scored.filter(F.col("lateness") > 0).agg(
+        F.percentile(F.col("lateness").cast("double"),
+                     F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("q"),
+        F.max("lateness").alias("mx"),
+        F.count(F.lit(1)).alias("n_late"),
+    )
+    tot = scored.agg(F.count(F.lit(1)).alias("n_events"))
+    return late.crossJoin(F.broadcast(tot)).select(
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_late").cast("long").alias("n_late"),
+        (
+            F.col("n_late").cast("double") / F.col("n_events").cast("double")
+        ).alias("late_share"),
+        F.element_at("q", 1).alias("p50_late_us"),
+        F.element_at("q", 2).alias("p90_late_us"),
+        F.element_at("q", 3).alias("p99_late_us"),
+        F.col("mx").cast("long").alias("max_late_us"),
+    )

@@ -68,6 +68,7 @@ _NESTED_LOOP_ALLOWED = {
     "llm_upsample_plan_integer",   # 1-row (t_max, n_sources) + 1-row total broadcasts
     "llm_decontaminate_ngram_sweep",  # 1-row corpus-doc-count broadcast
     "stream_watermark_state_audit",  # 1-row stream-max broadcast
+    "stream_shard_merge_lateness",  # 1-row late-stats x 1-row total broadcast
 }
 
 #: Queries whose fn() triggers side effects/execution rather than just

@@ -168,3 +168,61 @@ def test_state_audit_open_windows_shrink_with_delay(spark):
         assert 1 <= r.n_windows_open <= r.n_windows_total
         assert abs(r.open_share
                    - r.n_windows_open / r.n_windows_total) < 1e-15
+
+
+def test_rare_tail_mass_is_monotone_and_zipf_shaped(spark):
+    """Larger k can only include more types/mass; shares are exact
+    ratios; and the Zipf signature holds: the k=1 type share far
+    exceeds its mass share (most types are rare, most mass is not)."""
+    rows = _rows(spark, "llm_rare_token_tail_mass")
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert by_lang
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.k)
+        assert [r.k for r in rs] == [1, 2, 5]
+        for a, b in zip(rs, rs[1:]):
+            assert a.n_rare_types <= b.n_rare_types
+            assert a.n_rare_tokens <= b.n_rare_tokens
+        for r in rs:
+            assert r.n_rare_tokens >= r.n_rare_types  # each type occurs >= 1
+            assert 0.0 <= r.mass_share <= r.type_share <= 1.0, (lang, r)
+
+
+def test_bigram_entropy_bounds(spark):
+    """Conditioning never hurts: 0 <= H(next|prev), and H(W1,W2) <=
+    H(W1) + H(W2) gives cond <= log(vocab); also cond entropy is
+    bounded by log of bigram types and prev entropy is positive on a
+    diverse corpus."""
+    import math
+
+    rows = _rows(spark, "llm_bigram_entropy_rate")
+    assert rows
+    for r in rows:
+        assert r.n_bigrams >= r.n_bigram_types > 0
+        # micro-nat flooring can push a degenerate-group value a hair
+        # below zero; one micro-nat is the guard band
+        assert r.cond_entropy_nats >= -1e-6, r
+        assert r.prev_entropy_nats >= -1e-6, r
+        assert r.cond_entropy_nats <= math.log(r.n_bigram_types) + 1e-6
+        # joint entropy = prev + cond <= log(n_bigram_types)
+        assert (r.prev_entropy_nats + r.cond_entropy_nats
+                <= math.log(r.n_bigram_types) + 1e-6)
+
+
+def test_shard_merge_lateness_is_ordered_and_nonvacuous(spark):
+    """Under the hash-shuffled arrival model roughly half the events
+    arrive behind the high-water mark; percentiles are ordered and the
+    share is the exact ratio. (The NATIVE arrival order is perfectly
+    time-sorted in this corpus — T15 reports zero late — which is
+    exactly why the sizing operator needs the disorder model.)"""
+    (r,) = _rows(spark, "stream_shard_merge_lateness")
+    assert 0 < r.n_late < r.n_events
+    # a full hash shuffle leaves nearly everything behind the HWM (the
+    # max arrives early in expectation) — but never literally all: the
+    # first arrival has no predecessor, and each new running max is
+    # on time by definition
+    assert 0.5 < r.late_share < 1.0
+    assert abs(r.late_share - r.n_late / r.n_events) < 1e-15
+    assert 0 < r.p50_late_us <= r.p90_late_us <= r.p99_late_us <= r.max_late_us
