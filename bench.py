@@ -31,6 +31,17 @@ between queries). This is the adjudication mode for the >20%/>1 s
 regression gate: a shared-session drift (GC pressure, page-cache
 shape from whatever ran before) cannot follow a query into its own
 clean session, so a regression that survives here is real.
+
+ARTIFACT OF RECORD (r13 VERDICT #2): the round's primary performance
+number is the CLEAN-SESSION artifact (``BENCH_LOCAL_r{N}_clean.json``,
+full HEADLINE under ``SPARK_GRAFT_BENCH_CLEAN=1``); the warm shared-
+session artifact is secondary. Rationale: the r13 driver warm run sat
++21% above the builder's same-day local warm run on identical
+queries, and every apparent per-query regression vanished in clean
+sessions — warm totals are contaminated by whatever ran minutes
+before in the same JVM/page cache (expected driver-vs-local warm
+variance is ±20% at the total level). Round-over-round comparisons
+should be clean-vs-clean; warm-vs-warm is a smoke signal only.
 """
 
 from __future__ import annotations
@@ -311,6 +322,10 @@ HEADLINE = [
     "llm_rare_token_tail_mass",
     "llm_bigram_entropy_rate",
     "stream_shard_merge_lateness",
+    "agg_customer_interarrival_burstiness",
+    "llm_norm_length_correlation",
+    "llm_shard_count_balance_curve",
+    "llm_media_sampling_budget",
 ]
 
 

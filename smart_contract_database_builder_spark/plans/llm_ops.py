@@ -15636,3 +15636,240 @@ def llm_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n").cast("double") * F.lit(float(_LN_MICRO)))
         ).alias("prev_entropy_nats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-14 batch 5: embedding sanity, shard sizing, multimodal planning
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_norm_length_correlation",
+    oracle=f"""
+    WITH j AS (
+      SELECT d.n_chars AS x,
+             list_aggregate(list_transform(e.embedding,
+               v -> CAST({_SQL_ISCALE.format(v="v")} AS BIGINT)
+                    * {_SQL_ISCALE.format(v="v")}), 'sum') AS y
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
+      FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+             AS pearson_r
+    FROM m
+    """,
+)
+def llm_norm_length_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5/F57 EXT: embedding NORM-vs-LENGTH correlation — Pearson r
+    between document length (chars) and the squared fixed-point
+    embedding norm over the joined corpus. The encoder sanity check
+    every retrieval deployment runs once: un-normalized encoders leak
+    length into the norm (r far from 0), which silently turns
+    dot-product retrieval into a long-document detector. One number,
+    read before choosing cosine vs dot scoring.
+
+    Exactness: the A-family exact-moment discipline — x is an int
+    column, y the exact int64 squared norm of the 1e-6 fixed-point
+    vector (≤ 64·(2^20)² ≈ 2^46, no overflow); all five moment sums
+    widen to DECIMAL(38,0)/HUGEINT, and r is one fixed chain of
+    double ops on identical integers. Built-in ``corr()`` would
+    accumulate doubles in partition order and never verify.
+
+    Scale shape: one equi-join on the uniform doc/vec id (both sides
+    scan-pruned to two columns), one 1-row moment aggregate with
+    map-side combine. Nothing quadratic, nothing iterative.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("decimal(38,0)").alias("x")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.aggregate(
+            F.transform("embedding", lambda v: _iscale(v) * _iscale(v)),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        )
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    j = docs.join(emb, docs.doc_id == emb.vec_id)
+    m = j.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        (num / den).alias("pearson_r"),
+    )
+
+
+#: Candidate shard counts for the balance curve — the axis a
+#: data-loader sizing decision reads.
+_SHARD_COUNTS = (16, 64, 256)
+
+#: Hex-digit polynomial shared with the KMV audit: first 8 md5 hex
+#: chars as a 32-bit integer, expressible identically in both engines.
+_SQL_HEX32 = (
+    "list_aggregate(list_transform(range(1, 9), i -> "
+    "CAST(strpos('0123456789abcdef', substr({h}, CAST(i AS INTEGER), 1)) - 1 "
+    "AS BIGINT) * CAST(power(16, 8 - i) AS BIGINT)), 'sum')"
+)
+
+
+@register(
+    "llm_shard_count_balance_curve",
+    oracle=f"""
+    WITH d AS (
+      SELECT {_SQL_HEX32.format(h="md5(CAST(doc_id AS VARCHAR))")} AS h,
+             len({_SQL_TOKENS}) AS n_tok
+      FROM documents
+    ),
+    loads AS (
+      SELECT s, h % s AS shard, SUM(n_tok) AS load
+      FROM d CROSS JOIN (VALUES {", ".join(f"({s})" for s in _SHARD_COUNTS)}) t(s)
+      GROUP BY s, h % s
+    )
+    SELECT CAST(s AS BIGINT) AS n_shards,
+           CAST(COUNT(*) AS BIGINT) AS shards_used,
+           CAST(SUM(load) AS BIGINT) AS tokens_total,
+           CAST(MAX(load) AS BIGINT) AS max_shard_tokens,
+           CAST(MAX(load) AS DOUBLE)
+             / (CAST(SUM(load) AS DOUBLE) / s) AS max_over_mean,
+           CAST(MIN(load) AS DOUBLE)
+             / (CAST(SUM(load) AS DOUBLE) / s) AS min_over_mean
+    FROM loads
+    GROUP BY s
+    """,
+)
+def llm_shard_count_balance_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """F84 EXT: SHARD-COUNT balance curve — the F84 audit swept over
+    the shard-count axis (16/64/256): per candidate count, the
+    max/mean and min/mean token-load ratios of the md5 hash
+    assignment. Balls-in-bins says imbalance grows as shards shrink
+    toward docs/shard parity; this curve is how the data-loader's
+    world size is chosen — the straggler tax of each option priced
+    before a training run stalls on its fattest shard.
+
+    Exactness: the hash is an integer polynomial over the first 8
+    md5 hex digits (identical construction both engines, no engine
+    hash functions); loads are exact int64 token sums; ratios are
+    fixed double chains on identical integers.
+
+    Scale shape: one corpus scan computes (hash, token count); the
+    axis explodes only that 2-column projection; two hash aggs
+    (loads, then the O(axis) rollup), all map-side combinable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long").alias("h"),
+        F.size(_tokens()).cast("long").alias("n_tok"),
+    )
+    axis = F.array(*[F.lit(s).cast("long") for s in _SHARD_COUNTS])
+    loads = (
+        d.select("h", "n_tok", F.explode(axis).alias("s"))
+        .groupBy("s", F.pmod(F.col("h"), F.col("s")).alias("shard"))
+        .agg(F.sum("n_tok").alias("load"))
+    )
+    mean = F.sum("load").cast("double") / F.col("s").cast("double")
+    return loads.groupBy(F.col("s").alias("n_shards")).agg(
+        F.count(F.lit(1)).cast("long").alias("shards_used"),
+        F.sum("load").cast("long").alias("tokens_total"),
+        F.max("load").cast("long").alias("max_shard_tokens"),
+        (F.max("load").cast("double") / mean).alias("max_over_mean"),
+        (F.min("load").cast("double") / mean).alias("min_over_mean"),
+    )
+
+
+@register(
+    "llm_media_sampling_budget",
+    oracle="""
+    WITH m AS (
+      SELECT ['image', 'audio', 'video'][(doc_id % 3) + 1] AS kind,
+             doc_id % 8 AS w8, doc_id % 10 AS d10
+      FROM documents
+    ),
+    u AS (
+      SELECT kind,
+             CASE kind
+               WHEN 'image' THEN (64 + w8 * 16) * (48 + w8 * 12)
+               WHEN 'audio' THEN (1000 + d10 * 500) // 40
+               ELSE (1000 + d10 * 500 + 999) // 1000
+             END AS units
+      FROM m
+    )
+    SELECT kind,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(units) AS BIGINT) AS total_units,
+           CAST(SUM(units) AS DOUBLE) / COUNT(*) AS mean_units
+    FROM u
+    GROUP BY kind
+    """,
+)
+def llm_media_sampling_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-multimodal EXT: MEDIA SAMPLING-BUDGET plan — the
+    metadata-driven compute estimate a multimodal feature-extraction
+    run prices BEFORE decoding a single byte: per modality, the work
+    units the typed metadata implies (image → pixels from
+    width×height, audio → 40 ms analysis windows from duration_ms,
+    video → 1 fps frame samples, ceil). Decode is the expensive
+    stage; this is the query that sizes its cluster, and it touches
+    ONLY the metadata struct — never the payload column (columnar
+    pruning keeps the binary bytes on disk).
+
+    The oracle rebuilds the same plan from the id arithmetic that
+    defines the corpus metadata, so a driver-green row certifies the
+    typed-metadata columns round-trip correctly — the planning twin
+    of the length-integrity histogram (F101).
+
+    Scale shape: one metadata-only scan (payload column pruned), a
+    per-row CASE, one O(kinds) hash agg. Integer units (``div`` /
+    ``//`` and ceil-by-add both exact); mean is one IEEE divide.
+    """
+    from ..sources.multimodal import media_from_documents
+
+    media = media_from_documents(spark, sf_dir).select("kind", "meta")
+    units = (
+        F.when(
+            F.col("kind") == "image",
+            F.col("meta.width").cast("long") * F.col("meta.height"),
+        )
+        .when(
+            F.col("kind") == "audio",
+            F.expr("CAST(meta.duration_ms AS BIGINT) div 40"),
+        )
+        .otherwise(
+            F.expr("CAST(meta.duration_ms + 999 AS BIGINT) div 1000")
+        )
+    )
+    return media.select("kind", units.alias("units")).groupBy("kind").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("units").cast("long").alias("total_units"),
+        (
+            F.sum("units").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("mean_units"),
+    )

@@ -4809,3 +4809,95 @@ def agg_customer_spend_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("slope_per_day"),
         )
     )
+
+
+#: Minimum orders for a burstiness row — fewer than 5 gaps makes the
+#: σ/μ estimate noise, and the filter keeps the output meaningful.
+_BURST_MIN_ORDERS = 5
+
+
+@register(
+    "agg_customer_interarrival_burstiness",
+    oracle=f"""
+    WITH seq AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate,
+                                                       o_orderkey),
+                       o_orderdate) AS gap
+      FROM orders
+    ),
+    s AS (
+      SELECT o_custkey,
+             COUNT(gap) AS n_gaps,
+             SUM(gap) AS sg,
+             SUM(gap * gap) AS sg2
+      FROM seq WHERE gap IS NOT NULL
+      GROUP BY o_custkey
+      HAVING COUNT(gap) >= {_BURST_MIN_ORDERS - 1}
+    )
+    SELECT o_custkey AS custkey,
+           CAST(n_gaps + 1 AS BIGINT) AS n_orders,
+           CAST(sg AS DOUBLE) / n_gaps AS mean_gap_days,
+           (sqrt(CAST(n_gaps * sg2 - sg * sg AS DOUBLE)) - CAST(sg AS DOUBLE))
+             / (sqrt(CAST(n_gaps * sg2 - sg * sg AS DOUBLE))
+                + CAST(sg AS DOUBLE)) AS burstiness
+    FROM s
+    """,
+)
+def agg_customer_interarrival_burstiness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A-EXT: per-customer order INTER-ARRIVAL BURSTINESS — the
+    Goh-Barabási index B = (σ−μ)/(σ+μ) over the day gaps between a
+    customer's consecutive orders: B→−1 metronome-regular, B≈0
+    Poisson, B→+1 bursty (long silences punctuated by order storms).
+    The behavioral-segmentation primitive behind churn/reactivation
+    models; complements the corpus-grain gap histogram (A52) with a
+    per-entity score and the spend-trend OLS (A61) with a cadence
+    lens.
+
+    Exactness: gaps are exact integer days on a deterministic order
+    (date, orderkey tie-break); n·σ² = n·Σg² − (Σg)² and μ derive
+    from two exact int64 sums, so B is one fixed chain of double ops
+    on identical integers — bitwise cross-engine.
+
+    Scale shape: one customer-keyed window (shuffle keyed by the
+    uniform custkey, per-partition sort of ~orders-per-customer
+    rows), one hash agg to O(customers), scalar projections after.
+    No global sort, no iteration.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap"),
+    )
+    s = (
+        seq.filter(F.col("gap").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap").alias("sg"),
+            F.sum(F.col("gap") * F.col("gap")).alias("sg2"),
+        )
+        .filter(F.col("n_gaps") >= _BURST_MIN_ORDERS - 1)
+    )
+    sigma_n = F.sqrt(
+        (F.col("n_gaps") * F.col("sg2") - F.col("sg") * F.col("sg"))
+        .cast("double")
+    )
+    return s.select(
+        F.col("o_custkey").alias("custkey"),
+        (F.col("n_gaps") + 1).cast("long").alias("n_orders"),
+        (F.col("sg").cast("double") / F.col("n_gaps")).alias(
+            "mean_gap_days"
+        ),
+        (
+            (sigma_n - F.col("sg").cast("double"))
+            / (sigma_n + F.col("sg").cast("double"))
+        ).alias("burstiness"),
+    )

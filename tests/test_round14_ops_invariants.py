@@ -226,3 +226,86 @@ def test_shard_merge_lateness_is_ordered_and_nonvacuous(spark):
     assert 0.5 < r.late_share < 1.0
     assert abs(r.late_share - r.n_late / r.n_events) < 1e-15
     assert 0 < r.p50_late_us <= r.p90_late_us <= r.p99_late_us <= r.max_late_us
+
+
+def test_burstiness_is_bounded_and_consistent(spark):
+    """B = (σ−μ)/(σ+μ) ∈ [−1, 1); recompute per customer from the raw
+    order dates in Python and compare bitwise-ish."""
+    import math
+
+    rows = _rows(spark, "agg_customer_interarrival_burstiness")
+    assert rows
+    orders = load_table(spark, SF_ORACLE, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    ).collect()
+    by_cust = {}
+    for r in orders:
+        by_cust.setdefault(r.o_custkey, []).append(
+            (r.o_orderdate, r.o_orderkey)
+        )
+    got = {r.custkey: r for r in rows}
+    n_checked = 0
+    for cust, seq in by_cust.items():
+        seq.sort()
+        gaps = [(b[0] - a[0]).days for a, b in zip(seq, seq[1:])]
+        if len(gaps) < 4:
+            assert cust not in got
+            continue
+        r = got[cust]
+        assert r.n_orders == len(gaps) + 1
+        n, sg, sg2 = len(gaps), sum(gaps), sum(g * g for g in gaps)
+        sig_n = math.sqrt(n * sg2 - sg * sg)
+        assert abs(r.mean_gap_days - sg / n) < 1e-12
+        assert abs(r.burstiness - (sig_n - sg) / (sig_n + sg)) < 1e-12
+        assert -1.0 <= r.burstiness < 1.0
+        n_checked += 1
+    assert n_checked == len(got) > 0
+
+
+def test_norm_length_correlation_bounded(spark):
+    (r,) = _rows(spark, "llm_norm_length_correlation")
+    assert r.n_pairs > 0
+    assert -1.0 <= r.pearson_r <= 1.0
+
+
+def test_shard_curve_imbalance_grows_as_shards_shrink_docs(spark):
+    """More shards → fewer docs per shard → worse balls-in-bins
+    imbalance: max/mean must not decrease with shard count; totals
+    conserved; all shards used at these corpus sizes."""
+    rows = sorted(_rows(spark, "llm_shard_count_balance_curve"),
+                  key=lambda r: r.n_shards)
+    assert [r.n_shards for r in rows] == [16, 64, 256]
+    totals = {r.tokens_total for r in rows}
+    assert len(totals) == 1
+    for r in rows:
+        # balls-in-bins: at small SF the 256-shard row legitimately
+        # leaves some shards empty; most must still be hit
+        assert r.n_shards // 2 < r.shards_used <= r.n_shards
+        assert r.min_over_mean <= 1.0 <= r.max_over_mean
+    assert rows[0].max_over_mean <= rows[-1].max_over_mean
+
+
+def test_media_budget_matches_python_recompute(spark):
+    from smart_contract_database_builder_spark.sources.multimodal import (
+        media_from_documents,
+    )
+
+    rows = {r.kind: r for r in _rows(spark, "llm_media_sampling_budget")}
+    media = media_from_documents(spark, SF_ORACLE).select(
+        "media_id", "kind", "meta"
+    ).collect()
+    want = {}
+    for m in media:
+        if m.kind == "image":
+            u = m.meta.width * m.meta.height
+        elif m.kind == "audio":
+            u = m.meta.duration_ms // 40
+        else:
+            u = (m.meta.duration_ms + 999) // 1000
+        n, t = want.get(m.kind, (0, 0))
+        want[m.kind] = (n + 1, t + u)
+    assert set(rows) == set(want) == {"image", "audio", "video"}
+    for kind, (n, t) in want.items():
+        assert rows[kind].n_items == n
+        assert rows[kind].total_units == t
+        assert abs(rows[kind].mean_units - t / n) < 1e-12
