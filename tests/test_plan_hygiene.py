@@ -255,3 +255,15 @@ def test_curation_pipeline_v2_scans_and_tokenizes_once(spark):
     assert len(scans) == 1, f"expected ONE documents scan, got: {scans}"
     assert "DataFilters: []" in scans[0]
     assert final.count("split(trim(lower") == 1
+
+
+def test_kmv_rank_limit_is_pushed_into_the_sort(spark):
+    """llm_kmv_distinct_audit's scale claim: the rn <= k filter over
+    the per-source hash window must optimize to WindowGroupLimit
+    (partial map-side + final), so each map task forwards at most k
+    rows per source — the per-source sort never sees the full
+    distinct-hash relation. A plan without the node silently degrades
+    to a full per-source sort at 100 TB."""
+    df = plans.QUERIES["llm_kmv_distinct_audit"].fn(spark, SF_ORACLE)
+    plan = _explain(df)
+    assert plan.count("WindowGroupLimit") >= 2, plan
