@@ -326,6 +326,8 @@ HEADLINE = [
     "llm_norm_length_correlation",
     "llm_shard_count_balance_curve",
     "llm_media_sampling_budget",
+    "llm_fingerprint_method_agreement",
+    "llm_fim_split_plan",
 ]
 
 

@@ -15873,3 +15873,304 @@ def llm_media_sampling_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("units").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("mean_units"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-14 batch 6: cross-method dedup validation + FIM transform plan
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_fingerprint_method_agreement",
+    oracle=rf"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM (
+        SELECT doc_id, unnest({_sql_word_ngrams("t")}) AS s
+        FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(md5('{i}|' || s)) AS m{i}" for i in range(_N_HASHES))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(m{2*b} || m{2*b+1}) AS key FROM sig"
+        for b in range(_N_HASHES // _BAND_ROWS)
+      )}
+    ),
+    bsz AS (
+      SELECT band_idx, key FROM bands
+      GROUP BY band_idx, key
+      HAVING COUNT(*) BETWEEN 2 AND {_LSH_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bsz USING (band_idx, key)
+      JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key
+                  AND a.doc_id < b.doc_id
+    ),
+    jac AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared,
+             CAST(COUNT(*) AS DOUBLE)
+               / (sa.n + sb.n - COUNT(*)) AS jaccard
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      GROUP BY c.doc_a, c.doc_b, sa.n, sb.n
+    ),
+    jnear AS (
+      SELECT doc_a, doc_b, n_shared FROM jac WHERE jaccard >= {_XSRC_J}
+    ),
+    sfps AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform(range(1, {_SIMH_BITS + 1}), j ->
+                 CASE WHEN list_aggregate(
+                   list_transform(hs, h ->
+                     {_sql_sim_vote("h", "j")}), 'sum') >= 0
+                 THEN '1' ELSE '0' END),
+               '') AS simhash
+      FROM (
+        SELECT doc_id,
+               list_transform(list_distinct({_SQL_TOKENS}),
+                              x -> md5(x)) AS hs
+        FROM documents
+      )
+      WHERE len(hs) > 0
+    ),
+    sblocks AS (
+      SELECT doc_id, b AS block_idx,
+             substr(simhash, b * {_SIMH_BLOCK_W} + 1,
+                    {_SIMH_BLOCK_W}) AS key
+      FROM sfps, (SELECT unnest(range({_SIMH_BLOCKS})) AS b)
+    ),
+    sbsz AS (
+      SELECT block_idx, key FROM sblocks
+      GROUP BY block_idx, key
+      HAVING COUNT(*) BETWEEN 2 AND {_LSH_BUCKET_CAP}
+    ),
+    scand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sblocks a
+      JOIN sbsz USING (block_idx, key)
+      JOIN sblocks b ON a.block_idx = b.block_idx AND a.key = b.key
+                    AND a.doc_id < b.doc_id
+    ),
+    spairs AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(len(list_filter(range(1, {_SIMH_BITS + 1}),
+                   i -> substr(fa.simhash, i, 1) <> substr(fb.simhash, i, 1)))
+                  AS BIGINT) AS hamming
+      FROM scand c
+      JOIN sfps fa ON fa.doc_id = c.doc_a
+      JOIN sfps fb ON fb.doc_id = c.doc_b
+      WHERE len(list_filter(range(1, {_SIMH_BITS + 1}),
+                i -> substr(fa.simhash, i, 1) <> substr(fb.simhash, i, 1)))
+            <= {_SIMH_RADIUS}
+    ),
+    f AS (
+      SELECT j.doc_a AS ja, s.doc_a AS sa, j.n_shared, s.hamming
+      FROM jnear j FULL OUTER JOIN spairs s
+        ON j.doc_a = s.doc_a AND j.doc_b = s.doc_b
+    )
+    SELECT CAST(COUNT(CASE WHEN ja IS NOT NULL AND sa IS NOT NULL
+                           THEN 1 END) AS BIGINT) AS n_both,
+           CAST(COUNT(CASE WHEN ja IS NULL THEN 1 END) AS BIGINT)
+             AS n_simhash_only,
+           CAST(COUNT(CASE WHEN sa IS NULL THEN 1 END) AS BIGINT)
+             AS n_jaccard_only,
+           CASE WHEN COUNT(ja) = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(COUNT(CASE WHEN ja IS NOT NULL
+                                      AND sa IS NOT NULL THEN 1 END)
+                          AS DOUBLE) / COUNT(ja)
+           END AS simhash_recall_of_jaccard,
+           CASE WHEN COUNT(sa) = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(COUNT(CASE WHEN ja IS NOT NULL
+                                      AND sa IS NOT NULL THEN 1 END)
+                          AS DOUBLE) / COUNT(sa)
+           END AS jaccard_recall_of_simhash,
+           CASE WHEN COUNT(CASE WHEN ja IS NOT NULL AND sa IS NOT NULL
+                                THEN 1 END) = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(COALESCE(SUM(CASE WHEN ja IS NOT NULL
+                                            THEN hamming END), 0)
+                          AS DOUBLE)
+                     / COUNT(CASE WHEN ja IS NOT NULL AND sa IS NOT NULL
+                                  THEN 1 END)
+           END AS avg_hamming_both,
+           CASE WHEN COUNT(CASE WHEN sa IS NULL THEN 1 END) = 0
+                THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(COALESCE(SUM(CASE WHEN sa IS NULL
+                                            THEN n_shared END), 0)
+                          AS DOUBLE)
+                     / COUNT(CASE WHEN sa IS NULL THEN 1 END)
+           END AS avg_shared_jaccard_only
+    FROM f
+    """,
+)
+def llm_fingerprint_method_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """J6 EXT: FINGERPRINT METHOD-AGREEMENT audit — the validation run
+    behind choosing (or stacking) dedup geometries: full-outer-compare
+    the MinHash-verified near-dup pairs (exact Jaccard ≥ {_XSRC_J}
+    over the S24 store) against the SimHash Hamming pairs (radius
+    {_SIMH_RADIUS} over the S22 store), reporting joint/exclusive
+    counts, each method's recall of the other, and the distance
+    profile of the disagreements (mean Hamming of agreed pairs, mean
+    shared-shingle count of Jaccard-only pairs). High exclusive
+    counts on BOTH sides is the published argument for running the
+    two families stacked (MinHash sees shingle-set overlap, SimHash
+    sees repeated-vocabulary mass); this measures that argument on
+    the actual corpus instead of assuming it.
+
+    Exactness: every metric is a count or an exact-int-sum ratio
+    (hamming and n_shared are int64) with CASE zero guards — no
+    double summation anywhere, so cross-engine bitwise parity holds.
+
+    Scale shape: BOTH pair relations read write-time stores (S22
+    fingerprints, S24 verified pairs) — no corpus pass at query time;
+    the full outer join is keyed on the canonical (doc_a, doc_b) pair
+    key over two pair-scale relations, and the report is a 1-row
+    aggregate. At 100 TB this query costs two pair-table scans.
+    """
+    jnear = _ngram_jaccard_pairs_stored(spark, sf_dir).filter(
+        F.col("jaccard") >= F.expr(f"CAST({_XSRC_J} AS DOUBLE)")
+    ).select("doc_a", "doc_b", F.col("doc_a").alias("ja"), "n_shared")
+    spairs = llm_simhash_hamming_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.col("doc_a").alias("sa"), "hamming"
+    )
+    f = jnear.join(spairs, ["doc_a", "doc_b"], "full_outer")
+    both = F.col("ja").isNotNull() & F.col("sa").isNotNull()
+    n_both = F.sum(both.cast("long"))
+    n_j = F.sum(F.col("ja").isNotNull().cast("long"))
+    n_s = F.sum(F.col("sa").isNotNull().cast("long"))
+    n_s_only = F.sum(F.col("ja").isNull().cast("long"))
+    n_j_only = F.sum(F.col("sa").isNull().cast("long"))
+
+    def _guarded(num, den):
+        return F.when(den == 0, F.lit(0.0)).otherwise(
+            num.cast("double") / den.cast("double")
+        )
+
+    return f.agg(
+        n_both.cast("long").alias("n_both"),
+        n_s_only.cast("long").alias("n_simhash_only"),
+        n_j_only.cast("long").alias("n_jaccard_only"),
+        _guarded(n_both, n_j).alias("simhash_recall_of_jaccard"),
+        _guarded(n_both, n_s).alias("jaccard_recall_of_simhash"),
+        _guarded(
+            F.coalesce(
+                F.sum(F.when(F.col("ja").isNotNull(), F.col("hamming"))),
+                F.lit(0),
+            ),
+            n_both,
+        ).alias("avg_hamming_both"),
+        _guarded(
+            F.coalesce(
+                F.sum(F.when(F.col("sa").isNull(), F.col("n_shared"))),
+                F.lit(0),
+            ),
+            n_j_only,
+        ).alias("avg_shared_jaccard_only"),
+    )
+
+
+#: Minimum tokens for a FIM-eligible document: below this the three
+#: spans degenerate (prefix/middle/suffix of a couple tokens each).
+_FIM_MIN_TOK = 8
+
+
+@register(
+    "llm_fim_split_plan",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS t, len({_SQL_TOKENS}) AS n_tok
+      FROM documents
+      WHERE len({_SQL_TOKENS}) >= {_FIM_MIN_TOK}
+    ),
+    cuts AS (
+      SELECT doc_id, t, n_tok,
+             1 + {_SQL_HEX32.format(h="md5(CAST(doc_id AS VARCHAR) || ':a')")}
+                 % (n_tok - 1) AS c1,
+             1 + {_SQL_HEX32.format(h="md5(CAST(doc_id AS VARCHAR) || ':b')")}
+                 % (n_tok - 1) AS c2
+      FROM t
+    ),
+    spans AS (
+      SELECT doc_id, t, n_tok,
+             LEAST(c1, c2) AS p1, GREATEST(c1, c2) AS p2
+      FROM cuts
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(p1 AS BIGINT) AS prefix_len,
+           CAST(p2 - p1 AS BIGINT) AS middle_len,
+           CAST(n_tok - p2 AS BIGINT) AS suffix_len,
+           -- a zero-length middle (p1 == p2) slices to NULL in DuckDB
+           -- but '' under Spark's concat_ws — pin both to md5('')
+           md5(COALESCE(array_to_string(t[p1 + 1 : p2], ' '), ''))
+             AS middle_hash
+    FROM spans
+    """,
+)
+def llm_fim_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19 EXT: FILL-IN-THE-MIDDLE split plan — the FIM training
+    transform (Bavarian et al. 2022: reorder each document as
+    prefix‖suffix‖middle so an autoregressive model learns infilling)
+    reduced to its data-engineering core: per eligible document
+    (≥ {_FIM_MIN_TOK} tokens), two deterministic md5-derived cut
+    points split the token stream into prefix/middle/suffix, emitted
+    with the span lengths and an md5 over the middle-span TEXT so the
+    oracle verifies content, not just geometry (the chunk-hash
+    discipline). Deterministic cuts (hash of the doc id, not RNG)
+    make the plan reproducible across runs, engines, and
+    partitionings — the property a training-data pipeline needs so
+    that re-materializing a shard yields byte-identical sequences.
+
+    Scale shape: embarrassingly parallel — one projection
+    materializes the token array once per row, the cut arithmetic is
+    an integer hash polynomial, and the middle slice reads the shared
+    array; no shuffle anywhere (output partitioning inherits the
+    scan). The length grammar (prefix ≥ 1, suffix ≥ 1, middle ≥ 0,
+    lengths summing to n_tok) is pinned in
+    tests/test_round14_ops_invariants.py.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", _tokens().alias("t"), F.size(_tokens()).alias("n_tok")
+    ).filter(F.col("n_tok") >= _FIM_MIN_TOK)
+
+    def _cut(tag: str) -> Column:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(tag))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        return F.lit(1) + F.pmod(h, F.col("n_tok") - 1)
+
+    cuts = toked.select(
+        "doc_id", "t", "n_tok", _cut(":a").alias("c1"), _cut(":b").alias("c2")
+    )
+    p1, p2 = F.least("c1", "c2"), F.greatest("c1", "c2")
+    return cuts.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        p1.cast("long").alias("prefix_len"),
+        (p2 - p1).cast("long").alias("middle_len"),
+        (F.col("n_tok") - p2).cast("long").alias("suffix_len"),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("t"), (p1 + 1).cast("int"), (p2 - p1).cast("int"))
+            )
+        ).alias("middle_hash"),
+    )

@@ -309,3 +309,57 @@ def test_media_budget_matches_python_recompute(spark):
         assert rows[kind].n_items == n
         assert rows[kind].total_units == t
         assert abs(rows[kind].mean_units - t / n) < 1e-12
+
+
+def test_fingerprint_agreement_is_count_consistent(spark):
+    """The agreement cell counts must reconcile with the two standing
+    pair queries, and the recalls are the exact ratios."""
+    (r,) = _rows(spark, "llm_fingerprint_method_agreement")
+    from smart_contract_database_builder_spark.plans.llm_ops import (
+        _XSRC_J,
+        _ngram_jaccard_pairs_stored,
+    )
+
+    n_j = (
+        _ngram_jaccard_pairs_stored(spark, SF_ORACLE)
+        .filter(f"jaccard >= {_XSRC_J}")
+        .count()
+    )
+    n_s = len(_rows(spark, "llm_simhash_hamming_pairs"))
+    assert r.n_both + r.n_jaccard_only == n_j
+    assert r.n_both + r.n_simhash_only == n_s
+    assert r.n_both > 0  # the two geometries agree on SOMETHING here
+    if n_j:
+        assert abs(r.simhash_recall_of_jaccard - r.n_both / n_j) < 1e-15
+    if n_s:
+        assert abs(r.jaccard_recall_of_simhash - r.n_both / n_s) < 1e-15
+
+
+def test_fim_spans_form_a_partition(spark):
+    """prefix >= 1, suffix >= 1, middle >= 0, lengths sum to n_tok,
+    the plan is deterministic across runs, and the middle hash
+    matches a Python recompute on a sample."""
+    import hashlib
+
+    rows = _rows(spark, "llm_fim_split_plan")
+    assert rows
+    for r in rows:
+        assert r.prefix_len >= 1 and r.suffix_len >= 1 and r.middle_len >= 0
+        assert r.prefix_len + r.middle_len + r.suffix_len == r.n_tok
+    again = {r.doc_id: (r.prefix_len, r.middle_len, r.middle_hash)
+             for r in _rows(spark, "llm_fim_split_plan")}
+    for r in rows:
+        assert again[r.doc_id] == (r.prefix_len, r.middle_len, r.middle_hash)
+    # content check on a sample: re-slice the tokenized text in Python
+    docs = {d.doc_id: d.text
+            for d in load_table(spark, SF_ORACLE, "documents")
+            .select("doc_id", "text").limit(4000).collect()}
+    checked = 0
+    for r in rows:
+        if r.doc_id not in docs or checked >= 25:
+            continue
+        toks = docs[r.doc_id].strip().lower().split()
+        middle = " ".join(toks[r.prefix_len:r.prefix_len + r.middle_len])
+        assert hashlib.md5(middle.encode()).hexdigest() == r.middle_hash, r
+        checked += 1
+    assert checked >= 10
