@@ -328,6 +328,9 @@ HEADLINE = [
     "llm_media_sampling_budget",
     "llm_fingerprint_method_agreement",
     "llm_fim_split_plan",
+    "join_nation_trade_matrix",
+    "llm_padding_waste_curve",
+    "llm_decontaminate_token_mass",
 ]
 
 

@@ -16174,3 +16174,142 @@ def llm_fim_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("middle_hash"),
     )
+
+
+@register(
+    "llm_padding_waste_curve",
+    oracle=f"""
+    WITH n AS (SELECT len({_SQL_TOKENS}) AS n_tok FROM documents)
+    SELECT CAST(ctx AS BIGINT) AS ctx,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LEAST(n_tok, ctx)) AS BIGINT) AS tokens_used,
+           CAST(SUM(ctx - LEAST(n_tok, ctx)) AS BIGINT) AS pad_tokens,
+           CAST(SUM(LEAST(n_tok, ctx)) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * ctx) AS utilization
+    FROM (VALUES {", ".join(f"({c})" for c in _TRUNC_CAPS)}) c(ctx)
+    CROSS JOIN n
+    GROUP BY ctx
+    """,
+)
+def llm_padding_waste_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F23 EXT: PADDING-WASTE curve — the other half of the
+    context-length decision the truncation curve (F98) prices: under
+    the one-document-per-sequence layout (the SFT/eval batching
+    default), every sequence pads to the context length, so per
+    candidate ctx ({", ".join(str(c) for c in _TRUNC_CAPS)}) this
+    reports the pad-token volume and the utilization (real tokens /
+    ctx·sequences). F98 says what a cap DISCARDS (too short), this
+    says what it BURNS in compute (too long) — the optimum sits where
+    the two curves cross, and sequence packing (F23) is the operator
+    that moves it.
+
+    Scale shape: identical to F98 — one corpus scan for per-doc token
+    counts, a 4-element literal axis over the (n_tok) projection, one
+    map-side-combinable hash agg. Exact integer token accounting; the
+    utilization is one IEEE divide.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(F.size(_tokens()).alias("n_tok"))
+    axis = F.array(*[F.lit(c).cast("long") for c in _TRUNC_CAPS])
+    used = F.least(F.col("n_tok"), F.col("ctx"))
+    return (
+        toked.select("n_tok", F.explode(axis).alias("ctx"))
+        .groupBy("ctx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(used).cast("long").alias("tokens_used"),
+            F.sum(F.col("ctx") - used).cast("long").alias("pad_tokens"),
+            (
+                F.sum(used).cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.col("ctx"))
+            ).alias("utilization"),
+        )
+    )
+
+
+@register(
+    "llm_decontaminate_token_mass",
+    oracle=rf"""
+    WITH grams AS (
+      SELECT doc_id, unnest({_sql_word_ngrams("t", _DECON_N)}) AS g
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+    ),
+    bench AS (
+      SELECT DISTINCT g FROM grams
+      WHERE doc_id % {_DECON_MOD} = {_DECON_REM}
+    ),
+    flagged AS (
+      SELECT DISTINCT c.doc_id
+      FROM grams c JOIN bench b USING (g)
+      WHERE c.doc_id % {_DECON_MOD} <> {_DECON_REM}
+    ),
+    corpus AS (
+      SELECT doc_id, source, len({_SQL_TOKENS}) AS n_tok
+      FROM documents
+      WHERE doc_id % {_DECON_MOD} <> {_DECON_REM}
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(f.doc_id) AS BIGINT) AS n_docs_flagged,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+           CAST(COALESCE(SUM(CASE WHEN f.doc_id IS NOT NULL
+                                  THEN n_tok END), 0) AS BIGINT)
+             AS tokens_flagged,
+           CAST(COALESCE(SUM(CASE WHEN f.doc_id IS NOT NULL
+                                  THEN n_tok END), 0) AS DOUBLE)
+             / SUM(n_tok) AS token_share_flagged
+    FROM corpus c LEFT JOIN flagged f USING (doc_id)
+    GROUP BY source
+    """,
+)
+def llm_decontaminate_token_mass(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """J9 EXT: decontamination TOKEN-MASS ledger — the doc-count view
+    (J9) understates what decontamination costs when flagged docs are
+    long: per source, the TOKEN mass the benchmark-overlap filter
+    would remove, next to the doc counts. Token share is the number
+    that matters — the training-data budget is counted in tokens, and
+    a source whose flagged 2% of docs carries 15% of its tokens is a
+    different decision than one where the shares match.
+
+    Scale shape: J9's plan (explode → broadcast-hash flag join)
+    collapsed to a distinct flagged-id set, then ONE left join on the
+    uniform doc_id key against the per-doc token counts and a
+    per-source hash agg. The gram stream never shuffles; the flag set
+    is doc-id-scale. Exact integer token sums; one IEEE divide.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
+    grams = toked.select(
+        "doc_id", F.explode(_word_ngrams(F.col("t"), _DECON_N)).alias("g")
+    )
+    is_bench = (F.col("doc_id") % _DECON_MOD) == _DECON_REM
+    bench = grams.filter(is_bench).select("g").distinct()
+    flagged = (
+        grams.filter(~is_bench)
+        .join(F.broadcast(bench), "g", "inner")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = docs.filter(
+        (F.col("doc_id") % _DECON_MOD) != _DECON_REM
+    ).select("doc_id", "source", F.size(_tokens()).alias("n_tok"))
+    j = corpus.join(flagged, "doc_id", "left")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias(
+            "n_docs_flagged"
+        ),
+        F.sum("n_tok").cast("long").alias("tokens_total"),
+        F.coalesce(F.sum(F.when(F.col("hit") == 1, F.col("n_tok"))), F.lit(0))
+        .cast("long")
+        .alias("tokens_flagged"),
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("hit") == 1, F.col("n_tok"))), F.lit(0)
+            ).cast("double")
+            / F.sum("n_tok").cast("double")
+        ).alias("token_share_flagged"),
+    )

@@ -4901,3 +4901,97 @@ def agg_customer_interarrival_burstiness(
             / (sigma_n + F.col("sg").cast("double"))
         ).alias("burstiness"),
     )
+
+
+@register(
+    "join_nation_trade_matrix",
+    oracle=f"""
+    WITH flows AS (
+      SELECT n1.n_name AS supp_nation,
+             n2.n_name AS cust_nation,
+             COUNT(*) AS n_lines,
+             SUM({_SQL_LINE_REV.replace('l_', 'l.l_')}) AS vol
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      WHERE n1.n_name <> n2.n_name
+      GROUP BY n1.n_name, n2.n_name
+    )
+    SELECT a.supp_nation AS nation_a,
+           a.cust_nation AS nation_b,
+           CAST(a.n_lines AS BIGINT) AS n_lines_ab,
+           CAST(COALESCE(b.n_lines, 0) AS BIGINT) AS n_lines_ba,
+           CAST(a.vol AS DOUBLE) AS vol_ab,
+           CAST(COALESCE(b.vol, 0) AS DOUBLE) AS vol_ba,
+           CAST(a.vol - COALESCE(b.vol, 0) AS DOUBLE) AS net_ab
+    FROM flows a
+    LEFT JOIN flows b ON b.supp_nation = a.cust_nation
+                     AND b.cust_nation = a.supp_nation
+    WHERE a.supp_nation < a.cust_nation
+    """,
+)
+def join_nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-EXT: the FULL nation-pair TRADE-BALANCE matrix — TPC-H Q7
+    generalized from one bilateral pair to every ordered nation pair,
+    with the NET balance per canonical (a < b) pair: who ships more
+    value to whom, across the whole dim domain at once. The report a
+    supply-chain analyst reads instead of running Q7 per pair — one
+    pass replaces O(nations²) parameterized queries.
+
+    Exactness: per-direction volumes are exact DECIMAL sums kept
+    decimal through the net subtraction, cast to double once at
+    output — so the net is bitwise cross-engine even when two big
+    volumes nearly cancel (a double-sum net would lose exactly those
+    digits).
+
+    Scale shape: the two 25-row nation dims broadcast onto the fact
+    joins (suppkey/orderkey/custkey shuffles — the Q7 spine); the
+    flow matrix is an O(nations²) aggregate, and the balance
+    self-join runs on that tiny relation, not the facts.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = F.broadcast(
+        n.withColumnsRenamed({"n_nationkey": "s_nk", "n_name": "supp_nation"})
+    )
+    n2 = F.broadcast(
+        n.withColumnsRenamed({"n_nationkey": "c_nk", "n_name": "cust_nation"})
+    )
+    flows = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(_line_rev()).alias("vol"),  # stays DECIMAL here
+        )
+    )
+    fwd = flows.filter(F.col("supp_nation") < F.col("cust_nation"))
+    rev = flows.select(
+        F.col("cust_nation").alias("supp_nation"),
+        F.col("supp_nation").alias("cust_nation"),
+        F.col("n_lines").alias("n_lines_ba"),
+        F.col("vol").alias("vol_ba_dec"),
+    )
+    zero = F.lit(0).cast("decimal(38,4)")
+    return fwd.join(rev, ["supp_nation", "cust_nation"], "left").select(
+        F.col("supp_nation").alias("nation_a"),
+        F.col("cust_nation").alias("nation_b"),
+        F.col("n_lines").cast("long").alias("n_lines_ab"),
+        F.coalesce("n_lines_ba", F.lit(0)).cast("long").alias("n_lines_ba"),
+        F.col("vol").cast("double").alias("vol_ab"),
+        F.coalesce(F.col("vol_ba_dec"), zero).cast("double").alias("vol_ba"),
+        (F.col("vol") - F.coalesce(F.col("vol_ba_dec"), zero))
+        .cast("double")
+        .alias("net_ab"),
+    )

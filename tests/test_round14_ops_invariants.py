@@ -363,3 +363,58 @@ def test_fim_spans_form_a_partition(spark):
         assert hashlib.md5(middle.encode()).hexdigest() == r.middle_hash, r
         checked += 1
     assert checked >= 10
+
+
+def test_trade_matrix_is_canonical_and_antisymmetric(spark):
+    """Pairs are canonical (a < b), the net is exactly vol_ab - vol_ba,
+    and the matrix reconciles with the standing Q7 query's bilateral
+    pair summed over years."""
+    rows = _rows(spark, "join_nation_trade_matrix")
+    assert rows
+    for r in rows:
+        assert r.nation_a < r.nation_b
+        assert abs(r.net_ab - (r.vol_ab - r.vol_ba)) < 1e-6
+        assert r.n_lines_ab > 0
+    q7 = _rows(spark, "agg_cross_nation_volume")
+    vol = {}
+    for q in q7:
+        key = (q.supp_nation, q.cust_nation)
+        vol[key] = vol.get(key, 0.0) + q.volume
+    (pair_ab,) = [r for r in rows
+                  if {r.nation_a, r.nation_b} == {"NATION_1", "NATION_2"}]
+    assert abs(pair_ab.vol_ab - vol[("NATION_1", "NATION_2")]) < 1e-6
+    assert abs(pair_ab.vol_ba - vol[("NATION_2", "NATION_1")]) < 1e-6
+
+
+def test_padding_and_truncation_curves_partition_the_budget(spark):
+    """For every ctx: tokens_used + tokens_dropped(F98) = corpus total,
+    utilization rises as ctx shrinks, pad volume rises as ctx grows."""
+    pad = {r.ctx: r for r in _rows(spark, "llm_padding_waste_curve")}
+    trunc = {r.cap: r for r in _rows(spark, "llm_truncation_loss_curve")}
+    assert set(pad) == set(trunc)
+    for ctx, p in pad.items():
+        t = trunc[ctx]
+        assert p.tokens_used + t.tokens_dropped == t.tokens_total
+        assert p.tokens_used + p.pad_tokens == p.n_docs * ctx
+        assert abs(p.utilization
+                   - p.tokens_used / (p.n_docs * ctx)) < 1e-15
+    ordered = sorted(pad.values(), key=lambda r: r.ctx)
+    for a, b in zip(ordered, ordered[1:]):
+        assert a.utilization >= b.utilization
+        assert a.pad_tokens <= b.pad_tokens
+
+
+def test_token_mass_ledger_reconciles_with_doc_counts(spark):
+    """Per-source flagged doc counts must sum to the standing J9
+    query's flagged-doc total; token shares are exact ratios and
+    bounded by the flag coverage."""
+    rows = _rows(spark, "llm_decontaminate_token_mass")
+    assert rows
+    flagged_total = sum(r.n_docs_flagged for r in rows)
+    standing = len(_rows(spark, "llm_decontaminate_overlap"))
+    assert flagged_total == standing > 0
+    for r in rows:
+        assert 0 <= r.n_docs_flagged <= r.n_docs
+        assert 0 <= r.tokens_flagged <= r.tokens_total
+        assert abs(r.token_share_flagged
+                   - r.tokens_flagged / r.tokens_total) < 1e-15
