@@ -36,14 +36,12 @@ from . import streaming_batch  # noqa: E402,F401
 #: cohort (23 queries — the freshness guard's oldest cohort, at the
 #: 8-round bound's edge; this is also the verdict's "keep rotation
 #: slots for the oldest cohort" ask, covered with room to spare).
-#: That is 30 curated slots; round-14-born operators register
-#: uncurated and fill toward 50, with any spare slots falling to the
-#: _OVERFLOW head (the freshly-green r13 window — harmless extra
-#: evidence). Everything rotated out (the r13 _PRIORITY plus the 16
-#: other r13-born operators, now at the _OVERFLOW head) is
-#: driver-green in CORRECTNESS_r13 with plan code unchanged since,
-#: and stays under the pytest oracle sweep
-#: (tests/test_oracle_parity.py).
+#: That is 30 curated slots; the 20 round-14-born operators register
+#: uncurated and fill the window to EXACTLY 50. Everything rotated
+#: out (the r13 _PRIORITY plus the 16 other r13-born operators, now
+#: at the _OVERFLOW head) is driver-green in CORRECTNESS_r13 with
+#: plan code unchanged since, and stays under the pytest oracle
+#: sweep (tests/test_oracle_parity.py).
 _PRIORITY = [
     # --- the r13 overflow-born audits: first driver rows ever
     # (VERDICT r13 "Next round #1") ---
