@@ -267,3 +267,29 @@ def test_kmv_rank_limit_is_pushed_into_the_sort(spark):
     df = plans.QUERIES["llm_kmv_distinct_audit"].fn(spark, SF_ORACLE)
     plan = _explain(df)
     assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_media_budget_never_touches_payload_bytes(spark):
+    """llm_media_sampling_budget's claim: the plan is metadata-only.
+    Column pruning must reach the scan (ReadSchema carries doc_id
+    only — no text) AND prune the payload CONSTRUCTION itself (the
+    md5→unhex hash-chain that builds the binary column must be absent
+    from the optimized plan): the sizing query costs id arithmetic,
+    never payload bytes."""
+    df = plans.QUERIES["llm_media_sampling_budget"].fn(spark, SF_ORACLE)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert reads and all("text" not in ln for ln in reads), reads
+    assert "unhex" not in plan, "payload construction not pruned"
+
+
+def test_trade_matrix_broadcasts_the_dims(spark):
+    """join_nation_trade_matrix's Q7 spine: both 25-row nation dims
+    must enter as broadcast joins (never shuffle a fact side against
+    a dim), and no cartesian appears."""
+    df = plans.QUERIES["join_nation_trade_matrix"].fn(spark, SF_ORACLE)
+    plan = _explain(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
