@@ -360,6 +360,7 @@ _TAIL = [
     "llm_multimodal_resize",
     "llm_multimodal_frame_sampling",
     "stream_stateful_running_totals",
+    "stream_shard_merge_lateness_approx",
     "stream_true_point_in_time",
     "stream_true_scd2_closed",
     "llm_embedding_mahalanobis",

@@ -958,3 +958,67 @@ def stream_shard_merge_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("q", 3).alias("p99_late_us"),
         F.col("mx").cast("long").alias("max_late_us"),
     )
+
+
+@register("stream_shard_merge_lateness_approx")
+def stream_shard_merge_lateness_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """T17's PRODUCTION form — rows-only: the exact-percentile anchor
+    (`stream_shard_merge_lateness`) carries the cross-engine oracle
+    but pays a single-task sort over the late population (the one
+    superlinear term the 100× probe measured); this twin swaps in
+    ``percentile_approx`` (t-digest: mergeable, map-side combinable,
+    rank-error bounded by 1/accuracy), which distributes the whole
+    aggregation. Rows-only because a sketch has no engine-neutral
+    oracle; tests/test_round14_ops_invariants.py pins its rank error
+    against the exact twin, and SCALE.md carries the probe showing
+    the sequential tail gone.
+
+    Same two-level prefix scan upstream; identical output schema, so
+    a pipeline swaps the two by name.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.md5(F.col("event_id").cast("string")).alias("ak"),
+        F.unix_micros("ts").alias("us"),
+    )
+    ev = ev.withColumn("bkt", F.substring("ak", 1, 3))
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("ak")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scanned = ev.select(
+        "ak", "us", "bkt", F.max("us").over(w_in).alias("in_max")
+    )
+    bsum = ev.groupBy("bkt").agg(F.max("us").alias("bmax"))
+    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bpre = bsum.select("bkt", F.max("bmax").over(w_b).alias("pre_max"))
+    hwm = F.greatest(
+        F.coalesce("in_max", F.lit(None).cast("long")),
+        F.coalesce("pre_max", F.lit(None).cast("long")),
+    )
+    scored = scanned.join(F.broadcast(bpre), "bkt").select(
+        (hwm - F.col("us")).alias("lateness")
+    )
+    late = scored.filter(F.col("lateness") > 0).agg(
+        F.percentile_approx(
+            F.col("lateness").cast("double"),
+            F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+            F.lit(10_000),
+        ).alias("q"),
+        F.max("lateness").alias("mx"),
+        F.count(F.lit(1)).alias("n_late"),
+    )
+    tot = scored.agg(F.count(F.lit(1)).alias("n_events"))
+    return late.crossJoin(F.broadcast(tot)).select(
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_late").cast("long").alias("n_late"),
+        (
+            F.col("n_late").cast("double") / F.col("n_events").cast("double")
+        ).alias("late_share"),
+        F.element_at("q", 1).alias("p50_late_us"),
+        F.element_at("q", 2).alias("p90_late_us"),
+        F.element_at("q", 3).alias("p99_late_us"),
+        F.col("mx").cast("long").alias("max_late_us"),
+    )

@@ -69,6 +69,7 @@ _NESTED_LOOP_ALLOWED = {
     "llm_decontaminate_ngram_sweep",  # 1-row corpus-doc-count broadcast
     "stream_watermark_state_audit",  # 1-row stream-max broadcast
     "stream_shard_merge_lateness",  # 1-row late-stats x 1-row total broadcast
+    "stream_shard_merge_lateness_approx",  # same 1-row broadcasts, t-digest twin
 }
 
 #: Queries whose fn() triggers side effects/execution rather than just

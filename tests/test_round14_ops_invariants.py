@@ -418,3 +418,20 @@ def test_token_mass_ledger_reconciles_with_doc_counts(spark):
         assert 0 <= r.tokens_flagged <= r.tokens_total
         assert abs(r.token_share_flagged
                    - r.tokens_flagged / r.tokens_total) < 1e-15
+
+
+def test_shard_merge_lateness_approx_tracks_the_exact_anchor(spark):
+    """The production (percentile_approx / t-digest) twin must agree
+    with the exact anchor on the exact fields (counts, max) and land
+    its approximate percentiles within the sketch's rank-error bound
+    translated to value space (checked loosely: within 5% relative,
+    far tighter than any sizing decision needs)."""
+    (e,) = _rows(spark, "stream_shard_merge_lateness")
+    (a,) = _rows(spark, "stream_shard_merge_lateness_approx")
+    assert (a.n_events, a.n_late, a.max_late_us) == (
+        e.n_events, e.n_late, e.max_late_us
+    )
+    assert a.late_share == e.late_share
+    for f in ("p50_late_us", "p90_late_us", "p99_late_us"):
+        exact, approx = getattr(e, f), getattr(a, f)
+        assert abs(approx - exact) <= 0.05 * exact, (f, exact, approx)
