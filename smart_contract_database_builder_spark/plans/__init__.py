@@ -42,6 +42,14 @@ from . import streaming_batch  # noqa: E402,F401
 #: at the _OVERFLOW head) is driver-green in CORRECTNESS_r13 with
 #: plan code unchanged since, and stays under the pytest oracle
 #: sweep (tests/test_oracle_parity.py).
+#:
+#: ROUND-15 ROTATION BUDGET (projection, assuming the r14 window goes
+#: green): NO oracle query is forced by the freshness guard in r15 or
+#: r16 — the oldest evidence after r14 is the r8 cohort (41 queries),
+#: which hits the 8-round floor at r17. So r15's window is free for
+#: changed-plan witnesses + newborns + voluntary refresh of the r8
+#: cohort's oldest half; r16 should take the other half so r17 never
+#: needs a forced bulk rotation.
 _PRIORITY = [
     # --- the r13 overflow-born audits: first driver rows ever
     # (VERDICT r13 "Next round #1") ---
