@@ -14827,6 +14827,7 @@ _UPSAMPLE_CAP = 4
              COUNT(*) AS n_docs
       FROM documents
       GROUP BY source
+      HAVING SUM(len({_SQL_TOKENS})) > 0
     ),
     m AS (SELECT MAX(n_tokens) AS t_max, COUNT(*) AS n_sources FROM s),
     plan AS (
@@ -14865,9 +14866,18 @@ def llm_upsample_plan_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
     divides of exact integers.
     """
     docs = load_table(spark, sf_dir, "documents")
-    s = docs.groupBy("source").agg(
-        F.sum(F.size(_tokens())).cast("long").alias("n_tokens"),
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    s = (
+        docs.groupBy("source")
+        .agg(
+            F.sum(F.size(_tokens())).cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        # A source whose documents are all zero-token has no defined
+        # repeat count (t_max/0): exclude it on BOTH engines (the
+        # oracle's HAVING) instead of letting Spark's NULL-tolerant
+        # greatest() silently resolve it to repeats=1 while DuckDB
+        # errors on the integer divide.
+        .filter(F.col("n_tokens") > 0)
     )
     m = s.agg(
         F.max("n_tokens").alias("t_max"),
@@ -15403,7 +15413,7 @@ def llm_decontaminate_ngram_sweep(
     n_corpus_docs = docs.filter(
         (F.col("doc_id") % _DECON_MOD) != _DECON_REM
     ).agg(F.count(F.lit(1)).alias("n_corpus"))
-    return (
+    hit_counts = (
         grams.filter(~is_bench)
         .join(F.broadcast(bench), ["n", "g"], "inner")
         .groupBy("n")
@@ -15411,13 +15421,27 @@ def llm_decontaminate_ngram_sweep(
             F.countDistinct("doc_id").cast("long").alias("n_flagged_docs"),
             F.count(F.lit(1)).cast("long").alias("n_hit_occurrences"),
         )
+    )
+    # The oracle's UNION ALL of ungrouped aggregates emits one row per
+    # gram size even when that size flags nothing; a grouped inner-join
+    # aggregate emits none. Anchor the result on the literal n-axis so
+    # a zero-hit gram size reports explicit zeros on both engines.
+    axis = spark.createDataFrame(
+        [(int(n),) for n in _DECON_SWEEP_NS], "n long"
+    )
+    return (
+        axis.join(hit_counts, "n", "left")
         .crossJoin(F.broadcast(n_corpus_docs))
         .select(
             "n",
-            "n_flagged_docs",
-            "n_hit_occurrences",
+            F.coalesce("n_flagged_docs", F.lit(0))
+            .cast("long")
+            .alias("n_flagged_docs"),
+            F.coalesce("n_hit_occurrences", F.lit(0))
+            .cast("long")
+            .alias("n_hit_occurrences"),
             (
-                F.col("n_flagged_docs").cast("double")
+                F.coalesce("n_flagged_docs", F.lit(0)).cast("double")
                 / F.col("n_corpus").cast("double")
             ).alias("flagged_share"),
         )
@@ -16049,11 +16073,18 @@ def llm_fingerprint_method_agreement(
     )
     f = jnear.join(spairs, ["doc_a", "doc_b"], "full_outer")
     both = F.col("ja").isNotNull() & F.col("sa").isNotNull()
-    n_both = F.sum(both.cast("long"))
-    n_j = F.sum(F.col("ja").isNotNull().cast("long"))
-    n_s = F.sum(F.col("sa").isNotNull().cast("long"))
-    n_s_only = F.sum(F.col("ja").isNull().cast("long"))
-    n_j_only = F.sum(F.col("sa").isNull().cast("long"))
+    # SUM over an empty frame is NULL where the oracle's COUNT is 0
+    # (a corpus where both pair stores are empty): coalesce every
+    # count so the degenerate case reports explicit zeros on both
+    # engines, which also keeps the CASE zero-guards aligned.
+    def _n(pred: Column) -> Column:
+        return F.coalesce(F.sum(pred.cast("long")), F.lit(0).cast("long"))
+
+    n_both = _n(both)
+    n_j = _n(F.col("ja").isNotNull())
+    n_s = _n(F.col("sa").isNotNull())
+    n_s_only = _n(F.col("ja").isNull())
+    n_j_only = _n(F.col("sa").isNull())
 
     def _guarded(num, den):
         return F.when(den == 0, F.lit(0.0)).otherwise(
