@@ -24,49 +24,126 @@ from . import llm_ops  # noqa: E402,F401
 from . import scale_ops  # noqa: E402,F401
 from . import streaming_batch  # noqa: E402,F401
 
-#: Queries the driver window must cover first. ROUND-14 ROTATION
-#: (freshness-guard policy, tests/test_evidence_freshness.py): the
-#: window's 50 slots hold (a) the two r13 overflow-born audits
-#: earning their FIRST driver rows ever (the r13 verdict's top ask),
-#: (b) the one query whose plan AND oracle changed this round — the
-#: cap-loss audit's pairs_suppressed arithmetic moved from a double
-#: detour to exact integer halving on both engines, (c) one standing
-#: witness each for core relational, the reference family, true
-#: streaming, and exact dedup, (d) the WHOLE remaining r7-evidence
-#: cohort (23 queries — the freshness guard's oldest cohort, at the
-#: 8-round bound's edge; this is also the verdict's "keep rotation
-#: slots for the oldest cohort" ask, covered with room to spare).
-#: That is 30 curated slots; the 20 round-14-born operators register
-#: uncurated and fill the window to EXACTLY 50. Everything rotated
-#: out (the r13 _PRIORITY plus the 16 other r13-born operators, now
-#: at the _OVERFLOW head) is driver-green in CORRECTNESS_r13 with
+#: Queries the driver window must cover first. ROUND-15 ROTATION
+#: (freshness-guard policy, tests/test_evidence_freshness.py): no
+#: query was guard-forced this round (the oldest evidence entering
+#: r15 is the 41-query r8 cohort, floor at r17), so the window
+#: executes the REGISTERED budget from r14: (a) the three queries
+#: whose plan and/or oracle changed this round — the degenerate-
+#: corpus parity fixes (zero-row gram-size axis, zero-token source
+#: guard, zero-pair coalesce) — as changed-plan witnesses, (b) one
+#: standing witness each for core relational, the reference family,
+#: true streaming, and exact dedup, (c) the two legacy `no_oracle`
+#: rows-only queries whose only driver artifact was a round-2 error
+#: row, plus three multimodal-family rows-only queries that had
+#: never met the driver (VERDICT r14 "Next round #4"), (d) 31 of the
+#: 41-query r8-evidence cohort (the "oldest half plus" — leaving 10
+#: for r16, listed below, so r17 never needs a forced bulk
+#: rotation), and (e) the 7 round-15-born operators (the exact-
+#: substring dedup family, the shard-mixing/interleave audits, the
+#: session-gap sweep). 3+4+5+31+7 = EXACTLY 50. Everything rotated
+#: out (the r14 _PRIORITY minus the standing witnesses, plus the 17
+#: other r14-born operators) is driver-green in CORRECTNESS_r14 with
 #: plan code unchanged since, and stays under the pytest oracle
 #: sweep (tests/test_oracle_parity.py).
 #:
-#: ROUND-15 ROTATION BUDGET (projection, assuming the r14 window goes
-#: green): NO oracle query is forced by the freshness guard in r15 or
-#: r16 — the oldest evidence after r14 is the r8 cohort (41 queries),
-#: which hits the 8-round floor at r17. So r15's window is free for
-#: changed-plan witnesses + newborns + voluntary refresh of the r8
-#: cohort's oldest half; r16 should take the other half so r17 never
-#: needs a forced bulk rotation.
+#: ROUND-16 ROTATION LEDGER: the r8 cohort's remaining 10 —
+#: llm_ivf_topk, llm_kmeans_lloyd, llm_kmeans_silhouette,
+#: llm_ngram_novelty, llm_pmi_collocations, llm_readability_scores,
+#: llm_semdedup_representatives, llm_triangle_counts,
+#: scalar_gapfill_daily_revenue, window_streaks_gaps_islands —
+#: hit the 8-round floor at r17, so r16 MUST window them (10 slots),
+#: leaving ~40 for r16 newborns/witnesses. Nothing else is forced
+#: before r18 (the r10 cohort's floor).
 _PRIORITY = [
-    # --- the r13 overflow-born audits: first driver rows ever
-    # (VERDICT r13 "Next round #1") ---
-    "llm_dedup_quality_interaction",
-    "llm_corpus_delta_report",
-    # --- changed-plan witness (r14: pairs_suppressed exact integer
-    # halving in both the Spark plan and the DuckDB oracle) ---
-    "llm_lsh_cap_loss_audit",
+    # --- changed-plan witnesses (r15: the three degenerate-corpus
+    # parity fixes touched both the Spark plans and/or oracles) ---
+    "llm_decontaminate_ngram_sweep",
+    "llm_upsample_plan_integer",
+    "llm_fingerprint_method_agreement",
     # --- standing family witnesses: core relational, reference
     # family, true streaming, exact dedup ---
     "flagship_revenue_by_region",
     "ref_extract_functions",
     "stream_true_tumbling_availablenow",
     "llm_exact_dedup_documents",
-    # --- freshness rotation: the whole remaining r7-evidence cohort
-    # (23 queries; newest driver row r7, guard floor reaches them at
-    # r16 — refreshed now so the guard never needs an exemption) ---
+    # --- rows-only evidence refresh (VERDICT r14 #4): the two legacy
+    # queries whose newest driver artifact was a round-2 `no_oracle`
+    # error row, plus three multimodal rows-only queries that have
+    # never met the driver; the driver records a rows-only check ---
+    "agg_approx_distinct_users",
+    "sample_orders_seeded",
+    "llm_media_payload_dedup_raw",
+    "llm_multimodal_image_features",
+    "llm_multimodal_audio_features",
+    # --- freshness rotation: 31 of the 41-query r8-evidence cohort
+    # (newest driver row r8; the other 10 are the r16 ledger above) ---
+    "agg_cumulative_users",
+    "agg_data_quality_report",
+    "agg_important_parts",
+    "agg_key_skew_report",
+    "agg_mad_outliers",
+    "agg_metric_correlation_daily",
+    "agg_ohlc_daily_value",
+    "agg_order_count_distribution",
+    "agg_parts_supplier_counts",
+    "agg_pivot_daily_event_matrix",
+    "agg_profit_by_nation_type",
+    "agg_retention_cohorts",
+    "agg_small_quantity_revenue",
+    "cdc_point_in_time_join",
+    "cdc_scd2_history",
+    "llm_bm25_batch_topk",
+    "llm_chunk_documents_udtf",
+    "llm_cluster_best_representative",
+    "llm_containment_pairs",
+    "llm_corpus_length_report",
+    "llm_decontaminate_multi",
+    "llm_edit_distance_pairs",
+    "llm_hybrid_rrf_fusion",
+    "llm_interleave_by_source",
+    "llm_mode_token_by_lang",
+    "llm_pps_sample_by_tokens",
+    "llm_pq_topk",
+    "ref_ingest_folder_contracts",
+    "ref_sink_roundtrip",
+    "stream_tumbling_window_counts",
+    "window_ntile_quartiles",
+    # --- the 7 round-15-born operators: first driver rows ---
+    "llm_substring_dup_mass",
+    "llm_substring_run_histogram",
+    "llm_substring_pair_maxrun",
+    "llm_substring_stopgram_audit",
+    "llm_shard_mixing_audit",
+    "llm_interleave_run_lengths",
+    "stream_session_gap_sweep",
+]
+
+#: Operators registered straight into _OVERFLOW in the round that
+#: bore them (the window was already full). Exempt from the
+#: evidence-freshness guard until a later round's rotation windows
+#: them; their oracles run in the pytest sweep from birth. EMPTY
+#: after the round-14 rotation (VERDICT r13 "Next round #1" done):
+#: every oracle-carrying query has either a driver-green CORRECTNESS
+#: row or a current window slot. Grow this set consciously — it
+#: defers driver evidence by at least one round.
+_BORN_IN_OVERFLOW: set[str] = set()
+
+#: Oracle-CARRYING queries deliberately registered just past the
+#: driver's 50-query window (it is full): their oracles still run in
+#: pytest (tests/test_oracle_parity.py sweeps every oracle at sf0.01),
+#: they just lose the per-round driver row. Every query below is
+#: driver-green in some CORRECTNESS_r*.json artifact with plan code
+#: unchanged since (pinned by tests/test_registry_window.py). Grow
+#: this list consciously — whatever sits here trades driver-visible
+#: correctness evidence for a slot.
+_OVERFLOW = [
+    # r15 rotation: the r14 _PRIORITY minus the four standing
+    # witnesses (all driver-green in CORRECTNESS_r14, plans unchanged
+    # since)
+    "llm_dedup_quality_interaction",
+    "llm_corpus_delta_report",
+    "llm_lsh_cap_loss_audit",
     "agg_histogram_prices",
     "agg_pricing_summary",
     "funnel_conversion_events",
@@ -90,27 +167,25 @@ _PRIORITY = [
     "scalar_json_props_events",
     "stream_stream_left_outer",
     "window_rolling_zscore_events",
-]
-
-#: Operators registered straight into _OVERFLOW in the round that
-#: bore them (the window was already full). Exempt from the
-#: evidence-freshness guard until a later round's rotation windows
-#: them; their oracles run in the pytest sweep from birth. EMPTY
-#: after the round-14 rotation (VERDICT r13 "Next round #1" done):
-#: every oracle-carrying query has either a driver-green CORRECTNESS
-#: row or a current window slot. Grow this set consciously — it
-#: defers driver evidence by at least one round.
-_BORN_IN_OVERFLOW: set[str] = set()
-
-#: Oracle-CARRYING queries deliberately registered just past the
-#: driver's 50-query window (it is full): their oracles still run in
-#: pytest (tests/test_oracle_parity.py sweeps every oracle at sf0.01),
-#: they just lose the per-round driver row. Every query below is
-#: driver-green in some CORRECTNESS_r*.json artifact with plan code
-#: unchanged since (pinned by tests/test_registry_window.py). Grow
-#: this list consciously — whatever sits here trades driver-visible
-#: correctness evidence for a slot.
-_OVERFLOW = [
+    # r15 rotation: the 17 other r14-born operators (driver-green in
+    # CORRECTNESS_r14; the 3 parity-fix witnesses hold window slots)
+    "agg_customer_interarrival_burstiness",
+    "join_nation_trade_matrix",
+    "llm_truncation_loss_curve",
+    "llm_filter_ablation_matrix",
+    "llm_kmv_distinct_audit",
+    "llm_media_length_integrity",
+    "llm_ann_bucket_width_sweep",
+    "llm_rare_token_tail_mass",
+    "llm_bigram_entropy_rate",
+    "llm_norm_length_correlation",
+    "llm_shard_count_balance_curve",
+    "llm_media_sampling_budget",
+    "llm_fim_split_plan",
+    "llm_padding_waste_curve",
+    "llm_decontaminate_token_mass",
+    "stream_watermark_state_audit",
+    "stream_shard_merge_lateness",
     # r14 rotation: the r13 _PRIORITY (changed-plan witnesses,
     # r12 overflow-born audits, r6/r7-evidence cohorts) — every one
     # driver-green in CORRECTNESS_r13, plans unchanged since
@@ -261,12 +336,9 @@ _OVERFLOW = [
     # band-store family members whose r11 plan change is witnessed by
     # the sibling dedup graph/verify queries (same candidate
     # generator); all stay under the pytest oracle sweep
-    "llm_containment_pairs",
-    "llm_edit_distance_pairs",
     "llm_triangle_counts",
     # cluster-store read path witnessed by the neardup-clusters and
     # leakage-split consumers
-    "llm_cluster_best_representative",
     # Every query here is driver-green in some CORRECTNESS_r*.json
     # artifact (pinned by tests/test_registry_window.py) and stays
     # under the pytest oracle sweep (tests/test_oracle_parity.py,
@@ -312,44 +384,15 @@ _OVERFLOW = [
     "llm_winnow_collisions",
     "llm_kmeans_purity",
     "agg_nation_revenue_yoy",
-    "stream_tumbling_window_counts",
-    "ref_sink_roundtrip",
-    "llm_hybrid_rrf_fusion",
-    "ref_ingest_folder_contracts",
     "llm_pmi_collocations",
-    "agg_retention_cohorts",
     "llm_kmeans_lloyd",
-    "agg_cumulative_users",
     "llm_kmeans_silhouette",
-    "agg_profit_by_nation_type",
-    "agg_key_skew_report",
     "window_streaks_gaps_islands",
-    "agg_pivot_daily_event_matrix",
-    "agg_metric_correlation_daily",
-    "llm_chunk_documents_udtf",
-    "cdc_point_in_time_join",
-    "agg_data_quality_report",
-    "llm_bm25_batch_topk",
-    "llm_decontaminate_multi",
-    "llm_interleave_by_source",
-    "llm_corpus_length_report",
-    "llm_pps_sample_by_tokens",
-    "cdc_scd2_history",
-    "llm_pq_topk",
     "llm_ivf_topk",
-    "agg_order_count_distribution",
-    "agg_small_quantity_revenue",
-    "agg_important_parts",
-    "agg_parts_supplier_counts",
-    "window_ntile_quartiles",
-    "agg_mad_outliers",
     "scalar_gapfill_daily_revenue",
-    "agg_ohlc_daily_value",
     "llm_ngram_novelty",
     "llm_semdedup_representatives",
-    "llm_mode_token_by_lang",
-    "llm_readability_scores",
-]
+    "llm_readability_scores",]
 
 #: Genuinely rows-only queries (no cross-engine oracle can exist:
 #: engine-internal RNG streams, HLL sketch internals, spark.ml hash
@@ -357,22 +400,16 @@ _OVERFLOW = [
 #: window; their assertions live in pytest.
 _TAIL = [
     "agg_sketch_rollup_users",
-    "agg_approx_distinct_users",
     "llm_approx_top_terms_sketch",
     "agg_percentile_prices_approx",
-    "sample_orders_seeded",
     "llm_ml_minhash_join",
-    "llm_media_payload_dedup_raw",
-    "llm_multimodal_image_features",
-    "llm_multimodal_audio_features",
     "llm_multimodal_resize",
     "llm_multimodal_frame_sampling",
     "stream_stateful_running_totals",
     "stream_shard_merge_lateness_approx",
     "stream_true_point_in_time",
     "stream_true_scd2_closed",
-    "llm_embedding_mahalanobis",
-]
+    "llm_embedding_mahalanobis",]
 
 # A typo'd name here would silently no-op the reorder; fail at import
 # instead so a renamed query breaks loudly, not by drifting out of the

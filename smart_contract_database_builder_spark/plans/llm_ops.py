@@ -16344,3 +16344,687 @@ def llm_decontaminate_token_mass(
             / F.sum("n_tok").cast("double")
         ).alias("token_share_flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-15 batch 1: exact-substring dedup (the suffix-array family,
+# Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+# Better" — the one dedup grain previously absent: token n-gram
+# (S21/S24), span (F29/F32), sentence (F59) and winnowing (F50) exist;
+# this adds the >=K-token EXACT shared-substring pass)
+# ---------------------------------------------------------------------------
+
+#: Anchor width in tokens for exact-substring dedup. Lee et al. use 50
+#: BPE tokens on web-scale corpora; the synthetic corpus's ~54-token
+#: documents need a proportionally shorter anchor. The key identity the
+#: whole family rests on: a shared substring of L >= K tokens contains a
+#: shared K-token anchor gram at EVERY start offset, and conversely any
+#: shared anchor gram IS a shared K-token substring — so "tokens covered
+#: by a shared >=K-token substring" equals the interval union of
+#: [pos, pos+K-1] over shared anchor positions, with no suffix array and
+#: no pairwise extension step needed for the mass accounting.
+_SUBSTR_K = 8
+
+#: Doc-frequency cap for the PAIR-grain query only: an anchor gram
+#: shared by more than this many documents is boilerplate (license
+#: headers, templates) whose within-group pair fan-out is O(df²); the
+#: cap bounds the self-join exactly like the LSH bucket cap bounds band
+#: buckets. The mass/histogram/stopgram queries need NO cap — they never
+#: form pairs (group-by + join-back only) — and the stopgram audit
+#: measures precisely the mass this cap suppresses from the pair view.
+_SUBSTR_DF_CAP = 16
+
+
+def _sql_substr_grams() -> str:
+    """DuckDB CTEs: tokenized docs + positional K-token anchor grams."""
+    gram = " || ' ' || ".join(
+        f"t[i+{j}]" if j else "t[i]" for j in range(_SUBSTR_K)
+    )
+    return f"""tok AS (
+      SELECT doc_id, source, {_SQL_TOKENS} AS t FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source, i AS pos, md5({gram}) AS gh
+      FROM tok, unnest(range(1, len(t) - {_SUBSTR_K - 2})) AS u(i)
+      WHERE len(t) >= {_SUBSTR_K}
+    )"""
+
+
+def _sql_substr_runs() -> str:
+    """DuckDB CTEs through per-doc merged shared-anchor runs."""
+    return f"""{_sql_substr_grams()},
+    sh AS (
+      SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    sp AS (SELECT g.doc_id, g.source, g.pos FROM g JOIN sh USING (gh)),
+    fl AS (
+      SELECT doc_id, source, pos,
+             CASE WHEN LAG(pos) OVER w IS NULL
+                    OR pos - LAG(pos) OVER w > {_SUBSTR_K}
+                  THEN 1 ELSE 0 END AS nr
+      FROM sp
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    rid AS (
+      SELECT doc_id, source, pos,
+             SUM(nr) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM fl
+    ),
+    runs AS (
+      SELECT doc_id, source, run_id,
+             MAX(pos) - MIN(pos) + {_SUBSTR_K} AS run_len
+      FROM rid GROUP BY doc_id, source, run_id
+    )"""
+
+
+def _substr_gram_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, pos, gh): every K-token anchor gram with its
+    1-based token position and md5 gram key. The gram stream is
+    O(corpus tokens) rows — the family's only corpus-scale relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = fan_out_if_narrow(
+        docs.select("doc_id", "source", _tokens().alias("t"))
+    )
+    return toked.select(
+        "doc_id",
+        "source",
+        F.posexplode(_word_ngrams(F.col("t"), _SUBSTR_K)).alias(
+            "p0", "gram"
+        ),
+    ).select(
+        "doc_id",
+        "source",
+        (F.col("p0") + 1).cast("long").alias("pos"),
+        F.md5("gram").alias("gh"),
+    )
+
+
+def _substr_shared_runs(grams: DataFrame) -> DataFrame:
+    """Per-doc merged runs of shared anchors: (doc_id, source, run_id,
+    run_len). Two anchors at positions p < q merge into one covered run
+    iff q - p <= K (their [.,.+K-1] intervals overlap or touch), so the
+    union length is max(pos) - min(pos) + K per merged group."""
+    sh = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    sp = grams.join(sh, "gh").select("doc_id", "source", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    fl = sp.select(
+        "doc_id",
+        "source",
+        "pos",
+        F.when(prev.isNull() | ((F.col("pos") - prev) > _SUBSTR_K), 1)
+        .otherwise(0)
+        .alias("nr"),
+    )
+    wr = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rid = fl.select(
+        "doc_id", "source", "pos", F.sum("nr").over(wr).alias("run_id")
+    )
+    return rid.groupBy("doc_id", "source", "run_id").agg(
+        (F.max("pos") - F.min("pos") + _SUBSTR_K)
+        .cast("long")
+        .alias("run_len")
+    )
+
+
+@register(
+    "llm_substring_dup_mass",
+    oracle=f"""
+    WITH {_sql_substr_runs()},
+    tot AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(len({_SQL_TOKENS})) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    dup AS (
+      SELECT source,
+             COUNT(DISTINCT doc_id) AS n_docs_with_dup,
+             COUNT(*) AS n_runs,
+             SUM(run_len) AS dup_tokens
+      FROM runs GROUP BY source
+    )
+    SELECT t.source,
+           CAST(t.n_docs AS BIGINT) AS n_docs,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(d.n_docs_with_dup, 0) AS BIGINT)
+             AS n_docs_with_dup,
+           CAST(COALESCE(d.n_runs, 0) AS BIGINT) AS n_runs,
+           CAST(COALESCE(d.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CASE WHEN t.n_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(COALESCE(d.dup_tokens, 0) AS DOUBLE)
+                     / CAST(t.n_tokens AS DOUBLE)
+           END AS dup_token_share
+    FROM tot t LEFT JOIN dup d USING (source)
+    """,
+)
+def llm_substring_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/F29 EXT: EXACT-SUBSTRING duplicate token mass per source —
+    the Lee et al. 2022 accounting: how many tokens sit inside an exact
+    substring of >= {_SUBSTR_K} tokens that also occurs in ANOTHER
+    document. The substring grain catches what document-grain dedup
+    can't (a licence block pasted into otherwise-unique pages) and what
+    shingle-Jaccard blurs (it reports set overlap, not the exact copied
+    token count). This is the report that decides whether a corpus
+    needs the substring-grain pass at all.
+
+    Exactness via the anchor identity (no suffix array needed for
+    MASS): a token is covered by a shared >={_SUBSTR_K}-token substring
+    iff some shared {_SUBSTR_K}-token anchor gram starts within
+    [pos-{_SUBSTR_K}+1, pos] — so covered mass = interval union of
+    anchor spans, computed as a gaps-and-islands merge (new run when
+    the position gap exceeds K). All counts exact int64; the share is
+    one IEEE divide with an explicit zero-token guard on both engines.
+
+    Scale shape: the anchor stream is O(corpus tokens) rows wide and
+    {_SUBSTR_K} tokens deep (md5-keyed, fixed width); "shared" is ONE
+    hash agg on the gram key (map-side combinable) + one join back —
+    never a pair fan-out, so NO cap is needed at this grain. The run
+    merge is a doc-keyed window over only the SHARED positions (a tiny
+    fraction of the corpus), and the rollup is O(sources). At 100 TB
+    the anchor relation is the write-once store the S21/S24 discipline
+    prescribes; every number here is one scan of it.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _substr_gram_positions(spark, sf_dir)
+    runs = _substr_shared_runs(grams)
+    tot = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(_tokens())).cast("long").alias("n_tokens"),
+    )
+    dup = runs.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs_with_dup"),
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.sum("run_len").cast("long").alias("dup_tokens"),
+    )
+    return tot.join(dup, "source", "left").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.coalesce("n_docs_with_dup", F.lit(0))
+        .cast("long")
+        .alias("n_docs_with_dup"),
+        F.coalesce("n_runs", F.lit(0)).cast("long").alias("n_runs"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+        .otherwise(
+            F.coalesce("dup_tokens", F.lit(0)).cast("double")
+            / F.col("n_tokens").cast("double")
+        )
+        .alias("dup_token_share"),
+    )
+
+
+@register(
+    "llm_substring_run_histogram",
+    oracle=f"""
+    WITH {_sql_substr_runs()},
+    tot AS (SELECT SUM(run_len) AS dup_total FROM runs)
+    SELECT CAST(run_len AS BIGINT) AS run_len,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(run_len * COUNT(*) AS BIGINT) AS run_token_mass,
+           CAST(run_len * COUNT(*) AS DOUBLE)
+             / CAST((SELECT dup_total FROM tot) AS DOUBLE) AS mass_share
+    FROM runs GROUP BY run_len
+    """,
+)
+def llm_substring_run_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """F29 EXT: SHARED-RUN length histogram — the length distribution
+    of the merged exact-substring runs behind `llm_substring_dup_mass`:
+    runs at exactly {_SUBSTR_K} are incidental collisions of one anchor
+    width; a fat tail of document-length runs is wholesale copying that
+    document-grain dedup should have caught; the mid-band is the
+    template/boilerplate mass only the substring grain removes. Lee et
+    al.'s choice of the length threshold IS this histogram read as a
+    knee-finding plot.
+
+    Scale shape: identical plan prefix to the mass query (anchor agg +
+    join-back + doc-keyed run merge); the histogram is an O(distinct
+    run lengths) hash agg over the run relation, and run count is
+    bounded by shared-anchor positions / 1 — pair-free at every stage.
+    Counts exact; mass_share is one divide by the exact total (the
+    zero-run corpus emits zero rows on BOTH engines — grouped
+    aggregates, no axis to anchor).
+    """
+    runs = _substr_shared_runs(_substr_gram_positions(spark, sf_dir))
+    tot = runs.agg(F.sum("run_len").alias("dup_total"))
+    return (
+        runs.groupBy("run_len")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_runs"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "run_len",
+            "n_runs",
+            "n_docs",
+            (F.col("run_len") * F.col("n_runs"))
+            .cast("long")
+            .alias("run_token_mass"),
+            (
+                (F.col("run_len") * F.col("n_runs")).cast("double")
+                / F.col("dup_total").cast("double")
+            ).alias("mass_share"),
+        )
+    )
+
+
+@register(
+    "llm_substring_pair_maxrun",
+    oracle=f"""
+    WITH {_sql_substr_grams()},
+    okg AS (
+      SELECT gh FROM g GROUP BY gh
+      HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {_SUBSTR_DF_CAP}
+    ),
+    occ AS (SELECT g.gh, g.doc_id, g.pos FROM g JOIN okg USING (gh)),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pa, a.pos - b.pos AS diag
+      FROM occ a JOIN occ b
+        ON a.gh = b.gh AND a.doc_id < b.doc_id
+    ),
+    fl AS (
+      SELECT doc_a, doc_b, diag, pa,
+             CASE WHEN LAG(pa) OVER w IS NULL OR pa - LAG(pa) OVER w > 1
+                  THEN 1 ELSE 0 END AS nc
+      FROM p
+      WINDOW w AS (PARTITION BY doc_a, doc_b, diag ORDER BY pa)
+    ),
+    cid AS (
+      SELECT doc_a, doc_b, diag, pa,
+             SUM(nc) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa
+               ROWS UNBOUNDED PRECEDING) AS chain_id
+      FROM fl
+    ),
+    chains AS (
+      SELECT doc_a, doc_b,
+             MAX(pa) - MIN(pa) + {_SUBSTR_K} AS run_len,
+             COUNT(*) AS n_pts
+      FROM cid GROUP BY doc_a, doc_b, diag, chain_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(MAX(run_len) AS BIGINT) AS max_run_len,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(SUM(n_pts) AS BIGINT) AS n_anchor_matches
+    FROM chains GROUP BY doc_a, doc_b
+    """,
+)
+def llm_substring_pair_maxrun(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """J6/F29 EXT: PAIR-grain exact-substring report — for every
+    document pair sharing at least one {_SUBSTR_K}-token anchor, the
+    LONGEST exact shared substring (in tokens) plus run/anchor counts.
+    This is the bounded extend-and-verify stage of the suffix-array
+    family: where the mass query answers "how much is duplicated", this
+    answers "between whom and how long" — the relation a curation run
+    inspects before deciding strip-the-span vs drop-the-doc.
+
+    The diagonal identity makes the extension exact without touching
+    text again: a shared run of L tokens between docs a and b is
+    exactly a maximal chain of L-{_SUBSTR_K}+1 anchor matches whose
+    positions advance by 1 on BOTH sides — i.e. consecutive pa on a
+    constant diagonal pa-pb. Chains are merged with the same
+    gaps-and-islands window as the mass query, per (pair, diagonal).
+
+    Scale shape: the pair fan-out is the family's ONE quadratic hazard
+    and is bounded by construction — only anchors with doc-frequency
+    in [2, {_SUBSTR_DF_CAP}] enter the self-join (the LSH-bucket-cap
+    discipline; `llm_substring_stopgram_audit` measures the mass the
+    cap excludes), so a group contributes at most
+    C({_SUBSTR_DF_CAP},2) pairs however hot the boilerplate. The
+    chain window runs per (pair, diagonal) — millions of small
+    partitions, no skew.
+    """
+    grams = _substr_gram_positions(spark, sf_dir)
+    okg = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= _SUBSTR_DF_CAP))
+        .select("gh")
+    )
+    occ = grams.join(okg, "gh").select("gh", "doc_id", "pos")
+    a = occ.select(
+        "gh", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa")
+    )
+    b = occ.select(
+        "gh", F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb")
+    )
+    p = a.join(b, "gh").filter(F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag")
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    prev = F.lag("pa").over(w)
+    fl = p.select(
+        "doc_a",
+        "doc_b",
+        "diag",
+        "pa",
+        F.when(prev.isNull() | ((F.col("pa") - prev) > 1), 1)
+        .otherwise(0)
+        .alias("nc"),
+    )
+    wr = (
+        Window.partitionBy("doc_a", "doc_b", "diag")
+        .orderBy("pa")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cid = fl.select(
+        "doc_a", "doc_b", "diag", "pa",
+        F.sum("nc").over(wr).alias("chain_id"),
+    )
+    chains = cid.groupBy("doc_a", "doc_b", "diag", "chain_id").agg(
+        (F.max("pa") - F.min("pa") + _SUBSTR_K).alias("run_len"),
+        F.count(F.lit(1)).alias("n_pts"),
+    )
+    return chains.groupBy("doc_a", "doc_b").agg(
+        F.max("run_len").cast("long").alias("max_run_len"),
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.sum("n_pts").cast("long").alias("n_anchor_matches"),
+    )
+
+
+@register(
+    "llm_substring_stopgram_audit",
+    oracle=f"""
+    WITH {_sql_substr_grams()},
+    dfreq AS (
+      SELECT gh, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS occ
+      FROM g GROUP BY gh
+    )
+    SELECT CAST(doc_freq AS BIGINT) AS doc_freq,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(occ) AS BIGINT) AS n_occurrences,
+           CAST(CASE WHEN doc_freq BETWEEN 2 AND {_SUBSTR_DF_CAP}
+                     THEN 1 ELSE 0 END AS BIGINT) AS in_pair_scope
+    FROM dfreq GROUP BY doc_freq
+    """,
+)
+def llm_substring_stopgram_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A18 EXT for the substring family: ANCHOR doc-frequency profile —
+    per distinct document-frequency value: anchor-gram count, total
+    occurrence mass, and whether that band enters the pair query's
+    self-join (doc_freq in [2, {_SUBSTR_DF_CAP}]). The rows above the
+    cap ARE the stop-grams (license headers, templates) whose pair
+    fan-out the cap suppresses — this query prices that exclusion on
+    the actual corpus, the same measure-the-cap discipline as the LSH
+    cap-loss audit (F93). doc_freq = 1 rows profile the unique mass,
+    the complement every dedup decision is weighed against.
+
+    Scale shape: ONE hash agg on the anchor key (map-side combinable)
+    followed by an O(distinct doc-frequencies) rollup — scan-shaped,
+    no joins, no pairs; the profile costs strictly less than the mass
+    query it tunes.
+    """
+    grams = _substr_gram_positions(spark, sf_dir)
+    dfreq = grams.groupBy("gh").agg(
+        F.countDistinct("doc_id").alias("doc_freq"),
+        F.count(F.lit(1)).alias("occ"),
+    )
+    return dfreq.groupBy("doc_freq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum("occ").cast("long").alias("n_occurrences"),
+    ).select(
+        F.col("doc_freq").cast("long").alias("doc_freq"),
+        "n_grams",
+        "n_occurrences",
+        F.when(
+            (F.col("doc_freq") >= 2) & (F.col("doc_freq") <= _SUBSTR_DF_CAP),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("in_pair_scope"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-15 batch 2: training-shard mixing audits (the consumers of the
+# F31 deterministic training order — is the shuffle actually mixing?)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_shard_mixing_audit",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             ascii(substr(md5('{_ORDER_SEED}' || CAST(doc_id AS VARCHAR)),
+                          1, 1)) % {_ORDER_SHARDS} AS shard
+      FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS n FROM d),
+    nl AS (SELECT lang, COUNT(*) AS n_l FROM d GROUP BY lang),
+    ns AS (SELECT shard, COUNT(*) AS n_s FROM d GROUP BY shard),
+    nsl AS (SELECT shard, lang, COUNT(*) AS n_sl FROM d
+            GROUP BY shard, lang),
+    axis AS (
+      SELECT s.shard, l.lang
+      FROM (SELECT unnest(range({_ORDER_SHARDS})) AS shard) s
+      CROSS JOIN (SELECT DISTINCT lang FROM documents) l
+    ),
+    cells AS (
+      SELECT a.shard, a.lang,
+             COALESCE(x.n_sl, 0) AS n_sl,
+             COALESCE(s.n_s, 0) AS n_s,
+             l.n_l
+      FROM axis a
+      LEFT JOIN nsl x ON a.shard = x.shard AND a.lang = x.lang
+      LEFT JOIN ns s ON a.shard = s.shard
+      JOIN nl l ON a.lang = l.lang
+    )
+    SELECT CAST(shard AS INTEGER) AS shard,
+           CAST(MAX(n_s) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN n_sl > 0 THEN 1 END) AS BIGINT)
+             AS n_langs_present,
+           CASE WHEN MAX(n_s) = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(SUM(abs(n_sl * (SELECT n FROM n)
+                                  - n_l * n_s)) AS DOUBLE)
+                     / CAST(MAX(n_s) * (SELECT n FROM n) AS DOUBLE)
+           END AS l1_mix_distance
+    FROM cells GROUP BY shard
+    """,
+)
+def llm_shard_mixing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F31/F84 EXT: SHARD MIXING audit — per training shard (the F31
+    seeded-shuffle assignment, shard = first md5 key byte mod
+    {_ORDER_SHARDS}), the L1 distance between the shard's language mix
+    and the corpus-global mix: Σ_lang |share_in_shard − share_global|,
+    in [0, 2]. A well-mixed shuffle puts every shard near 0; a shard
+    near 2 is a sorted-input smell (a data-loader reading it sees one
+    register for a whole epoch slice). This is the check a training
+    run does AFTER planning shards (F84 balances counts; this audits
+    composition).
+
+    Exactness: the distance is computed on the common denominator —
+    Σ |n_sl·n − n_l·n_s| as exact int64, ONE divide by n_s·n at the
+    end (envelope: n_sl·n < 2^63 holds to ~3·10^9 docs; beyond that
+    scale the shares drop to per-million integers first). Absent
+    (shard, lang) cells contribute |0 − n_l·n_s| via the explicit
+    shard×lang axis, and the literal shard axis keeps empty shards
+    visible with an explicit 0.0 (the degenerate-corpus discipline).
+
+    Scale shape: one corpus scan to the (shard, lang) contingency
+    table — a hash agg onto at most {_ORDER_SHARDS}×|langs| rows; the
+    marginals DERIVE from that table (no second scan), and the axis
+    join runs on broadcast-sized relations.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        (
+            F.ascii(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(_ORDER_SEED),
+                            F.col("doc_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    1,
+                )
+            )
+            % _ORDER_SHARDS
+        ).alias("shard"),
+    )
+    nsl = d.groupBy("shard", "lang").agg(
+        F.count(F.lit(1)).alias("n_sl")
+    )
+    ns = nsl.groupBy("shard").agg(F.sum("n_sl").alias("n_s"))
+    nl = nsl.groupBy("lang").agg(F.sum("n_sl").alias("n_l"))
+    n = nsl.agg(F.sum("n_sl").alias("n"))
+    axis = (
+        spark.createDataFrame(
+            [(s,) for s in range(_ORDER_SHARDS)], "shard int"
+        )
+        .crossJoin(nl.select("lang", "n_l"))
+    )
+    cells = (
+        axis.join(nsl, ["shard", "lang"], "left")
+        .join(ns, "shard", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "shard",
+            "lang",
+            F.coalesce("n_sl", F.lit(0)).alias("n_sl"),
+            F.coalesce("n_s", F.lit(0)).alias("n_s"),
+            "n_l",
+            "n",
+        )
+    )
+    return cells.groupBy("shard").agg(
+        F.max("n_s").cast("long").alias("n_docs"),
+        F.sum((F.col("n_sl") > 0).cast("long"))
+        .cast("long")
+        .alias("n_langs_present"),
+        F.when(F.max("n_s") == 0, F.lit(0.0))
+        .otherwise(
+            F.sum(
+                F.abs(
+                    F.col("n_sl") * F.col("n") - F.col("n_l") * F.col("n_s")
+                )
+            ).cast("double")
+            / (F.max("n_s") * F.max("n")).cast("double")
+        )
+        .alias("l1_mix_distance"),
+    ).select(
+        F.col("shard").cast("int").alias("shard"),
+        "n_docs",
+        "n_langs_present",
+        "l1_mix_distance",
+    )
+
+
+@register(
+    "llm_interleave_run_lengths",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             md5('{_ORDER_SEED}' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+             ascii(substr(md5('{_ORDER_SEED}' || CAST(doc_id AS VARCHAR)),
+                          1, 1)) % {_ORDER_SHARDS} AS shard
+      FROM documents
+    ),
+    fl AS (
+      SELECT shard, source, shuffle_key, doc_id,
+             CASE WHEN LAG(source) OVER w IS NULL
+                    OR LAG(source) OVER w <> source
+                  THEN 1 ELSE 0 END AS nr
+      FROM keyed
+      WINDOW w AS (PARTITION BY shard ORDER BY shuffle_key, doc_id)
+    ),
+    rid AS (
+      SELECT shard, source,
+             SUM(nr) OVER (PARTITION BY shard
+               ORDER BY shuffle_key, doc_id
+               ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM fl
+    ),
+    runs AS (
+      SELECT shard, run_id, source, COUNT(*) AS run_len
+      FROM rid GROUP BY shard, run_id, source
+    )
+    SELECT source,
+           CAST(SUM(run_len) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(MAX(run_len) AS BIGINT) AS max_run_len,
+           CAST(SUM(run_len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS mean_run_len
+    FROM runs GROUP BY source
+    """,
+)
+def llm_interleave_run_lengths(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """F31/F39 EXT: INTERLEAVE quality audit — run-length-encode the
+    deterministic training order (F31's seeded shuffle) by SOURCE and
+    report, per source, how many consecutive-run blocks it forms, the
+    longest block, and the mean block length. A healthy shuffle puts
+    mean run length near 1/(1−share); long runs mean a data loader
+    streams one source for thousands of steps (gradient correlation —
+    the failure F39's round-robin interleave exists to prevent). Runs
+    never cross shard boundaries (shards are separate files at train
+    time).
+
+    Exactness: run lengths are exact int64 (windowed gaps-and-islands
+    over the deterministic (shuffle_key, doc_id) order — total order,
+    no tie ambiguity); the mean is one IEEE divide of two exact ints.
+
+    Scale shape: reuses F31's one-shuffle shape — the window is
+    partitioned by shard, so with O(cluster) shards no partition holds
+    more than corpus/shards rows; the RLE adds a lag + running-sum
+    over the same sort (no extra exchange: same partition key and
+    order), and the rollup is O(sources).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ordered = training_order(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    prev = F.lag("source").over(w)
+    fl = ordered.select(
+        "shard",
+        "source",
+        "shuffle_key",
+        "doc_id",
+        F.when(prev.isNull() | (prev != F.col("source")), 1)
+        .otherwise(0)
+        .alias("nr"),
+    )
+    wr = (
+        Window.partitionBy("shard")
+        .orderBy("shuffle_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rid = fl.select(
+        "shard", "source", F.sum("nr").over(wr).alias("run_id")
+    )
+    runs = rid.groupBy("shard", "run_id", "source").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return runs.groupBy("source").agg(
+        F.sum("run_len").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.max("run_len").cast("long").alias("max_run_len"),
+        (
+            F.sum("run_len").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_run_len"),
+    )

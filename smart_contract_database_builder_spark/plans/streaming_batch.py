@@ -1022,3 +1022,165 @@ def stream_shard_merge_lateness_approx(
         F.element_at("q", 3).alias("p99_late_us"),
         F.col("mx").cast("long").alias("max_late_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-15: T3 parameter sizing — the session-gap sweep (T18)
+# ---------------------------------------------------------------------------
+
+#: Candidate inactivity gaps (minutes) for the T3 session window — the
+#: sweep brackets the deployed 30-minute gap one octave each way.
+_SESSION_GAP_SWEEP_MIN = (10, 30, 60)
+
+
+@register(
+    "stream_session_gap_sweep",
+    oracle=f"""
+    WITH l AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER
+               (PARTITION BY user_id ORDER BY ts)) AS gap_us
+      FROM events
+    ),
+    u AS (
+      SELECT COUNT(DISTINCT user_id) AS n_users,
+             COUNT(*) AS n_events
+      FROM events
+    ),
+    spans AS (
+      SELECT COALESCE(SUM(epoch_us(mx) - epoch_us(mn)), 0) AS span_us
+      FROM (SELECT user_id, MIN(ts) AS mn, MAX(ts) AS mx
+            FROM events GROUP BY user_id)
+    ),
+    axis AS (SELECT unnest(ARRAY{list(_SESSION_GAP_SWEEP_MIN)}) AS gap_minutes),
+    per_gap AS (
+      SELECT a.gap_minutes,
+             COUNT(CASE WHEN l.gap_us >= CAST(a.gap_minutes AS BIGINT) * 60000000
+                        THEN 1 END) AS n_cuts,
+             COALESCE(SUM(CASE WHEN l.gap_us >= CAST(a.gap_minutes AS BIGINT) * 60000000
+                               THEN l.gap_us END), 0) AS cut_us
+      FROM axis a LEFT JOIN l ON TRUE
+      GROUP BY a.gap_minutes
+    )
+    SELECT CAST(gap_minutes AS BIGINT) AS gap_minutes,
+           CAST((SELECT n_users FROM u) + n_cuts AS BIGINT) AS n_sessions,
+           CASE WHEN (SELECT n_users FROM u) + n_cuts = 0
+                THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST((SELECT n_events FROM u) AS DOUBLE)
+                     / CAST((SELECT n_users FROM u) + n_cuts AS DOUBLE)
+           END AS events_per_session,
+           CASE WHEN (SELECT n_users FROM u) + n_cuts = 0
+                THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST((SELECT span_us FROM spans) - cut_us AS DOUBLE)
+                     / CAST((SELECT n_users FROM u) + n_cuts AS DOUBLE)
+                     / 1000000.0
+           END AS mean_session_span_seconds
+    FROM per_gap
+    """,
+)
+def stream_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T18 EXT: SESSION-GAP sweep — size T3's one parameter (the
+    inactivity timeout) by computing, for each candidate gap
+    {_SESSION_GAP_SWEEP_MIN} minutes, the session count, mean events
+    per session, and mean session span, all in ONE pass. The knee of
+    this curve is how a deployment picks the gap; Spark's
+    session_window holds state proportional to open sessions, so the
+    sweep also prices the state-store footprint before committing a
+    streaming job to a timeout (the T15/T16 watermark-sizing
+    discipline applied to T3).
+
+    Exactness via the cut identity — no per-gap sessionization needed:
+    splitting at inactivity gaps >= g makes
+    n_sessions(g) = n_users + #(gaps >= g), and
+    total_span(g) = Σ_user (last−first) − Σ_{{gaps >= g}} gap
+    (each cut removes exactly its gap from the covered span). One
+    user-keyed lag pass computes the gap multiset (deterministic even
+    under timestamp ties: equal timestamps yield zero gaps whatever
+    the tie order); the sweep is then a 3-row literal axis against
+    conditional sums of exact int64 microseconds, with divides last
+    and zero-guarded on both engines.
+
+    Scale shape: ONE shuffle (the per-user window — the same exchange
+    a real sessionization pays) + an O(1) rollup per axis row; the
+    sweep adds literally zero corpus passes over the single-gap
+    query. At 100 TB the lag pass is the dominant cost and is paid
+    once for all candidate gaps.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gaps = ev.select(
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us")
+    )
+    u = ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    spans = (
+        ev.groupBy("user_id")
+        .agg(
+            (
+                F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+            ).alias("sp")
+        )
+        .agg(F.coalesce(F.sum("sp"), F.lit(0)).alias("span_us"))
+    )
+    axis = spark.createDataFrame(
+        [(int(g),) for g in _SESSION_GAP_SWEEP_MIN], "gap_minutes long"
+    )
+    # Fan the 3-row axis onto the gap stream (broadcast the AXIS — the
+    # reverse join order would broadcast the corpus-scale gap relation),
+    # then re-anchor on the axis so an empty events table still emits
+    # one zero row per candidate gap, like the oracle's LEFT JOIN.
+    per_gap_raw = (
+        gaps.crossJoin(F.broadcast(axis))
+        .groupBy("gap_minutes")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    (
+                        F.col("gap_us")
+                        >= F.col("gap_minutes") * 60000000
+                    ).cast("long")
+                ),
+                F.lit(0),
+            ).alias("n_cuts"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("gap_us")
+                        >= F.col("gap_minutes") * 60000000,
+                        F.col("gap_us"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("cut_us"),
+        )
+    )
+    per_gap = axis.join(per_gap_raw, "gap_minutes", "left").select(
+        "gap_minutes",
+        F.coalesce("n_cuts", F.lit(0)).alias("n_cuts"),
+        F.coalesce("cut_us", F.lit(0)).alias("cut_us"),
+    )
+    n_sessions = (F.col("n_users") + F.col("n_cuts")).cast("long")
+    return (
+        per_gap.crossJoin(F.broadcast(u))
+        .crossJoin(F.broadcast(spans))
+        .select(
+            "gap_minutes",
+            n_sessions.alias("n_sessions"),
+            F.when(n_sessions == 0, F.lit(0.0))
+            .otherwise(
+                F.col("n_events").cast("double") / n_sessions.cast("double")
+            )
+            .alias("events_per_session"),
+            F.when(n_sessions == 0, F.lit(0.0))
+            .otherwise(
+                (F.col("span_us") - F.col("cut_us")).cast("double")
+                / n_sessions.cast("double")
+                / F.lit(1000000.0)
+            )
+            .alias("mean_session_span_seconds"),
+        )
+    )

@@ -70,6 +70,9 @@ _NESTED_LOOP_ALLOWED = {
     "stream_watermark_state_audit",  # 1-row stream-max broadcast
     "stream_shard_merge_lateness",  # 1-row late-stats x 1-row total broadcast
     "stream_shard_merge_lateness_approx",  # same 1-row broadcasts, t-digest twin
+    "llm_substring_run_histogram",  # 1-row dup-total broadcast onto the histogram
+    "llm_shard_mixing_audit",      # 1-row corpus-count broadcast onto the cells
+    "stream_session_gap_sweep",    # 3-row gap axis + two 1-row totals broadcasts
 }
 
 #: Queries whose fn() triggers side effects/execution rather than just

@@ -23,13 +23,37 @@ from smart_contract_database_builder_spark.plans import _OVERFLOW, _TAIL
 _DRIVER_WINDOW = 50
 
 
+#: Rows-only queries deliberately holding round-15 window slots
+#: (VERDICT r14 "Next round #4"): the two legacy queries whose only
+#: driver artifact was a round-2 `no_oracle` error row, plus three
+#: multimodal-family queries that had never met the driver. Each
+#: spends one round in the window to earn a modern rows-only driver
+#: row, then rotates back to _TAIL. Grow this set consciously — every
+#: entry displaces an oracle-checked slot.
+_ROWS_ONLY_WINDOWED = {
+    "agg_approx_distinct_users",
+    "sample_orders_seeded",
+    "llm_media_payload_dedup_raw",
+    "llm_multimodal_image_features",
+    "llm_multimodal_audio_features",
+}
+
+
 def test_oracle_queries_fill_the_driver_window_exactly():
     """Positions 0..49 must ALL carry oracles — a rows-only query inside
-    the window would waste a driver-checked slot."""
+    the window would waste a driver-checked slot — except the named
+    rows-only evidence-refresh set above, each windowed deliberately to
+    earn a modern driver artifact."""
     names = list(plans.QUERIES)
     head = names[:_DRIVER_WINDOW]
-    unoracled = [n for n in head if plans.QUERIES[n].oracle is None]
+    unoracled = [
+        n
+        for n in head
+        if plans.QUERIES[n].oracle is None and n not in _ROWS_ONLY_WINDOWED
+    ]
     assert unoracled == [], f"rows-only queries wasting window slots: {unoracled}"
+    missing = [n for n in _ROWS_ONLY_WINDOWED if n not in head]
+    assert missing == [], f"designated rows-only refreshes not in window: {missing}"
 
 
 def test_oracle_queries_past_the_window_are_explicitly_designated():
@@ -53,15 +77,15 @@ def test_oracle_queries_past_the_window_are_explicitly_designated():
 
 def test_family_witnesses_lead():
     """Each operator family keeps an always-in-window witness at the
-    head of the registry. The round-14 witness set pins the two r13
-    overflow-born audits earning their FIRST driver rows ever, the
-    cap-loss audit (its pairs_suppressed arithmetic changed in both
-    engines this round), and the standing family witnesses."""
+    head of the registry. The round-15 witness set pins the three
+    degenerate-corpus parity fixes (plans and/or oracles changed this
+    round) as changed-plan witnesses plus the standing family
+    witnesses."""
     head = list(plans.QUERIES)[:10]
     for name in (
-        "llm_dedup_quality_interaction",
-        "llm_corpus_delta_report",
-        "llm_lsh_cap_loss_audit",
+        "llm_decontaminate_ngram_sweep",
+        "llm_upsample_plan_integer",
+        "llm_fingerprint_method_agreement",
         "flagship_revenue_by_region",
         "ref_extract_functions",
         "stream_true_tumbling_availablenow",
@@ -416,10 +440,79 @@ _ROTATED_IN_R14 = [
 ]
 
 
-def test_round14_rotation_refreshes_the_stale_cohorts():
+def test_round14_rotation_queries_have_driver_rows():
+    """The r14 window cohort earned its driver rows in CORRECTNESS_r14
+    and rotated back out in round 15; pin that each really is
+    driver-green."""
+    import json
+    import pathlib
+
+    rows = json.loads(
+        (pathlib.Path(__file__).resolve().parent.parent / "CORRECTNESS_r14.json").read_text()
+    )
+    for n in _ROTATED_IN_R14:
+        r = rows[n]
+        assert r["rows_match"] and r["schema_match"] and r["hash_match"], n
+
+
+#: Round-15 rotation contract (VERDICT r14 "Next round #1" + #4): the
+#: three degenerate-corpus parity-fix witnesses, the rows-only
+#: evidence-refresh set, 31 of the 41-query r8-evidence cohort, and
+#: the 7 round-15-born operators hold window slots this round.
+_ROTATED_IN_R15 = [
+    "llm_decontaminate_ngram_sweep",
+    "llm_upsample_plan_integer",
+    "llm_fingerprint_method_agreement",
+    "agg_approx_distinct_users",
+    "sample_orders_seeded",
+    "llm_media_payload_dedup_raw",
+    "llm_multimodal_image_features",
+    "llm_multimodal_audio_features",
+    "agg_cumulative_users",
+    "agg_data_quality_report",
+    "agg_important_parts",
+    "agg_key_skew_report",
+    "agg_mad_outliers",
+    "agg_metric_correlation_daily",
+    "agg_ohlc_daily_value",
+    "agg_order_count_distribution",
+    "agg_parts_supplier_counts",
+    "agg_pivot_daily_event_matrix",
+    "agg_profit_by_nation_type",
+    "agg_retention_cohorts",
+    "agg_small_quantity_revenue",
+    "cdc_point_in_time_join",
+    "cdc_scd2_history",
+    "llm_bm25_batch_topk",
+    "llm_chunk_documents_udtf",
+    "llm_cluster_best_representative",
+    "llm_containment_pairs",
+    "llm_corpus_length_report",
+    "llm_decontaminate_multi",
+    "llm_edit_distance_pairs",
+    "llm_hybrid_rrf_fusion",
+    "llm_interleave_by_source",
+    "llm_mode_token_by_lang",
+    "llm_pps_sample_by_tokens",
+    "llm_pq_topk",
+    "ref_ingest_folder_contracts",
+    "ref_sink_roundtrip",
+    "stream_tumbling_window_counts",
+    "window_ntile_quartiles",
+    "llm_substring_dup_mass",
+    "llm_substring_run_histogram",
+    "llm_substring_pair_maxrun",
+    "llm_substring_stopgram_audit",
+    "llm_shard_mixing_audit",
+    "llm_interleave_run_lengths",
+    "stream_session_gap_sweep",
+]
+
+
+def test_round15_rotation_refreshes_the_stale_cohorts():
     window = list(plans.QUERIES)[:_DRIVER_WINDOW]
-    missing = [n for n in _ROTATED_IN_R14 if n not in window]
-    assert missing == [], f"stale cohort missing from the window: {missing}"
+    missing = [n for n in _ROTATED_IN_R15 if n not in window]
+    assert missing == [], f"r15 rotation set missing from the window: {missing}"
 
 
 #: Operators registered straight into _OVERFLOW in the round that
