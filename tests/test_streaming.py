@@ -546,3 +546,120 @@ def test_watermark_audit_predicts_true_streaming_drops(spark, tmp_path):
     dropped_6h, retained_6h = drops_at("6 hours", "t_wm_audit_6h")
     assert dropped_6h == audit[6] == 0
     assert retained_6h == n_total
+
+
+def test_state_audit_matches_true_streaming_state_rows(spark, tmp_path):
+    """T16 true-streaming witness (the T15 pattern, VERDICT r14 #6):
+    the watermark STATE-SIZE audit (`stream_watermark_state_audit`)
+    claims to report how many 1-hour windows a watermarked streaming
+    aggregation still HOLDS in its state store once the stream's
+    high-water mark reaches the corpus max. Prove it against a TRUE
+    Structured Streaming run: drain an engineered arrival sequence
+    with availableNow (one file per micro-batch), finish with a FLUSH
+    file that does not advance the event-time max (so the final
+    batch's eviction runs at watermark = max - delay, exactly the
+    audit's predicate window.end <= max - delay), and the last
+    progress event's `stateOperators[].numRowsTotal` must equal the
+    audit's n_windows_open — at both the 1-hour and 6-hour delays.
+
+    The fixture keeps every window end far from the watermark
+    boundary (events at :07/:27/:47 past the hour, max at :47, so
+    end == watermark is impossible) — the equality tests semantics,
+    not tie-breaking."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from smart_contract_database_builder_spark import plans
+    from smart_contract_database_builder_spark.sources.tables import (
+        TESTDATA_SCHEMAS,
+    )
+
+    t0 = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC, micros
+    hours = 30
+    offsets_min = (7, 27, 47)
+    all_rows = [
+        (h * len(offsets_min) + i, t0 + h * 3_600_000_000 + m * 60_000_000)
+        for h in range(hours)
+        for i, m in enumerate(offsets_min)
+    ]
+    max_us = max(us for _eid, us in all_rows)
+
+    def table(chunk_rows):
+        return pa.table(
+            {
+                "event_id": pa.array([r[0] for r in chunk_rows], pa.int64()),
+                "ts": pa.array(
+                    [r[1] for r in chunk_rows], pa.timestamp("us")
+                ),
+                "user_id": pa.array(
+                    [r[0] % 7 for r in chunk_rows], pa.int64()
+                ),
+                "event_type": pa.array(["click"] * len(chunk_rows)),
+                "value": pa.array([1.0] * len(chunk_rows), pa.float64()),
+                "props": pa.array(["{}"] * len(chunk_rows)),
+            }
+        )
+
+    # audit input: the whole sequence as one events.parquet
+    audit_dir = tmp_path / "audit"
+    audit_dir.mkdir()
+    pq.write_table(table(all_rows), audit_dir / "events.parquet")
+    audit = {
+        r["w_hours"]: r.asDict()
+        for r in plans.QUERIES["stream_watermark_state_audit"]
+        .fn(spark, str(audit_dir))
+        .collect()
+    }
+    # non-vacuous: the delays hold different, non-trivial state sizes
+    assert audit[1]["n_windows_total"] == hours
+    assert 0 < audit[1]["n_windows_open"] < audit[6]["n_windows_open"] < hours
+
+    # streaming input: strictly-increasing chunks, then a FLUSH chunk
+    # repeating the final timestamp (does not advance the max, so the
+    # last batch evicts at the fully-advanced watermark)
+    stream_dir = tmp_path / "arrivals"
+    stream_dir.mkdir()
+    per_chunk = 15
+    chunks = [
+        all_rows[i:i + per_chunk] for i in range(0, len(all_rows), per_chunk)
+    ]
+    chunks.append([(10_000, max_us), (10_001, max_us)])
+    for c, chunk_rows in enumerate(chunks):
+        p = stream_dir / f"chunk_{c:03d}.parquet"
+        pq.write_table(table(chunk_rows), p)
+        os.utime(p, (1_700_000_000 + 10 * c, 1_700_000_000 + 10 * c))
+
+    def state_rows_at(delay: str, qname: str) -> int:
+        stream = (
+            spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(stream_dir))
+            .withWatermark("ts", delay)
+            .groupBy(F.window("ts", "60 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        states = [
+            op["numRowsTotal"]
+            for p in q.recentProgress
+            for op in json.loads(p.json).get("stateOperators", [])
+        ]
+        return states[-1]
+
+    assert state_rows_at("1 hour", "t_state_audit_1h") == (
+        audit[1]["n_windows_open"]
+    )
+    assert state_rows_at("6 hours", "t_state_audit_6h") == (
+        audit[6]["n_windows_open"]
+    )
