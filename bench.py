@@ -331,6 +331,14 @@ HEADLINE = [
     "join_nation_trade_matrix",
     "llm_padding_waste_curve",
     "llm_decontaminate_token_mass",
+    # round-15-born operators (appended; never reshuffle)
+    "llm_substring_dup_mass",
+    "llm_substring_run_histogram",
+    "llm_substring_pair_maxrun",
+    "llm_substring_stopgram_audit",
+    "llm_shard_mixing_audit",
+    "llm_interleave_run_lengths",
+    "stream_session_gap_sweep",
 ]
 
 
