@@ -15123,8 +15123,15 @@ def llm_kmv_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Estimator: with h_k the k-th smallest 48-bit hash of the distinct
     shingle set, est = (k-1) * 2^48 / h_k (the order-statistics
-    estimator); sources with fewer than k distinct hashes fall back
+    estimator); sources with fewer than k distinct HASHES fall back
     to their exact count (the sketch stores them exhaustively).
+    Envelope (the A55/A20 discipline): the fallback predicate counts
+    distinct hashes, not distinct shingles, so a 48-bit collision at
+    the margin can route a source with exactly k distinct shingles
+    through the fallback — expected collisions ≈ n²/2^49 stay below
+    one until ~10^7 distinct shingles PER SOURCE, far beyond any
+    shard a per-source sketch would see, and the oracle applies the
+    identical predicate, so cross-engine parity holds regardless.
 
     Scale shape: distinct (source, shingle) and distinct (source,
     hash) are map-side-combinable hash aggregates on the shingle
