@@ -52,9 +52,12 @@ from . import streaming_batch  # noqa: E402,F401
 #: llm_ngram_novelty, llm_pmi_collocations, llm_readability_scores,
 #: llm_semdedup_representatives, llm_triangle_counts,
 #: scalar_gapfill_daily_revenue, window_streaks_gaps_islands —
-#: hit the 8-round floor at r17, so r16 MUST window them (10 slots),
-#: leaving ~40 for r16 newborns/witnesses. Nothing else is forced
-#: before r18 (the r10 cohort's floor).
+#: hit the 8-round floor at r17, so r16 MUST window them (10 slots);
+#: the 7 round-15-session-2 newborns below (_BORN_IN_OVERFLOW — the
+#: window was already committed when they landed) should take 7 more
+#: so each earns its first driver row in r16, leaving ~33 for r16
+#: newborns/witnesses. Nothing else is forced before r18 (the r10
+#: cohort's floor).
 _PRIORITY = [
     # --- changed-plan witnesses (r15: the three degenerate-corpus
     # parity fixes touched both the Spark plans and/or oracles) ---
@@ -122,12 +125,21 @@ _PRIORITY = [
 #: Operators registered straight into _OVERFLOW in the round that
 #: bore them (the window was already full). Exempt from the
 #: evidence-freshness guard until a later round's rotation windows
-#: them; their oracles run in the pytest sweep from birth. EMPTY
-#: after the round-14 rotation (VERDICT r13 "Next round #1" done):
-#: every oracle-carrying query has either a driver-green CORRECTNESS
-#: row or a current window slot. Grow this set consciously — it
-#: defers driver evidence by at least one round.
-_BORN_IN_OVERFLOW: set[str] = set()
+#: them; their oracles run in the pytest sweep from birth. The
+#: round-15 session-2 batch landed after the r15 window was committed
+#: (the 50 slots were already budgeted: rotation + newborns + rows-only
+#: refreshes), so these seven defer their first driver row to r16 —
+#: the r16 ledger above reserves their slots. Grow this set
+#: consciously — it defers driver evidence by at least one round.
+_BORN_IN_OVERFLOW: set[str] = {
+    "llm_cross_shard_dup_spillover",
+    "llm_dedup_transitivity_audit",
+    "llm_kanonymity_cell_audit",
+    "llm_cluster_separation_audit",
+    "agg_theil_inequality_decomposition",
+    "skyline_parts_pareto",
+    "layout_zonemap_pruning_audit",
+}
 
 #: Oracle-CARRYING queries deliberately registered just past the
 #: driver's 50-query window (it is full): their oracles still run in
@@ -138,6 +150,16 @@ _BORN_IN_OVERFLOW: set[str] = set()
 #: this list consciously — whatever sits here trades driver-visible
 #: correctness evidence for a slot.
 _OVERFLOW = [
+    # r15 session-2 newborns (_BORN_IN_OVERFLOW): first driver rows
+    # reserved in the r16 ledger above; oracles sweep in pytest from
+    # birth (tests/test_oracle_parity.py)
+    "llm_cross_shard_dup_spillover",
+    "llm_dedup_transitivity_audit",
+    "llm_kanonymity_cell_audit",
+    "llm_cluster_separation_audit",
+    "agg_theil_inequality_decomposition",
+    "skyline_parts_pareto",
+    "layout_zonemap_pruning_audit",
     # r15 rotation: the r14 _PRIORITY minus the four standing
     # witnesses (all driver-green in CORRECTNESS_r14, plans unchanged
     # since)

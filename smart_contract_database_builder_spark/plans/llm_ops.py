@@ -17035,3 +17035,599 @@ def llm_interleave_run_lengths(
             / F.count(F.lit(1)).cast("double")
         ).alias("mean_run_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-15 batch 3: dedup-graph placement audits (shard spillover,
+# transitive closure), privacy cell sizes, embedding cluster separation
+# ---------------------------------------------------------------------------
+
+#: Jaccard cutoff shared by the placement audits — the mid-point of the
+#: sweep axis, the threshold the F88 curve's knee usually lands on.
+_SPILL_J = "0.8"
+
+#: Transitivity-audit threshold axis (a sub-axis of _SWEEP_THRESHOLDS:
+#: the wedge relation is threshold-monotone, three points bound the
+#: curve).
+_TRANS_THRESHOLDS = ["0.7", "0.8", "0.9"]
+
+
+def _sql_neardup_pairs_ctes() -> str:
+    """The shared verified-pair CTE chain (tokenize → shingle → MinHash
+    → band → cap → candidate → exact Jaccard) — the DuckDB twin of the
+    S21+S24 store build, spelled once for the round-15 placement
+    audits. Ends with ``jac(doc_a, doc_b, jaccard)``."""
+    return rf"""
+    sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM (
+        SELECT doc_id, unnest({_sql_word_ngrams("t")}) AS s
+        FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(md5('{i}|' || s)) AS m{i}" for i in range(_N_HASHES))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(m{2*b} || m{2*b+1}) AS key FROM sig"
+        for b in range(_N_HASHES // _BAND_ROWS)
+      )}
+    ),
+    bsz AS (
+      SELECT band_idx, key FROM bands
+      GROUP BY band_idx, key
+      HAVING COUNT(*) BETWEEN 2 AND {_LSH_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bsz USING (band_idx, key)
+      JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key
+                  AND a.doc_id < b.doc_id
+    ),
+    jac AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(COUNT(*) AS DOUBLE)
+               / (sa.n + sb.n - COUNT(*)) AS jaccard
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      GROUP BY c.doc_a, c.doc_b, sa.n, sb.n
+    )"""
+
+
+@register(
+    "llm_cross_shard_dup_spillover",
+    oracle=rf"""
+    WITH {_sql_neardup_pairs_ctes()},
+    near AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= {_SPILL_J}),
+    sharded AS (
+      SELECT t.s,
+             {_SQL_HEX32.format(h="md5(CAST(doc_a AS VARCHAR))")} % t.s AS sa,
+             {_SQL_HEX32.format(h="md5(CAST(doc_b AS VARCHAR))")} % t.s AS sb
+      FROM near
+      CROSS JOIN (VALUES {", ".join(f"({s})" for s in _SHARD_COUNTS)}) t(s)
+    ),
+    hits AS (
+      SELECT s, COUNT(*) AS n_pairs,
+             SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS n_cross
+      FROM sharded GROUP BY s
+    )
+    SELECT CAST(t.s AS BIGINT) AS n_shards,
+           CAST(COALESCE(h.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(h.n_cross, 0) AS BIGINT) AS n_cross,
+           CASE WHEN COALESCE(h.n_pairs, 0) = 0 THEN NULL
+                ELSE CAST(h.n_cross AS DOUBLE) / h.n_pairs END AS cross_share,
+           1.0 - 1.0 / t.s AS random_share
+    FROM (VALUES {", ".join(f"({s})" for s in _SHARD_COUNTS)}) t(s)
+    LEFT JOIN hits h ON h.s = t.s
+    ORDER BY n_shards
+    """,
+)
+def llm_cross_shard_dup_spillover(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """J6/F84 EXT: CROSS-SHARD duplicate SPILLOVER — for each candidate
+    shard count, the fraction of verified near-dup pairs (Jaccard ≥
+    0.8) whose members land on DIFFERENT training shards under the
+    standard md5 placement. This is the number that decides whether
+    shard-LOCAL dedup (each worker dedups its own shard, no global
+    shuffle) is good enough: cross_share IS the recall ceiling that
+    policy forfeits, and comparing it against the random baseline
+    1 − 1/s shows content-oblivious hashing gives near-dups no
+    locality whatsoever — the quantified argument for running dedup
+    BEFORE sharding, not per shard after.
+
+    Exactness: shard ids are the shared 8-hex-digit md5 polynomial
+    (no engine hash functions); Jaccard is the exact integer ratio;
+    counts exact int64; shares are single IEEE divides, NULL (both
+    engines) on a pair-free corpus.
+
+    Scale shape: reads the S24 verified-pair store — the corpus-scale
+    candidate+verify work is the write-time pass every placement
+    audit shares; this query explodes only the O(|pairs|) relation
+    |axis|× and hash-aggregates to 3 rows. At 100 TB it is a
+    pair-scale scan, independent of corpus text size.
+
+    Reference basis: extends the reference's content-id dedup grain
+    (src/plain_contract.rs content hashing) to placement policy —
+    pure EXT per SURVEY §2.6.
+    """
+    pairs = _ngram_jaccard_pairs_stored(spark, sf_dir).filter(
+        F.col("jaccard") >= F.lit(float(_SPILL_J))
+    )
+    def _shard(c: str) -> Column:
+        return F.conv(
+            F.substring(F.md5(F.col(c).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+
+    axis_arr = F.array(*[F.lit(s).cast("long") for s in _SHARD_COUNTS])
+    hits = (
+        pairs.select(
+            _shard("doc_a").alias("ha"),
+            _shard("doc_b").alias("hb"),
+            F.explode(axis_arr).alias("s"),
+        )
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(
+                F.when(
+                    F.pmod("ha", F.col("s")) != F.pmod("hb", F.col("s")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_cross"),
+        )
+    )
+    axis = spark.range(1).select(F.explode(axis_arr).alias("s"))
+    return (
+        axis.join(hits, "s", "left")
+        .select(
+            F.col("s").alias("n_shards"),
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_cross", F.lit(0)).cast("long").alias("n_cross"),
+            F.when(
+                F.coalesce("n_pairs", F.lit(0)) == 0, F.lit(None).cast("double")
+            )
+            .otherwise(
+                F.col("n_cross").cast("double") / F.col("n_pairs").cast("double")
+            )
+            .alias("cross_share"),
+            (F.lit(1.0) - F.lit(1.0) / F.col("s").cast("double")).alias(
+                "random_share"
+            ),
+        )
+        .orderBy("n_shards")
+    )
+
+
+@register(
+    "llm_dedup_transitivity_audit",
+    oracle=rf"""
+    WITH {_sql_neardup_pairs_ctes()},
+    th AS (SELECT unnest([{", ".join(_TRANS_THRESHOLDS)}]) AS threshold),
+    edges AS (
+      SELECT t.threshold, j.doc_a, j.doc_b
+      FROM jac j JOIN th t ON j.jaccard >= t.threshold
+    ),
+    sym AS (
+      SELECT threshold, doc_a AS u, doc_b AS v FROM edges
+      UNION ALL
+      SELECT threshold, doc_b AS u, doc_a AS v FROM edges
+    ),
+    wedges AS (
+      SELECT e1.threshold, e1.v AS a, e2.v AS c
+      FROM sym e1
+      JOIN sym e2 ON e1.threshold = e2.threshold
+                 AND e1.u = e2.u AND e1.v < e2.v
+    ),
+    wstat AS (
+      SELECT w.threshold,
+             COUNT(*) AS n_wedges,
+             SUM(CASE WHEN e.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS n_closed
+      FROM wedges w
+      LEFT JOIN edges e ON e.threshold = w.threshold
+                       AND e.doc_a = w.a AND e.doc_b = w.c
+      GROUP BY w.threshold
+    ),
+    estat AS (SELECT threshold, COUNT(*) AS n_edges FROM edges GROUP BY threshold)
+    SELECT t.threshold,
+           CAST(COALESCE(e.n_edges, 0) AS BIGINT) AS n_edges,
+           CAST(COALESCE(w.n_wedges, 0) AS BIGINT) AS n_wedges,
+           CAST(COALESCE(w.n_closed, 0) AS BIGINT) AS n_closed,
+           CASE WHEN COALESCE(w.n_wedges, 0) = 0 THEN NULL
+                ELSE CAST(w.n_closed AS DOUBLE) / w.n_wedges END AS closure_rate
+    FROM th t
+    LEFT JOIN estat e ON e.threshold = t.threshold
+    LEFT JOIN wstat w ON w.threshold = t.threshold
+    ORDER BY t.threshold
+    """,
+)
+def llm_dedup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 EXT: DEDUP TRANSITIVITY audit — connected-component dedup
+    (J7, J23) treats "near-dup of" as transitive: if A~B and B~C the
+    cluster keeps one of {A, B, C} even when A and C were never
+    verified similar. This query measures how wrong that assumption
+    is, per threshold: of all wedges (A~B~C through a shared middle),
+    what fraction close into a verified A~C edge? A closure rate near
+    1 says clustering is safe; a low rate quantifies the semantic
+    drift (chains of borderline pairs merging distinct documents) —
+    the known failure mode of transitive-closure dedup that teams
+    usually discover AFTER deleting the wrong documents. Wedges are
+    counted at the (middle, unordered-endpoint-pair) grain, the
+    standard triadic-closure denominator.
+
+    Exactness: edges are exact-integer-ratio Jaccard against shared
+    decimal literals; wedge/closure counts exact int64; the rate is
+    one IEEE divide, NULL on a wedge-free corpus (both engines).
+
+    Scale shape: O(pairs) off the S24 store; the wedge self-join is
+    keyed on the middle vertex, whose degree is bounded by the LSH
+    bucket cap × bands (the same bound that caps the candidate
+    generator), so the wedge relation is at most sum-of-degree² with
+    capped degree — never corpus-quadratic. Both joins are
+    equi-keyed (middle vertex; then the canonical (a,c) edge key).
+    """
+    pairs = _ngram_jaccard_pairs_stored(spark, sf_dir).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    th_arr = F.array(
+        *[F.expr(f"CAST({t} AS DOUBLE)") for t in _TRANS_THRESHOLDS]
+    )
+    edges = (
+        pairs.select(
+            "doc_a", "doc_b", "jaccard", F.explode(th_arr).alias("threshold")
+        )
+        .filter(F.col("jaccard") >= F.col("threshold"))
+        .select("threshold", "doc_a", "doc_b")
+    )
+    sym = edges.select(
+        "threshold", F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionAll(
+        edges.select(
+            "threshold", F.col("doc_b").alias("u"), F.col("doc_a").alias("v")
+        )
+    )
+    e1 = sym.alias("e1")
+    e2 = sym.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.threshold") == F.col("e2.threshold"))
+        & (F.col("e1.u") == F.col("e2.u"))
+        & (F.col("e1.v") < F.col("e2.v")),
+    ).select(
+        F.col("e1.threshold").alias("threshold"),
+        F.col("e1.v").alias("a"),
+        F.col("e2.v").alias("c"),
+    )
+    closed = edges.select(
+        "threshold", F.col("doc_a").alias("a"), F.col("doc_b").alias("c")
+    ).withColumn("hit", F.lit(1))
+    wstat = (
+        wedges.join(closed, ["threshold", "a", "c"], "left")
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_wedges"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_closed"),
+        )
+    )
+    estat = edges.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    )
+    axis = spark.range(1).select(F.explode(th_arr).alias("threshold"))
+    return (
+        axis.join(estat, "threshold", "left")
+        .join(wstat, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+            F.coalesce("n_wedges", F.lit(0)).cast("long").alias("n_wedges"),
+            F.coalesce("n_closed", F.lit(0)).cast("long").alias("n_closed"),
+            F.when(
+                F.coalesce("n_wedges", F.lit(0)) == 0,
+                F.lit(None).cast("double"),
+            )
+            .otherwise(
+                F.col("n_closed").cast("double")
+                / F.col("n_wedges").cast("double")
+            )
+            .alias("closure_rate"),
+        )
+        .orderBy("threshold")
+    )
+
+
+#: k-anonymity audit parameters: the quasi-identifier length bucket
+#: width (chars) and the k axis the report sweeps.
+_KANON_LEN_BUCKET = 128
+_KANON_KS = (2, 5, 10, 20)
+
+
+@register(
+    "llm_kanonymity_cell_audit",
+    oracle=f"""
+    WITH cells AS (
+      SELECT lang, source, n_chars // {_KANON_LEN_BUCKET} AS len_bucket,
+             COUNT(*) AS cell_n
+      FROM documents GROUP BY 1, 2, 3
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n_cells, SUM(cell_n) AS n_docs FROM cells
+    ),
+    per_k AS (
+      SELECT t.k,
+             SUM(CASE WHEN c.cell_n < t.k THEN 1 ELSE 0 END) AS n_cells_below,
+             SUM(CASE WHEN c.cell_n < t.k THEN c.cell_n ELSE 0 END)
+               AS n_docs_at_risk
+      FROM (VALUES {", ".join(f"({k})" for k in _KANON_KS)}) t(k)
+      LEFT JOIN cells c ON TRUE
+      GROUP BY t.k
+    )
+    SELECT CAST(p.k AS BIGINT) AS k,
+           CAST(tot.n_cells AS BIGINT) AS n_cells,
+           CAST(COALESCE(p.n_cells_below, 0) AS BIGINT) AS n_cells_below,
+           CAST(COALESCE(p.n_docs_at_risk, 0) AS BIGINT) AS n_docs_at_risk,
+           CASE WHEN COALESCE(tot.n_docs, 0) = 0 THEN NULL
+                ELSE CAST(p.n_docs_at_risk AS DOUBLE) / tot.n_docs
+           END AS risk_share
+    FROM per_k p CROSS JOIN tot
+    ORDER BY k
+    """,
+)
+def llm_kanonymity_cell_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F27 EXT: K-ANONYMITY cell-size audit — the privacy complement of
+    PII redaction: treat (lang, source, length-bucket) as the
+    quasi-identifier a release would expose as metadata, and report,
+    for each candidate k, how many QI cells hold fewer than k
+    documents and how many documents sit in those small cells. A
+    document alone in its cell is re-identifiable from metadata even
+    after F27 scrubs the text; the k-axis prices the
+    suppress-or-generalize decision (drop small cells vs widen the
+    length bucket) the way the dedup threshold sweep prices its
+    cutoff. Cell grain, not row grain, is what makes this an audit a
+    release gate can run at corpus scale.
+
+    Exactness: cells and counts are exact int64 (integer division for
+    the bucket); the risk share is one IEEE divide, NULL on an empty
+    corpus in both engines.
+
+    Scale shape: ONE corpus scan of three scalar columns (text never
+    read — column pruning) to an O(|langs|·|sources|·|buckets|) cell
+    relation, then an O(cells × k-axis) rollup on the tiny relation.
+    Map-side combine does nearly all the work; nothing is
+    corpus-proportional after the first agg.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy(
+        "lang",
+        "source",
+        (F.col("n_chars") / _KANON_LEN_BUCKET)
+        .cast("long")
+        .alias("len_bucket"),
+    ).agg(F.count(F.lit(1)).alias("cell_n"))
+    tot = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("cell_n").cast("long").alias("n_docs"),
+    )
+    k_arr = F.array(*[F.lit(k).cast("long") for k in _KANON_KS])
+    per_k = (
+        cells.select("cell_n", F.explode(k_arr).alias("k"))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("cell_n") < F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_cells_below"),
+            F.sum(
+                F.when(F.col("cell_n") < F.col("k"), F.col("cell_n")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("n_docs_at_risk"),
+        )
+    )
+    axis = spark.range(1).select(F.explode(k_arr).alias("k"))
+    return (
+        axis.join(per_k, "k", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "n_cells",
+            F.coalesce("n_cells_below", F.lit(0))
+            .cast("long")
+            .alias("n_cells_below"),
+            F.coalesce("n_docs_at_risk", F.lit(0))
+            .cast("long")
+            .alias("n_docs_at_risk"),
+            F.when(
+                F.coalesce("n_docs", F.lit(0)) == 0, F.lit(None).cast("double")
+            )
+            .otherwise(
+                F.col("n_docs_at_risk").cast("double")
+                / F.col("n_docs").cast("double")
+            )
+            .alias("risk_share"),
+        )
+        .orderBy("k")
+    )
+
+
+#: Embedding dimensionality of the test corpus (shared with the
+#: centroid oracle's range(1, 65)).
+_EMB_DIM = 64
+
+
+@register(
+    "llm_cluster_separation_audit",
+    oracle=f"""
+    WITH pd AS (
+      SELECT label, d,
+             CAST(SUM({_SQL_ISCALE.format(v="embedding[d]")}) AS HUGEINT) AS sv,
+             CAST(SUM(CAST({_SQL_ISCALE.format(v="embedding[d]")} AS BIGINT)
+                      * {_SQL_ISCALE.format(v="embedding[d]")}) AS HUGEINT)
+               AS sq,
+             COUNT(*) AS n
+      FROM embeddings, range(1, {_EMB_DIM + 1}) r(d)
+      GROUP BY label, d
+    ),
+    lab AS (
+      SELECT label, MAX(n) AS n,
+             SUM(sq) AS ssq,
+             SUM(sv * sv) AS s2
+      FROM pd GROUP BY label
+    ),
+    scat AS (
+      SELECT label, n,
+             sqrt(CAST(n * ssq - s2 AS DOUBLE))
+               / (CAST(n AS DOUBLE) * {_FP}) AS scatter_rms
+      FROM lab
+    ),
+    pairs AS (
+      SELECT a.label AS la, b.label AS lb,
+             sqrt(CAST(SUM(CAST((a.sv * b.n - b.sv * a.n) AS HUGEINT)
+                           * (a.sv * b.n - b.sv * a.n)) AS DOUBLE))
+               / (CAST(a.n AS DOUBLE) * b.n * {_FP}) AS dist
+      FROM pd a
+      JOIN pd b ON a.d = b.d AND a.label <> b.label
+      GROUP BY a.label, b.label, a.n, b.n
+    ),
+    r AS (
+      SELECT p.la AS label, p.lb AS peer,
+             (sa.scatter_rms + sb.scatter_rms) / p.dist AS rr,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.la
+               ORDER BY (sa.scatter_rms + sb.scatter_rms) / p.dist DESC, p.lb
+             ) AS rk
+      FROM pairs p
+      JOIN scat sa ON sa.label = p.la
+      JOIN scat sb ON sb.label = p.lb
+    )
+    SELECT s.label, CAST(s.n AS BIGINT) AS n_points,
+           s.scatter_rms,
+           r.peer AS worst_peer,
+           r.rr AS db_component
+    FROM scat s JOIN r ON r.label = s.label AND r.rk = 1
+    ORDER BY s.label
+    """,
+)
+def llm_cluster_separation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6/U7 EXT: CLUSTER SEPARATION audit (Davies-Bouldin components)
+    — per label: the RMS scatter around its centroid, and the worst
+    Davies-Bouldin ratio R_ij = (s_i + s_j) / d(c_i, c_j) over all
+    other labels, with the offending peer named. Silhouette (U7)
+    scores POINTS and costs a point-to-centroid pass per pair;
+    this is the centroid-grain report a labeling/clustering pipeline
+    reads to find which two clusters are about to merge — db_component
+    > 1 means the worst peer's scatter overlaps the gap. Naming the
+    peer (not just the index) is what makes the audit actionable:
+    it says WHICH labels to inspect or re-split.
+
+    Exactness: all moments are exact fixed-point integers — per-dim
+    sums sv, squared sums sq (HUGEINT / DECIMAL(38,0)); the scatter
+    identity n·Σ|x|² − |S|² and the cross-centroid distance
+    |n_j·S_i − n_i·S_j|² clear denominators so sqrt/divides happen
+    ONCE on identical integers (magnitude envelope: |sv·n| ≤ 2^49 at
+    the 100× probe, squared ≤ 2^98, dim-summed ≤ 2^104 < DECIMAL(38)
+    ≈ 2^126). The worst-peer argmax orders on (R desc, peer id) — a
+    total order on cross-engine-identical doubles.
+
+    Scale shape: ONE corpus pass (posexplode → (label, dim) hash agg,
+    map-side combinable) reduces everything to an O(labels·dim)
+    relation; the label-pair join runs on that tiny relation
+    (labels² · dim rows — with bounded label vocabularies this is
+    constant-sized regardless of corpus row count). No per-point
+    pairwise stage anywhere.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    scaled = F.transform("embedding", lambda x: _iscale(x))
+    pd_rel = (
+        emb.select("label", F.posexplode(scaled).alias("pos", "v"))
+        .groupBy("label", (F.col("pos") + 1).alias("d"))
+        .agg(
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+            F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).alias("sq"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    lab = pd_rel.groupBy("label").agg(
+        F.max("n").alias("n"),
+        F.sum("sq").alias("ssq"),
+        F.sum(F.col("sv") * F.col("sv")).alias("s2"),
+    )
+    scat = lab.select(
+        "label",
+        "n",
+        (
+            F.sqrt((F.col("n") * F.col("ssq") - F.col("s2")).cast("double"))
+            / (F.col("n").cast("double") * F.lit(float(_FP)))
+        ).alias("scatter_rms"),
+    )
+    a = pd_rel.alias("a")
+    b = pd_rel.alias("b")
+    diff = (
+        F.col("a.sv") * F.col("b.n").cast("decimal(38,0)")
+        - F.col("b.sv") * F.col("a.n").cast("decimal(38,0)")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.label") != F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("la"),
+            F.col("b.label").alias("lb"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.sum(diff * diff).alias("dd"))
+        .select(
+            "la",
+            "lb",
+            (
+                F.sqrt(F.col("dd").cast("double"))
+                / (
+                    F.col("na").cast("double")
+                    * F.col("nb").cast("double")
+                    * F.lit(float(_FP))
+                )
+            ).alias("dist"),
+        )
+    )
+    sa = scat.select(
+        F.col("label").alias("la"), F.col("scatter_rms").alias("s_a")
+    )
+    sb = scat.select(
+        F.col("label").alias("lb"), F.col("scatter_rms").alias("s_b")
+    )
+    rr = (
+        pairs.join(F.broadcast(sa), "la")
+        .join(F.broadcast(sb), "lb")
+        .select(
+            F.col("la").alias("label"),
+            F.col("lb").alias("peer"),
+            ((F.col("s_a") + F.col("s_b")) / F.col("dist")).alias("rr"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.col("rr").desc(), F.col("peer"))
+    worst = rr.select(
+        "label", "peer", "rr", F.row_number().over(w).alias("rk")
+    ).filter(F.col("rk") == 1)
+    return (
+        scat.join(worst, "label")
+        .select(
+            "label",
+            F.col("n").cast("long").alias("n_points"),
+            "scatter_rms",
+            F.col("peer").alias("worst_peer"),
+            F.col("rr").alias("db_component"),
+        )
+        .orderBy("label")
+    )

@@ -4995,3 +4995,384 @@ def join_nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("net_ab"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-15 batch 3: inequality decomposition, skyline, layout pruning
+# ---------------------------------------------------------------------------
+
+
+def _ln_libm_ext():
+    """libm ``ln`` via an Arrow-batched pandas UDF — java.lang.Math.log
+    and libm disagree by 1 ulp on some inputs, and DuckDB's ``ln`` IS
+    libm (the llm_ops BM25 discipline, reused for the Theil index).
+    Applied only to already-aggregated relations (O(customers) spend
+    rows, O(nations) totals), never per source row."""
+    import math
+
+    @F.pandas_udf("double")
+    def _ln(x: pd.Series) -> pd.Series:
+        return x.map(lambda v: math.log(v) if pd.notna(v) and v > 0 else None)
+
+    return _ln
+
+
+@register(
+    "agg_theil_inequality_decomposition",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    terms AS (
+      SELECT c_nationkey, cents,
+             CAST(floor(ln(CAST(cents AS DOUBLE)) * 1000000) AS BIGINT)
+               AS ln_micro
+      FROM spend
+    ),
+    grp AS (
+      SELECT c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             SUM(CAST(cents AS HUGEINT)) AS s_g,
+             SUM(CAST(cents AS HUGEINT) * ln_micro) AS t1_g
+      FROM terms GROUP BY c_nationkey
+    ),
+    tot AS (
+      SELECT SUM(s_g) AS s_all, SUM(n_customers) AS n_all FROM grp
+    )
+    SELECT n.n_name AS nation,
+           g.n_customers,
+           CAST(g.s_g AS DOUBLE) / 100 AS revenue,
+           CAST(g.t1_g AS DOUBLE) / (CAST(g.s_g AS DOUBLE) * 1000000)
+             - ln(CAST(g.s_g AS DOUBLE)) + ln(CAST(g.n_customers AS DOUBLE))
+             AS theil_within,
+           (CAST(g.s_g AS DOUBLE) / CAST(t.s_all AS DOUBLE))
+             * (ln(CAST(g.s_g AS DOUBLE)) - ln(CAST(g.n_customers AS DOUBLE))
+                - ln(CAST(t.s_all AS DOUBLE)) + ln(CAST(t.n_all AS DOUBLE)))
+             AS between_term
+    FROM grp g
+    CROSS JOIN tot t
+    JOIN nation n ON n.n_nationkey = g.c_nationkey
+    """,
+)
+def agg_theil_inequality_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A48 EXT: THEIL-T inequality decomposition — the additive
+    complement of the per-nation Gini: the Theil index splits EXACTLY
+    into within-group and between-group parts (T = Σ_g between_term_g
+    + Σ_g share_g · theil_within_g), so this report answers the
+    question Gini cannot: is revenue concentration driven by whales
+    WITHIN nations or by imbalance BETWEEN them? Per nation it emits
+    the within-group index T_g and the nation's between-group
+    contribution; the decomposition identity is pinned by the pure
+    twin in tests.
+
+    Float parity: spend is exact integer cents (the Gini discipline);
+    the per-customer Σ x·ln x accumulates as exact int64 products of
+    cents with MICRO-NAT floors of libm ln (DuckDB's ln IS libm; the
+    Spark side evaluates ln with a pandas UDF on the already-reduced
+    O(customers) relation — floor quantization makes the sum
+    order-independent and cross-engine identical). Group/global ln
+    terms apply to exact integers cast to double (< 2^53 through the
+    100× probe; envelope documented), so the final chain is fixed
+    IEEE ops on identical inputs.
+
+    Scale shape: one orders scan → O(customers) hash agg (map-side
+    combine), a pandas-UDF ln over that reduced relation (Arrow
+    batches, no per-order Python), an O(nations) agg, a 1-row global
+    broadcast, and a broadcast nation join. Nothing is
+    corpus-proportional after the first agg; no window, no sort.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ln = _ln_libm_ext()
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg((F.sum(dec("o_totalprice")) * 100).cast("long").alias("cents"))
+    )
+    terms = spend.select(
+        "c_nationkey",
+        "cents",
+        F.floor(ln(F.col("cents").cast("double")) * 1000000)
+        .cast("long")
+        .alias("ln_micro"),
+    )
+    grp = terms.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s_g"),
+        F.sum((F.col("cents") * F.col("ln_micro")).cast("decimal(38,0)")).alias(
+            "t1_g"
+        ),
+    )
+    tot = grp.agg(
+        F.sum("s_g").alias("s_all"),
+        F.sum("n_customers").cast("long").alias("n_all"),
+    )
+    g = grp.crossJoin(F.broadcast(tot))
+    ln_sg = ln(F.col("s_g").cast("double"))
+    ln_ng = ln(F.col("n_customers").cast("double"))
+    ln_sa = ln(F.col("s_all").cast("double"))
+    ln_na = ln(F.col("n_all").cast("double"))
+    return g.join(F.broadcast(n), g.c_nationkey == n.n_nationkey).select(
+        F.col("n_name").alias("nation"),
+        "n_customers",
+        (F.col("s_g").cast("double") / 100).alias("revenue"),
+        (
+            F.col("t1_g").cast("double")
+            / (F.col("s_g").cast("double") * 1000000)
+            - ln_sg
+            + ln_ng
+        ).alias("theil_within"),
+        (
+            (F.col("s_g").cast("double") / F.col("s_all").cast("double"))
+            * (ln_sg - ln_ng - ln_sa + ln_na)
+        ).alias("between_term"),
+    )
+
+
+@register(
+    "skyline_parts_pareto",
+    oracle="""
+    SELECT p.p_partkey, p.p_size, p.p_retailprice
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice
+        AND q.p_size <= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+    )
+    ORDER BY p.p_size, p.p_partkey
+    """,
+)
+def skyline_parts_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7: SKYLINE (Pareto frontier) operator — the parts no other part
+    strictly dominates on (minimize retail price, minimize size): the
+    classic multi-criteria shortlist (Börzsönyi et al., ICDE 2001)
+    that ORDER BY cannot express because the two criteria don't
+    collapse into one key. The oracle is the definitional quadratic
+    NOT EXISTS; the Spark plan uses the 2-D reduction that makes
+    skylines linear: a part is on the frontier iff it is the cheapest
+    at its exact size AND strictly cheaper than every smaller size's
+    minimum. Equal (price, size) twins co-survive under strict
+    dominance in both forms.
+
+    Exactness: prices are only COMPARED, never summed — min/equality
+    on identical doubles is engine-independent; sizes are ints.
+
+    Scale shape: one part scan → O(|distinct sizes|) per-size min agg
+    (map-side combine), a running strict-lower min computed by a
+    window over that ≤50-row relation (the global sort touches 50
+    rows, never the table), then a broadcast join back and a local
+    filter. At 100 TB this is scan + broadcast — the quadratic
+    dominance test never materializes. Dimensions beyond 2 need the
+    grid-partition generalization; 2-D is the common case this
+    operator serves.
+    """
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+    per_size = p.groupBy("p_size").agg(
+        F.min("p_retailprice").alias("m_eq")
+    )
+    w = Window.orderBy("p_size").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    mins = per_size.select(
+        "p_size", "m_eq", F.min("m_eq").over(w).alias("m_lt")
+    )
+    return (
+        p.join(F.broadcast(mins), "p_size")
+        .filter(
+            (F.col("p_retailprice") == F.col("m_eq"))
+            & (
+                F.col("m_lt").isNull()
+                | (F.col("p_retailprice") < F.col("m_lt"))
+            )
+        )
+        .select("p_partkey", "p_size", "p_retailprice")
+        .orderBy("p_size", "p_partkey")
+    )
+
+
+#: Zone-map audit geometry: bucket count (files / row groups the layout
+#: would produce) and the probe windows a reporting workload scans.
+_ZM_BUCKETS = 64
+_ZM_PROBES = (
+    ("q1_1996", "1996-01-01", "1996-03-31"),
+    ("june_1997", "1997-06-01", "1997-06-30"),
+    ("year_1998", "1998-01-01", "1998-12-31"),
+    ("week_2000", "2000-05-01", "2000-05-07"),
+)
+_ZM_EPOCH = "1992-01-01"
+
+
+@register(
+    "layout_zonemap_pruning_audit",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(CAST(l_shipdate AS DATE) - DATE '{_ZM_EPOCH}' AS BIGINT)
+               AS day, l_orderkey
+      FROM lineitem
+    ),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+    rows_b AS (
+      SELECT layout, bucket, MIN(day) AS zmin, MAX(day) AS zmax,
+             COUNT(*) AS n_rows
+      FROM (
+        SELECT day, 'hash' AS layout, l_orderkey % {_ZM_BUCKETS} AS bucket
+        FROM d
+        UNION ALL
+        SELECT day, 'date_sorted' AS layout,
+               ((day - b.lo) * {_ZM_BUCKETS}) // (b.hi - b.lo + 1) AS bucket
+        FROM d CROSS JOIN bounds b
+      )
+      GROUP BY layout, bucket
+    ),
+    probes AS (
+      SELECT * FROM (VALUES {", ".join(
+        f"('{name}', CAST(DATE '{lo}' - DATE '{_ZM_EPOCH}' AS BIGINT), "
+        f"CAST(DATE '{hi}' - DATE '{_ZM_EPOCH}' AS BIGINT))"
+        for name, lo, hi in _ZM_PROBES
+      )}) t(probe, p_lo, p_hi)
+    ),
+    match AS (
+      SELECT p.probe, COUNT(*) AS n_match
+      FROM probes p JOIN d ON d.day BETWEEN p.p_lo AND p.p_hi
+      GROUP BY p.probe
+    )
+    SELECT r.layout, p.probe,
+           CAST(COUNT(*) AS BIGINT) AS buckets_total,
+           CAST(SUM(CASE WHEN r.zmin <= p.p_hi AND r.zmax >= p.p_lo
+                         THEN 1 ELSE 0 END) AS BIGINT) AS buckets_scanned,
+           CAST(SUM(CASE WHEN r.zmin <= p.p_hi AND r.zmax >= p.p_lo
+                         THEN r.n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+           CAST(COALESCE(MAX(m.n_match), 0) AS BIGINT) AS rows_matching,
+           CASE WHEN COALESCE(MAX(m.n_match), 0) = 0 THEN NULL
+                ELSE CAST(SUM(CASE WHEN r.zmin <= p.p_hi AND r.zmax >= p.p_lo
+                              THEN r.n_rows ELSE 0 END) AS DOUBLE)
+                     / MAX(m.n_match) END AS scan_amplification
+    FROM rows_b r
+    CROSS JOIN probes p
+    LEFT JOIN match m ON m.probe = p.probe
+    GROUP BY r.layout, p.probe
+    ORDER BY r.layout, p.probe
+    """,
+)
+def layout_zonemap_pruning_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """S17/S19 EXT: ZONE-MAP pruning audit — the measured answer to
+    "is sorting this table by ship date worth the write cost?": bucket
+    lineitem 64 ways under two layouts (hash-on-orderkey,
+    i.e. arrival order; range-on-shipdate, i.e. sort-clustered), build
+    each bucket's [min, max] ship-day zone map, and replay four
+    reporting probe windows against the maps. ``rows_scanned /
+    rows_matching`` is the scan amplification a predicate-pushdown
+    engine pays under each layout — hash layouts touch every bucket
+    for any date probe (every zone spans the full range); the sorted
+    layout prunes to the overlapping stripe. This is the parquet
+    row-group min/max statistics mechanism itself, audited from
+    inside the engine — the number that justifies the Z-order writer
+    (S17/S19) before rewriting 100 TB.
+
+    Exactness: days are exact integer date differences from a shared
+    epoch; bucket ids integer arithmetic; counts int64; the
+    amplification is one IEEE divide (NULL when a probe matches
+    nothing, both engines).
+
+    Scale shape: ONE lineitem scan of two columns computes both
+    layouts' bucket ids (the layout axis is a per-row 2-entry map
+    explode, not a second scan), one (layout, bucket) zone agg —
+    map-side combinable, O(2·64) rows out — plus an
+    O(probes) match count off the same projection; the probe replay
+    joins literals against the tiny zone relation. The 1-row min/max
+    bounds broadcast is the only non-equi piece.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.datediff(
+            F.col("l_shipdate"), F.lit(_ZM_EPOCH).cast("date")
+        )
+        .cast("long")
+        .alias("day"),
+        "l_orderkey",
+    )
+    bounds = li.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    with_b = li.crossJoin(F.broadcast(bounds))
+    layout_map = F.create_map(
+        F.lit("hash"),
+        F.pmod("l_orderkey", F.lit(_ZM_BUCKETS)).cast("long"),
+        F.lit("date_sorted"),
+        F.floor(
+            ((F.col("day") - F.col("lo")) * _ZM_BUCKETS)
+            / (F.col("hi") - F.col("lo") + 1)
+        ).cast("long"),
+    )
+    rows_b = (
+        with_b.select(
+            "day", F.explode(layout_map).alias("layout", "bucket")
+        )
+        .groupBy("layout", "bucket")
+        .agg(
+            F.min("day").alias("zmin"),
+            F.max("day").alias("zmax"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    probes = spark.createDataFrame(
+        [(name, lo, hi) for name, lo, hi in _ZM_PROBES],
+        "probe string, lo_date string, hi_date string",
+    ).select(
+        "probe",
+        F.datediff(F.col("lo_date").cast("date"), F.lit(_ZM_EPOCH).cast("date"))
+        .cast("long")
+        .alias("p_lo"),
+        F.datediff(F.col("hi_date").cast("date"), F.lit(_ZM_EPOCH).cast("date"))
+        .cast("long")
+        .alias("p_hi"),
+    )
+    match = (
+        li.join(
+            F.broadcast(probes),
+            (F.col("day") >= F.col("p_lo")) & (F.col("day") <= F.col("p_hi")),
+        )
+        .groupBy("probe")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_match"))
+    )
+    overlap = (F.col("zmin") <= F.col("p_hi")) & (F.col("zmax") >= F.col("p_lo"))
+    return (
+        rows_b.crossJoin(F.broadcast(probes))
+        .join(F.broadcast(match), "probe", "left")
+        .groupBy("layout", "probe")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("buckets_total"),
+            F.sum(F.when(overlap, 1).otherwise(0))
+            .cast("long")
+            .alias("buckets_scanned"),
+            F.sum(F.when(overlap, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("rows_scanned"),
+            F.coalesce(F.max("n_match"), F.lit(0))
+            .cast("long")
+            .alias("rows_matching"),
+            F.when(
+                F.coalesce(F.max("n_match"), F.lit(0)) == 0,
+                F.lit(None).cast("double"),
+            )
+            .otherwise(
+                F.sum(F.when(overlap, F.col("n_rows")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.max("n_match").cast("double")
+            )
+            .alias("scan_amplification"),
+        )
+        .orderBy("layout", "probe")
+    )

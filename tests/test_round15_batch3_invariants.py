@@ -1,0 +1,316 @@
+"""Round-15 batch-3 operators: pure twins + the laws their semantics
+imply.
+
+The skyline and zone-map audits get full third implementations
+(dependency-free Python from raw parquet, vs Spark AND the DuckDB
+oracle); the Theil report is pinned by its DECOMPOSITION IDENTITY
+(within + between must reassemble the corpus-level index computed
+independently); the dedup-graph placement audits are recomputed in
+Python from the same S24 pair store their plans read (the store itself
+is pinned by tests/test_jaccard_store.py — these twins verify the audit
+arithmetic layered on top of it).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from smart_contract_database_builder_spark import plans
+from smart_contract_database_builder_spark.plans.llm_ops import (
+    _KANON_KS,
+    _KANON_LEN_BUCKET,
+    _SHARD_COUNTS,
+    _SPILL_J,
+    _TRANS_THRESHOLDS,
+    _ngram_jaccard_pairs_stored,
+)
+from smart_contract_database_builder_spark.plans.relational_ext import (
+    _ZM_BUCKETS,
+    _ZM_EPOCH,
+    _ZM_PROBES,
+)
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def _run(spark, name: str, sf: str = SF):
+    return plans.QUERIES[name].fn(spark, sf).toPandas()
+
+
+def _hex32(x: int) -> int:
+    """The shared md5 shard polynomial (first 8 hex digits as int)."""
+    return int(hashlib.md5(str(x).encode()).hexdigest()[:8], 16)
+
+
+# ---------------------------------------------------------------------------
+# llm_cross_shard_dup_spillover
+# ---------------------------------------------------------------------------
+
+
+def test_spillover_python_twin_and_laws(spark):
+    pairs = [
+        (int(a), int(b))
+        for a, b, j in _ngram_jaccard_pairs_stored(spark, SF)
+        .select("doc_a", "doc_b", "jaccard")
+        .collect()
+        if j >= float(_SPILL_J)
+    ]
+    got = _run(spark, "llm_cross_shard_dup_spillover").sort_values(
+        "n_shards"
+    )
+    assert list(got["n_shards"]) == list(_SHARD_COUNTS)
+    for _, row in got.iterrows():
+        s = int(row["n_shards"])
+        n_cross = sum(
+            1 for a, b in pairs if _hex32(a) % s != _hex32(b) % s
+        )
+        assert int(row["n_pairs"]) == len(pairs)
+        assert int(row["n_cross"]) == n_cross
+        assert row["random_share"] == 1.0 - 1.0 / s
+        if len(pairs):
+            assert row["cross_share"] == n_cross / len(pairs)
+            assert 0.0 <= row["cross_share"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# llm_dedup_transitivity_audit
+# ---------------------------------------------------------------------------
+
+
+def test_transitivity_python_twin_and_monotonicity(spark):
+    scored = [
+        (int(a), int(b), float(j))
+        for a, b, j in _ngram_jaccard_pairs_stored(spark, SF)
+        .select("doc_a", "doc_b", "jaccard")
+        .collect()
+    ]
+    got = _run(spark, "llm_dedup_transitivity_audit").sort_values(
+        "threshold"
+    )
+    assert [f"{t:.1f}" for t in got["threshold"]] == _TRANS_THRESHOLDS
+    prev_edges = None
+    for _, row in got.iterrows():
+        th = row["threshold"]
+        edges = {(a, b) for a, b, j in scored if j >= th}
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        n_wedges = n_closed = 0
+        for u, nbrs in adj.items():
+            ns = sorted(nbrs)
+            for i in range(len(ns)):
+                for k in range(i + 1, len(ns)):
+                    n_wedges += 1
+                    if (ns[i], ns[k]) in edges:
+                        n_closed += 1
+        assert int(row["n_edges"]) == len(edges)
+        assert int(row["n_wedges"]) == n_wedges
+        assert int(row["n_closed"]) == n_closed
+        if n_wedges:
+            assert row["closure_rate"] == n_closed / n_wedges
+        # edge count is threshold-monotone (nonincreasing)
+        if prev_edges is not None:
+            assert len(edges) <= prev_edges
+        prev_edges = len(edges)
+
+
+# ---------------------------------------------------------------------------
+# llm_kanonymity_cell_audit
+# ---------------------------------------------------------------------------
+
+
+def test_kanonymity_python_twin_and_k_monotonicity(spark):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT lang, source, n_chars FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    cells: dict[tuple, int] = {}
+    for lang, source, n_chars in rows:
+        key = (lang, source, n_chars // _KANON_LEN_BUCKET)
+        cells[key] = cells.get(key, 0) + 1
+    got = _run(spark, "llm_kanonymity_cell_audit").sort_values("k")
+    assert list(got["k"]) == list(_KANON_KS)
+    prev_below = prev_risk = -1
+    for _, row in got.iterrows():
+        k = int(row["k"])
+        below = sum(1 for n in cells.values() if n < k)
+        at_risk = sum(n for n in cells.values() if n < k)
+        assert int(row["n_cells"]) == len(cells)
+        assert int(row["n_cells_below"]) == below
+        assert int(row["n_docs_at_risk"]) == at_risk
+        assert row["risk_share"] == at_risk / len(rows)
+        # both audit columns are k-monotone (nondecreasing)
+        assert below >= prev_below and at_risk >= prev_risk
+        prev_below, prev_risk = below, at_risk
+
+
+# ---------------------------------------------------------------------------
+# llm_cluster_separation_audit
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_separation_numpy_twin(spark):
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT label, embedding FROM "
+        f"read_parquet('{SF}/embeddings.parquet')"
+    ).fetchall()
+    by_label: dict[int, list] = {}
+    for label, emb in rows:
+        by_label.setdefault(int(label), []).append(np.asarray(emb, dtype=np.float64))
+    labels = sorted(by_label)
+    cent = {l: np.mean(np.stack(by_label[l]), axis=0) for l in labels}
+    scat = {
+        l: math.sqrt(
+            float(
+                np.mean(
+                    [np.sum((v - cent[l]) ** 2) for v in by_label[l]]
+                )
+            )
+        )
+        for l in labels
+    }
+    got = _run(spark, "llm_cluster_separation_audit").sort_values("label")
+    assert list(got["label"]) == labels
+    for _, row in got.iterrows():
+        l = int(row["label"])
+        assert int(row["n_points"]) == len(by_label[l])
+        # fixed-point quantization (1e-6 per element) bounds the drift
+        assert row["scatter_rms"] == pytest.approx(scat[l], rel=1e-4)
+        rr = {
+            m: (scat[l] + scat[m])
+            / float(np.linalg.norm(cent[l] - cent[m]))
+            for m in labels
+            if m != l
+        }
+        worst = max(rr, key=lambda m: (rr[m], -m))
+        assert int(row["worst_peer"]) == worst
+        assert row["db_component"] == pytest.approx(rr[worst], rel=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# agg_theil_inequality_decomposition
+# ---------------------------------------------------------------------------
+
+
+def test_theil_decomposition_identity(spark):
+    """within + between must reassemble the corpus-level Theil index
+    computed INDEPENDENTLY (no grouping) — the additive property that
+    is the whole point of choosing Theil over Gini."""
+    con = duckdb.connect()
+    spend = con.execute(
+        f"""
+        SELECT CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+        FROM read_parquet('{SF}/orders.parquet') o
+        JOIN read_parquet('{SF}/customer.parquet') c
+          ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_nationkey, o.o_custkey
+        """
+    ).fetchall()
+    xs = [r[0] for r in spend]
+    n, s = len(xs), sum(xs)
+    mu = s / n
+    t_total = sum((x / s) * math.log(x / mu) for x in xs)
+    got = _run(spark, "agg_theil_inequality_decomposition")
+    share = got["revenue"] * 100 / s
+    reassembled = float(
+        (got["between_term"] + share * got["theil_within"]).sum()
+    )
+    # micro-nat quantization of Σ x·ln x bounds the within error at
+    # 1e-6 nats per group; the identity must hold to that envelope
+    assert reassembled == pytest.approx(t_total, abs=1e-5)
+    # every within-group index is nonnegative (Theil is an entropy gap)
+    assert (got["theil_within"] >= -1e-9).all()
+
+
+# ---------------------------------------------------------------------------
+# skyline_parts_pareto
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", [SF, SF01])
+def test_skyline_definitional_twin(spark, sf):
+    con = duckdb.connect()
+    parts = con.execute(
+        f"SELECT p_partkey, p_size, p_retailprice FROM "
+        f"read_parquet('{sf}/part.parquet')"
+    ).fetchall()
+    sky = {
+        pk
+        for pk, sz, pr in parts
+        if not any(
+            (qr <= pr and qs <= sz) and (qr < pr or qs < sz)
+            for _, qs, qr in parts
+        )
+    }
+    got = _run(spark, "skyline_parts_pareto", sf)
+    assert set(got["p_partkey"]) == sky
+    # frontier law: sorted by size, prices strictly decrease across
+    # distinct sizes (equal-price ties share a size)
+    frontier = got.sort_values(["p_size", "p_retailprice"])
+    by_size = frontier.groupby("p_size")["p_retailprice"].min()
+    assert (by_size.diff().dropna() < 0).all()
+
+
+# ---------------------------------------------------------------------------
+# layout_zonemap_pruning_audit
+# ---------------------------------------------------------------------------
+
+
+def test_zonemap_python_twin_and_pruning_law(spark):
+    import datetime as dt
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT l_shipdate, l_orderkey FROM "
+        f"read_parquet('{SF}/lineitem.parquet')"
+    ).fetchall()
+    epoch = dt.date.fromisoformat(_ZM_EPOCH)
+    days = [((d.date() - epoch).days, ok) for d, ok in rows]
+    lo = min(d for d, _ in days)
+    hi = max(d for d, _ in days)
+    zones: dict[tuple, list] = {}
+    for day, ok in days:
+        for layout, bucket in (
+            ("hash", ok % _ZM_BUCKETS),
+            ("date_sorted", ((day - lo) * _ZM_BUCKETS) // (hi - lo + 1)),
+        ):
+            z = zones.setdefault((layout, bucket), [day, day, 0])
+            z[0] = min(z[0], day)
+            z[1] = max(z[1], day)
+            z[2] += 1
+    got = _run(spark, "layout_zonemap_pruning_audit")
+    for name, plo, phi in _ZM_PROBES:
+        p_lo = (dt.date.fromisoformat(plo) - epoch).days
+        p_hi = (dt.date.fromisoformat(phi) - epoch).days
+        matching = sum(1 for d, _ in days if p_lo <= d <= p_hi)
+        for layout in ("hash", "date_sorted"):
+            zs = [z for (l, _), z in zones.items() if l == layout]
+            scanned = [z for z in zs if z[0] <= p_hi and z[1] >= p_lo]
+            row = got[(got["layout"] == layout) & (got["probe"] == name)]
+            assert len(row) == 1
+            row = row.iloc[0]
+            assert int(row["buckets_total"]) == len(zs)
+            assert int(row["buckets_scanned"]) == len(scanned)
+            assert int(row["rows_scanned"]) == sum(z[2] for z in scanned)
+            assert int(row["rows_matching"]) == matching
+            # an overlapping zone set always covers the matches
+            assert int(row["rows_scanned"]) >= matching
+    # the pruning law the audit exists to demonstrate: the sorted
+    # layout never scans more rows than the hash layout on any probe
+    piv = got.pivot(index="probe", columns="layout", values="rows_scanned")
+    assert (piv["date_sorted"] <= piv["hash"]).all()
