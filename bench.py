@@ -339,6 +339,16 @@ HEADLINE = [
     "llm_shard_mixing_audit",
     "llm_interleave_run_lengths",
     "stream_session_gap_sweep",
+    # round-15 session-2 batch (placement/privacy/geometry audits)
+    "llm_cross_shard_dup_spillover",
+    "llm_dedup_transitivity_audit",
+    "llm_kanonymity_cell_audit",
+    "llm_cluster_separation_audit",
+    "agg_theil_inequality_decomposition",
+    "skyline_parts_pareto",
+    "layout_zonemap_pruning_audit",
+    "llm_dp_histogram_release",
+    "stream_shard_watermark_skew",
 ]
 
 

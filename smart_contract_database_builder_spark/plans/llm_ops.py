@@ -17631,3 +17631,123 @@ def llm_cluster_separation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+#: Differential-privacy release plan: the epsilon axis a release gate
+#: prices (expected Laplace |error| per cell = 1/eps).
+_DP_EPSILONS = ["0.1", "1.0", "10.0"]
+
+
+@register(
+    "llm_dp_histogram_release",
+    oracle=f"""
+    WITH cells AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_true
+      FROM documents GROUP BY lang
+    ),
+    drawn AS (
+      SELECT c.lang, c.n_true, t.eps,
+             ({_SQL_HEX32.format(h="md5(c.lang || '|' || CAST(t.eps AS VARCHAR))")}
+              + 0.5) / 4294967296.0 AS u
+      FROM cells c
+      CROSS JOIN (SELECT unnest([{", ".join(_DP_EPSILONS)}]) AS eps) t
+    ),
+    noised AS (
+      SELECT lang, n_true, eps,
+             n_true - (1.0 / eps) * sign(u - 0.5)
+                      * ln(1.0 - 2.0 * abs(u - 0.5)) AS n_noised
+      FROM drawn
+    )
+    SELECT lang, eps, n_true, n_noised,
+           abs(n_noised - n_true) AS abs_err,
+           abs(n_noised - n_true) / n_true AS rel_err
+    FROM noised
+    ORDER BY lang, eps
+    """,
+)
+def llm_dp_histogram_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F27/F118 EXT: DP HISTOGRAM RELEASE plan — the per-language count
+    histogram under SIMULATED Laplace noise at three epsilon budgets:
+    true count, noised count, absolute and relative error per cell.
+    This is the release gate's pricing query (the third privacy lens
+    after PII redaction and the k-anonymity cells): expected |error|
+    is 1/eps per cell, so the report shows at which epsilon each
+    cell's signal survives its own noise — small cells drown first,
+    which is exactly the k-anonymity small-cell story told in DP
+    terms. The noise is DETERMINISTIC (md5-seeded inverse-CDF) by
+    design: this query is the reproducible budget AUDIT a team reads
+    to choose epsilon; an actual release redraws fresh randomness at
+    publish time (fresh draws are what the privacy guarantee needs —
+    documented so nobody ships the audit as the release).
+
+    Exactness: u = (hex32(md5(lang|eps)) + 0.5) / 2^32 is an exact
+    double in (0,1) (never exactly 0.5: the numerator is integer+0.5,
+    2^31 is not); the Laplace inverse CDF −(1/eps)·sgn(v)·ln(1−2|v|)
+    evaluates ln via libm on BOTH engines (pandas-UDF ln on the
+    O(cells × eps) relation — DuckDB's ln IS libm), so every output
+    is one fixed IEEE chain on identical inputs.
+
+    Scale shape: one corpus scan of ONE column to an O(|langs|) cell
+    relation; the epsilon axis and the noise arithmetic run on cells
+    only. The pandas-UDF boundary costs |cells × eps| rows, never a
+    corpus pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    eps_arr = F.array(
+        *[F.expr(f"CAST({e} AS DOUBLE)") for e in _DP_EPSILONS]
+    )
+    drawn = cells.select(
+        "lang",
+        "n_true",
+        F.explode(eps_arr).alias("eps"),
+    ).select(
+        "lang",
+        "n_true",
+        "eps",
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|", F.col("lang"), F.col("eps").cast("string")
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                + F.lit(0.5)
+            )
+            / F.lit(4294967296.0)
+        ).alias("u"),
+    )
+    ln = _ln_libm()
+    v = F.col("u") - F.lit(0.5)
+    noised = drawn.select(
+        "lang",
+        "n_true",
+        "eps",
+        (
+            F.col("n_true")
+            - (F.lit(1.0) / F.col("eps"))
+            * F.signum(v)
+            * ln(F.lit(1.0) - F.lit(2.0) * F.abs(v))
+        ).alias("n_noised"),
+    )
+    return noised.select(
+        "lang",
+        "eps",
+        "n_true",
+        "n_noised",
+        F.abs(F.col("n_noised") - F.col("n_true")).alias("abs_err"),
+        (
+            F.abs(F.col("n_noised") - F.col("n_true"))
+            / F.col("n_true").cast("double")
+        ).alias("rel_err"),
+    ).orderBy("lang", "eps")

@@ -1184,3 +1184,110 @@ def stream_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mean_session_span_seconds"),
         )
     )
+
+
+#: T19 shard model: events partition by user key across this many
+#: shards (the Kafka-partition shape the merge-lateness audit T17
+#: also models).
+_WM_SKEW_SHARDS = 8
+
+
+@register(
+    "stream_shard_watermark_skew",
+    oracle=f"""
+    WITH sh AS (
+      SELECT user_id % {_WM_SKEW_SHARDS} AS shard, ts FROM events
+    ),
+    per AS (
+      SELECT shard, COUNT(*) AS n_events, MAX(ts) AS shard_max
+      FROM sh GROUP BY shard
+    ),
+    g AS (
+      SELECT MAX(shard_max) AS global_max, MIN(shard_max) AS frontier,
+             SUM(n_events) AS n_total
+      FROM per
+    )
+    SELECT CAST(p.shard AS BIGINT) AS shard,
+           CAST(p.n_events AS BIGINT) AS n_events,
+           CAST(p.n_events AS DOUBLE) / g.n_total AS event_share,
+           strftime(p.shard_max, '%Y-%m-%d %H:%M:%S') AS shard_max_ts,
+           CAST(epoch_us(g.global_max) - epoch_us(p.shard_max) AS BIGINT)
+             // 1000000 AS lag_behind_global_s,
+           p.shard_max = g.frontier AS holds_back_watermark,
+           CAST(epoch_us(g.global_max) - epoch_us(g.frontier) AS BIGINT)
+             // 1000000 AS watermark_stall_s
+    FROM per p CROSS JOIN g
+    ORDER BY shard
+    """,
+)
+def stream_shard_watermark_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T19: per-shard WATERMARK SKEW audit — the idle-partition
+    problem measured: with events keyed onto 8 shards (the T17
+    Kafka-partition model), a global event-time watermark can only
+    advance to the SLOWEST shard's frontier (Spark, like Flink and
+    Kafka Streams, takes the min across input partitions). Per shard:
+    event count and share, its frontier (max event time), its lag
+    behind the global max, whether IT is the shard holding the
+    watermark back, and the resulting global stall in seconds. A
+    quiet or skewed shard shows up here as minutes of watermark stall
+    — which is exactly the extra state every windowed operator
+    retains and the extra latency every emit pays. The T15/T16
+    audits size the delay parameter; this one finds the INPUT
+    imbalance that silently adds to it.
+
+    Exactness: frontiers are exact microsecond timestamps (max/min
+    only); lags are integer microsecond differences floor-divided to
+    seconds; the share is one IEEE divide. The frontier timestamp is
+    emitted as a formatted string (cross-engine type parity).
+
+    Scale shape: one events scan of two columns → an O(shards) hash
+    agg (map-side combinable), a 1-row global rollup broadcast back
+    onto the shard rows. Nothing downstream of the first agg touches
+    the corpus; at 100 TB this is the cheapest possible shape for
+    the question.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.select(
+        F.pmod("user_id", F.lit(_WM_SKEW_SHARDS)).cast("long").alias("shard"),
+        "ts",
+    ).groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max("ts").alias("shard_max"),
+    )
+    g = per.agg(
+        F.max("shard_max").alias("global_max"),
+        F.min("shard_max").alias("frontier"),
+        F.sum("n_events").alias("n_total"),
+    )
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select(
+            "shard",
+            "n_events",
+            (
+                F.col("n_events").cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("event_share"),
+            F.date_format("shard_max", "yyyy-MM-dd HH:mm:ss").alias(
+                "shard_max_ts"
+            ),
+            (
+                (
+                    F.unix_micros("global_max") - F.unix_micros("shard_max")
+                )
+                / F.lit(1000000)
+            )
+            .cast("long")
+            .alias("lag_behind_global_s"),
+            (F.col("shard_max") == F.col("frontier")).alias(
+                "holds_back_watermark"
+            ),
+            (
+                (F.unix_micros("global_max") - F.unix_micros("frontier"))
+                / F.lit(1000000)
+            )
+            .cast("long")
+            .alias("watermark_stall_s"),
+        )
+        .orderBy("shard")
+    )

@@ -76,6 +76,7 @@ _NESTED_LOOP_ALLOWED = {
     "llm_kanonymity_cell_audit",   # 1-row (n_cells, n_docs) totals broadcast
     "agg_theil_inequality_decomposition",  # 1-row global (S, n) totals broadcast
     "layout_zonemap_pruning_audit",  # 1-row day-bounds + 4-row probe-axis broadcasts
+    "stream_shard_watermark_skew",   # 1-row global-frontier broadcast onto shards
 }
 
 #: Queries whose fn() triggers side effects/execution rather than just
