@@ -17412,15 +17412,16 @@ def llm_kanonymity_cell_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("len_bucket"),
     ).agg(F.count(F.lit(1)).alias("cell_n"))
-    tot = cells.agg(
-        F.count(F.lit(1)).cast("long").alias("n_cells"),
-        F.sum("cell_n").cast("long").alias("n_docs"),
-    )
+    # every k row of the explode sees ALL cells, so the totals fold
+    # into the same aggregate — one corpus scan, no second pass for a
+    # separate totals relation and no broadcast join back
     k_arr = F.array(*[F.lit(k).cast("long") for k in _KANON_KS])
     per_k = (
         cells.select("cell_n", F.explode(k_arr).alias("k"))
         .groupBy("k")
         .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("cell_n").cast("long").alias("n_docs"),
             F.sum(F.when(F.col("cell_n") < F.col("k"), 1).otherwise(0))
             .cast("long")
             .alias("n_cells_below"),
@@ -17436,10 +17437,9 @@ def llm_kanonymity_cell_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     axis = spark.range(1).select(F.explode(k_arr).alias("k"))
     return (
         axis.join(per_k, "k", "left")
-        .crossJoin(F.broadcast(tot))
         .select(
             "k",
-            "n_cells",
+            F.coalesce("n_cells", F.lit(0)).cast("long").alias("n_cells"),
             F.coalesce("n_cells_below", F.lit(0))
             .cast("long")
             .alias("n_cells_below"),

@@ -73,7 +73,6 @@ _NESTED_LOOP_ALLOWED = {
     "llm_substring_run_histogram",  # 1-row dup-total broadcast onto the histogram
     "llm_shard_mixing_audit",      # 1-row corpus-count broadcast onto the cells
     "stream_session_gap_sweep",    # 3-row gap axis + two 1-row totals broadcasts
-    "llm_kanonymity_cell_audit",   # 1-row (n_cells, n_docs) totals broadcast
     "agg_theil_inequality_decomposition",  # 1-row global (S, n) totals broadcast
     "layout_zonemap_pruning_audit",  # 1-row day-bounds + 4-row probe-axis broadcasts
     "stream_shard_watermark_skew",   # 1-row global-frontier broadcast onto shards
