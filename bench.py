@@ -349,6 +349,7 @@ HEADLINE = [
     "layout_zonemap_pruning_audit",
     "llm_dp_histogram_release",
     "stream_shard_watermark_skew",
+    "llm_incremental_substring_admission",
 ]
 
 

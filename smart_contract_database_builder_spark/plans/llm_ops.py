@@ -17751,3 +17751,111 @@ def llm_dp_histogram_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_true").cast("double")
         ).alias("rel_err"),
     ).orderBy("lang", "eps")
+
+
+@register(
+    "llm_incremental_substring_admission",
+    oracle=f"""
+    WITH {_sql_substr_grams()},
+    tagged AS (
+      SELECT doc_id, source, gh,
+             CAST(substr(source, 4) AS INTEGER) AS src_num
+      FROM g
+    ),
+    corpus AS (
+      SELECT DISTINCT gh FROM tagged WHERE src_num < {_INCR_EXISTING_MAX}
+    ),
+    batch AS (
+      SELECT doc_id, source, gh FROM tagged
+      WHERE src_num >= {_INCR_EXISTING_MAX}
+      GROUP BY doc_id, source, gh
+    ),
+    scored AS (
+      SELECT b.doc_id, b.source,
+             COUNT(*) AS n_anchors,
+             SUM(CASE WHEN c.gh IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+      FROM batch b LEFT JOIN corpus c ON c.gh = b.gh
+      GROUP BY b.doc_id, b.source
+    ),
+    alldocs AS (
+      SELECT doc_id, source FROM documents
+      WHERE CAST(substr(source, 4) AS INTEGER) >= {_INCR_EXISTING_MAX}
+    )
+    SELECT a.doc_id, a.source,
+           CAST(COALESCE(s.n_anchors, 0) AS BIGINT) AS n_anchors,
+           CAST(COALESCE(s.n_hits, 0) AS BIGINT) AS n_hits,
+           COALESCE(s.n_hits, 0) = 0 AS admitted
+    FROM alldocs a LEFT JOIN scored s ON s.doc_id = a.doc_id
+    ORDER BY a.doc_id
+    """,
+)
+def llm_incremental_substring_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """F112/J10 EXT: INCREMENTAL SUBSTRING admission — the fifth and
+    final incremental-ingest geometry, completing the cross-product of
+    the dedup grains with the admission shape: exact content-key
+    (J10), MinHash-band (J23), SimHash-Hamming (F73), embedding-bucket
+    (J35), and now the Lee-et-al exact-substring grain: a batch
+    document (src10+) is admitted only when NONE of its 8-token anchor
+    grams occurs anywhere in the standing corpus (src0-9) — the
+    "never admit a doc sharing a >=8-token verbatim span with the
+    corpus" SLA, with the per-doc anchor/hit counts that say how close
+    each rejection was. Distinct anchors per doc, so a repeated span
+    inside one batch doc counts once.
+
+    Exactness: anchor keys are md5 over the same space-joined token
+    windows as the rest of the family (identical construction both
+    engines); counts exact int64; admitted is an integer-equality
+    bool. Anchor-free docs (< 8 tokens) admit trivially with zero
+    counts via the outer join to the batch roster — both engines emit
+    them.
+
+    Scale shape: the corpus side reduces to the DISTINCT anchor-key
+    SET (one short column — at 100 TB this is the write-time anchor
+    store F112 already mandates, ~2% of corpus bytes); the batch side
+    is O(batch tokens). The join is batch-anchor x corpus-SET on the
+    md5 key — each batch anchor matches AT MOST ONE set row, so there
+    is no fan-out and no df cap needed (the pair-grain hazard J41
+    caps simply cannot occur in the admission shape). Per-doc rollup
+    is one hash agg; the batch roster join is batch-sized.
+    """
+    grams = _substr_gram_positions(spark, sf_dir)
+    src_num = F.substring("source", 4, 10).cast("int")
+    tagged = grams.select(
+        "doc_id", "source", "gh", src_num.alias("src_num")
+    )
+    corpus = (
+        tagged.filter(F.col("src_num") < _INCR_EXISTING_MAX)
+        .select("gh")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    batch = (
+        tagged.filter(F.col("src_num") >= _INCR_EXISTING_MAX)
+        .select("doc_id", "source", "gh")
+        .distinct()
+    )
+    scored = (
+        batch.join(corpus, "gh", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_anchors"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    roster = docs.select("doc_id", "source").filter(
+        F.substring("source", 4, 10).cast("int") >= _INCR_EXISTING_MAX
+    )
+    return (
+        roster.join(scored.drop("source"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_anchors", F.lit(0)).cast("long").alias("n_anchors"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) == 0).alias("admitted"),
+        )
+        .orderBy("doc_id")
+    )

@@ -393,3 +393,54 @@ def test_watermark_skew_python_twin_and_laws(spark):
     # fastest shard has zero lag
     assert got["holds_back_watermark"].sum() >= 1
     assert got["lag_behind_global_s"].min() == 0
+
+
+# ---------------------------------------------------------------------------
+# llm_incremental_substring_admission
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_substring_python_twin(spark):
+    import re as _re
+
+    from smart_contract_database_builder_spark.plans.llm_ops import (
+        _INCR_EXISTING_MAX,
+        _SUBSTR_K,
+    )
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, source, text FROM "
+        f"read_parquet('{SF}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+
+    def anchors(text):
+        toks = _re.split(r"\s+", text.strip().lower())
+        return {
+            " ".join(toks[i:i + _SUBSTR_K])
+            for i in range(len(toks) - _SUBSTR_K + 1)
+        }
+
+    corpus_set: set[str] = set()
+    batch: dict[int, tuple[str, set]] = {}
+    for doc_id, source, text in docs:
+        n = int(source[3:])
+        if n < _INCR_EXISTING_MAX:
+            corpus_set |= anchors(text)
+        else:
+            batch[doc_id] = (source, anchors(text))
+    got = _run(spark, "llm_incremental_substring_admission")
+    assert set(got["doc_id"]) == set(batch)
+    n_admitted = 0
+    for _, row in got.iterrows():
+        source, a = batch[int(row["doc_id"])]
+        hits = len(a & corpus_set)
+        assert row["source"] == source
+        assert int(row["n_anchors"]) == len(a)
+        assert int(row["n_hits"]) == hits
+        assert bool(row["admitted"]) == (hits == 0)
+        n_admitted += hits == 0
+    # the near-duplicate-free synthetic corpus should admit most of the
+    # batch — a zero-admission run would mean the split or the anchor
+    # key is broken
+    assert n_admitted > 0
