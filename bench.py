@@ -350,6 +350,8 @@ HEADLINE = [
     "llm_dp_histogram_release",
     "stream_shard_watermark_skew",
     "llm_incremental_substring_admission",
+    "window_fulfillment_latency_percentiles",
+    "layout_compaction_plan",
 ]
 
 

@@ -5376,3 +5376,173 @@ def layout_zonemap_pruning_audit(
         )
         .orderBy("layout", "probe")
     )
+
+
+@register(
+    "window_fulfillment_latency_percentiles",
+    oracle="""
+    WITH lat AS (
+      SELECT o.o_orderpriority,
+             CAST(MIN(CAST(l.l_shipdate AS DATE)) - CAST(o.o_orderdate AS DATE)
+                  AS BIGINT) AS days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    )
+    SELECT o_orderpriority,
+           n_orders,
+           q[1] AS p50_days, q[2] AS p90_days, q[3] AS p99_days,
+           mean_days
+    FROM (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             quantile_cont(days, [0.5, 0.9, 0.99]) AS q,
+             CAST(SUM(days) AS DOUBLE) / COUNT(*) AS mean_days
+      FROM lat
+      GROUP BY o_orderpriority
+    )
+    """,
+)
+def window_fulfillment_latency_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """W14/A8 EXT: ORDER-FULFILLMENT latency distribution — per order
+    priority: exact p50/p90/p99 and mean of the days between order
+    placement and the FIRST line shipment. The SLA report an
+    operations team reads weekly: the p99 is what the "URGENT means
+    urgent" claim is tested against, and the priority axis shows
+    whether the priority field buys any latency at all. First-ship
+    (MIN over an order's lines) is the customer-visible event; A58's
+    backlog timeseries counts open orders, this prices how long each
+    one stayed open.
+
+    Exactness: latency is an exact integer day difference on the
+    order-grain MIN; ``percentile`` (Spark) and ``quantile_cont``
+    (DuckDB) interpolate the same order statistics of the same
+    integers (the A8 convention); the mean is an exact int64 sum over
+    one IEEE divide.
+
+    Scale shape: one lineitem-orders equi-join on the uniform order
+    key aggregated to O(orders) (map-side combine on the MIN), then a
+    5-group exact percentile — the only sort is per-priority over the
+    already-reduced order-grain relation. At 100 TB the exact
+    percentile swaps for the registered t-digest twin discipline; the
+    exact form carries the oracle row.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lat = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+        .select(
+            "o_orderpriority",
+            F.datediff(
+                F.col("first_ship").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            )
+            .cast("long")
+            .alias("days"),
+        )
+    )
+    q = F.expr("percentile(days, array(0.5D, 0.9D, 0.99D))")
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            q.alias("q"),
+            (F.sum("days").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "mean_days"
+            ),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.col("q")[0].alias("p50_days"),
+            F.col("q")[1].alias("p90_days"),
+            F.col("q")[2].alias("p99_days"),
+            "mean_days",
+        )
+    )
+
+
+#: Compaction-plan geometry: source "files" are the table's natural
+#: small-write grain (one per ship month), packed into stripes of this
+#: many rows — the OPTIMIZE target size in row units.
+_COMPACT_TARGET_ROWS = 8192
+
+
+@register(
+    "layout_compaction_plan",
+    oracle=f"""
+    WITH files AS (
+      SELECT strftime(l_shipdate, '%Y-%m') AS mon, COUNT(*) AS n_rows
+      FROM lineitem GROUP BY 1
+    ),
+    planned AS (
+      SELECT mon, n_rows,
+             (SUM(n_rows) OVER (ORDER BY mon
+                ROWS UNBOUNDED PRECEDING) - n_rows)
+               // {_COMPACT_TARGET_ROWS} AS out_file
+      FROM files
+    )
+    SELECT CAST(out_file AS BIGINT) AS out_file,
+           CAST(COUNT(*) AS BIGINT) AS n_source_files,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           MIN(mon) AS first_month,
+           MAX(mon) AS last_month
+    FROM planned
+    GROUP BY out_file
+    ORDER BY out_file
+    """,
+)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S17/F120 EXT: small-file COMPACTION plan — the OPTIMIZE planner:
+    treat each ship-month of lineitem as one small written file (the
+    natural incremental-ingest grain), and pack the month files, in
+    key order, into output stripes of ~8192 rows
+    (first-fit in sequence: a file starts a new output exactly when
+    the rows before it fill the current target). Per planned output:
+    source files merged, rows, and the key range it covers — the key
+    ranges stay disjoint and ordered BECAUSE packing follows key
+    order, which is precisely what keeps the F120 zone maps prunable
+    after compaction (an unordered bin-packer would shuffle months
+    into overlapping zones and undo the sort layout's pruning). The
+    n_source_files column is the small-file-reduction ledger.
+
+    Exactness: month keys are formatted strings, row counts exact
+    int64, the stripe id an integer floor division of an exact
+    running sum on a total order (month strings sort uniquely) —
+    bitwise everything.
+
+    Scale shape: one 1-column scan to O(months) file stats
+    (map-side combine); the plan itself is a window over that tiny
+    relation (the global sort touches file-count rows, never the
+    table). The plan is the cheap part of OPTIMIZE by design — the
+    rewrite it prescribes is the expensive part, and this query is
+    how that rewrite is sized before it runs.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("mon")
+    )
+    files = li.groupBy("mon").agg(F.count(F.lit(1)).alias("n_rows"))
+    w = Window.orderBy("mon").rowsBetween(Window.unboundedPreceding, 0)
+    planned = files.select(
+        "mon",
+        "n_rows",
+        F.floor(
+            (F.sum("n_rows").over(w) - F.col("n_rows"))
+            / _COMPACT_TARGET_ROWS
+        ).alias("out_file"),
+    )
+    return (
+        planned.groupBy("out_file")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_source_files"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.min("mon").alias("first_month"),
+            F.max("mon").alias("last_month"),
+        )
+        .orderBy("out_file")
+    )

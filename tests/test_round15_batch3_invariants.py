@@ -444,3 +444,90 @@ def test_incremental_substring_python_twin(spark):
     # batch — a zero-admission run would mean the split or the anchor
     # key is broken
     assert n_admitted > 0
+
+
+# ---------------------------------------------------------------------------
+# window_fulfillment_latency_percentiles
+# ---------------------------------------------------------------------------
+
+
+def test_fulfillment_latency_python_twin(spark):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT o.o_orderpriority,
+               CAST(MIN(CAST(l.l_shipdate AS DATE))
+                    - CAST(o.o_orderdate AS DATE) AS BIGINT) AS days
+        FROM read_parquet('{SF}/orders.parquet') o
+        JOIN read_parquet('{SF}/lineitem.parquet') l
+          ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+        """
+    ).fetchall()
+    by_p: dict[str, list[int]] = {}
+    for prio, days in rows:
+        by_p.setdefault(prio, []).append(int(days))
+
+    def q_cont(xs, p):
+        xs = sorted(xs)
+        h = (len(xs) - 1) * p
+        lo = int(h)
+        if lo == len(xs) - 1:
+            return float(xs[lo])
+        return xs[lo] + (h - lo) * (xs[lo + 1] - xs[lo])
+
+    got = _run(spark, "window_fulfillment_latency_percentiles")
+    assert set(got["o_orderpriority"]) == set(by_p)
+    for _, row in got.iterrows():
+        xs = by_p[row["o_orderpriority"]]
+        assert int(row["n_orders"]) == len(xs)
+        assert row["p50_days"] == pytest.approx(q_cont(xs, 0.5), abs=1e-9)
+        assert row["p90_days"] == pytest.approx(q_cont(xs, 0.9), abs=1e-9)
+        assert row["p99_days"] == pytest.approx(q_cont(xs, 0.99), abs=1e-9)
+        assert row["mean_days"] == sum(xs) / len(xs)
+        # order statistics are monotone (the synthetic corpus draws
+        # ship dates independently of order dates, so negative
+        # latencies exist — the real-data law min >= 0 doesn't apply)
+        assert row["p50_days"] <= row["p90_days"] <= row["p99_days"]
+
+
+# ---------------------------------------------------------------------------
+# layout_compaction_plan
+# ---------------------------------------------------------------------------
+
+
+def test_compaction_plan_python_twin_and_laws(spark):
+    from smart_contract_database_builder_spark.plans.relational_ext import (
+        _COMPACT_TARGET_ROWS,
+    )
+
+    con = duckdb.connect()
+    files = con.execute(
+        f"SELECT strftime(l_shipdate, '%Y-%m') AS mon, COUNT(*) "
+        f"FROM read_parquet('{SF}/lineitem.parquet') GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    plan: dict[int, list] = {}
+    cum = 0
+    for mon, n in files:
+        out = cum // _COMPACT_TARGET_ROWS
+        e = plan.setdefault(out, [0, 0, mon, mon])
+        e[0] += 1
+        e[1] += n
+        e[3] = mon
+        cum += n
+    got = _run(spark, "layout_compaction_plan").sort_values("out_file")
+    assert list(got["out_file"]) == sorted(plan)
+    for _, row in got.iterrows():
+        e = plan[int(row["out_file"])]
+        assert int(row["n_source_files"]) == e[0]
+        assert int(row["n_rows"]) == e[1]
+        assert row["first_month"] == e[2]
+        assert row["last_month"] == e[3]
+    # key-ordered packing law: output key ranges are disjoint and
+    # ordered — each stripe's first month follows its predecessor's last
+    g = got.sort_values("out_file").reset_index(drop=True)
+    for i in range(1, len(g)):
+        assert g.loc[i, "first_month"] >= g.loc[i - 1, "last_month"]
+    # conservation: every source file lands in exactly one stripe
+    assert int(got["n_source_files"].sum()) == len(files)
+    assert int(got["n_rows"].sum()) == sum(n for _, n in files)
