@@ -352,6 +352,8 @@ HEADLINE = [
     "llm_incremental_substring_admission",
     "window_fulfillment_latency_percentiles",
     "layout_compaction_plan",
+    "agg_return_rate_ztest",
+    "sample_neyman_allocation",
 ]
 
 

@@ -53,9 +53,9 @@ from . import streaming_batch  # noqa: E402,F401
 #: llm_semdedup_representatives, llm_triangle_counts,
 #: scalar_gapfill_daily_revenue, window_streaks_gaps_islands —
 #: hit the 8-round floor at r17, so r16 MUST window them (10 slots);
-#: the 12 round-15-session-2 newborns below (_BORN_IN_OVERFLOW — the
-#: window was already committed when they landed) should take 12 more
-#: so each earns its first driver row in r16, leaving ~28 for r16
+#: the 14 round-15-session-2 newborns below (_BORN_IN_OVERFLOW — the
+#: window was already committed when they landed) should take 14 more
+#: so each earns its first driver row in r16, leaving ~26 for r16
 #: newborns/witnesses. Nothing else is forced before r18 (the r10
 #: cohort's floor).
 _PRIORITY = [
@@ -128,7 +128,7 @@ _PRIORITY = [
 #: them; their oracles run in the pytest sweep from birth. The
 #: round-15 session-2 batch landed after the r15 window was committed
 #: (the 50 slots were already budgeted: rotation + newborns + rows-only
-#: refreshes), so these twelve defer their first driver row to r16 —
+#: refreshes), so these fourteen defer their first driver row to r16 —
 #: the r16 ledger above reserves their slots. Grow this set
 #: consciously — it defers driver evidence by at least one round.
 _BORN_IN_OVERFLOW: set[str] = {
@@ -144,6 +144,8 @@ _BORN_IN_OVERFLOW: set[str] = {
     "llm_incremental_substring_admission",
     "window_fulfillment_latency_percentiles",
     "layout_compaction_plan",
+    "agg_return_rate_ztest",
+    "sample_neyman_allocation",
 }
 
 #: Oracle-CARRYING queries deliberately registered just past the
@@ -170,6 +172,8 @@ _OVERFLOW = [
     "llm_incremental_substring_admission",
     "window_fulfillment_latency_percentiles",
     "layout_compaction_plan",
+    "agg_return_rate_ztest",
+    "sample_neyman_allocation",
     # r15 rotation: the r14 _PRIORITY minus the four standing
     # witnesses (all driver-green in CORRECTNESS_r14, plans unchanged
     # since)

@@ -5546,3 +5546,263 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("out_file")
     )
+
+
+@register(
+    "agg_return_rate_ztest",
+    oracle="""
+    WITH j AS (
+      SELECT CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS promo,
+             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    g AS (
+      SELECT CAST(SUM(CASE WHEN promo = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN promo = 1 THEN ret ELSE 0 END) AS BIGINT) AS r1,
+             CAST(SUM(CASE WHEN promo = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN promo = 0 THEN ret ELSE 0 END) AS BIGINT) AS r2
+      FROM j
+    )
+    SELECT n1 AS n_promo, r1 AS n_promo_returned,
+           n2 AS n_other, r2 AS n_other_returned,
+           CAST(r1 AS DOUBLE) / n1 AS rate_promo,
+           CAST(r2 AS DOUBLE) / n2 AS rate_other,
+           CAST(r1 + r2 AS DOUBLE) / (n1 + n2) AS rate_pooled,
+           (CAST(r1 AS DOUBLE) / n1 - CAST(r2 AS DOUBLE) / n2)
+             / sqrt((CAST(r1 + r2 AS DOUBLE) / (n1 + n2))
+                    * (1.0 - CAST(r1 + r2 AS DOUBLE) / (n1 + n2))
+                    * (1.0 / n1 + 1.0 / n2)) AS z_stat
+    FROM g
+    """,
+)
+def agg_return_rate_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A65: TWO-PROPORTION Z-TEST — the A/B-test primitive the engine
+    lacked: is the return rate of PROMO parts different from the rest?
+    One row: both groups' counts and rates, the pooled rate, and the
+    pooled two-proportion z statistic — the number an experimentation
+    readout thresholds against ±1.96. The engine's report family
+    DESCRIBES differences (lift, drift, correlation); this is the
+    first operator that says whether a difference clears noise, which
+    is what decides a rollout.
+
+    Exactness: all four sufficient statistics are exact int64 counts
+    from one scan; every rate and the z statistic are a fixed IEEE
+    chain on those identical integers — bitwise cross-engine. (The
+    z-test's normal approximation is the statistic's own contract;
+    the query computes it exactly.)
+
+    Scale shape: one lineitem-part equi-join on the uniform part key
+    (the part side prunes to 2 columns and broadcasts when small)
+    reduced by ONE map-side-combinable aggregate to a single row.
+    Nothing downstream of the agg touches the corpus.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(p, li.l_partkey == p.p_partkey).select(
+        F.when(F.col("p_type").startswith("PROMO"), 1).otherwise(0).alias(
+            "promo"
+        ),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+    )
+    g = j.agg(
+        F.sum(F.when(F.col("promo") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("promo") == 1, F.col("ret")).otherwise(0))
+        .cast("long")
+        .alias("r1"),
+        F.sum(F.when(F.col("promo") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("promo") == 0, F.col("ret")).otherwise(0))
+        .cast("long")
+        .alias("r2"),
+    )
+    p1 = F.col("r1").cast("double") / F.col("n1").cast("double")
+    p2 = F.col("r2").cast("double") / F.col("n2").cast("double")
+    pp = (F.col("r1") + F.col("r2")).cast("double") / (
+        F.col("n1") + F.col("n2")
+    ).cast("double")
+    z = (p1 - p2) / F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (
+            F.lit(1.0) / F.col("n1").cast("double")
+            + F.lit(1.0) / F.col("n2").cast("double")
+        )
+    )
+    return g.select(
+        F.col("n1").alias("n_promo"),
+        F.col("r1").alias("n_promo_returned"),
+        F.col("n2").alias("n_other"),
+        F.col("r2").alias("n_other_returned"),
+        p1.alias("rate_promo"),
+        p2.alias("rate_other"),
+        pp.alias("rate_pooled"),
+        z.alias("z_stat"),
+    )
+
+
+#: Neyman-allocation sample budget (total units drawn across strata).
+_NEYMAN_BUDGET = 1000
+
+
+@register(
+    "sample_neyman_allocation",
+    oracle=f"""
+    WITH spend AS (
+      SELECT c.c_nationkey,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    m AS (
+      SELECT c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_h,
+             SUM(CAST(cents AS HUGEINT)) AS sx,
+             SUM(CAST(cents AS HUGEINT) * cents) AS sxx
+      FROM spend GROUP BY c_nationkey
+    ),
+    sd AS (
+      SELECT c_nationkey, n_h,
+             sqrt(CAST(n_h * sxx - sx * sx AS DOUBLE)) / n_h / 100 AS sd_price
+      FROM m
+    ),
+    w AS (
+      SELECT n.n_name AS nation, s.n_h, s.sd_price,
+             CAST(floor(s.n_h * s.sd_price * 1000000) AS HUGEINT) AS wt,
+             SUM(CAST(floor(s.n_h * s.sd_price * 1000000) AS HUGEINT))
+               OVER () AS wt_sum
+      FROM sd s JOIN nation n ON n.n_nationkey = s.c_nationkey
+    ),
+    fr AS (
+      SELECT nation, n_h, sd_price,
+             {_NEYMAN_BUDGET} * CAST(wt AS DOUBLE) / CAST(wt_sum AS DOUBLE)
+               AS alloc_exact,
+             CAST(floor({_NEYMAN_BUDGET} * CAST(wt AS DOUBLE)
+                        / CAST(wt_sum AS DOUBLE)) AS BIGINT) AS fl,
+             {_NEYMAN_BUDGET} * CAST(wt AS DOUBLE) / CAST(wt_sum AS DOUBLE)
+               - floor({_NEYMAN_BUDGET} * CAST(wt AS DOUBLE)
+                       / CAST(wt_sum AS DOUBLE)) AS frac
+      FROM w
+    ),
+    rk AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY frac DESC, nation) AS rnk,
+             {_NEYMAN_BUDGET} - SUM(fl) OVER () AS leftover
+      FROM fr
+    )
+    SELECT nation, n_h AS n_orders, sd_price, alloc_exact,
+           CAST(fl + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc
+    FROM rk
+    ORDER BY nation
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8: NEYMAN optimal stratified allocation — the survey-sampling
+    planner that completes the sampling family (uniform O4, reservoir
+    F53, weighted F54, PPS O6, proportional-stratified F36): split a
+    1000-draw budget across nation strata proportional to N_h·S_h
+    (stratum size × stratum standard deviation of order value), the
+    allocation that minimizes the estimator's variance for a fixed
+    budget. High-variance strata earn more than their population
+    share — the difference between this and F36's proportional split
+    IS the variance reduction. Integerization is largest-remainder
+    (floor + distribute the leftover by descending fractional part,
+    nation-name tie-break), so the allocations are deterministic and
+    sum exactly to the budget (conservation is test-pinned).
+
+    Exactness: per-stratum moments are exact integer cents sums
+    (HUGEINT / DECIMAL(38,0)); sd = one sqrt of the cleared-
+    denominator identity n·Σx² − (Σx)²; weights QUANTIZE to integer
+    micro-units before the cross-stratum sum (a float sum over
+    strata rounds differently per engine — the micro-nat
+    discipline), so fractions and the remainder ranking are fixed
+    IEEE chains on identical inputs with a total-order tie-break.
+
+    Scale shape: one orders scan → O(strata) moment agg (map-side
+    combine); everything after runs on ≤25 rows (the window sorts
+    strata, never orders). The plan this query emits is what a
+    distributed stratified sampler then executes with per-stratum
+    Bernoulli rates — the planning half is O(strata) by design.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    spend = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_nationkey",
+        (dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    m = spend.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("sx"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)")).alias(
+            "sxx"
+        ),
+    )
+    sd = m.select(
+        "c_nationkey",
+        "n_h",
+        (
+            F.sqrt(
+                (F.col("n_h") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+            )
+            / F.col("n_h").cast("double")
+            / 100
+        ).alias("sd_price"),
+    )
+    w = sd.join(F.broadcast(n), sd.c_nationkey == n.n_nationkey).select(
+        F.col("n_name").alias("nation"),
+        "n_h",
+        "sd_price",
+        # micro-unit quantization makes the weight SUM order-independent
+        # (a float sum over strata would round differently per engine)
+        F.floor(F.col("n_h").cast("double") * F.col("sd_price") * 1000000)
+        .cast("decimal(38,0)")
+        .alias("wt"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    fr = w.select(
+        "nation",
+        "n_h",
+        "sd_price",
+        (
+            F.lit(float(_NEYMAN_BUDGET))
+            * F.col("wt").cast("double")
+            / F.sum("wt").over(w_all).cast("double")
+        ).alias("alloc_exact"),
+    ).select(
+        "nation",
+        "n_h",
+        "sd_price",
+        "alloc_exact",
+        F.floor("alloc_exact").cast("long").alias("fl"),
+        (F.col("alloc_exact") - F.floor("alloc_exact")).alias("frac"),
+    )
+    w_rk = Window.orderBy(F.col("frac").desc(), F.col("nation"))
+    rk = fr.select(
+        "nation",
+        "n_h",
+        "sd_price",
+        "alloc_exact",
+        "fl",
+        F.row_number().over(w_rk).alias("rnk"),
+        (F.lit(_NEYMAN_BUDGET) - F.sum("fl").over(w_all)).alias("leftover"),
+    )
+    return rk.select(
+        "nation",
+        F.col("n_h").alias("n_orders"),
+        "sd_price",
+        "alloc_exact",
+        (
+            F.col("fl")
+            + F.when(F.col("rnk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+    ).orderBy("nation")

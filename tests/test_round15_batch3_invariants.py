@@ -531,3 +531,94 @@ def test_compaction_plan_python_twin_and_laws(spark):
     # conservation: every source file lands in exactly one stripe
     assert int(got["n_source_files"].sum()) == len(files)
     assert int(got["n_rows"].sum()) == sum(n for _, n in files)
+
+
+# ---------------------------------------------------------------------------
+# agg_return_rate_ztest
+# ---------------------------------------------------------------------------
+
+
+def test_return_rate_ztest_python_twin(spark):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT p.p_type LIKE 'PROMO%', l.l_returnflag = 'R'
+        FROM read_parquet('{SF}/lineitem.parquet') l
+        JOIN read_parquet('{SF}/part.parquet') p
+          ON p.p_partkey = l.l_partkey
+        """
+    ).fetchall()
+    n1 = sum(1 for promo, _ in rows if promo)
+    r1 = sum(1 for promo, ret in rows if promo and ret)
+    n2 = len(rows) - n1
+    r2 = sum(1 for promo, ret in rows if not promo and ret)
+    got = _run(spark, "agg_return_rate_ztest")
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert (int(row["n_promo"]), int(row["n_promo_returned"])) == (n1, r1)
+    assert (int(row["n_other"]), int(row["n_other_returned"])) == (n2, r2)
+    p1, p2 = r1 / n1, r2 / n2
+    pp = (r1 + r2) / (n1 + n2)
+    z = (p1 - p2) / math.sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2))
+    assert row["rate_promo"] == p1 and row["rate_other"] == p2
+    assert row["rate_pooled"] == pp
+    assert row["z_stat"] == z
+    # the synthetic return flag is assigned independently of part type,
+    # so the test must NOT be significant — a |z| > 5 here would mean
+    # the statistic (not the data) is broken
+    assert abs(row["z_stat"]) < 5.0
+
+
+# ---------------------------------------------------------------------------
+# sample_neyman_allocation
+# ---------------------------------------------------------------------------
+
+
+def test_neyman_allocation_python_twin_and_conservation(spark):
+    from smart_contract_database_builder_spark.plans.relational_ext import (
+        _NEYMAN_BUDGET,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT n.n_name,
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        FROM read_parquet('{SF}/orders.parquet') o
+        JOIN read_parquet('{SF}/customer.parquet') c
+          ON c.c_custkey = o.o_custkey
+        JOIN read_parquet('{SF}/nation.parquet') n
+          ON n.n_nationkey = c.c_nationkey
+        """
+    ).fetchall()
+    strata: dict[str, list[int]] = {}
+    for nation, cents in rows:
+        strata.setdefault(nation, []).append(int(cents))
+    wt = {}
+    for nation, xs in strata.items():
+        nh, sx, sxx = len(xs), sum(xs), sum(x * x for x in xs)
+        sd = math.sqrt(float(nh * sxx - sx * sx)) / nh / 100
+        wt[nation] = math.floor(nh * sd * 1000000)
+    wsum = sum(wt.values())
+    exact = {k: _NEYMAN_BUDGET * float(v) / float(wsum) for k, v in wt.items()}
+    fl = {k: math.floor(v) for k, v in exact.items()}
+    leftover = _NEYMAN_BUDGET - sum(fl.values())
+    order = sorted(exact, key=lambda k: (-(exact[k] - fl[k]), k))
+    alloc = {
+        k: fl[k] + (1 if i < leftover else 0) for i, k in enumerate(order)
+    }
+    got = _run(spark, "sample_neyman_allocation")
+    assert set(got["nation"]) == set(strata)
+    for _, row in got.iterrows():
+        k = row["nation"]
+        assert int(row["n_orders"]) == len(strata[k])
+        assert row["alloc_exact"] == exact[k]
+        assert int(row["alloc"]) == alloc[k]
+    # conservation: allocations sum exactly to the budget
+    assert int(got["alloc"].sum()) == _NEYMAN_BUDGET
+    # optimality direction: the allocation correlates with N_h * S_h,
+    # so the largest-weight stratum gets the largest allocation
+    top = max(wt, key=lambda k: (wt[k], k))
+    assert int(got.set_index("nation").loc[top, "alloc"]) == max(
+        int(a) for a in got["alloc"]
+    )
