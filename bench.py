@@ -354,7 +354,52 @@ HEADLINE = [
     "layout_compaction_plan",
     "agg_return_rate_ztest",
     "sample_neyman_allocation",
+    # round-16-born operators (appended; never reshuffle)
+    "llm_substring_dedup_trim",
+    "llm_dedup_grain_overlap",
+    "agg_mann_whitney_u",
+    "agg_ks_two_sample",
+    "agg_spearman_daily_correlation",
+    "agg_chi_square_independence",
+    "agg_weekday_anova",
+    "agg_poisson_bootstrap_ci",
+    "agg_cuped_adjusted_metric",
+    "agg_winsorized_spend_stats",
+    "window_revenue_drawdown",
+    "agg_systematic_sample_estimate",
+    "layout_zorder_benefit_audit",
+    "llm_quality_dup_calibration",
+    "llm_neardup_source_modularity",
+    "llm_epoch_mix_schedule",
+    "stream_microbatch_size_sweep",
+    "stream_dedup_horizon_sweep",
 ]
+
+
+def _machine_calibration_ms() -> float:
+    """Machine-day constant (VERDICT r15 #5): a pinned single-thread
+    pure-Python + NumPy loop timed min-of-3 before any Spark work. The
+    workload is FROZEN — never change it — so the ratio of two rounds'
+    ``calib_ms`` values IS the machine-speed factor between their
+    sessions, letting any BENCH_r*.json be normalized against any other
+    without the same-hour commit-checkout adjudication ritual (the r15
+    bench total looked like a 2.08× regression that was entirely a
+    2-4× slower machine-day)."""
+    import numpy as np
+
+    a = np.arange(262_144, dtype=np.float64)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(200_000):  # interpreter-speed term
+            acc += i * i
+        s = 0.0
+        for _ in range(50):  # memory/vector-speed term
+            s += float(np.dot(a, a))
+        best = min(best, time.perf_counter() - t0)
+    assert acc >= 0 and s >= 0.0
+    return round(best * 1000, 2)
 
 
 def _build_session(cpus: str) -> SparkSession:
@@ -436,6 +481,8 @@ def main() -> None:
 
     qs = plans.queries()
 
+    calib_ms = _machine_calibration_ms()
+
     tier = os.environ.get("SPARK_GRAFT_BENCH_TIER", "headline")
     names = HEADLINE if tier == "headline" else list(qs)
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
@@ -480,7 +527,10 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 errors[name] = f"{type(e).__name__}: {e}"[:200]
 
-    line, full = format_result(timings, errors, sf=sf, reps=reps, tier=tier, clean=clean)
+    line, full = format_result(
+        timings, errors, sf=sf, reps=reps, tier=tier, clean=clean,
+        calib_ms=calib_ms,
+    )
 
     full_out = os.environ.get(
         "SPARK_GRAFT_BENCH_FULL_OUT",
@@ -504,6 +554,7 @@ def format_result(
     reps: int,
     tier: str,
     clean: bool,
+    calib_ms: float | None = None,
     budget: int | None = None,
 ) -> tuple[str, dict]:
     """Build the ONE stdout JSON line plus the full side-artifact dict.
@@ -533,6 +584,7 @@ def format_result(
         "tier": tier,
         "clean": clean,
         "n_queries": len(timings),
+        "calib_ms": calib_ms,
         "n_errors": len(errors),
         "errors": {k: v[:80] for k, v in list(errors.items())[:5]},
         "total_sec": total,

@@ -24,63 +24,124 @@ from . import llm_ops  # noqa: E402,F401
 from . import scale_ops  # noqa: E402,F401
 from . import streaming_batch  # noqa: E402,F401
 
-#: Queries the driver window must cover first. ROUND-15 ROTATION
-#: (freshness-guard policy, tests/test_evidence_freshness.py): no
-#: query was guard-forced this round (the oldest evidence entering
-#: r15 is the 41-query r8 cohort, floor at r17), so the window
-#: executes the REGISTERED budget from r14: (a) the three queries
-#: whose plan and/or oracle changed this round — the degenerate-
-#: corpus parity fixes (zero-row gram-size axis, zero-token source
-#: guard, zero-pair coalesce) — as changed-plan witnesses, (b) one
-#: standing witness each for core relational, the reference family,
-#: true streaming, and exact dedup, (c) the two legacy `no_oracle`
-#: rows-only queries whose only driver artifact was a round-2 error
-#: row, plus three multimodal-family rows-only queries that had
-#: never met the driver (VERDICT r14 "Next round #4"), (d) 31 of the
-#: 41-query r8-evidence cohort (the "oldest half plus" — leaving 10
-#: for r16, listed below, so r17 never needs a forced bulk
-#: rotation), and (e) the 7 round-15-born operators (the exact-
-#: substring dedup family, the shard-mixing/interleave audits, the
-#: session-gap sweep). 3+4+5+31+7 = EXACTLY 50. Everything rotated
-#: out (the r14 _PRIORITY minus the standing witnesses, plus the 17
-#: other r14-born operators) is driver-green in CORRECTNESS_r14 with
-#: plan code unchanged since, and stays under the pytest oracle
-#: sweep (tests/test_oracle_parity.py).
+#: Queries the driver window must cover first. ROUND-16 ROTATION —
+#: this window executes the r15 ledger EXACTLY (VERDICT r15 "Next
+#: round #1"): (a) one changed-plan witness — the J41 pair query,
+#: whose plan AND oracle gained the within-doc occurrence cap this
+#: round (the other two r16 plan changes, the Theil decimal multiply
+#: and the k-anonymity integer division, sit in the newborn-14 cohort
+#: below, so they are windowed anyway), (b) the four standing family
+#: witnesses, (c) the 10-query r8-evidence remainder (floor at r17 —
+#: windowing them now means nothing is guard-forced before r18),
+#: (d) the 14 round-15-session-2 newborns (_BORN_IN_OVERFLOW in r15)
+#: earning their FIRST driver rows, (e) three never-windowed
+#: rows-only queries (VERDICT r15 #6: the true-streaming/sketch
+#: families' turn for the r15 multimodal debut pattern), and (f) the
+#: 18 round-16-born operators. 1+4+10+14+3+18 = EXACTLY 50.
+#: Everything rotated out (the r15 changed-plan witnesses, the 31
+#: r8-refresh cohort, the 6 other r15-born operators) is driver-green
+#: in CORRECTNESS_r15 with plan code unchanged since, and stays under
+#: the pytest oracle sweep (tests/test_oracle_parity.py).
 #:
-#: ROUND-16 ROTATION LEDGER: the r8 cohort's remaining 10 —
-#: llm_ivf_topk, llm_kmeans_lloyd, llm_kmeans_silhouette,
-#: llm_ngram_novelty, llm_pmi_collocations, llm_readability_scores,
-#: llm_semdedup_representatives, llm_triangle_counts,
-#: scalar_gapfill_daily_revenue, window_streaks_gaps_islands —
-#: hit the 8-round floor at r17, so r16 MUST window them (10 slots);
-#: the 14 round-15-session-2 newborns below (_BORN_IN_OVERFLOW — the
-#: window was already committed when they landed) should take 14 more
-#: so each earns its first driver row in r16, leaving ~26 for r16
-#: newborns/witnesses. Nothing else is forced before r18 (the r10
-#: cohort's floor).
+#: ROUND-17 ROTATION LEDGER: nothing is guard-forced in r17 (after
+#: this window lands, the oldest driver evidence is the 40-query r10
+#: cohort, floor at r18). r17 should therefore spend its free slots
+#: on (1) first driver rows for any r16-overflow newborns (none at
+#: ledger time — keep it that way), (2) the oldest HALF of the r10
+#: cohort (~20 queries, so r18 never needs a forced bulk rotation),
+#: and (3) r17 newborns/witnesses.
 _PRIORITY = [
-    # --- changed-plan witnesses (r15: the three degenerate-corpus
-    # parity fixes touched both the Spark plans and/or oracles) ---
-    "llm_decontaminate_ngram_sweep",
-    "llm_upsample_plan_integer",
-    "llm_fingerprint_method_agreement",
+    # --- changed-plan witness (r16: J41 gained the within-doc
+    # position cap in both the Spark plan and the oracle) ---
+    "llm_substring_pair_maxrun",
     # --- standing family witnesses: core relational, reference
     # family, true streaming, exact dedup ---
     "flagship_revenue_by_region",
     "ref_extract_functions",
     "stream_true_tumbling_availablenow",
     "llm_exact_dedup_documents",
-    # --- rows-only evidence refresh (VERDICT r14 #4): the two legacy
-    # queries whose newest driver artifact was a round-2 `no_oracle`
-    # error row, plus three multimodal rows-only queries that have
-    # never met the driver; the driver records a rows-only check ---
-    "agg_approx_distinct_users",
-    "sample_orders_seeded",
-    "llm_media_payload_dedup_raw",
-    "llm_multimodal_image_features",
-    "llm_multimodal_audio_features",
-    # --- freshness rotation: 31 of the 41-query r8-evidence cohort
-    # (newest driver row r8; the other 10 are the r16 ledger above) ---
+    # --- freshness rotation: the r8-evidence remainder (newest
+    # driver row r8; floor at r17) ---
+    "llm_ivf_topk",
+    "llm_kmeans_lloyd",
+    "llm_kmeans_silhouette",
+    "llm_ngram_novelty",
+    "llm_pmi_collocations",
+    "llm_readability_scores",
+    "llm_semdedup_representatives",
+    "llm_triangle_counts",
+    "scalar_gapfill_daily_revenue",
+    "window_streaks_gaps_islands",
+    # --- the 14 r15-session-2 newborns: first driver rows (reserved
+    # by the r15 ledger; includes this round's other two changed
+    # plans, agg_theil_inequality_decomposition and
+    # llm_kanonymity_cell_audit) ---
+    "llm_cross_shard_dup_spillover",
+    "llm_dedup_transitivity_audit",
+    "llm_kanonymity_cell_audit",
+    "llm_cluster_separation_audit",
+    "agg_theil_inequality_decomposition",
+    "skyline_parts_pareto",
+    "layout_zonemap_pruning_audit",
+    "llm_dp_histogram_release",
+    "stream_shard_watermark_skew",
+    "llm_incremental_substring_admission",
+    "window_fulfillment_latency_percentiles",
+    "layout_compaction_plan",
+    "agg_return_rate_ztest",
+    "sample_neyman_allocation",
+    # --- rows-only evidence debut (VERDICT r15 #6): never-windowed
+    # true-streaming/sketch queries; the driver records a rows-only
+    # check (their correctness lives in pytest) ---
+    "stream_true_point_in_time",
+    "stream_true_scd2_closed",
+    "agg_sketch_rollup_users",
+    # --- the 18 round-16-born operators: first driver rows ---
+    "llm_substring_dedup_trim",
+    "llm_dedup_grain_overlap",
+    "agg_mann_whitney_u",
+    "agg_ks_two_sample",
+    "agg_spearman_daily_correlation",
+    "agg_chi_square_independence",
+    "agg_weekday_anova",
+    "agg_poisson_bootstrap_ci",
+    "agg_cuped_adjusted_metric",
+    "agg_winsorized_spend_stats",
+    "window_revenue_drawdown",
+    "agg_systematic_sample_estimate",
+    "layout_zorder_benefit_audit",
+    "llm_quality_dup_calibration",
+    "llm_neardup_source_modularity",
+    "llm_epoch_mix_schedule",
+    "stream_microbatch_size_sweep",
+    "stream_dedup_horizon_sweep",
+]
+
+#: Operators registered straight into _OVERFLOW in the round that
+#: bore them (the window was already full). Exempt from the
+#: evidence-freshness guard until a later round's rotation windows
+#: them; their oracles run in the pytest sweep from birth. EMPTY
+#: after the r16 rotation: all 14 r15-session-2 newborns hold r16
+#: window slots above, and every r16-born operator was budgeted into
+#: the window from birth. Grow this set consciously — it defers
+#: driver evidence by at least one round.
+_BORN_IN_OVERFLOW: set[str] = set()
+
+#: Oracle-CARRYING queries deliberately registered just past the
+#: driver's 50-query window (it is full): their oracles still run in
+#: pytest (tests/test_oracle_parity.py sweeps every oracle at sf0.01),
+#: they just lose the per-round driver row. Every query below is
+#: driver-green in some CORRECTNESS_r*.json artifact with plan code
+#: unchanged since (pinned by tests/test_registry_window.py). Grow
+#: this list consciously — whatever sits here trades driver-visible
+#: correctness evidence for a slot.
+_OVERFLOW = [
+    # r16 rotation: the r15 changed-plan witnesses, the 31 r8-refresh
+    # cohort, and the 6 other r15-born operators — every one
+    # driver-green in CORRECTNESS_r15 with plans unchanged since
+    "llm_decontaminate_ngram_sweep",
+    "llm_upsample_plan_integer",
+    "llm_fingerprint_method_agreement",
     "agg_cumulative_users",
     "agg_data_quality_report",
     "agg_important_parts",
@@ -112,68 +173,12 @@ _PRIORITY = [
     "ref_sink_roundtrip",
     "stream_tumbling_window_counts",
     "window_ntile_quartiles",
-    # --- the 7 round-15-born operators: first driver rows ---
     "llm_substring_dup_mass",
     "llm_substring_run_histogram",
-    "llm_substring_pair_maxrun",
     "llm_substring_stopgram_audit",
     "llm_shard_mixing_audit",
     "llm_interleave_run_lengths",
     "stream_session_gap_sweep",
-]
-
-#: Operators registered straight into _OVERFLOW in the round that
-#: bore them (the window was already full). Exempt from the
-#: evidence-freshness guard until a later round's rotation windows
-#: them; their oracles run in the pytest sweep from birth. The
-#: round-15 session-2 batch landed after the r15 window was committed
-#: (the 50 slots were already budgeted: rotation + newborns + rows-only
-#: refreshes), so these fourteen defer their first driver row to r16 —
-#: the r16 ledger above reserves their slots. Grow this set
-#: consciously — it defers driver evidence by at least one round.
-_BORN_IN_OVERFLOW: set[str] = {
-    "llm_cross_shard_dup_spillover",
-    "llm_dedup_transitivity_audit",
-    "llm_kanonymity_cell_audit",
-    "llm_cluster_separation_audit",
-    "agg_theil_inequality_decomposition",
-    "skyline_parts_pareto",
-    "layout_zonemap_pruning_audit",
-    "llm_dp_histogram_release",
-    "stream_shard_watermark_skew",
-    "llm_incremental_substring_admission",
-    "window_fulfillment_latency_percentiles",
-    "layout_compaction_plan",
-    "agg_return_rate_ztest",
-    "sample_neyman_allocation",
-}
-
-#: Oracle-CARRYING queries deliberately registered just past the
-#: driver's 50-query window (it is full): their oracles still run in
-#: pytest (tests/test_oracle_parity.py sweeps every oracle at sf0.01),
-#: they just lose the per-round driver row. Every query below is
-#: driver-green in some CORRECTNESS_r*.json artifact with plan code
-#: unchanged since (pinned by tests/test_registry_window.py). Grow
-#: this list consciously — whatever sits here trades driver-visible
-#: correctness evidence for a slot.
-_OVERFLOW = [
-    # r15 session-2 newborns (_BORN_IN_OVERFLOW): first driver rows
-    # reserved in the r16 ledger above; oracles sweep in pytest from
-    # birth (tests/test_oracle_parity.py)
-    "llm_cross_shard_dup_spillover",
-    "llm_dedup_transitivity_audit",
-    "llm_kanonymity_cell_audit",
-    "llm_cluster_separation_audit",
-    "agg_theil_inequality_decomposition",
-    "skyline_parts_pareto",
-    "layout_zonemap_pruning_audit",
-    "llm_dp_histogram_release",
-    "stream_shard_watermark_skew",
-    "llm_incremental_substring_admission",
-    "window_fulfillment_latency_percentiles",
-    "layout_compaction_plan",
-    "agg_return_rate_ztest",
-    "sample_neyman_allocation",
     # r15 rotation: the r14 _PRIORITY minus the four standing
     # witnesses (all driver-green in CORRECTNESS_r14, plans unchanged
     # since)
@@ -372,7 +377,6 @@ _OVERFLOW = [
     # band-store family members whose r11 plan change is witnessed by
     # the sibling dedup graph/verify queries (same candidate
     # generator); all stay under the pytest oracle sweep
-    "llm_triangle_counts",
     # cluster-store read path witnessed by the neardup-clusters and
     # leakage-split consumers
     # Every query here is driver-green in some CORRECTNESS_r*.json
@@ -420,22 +424,13 @@ _OVERFLOW = [
     "llm_winnow_collisions",
     "llm_kmeans_purity",
     "agg_nation_revenue_yoy",
-    "llm_pmi_collocations",
-    "llm_kmeans_lloyd",
-    "llm_kmeans_silhouette",
-    "window_streaks_gaps_islands",
-    "llm_ivf_topk",
-    "scalar_gapfill_daily_revenue",
-    "llm_ngram_novelty",
-    "llm_semdedup_representatives",
-    "llm_readability_scores",]
+]
 
 #: Genuinely rows-only queries (no cross-engine oracle can exist:
 #: engine-internal RNG streams, HLL sketch internals, spark.ml hash
 #: seeds, binary codec stubs) — registered last, beyond the driver
 #: window; their assertions live in pytest.
 _TAIL = [
-    "agg_sketch_rollup_users",
     "llm_approx_top_terms_sketch",
     "agg_percentile_prices_approx",
     "llm_ml_minhash_join",
@@ -443,9 +438,14 @@ _TAIL = [
     "llm_multimodal_frame_sampling",
     "stream_stateful_running_totals",
     "stream_shard_merge_lateness_approx",
-    "stream_true_point_in_time",
-    "stream_true_scd2_closed",
-    "llm_embedding_mahalanobis",]
+    "llm_embedding_mahalanobis",
+    # rows-only queries whose window tour is complete (modern driver
+    # rows: r15), rotated back to the tail
+    "agg_approx_distinct_users",
+    "sample_orders_seeded",
+    "llm_media_payload_dedup_raw",
+    "llm_multimodal_image_features",
+    "llm_multimodal_audio_features",]
 
 # A typo'd name here would silently no-op the reorder; fail at import
 # instead so a renamed query breaks loudly, not by drifting out of the

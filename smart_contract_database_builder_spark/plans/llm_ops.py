@@ -16381,6 +16381,18 @@ _SUBSTR_K = 8
 #: measures precisely the mass this cap suppresses from the pair view.
 _SUBSTR_DF_CAP = 16
 
+#: WITHIN-doc occurrence cap for the pair-grain query: the df cap bounds
+#: distinct DOCS per anchor, but the occ⋈occ self-join multiplies
+#: POSITION lists — a pathological doc repeating one anchor m times
+#: meets a partner doing the same and contributes m×m rows per anchor.
+#: Keeping only the FIRST k positions per (anchor, doc) bounds a group
+#: at C(df_cap,2)·k² rows BY CONSTRUCTION. k=8 is lossless for real
+#: corpora (a run duplicated r times within one doc keeps its first 8
+#: copies; max_run_len is reported off the surviving earliest copies)
+#: and saturates only adversarial periodic text, where the report reads
+#: k+K-1 tokens instead of the unbounded span — the documented trade.
+_SUBSTR_POS_CAP = 8
+
 
 def _sql_substr_grams() -> str:
     """DuckDB CTEs: tokenized docs + positional K-token anchor grams."""
@@ -16637,7 +16649,15 @@ def llm_substring_run_histogram(
       SELECT gh FROM g GROUP BY gh
       HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {_SUBSTR_DF_CAP}
     ),
-    occ AS (SELECT g.gh, g.doc_id, g.pos FROM g JOIN okg USING (gh)),
+    occ0 AS (
+      SELECT g.gh, g.doc_id, g.pos,
+             ROW_NUMBER() OVER (PARTITION BY g.gh, g.doc_id
+                                ORDER BY g.pos) AS rn
+      FROM g JOIN okg USING (gh)
+    ),
+    occ AS (
+      SELECT gh, doc_id, pos FROM occ0 WHERE rn <= {_SUBSTR_POS_CAP}
+    ),
     p AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.pos AS pa, a.pos - b.pos AS diag
@@ -16689,13 +16709,18 @@ def llm_substring_pair_maxrun(
     gaps-and-islands window as the mass query, per (pair, diagonal).
 
     Scale shape: the pair fan-out is the family's ONE quadratic hazard
-    and is bounded by construction — only anchors with doc-frequency
-    in [2, {_SUBSTR_DF_CAP}] enter the self-join (the LSH-bucket-cap
-    discipline; `llm_substring_stopgram_audit` measures the mass the
-    cap excludes), so a group contributes at most
-    C({_SUBSTR_DF_CAP},2) pairs however hot the boilerplate. The
-    chain window runs per (pair, diagonal) — millions of small
-    partitions, no skew.
+    and is bounded by construction on BOTH axes — only anchors with
+    doc-frequency in [2, {_SUBSTR_DF_CAP}] enter the self-join (the
+    LSH-bucket-cap discipline; `llm_substring_stopgram_audit` measures
+    the mass the cap excludes), and within a doc only the FIRST
+    {_SUBSTR_POS_CAP} positions of an anchor survive (bounding the
+    m×m within-doc occurrence blow-up a periodic document would
+    otherwise inject), so a group contributes at most
+    C({_SUBSTR_DF_CAP},2)·{_SUBSTR_POS_CAP}² pairs however hot the
+    boilerplate (tests/test_round16_ops_invariants.py pins the bound
+    on an adversarial single-anchor-repetition corpus). The chain
+    window runs per (pair, diagonal) — millions of small partitions,
+    no skew.
     """
     grams = _substr_gram_positions(spark, sf_dir)
     okg = (
@@ -16704,7 +16729,14 @@ def llm_substring_pair_maxrun(
         .filter((F.col("nd") >= 2) & (F.col("nd") <= _SUBSTR_DF_CAP))
         .select("gh")
     )
-    occ = grams.join(okg, "gh").select("gh", "doc_id", "pos")
+    wocc = Window.partitionBy("gh", "doc_id").orderBy("pos")
+    occ = (
+        grams.join(okg, "gh")
+        .select("gh", "doc_id", "pos")
+        .withColumn("rn", F.row_number().over(wocc))
+        .filter(F.col("rn") <= _SUBSTR_POS_CAP)
+        .drop("rn")
+    )
     a = occ.select(
         "gh", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa")
     )
@@ -16798,6 +16830,354 @@ def llm_substring_stopgram_audit(
         .otherwise(F.lit(0))
         .cast("long")
         .alias("in_pair_scope"),
+    )
+
+
+@register(
+    "llm_substring_dedup_trim",
+    oracle=f"""
+    WITH {_sql_substr_grams()},
+    sh AS (
+      SELECT gh, MIN(struct_pack(d := doc_id, p := pos)) AS first_key
+      FROM g GROUP BY gh
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    removable AS (
+      SELECT g.doc_id, g.pos
+      FROM g JOIN sh USING (gh)
+      WHERE struct_pack(d := g.doc_id, p := g.pos) != sh.first_key
+    ),
+    covered AS (
+      SELECT doc_id, unnest(range(pos, pos + {_SUBSTR_K})) AS cp
+      FROM removable
+    ),
+    cov AS (
+      SELECT doc_id, list(DISTINCT cp) AS cl FROM covered GROUP BY doc_id
+    )
+    SELECT tok.doc_id,
+           CAST(len(t) AS BIGINT) AS n_tok,
+           CAST(COALESCE(len(cl), 0) AS BIGINT) AS n_removed,
+           md5(COALESCE(array_to_string(
+             list_transform(
+               list_filter(range(1, len(t) + 1),
+                           i -> NOT list_contains(COALESCE(cl, []), i)),
+               i -> t[i]), ' '), '')) AS kept_hash
+    FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id
+    """,
+)
+def llm_substring_dedup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F29/F32 EXT at the SUBSTRING grain: the Lee et al. 2022 output
+    TRANSFORM for the exact-substring family — rebuild every document
+    with all-but-first occurrences of every cross-document shared
+    >= {_SUBSTR_K}-token run REMOVED. Where `llm_substring_dup_mass`
+    prices the duplicated mass and `llm_substring_pair_maxrun` names
+    the pairs, this emits the surviving corpus itself: per doc the
+    removed-token count and an md5 of the rebuilt text, so the oracle
+    verifies the actual surviving CONTENT (the F32 pattern, applied to
+    the F112 anchor relation instead of the fixed-span gram relation).
+
+    Semantics via the anchor identity: each shared anchor gram (doc
+    frequency >= 2 across docs) keeps exactly its globally-first
+    occurrence (lexicographic min (doc_id, pos)); every LATER
+    occurrence's covered interval [pos, pos+{_SUBSTR_K}-1] is cut.
+    The union of cut intervals is precisely the all-but-first coverage
+    of every shared run (a run's later copy contributes all its anchor
+    starts; its first copy contributes none), merged positionally —
+    the gaps-and-islands merge happens implicitly in the position-set
+    union. Within-doc-only repeats (df = 1) are NOT cut at this grain:
+    that is the family's accounting (F112 counts only cross-doc mass),
+    and the span grain (F32) already owns the within-doc case.
+
+    Scale shape: anchor stream O(corpus tokens); canonical selection is
+    ONE hash agg on the 128-bit gram key (min of a (doc,pos) struct
+    merges map-side); the rejoin rides the same key — never a pair
+    fan-out, so NO df cap is needed. Covered positions fan out
+    <= {_SUBSTR_K}× the removable rows and collapse to one per-doc
+    array bounded by the doc's own token count. The rebuild is a pure
+    array expression over the re-tokenized text: no token-level
+    shuffle, no order-sensitive reassembly join. Conservation vs F112
+    (kept+removed <= dup mass, token totals equal) is pinned by
+    tests/test_round16_ops_invariants.py with a pure-Python twin.
+    """
+    return substring_dedup_trim(load_table(spark, sf_dir, "documents"))
+
+
+def substring_dedup_trim(docs: DataFrame) -> DataFrame:
+    """The reusable transform behind ``llm_substring_dedup_trim`` over
+    any (doc_id, source, text) relation — property-tested against a
+    pure-Python reference on synthetic corpora in addition to the
+    registered query's DuckDB oracle."""
+    toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
+    grams = fan_out_if_narrow(
+        docs.select("doc_id", _tokens().alias("t"))
+    ).select(
+        "doc_id",
+        F.posexplode(_word_ngrams(F.col("t"), _SUBSTR_K)).alias("p0", "gram"),
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).alias("pos"),
+        F.md5("gram").alias("gh"),
+    )
+    okey = F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))
+    sh = grams.groupBy("gh").agg(
+        F.countDistinct("doc_id").alias("nd"),
+        F.min(okey).alias("first_key"),
+    ).filter(F.col("nd") >= 2).select("gh", "first_key")
+    removable = (
+        grams.join(sh, "gh")
+        .filter(okey != F.col("first_key"))
+        .select("doc_id", "pos")
+    )
+    cov = (
+        removable.select(
+            "doc_id",
+            F.explode(
+                F.sequence("pos", F.col("pos") + (_SUBSTR_K - 1))
+            ).alias("cp"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("cp").alias("cl"))
+    )
+    cl = F.coalesce(F.col("cl"), F.array().cast("array<int>"))
+    kept_idx = F.filter(
+        F.sequence(F.lit(1), F.size("t")),
+        lambda i: ~F.array_contains(cl, i),
+    )
+    return toked.join(cov, "doc_id", "left").select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tok"),
+        F.coalesce(F.size("cl"), F.lit(0)).cast("long").alias("n_removed"),
+        F.md5(
+            F.concat_ws(
+                " ", F.transform(kept_idx, lambda i: F.element_at("t", i))
+            )
+        ).alias("kept_hash"),
+    )
+
+
+@register(
+    "llm_dedup_grain_overlap",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, {_SQL_TOKENS} AS t FROM documents
+    ),
+    sg AS (
+      SELECT doc_id, p,
+             md5(array_to_string(t[p + 1 : p + {_SPAN_N}], ' ')) AS h
+      FROM (SELECT doc_id, t,
+                   unnest(CASE WHEN len(t) >= {_SPAN_N}
+                          THEN range(0, len(t) - {_SPAN_N - 1})
+                          ELSE [] END) AS p
+            FROM tok)
+    ),
+    scanon AS (
+      SELECT h, COUNT(*) AS cnt,
+             MIN(struct_pack(d := doc_id, p := p)) AS fk
+      FROM sg GROUP BY h
+    ),
+    scov AS (
+      SELECT DISTINCT doc_id, pos FROM (
+        SELECT doc_id, unnest(range(p + 1, p + {_SPAN_N + 1})) AS pos
+        FROM sg JOIN scanon USING (h)
+        WHERE cnt >= 2 AND struct_pack(d := doc_id, p := p) != fk
+      )
+    ),
+    g AS (
+      SELECT doc_id, i AS pos,
+             md5({" || ' ' || ".join(
+                 f"t[i+{j}]" if j else "t[i]" for j in range(_SUBSTR_K)
+             )}) AS gh
+      FROM tok, unnest(range(1, len(t) - {_SUBSTR_K - 2})) AS u(i)
+      WHERE len(t) >= {_SUBSTR_K}
+    ),
+    ssh AS (
+      SELECT gh, MIN(struct_pack(d := doc_id, p := pos)) AS fk
+      FROM g GROUP BY gh
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    ucov AS (
+      SELECT DISTINCT doc_id, pos FROM (
+        SELECT doc_id, unnest(range(pos, pos + {_SUBSTR_K})) AS pos
+        FROM g JOIN ssh USING (gh)
+        WHERE struct_pack(d := doc_id, p := pos) != fk
+      )
+    ),
+    allpos AS (
+      SELECT COALESCE(s.doc_id, u.doc_id) AS doc_id,
+             CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END AS in_span,
+             CASE WHEN u.doc_id IS NOT NULL THEN 1 ELSE 0 END AS in_sub
+      FROM scov s FULL OUTER JOIN ucov u
+        ON u.doc_id = s.doc_id AND u.pos = s.pos
+    ),
+    per_src AS (
+      SELECT tok.source,
+             CAST(SUM(a.in_span) AS BIGINT) AS removed_span,
+             CAST(SUM(a.in_sub) AS BIGINT) AS removed_substr,
+             CAST(SUM(a.in_span * a.in_sub) AS BIGINT) AS removed_both,
+             CAST(COUNT(*) AS BIGINT) AS removed_either
+      FROM allpos a JOIN tok ON tok.doc_id = a.doc_id
+      GROUP BY tok.source
+    ),
+    tot AS (
+      SELECT source, CAST(SUM(len(t)) AS BIGINT) AS n_tokens
+      FROM tok GROUP BY source
+    )
+    SELECT t.source, t.n_tokens,
+           CAST(COALESCE(p.removed_span, 0) AS BIGINT) AS removed_span,
+           CAST(COALESCE(p.removed_substr, 0) AS BIGINT) AS removed_substr,
+           CAST(COALESCE(p.removed_both, 0) AS BIGINT) AS removed_both,
+           CAST(COALESCE(p.removed_either, 0) AS BIGINT) AS removed_either,
+           CASE WHEN COALESCE(p.removed_either, 0) = 0 THEN NULL
+                ELSE CAST(p.removed_both AS DOUBLE) / p.removed_either
+           END AS grain_jaccard
+    FROM tot t LEFT JOIN per_src p USING (source)
+    """,
+)
+def llm_dedup_grain_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F125: DEDUP-GRAIN OVERLAP matrix — per source, the token
+    positions the SPAN grain (F32: fixed {_SPAN_N}-token shingles,
+    duplicate count >= 2 INCLUDING within-doc repeats) would trim vs
+    the positions the SUBSTRING grain (F124/`llm_substring_dedup_trim`:
+    {_SUBSTR_K}-token anchors shared ACROSS docs) would trim, their
+    intersection and union, and the Jaccard between the two removal
+    masks. This is the report that decides whether a curation run
+    needs BOTH passes: grain_jaccard near 1 means one pass is
+    redundant; a fat span-only band is within-doc repetition, a fat
+    substring-only band is cross-doc template mass at offsets the
+    fixed shingle phase misses.
+
+    Exactness: both masks are exact position sets (the same
+    all-but-first canonical-occurrence rule on both grains, 1-based
+    positions); all counts int64; the Jaccard is one IEEE divide with
+    a NULL empty-union guard on both engines.
+
+    Scale shape: two anchor streams over one tokenize pass — each is
+    the corresponding trim query's plan prefix (hash agg on the gram
+    key + join-back; never a pair fan-out); covered positions fan out
+    <= grain-width × removable rows, dedup to position sets with one
+    distinct each, and meet in a (doc, pos)-keyed full outer join
+    that is bounded by the duplicated mass, not the corpus. The
+    rollup is O(sources).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = fan_out_if_narrow(
+        docs.select("doc_id", "source", _tokens().alias("t"))
+    )
+    # span grain (F32 semantics, positions shifted to 1-based)
+    sg = toked.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.when(
+                F.size("t") >= _SPAN_N,
+                F.sequence(F.lit(0), F.size("t") - _SPAN_N),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("p"),
+    ).select(
+        "doc_id",
+        "p",
+        F.md5(
+            F.concat_ws(" ", F.slice("t", F.col("p") + 1, _SPAN_N))
+        ).alias("h"),
+    )
+    okey_s = F.struct(F.col("doc_id").alias("d"), F.col("p").alias("p"))
+    scanon = sg.groupBy("h").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min(okey_s).alias("fk")
+    )
+    scov = (
+        sg.join(scanon, "h")
+        .filter((F.col("cnt") >= 2) & (okey_s != F.col("fk")))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("p") + 1, F.col("p") + _SPAN_N)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    # substring grain (F124 semantics)
+    grams = toked.select(
+        "doc_id",
+        F.posexplode(_word_ngrams(F.col("t"), _SUBSTR_K)).alias(
+            "p0", "gram"
+        ),
+    ).select(
+        "doc_id", (F.col("p0") + 1).alias("pos"), F.md5("gram").alias("gh")
+    )
+    okey_u = F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))
+    ssh = (
+        grams.groupBy("gh")
+        .agg(
+            F.countDistinct("doc_id").alias("nd"),
+            F.min(okey_u).alias("fk"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("gh", "fk")
+    )
+    ucov = (
+        grams.join(ssh, "gh")
+        .filter(okey_u != F.col("fk"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence("pos", F.col("pos") + (_SUBSTR_K - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    s = scov.select(
+        F.col("doc_id").alias("sd"), F.col("pos").alias("sp")
+    ).withColumn("in_span", F.lit(1))
+    u = ucov.select(
+        F.col("doc_id").alias("ud"), F.col("pos").alias("up")
+    ).withColumn("in_sub", F.lit(1))
+    allpos = s.join(
+        u, (F.col("sd") == F.col("ud")) & (F.col("sp") == F.col("up")), "full"
+    ).select(
+        F.coalesce("sd", "ud").alias("doc_id"),
+        F.coalesce("in_span", F.lit(0)).alias("in_span"),
+        F.coalesce("in_sub", F.lit(0)).alias("in_sub"),
+    )
+    src = docs.select("doc_id", "source")
+    per_src = (
+        allpos.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("in_span").cast("long").alias("removed_span"),
+            F.sum("in_sub").cast("long").alias("removed_substr"),
+            F.sum(F.col("in_span") * F.col("in_sub"))
+            .cast("long")
+            .alias("removed_both"),
+            F.count(F.lit(1)).cast("long").alias("removed_either"),
+        )
+    )
+    tot = toked.groupBy("source").agg(
+        F.sum(F.size("t")).cast("long").alias("n_tokens")
+    )
+    return tot.join(per_src, "source", "left").select(
+        "source",
+        "n_tokens",
+        F.coalesce("removed_span", F.lit(0)).cast("long").alias(
+            "removed_span"
+        ),
+        F.coalesce("removed_substr", F.lit(0)).cast("long").alias(
+            "removed_substr"
+        ),
+        F.coalesce("removed_both", F.lit(0)).cast("long").alias(
+            "removed_both"
+        ),
+        F.coalesce("removed_either", F.lit(0)).cast("long").alias(
+            "removed_either"
+        ),
+        F.when(
+            F.coalesce("removed_either", F.lit(0)) == 0,
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.col("removed_both").cast("double")
+            / F.col("removed_either").cast("double")
+        )
+        .alias("grain_jaccard"),
     )
 
 
@@ -17408,9 +17788,10 @@ def llm_kanonymity_cell_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = docs.groupBy(
         "lang",
         "source",
-        (F.col("n_chars") / _KANON_LEN_BUCKET)
-        .cast("long")
-        .alias("len_bucket"),
+        # integer division by construction (matches the oracle's `//`)
+        # rather than a double divide + truncating cast that leans on
+        # every n_chars/128 being exactly representable
+        F.expr(f"n_chars div {_KANON_LEN_BUCKET}").alias("len_bucket"),
     ).agg(F.count(F.lit(1)).alias("cell_n"))
     # every k row of the explode sees ALL cells, so the totals fold
     # into the same aggregate — one corpus scan, no second pass for a
@@ -17858,4 +18239,428 @@ def llm_incremental_substring_admission(
             (F.coalesce("n_hits", F.lit(0)) == 0).alias("admitted"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-16 batch: quality-signal calibration, epoch mix scheduling, and
+# the near-dup graph's partition-quality number.
+# ---------------------------------------------------------------------------
+
+#: Quality-calibration bins: stopword ratio in permille, bucketed by
+#: 100 (bins 0..10); the dup label is jaccard >= _SPILL_J membership.
+_CAL_BIN_PERMILLE = 100
+
+
+@register(
+    "llm_quality_dup_calibration",
+    oracle=rf"""
+    WITH {_sql_neardup_pairs_ctes()},
+    dup AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM jac WHERE jaccard >= {_SPILL_J}
+        UNION ALL
+        SELECT doc_b AS doc_id FROM jac WHERE jaccard >= {_SPILL_J}
+      )
+    ),
+    q AS (
+      SELECT doc_id,
+             (1000 * len(list_filter(t, x -> x IN ({_SQL_STOPWORDS})))
+              // len(t)) // {_CAL_BIN_PERMILLE} AS bin
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+      WHERE len(t) > 0
+    ),
+    lab AS (
+      SELECT q.bin, CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END AS is_dup
+      FROM q LEFT JOIN dup ON dup.doc_id = q.doc_id
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+             CAST(SUM(is_dup) AS BIGINT) AS n_dup_all
+      FROM lab
+    )
+    SELECT CAST(l.bin AS BIGINT) AS stopword_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(l.is_dup) AS BIGINT) AS n_dup_docs,
+           CAST(SUM(l.is_dup) AS DOUBLE) / COUNT(*) AS dup_rate,
+           CASE WHEN t.n_dup_all = 0 THEN NULL
+                ELSE (CAST(SUM(l.is_dup) AS DOUBLE) / COUNT(*))
+                     / (CAST(t.n_dup_all AS DOUBLE) / t.n_all)
+           END AS lift
+    FROM lab l CROSS JOIN tot t
+    GROUP BY l.bin, t.n_all, t.n_dup_all
+    ORDER BY stopword_bin
+    """,
+)
+def llm_quality_dup_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """F126: QUALITY-SIGNAL vs DEDUP calibration — bin documents by
+    stopword ratio (the F20/U4 quality heuristic, in exact permille
+    buckets of {_CAL_BIN_PERMILLE}) and report each bin's verified
+    near-dup membership rate (Jaccard >= {_SPILL_J} pair incidence
+    from the S24 store) plus its lift over the corpus base rate. The
+    reliability read a curation pipeline needs before composing
+    filters: if low-quality bins are ALSO the duplicated bins (lift >>
+    1), dedup-then-filter double-counts the same removal and the
+    ablation matrix (F100) overstates each stage's marginal value.
+
+    Exactness: bins are pure integer arithmetic (permille div, no
+    float ratio); counts int64; rate and lift are fixed IEEE chains
+    with a NULL guard for a dup-free corpus on both engines.
+
+    Scale shape: the pair work is the write-time S24 store; this
+    query touches O(|pairs|) rows for the label, one tokenize pass
+    for the bins, a key join, and an O(bins) rollup. Nothing
+    all-pairs, nothing corpus-proportional after the label join.
+    """
+    pairs = _ngram_jaccard_pairs_stored(spark, sf_dir).filter(
+        F.col("jaccard") >= F.lit(float(_SPILL_J))
+    )
+    dup = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup_", F.lit(1))
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("t")
+    )
+    nstop = F.size(F.filter(F.col("t"), lambda x: x.isin(*_STOPWORDS)))
+    q = (
+        docs.filter(F.size("t") > 0)
+        .select(
+            "doc_id",
+            (1000 * nstop).cast("long").alias("nstop1000"),
+            F.size("t").cast("long").alias("ntok"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"(nstop1000 div ntok) div {_CAL_BIN_PERMILLE}").alias(
+                "bin"
+            ),
+        )
+    )
+    lab = q.join(dup, "doc_id", "left").select(
+        "bin", F.coalesce("is_dup_", F.lit(0)).alias("is_dup")
+    )
+    tot = lab.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum("is_dup").cast("long").alias("n_dup_all"),
+    )
+    return (
+        lab.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("is_dup").cast("long").alias("n_dup_docs"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("long").alias("stopword_bin"),
+            "n_docs",
+            "n_dup_docs",
+            (
+                F.col("n_dup_docs").cast("double") / F.col("n_docs")
+            ).alias("dup_rate"),
+            F.when(F.col("n_dup_all") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                (F.col("n_dup_docs").cast("double") / F.col("n_docs"))
+                / (F.col("n_dup_all").cast("double") / F.col("n_all"))
+            )
+            .alias("lift"),
+        )
+        .orderBy("stopword_bin")
+    )
+
+
+#: Epoch-schedule geometry: temperature-0.5 source weights (milli-
+#: quantized sqrt), total budget = corpus tokens, split over 4 epochs
+#: by the integer Bresenham rule.
+_MIX_EPOCHS = 4
+
+
+@register(
+    "llm_epoch_mix_schedule",
+    oracle=f"""
+    WITH src AS (
+      SELECT source, CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS n_tok
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_tok,
+             CAST(floor(sqrt(CAST(n_tok AS DOUBLE)) * 1000) AS BIGINT)
+               AS w_milli
+      FROM src
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_tok) AS BIGINT) AS budget,
+             CAST(SUM(w_milli) AS BIGINT) AS w_all
+      FROM w
+    ),
+    fr AS (
+      SELECT w.source, w.n_tok, t.budget,
+             (t.budget * w.w_milli) // t.w_all AS base,
+             (t.budget * w.w_milli) % t.w_all AS rem
+      FROM w CROSS JOIN tot t
+    ),
+    rk AS (
+      SELECT source, n_tok, budget, base,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rnk,
+             budget - SUM(base) OVER () AS leftover
+      FROM fr
+    ),
+    alloc AS (
+      SELECT source, n_tok,
+             base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS b
+      FROM rk
+    )
+    SELECT a.source, CAST(e.epoch AS BIGINT) AS epoch,
+           CAST((a.b * (e.epoch + 1)) // {_MIX_EPOCHS}
+                - (a.b * e.epoch) // {_MIX_EPOCHS} AS BIGINT)
+             AS tokens_planned,
+           CAST(a.n_tok AS BIGINT) AS tokens_source,
+           CAST(a.b AS BIGINT) AS tokens_alloc,
+           CAST(a.b AS DOUBLE) / a.n_tok AS upsample_factor
+    FROM alloc a
+    CROSS JOIN (SELECT unnest(range({_MIX_EPOCHS})) AS epoch) e
+    ORDER BY a.source, epoch
+    """,
+)
+def llm_epoch_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F127: EPOCH MIX SCHEDULE — the integer training-run planner
+    that closes the mixture family: temperature-0.5 source weights
+    (the F69 rebalancing rule: w ∝ sqrt(tokens), flattening the
+    source skew), a total budget equal to the corpus token count
+    allocated across sources by LARGEST REMAINDER (the F99 integer
+    discipline — Σ allocations == budget EXACTLY), then each source's
+    allocation spread over {_MIX_EPOCHS} epochs by the Bresenham rule
+    (tokens(e) = floor(b·(e+1)/E) − floor(b·e/E), so epoch totals
+    differ by at most 1 token and Σ epochs == allocation exactly).
+    This is the artifact a dataloader consumes; the conservation
+    identities are what make it trustworthy.
+
+    Exactness: weights are MILLI-quantized sqrt values (floor ×1000 —
+    int64), so shares, remainders, and every allocation are pure
+    integer arithmetic; the only doubles are sqrt (IEEE-exact per
+    engine and correctly rounded) and the final upsample_factor
+    divide.
+
+    Scale shape: one tokenize scan → O(sources) agg; everything after
+    is arithmetic on the O(sources × epochs) relation. The budget ×
+    weight product stays under 2^63 through the 100× probe by the
+    milli (not micro) quantization — envelope documented here.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.sum(F.size(_tokens())).cast("long").alias("n_tok")
+    )
+    w = src.select(
+        "source",
+        "n_tok",
+        F.floor(F.sqrt(F.col("n_tok").cast("double")) * 1000)
+        .cast("long")
+        .alias("w_milli"),
+    )
+    tot = w.agg(
+        F.sum("n_tok").cast("long").alias("budget"),
+        F.sum("w_milli").cast("long").alias("w_all"),
+    )
+    fr = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tok",
+        "budget",
+        F.expr("(budget * w_milli) div w_all").alias("base"),
+        F.expr("(budget * w_milli) % w_all").alias("rem"),
+    )
+    w_rk = Window.orderBy(F.col("rem").desc(), F.col("source"))
+    w_all_rows = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rk = fr.select(
+        "source",
+        "n_tok",
+        "base",
+        F.row_number().over(w_rk).alias("rnk"),
+        (F.col("budget") - F.sum("base").over(w_all_rows)).alias(
+            "leftover"
+        ),
+    )
+    alloc = rk.select(
+        "source",
+        "n_tok",
+        (
+            F.col("base")
+            + F.when(F.col("rnk") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("b"),
+    )
+    epochs = F.array(*[F.lit(e).cast("long") for e in range(_MIX_EPOCHS)])
+    return (
+        alloc.select("source", "n_tok", "b", F.explode(epochs).alias("epoch"))
+        .select(
+            "source",
+            "epoch",
+            (
+                F.expr(f"(b * (epoch + 1)) div {_MIX_EPOCHS}")
+                - F.expr(f"(b * epoch) div {_MIX_EPOCHS}")
+            )
+            .cast("long")
+            .alias("tokens_planned"),
+            F.col("n_tok").alias("tokens_source"),
+            F.col("b").cast("long").alias("tokens_alloc"),
+            (F.col("b").cast("double") / F.col("n_tok")).alias(
+                "upsample_factor"
+            ),
+        )
+        .orderBy("source", "epoch")
+    )
+
+
+@register(
+    "llm_neardup_source_modularity",
+    oracle=rf"""
+    WITH {_sql_neardup_pairs_ctes()},
+    e AS (
+      SELECT da.source AS sa, db.source AS sb
+      FROM jac j
+      JOIN documents da ON da.doc_id = j.doc_a
+      JOIN documents db ON db.doc_id = j.doc_b
+      WHERE j.jaccard >= {_SPILL_J}
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+    srcs AS (SELECT DISTINCT source FROM documents),
+    per AS (
+      SELECT s.source,
+             CAST(COALESCE(SUM(CASE WHEN e.sa = s.source
+                                     AND e.sb = s.source
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_within,
+             CAST(COALESCE(SUM((CASE WHEN e.sa = s.source
+                                     THEN 1 ELSE 0 END)
+                             + (CASE WHEN e.sb = s.source
+                                     THEN 1 ELSE 0 END)), 0) AS BIGINT)
+               AS degree_sum
+      FROM srcs s LEFT JOIN e ON TRUE
+      GROUP BY s.source
+    ),
+    terms AS (
+      SELECT source, n_within, degree_sum,
+             CAST(floor((CAST(n_within AS DOUBLE) / m.m
+                   - (CAST(degree_sum AS DOUBLE) / (2 * m.m))
+                     * (CAST(degree_sum AS DOUBLE) / (2 * m.m)))
+                   * 1000000000) AS BIGINT) AS t_nano
+      FROM per CROSS JOIN m
+    )
+    SELECT t.source, t.n_within AS n_within_edges, t.degree_sum,
+           CAST(t.n_within AS DOUBLE) / m.m AS frac_within,
+           (CAST(t.degree_sum AS DOUBLE) / (2 * m.m))
+             * (CAST(t.degree_sum AS DOUBLE) / (2 * m.m))
+             AS expected_frac,
+           CAST((SELECT SUM(t_nano) FROM terms) AS DOUBLE) / 1000000000
+             AS modularity
+    FROM terms t CROSS JOIN m
+    ORDER BY t.source
+    """,
+)
+def llm_neardup_source_modularity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """J43: NEWMAN MODULARITY of the source partition over the
+    verified near-dup graph — one number for "do near-duplicates stay
+    within their source?": Q = Σ_c (e_c/m − (d_c/2m)²) over sources,
+    where e_c is within-source edge count and d_c the source's degree
+    mass. Q near 0 means sources mix like a random graph (per-source
+    dedup forfeits nothing the spillover audit F117 wouldn't price);
+    Q near its maximum means near-dups are source-local and the
+    cheap shard-by-source dedup is safe. The single-number complement
+    of the cross-source matrix (J36).
+
+    Exactness: edge and degree counts are exact int64 off the S24
+    verified-pair store; each source's modularity term is a fixed
+    IEEE chain NANO-quantized (floor ×1e9 → int64) before the
+    cross-source sum, so Σ is order-free integer addition — the
+    micro-nat discipline at graph scale.
+
+    Scale shape: O(|pairs|) store scan + two broadcast doc→source
+    lookups; sources axis via a left join so zero-degree sources
+    appear with exact zeros; everything after is O(sources).
+    """
+    pairs = _ngram_jaccard_pairs_stored(spark, sf_dir).filter(
+        F.col("jaccard") >= F.lit(float(_SPILL_J))
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    e = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+            ),
+            "doc_b",
+        )
+        .select("sa", "sb")
+    )
+    m = e.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    srcs = src.select("source").distinct()
+    per = (
+        srcs.join(e, F.lit(True), "left")
+        .groupBy("source")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("sa") == F.col("source"))
+                        & (F.col("sb") == F.col("source")),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_within"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("sa") == F.col("source"), 1).otherwise(0)
+                    + F.when(F.col("sb") == F.col("source"), 1).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("degree_sum"),
+        )
+    )
+    md = F.col("m")
+    exp_half = F.col("degree_sum").cast("double") / (2 * md)
+    terms = per.crossJoin(F.broadcast(m)).select(
+        "source",
+        "n_within",
+        "degree_sum",
+        "m",
+        F.floor(
+            (
+                F.col("n_within").cast("double") / md
+                - exp_half * exp_half
+            )
+            * F.lit(1000000000)
+        )
+        .cast("long")
+        .alias("t_nano"),
+    )
+    q = terms.agg(F.sum("t_nano").alias("q_nano"))
+    return (
+        terms.crossJoin(F.broadcast(q))
+        .select(
+            "source",
+            F.col("n_within").alias("n_within_edges"),
+            "degree_sum",
+            (F.col("n_within").cast("double") / md).alias("frac_within"),
+            (exp_half * exp_half).alias("expected_frac"),
+            (F.col("q_nano").cast("double") / F.lit(1000000000)).alias(
+                "modularity"
+            ),
+        )
+        .orderBy("source")
     )

@@ -5046,7 +5046,8 @@ def _ln_libm_ext():
     SELECT n.n_name AS nation,
            g.n_customers,
            CAST(g.s_g AS DOUBLE) / 100 AS revenue,
-           CAST(g.t1_g AS DOUBLE) / (CAST(g.s_g AS DOUBLE) * 1000000)
+           CAST(CAST(g.t1_g AS VARCHAR) AS DOUBLE)
+             / (CAST(g.s_g AS DOUBLE) * 1000000)
              - ln(CAST(g.s_g AS DOUBLE)) + ln(CAST(g.n_customers AS DOUBLE))
              AS theil_within,
            (CAST(g.s_g AS DOUBLE) / CAST(t.s_all AS DOUBLE))
@@ -5106,7 +5107,11 @@ def agg_theil_inequality_decomposition(
     grp = terms.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum(F.col("cents").cast("decimal(38,0)")).alias("s_g"),
-        F.sum((F.col("cents") * F.col("ln_micro")).cast("decimal(38,0)")).alias(
+        # cast BEFORE the multiply: the oracle multiplies in HUGEINT, and
+        # cents*ln_micro as an int64 product has only ~2.4x headroom at
+        # the 100x probe — decimal(38,0)*long keeps the product exact at
+        # any replication factor instead of wrapping silently (non-ANSI)
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("ln_micro")).alias(
             "t1_g"
         ),
     )
@@ -5806,3 +5811,1479 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alloc"),
     ).orderBy("nation")
+
+
+# ---------------------------------------------------------------------------
+# Round-16 batch 1: nonparametric two-sample statistics (rank family).
+# The engine's experimentation readouts gain the distribution-free
+# complements of the z-test (A65): Mann-Whitney U, Kolmogorov-Smirnov,
+# and Spearman rank correlation — all computed from exact integer
+# sufficient statistics over the DISTINCT-VALUE relation, never a
+# per-row global sort.
+# ---------------------------------------------------------------------------
+
+#: Bucket width for the distributed prefix scan over distinct cents
+#: values (the stream_watermark_late_audit two-level pattern).
+_RANK_BUCKET = 1 << 20
+
+
+def _prefix_sums(
+    df: DataFrame,
+    key: str,
+    vals: list[tuple[str, str, bool]],
+    width: int = _RANK_BUCKET,
+) -> DataFrame:
+    """Distributed prefix sums over ``key`` order — the two-level
+    bucketed scan (stream_watermark_late_audit pattern): within-bucket
+    running sums parallelize per bucket, the O(n/width) bucket-summary
+    relation takes the only global window, and the two recombine with
+    one broadcast join — no stage ever sorts the full relation on one
+    core. ``vals`` is a list of (value_col, out_col, inclusive);
+    ``key`` must be distinct per row (a grouped-by-value relation)."""
+    b = df.withColumn("_bkt", F.floor(F.col(key) / width))
+    out = b
+    w_excl = (
+        Window.partitionBy("_bkt")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_incl = (
+        Window.partitionBy("_bkt")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for val, name, inclusive in vals:
+        out = out.withColumn(
+            f"_in_{name}", F.sum(val).over(w_incl if inclusive else w_excl)
+        )
+    bsum = b.groupBy("_bkt").agg(
+        *[F.sum(val).alias(f"_bs_{name}") for val, name, _ in vals]
+    )
+    w_b = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bpre = bsum.select(
+        "_bkt",
+        *[
+            F.sum(f"_bs_{name}").over(w_b).alias(f"_pre_{name}")
+            for _, name, _ in vals
+        ],
+    )
+    out = out.join(F.broadcast(bpre), "_bkt")
+    for _, name, _ in vals:
+        out = out.withColumn(
+            name,
+            F.coalesce(f"_in_{name}", F.lit(0))
+            + F.coalesce(f"_pre_{name}", F.lit(0)),
+        ).drop(f"_in_{name}", f"_pre_{name}")
+    return out.drop("_bkt")
+
+
+@register(
+    "agg_mann_whitney_u",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g
+      FROM orders
+    ),
+    dv AS (
+      SELECT cents, CAST(SUM(g) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM v GROUP BY cents
+    ),
+    rk AS (
+      SELECT cents, c1, c,
+             COALESCE(SUM(c) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM dv
+    ),
+    s AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c - c1) AS BIGINT) AS n2,
+             CAST(SUM(c1 * (2 * cb + c + 1)) AS BIGINT) AS r1x2,
+             SUM(CAST(c AS HUGEINT) * c * c - c) AS tie3
+      FROM rk
+    )
+    SELECT n1 AS n_urgent, n2 AS n_other,
+           CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2 AS u_stat,
+           (CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2
+              - CAST(n1 AS DOUBLE) * n2 / 2)
+           / sqrt(CAST(n1 AS DOUBLE) * n2 / 12
+                  * ((n1 + n2 + 1)
+                     - CAST(CAST(tie3 AS VARCHAR) AS DOUBLE)
+                       / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))
+             AS z_stat,
+           2.0 * (CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2)
+             / (CAST(n1 AS DOUBLE) * n2) - 1.0 AS rank_biserial
+    FROM s
+    """,
+)
+def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A66: MANN-WHITNEY U (Wilcoxon rank-sum) — the distribution-free
+    complement of the two-proportion z-test (A65): do URGENT orders
+    carry stochastically larger totals than the rest? Emits U, the
+    tie-corrected normal z, and the rank-biserial effect size — the
+    readout an experimenter trusts when order values are heavy-tailed
+    and a means test (t/z) would be driven by whales.
+
+    Exactness: average ranks with ties are HALF-integers, so the rank
+    sum is kept in exact DOUBLED units (rank_x2 = 2·cum_before +
+    tie_count + 1 — an int64); the tie-correction Σ(t³−t) accumulates
+    in decimal(38,0)/HUGEINT (t³ overflows int64 at the 100× probe);
+    U, z, and the effect size are one fixed IEEE chain on those
+    identical integers.
+
+    Scale shape: one orders scan → hash agg on DISTINCT cents (domain-
+    bounded: prices have 2 decimals and a bounded range, so the
+    distinct relation does NOT grow with corpus rows); the rank scan
+    over it is the two-level bucketed prefix sum (`_prefix_sums`) —
+    within-bucket windows parallelize, only the O(domain/2^20) bucket
+    summary sees a global window — then ONE 1-row reduce. No per-row
+    sort anywhere.
+    """
+    v = _t(spark, sf_dir, "orders").select(
+        (dec("o_totalprice") * 100).cast("long").alias("cents"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("g"),
+    )
+    dv = v.groupBy("cents").agg(
+        F.sum("g").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    rk = _prefix_sums(dv, "cents", [("c", "cb", False)])
+    s = rk.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).cast("long").alias("n2"),
+        F.sum(F.col("c1") * (2 * F.col("cb") + F.col("c") + 1))
+        .cast("long")
+        .alias("r1x2"),
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * F.col("c") * F.col("c")
+            - F.col("c")
+        ).alias("tie3"),
+    )
+    n1d = F.col("n1").cast("double")
+    u = (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)).cast(
+        "double"
+    ) / F.lit(2)
+    mean_u = n1d * F.col("n2") / F.lit(2)
+    var_u = (
+        n1d
+        * F.col("n2")
+        / F.lit(12)
+        * (
+            (F.col("n1") + F.col("n2") + 1)
+            - F.col("tie3").cast("double")
+            / (
+                (F.col("n1") + F.col("n2")).cast("double")
+                * (F.col("n1") + F.col("n2") - 1)
+            )
+        )
+    )
+    return s.select(
+        F.col("n1").alias("n_urgent"),
+        F.col("n2").alias("n_other"),
+        u.alias("u_stat"),
+        ((u - mean_u) / F.sqrt(var_u)).alias("z_stat"),
+        (F.lit(2.0) * u / (n1d * F.col("n2")) - F.lit(1.0)).alias(
+            "rank_biserial"
+        ),
+    )
+
+
+@register(
+    "agg_ks_two_sample",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    dv AS (
+      SELECT cents, CAST(SUM(g) AS BIGINT) AS c1,
+             CAST(COUNT(*) - SUM(g) AS BIGINT) AS c2
+      FROM v GROUP BY cents
+    ),
+    cum AS (
+      SELECT cents,
+             SUM(c1) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+             SUM(c2) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2
+      FROM dv
+    ),
+    n AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+      FROM dv
+    ),
+    gap AS (
+      SELECT cents, abs(f1 * n.n2 - f2 * n.n1) AS num
+      FROM cum CROSS JOIN n
+    ),
+    mx AS (SELECT MAX(num) AS mnum FROM gap)
+    SELECT n.n1 AS n_building, n.n2 AS n_machinery,
+           CAST(mx.mnum AS DOUBLE)
+             / (CAST(n.n1 AS DOUBLE) * n.n2) AS ks_stat,
+           CAST((SELECT MIN(cents) FROM gap WHERE num = mx.mnum)
+                AS BIGINT) AS ks_at_cents,
+           sqrt(CAST(n.n1 AS DOUBLE) * n.n2 / (n.n1 + n.n2))
+             * (CAST(mx.mnum AS DOUBLE) / (CAST(n.n1 AS DOUBLE) * n.n2))
+             AS ks_scaled
+    FROM n CROSS JOIN mx
+    """,
+)
+def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A67: two-sample KOLMOGOROV-SMIRNOV — the whole-distribution
+    test the rank-sum can't give: the maximum CDF gap between BUILDING
+    and MACHINERY customers' order totals, its location, and the
+    sample-size-scaled statistic sqrt(n1·n2/(n1+n2))·D that a KS table
+    thresholds. Where A66 detects a location shift, this detects ANY
+    distributional difference (shape, spread, tails).
+
+    Exactness: the CDF gap at every distinct value is the EXACT
+    integer |F1·n2 − F2·n1| (cumulative counts cross-multiplied — no
+    per-step divide to accumulate error); the max and its argmin
+    location are integer comparisons; D and the scaled statistic are
+    one fixed IEEE chain at the very end.
+
+    Scale shape: scan → hash agg on distinct cents (domain-bounded,
+    not corpus-proportional) → the two cumulative counts ride ONE
+    two-level bucketed prefix scan (`_prefix_sums`, both sums in the
+    same pass) → a 1-row max reduce and a broadcast argmax lookup.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    v = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            (dec("o_totalprice") * 100).cast("long").alias("cents"),
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(0)
+            .alias("g"),
+        )
+    )
+    dv = v.groupBy("cents").agg(
+        F.sum("g").cast("long").alias("c1"),
+        (F.count(F.lit(1)) - F.sum("g")).cast("long").alias("c2"),
+    )
+    cum = _prefix_sums(dv, "cents", [("c1", "f1", True), ("c2", "f2", True)])
+    n = dv.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    gap = cum.crossJoin(F.broadcast(n)).select(
+        "cents",
+        F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")).alias(
+            "num"
+        ),
+    )
+    mx = gap.agg(F.max("num").alias("mnum"))
+    at = (
+        gap.join(F.broadcast(mx), gap.num == mx.mnum)
+        .agg(F.min("cents").alias("ks_at_cents"))
+    )
+    n1d = F.col("n1").cast("double")
+    d_stat = F.col("mnum").cast("double") / (n1d * F.col("n2"))
+    return (
+        n.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(at))
+        .select(
+            F.col("n1").alias("n_building"),
+            F.col("n2").alias("n_machinery"),
+            d_stat.alias("ks_stat"),
+            F.col("ks_at_cents").cast("long").alias("ks_at_cents"),
+            (
+                F.sqrt(n1d * F.col("n2") / (F.col("n1") + F.col("n2")))
+                * d_stat
+            ).alias("ks_scaled"),
+        )
+    )
+
+
+@register(
+    "agg_spearman_daily_correlation",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS rev,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1
+    ),
+    rx AS (
+      SELECT rev, 2 * COALESCE(SUM(c) OVER (ORDER BY rev
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1 AS r_x2
+      FROM (SELECT rev, CAST(COUNT(*) AS BIGINT) AS c
+            FROM daily GROUP BY rev)
+    ),
+    ry AS (
+      SELECT cnt, 2 * COALESCE(SUM(c) OVER (ORDER BY cnt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1 AS r_y2
+      FROM (SELECT cnt, CAST(COUNT(*) AS BIGINT) AS c
+            FROM daily GROUP BY cnt)
+    ),
+    ranked AS (
+      SELECT rx.r_x2 AS x, ry.r_y2 AS y
+      FROM daily JOIN rx USING (rev) JOIN ry USING (cnt)
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM ranked
+    )
+    SELECT n AS n_days,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)) AS spearman_rho
+    FROM s
+    """,
+)
+def agg_spearman_daily_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A70: SPEARMAN rank correlation between daily revenue and daily
+    order count — the robust twin of the Pearson daily correlation
+    (A20): rank both series (average ranks for ties), then Pearson on
+    the ranks. Outliers (one whale day) that dominate A20's product-
+    moment estimate move Spearman by exactly one rank step — the pair
+    of numbers together says whether a relationship is monotone or
+    merely driven by extremes.
+
+    Exactness: average ranks are half-integers kept in exact DOUBLED
+    units (2·cum_before + ties + 1); every sufficient statistic is an
+    int64 sum of rank products (ranks ≤ 2·n_days and the day axis is
+    FIXED by the date domain, so n·Σxy stays far under 2^63 at any
+    corpus scale); rho is one fixed IEEE chain.
+
+    Scale shape: orders scan → O(days) hash agg (map-side combine) —
+    the date domain bounds everything downstream; ranking windows and
+    the final reduce touch only the O(days) relation. A global window
+    over ≤ a few thousand rows is deliberate (the skyline O7
+    discipline), not a scale hazard.
+    """
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(dec("o_totalprice") * 100).cast("long").alias("rev"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
+    )
+    def _rank2(df: DataFrame, col: str, out: str) -> DataFrame:
+        grouped = df.groupBy(col).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return grouped.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("c").over(w), F.lit(0))
+                + F.col("c")
+                + 1
+            ).alias(out),
+        )
+    ranked = (
+        daily.join(_rank2(daily, "rev", "x"), "rev")
+        .join(_rank2(daily, "cnt", "y"), "cnt")
+        .select("x", "y")
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    return s.select(
+        F.col("n").alias("n_days"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / F.sqrt(
+                (
+                    F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+                ).cast("double")
+                * (
+                    F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+                ).cast("double")
+            )
+        ).alias("spearman_rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-16 batch 2: resampling + experimentation statistics (Poisson
+# bootstrap, CUPED, chi-square, ANOVA) — exact-integer sufficient
+# statistics, deterministic hash-derived randomness, micro-quantized
+# cross-group sums where a float Σ would be order-dependent.
+# ---------------------------------------------------------------------------
+
+#: Replicate count for the Poisson bootstrap and the nearest-rank CI
+#: cut points ceil(0.05·R) / ceil(0.95·R).
+_BOOT_R = 32
+_BOOT_LO = 2
+_BOOT_HI = 31
+
+#: Cumulative Poisson(1) pmf thresholds: weight = #thresholds below u.
+#: Shared double literals, so the comparison chain is identical in
+#: both engines (u itself is an exact division by 2^32).
+_POIS1_CUM = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238462",
+    "0.9963401531726563",
+    "0.9994058151824183",
+    "0.9999167588507119",
+)
+
+#: First-8-hex-chars-of-md5 as a 32-bit integer (the llm_ops KMV
+#: polynomial, restated here for the relational family).
+_SQL_HEX32_EXT = (
+    "list_aggregate(list_transform(range(1, 9), i -> "
+    "CAST(strpos('0123456789abcdef', substr({h}, CAST(i AS INTEGER), 1)) - 1 "
+    "AS BIGINT) * CAST(power(16, 8 - i) AS BIGINT)), 'sum')"
+)
+
+
+def _sql_pois1(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {i}" for i, t in enumerate(_POIS1_CUM)
+    )
+    return f"CASE {cases} ELSE {len(_POIS1_CUM)} END"
+
+
+def _pois1_col(u) -> "F.Column":
+    w = F.lit(len(_POIS1_CUM))
+    for i, t in reversed(list(enumerate(_POIS1_CUM))):
+        w = F.when(u < float(t), F.lit(i)).otherwise(w)
+    return w
+
+
+@register(
+    "agg_poisson_bootstrap_ci",
+    oracle=f"""
+    WITH base AS (
+      SELECT r.r_name AS region, o.o_orderkey,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+    ),
+    reps AS (
+      SELECT region, cents, t.rep,
+             {_SQL_HEX32_EXT.format(
+                 h="md5(CAST(o_orderkey AS VARCHAR) || ':' "
+                   "|| CAST(t.rep AS VARCHAR))")}
+               / 4294967296.0 AS u
+      FROM base CROSS JOIN (SELECT unnest(range({_BOOT_R})) AS rep) t
+    ),
+    rmeans AS (
+      SELECT region, rep,
+             CAST(SUM({_sql_pois1("u")} * cents) AS DOUBLE)
+               / SUM({_sql_pois1("u")}) AS m
+      FROM reps GROUP BY region, rep
+    ),
+    rr AS (
+      SELECT region, m,
+             ROW_NUMBER() OVER (PARTITION BY region ORDER BY m, rep) AS rn
+      FROM rmeans
+    ),
+    pt AS (
+      SELECT region, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100 AS mean_value
+      FROM base GROUP BY region
+    )
+    SELECT pt.region, pt.n_orders, pt.mean_value,
+           MAX(CASE WHEN rn = {_BOOT_LO} THEN m END) / 100 AS ci_lo,
+           MAX(CASE WHEN rn = {_BOOT_HI} THEN m END) / 100 AS ci_hi,
+           CAST({_BOOT_R} AS BIGINT) AS n_replicates
+    FROM pt JOIN rr USING (region)
+    GROUP BY pt.region, pt.n_orders, pt.mean_value
+    """,
+)
+def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A68: POISSON BOOTSTRAP confidence intervals — per region, a 90%
+    CI for the mean order value WITHOUT resampling shuffles: each row's
+    weight in replicate r is Poisson(1)-distributed via the inverse CDF
+    on a hash-derived uniform (md5(orderkey:rep) → u in [0,1)), so all
+    {_BOOT_R} bootstrap replicates compute in ONE scan as a weighted
+    group-by. This is the standard trick for CIs at data-parallel scale
+    (per-replicate multinomial resampling is a shuffle; Poissonization
+    makes weights row-independent) — and hash-derived u makes it fully
+    DETERMINISTIC, hence oracle-checkable cross-engine.
+
+    Exactness: u is an exact division of the md5-hex32 integer by
+    2^32; the Poisson inverse CDF is a fixed literal threshold chain;
+    per-replicate means are exact int64 weighted sums with one IEEE
+    divide; the nearest-rank CI cut (ranks {_BOOT_LO}/{_BOOT_HI} of
+    {_BOOT_R}) orders identical doubles with a rep tiebreak.
+
+    Scale shape: the replicate axis explodes the scan {_BOOT_R}× into
+    a map-side-combinable (region, rep) agg — the fan-out is the
+    technique's documented cost and it replaces {_BOOT_R} full
+    resample+shuffle passes; everything after the agg is O(regions ×
+    replicates). No driver-side loop, no RNG state.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    base = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"),
+            "o_orderkey",
+            (dec("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    rep_axis = F.array(*[F.lit(i).cast("long") for i in range(_BOOT_R)])
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("rep").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    reps = base.select(
+        "region", "cents", "o_orderkey", F.explode(rep_axis).alias("rep")
+    ).select("region", "cents", "rep", _pois1_col(u).alias("w"))
+    rmeans = reps.groupBy("region", "rep").agg(
+        (
+            F.sum(F.col("w") * F.col("cents")).cast("double")
+            / F.sum("w")
+        ).alias("m")
+    )
+    w_rn = Window.partitionBy("region").orderBy("m", "rep")
+    rr = rmeans.select(
+        "region", "m", F.row_number().over(w_rn).alias("rn")
+    )
+    pt = base.groupBy("region").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        (
+            F.sum("cents").cast("double") / F.count(F.lit(1)) / F.lit(100)
+        ).alias("mean_value"),
+    )
+    return (
+        pt.join(rr, "region")
+        .groupBy("region", "n_orders", "mean_value")
+        .agg(
+            (
+                F.max(F.when(F.col("rn") == _BOOT_LO, F.col("m")))
+                / F.lit(100)
+            ).alias("ci_lo"),
+            (
+                F.max(F.when(F.col("rn") == _BOOT_HI, F.col("m")))
+                / F.lit(100)
+            ).alias("ci_hi"),
+        )
+        .select(
+            "region",
+            "n_orders",
+            "mean_value",
+            "ci_lo",
+            "ci_hi",
+            F.lit(_BOOT_R).cast("long").alias("n_replicates"),
+        )
+    )
+
+
+#: CUPED period split: orders before this date are the pre-experiment
+#: covariate X; orders at/after are the metric Y.
+_CUPED_SPLIT = "1996-01-01"
+
+
+@register(
+    "agg_cuped_adjusted_metric",
+    oracle=f"""
+    WITH cust AS (
+      SELECT c.c_mktsegment AS segment, o.o_custkey,
+             CAST(SUM(CASE WHEN o.o_orderdate < TIMESTAMP '{_CUPED_SPLIT}'
+                           THEN CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                           ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN o.o_orderdate >= TIMESTAMP '{_CUPED_SPLIT}'
+                           THEN CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                           ELSE 0 END) AS BIGINT) AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
+      FROM cust GROUP BY segment
+    ),
+    s2 AS (
+      SELECT segment, n,
+             -- VARCHAR-hop double casts: DuckDB's direct HUGEINT->DOUBLE
+             -- is not correctly rounded for >2^53 magnitudes; strtod is,
+             -- matching Spark's (correctly rounded) decimal->double
+             CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) AS covn,
+             CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS varxn,
+             CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE) AS varyn
+      FROM s
+    )
+    SELECT segment, n AS n_customers,
+           covn / varxn AS theta,
+           varyn / (CAST(n AS DOUBLE) * n) / 10000 AS var_y,
+           (varyn / (CAST(n AS DOUBLE) * n) / 10000)
+             * (1.0 - (covn * covn) / (varxn * varyn)) AS var_y_adjusted,
+           (covn * covn) / (varxn * varyn) AS var_reduction
+    FROM s2
+    ORDER BY segment
+    """,
+)
+def agg_cuped_adjusted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A69: CUPED variance reduction — the experimentation-platform
+    workhorse (Deng et al. 2013): regress each customer's in-period
+    spend Y on their PRE-period spend X (split at {_CUPED_SPLIT}),
+    and report per segment the adjustment coefficient θ =
+    cov(X,Y)/var(X), the raw metric variance, the CUPED-adjusted
+    variance var(Y−θX) = var(Y)·(1−ρ²), and the reduction share ρ² —
+    the factor by which an A/B test on this metric shrinks its CI
+    (equivalently: how much smaller the experiment can be).
+
+    Exactness: per-customer X/Y are exact integer cents; all five
+    moment sums accumulate in decimal(38,0)/HUGEINT (x·y products
+    overflow int64 at the 100× probe); θ, the variances, and ρ² are
+    one fixed IEEE chain on those identical integers.
+
+    Scale shape: orders⋈customer → ONE per-customer conditional agg
+    (map-side combine) → O(segments) moment agg. Nothing after the
+    first agg is corpus-proportional; no window, no sort.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    split = F.lit(_CUPED_SPLIT).cast("timestamp")
+    cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("o_orderdate") < split, dec("o_totalprice") * 100
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(
+                    F.col("o_orderdate") >= split, dec("o_totalprice") * 100
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    s = cust.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).alias("syy"),
+    )
+    covn = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    varxn = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    varyn = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    var_y = varyn / (F.col("n").cast("double") * F.col("n")) / F.lit(10000)
+    rho2 = (covn * covn) / (varxn * varyn)
+    return s.select(
+        "segment",
+        F.col("n").alias("n_customers"),
+        (covn / varxn).alias("theta"),
+        var_y.alias("var_y"),
+        (var_y * (F.lit(1.0) - rho2)).alias("var_y_adjusted"),
+        rho2.alias("var_reduction"),
+    ).orderBy("segment")
+
+
+@register(
+    "agg_chi_square_independence",
+    oracle="""
+    WITH j AS (
+      SELECT o.o_orderpriority AS pri, c.c_mktsegment AS seg
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    cell AS (
+      SELECT pri, seg, CAST(COUNT(*) AS BIGINT) AS obs FROM j GROUP BY 1, 2
+    ),
+    rt AS (SELECT pri, CAST(SUM(obs) AS BIGINT) AS rtot FROM cell GROUP BY pri),
+    ct AS (SELECT seg, CAST(SUM(obs) AS BIGINT) AS ctot FROM cell GROUP BY seg),
+    nn AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cell),
+    terms AS (
+      SELECT CAST(floor(CAST(obs AS DOUBLE) * obs * nn.n
+                   / (CAST(rtot AS DOUBLE) * ctot) * 1000000) AS BIGINT) AS tm
+      FROM cell JOIN rt USING (pri) JOIN ct USING (seg) CROSS JOIN nn
+    )
+    SELECT nn.n AS n_total,
+           CAST((SELECT COUNT(*) FROM rt) AS BIGINT) AS n_priorities,
+           CAST((SELECT COUNT(*) FROM ct) AS BIGINT) AS n_segments,
+           CAST(((SELECT COUNT(*) FROM rt) - 1)
+                * ((SELECT COUNT(*) FROM ct) - 1) AS BIGINT) AS dof,
+           CAST((SELECT SUM(tm) FROM terms) AS DOUBLE) / 1000000 - nn.n
+             AS chi2_stat
+    FROM nn
+    """,
+)
+def agg_chi_square_independence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A71: CHI-SQUARE test of independence — is order priority
+    independent of customer market segment? The categorical
+    counterpart of the z-test/U-test pair: one statistic over the
+    priority × segment contingency table, with its degrees of
+    freedom, via the identity χ² = Σ O²·n/(R·C) − n (algebraically
+    equal to Σ(O−E)²/E but computable from integer margins without
+    materializing E per cell).
+
+    Exactness: all counts and margins are exact int64 from one scan;
+    each cell's term is a fixed IEEE chain on those integers,
+    MICRO-QUANTIZED (floor ×1e6 → int64) before the cross-cell sum so
+    the Σ is order-independent integer addition on both engines — the
+    established micro-nat discipline applied to a statistic.
+
+    Scale shape: one orders⋈customer equi-join → an O(|priorities| ×
+    |segments|) cell agg (map-side combine); margins, totals, and the
+    statistic all live on that ≤25-row relation. Nothing downstream
+    of the first agg touches the corpus.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cell = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    )
+    rt = cell.groupBy("pri").agg(F.sum("obs").cast("long").alias("rtot"))
+    ct = cell.groupBy("seg").agg(F.sum("obs").cast("long").alias("ctot"))
+    nn = cell.agg(F.sum("obs").cast("long").alias("n"))
+    terms = (
+        cell.join(F.broadcast(rt), "pri")
+        .join(F.broadcast(ct), "seg")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.floor(
+                F.col("obs").cast("double")
+                * F.col("obs")
+                * F.col("n")
+                / (F.col("rtot").cast("double") * F.col("ctot"))
+                * F.lit(1000000)
+            )
+            .cast("long")
+            .alias("tm")
+        )
+    )
+    tsum = terms.agg(F.sum("tm").alias("tmsum"))
+    nr = rt.agg(F.count(F.lit(1)).cast("long").alias("n_priorities"))
+    nc = ct.agg(F.count(F.lit(1)).cast("long").alias("n_segments"))
+    return (
+        nn.crossJoin(F.broadcast(tsum))
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            F.col("n").alias("n_total"),
+            "n_priorities",
+            "n_segments",
+            ((F.col("n_priorities") - 1) * (F.col("n_segments") - 1))
+            .cast("long")
+            .alias("dof"),
+            (
+                F.col("tmsum").cast("double") / F.lit(1000000) - F.col("n")
+            ).alias("chi2_stat"),
+        )
+    )
+
+
+#: ANOVA quantization: group sum-of-squares terms are floored in units
+#: of 1e10 cents² (= 1e6 dollars²) so the cross-group Σ is exact
+#: integer addition; the F ratio is then computed in pure integer
+#: arithmetic with ONE final divide.
+_ANOVA_EPOCH = "1992-01-01"
+_ANOVA_Q = 10_000_000_000
+
+
+@register(
+    "agg_weekday_anova",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '{_ANOVA_EPOCH}'
+                  AS BIGINT) % 7 AS wd,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    grp AS (
+      SELECT wd, CAST(COUNT(*) AS BIGINT) AS n_g,
+             SUM(CAST(cents AS HUGEINT)) AS s_g
+      FROM daily GROUP BY wd
+    ),
+    gterm AS (
+      SELECT CAST(SUM(CAST(floor(CAST(CAST(s_g AS VARCHAR) AS DOUBLE)
+                     * CAST(CAST(s_g AS VARCHAR) AS DOUBLE)
+                     / n_g / {_ANOVA_Q}) AS BIGINT)) AS BIGINT) AS t,
+             CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(s_g) AS HUGEINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM grp
+    ),
+    x AS (
+      SELECT CAST(floor(
+               CAST(CAST(SUM(CAST(cents AS HUGEINT) * cents) AS VARCHAR)
+                    AS DOUBLE) / {_ANOVA_Q}) AS BIGINT) AS xq
+      FROM daily
+    )
+    SELECT g.n AS n_days, g.k AS k_groups,
+           CAST((g.t - CAST(floor(CAST(CAST(g.s AS VARCHAR) AS DOUBLE)
+                        * CAST(CAST(g.s AS VARCHAR) AS DOUBLE)
+                        / g.n / {_ANOVA_Q}) AS BIGINT))
+                AS DOUBLE) * 1000000 AS ss_between,
+           CAST(x.xq - g.t AS DOUBLE) * 1000000 AS ss_within,
+           CAST((g.t - CAST(floor(CAST(CAST(g.s AS VARCHAR) AS DOUBLE)
+                        * CAST(CAST(g.s AS VARCHAR) AS DOUBLE)
+                        / g.n / {_ANOVA_Q}) AS BIGINT)) * (g.n - g.k)
+                AS DOUBLE)
+             / CAST((x.xq - g.t) * (g.k - 1) AS DOUBLE) AS f_stat,
+           CAST(g.t - CAST(floor(CAST(CAST(g.s AS VARCHAR) AS DOUBLE)
+                        * CAST(CAST(g.s AS VARCHAR) AS DOUBLE)
+                        / g.n / {_ANOVA_Q}) AS BIGINT) AS DOUBLE)
+             / CAST(x.xq - CAST(floor(CAST(g.s AS DOUBLE)
+                        * CAST(g.s AS DOUBLE) / g.n / {_ANOVA_Q})
+                        AS BIGINT) AS DOUBLE) AS eta_sq
+    FROM gterm g CROSS JOIN x
+    """,
+)
+def agg_weekday_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A72: one-way ANOVA of daily revenue by weekday — does the day
+    of week explain revenue variance? The F statistic over the
+    O(days) daily-revenue relation with weekday groups (day index
+    mod 7 from a shared epoch — pure integer calendar, no engine
+    dow() semantics), plus effect size η² = SSB/SST. Complements the
+    weekday-seasonality profile (A32) with the number that says
+    whether the seasonality clears noise.
+
+    Exactness: daily revenues are exact integer cents; each group's
+    S_g²/n_g term (and the grand term) is a fixed IEEE chain floored
+    in units of {_ANOVA_Q} cents² so the cross-group Σ is exact
+    integer addition; F = (T−G)(n−k) / (X−T)(k−1) is then PURE
+    integer arithmetic with one final divide — bitwise cross-engine.
+
+    Scale shape: orders scan → O(days) hash agg → O(7) group agg →
+    1-row statistic. The date domain bounds everything after the
+    first map-side-combinable aggregate.
+    """
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(dec("o_totalprice") * 100).cast("long").alias("cents"))
+        .select(
+            F.pmod(
+                F.datediff(F.col("d"), F.lit(_ANOVA_EPOCH).cast("date")),
+                F.lit(7),
+            )
+            .cast("long")
+            .alias("wd"),
+            "cents",
+        )
+    )
+    grp = daily.groupBy("wd").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s_g"),
+    )
+    sgd = F.col("s_g").cast("double")
+    gterm = grp.select(
+        "n_g",
+        "s_g",
+        F.floor(sgd * sgd / F.col("n_g") / F.lit(_ANOVA_Q))
+        .cast("long")
+        .alias("tg"),
+    ).agg(
+        F.sum("tg").cast("long").alias("t"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    x = daily.agg(
+        F.floor(
+            F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+            .cast("double")
+            / F.lit(_ANOVA_Q)
+        )
+        .cast("long")
+        .alias("xq")
+    )
+    sd = F.col("s").cast("double")
+    g_grand = F.floor(sd * sd / F.col("n") / F.lit(_ANOVA_Q)).cast("long")
+    ssb_q = F.col("t") - g_grand
+    ssw_q = F.col("xq") - F.col("t")
+    return gterm.crossJoin(F.broadcast(x)).select(
+        F.col("n").alias("n_days"),
+        F.col("k").alias("k_groups"),
+        (ssb_q.cast("double") * F.lit(1000000)).alias("ss_between"),
+        (ssw_q.cast("double") * F.lit(1000000)).alias("ss_within"),
+        (
+            (ssb_q * (F.col("n") - F.col("k"))).cast("double")
+            / (ssw_q * (F.col("k") - 1)).cast("double")
+        ).alias("f_stat"),
+        (
+            ssb_q.cast("double")
+            / (F.col("xq") - g_grand).cast("double")
+        ).alias("eta_sq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-16 batch 3: robust aggregates, drawdown, systematic-sample
+# estimator audit, and the 2-D Z-order layout benefit audit.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_winsorized_spend_stats",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                  ) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT c_nationkey, cents,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY cents, o_custkey) AS rn,
+             COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+      FROM spend
+    ),
+    cuts AS (
+      SELECT c_nationkey, CAST(n AS BIGINT) AS n,
+             MAX(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT)
+                      THEN cents END) AS p05,
+             MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                      THEN cents END) AS p95
+      FROM rk GROUP BY c_nationkey, n
+    ),
+    w AS (
+      SELECT r.c_nationkey, c.n, c.p05, c.p95,
+             CAST(SUM(r.cents) AS BIGINT) AS s_raw,
+             CAST(SUM(CASE WHEN r.cents < c.p05 THEN c.p05
+                           WHEN r.cents > c.p95 THEN c.p95
+                           ELSE r.cents END) AS BIGINT) AS s_win,
+             CAST(SUM(CASE WHEN r.rn > CAST(ceil(0.05 * c.n) AS BIGINT)
+                            AND r.rn <= CAST(ceil(0.95 * c.n) AS BIGINT)
+                           THEN r.cents ELSE 0 END) AS BIGINT) AS s_trim,
+             CAST(SUM(CASE WHEN r.rn > CAST(ceil(0.05 * c.n) AS BIGINT)
+                            AND r.rn <= CAST(ceil(0.95 * c.n) AS BIGINT)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_trim
+      FROM rk r JOIN cuts c ON c.c_nationkey = r.c_nationkey
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT nn.n_name AS nation, w.n AS n_customers,
+           CAST(w.p05 AS DOUBLE) / 100 AS p05,
+           CAST(w.p95 AS DOUBLE) / 100 AS p95,
+           CAST(w.s_raw AS DOUBLE) / w.n / 100 AS mean_raw,
+           CAST(w.s_win AS DOUBLE) / w.n / 100 AS mean_winsorized,
+           CAST(w.s_trim AS DOUBLE) / w.n_trim / 100 AS mean_trimmed
+    FROM w JOIN nation nn ON nn.n_nationkey = w.c_nationkey
+    ORDER BY nation
+    """,
+)
+def agg_winsorized_spend_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A73: WINSORIZED and TRIMMED means — the robust-location
+    complement of the MAD outlier screen (A26): per nation, customer
+    lifetime spend summarized three ways (raw mean; p05/p95-winsorized
+    mean — tails clamped to the nearest-rank percentile; 90% trimmed
+    mean — tails dropped). The spread between the three IS the whale
+    effect; reports built on raw means alone overstate the typical
+    customer by exactly that gap.
+
+    Exactness: spends are exact integer cents; percentile cuts are
+    nearest-rank (ceil(q·n), integer comparisons on a deterministic
+    (cents, custkey) order — no interpolation float); clamp/trim sums
+    stay int64; each mean is one IEEE divide.
+
+    Scale shape: orders scan → per-customer agg (map-side combine) →
+    per-nation rank window (25-way parallel; the per-group sort is
+    the exact-percentile family's inherent cost — the registered
+    approx twin A9 is the 100 TB production form) → O(nations) rollup
+    and broadcast name join.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nn = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg((F.sum(dec("o_totalprice") * 100)).cast("long").alias("cents"))
+    )
+    w_rk = Window.partitionBy("c_nationkey").orderBy("cents", "o_custkey")
+    w_n = Window.partitionBy("c_nationkey")
+    rk = spend.select(
+        "c_nationkey",
+        "cents",
+        F.row_number().over(w_rk).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    k_lo = F.ceil(F.lit(0.05) * F.col("n")).cast("long")
+    k_hi = F.ceil(F.lit(0.95) * F.col("n")).cast("long")
+    cuts = rk.groupBy("c_nationkey", F.col("n").cast("long").alias("n")).agg(
+        F.max(F.when(F.col("rn") == k_lo, F.col("cents"))).alias("p05"),
+        F.max(F.when(F.col("rn") == k_hi, F.col("cents"))).alias("p95"),
+    )
+    j = rk.drop("n").join(cuts, "c_nationkey")
+    in_trim = (F.col("rn") > k_lo) & (F.col("rn") <= k_hi)
+    w = j.groupBy("c_nationkey", "n", "p05", "p95").agg(
+        F.sum("cents").cast("long").alias("s_raw"),
+        F.sum(
+            F.when(F.col("cents") < F.col("p05"), F.col("p05"))
+            .when(F.col("cents") > F.col("p95"), F.col("p95"))
+            .otherwise(F.col("cents"))
+        )
+        .cast("long")
+        .alias("s_win"),
+        F.sum(F.when(in_trim, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("s_trim"),
+        F.sum(F.when(in_trim, 1).otherwise(0)).cast("long").alias("n_trim"),
+    )
+    return (
+        w.join(F.broadcast(nn), w.c_nationkey == nn.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n").alias("n_customers"),
+            (F.col("p05").cast("double") / 100).alias("p05"),
+            (F.col("p95").cast("double") / 100).alias("p95"),
+            (F.col("s_raw").cast("double") / F.col("n") / 100).alias(
+                "mean_raw"
+            ),
+            (F.col("s_win").cast("double") / F.col("n") / 100).alias(
+                "mean_winsorized"
+            ),
+            (F.col("s_trim").cast("double") / F.col("n_trim") / 100).alias(
+                "mean_trimmed"
+            ),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "window_revenue_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  ) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    pk AS (
+      SELECT d, rev,
+             MAX(rev) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM daily
+    )
+    SELECT d AS day,
+           CAST(rev AS DOUBLE) / 100 AS revenue,
+           CAST(peak AS DOUBLE) / 100 AS peak_revenue,
+           CAST(peak - rev AS DOUBLE) / 100 AS drawdown,
+           CAST(peak - rev AS DOUBLE) / CAST(peak AS DOUBLE)
+             AS drawdown_share
+    FROM pk
+    """,
+)
+def window_revenue_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W15: DRAWDOWN series — per day, daily revenue against its
+    running historical peak, the gap (drawdown), and the gap as a
+    share of the peak. The max row of ``drawdown_share`` is the
+    maximum drawdown — the risk-report number (how far below the
+    best-ever day did we fall) that the rolling z-score (W4) and
+    CUSUM alarm (W12) bracket but don't state.
+
+    Exactness: daily revenue is exact integer cents; the running peak
+    is an integer max; the share is one IEEE divide on exact ints.
+
+    Scale shape: orders scan → O(days) hash agg; the running-peak
+    window orders only the date-domain-bounded daily relation (the
+    Spearman/skyline discipline — a deliberate global window over a
+    few thousand rows, never the corpus).
+    """
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(dec("o_totalprice") * 100).cast("long").alias("rev"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    pk = daily.select(
+        "d", "rev", F.max("rev").over(w).alias("peak")
+    )
+    return pk.select(
+        F.col("d").alias("day"),
+        (F.col("rev").cast("double") / 100).alias("revenue"),
+        (F.col("peak").cast("double") / 100).alias("peak_revenue"),
+        ((F.col("peak") - F.col("rev")).cast("double") / 100).alias(
+            "drawdown"
+        ),
+        (
+            (F.col("peak") - F.col("rev")).cast("double")
+            / F.col("peak").cast("double")
+        ).alias("drawdown_share"),
+    )
+
+
+#: Systematic sampling geometry: keep keys ≡ _SYS_OFFSET (mod _SYS_K).
+_SYS_K = 40
+_SYS_OFFSET = 7
+
+
+@register(
+    "agg_systematic_sample_estimate",
+    oracle=f"""
+    WITH base AS (
+      SELECT r.r_name AS region,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             o.o_orderkey % {_SYS_K} AS slot
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+    )
+    SELECT region,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS DOUBLE) / 100 AS revenue,
+           CAST(SUM(CASE WHEN slot = {_SYS_OFFSET} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sampled,
+           CAST({_SYS_K} * SUM(CASE WHEN slot = {_SYS_OFFSET}
+                                    THEN cents ELSE 0 END) AS DOUBLE) / 100
+             AS revenue_estimated,
+           (CAST({_SYS_K} * SUM(CASE WHEN slot = {_SYS_OFFSET}
+                                     THEN cents ELSE 0 END) AS DOUBLE)
+              - CAST(SUM(cents) AS DOUBLE))
+             / CAST(SUM(cents) AS DOUBLE) AS relative_error
+    FROM base GROUP BY region ORDER BY region
+    """,
+)
+def agg_systematic_sample_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """O9: SYSTEMATIC sampling estimator audit — keep every order
+    whose surrogate key ≡ {_SYS_OFFSET} (mod {_SYS_K}) (the 1-in-
+    {_SYS_K} systematic pass a pipeline runs when it wants a cheap,
+    REPRODUCIBLE sample with zero RNG state), scale the sample total
+    by {_SYS_K}, and report the estimate against ground truth per
+    region. The relative-error column is the measured answer to "can
+    the daily dashboard run on the systematic sample?" — the
+    measure-don't-guess discipline applied to the engine's own
+    sampling shortcut (complements the seeded Bernoulli O4, which is
+    rows-only by RNG; this one is exactly oracle-checkable BECAUSE
+    key-systematic sampling is deterministic).
+
+    Exactness: membership is integer modular arithmetic on the key;
+    both totals are exact int64 cents; estimate and error are fixed
+    IEEE chains.
+
+    Scale shape: ONE scan computes truth and estimate together
+    (conditional aggregation — the sample is not a second pass);
+    dimension joins broadcast. Nothing after the O(regions) agg.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    base = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"),
+            (dec("o_totalprice") * 100).cast("long").alias("cents"),
+            F.pmod("o_orderkey", F.lit(_SYS_K)).alias("slot"),
+        )
+    )
+    in_s = F.col("slot") == _SYS_OFFSET
+    est = (
+        F.lit(_SYS_K)
+        * F.sum(F.when(in_s, F.col("cents")).otherwise(0))
+    ).cast("double")
+    return (
+        base.groupBy("region")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            (F.sum("cents").cast("double") / 100).alias("revenue"),
+            F.sum(F.when(in_s, 1).otherwise(0))
+            .cast("long")
+            .alias("n_sampled"),
+            (est / 100).alias("revenue_estimated"),
+            (
+                (est - F.sum("cents").cast("double"))
+                / F.sum("cents").cast("double")
+            ).alias("relative_error"),
+        )
+        .orderBy("region")
+    )
+
+
+#: Z-order audit geometry: 8-bit normalized dims, 64 buckets per
+#: layout, and the probe windows (day range, quantity range, or both;
+#: -1/10**9 sentinels mean "unconstrained").
+_ZO_BUCKETS = 64
+_ZO_BITS = 8
+_ZO_PROBES = (
+    ("q1_1996_dates", 1461, 1551, -1, 1_000_000_000),
+    ("qty_45_50", -1, 1_000_000_000, 45, 50),
+    ("both_narrow", 1461, 1551, 45, 50),
+)
+
+
+def _sql_interleave(a: str, b: str) -> str:
+    """16-bit Morton code: bit i of ``a`` → bit 2i+1, bit i of ``b`` →
+    bit 2i (identical integer expression in both engines)."""
+    terms = []
+    for i in range(_ZO_BITS):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+def _interleave_col(a, b) -> "F.Column":
+    z = F.lit(0).cast("long")
+    for i in range(_ZO_BITS):
+        z = z + F.shiftleft(
+            F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i + 1
+        ) + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i)
+    return z
+
+
+@register(
+    "layout_zorder_benefit_audit",
+    oracle=f"""
+    WITH d0 AS (
+      SELECT CAST(CAST(l_shipdate AS DATE) - DATE '{_ZM_EPOCH}' AS BIGINT)
+               AS day,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+    ),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d0),
+    norm AS (
+      SELECT day, qty,
+             ((day - b.lo) * 256) // (b.hi - b.lo + 1) AS d8,
+             ((qty - 1) * 256) // 50 AS q8
+      FROM d0 CROSS JOIN bounds b
+    ),
+    rows_b AS (
+      SELECT layout, bucket,
+             MIN(day) AS dmin, MAX(day) AS dmax,
+             MIN(qty) AS qmin, MAX(qty) AS qmax,
+             COUNT(*) AS n_rows
+      FROM (
+        SELECT day, qty, 'date_sorted' AS layout, d8 // 4 AS bucket
+        FROM norm
+        UNION ALL
+        SELECT day, qty, 'qty_sorted' AS layout, q8 // 4 AS bucket
+        FROM norm
+        UNION ALL
+        SELECT day, qty, 'zorder' AS layout,
+               ({_sql_interleave("d8", "q8")}) // 1024 AS bucket
+        FROM norm
+      )
+      GROUP BY layout, bucket
+    ),
+    probes AS (
+      SELECT * FROM (VALUES {", ".join(
+        f"('{nm}', CAST({dl} AS BIGINT), CAST({dh} AS BIGINT), "
+        f"CAST({ql} AS BIGINT), CAST({qh} AS BIGINT))"
+        for nm, dl, dh, ql, qh in _ZO_PROBES
+      )}) t(probe, d_lo, d_hi, q_lo, q_hi)
+    ),
+    match AS (
+      SELECT p.probe, COUNT(*) AS n_match
+      FROM probes p JOIN d0 ON d0.day BETWEEN p.d_lo AND p.d_hi
+                           AND d0.qty BETWEEN p.q_lo AND p.q_hi
+      GROUP BY p.probe
+    )
+    SELECT r.layout, p.probe,
+           CAST(COUNT(*) AS BIGINT) AS buckets_total,
+           CAST(SUM(CASE WHEN r.dmin <= p.d_hi AND r.dmax >= p.d_lo
+                          AND r.qmin <= p.q_hi AND r.qmax >= p.q_lo
+                         THEN 1 ELSE 0 END) AS BIGINT) AS buckets_scanned,
+           CAST(SUM(CASE WHEN r.dmin <= p.d_hi AND r.dmax >= p.d_lo
+                          AND r.qmin <= p.q_hi AND r.qmax >= p.q_lo
+                         THEN r.n_rows ELSE 0 END) AS BIGINT)
+             AS rows_scanned,
+           CAST(COALESCE(MAX(m.n_match), 0) AS BIGINT) AS rows_matching,
+           CASE WHEN COALESCE(MAX(m.n_match), 0) = 0 THEN NULL
+                ELSE CAST(SUM(CASE WHEN r.dmin <= p.d_hi
+                                    AND r.dmax >= p.d_lo
+                                    AND r.qmin <= p.q_hi
+                                    AND r.qmax >= p.q_lo
+                               THEN r.n_rows ELSE 0 END) AS DOUBLE)
+                     / MAX(m.n_match) END AS scan_amplification
+    FROM rows_b r
+    CROSS JOIN probes p
+    LEFT JOIN match m ON m.probe = p.probe
+    GROUP BY r.layout, p.probe
+    ORDER BY r.layout, p.probe
+    """,
+)
+def layout_zorder_benefit_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """S17/S19 EXT, the 2-D sequel to the zone-map audit (F120): when
+    a workload probes TWO columns (ship date AND quantity), which
+    layout should the writer cluster by? Bucket lineitem 64 ways under
+    three layouts — date-sorted, quantity-sorted, and Z-ORDER (16-bit
+    Morton interleave of the two 8-bit-normalized dims, the S17 writer's
+    actual curve) — build per-bucket zone maps on BOTH columns, and
+    replay date-only / qty-only / 2-D probes. The expected read: each
+    1-D sort wins its own dimension and degenerates to a full scan on
+    the other; Z-order pays a modest factor on both but never
+    degenerates — THE quantified justification for the Z-order writer.
+
+    Exactness: days/quantities are exact integers; the Morton code is
+    a shared shift-mask-add integer expression; counts int64; the
+    amplification is one IEEE divide (NULL on an empty probe, both
+    engines).
+
+    Scale shape: ONE two-column scan feeds all three layouts (a
+    3-entry map explode, not three scans), one (layout, bucket) zone
+    agg — map-side combinable, O(3·64) rows — and an O(probes) match
+    count off the same projection; the probe replay joins literals
+    against the tiny zone relation (the F120 plan, one dim wider).
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.datediff(F.col("l_shipdate"), F.lit(_ZM_EPOCH).cast("date"))
+        .cast("long")
+        .alias("day"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    bounds = li.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    norm = li.crossJoin(F.broadcast(bounds)).select(
+        "day",
+        "qty",
+        F.floor(
+            ((F.col("day") - F.col("lo")) * 256)
+            / (F.col("hi") - F.col("lo") + 1)
+        )
+        .cast("long")
+        .alias("d8"),
+        F.floor(((F.col("qty") - 1) * 256) / F.lit(50))
+        .cast("long")
+        .alias("q8"),
+    )
+    layout_map = F.create_map(
+        F.lit("date_sorted"),
+        F.floor(F.col("d8") / 4).cast("long"),
+        F.lit("qty_sorted"),
+        F.floor(F.col("q8") / 4).cast("long"),
+        F.lit("zorder"),
+        F.floor(
+            _interleave_col(F.col("d8"), F.col("q8")) / 1024
+        ).cast("long"),
+    )
+    rows_b = (
+        norm.select(
+            "day", "qty", F.explode(layout_map).alias("layout", "bucket")
+        )
+        .groupBy("layout", "bucket")
+        .agg(
+            F.min("day").alias("dmin"),
+            F.max("day").alias("dmax"),
+            F.min("qty").alias("qmin"),
+            F.max("qty").alias("qmax"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    probes = spark.createDataFrame(
+        list(_ZO_PROBES),
+        "probe string, d_lo long, d_hi long, q_lo long, q_hi long",
+    )
+    match = (
+        li.join(
+            F.broadcast(probes),
+            (F.col("day") >= F.col("d_lo"))
+            & (F.col("day") <= F.col("d_hi"))
+            & (F.col("qty") >= F.col("q_lo"))
+            & (F.col("qty") <= F.col("q_hi")),
+        )
+        .groupBy("probe")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_match"))
+    )
+    overlap = (
+        (F.col("dmin") <= F.col("d_hi"))
+        & (F.col("dmax") >= F.col("d_lo"))
+        & (F.col("qmin") <= F.col("q_hi"))
+        & (F.col("qmax") >= F.col("q_lo"))
+    )
+    return (
+        rows_b.crossJoin(F.broadcast(probes))
+        .join(F.broadcast(match), "probe", "left")
+        .groupBy("layout", "probe")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("buckets_total"),
+            F.sum(F.when(overlap, 1).otherwise(0))
+            .cast("long")
+            .alias("buckets_scanned"),
+            F.sum(F.when(overlap, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("rows_scanned"),
+            F.coalesce(F.max("n_match"), F.lit(0))
+            .cast("long")
+            .alias("rows_matching"),
+            F.when(
+                F.coalesce(F.max("n_match"), F.lit(0)) == 0,
+                F.lit(None).cast("double"),
+            )
+            .otherwise(
+                F.sum(F.when(overlap, F.col("n_rows")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.max("n_match").cast("double")
+            )
+            .alias("scan_amplification"),
+        )
+        .orderBy("layout", "probe")
+    )

@@ -1291,3 +1291,194 @@ def stream_shard_watermark_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+#: Micro-batch sweep axis: candidate trigger sizes in events.
+_MB_SIZES = (1024, 4096, 16384)
+_MB_WINDOW_US = 3_600_000_000
+
+
+@register(
+    "stream_microbatch_size_sweep",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, epoch_us(ts) AS us FROM events
+    ),
+    b AS (
+      SELECT t.bsz, event_id // t.bsz AS bkt, us
+      FROM e CROSS JOIN (VALUES {", ".join(f"({s})" for s in _MB_SIZES)})
+             t(bsz)
+    ),
+    per AS (
+      SELECT bsz, bkt,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us,
+             CAST(COUNT(DISTINCT us // {_MB_WINDOW_US}) AS BIGINT)
+               AS n_windows
+      FROM b GROUP BY bsz, bkt
+    )
+    SELECT CAST(bsz AS BIGINT) AS batch_size,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS avg_events,
+           CAST(MAX(span_us) AS BIGINT) AS max_span_us,
+           CAST(SUM(span_us) AS DOUBLE) / COUNT(*) AS avg_span_us,
+           CAST(MAX(n_windows) AS BIGINT) AS max_windows,
+           CAST(SUM(n_windows) AS DOUBLE) / COUNT(*) AS avg_windows
+    FROM per GROUP BY bsz ORDER BY batch_size
+    """,
+)
+def stream_microbatch_size_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """T20: MICRO-BATCH TRIGGER sizing sweep — for candidate trigger
+    sizes (1024 / 4096 / 16384 events per batch,
+    arrival order = event_id), the per-batch work profile a
+    Structured Streaming job would see: batch count, mean events, the
+    event-time span a batch covers (how much watermark advance each
+    commit buys), and how many 1-hour aggregation windows a batch
+    touches (the state-store churn per commit). Small triggers =
+    frequent commits touching few windows; large triggers = fewer,
+    fatter commits. This curve plus the lateness/state audits
+    (T15/T16) is the full trigger + watermark decision.
+
+    Exactness: batch ids are integer division on the arrival key;
+    spans and window counts are exact int64 microsecond arithmetic;
+    the three averages are single IEEE divides of exact sums.
+
+    Scale shape: one two-column events scan exploded |axis|× into a
+    map-side-combinable (size, batch) agg, then an O(batches) rollup
+    to |axis| rows. No global window at all — the per-batch grain is
+    keyed, not scanned.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("us")
+    )
+    axis = F.array(*[F.lit(s).cast("long") for s in _MB_SIZES])
+    b = ev.select("event_id", "us", F.explode(axis).alias("bsz")).select(
+        "bsz",
+        F.expr("event_id div bsz").alias("bkt"),
+        "us",
+    )
+    per = b.groupBy("bsz", "bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max("us") - F.min("us")).cast("long").alias("span_us"),
+        F.countDistinct(F.expr(f"us div {_MB_WINDOW_US}"))
+        .cast("long")
+        .alias("n_windows"),
+    )
+    return (
+        per.groupBy(F.col("bsz").alias("batch_size"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_batches"),
+            (
+                F.sum("n_events").cast("double") / F.count(F.lit(1))
+            ).alias("avg_events"),
+            F.max("span_us").cast("long").alias("max_span_us"),
+            (
+                F.sum("span_us").cast("double") / F.count(F.lit(1))
+            ).alias("avg_span_us"),
+            F.max("n_windows").cast("long").alias("max_windows"),
+            (
+                F.sum("n_windows").cast("double") / F.count(F.lit(1))
+            ).alias("avg_windows"),
+        )
+        .orderBy("batch_size")
+    )
+
+
+@register(
+    "stream_dedup_horizon_sweep",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+      FROM events
+    ),
+    g AS (
+      SELECT us - LAG(us) OVER (PARTITION BY user_id, event_type
+                                ORDER BY us, event_id) AS gap
+      FROM e
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_events FROM e)
+    SELECT CAST(t.w_hours AS BIGINT) AS horizon_hours,
+           n.n_events,
+           CAST(COUNT(CASE WHEN g.gap IS NOT NULL AND g.gap <= t.w_us
+                           THEN 1 END) AS BIGINT) AS n_suppressed,
+           CAST(COUNT(CASE WHEN g.gap IS NOT NULL AND g.gap <= t.w_us
+                           THEN 1 END) AS DOUBLE) / n.n_events
+             AS suppress_share
+    FROM (VALUES {", ".join(f"({h}, {us})" for h, us in _WM_DELAYS)})
+           t(w_hours, w_us)
+    CROSS JOIN g CROSS JOIN n
+    GROUP BY t.w_hours, n.n_events
+    ORDER BY horizon_hours
+    """,
+)
+def stream_dedup_horizon_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """T21: DEDUP-HORIZON sweep — the tuning curve for streaming
+    deduplication (T4 `dropDuplicatesWithinWatermark`): for each
+    candidate horizon (1 h / 6 h / 24 h), how many events sit within
+    the horizon of their (user, event_type) PREDECESSOR and would be
+    suppressed as repeats. Too short re-admits retry storms; too long
+    holds per-key state the state audit (T16) prices. Predecessor-gap
+    semantics (each event vs the previous one) is the deliberate,
+    well-defined batch mirror — a stateful last-EMITTED comparison is
+    the T4 runtime's own behavior and is pinned by the streaming
+    tests, not an oracle.
+
+    Exactness: gaps are exact int64 microseconds over a deterministic
+    (us, event_id) order; the axis comparison and counts are integer;
+    the share is one IEEE divide.
+
+    Scale shape: the lag window is keyed by (user, event_type) —
+    millions of small partitions, no global sort; the sweep explodes
+    only the O(1) axis against the gap relation inside one
+    map-side-combinable agg.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "us", "event_id"
+    )
+    g = ev.select((F.col("us") - F.lag("us").over(w)).alias("gap"))
+    n = ev.agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    axis = F.array(
+        *[
+            F.struct(
+                F.lit(h).cast("long").alias("w_hours"),
+                F.lit(us).alias("w_us"),
+            )
+            for h, us in _WM_DELAYS
+        ]
+    )
+    return (
+        g.select(F.explode(axis).alias("w"), "gap")
+        .groupBy(F.col("w.w_hours").alias("horizon_hours"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("gap").isNotNull()
+                    & (F.col("gap") <= F.col("w.w_us")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_suppressed")
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "horizon_hours",
+            "n_events",
+            "n_suppressed",
+            (
+                F.col("n_suppressed").cast("double")
+                / F.col("n_events").cast("double")
+            ).alias("suppress_share"),
+        )
+        .orderBy("horizon_hours")
+    )

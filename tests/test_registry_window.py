@@ -23,19 +23,16 @@ from smart_contract_database_builder_spark.plans import _OVERFLOW, _TAIL
 _DRIVER_WINDOW = 50
 
 
-#: Rows-only queries deliberately holding round-15 window slots
-#: (VERDICT r14 "Next round #4"): the two legacy queries whose only
-#: driver artifact was a round-2 `no_oracle` error row, plus three
-#: multimodal-family queries that had never met the driver. Each
-#: spends one round in the window to earn a modern rows-only driver
-#: row, then rotates back to _TAIL. Grow this set consciously — every
-#: entry displaces an oracle-checked slot.
+#: Rows-only queries deliberately holding round-16 window slots
+#: (VERDICT r15 "Next round #6"): never-windowed true-streaming and
+#: sketch queries taking their turn at the r15 multimodal debut
+#: pattern. Each spends one round in the window to earn a modern
+#: rows-only driver row, then rotates back to _TAIL. Grow this set
+#: consciously — every entry displaces an oracle-checked slot.
 _ROWS_ONLY_WINDOWED = {
-    "agg_approx_distinct_users",
-    "sample_orders_seeded",
-    "llm_media_payload_dedup_raw",
-    "llm_multimodal_image_features",
-    "llm_multimodal_audio_features",
+    "stream_true_point_in_time",
+    "stream_true_scd2_closed",
+    "agg_sketch_rollup_users",
 }
 
 
@@ -77,15 +74,12 @@ def test_oracle_queries_past_the_window_are_explicitly_designated():
 
 def test_family_witnesses_lead():
     """Each operator family keeps an always-in-window witness at the
-    head of the registry. The round-15 witness set pins the three
-    degenerate-corpus parity fixes (plans and/or oracles changed this
-    round) as changed-plan witnesses plus the standing family
-    witnesses."""
+    head of the registry. The round-16 witness set pins the J41
+    within-doc occurrence cap (plan AND oracle changed this round) as
+    the changed-plan witness plus the standing family witnesses."""
     head = list(plans.QUERIES)[:10]
     for name in (
-        "llm_decontaminate_ngram_sweep",
-        "llm_upsample_plan_integer",
-        "llm_fingerprint_method_agreement",
+        "llm_substring_pair_maxrun",
         "flagship_revenue_by_region",
         "ref_extract_functions",
         "stream_true_tumbling_availablenow",
@@ -509,10 +503,82 @@ _ROTATED_IN_R15 = [
 ]
 
 
-def test_round15_rotation_refreshes_the_stale_cohorts():
+def test_round15_rotation_queries_have_driver_rows():
+    """The r15 window earned its driver rows in CORRECTNESS_r15 and
+    rotated out in round 16; pin that each oracle-carrying member (and
+    each rows-only member, rows-recorded) really met the driver."""
+    import json
+    import pathlib
+
+    rows = json.loads(
+        (pathlib.Path(__file__).resolve().parent.parent / "CORRECTNESS_r15.json").read_text()
+    )
+    for n in _ROTATED_IN_R15:
+        r = rows[n]
+        if plans.QUERIES[n].oracle is None:
+            assert r["spark_rows"] is not None and r["spark_rows"] >= 0, n
+        else:
+            assert r["rows_match"] and r["schema_match"] and r["hash_match"], n
+
+
+#: Round-16 rotation contract (VERDICT r15 "Next round #1/#6"): the
+#: J41 changed-plan witness, the 10-query r8-evidence remainder, the
+#: 14 r15-session-2 newborns, the three never-windowed rows-only
+#: debuts, and the 18 round-16-born operators hold window slots.
+_ROTATED_IN_R16 = [
+    "llm_substring_pair_maxrun",
+    "llm_ivf_topk",
+    "llm_kmeans_lloyd",
+    "llm_kmeans_silhouette",
+    "llm_ngram_novelty",
+    "llm_pmi_collocations",
+    "llm_readability_scores",
+    "llm_semdedup_representatives",
+    "llm_triangle_counts",
+    "scalar_gapfill_daily_revenue",
+    "window_streaks_gaps_islands",
+    "llm_cross_shard_dup_spillover",
+    "llm_dedup_transitivity_audit",
+    "llm_kanonymity_cell_audit",
+    "llm_cluster_separation_audit",
+    "agg_theil_inequality_decomposition",
+    "skyline_parts_pareto",
+    "layout_zonemap_pruning_audit",
+    "llm_dp_histogram_release",
+    "stream_shard_watermark_skew",
+    "llm_incremental_substring_admission",
+    "window_fulfillment_latency_percentiles",
+    "layout_compaction_plan",
+    "agg_return_rate_ztest",
+    "sample_neyman_allocation",
+    "stream_true_point_in_time",
+    "stream_true_scd2_closed",
+    "agg_sketch_rollup_users",
+    "llm_substring_dedup_trim",
+    "llm_dedup_grain_overlap",
+    "agg_mann_whitney_u",
+    "agg_ks_two_sample",
+    "agg_spearman_daily_correlation",
+    "agg_chi_square_independence",
+    "agg_weekday_anova",
+    "agg_poisson_bootstrap_ci",
+    "agg_cuped_adjusted_metric",
+    "agg_winsorized_spend_stats",
+    "window_revenue_drawdown",
+    "agg_systematic_sample_estimate",
+    "layout_zorder_benefit_audit",
+    "llm_quality_dup_calibration",
+    "llm_neardup_source_modularity",
+    "llm_epoch_mix_schedule",
+    "stream_microbatch_size_sweep",
+    "stream_dedup_horizon_sweep",
+]
+
+
+def test_round16_rotation_refreshes_the_stale_cohorts():
     window = list(plans.QUERIES)[:_DRIVER_WINDOW]
-    missing = [n for n in _ROTATED_IN_R15 if n not in window]
-    assert missing == [], f"r15 rotation set missing from the window: {missing}"
+    missing = [n for n in _ROTATED_IN_R16 if n not in window]
+    assert missing == [], f"r16 rotation set missing from the window: {missing}"
 
 
 #: Operators registered straight into _OVERFLOW in the round that
