@@ -76,6 +76,15 @@ _NESTED_LOOP_ALLOWED = {
     "agg_theil_inequality_decomposition",  # 1-row global (S, n) totals broadcast
     "layout_zonemap_pruning_audit",  # 1-row day-bounds + 4-row probe-axis broadcasts
     "stream_shard_watermark_skew",   # 1-row global-frontier broadcast onto shards
+    # round 16
+    "agg_ks_two_sample",           # 1-row (n1,n2) + 1-row max-gap + 1-row argmax broadcasts
+    "agg_chi_square_independence",  # 1-row n/row-count/col-count totals cross-joined
+    "agg_weekday_anova",           # 1-row Σx² quantized-total broadcast
+    "layout_zorder_benefit_audit",  # 1-row dim-bounds + 3-row probe-axis broadcasts
+    "llm_epoch_mix_schedule",      # 1-row (budget, weight-total) broadcast
+    "llm_neardup_source_modularity",  # 1-row edge-total + 1-row Q broadcasts; O(sources)×pairs degree axis
+    "llm_quality_dup_calibration",  # 1-row corpus base-rate broadcast onto bins
+    "stream_dedup_horizon_sweep",  # 1-row event-total broadcast onto the 3-row axis
 }
 
 #: Queries whose fn() triggers side effects/execution rather than just
