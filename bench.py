@@ -376,20 +376,27 @@ HEADLINE = [
 ]
 
 
-def _machine_calibration_ms() -> float:
+def _machine_calibration_ms() -> tuple[float, float]:
     """Machine-day constant (VERDICT r15 #5): a pinned single-thread
-    pure-Python + NumPy loop timed min-of-3 before any Spark work. The
-    workload is FROZEN — never change it — so the ratio of two rounds'
+    pure-Python + NumPy loop timed before any Spark work. The workload
+    is FROZEN — never change it — so the ratio of two rounds'
     ``calib_ms`` values IS the machine-speed factor between their
     sessions, letting any BENCH_r*.json be normalized against any other
     without the same-hour commit-checkout adjudication ritual (the r15
     bench total looked like a 2.08× regression that was entirely a
-    2-4× slower machine-day)."""
+    2-4× slower machine-day).
+
+    Returns (min_ms, p50_ms) over 14 timed draws after one untimed
+    warmup. This box shows host-level noisy-neighbor steal (load
+    average ~9 with zero local processes observed while building r16;
+    single draws swing 18 ms → 900 ms), so the MIN over many draws
+    estimates clean machine speed — the normalizer — while the MEDIAN
+    records how contended the session actually was."""
     import numpy as np
 
     a = np.arange(262_144, dtype=np.float64)
-    best = float("inf")
-    for _ in range(3):
+    draws = []
+    for rep in range(15):
         t0 = time.perf_counter()
         acc = 0
         for i in range(200_000):  # interpreter-speed term
@@ -397,9 +404,14 @@ def _machine_calibration_ms() -> float:
         s = 0.0
         for _ in range(50):  # memory/vector-speed term
             s += float(np.dot(a, a))
-        best = min(best, time.perf_counter() - t0)
+        if rep > 0:
+            draws.append(time.perf_counter() - t0)
     assert acc >= 0 and s >= 0.0
-    return round(best * 1000, 2)
+    draws.sort()
+    return (
+        round(draws[0] * 1000, 2),
+        round(draws[len(draws) // 2] * 1000, 2),
+    )
 
 
 def _build_session(cpus: str) -> SparkSession:
@@ -481,7 +493,7 @@ def main() -> None:
 
     qs = plans.queries()
 
-    calib_ms = _machine_calibration_ms()
+    calib_ms, calib_p50_ms = _machine_calibration_ms()
 
     tier = os.environ.get("SPARK_GRAFT_BENCH_TIER", "headline")
     names = HEADLINE if tier == "headline" else list(qs)
@@ -529,7 +541,7 @@ def main() -> None:
 
     line, full = format_result(
         timings, errors, sf=sf, reps=reps, tier=tier, clean=clean,
-        calib_ms=calib_ms,
+        calib_ms=calib_ms, calib_p50_ms=calib_p50_ms,
     )
 
     full_out = os.environ.get(
@@ -555,6 +567,7 @@ def format_result(
     tier: str,
     clean: bool,
     calib_ms: float | None = None,
+    calib_p50_ms: float | None = None,
     budget: int | None = None,
 ) -> tuple[str, dict]:
     """Build the ONE stdout JSON line plus the full side-artifact dict.
@@ -585,6 +598,7 @@ def format_result(
         "clean": clean,
         "n_queries": len(timings),
         "calib_ms": calib_ms,
+        "calib_p50_ms": calib_p50_ms,
         "n_errors": len(errors),
         "errors": {k: v[:80] for k, v in list(errors.items())[:5]},
         "total_sec": total,

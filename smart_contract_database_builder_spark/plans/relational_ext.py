@@ -5839,7 +5839,15 @@ def _prefix_sums(
     relation takes the only global window, and the two recombine with
     one broadcast join — no stage ever sorts the full relation on one
     core. ``vals`` is a list of (value_col, out_col, inclusive);
-    ``key`` must be distinct per row (a grouped-by-value relation)."""
+    ``key`` must be distinct per row (a grouped-by-value relation).
+
+    Callers should ``localCheckpoint()`` the input first: it is
+    consumed by multiple downstream branches (in-bucket scan, bucket
+    summary, the caller's totals), and without lineage truncation each
+    branch re-derives it from the CORPUS scan — 4 full table reads for
+    one statistic. Checkpointing materializes the tiny domain-bounded
+    relation once, so the 100 TB scan happens exactly once (the
+    iterative-CC discipline applied to a reduction)."""
     b = df.withColumn("_bkt", F.floor(F.col(key) / width))
     out = b
     w_excl = (
@@ -5950,7 +5958,7 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = v.groupBy("cents").agg(
         F.sum("g").cast("long").alias("c1"),
         F.count(F.lit(1)).cast("long").alias("c"),
-    )
+    ).localCheckpoint()  # one corpus scan feeds all downstream branches
     rk = _prefix_sums(dv, "cents", [("c", "cb", False)])
     s = rk.agg(
         F.sum("c1").cast("long").alias("n1"),
@@ -6069,7 +6077,7 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = v.groupBy("cents").agg(
         F.sum("g").cast("long").alias("c1"),
         (F.count(F.lit(1)) - F.sum("g")).cast("long").alias("c2"),
-    )
+    ).localCheckpoint()  # one corpus scan feeds all downstream branches
     cum = _prefix_sums(dv, "cents", [("c1", "f1", True), ("c2", "f2", True)])
     n = dv.agg(
         F.sum("c1").cast("long").alias("n1"),
@@ -6284,12 +6292,18 @@ def _pois1_col(u) -> "F.Column":
       JOIN region r ON r.r_regionkey = n.n_regionkey
     ),
     reps AS (
-      SELECT region, cents, t.rep,
+      -- one md5 yields FOUR independent 32-bit uniforms (8-hex-char
+      -- windows of the 128-bit digest): 8 hashes per row cover all 32
+      -- replicates instead of 32 hashes
+      SELECT region, cents, g.g * 4 + j.j AS rep,
              {_SQL_HEX32_EXT.format(
-                 h="md5(CAST(o_orderkey AS VARCHAR) || ':' "
-                   "|| CAST(t.rep AS VARCHAR))")}
+                 h="substr(md5(CAST(o_orderkey AS VARCHAR) || ':' "
+                   "|| CAST(g.g AS VARCHAR)), 1 + 8 * CAST(j.j AS INTEGER)"
+                   ", 8)")}
                / 4294967296.0 AS u
-      FROM base CROSS JOIN (SELECT unnest(range({_BOOT_R})) AS rep) t
+      FROM base
+      CROSS JOIN (SELECT unnest(range({_BOOT_R // 4})) AS g) g
+      CROSS JOIN (SELECT unnest(range(4)) AS j) j
     ),
     rmeans AS (
       SELECT region, rep,
@@ -6319,8 +6333,10 @@ def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A68: POISSON BOOTSTRAP confidence intervals — per region, a 90%
     CI for the mean order value WITHOUT resampling shuffles: each row's
     weight in replicate r is Poisson(1)-distributed via the inverse CDF
-    on a hash-derived uniform (md5(orderkey:rep) → u in [0,1)), so all
-    {_BOOT_R} bootstrap replicates compute in ONE scan as a weighted
+    on a hash-derived uniform (replicate 4g+j reads the j-th 8-hex-char
+    window of md5(orderkey:g) — one digest yields four independent
+    32-bit uniforms, so 8 hashes per row cover all {_BOOT_R}
+    replicates), and all replicates compute in ONE scan as a weighted
     group-by. This is the standard trick for CIs at data-parallel scale
     (per-replicate multinomial resampling is a shuffle; Poissonization
     makes weights row-independent) — and hash-derived u makes it fully
@@ -6354,28 +6370,50 @@ def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dec("o_totalprice") * 100).cast("long").alias("cents"),
         )
     )
-    rep_axis = F.array(*[F.lit(i).cast("long") for i in range(_BOOT_R)])
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("o_orderkey").cast("string"),
-                        F.lit(":"),
-                        F.col("rep").cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        / F.lit(4294967296.0)
+    # one md5 per (order, hash-group g) yields four 8-hex-char windows —
+    # 8 digests cover all 32 replicates. TWO-LEVEL explode on purpose:
+    # each Generate is a projection-collapse boundary, so the 8 digests
+    # evaluate once per order (first explode materializes `digest`),
+    # the 4 window-convs evaluate once per digest (second explode
+    # materializes `u`), and the Poisson CASE chain (7 references to u)
+    # reads an attribute. A single 32-struct array re-evaluated md5 per
+    # struct and the CASE re-evaluated conv per branch — measured 6×
+    # this plan's cost.
+    digs = F.array(
+        *[
+            F.md5(
+                F.concat(
+                    F.col("o_orderkey").cast("string"), F.lit(f":{g}")
+                )
+            )
+            for g in range(_BOOT_R // 4)
+        ]
     )
-    reps = base.select(
-        "region", "cents", "o_orderkey", F.explode(rep_axis).alias("rep")
-    ).select("region", "cents", "rep", _pois1_col(u).alias("w"))
+    s1 = base.select(
+        "region", "cents", F.posexplode(digs).alias("g", "digest")
+    )
+    windows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (
+                    F.conv(
+                        F.substring(F.col("digest"), 1 + 8 * j, 8), 16, 10
+                    ).cast("long")
+                    / F.lit(4294967296.0)
+                ).alias("u"),
+            )
+            for j in range(4)
+        ]
+    )
+    reps = s1.select(
+        "region", "cents", "g", F.explode(windows).alias("rw")
+    ).select(
+        "region",
+        "cents",
+        (F.col("g") * 4 + F.col("rw.j")).cast("long").alias("rep"),
+        _pois1_col(F.col("rw.u")).alias("w"),
+    )
     rmeans = reps.groupBy("region", "rep").agg(
         (
             F.sum(F.col("w") * F.col("cents")).cast("double")

@@ -393,14 +393,14 @@ def test_poisson_bootstrap_python_twin(spark):
     per: dict[str, dict[int, tuple[int, int]]] = {}
     for region, okey, cents in rows:
         reps = per.setdefault(region, {r: (0, 0) for r in range(32)})
-        for rep in range(32):
-            u = (
-                _hex32(hashlib.md5(f"{okey}:{rep}".encode()).hexdigest())
-                / 4294967296.0
-            )
-            w = w_of(u)
-            sw, swc = reps[rep]
-            reps[rep] = (sw + w, swc + w * cents)
+        for g in range(8):
+            digest = hashlib.md5(f"{okey}:{g}".encode()).hexdigest()
+            for j in range(4):
+                rep = g * 4 + j
+                u = int(digest[8 * j : 8 * j + 8], 16) / 4294967296.0
+                w = w_of(u)
+                sw, swc = reps[rep]
+                reps[rep] = (sw + w, swc + w * cents)
     got = _run(spark, "agg_poisson_bootstrap_ci").set_index("region")
     for region, reps in per.items():
         means = sorted(
