@@ -555,3 +555,34 @@ def test_microbatch_sweep_laws(spark):
     assert (df["avg_events"].diff().dropna() >= 0).all()
     assert (df["max_windows"].diff().dropna() >= 0).all()
     assert (df["avg_events"] <= df["batch_size"]).all()
+
+
+def test_prefix_sums_property(spark):
+    """The two-level bucketed prefix scan behind A66/A67 must equal a
+    naive sequential prefix sum for any distinct-key relation —
+    including keys straddling bucket boundaries and sparse/dense mixes
+    (the helper is load-bearing for every rank statistic)."""
+    import random
+
+    from smart_contract_database_builder_spark.plans.relational_ext import (
+        _prefix_sums,
+    )
+
+    rng = random.Random(7)
+    keys = sorted(
+        rng.sample(range(0, 5 * (1 << 20)), 400)  # spans ~5 buckets
+        + [0, (1 << 20) - 1, 1 << 20, (1 << 20) + 1, 5 * (1 << 20) - 1]
+    )
+    rows = [(k, rng.randint(-3, 9), rng.randint(0, 5)) for k in keys]
+    df = spark.createDataFrame(rows, "k long, a long, b long")
+    got = {
+        r.k: (r.ca_ex, r.cb_in)
+        for r in _prefix_sums(
+            df, "k", [("a", "ca_ex", False), ("b", "cb_in", True)]
+        ).collect()
+    }
+    ca = cb = 0
+    for k, a, b in rows:
+        cb += b
+        assert got[k] == (ca, cb), k
+        ca += a
