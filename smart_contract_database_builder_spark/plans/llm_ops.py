@@ -16907,10 +16907,12 @@ def substring_dedup_trim(docs: DataFrame) -> DataFrame:
     any (doc_id, source, text) relation — property-tested against a
     pure-Python reference on synthetic corpora in addition to the
     registered query's DuckDB oracle."""
+    # ONE tokenize relation feeds both the rebuild (toked) and the
+    # anchor stream (grams): the fan-out exchange subtree is shared, so
+    # the physical planner reuses it (ReusedExchange) instead of
+    # scanning and tokenizing the documents table twice.
     toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
-    grams = fan_out_if_narrow(
-        docs.select("doc_id", _tokens().alias("t"))
-    ).select(
+    grams = toked.select(
         "doc_id",
         F.posexplode(_word_ngrams(F.col("t"), _SUBSTR_K)).alias("p0", "gram"),
     ).select(

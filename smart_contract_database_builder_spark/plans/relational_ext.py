@@ -5908,20 +5908,21 @@ def _prefix_sums(
     s AS (
       SELECT CAST(SUM(c1) AS BIGINT) AS n1,
              CAST(SUM(c - c1) AS BIGINT) AS n2,
-             CAST(SUM(c1 * (2 * cb + c + 1)) AS BIGINT) AS r1x2,
+             SUM(CAST(c1 AS HUGEINT) * (2 * cb + c + 1)) AS r1x2,
              SUM(CAST(c AS HUGEINT) * c * c - c) AS tie3
       FROM rk
     )
     SELECT n1 AS n_urgent, n2 AS n_other,
-           CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2 AS u_stat,
-           (CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2
+           CAST(CAST(r1x2 - n1 * (n1 + 1) AS VARCHAR) AS DOUBLE) / 2
+             AS u_stat,
+           (CAST(CAST(r1x2 - n1 * (n1 + 1) AS VARCHAR) AS DOUBLE) / 2
               - CAST(n1 AS DOUBLE) * n2 / 2)
            / sqrt(CAST(n1 AS DOUBLE) * n2 / 12
                   * ((n1 + n2 + 1)
                      - CAST(CAST(tie3 AS VARCHAR) AS DOUBLE)
                        / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))
              AS z_stat,
-           2.0 * (CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2)
+           2.0 * (CAST(CAST(r1x2 - n1 * (n1 + 1) AS VARCHAR) AS DOUBLE) / 2)
              / (CAST(n1 AS DOUBLE) * n2) - 1.0 AS rank_biserial
     FROM s
     """,
@@ -5936,8 +5937,11 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: average ranks with ties are HALF-integers, so the rank
     sum is kept in exact DOUBLED units (rank_x2 = 2·cum_before +
-    tie_count + 1 — an int64); the tie-correction Σ(t³−t) accumulates
-    in decimal(38,0)/HUGEINT (t³ overflows int64 at the 100× probe);
+    tie_count + 1); the rank-sum accumulator Σc1·rank_x2 scales as
+    ~0.4·N² — past int64 at the 100× probe — so it accumulates in
+    decimal(38,0)/HUGEINT like the tie-correction Σ(t³−t), and both
+    enter the IEEE chain through the VARCHAR hop on the oracle side
+    (DuckDB's direct HUGEINT→DOUBLE cast mis-rounds above 2^53);
     U, z, and the effect size are one fixed IEEE chain on those
     identical integers.
 
@@ -5963,9 +5967,10 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = rk.agg(
         F.sum("c1").cast("long").alias("n1"),
         F.sum(F.col("c") - F.col("c1")).cast("long").alias("n2"),
-        F.sum(F.col("c1") * (2 * F.col("cb") + F.col("c") + 1))
-        .cast("long")
-        .alias("r1x2"),
+        F.sum(
+            F.col("c1").cast("decimal(38,0)")
+            * (2 * F.col("cb") + F.col("c") + 1)
+        ).alias("r1x2"),
         F.sum(
             F.col("c").cast("decimal(38,0)") * F.col("c") * F.col("c")
             - F.col("c")
@@ -6033,12 +6038,13 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     mx AS (SELECT MAX(num) AS mnum FROM gap)
     SELECT n.n1 AS n_building, n.n2 AS n_machinery,
-           CAST(mx.mnum AS DOUBLE)
+           CAST(CAST(mx.mnum AS VARCHAR) AS DOUBLE)
              / (CAST(n.n1 AS DOUBLE) * n.n2) AS ks_stat,
            CAST((SELECT MIN(cents) FROM gap WHERE num = mx.mnum)
                 AS BIGINT) AS ks_at_cents,
            sqrt(CAST(n.n1 AS DOUBLE) * n.n2 / (n.n1 + n.n2))
-             * (CAST(mx.mnum AS DOUBLE) / (CAST(n.n1 AS DOUBLE) * n.n2))
+             * (CAST(CAST(mx.mnum AS VARCHAR) AS DOUBLE)
+                / (CAST(n.n1 AS DOUBLE) * n.n2))
              AS ks_scaled
     FROM n CROSS JOIN mx
     """,
@@ -6053,9 +6059,11 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: the CDF gap at every distinct value is the EXACT
     integer |F1·n2 − F2·n1| (cumulative counts cross-multiplied — no
-    per-step divide to accumulate error); the max and its argmin
-    location are integer comparisons; D and the scaled statistic are
-    one fixed IEEE chain at the very end.
+    per-step divide to accumulate error); the cross-multiply widens
+    to decimal(38,0)/HUGEINT (n1·n2 brushes 2^63 at the 100× probe),
+    and the oracle reads the max into the IEEE chain via the VARCHAR
+    hop; the max and its argmin location are integer comparisons; D
+    and the scaled statistic are one fixed IEEE chain at the very end.
 
     Scale shape: scan → hash agg on distinct cents (domain-bounded,
     not corpus-proportional) → the two cumulative counts ride ONE
@@ -6085,9 +6093,10 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gap = cum.crossJoin(F.broadcast(n)).select(
         "cents",
-        F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")).alias(
-            "num"
-        ),
+        F.abs(
+            F.col("f1").cast("decimal(38,0)") * F.col("n2")
+            - F.col("f2").cast("decimal(38,0)") * F.col("n1")
+        ).alias("num"),
     )
     mx = gap.agg(F.max("num").alias("mnum"))
     at = (
@@ -6727,8 +6736,9 @@ _ANOVA_Q = 10_000_000_000
            CAST(g.t - CAST(floor(CAST(CAST(g.s AS VARCHAR) AS DOUBLE)
                         * CAST(CAST(g.s AS VARCHAR) AS DOUBLE)
                         / g.n / {_ANOVA_Q}) AS BIGINT) AS DOUBLE)
-             / CAST(x.xq - CAST(floor(CAST(g.s AS DOUBLE)
-                        * CAST(g.s AS DOUBLE) / g.n / {_ANOVA_Q})
+             / CAST(x.xq - CAST(floor(CAST(CAST(g.s AS VARCHAR) AS DOUBLE)
+                        * CAST(CAST(g.s AS VARCHAR) AS DOUBLE)
+                        / g.n / {_ANOVA_Q})
                         AS BIGINT) AS DOUBLE) AS eta_sq
     FROM gterm g CROSS JOIN x
     """,

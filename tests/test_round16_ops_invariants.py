@@ -527,11 +527,14 @@ def test_modularity_identity(spark):
 
 def test_quality_calibration_conservation(spark):
     df = _run(spark, "llm_quality_dup_calibration")
+    # _tokens() yields [''] for empty text, so len(t) >= 1 for EVERY
+    # document — the bins partition the whole table and per-bin doc
+    # counts must conserve the full document count exactly.
     n_docs_tok = _duck(
         "SELECT COUNT(*) FROM documents "
-        r"WHERE len(string_split_regex(trim(lower(text)), '\s+')) > 0 "
-        "AND trim(text) != ''"
+        r"WHERE len(string_split_regex(trim(lower(text)), '\s+')) > 0"
     )[0][0]
+    assert int(df["n_docs"].sum()) == n_docs_tok
     assert int(df["n_docs"].sum()) >= 1
     assert (df["n_dup_docs"] <= df["n_docs"]).all()
     assert ((df["dup_rate"] >= 0) & (df["dup_rate"] <= 1)).all()
