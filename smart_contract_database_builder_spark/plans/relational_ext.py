@@ -7335,3 +7335,991 @@ def layout_zorder_benefit_audit(
         )
         .orderBy("layout", "probe")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-17 batch 1: trend / changepoint / association statistics over the
+# date-domain-bounded daily-revenue relation. Everything here reduces the
+# corpus to O(days) rows with ONE map-side-combinable hash aggregate, then
+# computes the statistic over that bounded relation — the day-pair work is
+# O(days²), constant in corpus size, never corpus-proportional.
+# ---------------------------------------------------------------------------
+
+#: Shared oracle CTE: per-day exact-integer revenue cents + order count.
+_DAILY_SQL = """daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS cents,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    )"""
+
+
+def _daily_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(d, cents, n) daily-revenue relation — exact integer cents, one
+    orders scan, map-side combine; the bounded base every statistic in
+    this section works from. Callers that branch it more than once
+    should ``localCheckpoint()`` (the iterative-CC discipline: the
+    100 TB scan happens exactly once, the O(days) result is tiny)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(dec("o_totalprice") * 100).cast("long").alias("cents"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+
+
+@register(
+    "agg_kendall_tau_daily",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    p AS (
+      SELECT a.cents AS ca, a.n AS na, b.cents AS cb, b.n AS nb
+      FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN (cb > ca AND nb > na)
+                             OR (cb < ca AND nb < na)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+             CAST(SUM(CASE WHEN (cb > ca AND nb < na)
+                             OR (cb < ca AND nb > na)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+             CAST(SUM(CASE WHEN cb = ca THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+             CAST(SUM(CASE WHEN nb = na THEN 1 ELSE 0 END) AS BIGINT) AS ty
+      FROM p
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily)
+    SELECT nd.n_days, s.n0 AS n_pairs,
+           s.conc AS concordant, s.disc AS discordant,
+           CAST(s.conc - s.disc AS DOUBLE)
+             / sqrt(CAST(s.n0 - s.tx AS DOUBLE) * (s.n0 - s.ty)) AS tau_b,
+           3.0 * CAST(s.conc - s.disc AS DOUBLE)
+             / sqrt(CAST(nd.n_days AS DOUBLE) * (nd.n_days - 1)
+                    * (2 * nd.n_days + 5) / 2) AS z_stat
+    FROM s CROSS JOIN nd
+    """,
+)
+def agg_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A74: KENDALL RANK CORRELATION (tau-b) between daily revenue and
+    daily order count — the distribution-free association readout that
+    Spearman (A70) approximates: are high-revenue days high-order-count
+    days, robust to whales and nonlinearity? Emits concordant /
+    discordant pair counts, tie-corrected tau-b, and the normal-
+    approximation z.
+
+    Exactness: every pair comparison is an integer predicate on exact
+    cents/counts; C, D, and both tie totals are int64; tau-b and z are
+    one fixed IEEE chain on those integers at the very end.
+
+    Scale shape: one orders scan → O(days) hash agg (map-side combine)
+    → an O(days²) day-pair join over the DATE-DOMAIN-BOUNDED relation
+    (~2.4k days ⇒ ~3M comparisons, CONSTANT in corpus rows — the
+    nested-loop broadcast is over the bounded axis, the reason it sits
+    on the plan-hygiene allowlist) → one 1-row reduce.
+    """
+    daily = _daily_rev(spark, sf_dir).localCheckpoint()
+    a = daily.select(
+        F.col("d").alias("da"), F.col("cents").alias("ca"),
+        F.col("n").alias("na"),
+    )
+    b = daily.select(
+        F.col("d").alias("db"), F.col("cents").alias("cb"),
+        F.col("n").alias("nb"),
+    )
+    up, dn = F.col("cb") > F.col("ca"), F.col("cb") < F.col("ca")
+    inc, dec_ = F.col("nb") > F.col("na"), F.col("nb") < F.col("na")
+    s = (
+        a.join(b, F.col("da") < F.col("db"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n0"),
+            F.sum(F.when((up & inc) | (dn & dec_), 1).otherwise(0))
+            .cast("long")
+            .alias("conc"),
+            F.sum(F.when((up & dec_) | (dn & inc), 1).otherwise(0))
+            .cast("long")
+            .alias("disc"),
+            F.sum(F.when(F.col("cb") == F.col("ca"), 1).otherwise(0))
+            .cast("long")
+            .alias("tx"),
+            F.sum(F.when(F.col("nb") == F.col("na"), 1).otherwise(0))
+            .cast("long")
+            .alias("ty"),
+        )
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    cd = (F.col("conc") - F.col("disc")).cast("double")
+    ndd = F.col("n_days").cast("double")
+    return s.crossJoin(F.broadcast(nd)).select(
+        "n_days",
+        F.col("n0").alias("n_pairs"),
+        F.col("conc").alias("concordant"),
+        F.col("disc").alias("discordant"),
+        (
+            cd
+            / F.sqrt(
+                (F.col("n0") - F.col("tx")).cast("double")
+                * (F.col("n0") - F.col("ty"))
+            )
+        ).alias("tau_b"),
+        (
+            F.lit(3.0) * cd
+            / F.sqrt(
+                ndd * (F.col("n_days") - 1)
+                * (2 * F.col("n_days") + 5) / F.lit(2)
+            )
+        ).alias("z_stat"),
+    )
+
+
+#: Theil-Sen slope quantization: milli-cents per day (exact integer
+#: floor division of the pairwise slope — keeps the median an integer
+#: comparison on both engines).
+_SEN_SCALE = 1000
+
+
+@register(
+    "agg_theilsen_trend_slope",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    p AS (
+      SELECT (b.cents - a.cents) * {_SEN_SCALE} AS num,
+             CAST(b.d - a.d AS BIGINT) AS dd
+      FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    sl AS (
+      SELECT (num - ((num % dd) + dd) % dd) // dd AS slope_q FROM p
+    ),
+    g AS (
+      SELECT slope_q, CAST(COUNT(*) AS BIGINT) AS c FROM sl GROUP BY slope_q
+    ),
+    cum AS (
+      SELECT slope_q,
+             SUM(c) OVER (ORDER BY slope_q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f
+      FROM g
+    ),
+    m AS (SELECT CAST(SUM(c) AS BIGINT) AS m FROM g),
+    med AS (
+      SELECT MIN(slope_q) AS sen_q
+      FROM cum CROSS JOIN m WHERE f >= (m.m + 1) // 2
+    ),
+    ols AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+             CAST(SUM(di) AS BIGINT) AS sx,
+             CAST(SUM(di * di) AS BIGINT) AS sxx,
+             CAST(SUM(cents) AS BIGINT) AS sy,
+             SUM(CAST(di AS HUGEINT) * cents) AS sxy
+      FROM (SELECT CAST(d - DATE '{_ANOVA_EPOCH}' AS BIGINT) AS di, cents
+            FROM daily)
+    )
+    SELECT ols.nd AS n_days, m.m AS n_pairs,
+           CAST(med.sen_q AS DOUBLE) / {_SEN_SCALE} AS sen_slope,
+           (CAST(ols.nd AS DOUBLE) * CAST(CAST(ols.sxy AS VARCHAR) AS DOUBLE)
+              - CAST(ols.sx AS DOUBLE) * ols.sy)
+           / (CAST(ols.nd AS DOUBLE) * ols.sxx
+              - CAST(ols.sx AS DOUBLE) * ols.sx) AS ols_slope
+    FROM ols CROSS JOIN m CROSS JOIN med
+    """,
+)
+def agg_theilsen_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A75: THEIL-SEN ROBUST TREND — the median of all pairwise daily-
+    revenue slopes (cents/day), the estimator with a 29% breakdown
+    point where OLS has zero: one quarter of wild days cannot move it.
+    Emits the Sen slope next to the exact-sufficient-statistic OLS
+    slope; the gap between them IS the leverage of the outlier days.
+
+    Exactness: each pairwise slope is floor-quantized to exact integer
+    milli-cents/day (floor division via the non-negative-pmod identity,
+    identical on both engines for negative numerators); the median is
+    the LOWER median (rank ⌈m/2⌉ — an integer rank lookup, no float
+    interpolation); OLS comes from exact integer sums (Σxy widened to
+    decimal(38,0)/HUGEINT with the VARCHAR-hop read).
+
+    Scale shape: O(days) hash agg → bounded O(days²) pair join → hash
+    agg on DISTINCT quantized slopes → the two-level bucketed prefix
+    scan (`_prefix_sums`) for the rank lookup — no global per-pair
+    sort anywhere, and nothing grows with corpus rows.
+    """
+    daily = _daily_rev(spark, sf_dir).localCheckpoint()
+    a = daily.select(F.col("d").alias("da"), F.col("cents").alias("ca"))
+    b = daily.select(F.col("d").alias("db"), F.col("cents").alias("cb"))
+    p = a.join(b, F.col("da") < F.col("db")).select(
+        ((F.col("cb") - F.col("ca")) * _SEN_SCALE).alias("num"),
+        F.datediff("db", "da").cast("long").alias("dd"),
+    )
+    sl = p.select(
+        F.expr("(num - pmod(num, dd)) div dd").alias("slope_q")
+    )
+    g = sl.groupBy("slope_q").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint()
+    cum = _prefix_sums(g, "slope_q", [("c", "f", True)])
+    m = g.agg(F.sum("c").cast("long").alias("m"))
+    med = (
+        cum.crossJoin(F.broadcast(m))
+        .filter(F.col("f") >= F.expr("(m + 1) div 2"))
+        .agg(F.min("slope_q").alias("sen_q"))
+    )
+    di = F.datediff("d", F.lit(_ANOVA_EPOCH).cast("date")).cast("long")
+    ols = daily.select(di.alias("di"), "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("di").cast("long").alias("sx"),
+        F.sum(F.col("di") * F.col("di")).cast("long").alias("sxx"),
+        F.sum("cents").cast("long").alias("sy"),
+        F.sum(F.col("di").cast("decimal(38,0)") * F.col("cents")).alias(
+            "sxy"
+        ),
+    )
+    ndd = F.col("nd").cast("double")
+    sxd = F.col("sx").cast("double")
+    return (
+        ols.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(med))
+        .select(
+            F.col("nd").alias("n_days"),
+            F.col("m").alias("n_pairs"),
+            (F.col("sen_q").cast("double") / F.lit(_SEN_SCALE)).alias(
+                "sen_slope"
+            ),
+            (
+                (ndd * F.col("sxy").cast("double") - sxd * F.col("sy"))
+                / (ndd * F.col("sxx") - sxd * F.col("sx"))
+            ).alias("ols_slope"),
+        )
+    )
+
+
+#: Changepoint quantization: between-segment sum-of-squares terms are
+#: floored in units of _CPT_Q cents² so the k-sweep compares exact
+#: integers (the A72 ANOVA discipline applied to the split statistic).
+_CPT_Q = 10_000_000_000
+
+
+@register(
+    "agg_changepoint_best_split",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    idx AS (
+      SELECT d,
+             ROW_NUMBER() OVER (ORDER BY d) AS k,
+             SUM(cents) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sk
+      FROM daily
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s
+      FROM daily
+    ),
+    gains AS (
+      SELECT d, k, sk, t.n, t.s,
+             CAST(floor(CAST(CAST(sk AS VARCHAR) AS DOUBLE)
+                        * CAST(CAST(sk AS VARCHAR) AS DOUBLE)
+                        / k / {_CPT_Q}) AS BIGINT)
+             + CAST(floor(CAST(CAST(t.s - sk AS VARCHAR) AS DOUBLE)
+                          * CAST(CAST(t.s - sk AS VARCHAR) AS DOUBLE)
+                          / (t.n - k) / {_CPT_Q}) AS BIGINT)
+             - CAST(floor(CAST(t.s AS DOUBLE) * t.s / t.n / {_CPT_Q})
+                    AS BIGINT) AS gain_q
+      FROM idx CROSS JOIN tot t WHERE k < t.n
+    )
+    SELECT n AS n_days, k AS n_before,
+           strftime(d, '%Y-%m-%d') AS split_day,
+           CAST(gain_q AS DOUBLE) * {_CPT_Q} / 10000 AS gain_dollars2,
+           CAST(CAST(sk AS VARCHAR) AS DOUBLE) / k / 100 AS mean_before,
+           CAST(CAST(s - sk AS VARCHAR) AS DOUBLE) / (n - k) / 100
+             AS mean_after
+    FROM gains ORDER BY gain_q DESC, k ASC LIMIT 1
+    """,
+)
+def agg_changepoint_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A76: SINGLE-CHANGEPOINT DETECTION (binary segmentation, first
+    split) on the daily-revenue series — the day k whose before/after
+    segmentation maximizes the between-segment sum of squares
+    S_k²/k + (S−S_k)²/(n−k) − S²/n. The root step of the standard
+    binary-segmentation changepoint recursion, and the answer to "WHEN
+    did the level shift?" that the CUSUM alarm (W12) only flags.
+
+    Exactness: prefix sums are exact integer cents; each quadratic
+    term is floored in units of {_CPT_Q} cents² (the A72 quantization
+    discipline) so the argmax sweep compares EXACT INTEGERS with a
+    deterministic (gain DESC, k ASC) tie-break; the emitted means are
+    one IEEE chain on the same integers.
+
+    Scale shape: one orders scan → O(days) hash agg → one window scan
+    over the date-domain-bounded relation (~2.4k rows — the global
+    window is over the BOUNDED axis, not the corpus) → 1-row result.
+    """
+    daily = _daily_rev(spark, sf_dir).localCheckpoint()
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    idx = daily.select(
+        "d",
+        F.row_number().over(Window.orderBy("d")).cast("long").alias("k"),
+        F.sum("cents").over(w).alias("sk"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    skd = F.col("sk").cast("double")
+    restd = (F.col("s") - F.col("sk")).cast("double")
+    sd = F.col("s").cast("double")
+    gain_q = (
+        F.floor(skd * skd / F.col("k") / F.lit(_CPT_Q)).cast("long")
+        + F.floor(
+            restd * restd / (F.col("n") - F.col("k")) / F.lit(_CPT_Q)
+        ).cast("long")
+        - F.floor(sd * sd / F.col("n") / F.lit(_CPT_Q)).cast("long")
+    )
+    return (
+        idx.crossJoin(F.broadcast(tot))
+        .filter(F.col("k") < F.col("n"))
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("k").alias("n_before"),
+            F.date_format("d", "yyyy-MM-dd").alias("split_day"),
+            gain_q.alias("gain_q"),
+            (skd / F.col("k") / F.lit(100)).alias("mean_before"),
+            (restd / (F.col("n") - F.col("k")) / F.lit(100)).alias(
+                "mean_after"
+            ),
+        )
+        .orderBy(F.desc("gain_q"), F.asc("n_before"))
+        .limit(1)
+        .select(
+            "n_days",
+            "n_before",
+            "split_day",
+            (F.col("gain_q").cast("double") * F.lit(_CPT_Q) / F.lit(10000))
+            .alias("gain_dollars2"),
+            "mean_before",
+            "mean_after",
+        )
+    )
+
+
+@register(
+    "agg_runs_test_daily",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    rk AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, d) AS r,
+             COUNT(*) OVER () AS n
+      FROM daily
+    ),
+    med AS (
+      SELECT MAX(CASE WHEN r = (n + 1) // 2 THEN cents END) AS med
+      FROM rk GROUP BY n
+    ),
+    sg AS (
+      SELECT d, CASE WHEN cents > m.med THEN 1 ELSE 0 END AS s
+      FROM daily CROSS JOIN med m WHERE cents <> m.med
+    ),
+    runs AS (SELECT s, LAG(s) OVER (ORDER BY d) AS prev FROM sg),
+    st AS (
+      SELECT CAST(SUM(s) AS BIGINT) AS a,
+             CAST(SUM(1 - s) AS BIGINT) AS b,
+             CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND s <> prev
+                               THEN 1 ELSE 0 END) AS BIGINT) AS r
+      FROM runs
+    )
+    SELECT a AS n_above, b AS n_below, r AS n_runs,
+           2.0 * (a * b) / (a + b) + 1 AS expected_runs,
+           (CAST(r AS DOUBLE) - (2.0 * (a * b) / (a + b) + 1))
+           / sqrt(2.0 * (a * b) * (2 * (a * b) - a - b)
+                  / (CAST(a + b AS DOUBLE) * (a + b) * (a + b - 1)))
+             AS z_stat
+    FROM st
+    """,
+)
+def agg_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A78: WALD-WOLFOWITZ RUNS TEST for randomness of the daily-
+    revenue sequence — is the above-median / below-median sign pattern
+    serially independent, or does revenue cluster into regimes? Too few
+    runs = positive serial dependence (trends/regimes, what A76 then
+    locates); too many = oscillation. The nonparametric gatekeeper a
+    forecasting pipeline checks before trusting i.i.d.-style intervals.
+
+    Exactness: the reference level is the LOWER MEDIAN of daily cents
+    (rank (n+1)//2 on a deterministic (cents, d) order — integer
+    lookup, no interpolation); median-equal days are dropped (the
+    standard treatment); run count is an integer lag scan; E[R] and z
+    are one fixed IEEE chain on exact integers.
+
+    Scale shape: O(days) hash agg → rank/lag windows over the bounded
+    day axis → 1-row statistic. Nothing corpus-proportional past the
+    first aggregate.
+    """
+    daily = _daily_rev(spark, sf_dir).localCheckpoint()
+    rk = daily.select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "d")).alias("r"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    med = rk.groupBy("n").agg(
+        F.max(
+            F.when(F.col("r") == F.expr("(n + 1) div 2"), F.col("cents"))
+        ).alias("med")
+    ).select("med")
+    sg = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("cents") != F.col("med"))
+        .select(
+            "d",
+            F.when(F.col("cents") > F.col("med"), 1).otherwise(0).alias("s"),
+        )
+    )
+    runs = sg.select(
+        "s", F.lag("s").over(Window.orderBy("d")).alias("prev")
+    )
+    st = runs.agg(
+        F.sum("s").cast("long").alias("a"),
+        F.sum(1 - F.col("s")).cast("long").alias("b"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("s") != F.col("prev")),
+                    1,
+                ).otherwise(0)
+            )
+        ).cast("long").alias("r"),
+    )
+    ab = F.col("a") * F.col("b")
+    e_runs = F.lit(2.0) * ab / (F.col("a") + F.col("b")) + F.lit(1)
+    var = (
+        F.lit(2.0)
+        * ab
+        * (2 * ab - F.col("a") - F.col("b"))
+        / (
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("a") + F.col("b"))
+            * (F.col("a") + F.col("b") - 1)
+        )
+    )
+    return st.select(
+        F.col("a").alias("n_above"),
+        F.col("b").alias("n_below"),
+        F.col("r").alias("n_runs"),
+        e_runs.alias("expected_runs"),
+        ((F.col("r").cast("double") - e_runs) / F.sqrt(var)).alias("z_stat"),
+    )
+
+
+#: Autocorrelation lags (calendar days): adjacent-day, weekly, lunar-
+#: monthly — the standard seasonality screen triplet.
+_ACF_LAGS = (1, 7, 28)
+
+
+@register(
+    "agg_autocorr_daily_revenue",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s,
+             SUM(CAST(cents AS HUGEINT) * cents) AS ss
+      FROM daily
+    ),
+    lg AS (SELECT unnest([{", ".join(str(k) for k in _ACF_LAGS)}]) AS lag),
+    p AS (
+      SELECT lg.lag, CAST(COUNT(*) AS BIGINT) AS m,
+             SUM(CAST(a.cents AS HUGEINT) * b.cents) AS pk,
+             CAST(SUM(b.cents) AS BIGINT) AS sh,
+             CAST(SUM(a.cents) AS BIGINT) AS st
+      FROM daily a
+      JOIN lg ON TRUE
+      JOIN daily b ON b.d = a.d + CAST(lg.lag AS INTEGER)
+      GROUP BY lg.lag
+    )
+    SELECT p.lag AS lag_days, p.m AS n_pairs,
+           (CAST(CAST(p.pk AS VARCHAR) AS DOUBLE)
+              - (CAST(t.s AS DOUBLE) / t.n) * p.sh
+              - (CAST(t.s AS DOUBLE) / t.n) * p.st
+              + (p.m * (CAST(t.s AS DOUBLE) / t.n))
+                * (CAST(t.s AS DOUBLE) / t.n))
+           / (CAST(CAST(t.ss AS VARCHAR) AS DOUBLE)
+              - CAST(t.s AS DOUBLE) * (CAST(t.s AS DOUBLE) / t.n)) AS acf
+    FROM p CROSS JOIN tot t ORDER BY lag_days
+    """,
+)
+def agg_autocorr_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A79: AUTOCORRELATION of daily revenue at calendar lags
+    {_ACF_LAGS} — the seasonality screen behind every forecasting
+    choice in the engine (W8 EWMA's memory, W9's seasonal-naive lag,
+    A32's weekday profile): lag-7 spikes say weekly seasonality, lag-1
+    says momentum, lag-28 says monthly cycles.
+
+    Exactness: all sufficient statistics are exact integers (lag cross-
+    products widened to decimal(38,0)/HUGEINT — daily-cents products
+    pass 2^63 at the 100× probe — with VARCHAR-hop reads); the ACF is
+    one fixed IEEE chain per lag on those integers, with x̄ recomputed
+    by the identical sub-expression everywhere it appears.
+
+    Scale shape: O(days) hash agg → a 3-row lag-axis broadcast + one
+    EQUI-join on the shifted date (never a range scan) → O(lags)
+    rollup. Bounded by the date domain, constant in corpus rows.
+    """
+    daily = _daily_rev(spark, sf_dir).localCheckpoint()
+    lags = spark.createDataFrame(
+        [(k,) for k in _ACF_LAGS], "lag int"
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
+            "ss"
+        ),
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("cents").alias("ca"))
+    b = daily.select(F.col("d").alias("db"), F.col("cents").alias("cb"))
+    p = (
+        a.crossJoin(F.broadcast(lags))
+        .withColumn("dk", F.date_add(F.col("da"), F.col("lag")))
+        .join(b, F.col("db") == F.col("dk"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum(F.col("ca").cast("decimal(38,0)") * F.col("cb")).alias(
+                "pk"
+            ),
+            F.sum("cb").cast("long").alias("sh"),
+            F.sum("ca").cast("long").alias("st"),
+        )
+    )
+    xbar = F.col("s").cast("double") / F.col("n")
+    return (
+        p.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("lag").cast("long").alias("lag_days"),
+            F.col("m").alias("n_pairs"),
+            (
+                (
+                    F.col("pk").cast("double")
+                    - xbar * F.col("sh")
+                    - xbar * F.col("st")
+                    + (F.col("m") * xbar) * xbar
+                )
+                / (
+                    F.col("ss").cast("double")
+                    - F.col("s").cast("double") * xbar
+                )
+            ).alias("acf"),
+        )
+        .orderBy("lag_days")
+    )
+
+
+@register(
+    "agg_seasonal_decomposition_daily",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    ma AS (
+      SELECT d, cents,
+             SUM(cents) OVER (ORDER BY d
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w7,
+             COUNT(*) OVER (ORDER BY d
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+      FROM daily
+    ),
+    det AS (
+      SELECT CAST(d - DATE '{_ANOVA_EPOCH}' AS BIGINT) % 7 AS wd,
+             7 * cents - w7 AS detr7
+      FROM ma WHERE c7 = 7
+    )
+    SELECT wd, CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(CAST(SUM(detr7) AS VARCHAR) AS DOUBLE) / 7 / COUNT(*) / 100
+             AS seasonal_dollars
+    FROM det GROUP BY wd ORDER BY wd
+    """,
+)
+def agg_seasonal_decomposition_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A80: classical ADDITIVE SEASONAL DECOMPOSITION, weekday
+    component — detrend daily revenue with a centered 7-observation
+    moving total, then average the detrended series by weekday (day
+    index mod 7 from the shared epoch, the A72 calendar). Where A32
+    profiles RAW weekday revenue (trend leaks into the profile), this
+    is the trend-free seasonal index the decomposition literature
+    defines — the pair quantifies how much of A32's "seasonality" was
+    actually growth.
+
+    Exactness: the detrended value is kept as the exact INTEGER
+    7·x_t − Σwindow (the ×7 clears the moving-average divide), so
+    per-weekday sums are order-free integer addition (HUGEINT on the
+    oracle with the VARCHAR-hop read); each index is one IEEE chain.
+
+    Scale shape: O(days) hash agg → one row-window scan over the
+    bounded day axis → O(7) rollup. Boundary days (incomplete window)
+    are excluded exactly on both engines via the window COUNT.
+    """
+    daily = _daily_rev(spark, sf_dir)
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    ma = daily.select(
+        "d",
+        "cents",
+        F.sum("cents").over(w7).alias("w7"),
+        F.count(F.lit(1)).over(w7).alias("c7"),
+    )
+    det = ma.filter(F.col("c7") == 7).select(
+        F.pmod(
+            F.datediff("d", F.lit(_ANOVA_EPOCH).cast("date")), F.lit(7)
+        ).cast("long").alias("wd"),
+        (7 * F.col("cents") - F.col("w7")).alias("detr7"),
+    )
+    return (
+        det.groupBy("wd")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            (
+                F.sum("detr7").cast("double")
+                / F.lit(7)
+                / F.count(F.lit(1))
+                / F.lit(100)
+            ).alias("seasonal_dollars"),
+        )
+        .orderBy("wd")
+    )
+
+
+#: Quantile-treatment-effect probe deciles (percent ranks).
+_QTE_DECILES = (10, 20, 30, 40, 50, 60, 70, 80, 90)
+
+
+@register(
+    "agg_quantile_treatment_effect",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g
+      FROM orders
+    ),
+    dv AS (
+      SELECT cents, CAST(SUM(g) AS BIGINT) AS c1,
+             CAST(COUNT(*) - SUM(g) AS BIGINT) AS c2
+      FROM v GROUP BY cents
+    ),
+    cum AS (
+      SELECT cents,
+             SUM(c1) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+             SUM(c2) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2
+      FROM dv
+    ),
+    n AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+      FROM dv
+    ),
+    qs AS (SELECT unnest([{", ".join(str(q) for q in _QTE_DECILES)}]) AS q),
+    v1 AS (
+      SELECT qs.q, MIN(cum.cents) AS c
+      FROM qs CROSS JOIN n JOIN cum ON cum.f1 >= (qs.q * n.n1 + 99) // 100
+      GROUP BY qs.q
+    ),
+    v2 AS (
+      SELECT qs.q, MIN(cum.cents) AS c
+      FROM qs CROSS JOIN n JOIN cum ON cum.f2 >= (qs.q * n.n2 + 99) // 100
+      GROUP BY qs.q
+    )
+    SELECT CAST(v1.q AS BIGINT) AS pct,
+           CAST(v1.c AS DOUBLE) / 100 AS v_urgent,
+           CAST(v2.c AS DOUBLE) / 100 AS v_other,
+           CAST(v1.c - v2.c AS DOUBLE) / 100 AS qte
+    FROM v1 JOIN v2 ON v1.q = v2.q ORDER BY pct
+    """,
+)
+def agg_quantile_treatment_effect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A77: QUANTILE TREATMENT EFFECT — WHERE the URGENT / non-URGENT
+    order-value distributions differ: the per-decile gap between the
+    two groups' exact nearest-rank quantiles. A66 (rank-sum) says
+    WHETHER there is a shift and A67 (KS) says HOW BIG the worst CDF
+    gap is; this is the readout an experimenter actually plots — the
+    effect at the median vs the tails (heterogeneous treatment
+    effects show up exactly here).
+
+    Exactness: quantiles are NEAREST-RANK (ceil(q·n/100) via exact
+    integer arithmetic, no interpolation float); both groups' CDFs
+    ride the same distinct-cents relation; the QTE per decile is a
+    subtraction of exact integers with one final IEEE divide.
+
+    Scale shape: one orders scan → hash agg on DISTINCT cents (domain-
+    bounded) → BOTH cumulative counts in ONE two-level bucketed prefix
+    scan (`_prefix_sums`) → a 9-row decile-axis broadcast with min
+    reduces. No global per-row sort, nothing corpus-proportional past
+    the first aggregate.
+    """
+    v = _t(spark, sf_dir, "orders").select(
+        (dec("o_totalprice") * 100).cast("long").alias("cents"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("g"),
+    )
+    dv = v.groupBy("cents").agg(
+        F.sum("g").cast("long").alias("c1"),
+        (F.count(F.lit(1)) - F.sum("g")).cast("long").alias("c2"),
+    ).localCheckpoint()  # one corpus scan feeds all downstream branches
+    cum = _prefix_sums(dv, "cents", [("c1", "f1", True), ("c2", "f2", True)])
+    n = dv.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    qs = spark.createDataFrame([(q,) for q in _QTE_DECILES], "q int")
+    base = cum.crossJoin(F.broadcast(n)).crossJoin(F.broadcast(qs))
+    v1 = (
+        base.filter(F.col("f1") >= F.expr("(q * n1 + 99) div 100"))
+        .groupBy("q")
+        .agg(F.min("cents").alias("c1v"))
+    )
+    v2 = (
+        base.filter(F.col("f2") >= F.expr("(q * n2 + 99) div 100"))
+        .groupBy("q")
+        .agg(F.min("cents").alias("c2v"))
+    )
+    return (
+        v1.join(v2, "q")
+        .select(
+            F.col("q").cast("long").alias("pct"),
+            (F.col("c1v").cast("double") / 100).alias("v_urgent"),
+            (F.col("c2v").cast("double") / 100).alias("v_other"),
+            ((F.col("c1v") - F.col("c2v")).cast("double") / 100).alias(
+                "qte"
+            ),
+        )
+        .orderBy("pct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-17 batch 2: entity resolution over the part catalog — blocking +
+# sorted-neighborhood candidate generation + Fellegi-Sunter scoring.
+# ---------------------------------------------------------------------------
+
+#: Sorted-neighborhood window: each record pairs with the next W
+#: records in its block's sort order — the LINEAR-candidate method
+#: (O(N·W) pairs) that replaces quadratic within-block expansion.
+_ER_WINDOW = 3
+
+#: Fellegi-Sunter m-probabilities (P(feature agrees | true match)) —
+#: fixed model constants; the u-probabilities are MEASURED from the
+#: catalog's own value-frequency marginals.
+_ER_M = {"adj": 0.9, "typ": 0.85, "siz": 0.8, "pb": 0.75}
+
+#: Match-score thresholds (log-odds nats) for the weak/strong counts.
+_ER_T_WEAK = 1.0
+_ER_T_STRONG = 3.0
+
+
+def _er_sql_u(feat: str) -> str:
+    """Oracle scalar: u-probability of feature agreement over random
+    unordered pairs, Σ C(n_v,2) / C(N,2), from the marginal value
+    frequencies."""
+    return f"""(
+      SELECT CAST(SUM(c * (c - 1) // 2) AS DOUBLE)
+             / (CAST(MIN(nn) AS DOUBLE) * (MIN(nn) - 1) / 2)
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c,
+                   SUM(COUNT(*)) OVER () AS nn
+            FROM px GROUP BY {feat})
+    )"""
+
+
+@register(
+    "join_er_duplicate_listings",
+    oracle=f"""
+    WITH px AS (
+      SELECT p_partkey,
+             string_split(p_name, ' ')[1] AS adj,
+             string_split(p_name, ' ')[2] AS noun,
+             p_brand, p_type AS typ, CAST(p_size AS BIGINT) AS siz,
+             CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               // 1000 AS pb
+      FROM part
+    ),
+    u AS (
+      SELECT {_er_sql_u("adj")} AS u_adj, {_er_sql_u("typ")} AS u_typ,
+             {_er_sql_u("siz")} AS u_siz, {_er_sql_u("pb")} AS u_pb
+    ),
+    w AS (
+      SELECT ln({_ER_M["adj"]} / u_adj) AS wa_adj,
+             ln({1 - _ER_M["adj"]} / (1 - u_adj)) AS wd_adj,
+             ln({_ER_M["typ"]} / u_typ) AS wa_typ,
+             ln({1 - _ER_M["typ"]} / (1 - u_typ)) AS wd_typ,
+             ln({_ER_M["siz"]} / u_siz) AS wa_siz,
+             ln({1 - _ER_M["siz"]} / (1 - u_siz)) AS wd_siz,
+             ln({_ER_M["pb"]} / u_pb) AS wa_pb,
+             ln({1 - _ER_M["pb"]} / (1 - u_pb)) AS wd_pb
+      FROM u
+    ),
+    sn AS (
+      SELECT noun, adj, typ, siz, pb,
+             {", ".join(
+               f"LEAD(adj, {i}) OVER win AS adj{i}, "
+               f"LEAD(typ, {i}) OVER win AS typ{i}, "
+               f"LEAD(siz, {i}) OVER win AS siz{i}, "
+               f"LEAD(pb, {i}) OVER win AS pb{i}"
+               for i in range(1, _ER_WINDOW + 1)
+             )}
+      FROM px
+      WINDOW win AS (PARTITION BY noun, p_brand
+                     ORDER BY typ, siz, pb, p_partkey)
+    ),
+    pairs AS (
+      {" UNION ALL ".join(
+        f'''SELECT noun,
+               (CASE WHEN adj = adj{i} THEN w.wa_adj ELSE w.wd_adj END
+                + CASE WHEN typ = typ{i} THEN w.wa_typ ELSE w.wd_typ END
+                + CASE WHEN siz = siz{i} THEN w.wa_siz ELSE w.wd_siz END
+                + CASE WHEN pb = pb{i} THEN w.wa_pb ELSE w.wd_pb END)
+                 AS score
+            FROM sn CROSS JOIN w WHERE adj{i} IS NOT NULL'''
+        for i in range(1, _ER_WINDOW + 1)
+      )}
+    ),
+    np AS (SELECT noun, CAST(COUNT(*) AS BIGINT) AS n_parts
+           FROM px GROUP BY noun)
+    SELECT np.noun, np.n_parts,
+           CAST(COUNT(p.score) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN p.score >= {_ER_T_WEAK} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_match_weak,
+           CAST(SUM(CASE WHEN p.score >= {_ER_T_STRONG} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_match_strong,
+           MAX(p.score) AS max_score
+    FROM np LEFT JOIN pairs p ON p.noun = np.noun
+    GROUP BY np.noun, np.n_parts ORDER BY np.noun
+    """,
+)
+def join_er_duplicate_listings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J44: ENTITY RESOLUTION over the part catalog — duplicate-listing
+    detection via the classic record-linkage stack: BLOCKING on
+    (name noun, brand), SORTED-NEIGHBORHOOD candidate generation
+    (each record pairs with the next {_ER_WINDOW} in its block's
+    (type, size, price-bucket) sort order — O(N·W) LINEAR candidates,
+    the method that replaces quadratic within-block expansion), and
+    FELLEGI-SUNTER log-odds scoring with u-probabilities MEASURED from
+    the catalog's own value-frequency marginals (Σ C(n_v,2)/C(N,2))
+    and fixed m-probabilities. Emits the per-noun-block linkage report:
+    candidate volume, weak/strong match counts, max score.
+
+    Exactness: u-probabilities are exact-integer marginal counts with
+    one IEEE divide; the four per-pair agreement predicates are integer
+    /string equality; each pair's score is the SAME fixed chain of four
+    pre-computed weight constants (ln evaluated ONCE on the 1-row
+    weight relation by libm via `_ln_libm` — JVM Math.log is 1 ulp off
+    libm on some inputs), so threshold counts and MAX are bitwise
+    cross-engine.
+
+    Scale shape: one part scan → per-block window (blocks =
+    noun×brand, so block count scales with key cardinality and each
+    window partition sorts only its block) → O(N·W) pair rows →
+    O(blocks) rollup. The weight table is a 1-row broadcast. No pair
+    blowup: candidates are linear in catalog size by construction.
+    """
+    from .llm_ops import _ln_libm  # lazy: avoids a module import cycle
+
+    ln = _ln_libm()
+    px = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.split("p_name", " ").getItem(0).alias("adj"),
+        F.split("p_name", " ").getItem(1).alias("noun"),
+        "p_brand",
+        F.col("p_type").alias("typ"),
+        F.col("p_size").cast("long").alias("siz"),
+        F.expr(
+            "CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " div 1000"
+        ).alias("pb"),
+    ).localCheckpoint()  # one scan feeds marginals + window + rollup
+
+    def u_of(feat: str) -> DataFrame:
+        c = px.groupBy(feat).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        return c.agg(
+            (
+                F.sum(F.expr("c * (c - 1) div 2")).cast("double")
+                / (
+                    F.sum("c").cast("double")
+                    * (F.sum("c") - 1)
+                    / F.lit(2)
+                )
+            ).alias(f"u_{feat}")
+        )
+
+    u = (
+        u_of("adj")
+        .crossJoin(u_of("typ"))
+        .crossJoin(u_of("siz"))
+        .crossJoin(u_of("pb"))
+    )
+    wcols = []
+    for f_ in ("adj", "typ", "siz", "pb"):
+        m = _ER_M[f_]
+        wcols.append(ln(F.lit(m) / F.col(f"u_{f_}")).alias(f"wa_{f_}"))
+        wcols.append(
+            ln(F.lit(1 - m) / (F.lit(1) - F.col(f"u_{f_}"))).alias(
+                f"wd_{f_}"
+            )
+        )
+    w = u.select(*wcols)
+    win = Window.partitionBy("noun", "p_brand").orderBy(
+        "typ", "siz", "pb", "p_partkey"
+    )
+    nb = F.struct("adj", "typ", "siz", "pb")
+    sn = px.select(
+        "noun",
+        "adj",
+        "typ",
+        "siz",
+        "pb",
+        F.array(
+            *[F.lead(nb, i).over(win) for i in range(1, _ER_WINDOW + 1)]
+        ).alias("nbs"),
+    )
+    pr = sn.select(
+        "noun", "adj", "typ", "siz", "pb",
+        F.explode("nbs").alias("o"),
+    ).filter(F.col("o.adj").isNotNull())
+    score = (
+        F.when(F.col("adj") == F.col("o.adj"), F.col("wa_adj")).otherwise(
+            F.col("wd_adj")
+        )
+        + F.when(F.col("typ") == F.col("o.typ"), F.col("wa_typ")).otherwise(
+            F.col("wd_typ")
+        )
+        + F.when(F.col("siz") == F.col("o.siz"), F.col("wa_siz")).otherwise(
+            F.col("wd_siz")
+        )
+        + F.when(F.col("pb") == F.col("o.pb"), F.col("wa_pb")).otherwise(
+            F.col("wd_pb")
+        )
+    )
+    pairs = pr.crossJoin(F.broadcast(w)).select(
+        "noun", score.alias("score")
+    )
+    np_ = px.groupBy("noun").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+    return (
+        np_.join(pairs, "noun", "left")
+        .groupBy("noun", "n_parts")
+        .agg(
+            F.count("score").cast("long").alias("n_pairs"),
+            F.sum(
+                F.when(F.col("score") >= _ER_T_WEAK, 1).otherwise(0)
+            ).cast("long").alias("n_match_weak"),
+            F.sum(
+                F.when(F.col("score") >= _ER_T_STRONG, 1).otherwise(0)
+            ).cast("long").alias("n_match_strong"),
+            F.max("score").alias("max_score"),
+        )
+        .orderBy("noun")
+    )
