@@ -18666,3 +18666,363 @@ def llm_neardup_source_modularity(
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-17 batch: content-key engineering audits (hash width, bloom
+# sizing), data-valuation (leave-one-source-out), and the top principal
+# component via power iteration.
+# ---------------------------------------------------------------------------
+
+#: Truncated-hash widths (bits) for the collision audit — the widths an
+#: engineer is tempted to shrink a 128-bit content key to.
+_HASH_AUDIT_BITS = (16, 20, 24)
+
+
+@register(
+    "llm_hash_collision_audit",
+    oracle=f"""
+    WITH ct AS (SELECT DISTINCT md5(text) AS h FROM documents),
+    d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_contents FROM ct),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    bx AS (
+      {" UNION ALL ".join(
+        f'''SELECT {b} AS bits,
+               CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % {1 << b} AS bkt
+            FROM ct'''
+        for b in _HASH_AUDIT_BITS
+      )}
+    ),
+    coll AS (
+      SELECT bits, CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS observed_pairs
+      FROM (SELECT bits, bkt, CAST(COUNT(*) AS BIGINT) AS c
+            FROM bx GROUP BY bits, bkt)
+      GROUP BY bits
+    )
+    SELECT CAST(coll.bits AS BIGINT) AS bits, nd.n_docs, d.n_contents,
+           coll.observed_pairs,
+           (CAST(d.n_contents AS DOUBLE) * (d.n_contents - 1) / 2)
+             / CAST(1 << coll.bits AS BIGINT) AS expected_pairs
+    FROM coll CROSS JOIN d CROSS JOIN nd ORDER BY bits
+    """,
+)
+def llm_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F129: CONTENT-KEY WIDTH audit — how many DISTINCT-content pairs
+    collide when the 128-bit content key is truncated to b bits, vs
+    the birthday-bound expectation C(D,2)/2^b. The number that decides
+    whether a narrower (cheaper) key is safe for exact dedup at the
+    target corpus size: at 100 TB (10⁹ documents) a 32-bit key expects
+    ~10⁸ false merges and a 64-bit key ~0.03 — this audit MEASURES the
+    curve on the corpus's own keys instead of trusting the formula.
+
+    Exactness: buckets are integer prefix-bit arithmetic on the md5
+    hex (conv/hex-cast, identical on both engines); observed collision
+    pairs are exact integer ΣC(c,2) over distinct contents; expectation
+    is one IEEE chain on exact counts.
+
+    Scale shape: one documents scan → hash agg to distinct content
+    keys → a |bits|-way projection fan-out → hash agg on (bits,
+    bucket) with map-side combine → O(bits) rollup. Nothing pairwise:
+    collisions are counted from bucket multiplicities, never
+    materialized as pairs.
+    """
+    ct = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .localCheckpoint()  # one scan feeds every width + the count
+    )
+    d = ct.agg(F.count(F.lit(1)).cast("long").alias("n_contents"))
+    nd = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    h32 = F.conv(F.substring("h", 1, 8), 16, 10).cast("long")
+    bx = ct.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("bits"),
+                        F.pmod(h32, F.lit(1 << b)).alias("bkt"),
+                    )
+                    for b in _HASH_AUDIT_BITS
+                ]
+            )
+        ).alias("e")
+    ).select("e.bits", "e.bkt")
+    coll = (
+        bx.groupBy("bits", "bkt")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy("bits")
+        .agg(
+            F.sum(F.expr("c * (c - 1) div 2"))
+            .cast("long")
+            .alias("observed_pairs")
+        )
+    )
+    return (
+        coll.crossJoin(F.broadcast(d))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.col("bits").cast("long").alias("bits"),
+            "n_docs",
+            "n_contents",
+            "observed_pairs",
+            (
+                F.col("n_contents").cast("double")
+                * (F.col("n_contents") - 1)
+                / F.lit(2)
+                / F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bits AS INT))")
+            ).alias("expected_pairs"),
+        )
+        .orderBy("bits")
+    )
+
+
+#: Per-shard bloom-filter bit budget for the sizing audit (bits), and
+#: the hash-count cap (real filters stop near k=16: beyond it the fpp
+#: gain is negligible and the per-probe cost linear in k).
+_BLOOM_M_BITS = 1 << 18
+_BLOOM_K_MAX = 16
+
+
+@register(
+    "layout_bloom_sizing_audit",
+    oracle=f"""
+    WITH k AS (
+      SELECT source, CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_keys
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_keys,
+           CAST({_BLOOM_M_BITS} AS DOUBLE) / n_keys AS bits_per_key,
+           LEAST({_BLOOM_K_MAX}, GREATEST(1, CAST(floor(ln(2)
+             * (CAST({_BLOOM_M_BITS} AS DOUBLE) / n_keys)) AS BIGINT)))
+             AS k_hashes,
+           pow(1 - exp(-(LEAST({_BLOOM_K_MAX}, GREATEST(1, CAST(floor(ln(2)
+                 * (CAST({_BLOOM_M_BITS} AS DOUBLE) / n_keys)) AS BIGINT)))
+               * CAST(n_keys AS DOUBLE)) / {_BLOOM_M_BITS}),
+               LEAST({_BLOOM_K_MAX}, GREATEST(1, CAST(floor(ln(2)
+                 * (CAST({_BLOOM_M_BITS} AS DOUBLE) / n_keys)) AS BIGINT))))
+             AS fpp
+    FROM k ORDER BY source
+    """,
+)
+def layout_bloom_sizing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F130: PER-SHARD BLOOM-FILTER SIZING audit — for a fixed
+    {_BLOOM_M_BITS}-bit filter budget per source shard, the realized
+    bits-per-key, the hash count k = min({_BLOOM_K_MAX},
+    floor(ln2·m/n)) (optimal-k capped at the practical probe-cost
+    ceiling), and the
+    resulting false-positive probability (1 − e^(−kn/m))^k from each
+    shard's EXACT distinct-key count. This is the sizing table the
+    incremental-admission family (J10/J23/J34) needs before shipping
+    bloom side-filters to 1000 executors: a shard whose n_keys
+    outgrew its budget shows up here as an fpp cliff long before the
+    dedup quality regresses.
+
+    Exactness: distinct-key counts are exact (full md5 grouping, no
+    sketch); k is a floor of a shared double chain; fpp is evaluated
+    by C-library exp/pow on BOTH engines (an Arrow-batched kernel on
+    the O(sources) relation — JVM Math.exp/pow can be 1 ulp off libm,
+    the `_ln_libm` finding applied to exp/pow).
+
+    Scale shape: one documents scan → per-(source, key) hash agg with
+    map-side combine → O(sources) math. The audit never touches
+    payload bytes beyond the hash.
+    """
+    import math
+
+    @F.pandas_udf("double")
+    def _fpp(n: pd.Series) -> pd.Series:
+        def one(nk: float) -> float:
+            k = min(
+                _BLOOM_K_MAX,
+                max(1, math.floor(math.log(2) * (_BLOOM_M_BITS / nk))),
+            )
+            return math.pow(
+                1 - math.exp(-(k * nk) / _BLOOM_M_BITS), k
+            )
+        return n.map(one)
+
+    @F.pandas_udf("long")
+    def _kh(n: pd.Series) -> pd.Series:
+        return n.map(
+            lambda nk: min(
+                _BLOOM_K_MAX,
+                max(1, math.floor(math.log(2) * (_BLOOM_M_BITS / nk))),
+            )
+        )
+
+    k = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.countDistinct(F.md5("text")).cast("long").alias("n_keys"))
+    )
+    nd = F.col("n_keys").cast("double")
+    return k.select(
+        "source",
+        "n_keys",
+        (F.lit(float(_BLOOM_M_BITS)) / F.col("n_keys")).alias(
+            "bits_per_key"
+        ),
+        _kh(nd).alias("k_hashes"),
+        _fpp(nd).alias("fpp"),
+    ).orderBy("source")
+
+
+@register(
+    "llm_source_loo_quality_shift",
+    oracle=f"""
+    WITH q AS (
+      SELECT source,
+             1000 * len(list_filter(t, x -> x IN ({_SQL_STOPWORDS})))
+               // len(t) AS q_permille
+      FROM (SELECT source, {_SQL_TOKENS} AS t FROM documents)
+    ),
+    s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s,
+             CAST(SUM(q_permille) AS BIGINT) AS t_s
+      FROM q GROUP BY source
+    ),
+    g AS (
+      SELECT CAST(SUM(n_s) AS BIGINT) AS n, CAST(SUM(t_s) AS BIGINT) AS t
+      FROM s
+    )
+    SELECT s.source, s.n_s AS n_docs,
+           CAST(s.t_s AS DOUBLE) / s.n_s AS mean_quality,
+           CAST(g.t AS DOUBLE) / g.n AS corpus_mean,
+           CAST(g.t - s.t_s AS DOUBLE) / (g.n - s.n_s) AS loo_mean,
+           CAST(g.t AS DOUBLE) / g.n
+             - CAST(g.t - s.t_s AS DOUBLE) / (g.n - s.n_s) AS influence
+    FROM s CROSS JOIN g ORDER BY s.source
+    """,
+)
+def llm_source_loo_quality_shift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """F131: LEAVE-ONE-SOURCE-OUT data valuation (quality lens) — each
+    source's INFLUENCE on the corpus-mean quality signal (the F20/U4
+    stopword-ratio heuristic in exact permille): corpus mean minus the
+    mean with that source removed. The cheapest member of the
+    data-valuation family (Shapley's first-order term): a source with
+    large negative influence is dragging the corpus down and is the
+    first candidate for the blocklist (F70) or down-weighting (F69).
+
+    Exactness: per-doc quality is exact integer permille (the F126
+    binning arithmetic); all means derive from TWO integer totals per
+    source via subtraction — the LOO recompute is algebra, not a
+    second pass; each mean is one IEEE chain.
+
+    Scale shape: one documents scan → O(sources) hash agg → O(sources)
+    algebra against the 1-row global total. The LOO sweep costs one
+    subtraction per source, never |sources| corpus passes.
+    """
+    q = load_table(spark, sf_dir, "documents").select(
+        "source", _tokens().alias("t")
+    )
+    nstop = F.size(F.filter(F.col("t"), lambda x: x.isin(*_STOPWORDS)))
+    qp = (
+        q.select(
+            "source",
+            (1000 * nstop).cast("long").alias("ns1000"),
+            F.size("t").cast("long").alias("nt"),
+        )
+        .select("source", F.expr("ns1000 div nt").alias("q_permille"))
+    )
+    s = qp.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s"),
+        F.sum("q_permille").cast("long").alias("t_s"),
+    )
+    g = s.agg(
+        F.sum("n_s").cast("long").alias("n"),
+        F.sum("t_s").cast("long").alias("t"),
+    )
+    corpus_mean = F.col("t").cast("double") / F.col("n")
+    loo_mean = (F.col("t") - F.col("t_s")).cast("double") / (
+        F.col("n") - F.col("n_s")
+    )
+    return (
+        s.crossJoin(F.broadcast(g))
+        .select(
+            "source",
+            F.col("n_s").alias("n_docs"),
+            (F.col("t_s").cast("double") / F.col("n_s")).alias(
+                "mean_quality"
+            ),
+            corpus_mean.alias("corpus_mean"),
+            loo_mean.alias("loo_mean"),
+            (corpus_mean - loo_mean).alias("influence"),
+        )
+        .orderBy("source")
+    )
+
+
+#: Power iteration: convergence tolerance / iteration cap and the
+#: report size (top dimensions by |loading|).
+_PC_TOL = 1e-14
+_PC_MAX_ITERS = 5000
+_PC_TOPK = 16
+
+
+@register("llm_embedding_top_pc_power", oracle=None)
+def llm_embedding_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U14: TOP PRINCIPAL COMPONENT of the embedding corpus via POWER
+    ITERATION on the exact-integer covariance moments — the direction
+    of maximum variance, the one-vector summary behind PCA whitening
+    decisions, Matryoshka truncation audits (F68), and "is there a
+    dominant axis?" QA before ANN indexing (a dominant axis distorts
+    IVF cell balance, F91).
+
+    Rows-only by necessity (the F58 carve-out): an eigenvector is not
+    SQL-expressible — correctness is pinned by a full numpy
+    eigendecomposition cross-check (tests/test_round17_ops_invariants,
+    |cos(v_power, v_eigh)| ≥ 1−1e-9) plus determinism across runs.
+
+    Scale shape: moments come from the shared exact-int64 Arrow matmul
+    (``gram_moment_relations`` — the F57/F58 kernel, one corpus pass,
+    O(batches·D²) shuffle rows); the driver collects only the O(D²)
+    aggregated moment rows (D=64 ⇒ 2,144 — bounded regardless of
+    corpus size) and iterates deterministically from the fixed
+    all-ones start to a {_PC_TOL} step tolerance (≤ {_PC_MAX_ITERS}
+    steps — the testdata spectrum converges in a few hundred): O(D²)
+    flops per step, pure driver math, corpus never rescanned.
+    """
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    prod, sums = gram_moment_relations(emb)
+    mom = {(r["i"], r["j"]): r["pp"] for r in prod.collect()}
+    svec = {r["i"]: (r["s"], r["n"]) for r in sums.collect()}
+    d = len(svec)
+    n = svec[0][1]
+    s = np.array([svec[i][0] for i in range(d)], dtype=np.float64)
+    c = np.zeros((d, d), dtype=np.float64)
+    for (i, j), pp in mom.items():
+        v = (pp / n - (s[i] * s[j]) / (n * n)) / 1e12
+        c[i, j] = v
+        c[j, i] = v
+    v = np.ones(d, dtype=np.float64) / np.sqrt(d)
+    for _ in range(_PC_MAX_ITERS):
+        w = c @ v
+        nrm = float(np.linalg.norm(w))
+        if nrm == 0.0:
+            break
+        w = w / nrm
+        step = float(np.linalg.norm(w - v))
+        v = w
+        if step < _PC_TOL:
+            break
+    lam = float(v @ (c @ v))
+    # sign convention: largest-|loading| dimension is positive
+    pivot = int(np.argmax(np.abs(v)))
+    if v[pivot] < 0:
+        v = -v
+    total_var = float(np.trace(c))
+    rows = [
+        (int(i), float(v[i]), lam, lam / total_var)
+        for i in np.argsort(-np.abs(v))[:_PC_TOPK]
+    ]
+    return spark.createDataFrame(
+        rows, "dim int, loading double, eigenvalue double, var_share double"
+    ).orderBy(F.desc(F.abs(F.col("loading"))), "dim")

@@ -1482,3 +1482,136 @@ def stream_dedup_horizon_sweep(
         )
         .orderBy("horizon_hours")
     )
+
+
+#: Micro-batch split for the true-streaming near-dup admission witness:
+#: the batch slice is staged as this many landing-zone files so the
+#: availableNow run admits it in multiple ordered micro-batches.
+_ND_STREAM_CHUNKS = 4
+
+
+@register("stream_true_neardup_admission", oracle=None)
+def stream_true_neardup_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """T22 — TRUE-STREAMING twin of ``llm_incremental_neardup`` (J23),
+    the streaming × dedup cell of the matrix: incoming documents arrive
+    as a real ``readStream`` (parquet landing zone, one file per
+    micro-batch), and each micro-batch's MinHash bands are probed
+    against the STANDING S21 band store (the corpus side, with the
+    same ``_LSH_BUCKET_CAP`` mega-bucket guard) inside ``foreachBatch``
+    — the production shape of continuous near-dup admission: the
+    expensive corpus index is write-time state, the per-batch work is
+    banding the batch and one equi-join.
+
+    Rows-only by the driver contract's carve-out (a true streaming run
+    is non-SQL-expressible); correctness is the batch-parity pin in
+    tests/test_round17_ops_invariants.py: the union of per-micro-batch
+    decisions must EQUAL the batch query's output on the same corpus
+    split (admission against a static store is per-doc independent, so
+    batching cannot change any decision — that invariance is exactly
+    what the test asserts).
+
+    Scale shape: the corpus side is the bucketed S21 store (exchange-
+    free probe joins); each micro-batch tokenizes/bands only its own
+    files; decisions are appended per batch (here accumulated to the
+    driver — bounded by the batch slice; production would
+    ``foreachBatch``-write to a sink exactly like the exactly-once
+    DuckDB sink, T8).
+    """
+    import os
+    import tempfile
+
+    from ..schemas import TESTDATA_SCHEMAS
+    from .llm_ops import (
+        _INC_ND_MOD,
+        _INC_ND_REM,
+        _LSH_BUCKET_CAP,
+        _tokens,
+        _word_ngrams,
+        minhash_bands,
+        minhash_bands_stored,
+    )
+
+    bands = minhash_bands_stored(spark, sf_dir)
+    is_batch = (F.col("doc_id") % _INC_ND_MOD) == _INC_ND_REM
+    corpus = bands.filter(~is_batch)
+    ok_buckets = (
+        corpus.groupBy("band_idx", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= _LSH_BUCKET_CAP)
+        .select("band_idx", "key")
+    )
+    corpus_side = corpus.select(
+        "band_idx", "key", F.col("doc_id").alias("corpus_doc")
+    )
+
+    collected: list = []
+
+    def admit(batch_df: DataFrame, epoch_id: int) -> None:
+        sh = batch_df.select(
+            "doc_id", F.explode(_word_ngrams(_tokens())).alias("s")
+        )
+        b = minhash_bands(sh)
+        hits = (
+            b.join(ok_buckets, ["band_idx", "key"])
+            .join(corpus_side, ["band_idx", "key"])
+            .groupBy("doc_id")
+            .agg(F.countDistinct("corpus_doc").alias("n_corpus_neighbors"))
+        )
+        out = (
+            batch_df.select("doc_id")
+            .distinct()
+            .join(hits, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_corpus_neighbors", F.lit(0))
+                .cast("long")
+                .alias("n_corpus_neighbors"),
+                F.col("n_corpus_neighbors").isNull().alias("admitted"),
+            )
+        )
+        for r in out.collect():
+            collected.append(
+                (
+                    int(epoch_id),
+                    r["doc_id"],
+                    r["n_corpus_neighbors"],
+                    r["admitted"],
+                )
+            )
+
+    batch_docs = load_table(spark, sf_dir, "documents").filter(is_batch)
+    with tempfile.TemporaryDirectory(prefix="scdb_nd_stream_") as landing:
+        for i in range(_ND_STREAM_CHUNKS):
+            chunk = batch_docs.filter(
+                (F.col("doc_id") / _INC_ND_MOD).cast("long")
+                % _ND_STREAM_CHUNKS
+                == i
+            )
+            stage = os.path.join(landing, f"_stage{i}")
+            chunk.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            )
+            os.rename(
+                os.path.join(stage, part),
+                os.path.join(landing, f"chunk{i}.parquet"),
+            )
+        stream = (
+            spark.readStream.schema(TESTDATA_SCHEMAS["documents"])
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "chunk*.parquet")
+            .parquet(landing)
+        )
+        q = (
+            stream.writeStream.foreachBatch(admit)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.createDataFrame(
+        collected,
+        "batch_id long, doc_id long, n_corpus_neighbors long, "
+        "admitted boolean",
+    ).orderBy("doc_id")
