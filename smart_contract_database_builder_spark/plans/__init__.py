@@ -24,44 +24,119 @@ from . import llm_ops  # noqa: E402,F401
 from . import scale_ops  # noqa: E402,F401
 from . import streaming_batch  # noqa: E402,F401
 
-#: Queries the driver window must cover first. ROUND-16 ROTATION —
-#: this window executes the r15 ledger EXACTLY (VERDICT r15 "Next
-#: round #1"): (a) one changed-plan witness — the J41 pair query,
-#: whose plan AND oracle gained the within-doc occurrence cap this
-#: round (the other two r16 plan changes, the Theil decimal multiply
-#: and the k-anonymity integer division, sit in the newborn-14 cohort
-#: below, so they are windowed anyway), (b) the four standing family
-#: witnesses, (c) the 10-query r8-evidence remainder (floor at r17 —
-#: windowing them now means nothing is guard-forced before r18),
-#: (d) the 14 round-15-session-2 newborns (_BORN_IN_OVERFLOW in r15)
-#: earning their FIRST driver rows, (e) three never-windowed
-#: rows-only queries (VERDICT r15 #6: the true-streaming/sketch
-#: families' turn for the r15 multimodal debut pattern), and (f) the
-#: 18 round-16-born operators. 1+4+10+14+3+18 = EXACTLY 50.
-#: Everything rotated out (the r15 changed-plan witnesses, the 31
-#: r8-refresh cohort, the 6 other r15-born operators) is driver-green
-#: in CORRECTNESS_r15 with plan code unchanged since, and stays under
-#: the pytest oracle sweep (tests/test_oracle_parity.py).
+#: Queries the driver window must cover first. ROUND-17 ROTATION —
+#: this window executes the r16 ledger EXACTLY (VERDICT r16 "Next
+#: round #1-#3"): (a) four changed-plan/oracle witnesses — the three
+#: rank statistics whose overflow paths were hardened this round
+#: (A66 r1x2 → decimal(38,0), A67 cross-multiply → decimal(38,0),
+#: A72 oracle eta_sq grand term → VARCHAR hop) and the substring
+#: dedup TRANSFORM whose anchor stream now derives from the shared
+#: tokenized relation (single documents scan), (b) the four standing
+#: family witnesses, (c) 26 of the 40-query r10-evidence cohort (the
+#: freshness floor binds at r18; windowing 26 now leaves only 14
+#: guard-forced next round), (d) three never-windowed rows-only
+#: queries (VERDICT r16 #3: the streaming-state and sketch families'
+#: turn), and (e) the 13 round-17-born operators (11 oracled + the
+#: rows-only power-iteration PC and the true-streaming near-dup
+#: admission witness, VERDICT r16 #2). 4+4+26+3+13 = EXACTLY 50.
+#: Everything rotated out (the r16 window's other 39 queries) is
+#: driver-green in CORRECTNESS_r16 with plan code unchanged since,
+#: and stays under the pytest oracle sweep
+#: (tests/test_oracle_parity.py).
 #:
-#: ROUND-17 ROTATION LEDGER: nothing is guard-forced in r17 (after
-#: this window lands, the oldest driver evidence is the 40-query r10
-#: cohort, floor at r18). r17 should therefore spend its free slots
-#: on (1) first driver rows for any r16-overflow newborns (none at
-#: ledger time — keep it that way), (2) the oldest HALF of the r10
-#: cohort (~20 queries, so r18 never needs a forced bulk rotation),
-#: and (3) r17 newborns/witnesses.
+#: ROUND-18 ROTATION LEDGER: the guard forces the REMAINING 14 r10-
+#: evidence queries (the tail of the _OVERFLOW r10 block below) at
+#: r18 — window them first, then r18 newborns/witnesses; after that
+#: the oldest evidence is the r11 cohort (43 queries, floor r19),
+#: so r19 should again pre-split it roughly in half.
 _PRIORITY = [
-    # --- changed-plan witness (r16: J41 gained the within-doc
-    # position cap in both the Spark plan and the oracle) ---
-    "llm_substring_pair_maxrun",
+    # --- changed-plan/oracle witnesses (r17 overflow hardening +
+    # the single-scan trim transform) ---
+    "agg_mann_whitney_u",
+    "agg_ks_two_sample",
+    "agg_weekday_anova",
+    "llm_substring_dedup_trim",
     # --- standing family witnesses: core relational, reference
     # family, true streaming, exact dedup ---
     "flagship_revenue_by_region",
     "ref_extract_functions",
     "stream_true_tumbling_availablenow",
     "llm_exact_dedup_documents",
-    # --- freshness rotation: the r8-evidence remainder (newest
-    # driver row r8; floor at r17) ---
+    # --- freshness rotation: 26 of the 40-query r10-evidence cohort
+    # (newest driver row r10; floor at r18) ---
+    "llm_ann_hyperplane_buckets",
+    "llm_ann_bucketed_cosine_pairs",
+    "llm_ann_recall_report",
+    "llm_simhash_documents",
+    "agg_skewed_revenue_salted",
+    "join_hot_key_split_revenue",
+    "agg_returned_items_report",
+    "agg_cross_nation_volume",
+    "agg_market_share_by_year",
+    "agg_promo_revenue_share",
+    "filter_disjunctive_parts_revenue",
+    "window_top_supplier_quarterly",
+    "agg_large_volume_customers",
+    "agg_shipping_priority_topk",
+    "join_late_shipment_priority",
+    "agg_event_markov_transitions",
+    "agg_rfm_segments",
+    "window_session_stats_batch",
+    "llm_bigram_surprisal_docs",
+    "llm_zipf_slope_report",
+    "llm_bpe_train_merges",
+    "llm_bpe_segment_vocab",
+    "llm_langid_confusion_matrix",
+    "window_rolling_7day_revenue",
+    "stream_hourly_ohlc",
+    "agg_idle_rich_customers",
+    # --- rows-only evidence debut (VERDICT r16 #3): never-windowed
+    # streaming-state/sketch queries; the driver records a rows-only
+    # check (their correctness lives in pytest) ---
+    "stream_stateful_running_totals",
+    "agg_percentile_prices_approx",
+    "llm_ml_minhash_join",
+    # --- the 13 round-17-born operators: first driver rows (11
+    # oracled + 2 rows-only: the power-iteration PC and the
+    # true-streaming near-dup admission witness) ---
+    "agg_kendall_tau_daily",
+    "agg_theilsen_trend_slope",
+    "agg_changepoint_best_split",
+    "agg_quantile_treatment_effect",
+    "agg_runs_test_daily",
+    "agg_autocorr_daily_revenue",
+    "agg_seasonal_decomposition_daily",
+    "join_er_duplicate_listings",
+    "llm_hash_collision_audit",
+    "layout_bloom_sizing_audit",
+    "llm_source_loo_quality_shift",
+    "llm_embedding_top_pc_power",
+    "stream_true_neardup_admission",
+]
+
+#: Operators registered straight into _OVERFLOW in the round that
+#: bore them (the window was already full). Exempt from the
+#: evidence-freshness guard until a later round's rotation windows
+#: them; their oracles run in the pytest sweep from birth. EMPTY
+#: after the r17 rotation: every r17-born operator was budgeted into
+#: the window from birth (as in r16). Grow this set consciously — it
+#: defers driver evidence by at least one round.
+_BORN_IN_OVERFLOW: set[str] = set()
+
+#: Oracle-CARRYING queries deliberately registered just past the
+#: driver's 50-query window (it is full): their oracles still run in
+#: pytest (tests/test_oracle_parity.py sweeps every oracle at sf0.01),
+#: they just lose the per-round driver row. Every query below is
+#: driver-green in some CORRECTNESS_r*.json artifact with plan code
+#: unchanged since (pinned by tests/test_registry_window.py). Grow
+#: this list consciously — whatever sits here trades driver-visible
+#: correctness evidence for a slot.
+_OVERFLOW = [
+    # r17 rotation: the r16 window's changed-plan witness, the
+    # 10-query r8 remainder, the 14 r15-session-2 newborns, and the
+    # 14 other r16-born operators — every one driver-green in
+    # CORRECTNESS_r16 with plans unchanged since
+    "llm_substring_pair_maxrun",
     "llm_ivf_topk",
     "llm_kmeans_lloyd",
     "llm_kmeans_silhouette",
@@ -72,10 +147,6 @@ _PRIORITY = [
     "llm_triangle_counts",
     "scalar_gapfill_daily_revenue",
     "window_streaks_gaps_islands",
-    # --- the 14 r15-session-2 newborns: first driver rows (reserved
-    # by the r15 ledger; includes this round's other two changed
-    # plans, agg_theil_inequality_decomposition and
-    # llm_kanonymity_cell_audit) ---
     "llm_cross_shard_dup_spillover",
     "llm_dedup_transitivity_audit",
     "llm_kanonymity_cell_audit",
@@ -90,20 +161,9 @@ _PRIORITY = [
     "layout_compaction_plan",
     "agg_return_rate_ztest",
     "sample_neyman_allocation",
-    # --- rows-only evidence debut (VERDICT r15 #6): never-windowed
-    # true-streaming/sketch queries; the driver records a rows-only
-    # check (their correctness lives in pytest) ---
-    "stream_true_point_in_time",
-    "stream_true_scd2_closed",
-    "agg_sketch_rollup_users",
-    # --- the 18 round-16-born operators: first driver rows ---
-    "llm_substring_dedup_trim",
     "llm_dedup_grain_overlap",
-    "agg_mann_whitney_u",
-    "agg_ks_two_sample",
     "agg_spearman_daily_correlation",
     "agg_chi_square_independence",
-    "agg_weekday_anova",
     "agg_poisson_bootstrap_ci",
     "agg_cuped_adjusted_metric",
     "agg_winsorized_spend_stats",
@@ -115,27 +175,6 @@ _PRIORITY = [
     "llm_epoch_mix_schedule",
     "stream_microbatch_size_sweep",
     "stream_dedup_horizon_sweep",
-]
-
-#: Operators registered straight into _OVERFLOW in the round that
-#: bore them (the window was already full). Exempt from the
-#: evidence-freshness guard until a later round's rotation windows
-#: them; their oracles run in the pytest sweep from birth. EMPTY
-#: after the r16 rotation: all 14 r15-session-2 newborns hold r16
-#: window slots above, and every r16-born operator was budgeted into
-#: the window from birth. Grow this set consciously — it defers
-#: driver evidence by at least one round.
-_BORN_IN_OVERFLOW: set[str] = set()
-
-#: Oracle-CARRYING queries deliberately registered just past the
-#: driver's 50-query window (it is full): their oracles still run in
-#: pytest (tests/test_oracle_parity.py sweeps every oracle at sf0.01),
-#: they just lose the per-round driver row. Every query below is
-#: driver-green in some CORRECTNESS_r*.json artifact with plan code
-#: unchanged since (pinned by tests/test_registry_window.py). Grow
-#: this list consciously — whatever sits here trades driver-visible
-#: correctness evidence for a slot.
-_OVERFLOW = [
     # r16 rotation: the r15 changed-plan witnesses, the 31 r8-refresh
     # cohort, and the 6 other r15-born operators — every one
     # driver-green in CORRECTNESS_r15 with plans unchanged since
@@ -383,33 +422,9 @@ _OVERFLOW = [
     # artifact (pinned by tests/test_registry_window.py) and stays
     # under the pytest oracle sweep (tests/test_oracle_parity.py,
     # exact-match at sf0.01). After the round-11 rotation the
-    # never-driver-sampled backlog is EMPTY.
-    "llm_ann_hyperplane_buckets",
-    "llm_ann_bucketed_cosine_pairs",
-    "llm_ann_recall_report",
-    "llm_simhash_documents",
-    "agg_skewed_revenue_salted",
-    "join_hot_key_split_revenue",
-    "agg_returned_items_report",
-    "agg_cross_nation_volume",
-    "agg_market_share_by_year",
-    "agg_promo_revenue_share",
-    "filter_disjunctive_parts_revenue",
-    "window_top_supplier_quarterly",
-    "agg_large_volume_customers",
-    "agg_shipping_priority_topk",
-    "join_late_shipment_priority",
-    "agg_event_markov_transitions",
-    "agg_rfm_segments",
-    "window_session_stats_batch",
-    "llm_bigram_surprisal_docs",
-    "llm_zipf_slope_report",
-    "llm_bpe_train_merges",
-    "llm_bpe_segment_vocab",
-    "llm_langid_confusion_matrix",
-    "window_rolling_7day_revenue",
-    "stream_hourly_ohlc",
-    "agg_idle_rich_customers",
+    # never-driver-sampled backlog is EMPTY. The r17 rotation windows
+    # 26 of this block's 40 r10-evidence queries; the 14 below are
+    # guard-forced at r18 (window them first next round).
     "join_excess_quantity_suppliers",
     "llm_bpe_encode_stats",
     "agg_event_type_lift",
@@ -432,20 +447,21 @@ _OVERFLOW = [
 #: window; their assertions live in pytest.
 _TAIL = [
     "llm_approx_top_terms_sketch",
-    "agg_percentile_prices_approx",
-    "llm_ml_minhash_join",
     "llm_multimodal_resize",
     "llm_multimodal_frame_sampling",
-    "stream_stateful_running_totals",
     "stream_shard_merge_lateness_approx",
     "llm_embedding_mahalanobis",
     # rows-only queries whose window tour is complete (modern driver
-    # rows: r15), rotated back to the tail
+    # rows: r15/r16), rotated back to the tail
     "agg_approx_distinct_users",
     "sample_orders_seeded",
     "llm_media_payload_dedup_raw",
     "llm_multimodal_image_features",
-    "llm_multimodal_audio_features",]
+    "llm_multimodal_audio_features",
+    "stream_true_point_in_time",
+    "stream_true_scd2_closed",
+    "agg_sketch_rollup_users",
+]
 
 # A typo'd name here would silently no-op the reorder; fail at import
 # instead so a renamed query breaks loudly, not by drifting out of the

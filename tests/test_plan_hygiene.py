@@ -85,6 +85,16 @@ _NESTED_LOOP_ALLOWED = {
     "llm_neardup_source_modularity",  # 1-row edge-total + 1-row Q broadcasts; O(sources)×pairs degree axis
     "llm_quality_dup_calibration",  # 1-row corpus base-rate broadcast onto bins
     "stream_dedup_horizon_sweep",  # 1-row event-total broadcast onto the 3-row axis
+    # round 17
+    "agg_kendall_tau_daily",       # O(days)×O(days) date-domain-bounded pair join + 1-row n_days broadcast
+    "agg_theilsen_trend_slope",    # same bounded day-pair join + two 1-row (median, pair-count) broadcasts
+    "agg_changepoint_best_split",  # 1-row (n, S) totals broadcast onto the O(days) axis
+    "agg_runs_test_daily",         # 1-row lower-median broadcast onto the day axis
+    "agg_autocorr_daily_revenue",  # 3-row lag axis + 1-row totals broadcasts (pairs join is EQUI on shifted date)
+    "agg_quantile_treatment_effect",  # 1-row (n1,n2) + 9-row decile-axis broadcasts
+    "join_er_duplicate_listings",  # 1-row Fellegi-Sunter weight-table broadcast
+    "llm_hash_collision_audit",    # two 1-row count broadcasts onto the O(bits) rollup
+    "llm_source_loo_quality_shift",  # 1-row corpus-total broadcast onto O(sources)
 }
 
 #: Queries whose fn() triggers side effects/execution rather than just
@@ -95,6 +105,7 @@ _SKIP = {
     "stream_true_point_in_time",        # executes a streaming query
     "stream_stateful_running_totals",   # executes a streaming query
     "stream_true_scd2_closed",          # executes a streaming query
+    "stream_true_neardup_admission",    # executes a streaming query
 }
 
 

@@ -23,16 +23,20 @@ from smart_contract_database_builder_spark.plans import _OVERFLOW, _TAIL
 _DRIVER_WINDOW = 50
 
 
-#: Rows-only queries deliberately holding round-16 window slots
-#: (VERDICT r15 "Next round #6"): never-windowed true-streaming and
-#: sketch queries taking their turn at the r15 multimodal debut
-#: pattern. Each spends one round in the window to earn a modern
+#: Rows-only queries deliberately holding round-17 window slots
+#: (VERDICT r16 "Next round #2/#3"): the streaming-state and sketch
+#: families' never-windowed queries taking their evidence turn, plus
+#: the two r17-born rows-only operators (the power-iteration PC and
+#: the true-streaming near-dup admission witness) earning their first
+#: driver rows. Each spends one round in the window to earn a modern
 #: rows-only driver row, then rotates back to _TAIL. Grow this set
 #: consciously — every entry displaces an oracle-checked slot.
 _ROWS_ONLY_WINDOWED = {
-    "stream_true_point_in_time",
-    "stream_true_scd2_closed",
-    "agg_sketch_rollup_users",
+    "stream_stateful_running_totals",
+    "agg_percentile_prices_approx",
+    "llm_ml_minhash_join",
+    "llm_embedding_top_pc_power",
+    "stream_true_neardup_admission",
 }
 
 
@@ -74,12 +78,17 @@ def test_oracle_queries_past_the_window_are_explicitly_designated():
 
 def test_family_witnesses_lead():
     """Each operator family keeps an always-in-window witness at the
-    head of the registry. The round-16 witness set pins the J41
-    within-doc occurrence cap (plan AND oracle changed this round) as
-    the changed-plan witness plus the standing family witnesses."""
+    head of the registry. The round-17 witness set pins the three
+    rank statistics whose overflow paths were hardened (A66/A67
+    decimal widening, the A72 oracle VARCHAR hop) and the single-scan
+    substring trim transform as changed-plan witnesses, plus the
+    standing family witnesses."""
     head = list(plans.QUERIES)[:10]
     for name in (
-        "llm_substring_pair_maxrun",
+        "agg_mann_whitney_u",
+        "agg_ks_two_sample",
+        "agg_weekday_anova",
+        "llm_substring_dedup_trim",
         "flagship_revenue_by_region",
         "ref_extract_functions",
         "stream_true_tumbling_availablenow",
@@ -575,10 +584,82 @@ _ROTATED_IN_R16 = [
 ]
 
 
-def test_round16_rotation_refreshes_the_stale_cohorts():
+def test_round16_rotation_queries_have_driver_rows():
+    """The r16 window earned its driver rows in CORRECTNESS_r16 and
+    rotated out in round 17; pin that each oracle-carrying member (and
+    each rows-only member, rows-recorded) really met the driver."""
+    import json
+    import pathlib
+
+    rows = json.loads(
+        (pathlib.Path(__file__).resolve().parent.parent / "CORRECTNESS_r16.json").read_text()
+    )
+    for n in _ROTATED_IN_R16:
+        r = rows[n]
+        if plans.QUERIES[n].oracle is None:
+            assert r["spark_rows"] is not None and r["spark_rows"] >= 0, n
+        else:
+            assert r["rows_match"] and r["schema_match"] and r["hash_match"], n
+
+
+#: Round-17 rotation contract (VERDICT r16 "Next round #1-#3"): the
+#: four changed-plan/oracle witnesses, 26 of the 40-query r10 cohort,
+#: the three never-windowed rows-only debuts, and the 13 round-17-born
+#: operators hold window slots.
+_ROTATED_IN_R17 = [
+    "agg_mann_whitney_u",
+    "agg_ks_two_sample",
+    "agg_weekday_anova",
+    "llm_substring_dedup_trim",
+    "llm_ann_hyperplane_buckets",
+    "llm_ann_bucketed_cosine_pairs",
+    "llm_ann_recall_report",
+    "llm_simhash_documents",
+    "agg_skewed_revenue_salted",
+    "join_hot_key_split_revenue",
+    "agg_returned_items_report",
+    "agg_cross_nation_volume",
+    "agg_market_share_by_year",
+    "agg_promo_revenue_share",
+    "filter_disjunctive_parts_revenue",
+    "window_top_supplier_quarterly",
+    "agg_large_volume_customers",
+    "agg_shipping_priority_topk",
+    "join_late_shipment_priority",
+    "agg_event_markov_transitions",
+    "agg_rfm_segments",
+    "window_session_stats_batch",
+    "llm_bigram_surprisal_docs",
+    "llm_zipf_slope_report",
+    "llm_bpe_train_merges",
+    "llm_bpe_segment_vocab",
+    "llm_langid_confusion_matrix",
+    "window_rolling_7day_revenue",
+    "stream_hourly_ohlc",
+    "agg_idle_rich_customers",
+    "stream_stateful_running_totals",
+    "agg_percentile_prices_approx",
+    "llm_ml_minhash_join",
+    "agg_kendall_tau_daily",
+    "agg_theilsen_trend_slope",
+    "agg_changepoint_best_split",
+    "agg_quantile_treatment_effect",
+    "agg_runs_test_daily",
+    "agg_autocorr_daily_revenue",
+    "agg_seasonal_decomposition_daily",
+    "join_er_duplicate_listings",
+    "llm_hash_collision_audit",
+    "layout_bloom_sizing_audit",
+    "llm_source_loo_quality_shift",
+    "llm_embedding_top_pc_power",
+    "stream_true_neardup_admission",
+]
+
+
+def test_round17_rotation_refreshes_the_stale_cohorts():
     window = list(plans.QUERIES)[:_DRIVER_WINDOW]
-    missing = [n for n in _ROTATED_IN_R16 if n not in window]
-    assert missing == [], f"r16 rotation set missing from the window: {missing}"
+    missing = [n for n in _ROTATED_IN_R17 if n not in window]
+    assert missing == [], f"r17 rotation set missing from the window: {missing}"
 
 
 #: Operators registered straight into _OVERFLOW in the round that
