@@ -373,6 +373,19 @@ HEADLINE = [
     "llm_epoch_mix_schedule",
     "stream_microbatch_size_sweep",
     "stream_dedup_horizon_sweep",
+    # round 17 (append-only; see tier docstring)
+    "agg_kendall_tau_daily",
+    "agg_theilsen_trend_slope",
+    "agg_changepoint_best_split",
+    "agg_quantile_treatment_effect",
+    "agg_runs_test_daily",
+    "agg_autocorr_daily_revenue",
+    "agg_seasonal_decomposition_daily",
+    "join_er_duplicate_listings",
+    "llm_hash_collision_audit",
+    "layout_bloom_sizing_audit",
+    "llm_source_loo_quality_shift",
+    "llm_embedding_top_pc_power",
 ]
 
 
@@ -544,9 +557,14 @@ def main() -> None:
         calib_ms=calib_ms, calib_p50_ms=calib_p50_ms,
     )
 
+    # Clean runs write their own full artifact (bench_full_clean.json)
+    # so the two on-disk full artifacts are always same-round
+    # (VERDICT r16 #5: the r15 clean file had gone stale on disk while
+    # the r16 clean map lived only inside BENCH_LOCAL_r16_clean.json).
+    default_full = "bench_full_clean.json" if clean else "bench_full.json"
     full_out = os.environ.get(
         "SPARK_GRAFT_BENCH_FULL_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), default_full),
     )
     try:
         with open(full_out, "w") as f:
@@ -590,7 +608,7 @@ def format_result(
         "unit": "sec",
         "queries": {},
         "queries_omitted": 0,
-        "full_artifact": "bench_full.json",
+        "full_artifact": "bench_full_clean.json" if clean else "bench_full.json",
         "sf": sf,
         "reps": reps,
         "stat": "min",
