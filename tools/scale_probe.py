@@ -111,6 +111,64 @@ def generate() -> None:
     print(f"generated {REPLICAS}x probe corpus under {OUT}")
 
 
+def generate_lowdup() -> None:
+    """LOW-DUPLICATION 10× corpus (``.scale_probe/lowdup10``): same
+    10× document replication as ``generate``, but every non-zero
+    replica gets a replica-unique token spliced in EVERY 8 TOKENS —
+    which breaks every cross-replica shared run at the exact-substring
+    family's >= 8-token grain (and, because the splice position is a
+    per-doc token index, cross-DOC alignments within a replica too).
+    Total duplicated mass therefore stays ~constant (replica 0's own)
+    while the corpus grows 10× — the probe cell that shows the
+    dup-mass-bounded audits flatten when duplication does not scale
+    with the corpus (VERDICT r16 #7). Non-document tables copy from
+    the x10 probe corpus unchanged."""
+    import shutil
+
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = os.path.join(os.path.dirname(OUT), "lowdup10")
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    base = con.execute(
+        f"SELECT doc_id, text, lang, source, n_chars "
+        f"FROM read_parquet('{BASE}/documents.parquet') ORDER BY doc_id"
+    ).df()
+    n_docs = int(base["doc_id"].max()) + 1
+    frames = []
+    for r in range(REPLICAS):
+        rep = base.copy()
+        rep["doc_id"] = rep["doc_id"] + r * n_docs
+        if r > 0:
+            tag = f"zq{r}x"
+
+            def splice(t: str, tag: str = tag) -> str:
+                toks = t.split(" ")
+                outt = []
+                for i, w in enumerate(toks):
+                    outt.append(w)
+                    if (i + 1) % 8 == 0:
+                        outt.append(tag)
+                return " ".join(outt)
+
+            rep["text"] = rep["text"].map(splice)
+            rep["n_chars"] = rep["text"].str.len()
+        frames.append(rep)
+    allr = pd.concat(frames, ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(allr, preserve_index=False),
+        os.path.join(out, "documents.parquet"),
+    )
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        shutil.copy(os.path.join(OUT, f"{t}.parquet"),
+                    os.path.join(out, f"{t}.parquet"))
+    print(f"generated low-dup 10x corpus under {out}")
+
+
 def run(names: list[str]) -> None:
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "6g")
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -308,7 +366,9 @@ def simhash_blocks() -> None:
 
 
 if __name__ == "__main__":
-    if sys.argv[1] == "generate":
+    if sys.argv[1] == "generate_lowdup":
+        generate_lowdup()
+    elif sys.argv[1] == "generate":
         generate()
     elif sys.argv[1] == "buckets":
         buckets()
