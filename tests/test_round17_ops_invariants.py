@@ -415,3 +415,89 @@ def test_stream_neardup_admission_batch_parity(spark):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     # every batch-slice doc received exactly one decision
     assert got["doc_id"].is_unique
+
+
+def test_er_linkage_pure_python_twin(spark):
+    """Full pure-Python recompute of J44 at sf0.001 — blocking,
+    sorted-neighborhood candidate generation, measured u-probabilities,
+    Fellegi-Sunter scoring, per-noun rollup — compared EXACTLY to the
+    Spark output (same IEEE chains). Catches a shared Spark/DuckDB
+    oracle bug (e.g. both sides agreeing on a wrong window order) that
+    the parity sweep cannot."""
+    import pandas as pd
+
+    df = (
+        _run(spark, "join_er_duplicate_listings")
+        .sort_values("noun")
+        .reset_index(drop=True)
+    )
+    parts = _duck(
+        "SELECT p_partkey, p_name, p_brand, p_type, CAST(p_size AS BIGINT),"
+        " CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000"
+        " FROM part"
+    )
+    px = [
+        {
+            "pk": pk,
+            "adj": name.split(" ")[0],
+            "noun": name.split(" ")[1],
+            "brand": brand,
+            "typ": typ,
+            "siz": siz,
+            "pb": pb,
+        }
+        for pk, name, brand, typ, siz, pb in parts
+    ]
+    n = len(px)
+
+    def u_of(feat):
+        from collections import Counter
+
+        c = Counter(r[feat] for r in px)
+        num = sum(v * (v - 1) // 2 for v in c.values())
+        return float(num) / (float(n) * (n - 1) / 2)
+
+    m = {"adj": 0.9, "typ": 0.85, "siz": 0.8, "pb": 0.75}
+    wa = {f: math.log(m[f] / u_of(f)) for f in m}
+    wd = {f: math.log((1 - m[f]) / (1 - u_of(f))) for f in m}
+    from collections import defaultdict
+
+    blocks = defaultdict(list)
+    for r in px:
+        blocks[(r["noun"], r["brand"])].append(r)
+    per_noun = defaultdict(lambda: {"pairs": 0, "w": 0, "s": 0, "mx": None})
+    for (noun, _), rows in blocks.items():
+        rows.sort(key=lambda r: (r["typ"], r["siz"], r["pb"], r["pk"]))
+        for i, a in enumerate(rows):
+            for j in range(i + 1, min(i + 4, len(rows))):
+                b = rows[j]
+                score = (
+                    (wa["adj"] if a["adj"] == b["adj"] else wd["adj"])
+                    + (wa["typ"] if a["typ"] == b["typ"] else wd["typ"])
+                    + (wa["siz"] if a["siz"] == b["siz"] else wd["siz"])
+                    + (wa["pb"] if a["pb"] == b["pb"] else wd["pb"])
+                )
+                t = per_noun[noun]
+                t["pairs"] += 1
+                t["w"] += score >= 1.0
+                t["s"] += score >= 3.0
+                t["mx"] = score if t["mx"] is None else max(t["mx"], score)
+    n_parts = defaultdict(int)
+    for r in px:
+        n_parts[r["noun"]] += 1
+    want = pd.DataFrame(
+        [
+            {
+                "noun": noun,
+                "n_parts": n_parts[noun],
+                "n_pairs": per_noun[noun]["pairs"] if noun in per_noun else 0,
+                "n_match_weak": per_noun[noun]["w"] if noun in per_noun else 0,
+                "n_match_strong": per_noun[noun]["s"] if noun in per_noun else 0,
+                "max_score": per_noun[noun]["mx"] if noun in per_noun else None,
+            }
+            for noun in sorted(n_parts)
+        ]
+    )
+    pd.testing.assert_frame_equal(
+        df, want, check_dtype=False, check_exact=True
+    )
