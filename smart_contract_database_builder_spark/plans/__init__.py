@@ -36,16 +36,20 @@ from . import streaming_batch  # noqa: E402,F401
 #: freshness floor binds at r18; windowing 26 now leaves only 14
 #: guard-forced next round), (d) three never-windowed rows-only
 #: queries (VERDICT r16 #3: the streaming-state and sketch families'
-#: turn), and (e) the 13 round-17-born operators (11 oracled + the
+#: turn), (e) the 13 round-17-born operators (11 oracled + the
 #: rows-only power-iteration PC and the true-streaming near-dup
-#: admission witness, VERDICT r16 #2). 4+4+26+3+13 = EXACTLY 50.
+#: admission witness, VERDICT r16 #2), and (f) the 3 r17-SESSION-2
+#: newborns (KM survival, BH-FDR, mutual information), which take the
+#: slots of 3 r10-cohort queries displaced to the r18 forced set.
+#: 4+4+23+3+13+3 = EXACTLY 50.
 #: Everything rotated out (the r16 window's other 39 queries) is
 #: driver-green in CORRECTNESS_r16 with plan code unchanged since,
 #: and stays under the pytest oracle sweep
 #: (tests/test_oracle_parity.py).
 #:
-#: ROUND-18 ROTATION LEDGER: the guard forces the REMAINING 14 r10-
-#: evidence queries (the tail of the _OVERFLOW r10 block below) at
+#: ROUND-18 ROTATION LEDGER: the guard forces the REMAINING 17 r10-
+#: evidence queries (the 3 session-2-displaced queries at the head of
+#: _OVERFLOW + the 14-query tail of the _OVERFLOW r10 block below) at
 #: r18 — window them first, then r18 newborns/witnesses; after that
 #: the oldest evidence is the r11 cohort (43 queries, floor r19),
 #: so r19 should again pre-split it roughly in half.
@@ -87,9 +91,6 @@ _PRIORITY = [
     "llm_bpe_train_merges",
     "llm_bpe_segment_vocab",
     "llm_langid_confusion_matrix",
-    "window_rolling_7day_revenue",
-    "stream_hourly_ohlc",
-    "agg_idle_rich_customers",
     # --- rows-only evidence debut (VERDICT r16 #3): never-windowed
     # streaming-state/sketch queries; the driver records a rows-only
     # check (their correctness lives in pytest) ---
@@ -112,6 +113,17 @@ _PRIORITY = [
     "llm_source_loo_quality_shift",
     "llm_embedding_top_pc_power",
     "stream_true_neardup_admission",
+    # --- SESSION-2 AMENDMENT: the 3 r17-session-2-born statistics
+    # operators (KM survival, BH-FDR, mutual information) take window
+    # slots from birth; the 3 r10-cohort queries they displace
+    # (window_rolling_7day_revenue, stream_hourly_ohlc,
+    # agg_idle_rich_customers) move to the r18 forced set below —
+    # still within the 8-round freshness guard (r10 evidence, floor
+    # r18), so nothing goes stale; r18's guard-forced count rises
+    # from 14 to 17 ---
+    "agg_kaplan_meier_reorder",
+    "agg_return_rate_fdr_bh",
+    "agg_event_weekday_mutual_info",
 ]
 
 #: Operators registered straight into _OVERFLOW in the round that
@@ -132,6 +144,13 @@ _BORN_IN_OVERFLOW: set[str] = set()
 #: this list consciously — whatever sits here trades driver-visible
 #: correctness evidence for a slot.
 _OVERFLOW = [
+    # r17 SESSION-2 displacement: 3 r10-evidence queries give their
+    # window slots to the session-2 newborns above; they join the 14
+    # already-ledgered r10-cohort queries in the r18 forced set
+    # (newest driver row r10; freshness floor binds at r18)
+    "window_rolling_7day_revenue",
+    "stream_hourly_ohlc",
+    "agg_idle_rich_customers",
     # r17 rotation: the r16 window's changed-plan witness, the
     # 10-query r8 remainder, the 14 r15-session-2 newborns, and the
     # 14 other r16-born operators — every one driver-green in

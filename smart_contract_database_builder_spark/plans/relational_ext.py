@@ -8323,3 +8323,604 @@ def join_er_duplicate_listings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("noun")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-17 session-2 batch: survival / multiple-testing / information-theory
+# statistics over the order and event streams. Same determinism contract as
+# the r16/r17 statistics batches: exact integer sufficient statistics, fixed
+# IEEE chains, libm transcendentals only on bounded post-aggregate axes, and
+# quantized contributions wherever a cross-engine summation order would
+# otherwise be unspecified.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_kaplan_meier_reorder",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d,
+             o_orderkey AS k
+      FROM orders
+    ),
+    mx AS (SELECT MAX(d) AS mxd FROM base),
+    seq AS (
+      SELECT ck, d, LEAD(d) OVER (PARTITION BY ck ORDER BY d, k) AS nd
+      FROM base
+    ),
+    durs AS (
+      SELECT CASE WHEN nd IS NULL THEN date_diff('day', d, m.mxd)
+                  ELSE date_diff('day', d, nd) END AS t,
+             CASE WHEN nd IS NULL THEN 0 ELSE 1 END AS ev
+      FROM seq CROSS JOIN mx m
+    ),
+    ag AS (
+      SELECT CAST(t AS BIGINT) AS t, CAST(SUM(ev) AS BIGINT) AS d_t,
+             CAST(SUM(1 - ev) AS BIGINT) AS c_t
+      FROM durs GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d_t, c_t,
+             CAST(SUM(d_t + c_t) OVER (
+               ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS n_risk
+      FROM ag
+    ),
+    ev AS (
+      SELECT t, n_risk, d_t, c_t, ROW_NUMBER() OVER (ORDER BY t) AS r
+      FROM risk WHERE d_t > 0
+    ),
+    km AS (
+      SELECT r, t, n_risk, d_t, c_t,
+             CAST(n_risk - d_t AS DOUBLE) / CAST(n_risk AS DOUBLE) AS surv
+      FROM ev WHERE r = 1
+      UNION ALL
+      SELECT e.r, e.t, e.n_risk, e.d_t, e.c_t,
+             km.surv * (CAST(e.n_risk - e.d_t AS DOUBLE)
+                        / CAST(e.n_risk AS DOUBLE))
+      FROM km JOIN ev e ON e.r = km.r + 1
+    )
+    SELECT t AS t_days, n_risk AS n_at_risk, d_t AS n_events,
+           c_t AS n_censored, surv AS survival
+    FROM km ORDER BY t_days
+    """,
+)
+def agg_kaplan_meier_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A81: KAPLAN-MEIER survival of the customer REORDER gap — for
+    each customer, every consecutive-order gap is an observed event
+    duration and the tail from the last order to the corpus end is a
+    RIGHT-CENSORED duration; the estimator reports, per event time t
+    (gap length in days), the at-risk count, event/censor counts, and
+    the product-limit survival S(t) = prod_{u<=t}(1 - d_u/n_u). The
+    churn primitive the engine's retention family (A15/A53/A54) was
+    missing: A54 histograms COMPLETED gaps only, which biases long
+    gaps down — KM is the estimator that uses the censored tails
+    instead of dropping them.
+
+    Exactness: durations are integer day diffs; d_t/c_t/n_t are exact
+    int64 counts (the at-risk curve is a reverse cumulative integer
+    sum, order-free); each hazard factor is one int-int double
+    division, identical on both engines; and the running product is
+    forced into the SAME ascending-t left-fold on both sides — a
+    sequential ``aggregate()`` over the sorted event-time array in
+    Spark, a recursive CTE stepping r -> r+1 in DuckDB — so every
+    survival value is bitwise cross-engine (double multiplication is
+    not associative; an unordered product aggregate would not be).
+
+    Scale shape: one orders scan -> per-customer lag window (uniform
+    customer key, parallel) -> hash agg onto the bounded gap-day axis
+    (O(days), map-side combine). Everything after — the at-risk
+    window, the fold — runs on the O(days) axis; the single-row
+    censor anchor (corpus max date) is the only broadcast. At 10^9
+    customers the gap axis is still ~2.5k rows.
+    """
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.col("o_orderkey").alias("k"),
+    )
+    mx = base.agg(F.max("d").alias("mxd"))
+    nd = F.lead("d").over(Window.partitionBy("ck").orderBy("d", "k"))
+    seq = base.select("ck", "d", nd.alias("nd"))
+    durs = seq.crossJoin(F.broadcast(mx)).select(
+        F.when(
+            F.col("nd").isNull(), F.datediff(F.col("mxd"), F.col("d"))
+        )
+        .otherwise(F.datediff(F.col("nd"), F.col("d")))
+        .alias("t"),
+        F.when(F.col("nd").isNull(), 0).otherwise(1).alias("ev"),
+    )
+    ag = durs.groupBy(F.col("t").cast("long").alias("t")).agg(
+        F.sum("ev").cast("long").alias("d_t"),
+        F.sum(1 - F.col("ev")).cast("long").alias("c_t"),
+    )
+    risk = ag.select(
+        "t",
+        "d_t",
+        "c_t",
+        F.sum(F.col("d_t") + F.col("c_t"))
+        .over(
+            Window.orderBy(F.desc("t")).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    ev = risk.filter(F.col("d_t") > 0)
+    one = ev.agg(
+        F.sort_array(
+            F.collect_list(F.struct("t", "n_risk", "d_t", "c_t"))
+        ).alias("arr")
+    )
+    folded = one.select(
+        "arr",
+        F.expr(
+            """
+            aggregate(
+              arr,
+              struct(CAST(1.0 AS DOUBLE) AS p,
+                     CAST(array() AS ARRAY<DOUBLE>) AS out),
+              (acc, x) -> struct(
+                acc.p * (CAST(x.n_risk - x.d_t AS DOUBLE)
+                         / CAST(x.n_risk AS DOUBLE)),
+                concat(acc.out,
+                       array(acc.p * (CAST(x.n_risk - x.d_t AS DOUBLE)
+                                      / CAST(x.n_risk AS DOUBLE))))),
+              acc -> acc.out)
+            """
+        ).alias("survs"),
+    )
+    return (
+        folded.select(
+            F.expr("inline(arrays_zip(arr, survs))")
+        )
+        .select(
+            F.col("arr.t").alias("t_days"),
+            F.col("arr.n_risk").alias("n_at_risk"),
+            F.col("arr.d_t").alias("n_events"),
+            F.col("arr.c_t").alias("n_censored"),
+            F.col("survs").alias("survival"),
+        )
+        .orderBy("t_days")
+    )
+
+
+#: Benjamini-Hochberg target false-discovery rate for the per-nation
+#: return-rate screen (the conventional q for exploratory screens).
+_FDR_Q = "0.1"
+
+#: Abramowitz-Stegun 26.2.17 normal-tail coefficients — the classic
+#: |error| < 7.5e-8 polynomial. Both engines evaluate the SAME Horner
+#: chain on the same double literals, so the p-values are bitwise
+#: cross-engine (the approximation itself is the operator's published
+#: contract, exactly like the z-test's normal approximation in A65).
+_AS_T = "0.2316419"
+_AS_B = ("0.319381530", "-0.356563782", "1.781477937",
+         "-1.821255978", "1.330274429")
+_AS_PDF = "0.3989422804014327"
+
+
+def _sql_norm_p2(az: str) -> str:
+    """Two-sided normal p-value 2*Q(|z|) as a DuckDB expression — the
+    A&S 26.2.17 chain, written operation-for-operation identically to
+    the ``_pnorm2_libm`` pandas UDF."""
+    t = f"(1.0 / (1.0 + {_AS_T} * {az}))"
+    b1, b2, b3, b4, b5 = _AS_B
+    poly = (
+        f"({t} * ({b1} + {t} * ({b2} + {t} * "
+        f"({b3} + {t} * ({b4} + {t} * {b5})))))"
+    )
+    return (
+        f"(2.0 * (({_AS_PDF} * exp(-0.5 * {az} * {az})) * {poly}))"
+    )
+
+
+def _pnorm2_libm():
+    """Two-sided normal p-value via libm ``exp`` (pandas UDF on the
+    bounded post-aggregate axis only) — mirrors ``_sql_norm_p2``
+    operation-for-operation; JVM ``Math.exp`` is 1 ulp off libm on
+    some inputs, which would break the bitwise contract."""
+    import math
+
+    _t0 = float(_AS_T)
+    _b = tuple(float(x) for x in _AS_B)
+    _pdf = float(_AS_PDF)
+
+    @F.pandas_udf("double")
+    def _p(az: pd.Series) -> pd.Series:
+        def q(z):
+            if z is None or pd.isna(z):
+                return None
+            t = 1.0 / (1.0 + _t0 * z)
+            poly = t * (_b[0] + t * (_b[1] + t * (_b[2] + t * (_b[3] + t * _b[4]))))
+            return 2.0 * ((_pdf * math.exp(-0.5 * z * z)) * poly)
+
+        return az.map(q)
+
+    return _p
+
+
+@register(
+    "agg_return_rate_fdr_bh",
+    oracle=f"""
+    WITH j AS (
+      SELECT n.n_name,
+             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    g AS (
+      SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ret) AS BIGINT) AS r
+      FROM j GROUP BY n_name
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(r) AS BIGINT) AS rr,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM g
+    ),
+    z AS (
+      SELECT g.n_name, g.n, g.r, t.m,
+             CAST(g.r AS DOUBLE) / CAST(g.n AS DOUBLE) AS rate,
+             ((CAST(g.r AS DOUBLE) / CAST(g.n AS DOUBLE))
+              - (CAST(t.rr - g.r AS DOUBLE) / CAST(t.nn - g.n AS DOUBLE)))
+             / sqrt((CAST(t.rr AS DOUBLE) / CAST(t.nn AS DOUBLE))
+                    * (1.0 - CAST(t.rr AS DOUBLE) / CAST(t.nn AS DOUBLE))
+                    * (1.0 / CAST(g.n AS DOUBLE)
+                       + 1.0 / CAST(t.nn - g.n AS DOUBLE))) AS z_stat
+      FROM g CROSS JOIN tot t
+    ),
+    p AS (
+      SELECT n_name, n, r, m, rate, z_stat,
+             {_sql_norm_p2("abs(z_stat)")} AS p_value
+      FROM z
+    ),
+    rk AS (
+      SELECT *,
+             CAST(ROW_NUMBER() OVER (ORDER BY p_value, n_name) AS BIGINT)
+               AS p_rank
+      FROM p
+    ),
+    thr AS (
+      SELECT *,
+             (CAST(p_rank AS DOUBLE) * {_FDR_Q}) / CAST(m AS DOUBLE)
+               AS bh_threshold
+      FROM rk
+    ),
+    kstar AS (
+      SELECT MAX(CASE WHEN p_value <= bh_threshold THEN p_rank
+                      ELSE 0 END) AS k
+      FROM thr
+    )
+    SELECT t.n_name, t.n AS n_items, t.r AS n_returned, t.rate,
+           t.z_stat, t.p_value, t.p_rank, t.bh_threshold,
+           CAST(CASE WHEN t.p_rank <= k.k THEN 1 ELSE 0 END AS BIGINT)
+             AS rejected
+    FROM thr t CROSS JOIN kstar k
+    ORDER BY t.p_rank
+    """,
+)
+def agg_return_rate_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A82: BENJAMINI-HOCHBERG FDR control over the per-nation return-
+    rate screen — 25 simultaneous two-proportion z-tests (each nation
+    vs the rest of the corpus, the A65 statistic per segment), each
+    with its two-sided normal p-value, ranked and thresholded by the
+    step-up BH rule at q={_FDR_Q}. The missing piece between A65 (ONE
+    test) and the segment-report family: run the same screen over 25
+    segments and ~2.5 of them clear p<0.1 by luck alone — this is the
+    operator that says which segment differences survive multiple-
+    comparison discipline, which is what decides a per-segment
+    rollout.
+
+    Exactness: per-segment counts are exact int64 from one scan; z is
+    a fixed IEEE chain on those integers; the p-value is the A&S
+    26.2.17 polynomial evaluated in the SAME Horner order on both
+    engines with libm ``exp`` on both sides (pandas UDF on the 25-row
+    axis in Spark; DuckDB's ``exp`` IS libm) — bitwise, with the
+    approximation itself (|err| < 7.5e-8) part of the operator's
+    contract. Ranks tie-break on n_name; the step-up cutoff k* is an
+    integer MAX over the bounded axis.
+
+    Scale shape: the corpus work is ONE lineitem->orders->customer
+    join reduced by a map-side-combinable per-nation aggregate;
+    everything after (z, p, rank, BH) runs on the O(nations) axis
+    with two 1-row broadcasts (totals, k*). At 10^9 segments the
+    rank/threshold step would shard by the two-level prefix-scan
+    discipline (_prefix_sums); at the real 25-segment axis a single
+    bounded window is the right plan.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias(
+                "ret"
+            ),
+        )
+    )
+    g = j.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ret").cast("long").alias("r"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("r").cast("long").alias("rr"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    zrel = g.crossJoin(F.broadcast(tot))
+    rate = F.col("r").cast("double") / F.col("n").cast("double")
+    p2 = (F.col("rr") - F.col("r")).cast("double") / (
+        F.col("nn") - F.col("n")
+    ).cast("double")
+    pp = F.col("rr").cast("double") / F.col("nn").cast("double")
+    z = (rate - p2) / F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (
+            F.lit(1.0) / F.col("n").cast("double")
+            + F.lit(1.0) / (F.col("nn") - F.col("n")).cast("double")
+        )
+    )
+    pnorm = _pnorm2_libm()
+    p = zrel.select(
+        "n_name",
+        "n",
+        "r",
+        "m",
+        rate.alias("rate"),
+        z.alias("z_stat"),
+    ).withColumn("p_value", pnorm(F.abs(F.col("z_stat"))))
+    rk = p.withColumn(
+        "p_rank",
+        F.row_number()
+        .over(Window.orderBy("p_value", "n_name"))
+        .cast("long"),
+    )
+    thr = rk.withColumn(
+        "bh_threshold",
+        (F.col("p_rank").cast("double") * F.lit(float(_FDR_Q)))
+        / F.col("m").cast("double"),
+    )
+    kstar = thr.agg(
+        F.max(
+            F.when(
+                F.col("p_value") <= F.col("bh_threshold"), F.col("p_rank")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("k")
+    )
+    return (
+        thr.crossJoin(F.broadcast(kstar))
+        .select(
+            "n_name",
+            F.col("n").alias("n_items"),
+            F.col("r").alias("n_returned"),
+            "rate",
+            "z_stat",
+            "p_value",
+            "p_rank",
+            "bh_threshold",
+            F.when(F.col("p_rank") <= F.col("k"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("rejected"),
+        )
+        .orderBy("p_rank")
+    )
+
+
+#: Quantization scale for information-theoretic contributions whose
+#: cross-engine summation order is unspecified (the r16 quantized-sum
+#: discipline): both engines floor identical doubles to integer
+#: pico-nats, then sum exactly.
+_MI_SCALE = "1000000000000.0"
+
+
+@register(
+    "agg_event_weekday_mutual_info",
+    oracle=f"""
+    WITH cells AS (
+      SELECT event_type,
+             CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS weekday,
+             CAST(COUNT(*) AS BIGINT) AS n_cell
+      FROM events GROUP BY event_type, dayofweek(CAST(ts AS DATE)) + 1
+    ),
+    rowt AS (
+      SELECT event_type, CAST(SUM(n_cell) AS BIGINT) AS n_type
+      FROM cells GROUP BY event_type
+    ),
+    colt AS (
+      SELECT weekday, CAST(SUM(n_cell) AS BIGINT) AS n_weekday
+      FROM cells GROUP BY weekday
+    ),
+    tot AS (SELECT CAST(SUM(n_cell) AS BIGINT) AS nn FROM cells),
+    pm AS (
+      SELECT c.event_type, c.weekday, c.n_cell, r.n_type, w.n_weekday,
+             ln((CAST(c.n_cell AS DOUBLE) * CAST(t.nn AS DOUBLE))
+                / (CAST(r.n_type AS DOUBLE)
+                   * CAST(w.n_weekday AS DOUBLE))) AS pmi_nats,
+             CAST(floor(((CAST(c.n_cell AS DOUBLE) / CAST(t.nn AS DOUBLE))
+               * ln((CAST(c.n_cell AS DOUBLE) * CAST(t.nn AS DOUBLE))
+                    / (CAST(r.n_type AS DOUBLE)
+                       * CAST(w.n_weekday AS DOUBLE))))
+               * {_MI_SCALE}) AS BIGINT) AS cq
+      FROM cells c
+      JOIN rowt r ON r.event_type = c.event_type
+      JOIN colt w ON w.weekday = c.weekday
+      CROSS JOIN tot t
+    ),
+    hrow AS (
+      SELECT CAST(SUM(CAST(floor((-((CAST(r.n_type AS DOUBLE)
+               / CAST(t.nn AS DOUBLE))
+               * ln(CAST(r.n_type AS DOUBLE) / CAST(t.nn AS DOUBLE))))
+               * {_MI_SCALE}) AS BIGINT)) AS BIGINT) AS hq
+      FROM rowt r CROSS JOIN tot t
+    ),
+    hcol AS (
+      SELECT CAST(SUM(CAST(floor((-((CAST(w.n_weekday AS DOUBLE)
+               / CAST(t.nn AS DOUBLE))
+               * ln(CAST(w.n_weekday AS DOUBLE) / CAST(t.nn AS DOUBLE))))
+               * {_MI_SCALE}) AS BIGINT)) AS BIGINT) AS hq
+      FROM colt w CROSS JOIN tot t
+    ),
+    mi AS (SELECT CAST(SUM(cq) AS BIGINT) AS mi_q FROM pm)
+    SELECT p.event_type, p.weekday, p.n_cell, p.n_type, p.n_weekday,
+           p.pmi_nats,
+           CAST(m.mi_q AS DOUBLE) / {_MI_SCALE} AS mi_nats,
+           CAST(hr.hq AS DOUBLE) / {_MI_SCALE} AS h_type,
+           CAST(hc.hq AS DOUBLE) / {_MI_SCALE} AS h_weekday,
+           CAST(m.mi_q AS DOUBLE)
+             / sqrt(CAST(hr.hq AS DOUBLE) * CAST(hc.hq AS DOUBLE)) AS nmi
+    FROM pm p CROSS JOIN mi m CROSS JOIN hrow hr CROSS JOIN hcol hc
+    ORDER BY p.event_type, p.weekday
+    """,
+)
+def agg_event_weekday_mutual_info(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A83: MUTUAL INFORMATION between event type and weekday — the
+    full dependence audit the chi-square test (A71) only thresholds:
+    per-cell pointwise mutual information (which (type, day) pairs
+    co-occur above/below independence) plus the corpus-level MI,
+    marginal entropies, and normalized MI (MI / sqrt(H_row * H_col),
+    the symmetric-uncertainty variant). The feature-relevance number
+    a pipeline reads before keying a mixture or shard layout on a
+    categorical column: NMI ~ 0 says the column carries no signal
+    about the other and partitioning on it buys nothing.
+
+    Exactness: the contingency table is exact int64 from ONE events
+    scan (marginals and the total are rollups of the cell relation,
+    not re-scans); per-cell PMI is libm ``ln`` on both engines
+    (pandas UDF on the <=35-row cell axis in Spark; DuckDB ``ln`` IS
+    libm) over identical int-ratio doubles, so each cell is bitwise;
+    and the three SUMS whose cross-engine order would be unspecified
+    (MI, H_row, H_col) follow the r16 quantized-sum discipline —
+    floor identical doubles to integer pico-nats, sum exactly, divide
+    once at the end.
+
+    Scale shape: one corpus scan -> hash agg onto the bounded
+    (type x weekday) cell axis with map-side combine; every join,
+    entropy, and sum downstream runs on O(cells) rows with three
+    1-row broadcasts. Weekday parity: Spark ``dayofweek`` is
+    Sunday=1, DuckDB's is Sunday=0 — the oracle adds 1 (the A32
+    convention).
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("d")
+    )
+    cells = (
+        ev.groupBy(
+            "event_type",
+            F.dayofweek("d").cast("long").alias("weekday"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cell"))
+        .localCheckpoint()  # one corpus scan feeds all four rollups
+    )
+    rowt = cells.groupBy("event_type").agg(
+        F.sum("n_cell").cast("long").alias("n_type")
+    )
+    colt = cells.groupBy("weekday").agg(
+        F.sum("n_cell").cast("long").alias("n_weekday")
+    )
+    tot = cells.agg(F.sum("n_cell").cast("long").alias("nn"))
+    ln = _ln_libm_ext()
+    scale = float(_MI_SCALE)
+    pm = (
+        cells.join(rowt, "event_type")
+        .join(colt, "weekday")
+        .crossJoin(F.broadcast(tot))
+    )
+    lnarg = (
+        F.col("n_cell").cast("double") * F.col("nn").cast("double")
+    ) / (F.col("n_type").cast("double") * F.col("n_weekday").cast("double"))
+    pm = pm.withColumn("pmi_nats", ln(lnarg)).withColumn(
+        "cq",
+        F.floor(
+            (
+                (F.col("n_cell").cast("double") / F.col("nn").cast("double"))
+                * F.col("pmi_nats")
+            )
+            * F.lit(scale)
+        ).cast("long"),
+    ).localCheckpoint()  # pin the bounded cell axis: 3 consumers below
+    hrow = (
+        rowt.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "lr", ln(F.col("n_type").cast("double") / F.col("nn").cast("double"))
+        )
+        .select(
+            F.floor(
+                (
+                    -(
+                        (
+                            F.col("n_type").cast("double")
+                            / F.col("nn").cast("double")
+                        )
+                        * F.col("lr")
+                    )
+                )
+                * F.lit(scale)
+            )
+            .cast("long")
+            .alias("q")
+        )
+        .agg(F.sum("q").cast("long").alias("hq"))
+    )
+    hcol = (
+        colt.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "lw",
+            ln(F.col("n_weekday").cast("double") / F.col("nn").cast("double")),
+        )
+        .select(
+            F.floor(
+                (
+                    -(
+                        (
+                            F.col("n_weekday").cast("double")
+                            / F.col("nn").cast("double")
+                        )
+                        * F.col("lw")
+                    )
+                )
+                * F.lit(scale)
+            )
+            .cast("long")
+            .alias("q")
+        )
+        .agg(F.sum("q").cast("long").alias("hq"))
+    )
+    mi = pm.agg(F.sum("cq").cast("long").alias("mi_q"))
+    return (
+        pm.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hrow.select(F.col("hq").alias("hr_q"))))
+        .crossJoin(F.broadcast(hcol.select(F.col("hq").alias("hc_q"))))
+        .select(
+            "event_type",
+            "weekday",
+            "n_cell",
+            "n_type",
+            "n_weekday",
+            "pmi_nats",
+            (F.col("mi_q").cast("double") / F.lit(scale)).alias("mi_nats"),
+            (F.col("hr_q").cast("double") / F.lit(scale)).alias("h_type"),
+            (F.col("hc_q").cast("double") / F.lit(scale)).alias("h_weekday"),
+            (
+                F.col("mi_q").cast("double")
+                / F.sqrt(
+                    F.col("hr_q").cast("double")
+                    * F.col("hc_q").cast("double")
+                )
+            ).alias("nmi"),
+        )
+        .orderBy("event_type", "weekday")
+    )

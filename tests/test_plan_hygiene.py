@@ -95,6 +95,10 @@ _NESTED_LOOP_ALLOWED = {
     "join_er_duplicate_listings",  # 1-row Fellegi-Sunter weight-table broadcast
     "llm_hash_collision_audit",    # two 1-row count broadcasts onto the O(bits) rollup
     "llm_source_loo_quality_shift",  # 1-row corpus-total broadcast onto O(sources)
+    # round 17 session 2
+    "agg_kaplan_meier_reorder",    # 1-row censor-anchor (corpus max date) broadcast
+    "agg_return_rate_fdr_bh",      # 1-row totals + 1-row BH-cutoff broadcasts onto O(nations)
+    "agg_event_weekday_mutual_info",  # 1-row total + two 1-row entropy broadcasts onto O(cells)
 }
 
 #: Queries whose fn() triggers side effects/execution rather than just

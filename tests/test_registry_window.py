@@ -602,9 +602,13 @@ def test_round16_rotation_queries_have_driver_rows():
             assert r["rows_match"] and r["schema_match"] and r["hash_match"], n
 
 
-#: Round-17 rotation contract (VERDICT r16 "Next round #1-#3"): the
-#: four changed-plan/oracle witnesses, 26 of the 40-query r10 cohort,
-#: the three never-windowed rows-only debuts, and the 13 round-17-born
+#: Round-17 rotation contract (VERDICT r16 "Next round #1-#3"), as
+#: AMENDED by session 2: the four changed-plan/oracle witnesses, 23 of
+#: the 40-query r10 cohort (session 2 displaced
+#: window_rolling_7day_revenue / stream_hourly_ohlc /
+#: agg_idle_rich_customers to the r18 forced set to make room for its
+#: newborns), the three never-windowed rows-only debuts, the 13
+#: round-17-born operators, and the 3 session-2-born statistics
 #: operators hold window slots.
 _ROTATED_IN_R17 = [
     "agg_mann_whitney_u",
@@ -634,9 +638,6 @@ _ROTATED_IN_R17 = [
     "llm_bpe_train_merges",
     "llm_bpe_segment_vocab",
     "llm_langid_confusion_matrix",
-    "window_rolling_7day_revenue",
-    "stream_hourly_ohlc",
-    "agg_idle_rich_customers",
     "stream_stateful_running_totals",
     "agg_percentile_prices_approx",
     "llm_ml_minhash_join",
@@ -653,6 +654,9 @@ _ROTATED_IN_R17 = [
     "llm_source_loo_quality_shift",
     "llm_embedding_top_pc_power",
     "stream_true_neardup_admission",
+    "agg_kaplan_meier_reorder",
+    "agg_return_rate_fdr_bh",
+    "agg_event_weekday_mutual_info",
 ]
 
 
