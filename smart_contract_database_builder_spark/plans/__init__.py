@@ -32,23 +32,25 @@ from . import streaming_batch  # noqa: E402,F401
 #: A72 oracle eta_sq grand term → VARCHAR hop) and the substring
 #: dedup TRANSFORM whose anchor stream now derives from the shared
 #: tokenized relation (single documents scan), (b) the four standing
-#: family witnesses, (c) 26 of the 40-query r10-evidence cohort (the
-#: freshness floor binds at r18; windowing 26 now leaves only 14
-#: guard-forced next round), (d) three never-windowed rows-only
+#: family witnesses, (c) 20 of the 40-query r10-evidence cohort (the
+#: freshness floor binds at r18; session 2 displaced 6 of the
+#: original 26, so 20 are guard-forced next round), (d) three
+#: never-windowed rows-only
 #: queries (VERDICT r16 #3: the streaming-state and sketch families'
 #: turn), (e) the 13 round-17-born operators (11 oracled + the
 #: rows-only power-iteration PC and the true-streaming near-dup
-#: admission witness, VERDICT r16 #2), and (f) the 3 r17-SESSION-2
-#: newborns (KM survival, BH-FDR, mutual information), which take the
-#: slots of 3 r10-cohort queries displaced to the r18 forced set.
-#: 4+4+23+3+13+3 = EXACTLY 50.
+#: admission witness, VERDICT r16 #2), and (f) the 6 r17-SESSION-2
+#: newborns (KM survival, BH-FDR, mutual information, isotonic
+#: calibration, CDC chunk dedup, retrieval eval), which take the
+#: slots of 6 r10-cohort queries displaced to the r18 forced set.
+#: 4+4+20+3+13+6 = EXACTLY 50.
 #: Everything rotated out (the r16 window's other 39 queries) is
 #: driver-green in CORRECTNESS_r16 with plan code unchanged since,
 #: and stays under the pytest oracle sweep
 #: (tests/test_oracle_parity.py).
 #:
-#: ROUND-18 ROTATION LEDGER: the guard forces the REMAINING 17 r10-
-#: evidence queries (the 3 session-2-displaced queries at the head of
+#: ROUND-18 ROTATION LEDGER: the guard forces the REMAINING 20 r10-
+#: evidence queries (the 6 session-2-displaced queries at the head of
 #: _OVERFLOW + the 14-query tail of the _OVERFLOW r10 block below) at
 #: r18 — window them first, then r18 newborns/witnesses; after that
 #: the oldest evidence is the r11 cohort (43 queries, floor r19),
@@ -66,8 +68,9 @@ _PRIORITY = [
     "ref_extract_functions",
     "stream_true_tumbling_availablenow",
     "llm_exact_dedup_documents",
-    # --- freshness rotation: 26 of the 40-query r10-evidence cohort
-    # (newest driver row r10; floor at r18) ---
+    # --- freshness rotation: 20 of the 40-query r10-evidence cohort
+    # (newest driver row r10; floor at r18; session 2 displaced 6 of
+    # the original 26 to the r18 forced set) ---
     "llm_ann_hyperplane_buckets",
     "llm_ann_bucketed_cosine_pairs",
     "llm_ann_recall_report",
@@ -88,9 +91,6 @@ _PRIORITY = [
     "window_session_stats_batch",
     "llm_bigram_surprisal_docs",
     "llm_zipf_slope_report",
-    "llm_bpe_train_merges",
-    "llm_bpe_segment_vocab",
-    "llm_langid_confusion_matrix",
     # --- rows-only evidence debut (VERDICT r16 #3): never-windowed
     # streaming-state/sketch queries; the driver records a rows-only
     # check (their correctness lives in pytest) ---
@@ -124,6 +124,15 @@ _PRIORITY = [
     "agg_kaplan_meier_reorder",
     "agg_return_rate_fdr_bh",
     "agg_event_weekday_mutual_info",
+    # --- SESSION-2 AMENDMENT part 2: the 3 session-2 llm operators
+    # (isotonic calibration, CDC chunk dedup, retrieval eval) take
+    # the slots of llm_bpe_train_merges / llm_bpe_segment_vocab /
+    # llm_langid_confusion_matrix (also r10 evidence, floor r18);
+    # r18's guard-forced count is now 20 of the original 40-query
+    # r10 cohort ---
+    "llm_isotonic_quality_calibration",
+    "llm_cdc_chunk_dedup",
+    "llm_retrieval_eval_report",
 ]
 
 #: Operators registered straight into _OVERFLOW in the round that
@@ -144,13 +153,16 @@ _BORN_IN_OVERFLOW: set[str] = set()
 #: this list consciously — whatever sits here trades driver-visible
 #: correctness evidence for a slot.
 _OVERFLOW = [
-    # r17 SESSION-2 displacement: 3 r10-evidence queries give their
+    # r17 SESSION-2 displacement: 6 r10-evidence queries give their
     # window slots to the session-2 newborns above; they join the 14
     # already-ledgered r10-cohort queries in the r18 forced set
     # (newest driver row r10; freshness floor binds at r18)
     "window_rolling_7day_revenue",
     "stream_hourly_ohlc",
     "agg_idle_rich_customers",
+    "llm_bpe_train_merges",
+    "llm_bpe_segment_vocab",
+    "llm_langid_confusion_matrix",
     # r17 rotation: the r16 window's changed-plan witness, the
     # 10-query r8 remainder, the 14 r15-session-2 newborns, and the
     # 14 other r16-born operators — every one driver-green in

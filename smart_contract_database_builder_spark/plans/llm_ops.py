@@ -19026,3 +19026,651 @@ def llm_embedding_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "dim int, loading double, eigenvalue double, var_share double"
     ).orderBy(F.desc(F.abs(F.col("loading"))), "dim")
+
+
+# ---------------------------------------------------------------------------
+# Round-17 session-2 batch: isotonic calibration, content-defined chunking,
+# retrieval evaluation.
+# ---------------------------------------------------------------------------
+
+#: Quantization scale for the isotonic fit's order-unspecified SSE sums
+#: (the r16 quantized-sum discipline, as in A83's pico-nat MI terms).
+_ISO_SCALE = "1000000000000.0"
+
+
+@register(
+    "llm_isotonic_quality_calibration",
+    oracle=rf"""
+    WITH {_sql_neardup_pairs_ctes()},
+    dup AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM jac WHERE jaccard >= {_SPILL_J}
+        UNION ALL
+        SELECT doc_b AS doc_id FROM jac WHERE jaccard >= {_SPILL_J}
+      )
+    ),
+    q AS (
+      SELECT doc_id,
+             (1000 * len(list_filter(t, x -> x IN ({_SQL_STOPWORDS})))
+              // len(t)) // {_CAL_BIN_PERMILLE} AS bin
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+      WHERE len(t) > 0
+    ),
+    lab AS (
+      SELECT q.bin, CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END AS is_dup
+      FROM q LEFT JOIN dup ON dup.doc_id = q.doc_id
+    ),
+    b AS (
+      SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(is_dup) AS BIGINT) AS d
+      FROM lab GROUP BY bin
+    ),
+    pr AS (
+      SELECT j.bin AS jb, k.bin AS kb FROM b j JOIN b k ON j.bin <= k.bin
+    ),
+    seg AS (
+      SELECT pr.jb, pr.kb,
+             CAST(SUM(x.d) AS DOUBLE) / CAST(SUM(x.n) AS DOUBLE) AS avgr
+      FROM pr JOIN b x ON x.bin BETWEEN pr.jb AND pr.kb
+      GROUP BY pr.jb, pr.kb
+    ),
+    mm AS (
+      SELECT i.bin, s.jb, MIN(s.avgr) AS mn, MAX(s.avgr) AS mx
+      FROM b i JOIN seg s ON s.jb <= i.bin AND s.kb >= i.bin
+      GROUP BY i.bin, s.jb
+    ),
+    iso AS (
+      SELECT bin, MAX(mn) AS iso_incr, MIN(mx) AS iso_decr
+      FROM mm GROUP BY bin
+    ),
+    fit AS (
+      SELECT b.bin, b.n, b.d,
+             CAST(b.d AS DOUBLE) / CAST(b.n AS DOUBLE) AS raw_rate,
+             i.iso_incr, i.iso_decr
+      FROM b JOIN iso i ON i.bin = b.bin
+    ),
+    sse AS (
+      SELECT
+        CAST(SUM(CAST(floor(((raw_rate - iso_incr) * (raw_rate - iso_incr)
+              * CAST(n AS DOUBLE)) * {_ISO_SCALE}) AS BIGINT)) AS BIGINT)
+          AS qi,
+        CAST(SUM(CAST(floor(((raw_rate - iso_decr) * (raw_rate - iso_decr)
+              * CAST(n AS DOUBLE)) * {_ISO_SCALE}) AS BIGINT)) AS BIGINT)
+          AS qd
+      FROM fit
+    )
+    SELECT f.bin AS stopword_bin, f.n AS n_docs, f.d AS n_dup_docs,
+           f.raw_rate, f.iso_incr, f.iso_decr,
+           CAST(s.qi AS DOUBLE) / {_ISO_SCALE} AS sse_incr,
+           CAST(s.qd AS DOUBLE) / {_ISO_SCALE} AS sse_decr
+    FROM fit f CROSS JOIN sse s
+    ORDER BY stopword_bin
+    """,
+)
+def llm_isotonic_quality_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """F132: ISOTONIC (PAVA) CALIBRATION of the quality->dup-rate curve
+    — fit the monotone regression of verified near-dup incidence onto
+    the stopword-ratio quality bins (the F126 relation), in BOTH
+    directions (non-decreasing and non-increasing), with each fit's
+    weighted SSE so the caller reads off which monotone story the
+    corpus actually supports. F126 reports the raw empirical curve;
+    this is the step that turns it into a usable monotone calibrator
+    (the standard prerequisite before thresholding a quality score as
+    a dup-risk proxy: an uncalibrated, non-monotone curve inverts
+    decisions between adjacent bins).
+
+    Isotonic fits use the MINIMAX characterization of weighted-L2
+    isotonic regression — fit_i = max_{{j<=i}} min_{{k>=i}} avg(y[j..k])
+    (mirrored for the antitonic fit) — which makes PAVA, an inherently
+    sequential pooling algorithm, a pure JOIN+MIN/MAX program over the
+    bounded bin axis: every segment average is one int/int double
+    division (exact int64 dup/doc sums), min/max select among
+    identical doubles, so both fits are bitwise cross-engine. The two
+    SSE totals (order-unspecified sums) follow the quantized-sum
+    discipline. A pure-Python pool-adjacent-violators twin pins the
+    minimax formula against the textbook algorithm in pytest.
+
+    Scale shape: corpus work = the F126 label join (S24 store pairs +
+    one tokenize pass); the isotonic program is O(B^3) on the B<=11
+    permille-bucket axis (~1.3k bounded-join rows) — constant in
+    corpus size. At a finer score granularity the same minimax program
+    runs on any bounded bucket axis; PAVA's linear scan is the driver-
+    side alternative only when B stops being bounded.
+    """
+    pairs = _ngram_jaccard_pairs_stored(spark, sf_dir).filter(
+        F.col("jaccard") >= F.lit(float(_SPILL_J))
+    )
+    dup = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup_", F.lit(1))
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("t")
+    )
+    nstop = F.size(F.filter(F.col("t"), lambda x: x.isin(*_STOPWORDS)))
+    q = (
+        docs.filter(F.size("t") > 0)
+        .select(
+            "doc_id",
+            (1000 * nstop).cast("long").alias("nstop1000"),
+            F.size("t").cast("long").alias("ntok"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"(nstop1000 div ntok) div {_CAL_BIN_PERMILLE}").alias(
+                "bin"
+            ),
+        )
+    )
+    lab = q.join(dup, "doc_id", "left").select(
+        "bin", F.coalesce("is_dup_", F.lit(0)).alias("is_dup")
+    )
+    b = (
+        lab.groupBy(F.col("bin").cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("is_dup").cast("long").alias("d"),
+        )
+        .localCheckpoint()  # bounded axis; feeds 3 joins below
+    )
+    pr = (
+        b.select(F.col("bin").alias("jb"))
+        .join(b.select(F.col("bin").alias("kb")), F.col("jb") <= F.col("kb"))
+    )
+    seg = (
+        pr.join(
+            b.select(
+                F.col("bin").alias("xb"),
+                F.col("n").alias("xn"),
+                F.col("d").alias("xd"),
+            ),
+            (F.col("xb") >= F.col("jb")) & (F.col("xb") <= F.col("kb")),
+        )
+        .groupBy("jb", "kb")
+        .agg(
+            (
+                F.sum("xd").cast("double") / F.sum("xn").cast("double")
+            ).alias("avgr")
+        )
+    )
+    mm = (
+        b.select(F.col("bin").alias("ib"))
+        .join(
+            seg,
+            (F.col("jb") <= F.col("ib")) & (F.col("kb") >= F.col("ib")),
+        )
+        .groupBy("ib", "jb")
+        .agg(F.min("avgr").alias("mn"), F.max("avgr").alias("mx"))
+    )
+    iso = mm.groupBy("ib").agg(
+        F.max("mn").alias("iso_incr"), F.min("mx").alias("iso_decr")
+    )
+    fit = b.join(iso, b.bin == iso.ib).select(
+        "bin",
+        "n",
+        "d",
+        (F.col("d").cast("double") / F.col("n").cast("double")).alias(
+            "raw_rate"
+        ),
+        "iso_incr",
+        "iso_decr",
+    )
+    scale = float(_ISO_SCALE)
+    sse = fit.agg(
+        F.sum(
+            F.floor(
+                (
+                    (F.col("raw_rate") - F.col("iso_incr"))
+                    * (F.col("raw_rate") - F.col("iso_incr"))
+                    * F.col("n").cast("double")
+                )
+                * F.lit(scale)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("qi"),
+        F.sum(
+            F.floor(
+                (
+                    (F.col("raw_rate") - F.col("iso_decr"))
+                    * (F.col("raw_rate") - F.col("iso_decr"))
+                    * F.col("n").cast("double")
+                )
+                * F.lit(scale)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("qd"),
+    )
+    return (
+        fit.crossJoin(F.broadcast(sse))
+        .select(
+            F.col("bin").alias("stopword_bin"),
+            F.col("n").alias("n_docs"),
+            F.col("d").alias("n_dup_docs"),
+            "raw_rate",
+            "iso_incr",
+            "iso_decr",
+            (F.col("qi").cast("double") / F.lit(scale)).alias("sse_incr"),
+            (F.col("qd").cast("double") / F.lit(scale)).alias("sse_decr"),
+        )
+        .orderBy("stopword_bin")
+    )
+
+
+#: Content-defined-chunking geometry: boundary window (chars), boundary
+#: modulus (expected chunk length ~ _CDC_MOD chars), and the per-doc
+#: text cap that keeps the position fan-out bounded per document.
+_CDC_W = 8
+_CDC_MOD = 64
+_CDC_CAP = 2048
+
+
+@register(
+    "llm_cdc_chunk_dedup",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source, substr(text, 1, {_CDC_CAP}) AS s,
+             CAST(length(substr(text, 1, {_CDC_CAP})) AS BIGINT) AS len
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, s,
+             unnest(generate_series({_CDC_W}, len)) AS pos
+      FROM s WHERE len >= {_CDC_W}
+    ),
+    cut AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos
+      FROM px
+      WHERE CAST(('0x' || substr(md5(substr(px.s, CAST(px.pos AS INT)
+                    - {_CDC_W} + 1, {_CDC_W})), 1, 8)) AS BIGINT)
+            % {_CDC_MOD} = 0
+      UNION
+      SELECT doc_id, len AS pos FROM s WHERE len >= 1
+    ),
+    ch AS (
+      SELECT c.doc_id, s.source,
+             COALESCE(LAG(c.pos) OVER (PARTITION BY c.doc_id
+                                       ORDER BY c.pos), 0) + 1 AS a,
+             c.pos AS b
+      FROM cut c JOIN s ON s.doc_id = c.doc_id
+    ),
+    chunks AS (
+      SELECT ch.doc_id, ch.source,
+             CAST(ch.b - ch.a + 1 AS BIGINT) AS clen,
+             md5(substr(s.s, CAST(ch.a AS INT),
+                        CAST(ch.b - ch.a + 1 AS INT))) AS h
+      FROM ch JOIN s ON s.doc_id = ch.doc_id
+    ),
+    freq AS (
+      SELECT h, CAST(COUNT(*) AS BIGINT) AS c FROM chunks GROUP BY h
+    )
+    SELECT k.source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT k.h) AS BIGINT) AS n_distinct_chunks,
+           CAST(SUM(k.clen) AS BIGINT) AS n_chars,
+           CAST(SUM(CASE WHEN f.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           CAST(SUM(CASE WHEN f.c >= 2 THEN k.clen ELSE 0 END) AS BIGINT)
+             AS dup_char_mass,
+           CAST(SUM(CASE WHEN f.c >= 2 THEN k.clen ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(k.clen) AS DOUBLE) AS dup_char_ratio,
+           CAST(SUM(k.clen) AS DOUBLE) / COUNT(*) AS avg_chunk_len
+    FROM chunks k JOIN freq f ON f.h = k.h
+    GROUP BY k.source
+    ORDER BY k.source
+    """,
+)
+def llm_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F133: CONTENT-DEFINED CHUNKING dedup audit — split every
+    document at positions where the hash of the trailing {_CDC_W}-char
+    window is 0 mod {_CDC_MOD} (expected chunk ~{_CDC_MOD} chars), key
+    each chunk by its content hash, and report per source how much
+    chunk mass is duplicated ACROSS the corpus. The storage-dedup
+    grain the family lacked: exact dedup (A2) needs identical whole
+    documents, the substring family (F112-F125) needs aligned token
+    runs — CDC boundaries are content-anchored, so a one-char edit
+    reshifts only the chunk it lands in and every other chunk still
+    dedups (the rsync/LBFS/backup-store trick, applied to corpus
+    storage sizing).
+
+    Boundary rule: pure per-position predicate (hash of the fixed
+    trailing window), deliberately WITHOUT the sequential min/max
+    chunk-length clamps of production CDC — the clamp makes boundary
+    acceptance depend on the previous accepted boundary (inherently
+    serial); the unclamped Gear-style rule is embarrassingly parallel
+    and keeps the oracle declarative. The {_CDC_W}-char md5 window is
+    the bitwise-portable stand-in for a Gear rolling hash: same
+    boundary semantics, O({_CDC_W}) per position instead of O(1) — a
+    documented constant-factor trade for engine-native vectorization.
+
+    Exactness: boundaries/chunks are integer position arithmetic on
+    ASCII text (capped at {_CDC_CAP} chars/doc); chunk keys are md5
+    hex (identical both engines); all masses exact int64; the two
+    ratios one division each.
+
+    Scale shape: the position fan-out is O(total chars) rows with an
+    8-char hash each — linear, partition-local, no shuffle until the
+    per-doc boundary window (keyed on doc_id, uniform). The corpus
+    chunk-frequency agg keys on the uniform content hash (map-side
+    combine; skew-immune by construction). Chunk text never moves:
+    the frequency join carries only (hash, len).
+    """
+    s = (
+        fan_out_if_narrow(
+            load_table(spark, sf_dir, "documents").select(
+                "doc_id", "source", F.substring("text", 1, _CDC_CAP).alias("s")
+            )
+        )
+        .withColumn("len", F.length("s").cast("long"))
+        .localCheckpoint()  # one scan feeds the cut fan-out and chunk slice
+    )
+    cut_hash = (
+        fan_out_if_narrow(s)
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.col("len") >= _CDC_W,
+                    F.sequence(F.lit(_CDC_W), F.col("len").cast("int")),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("pos"),
+            "s",
+        )
+        .filter(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.expr(
+                            f"substr(s, pos - {_CDC_W} + 1, {_CDC_W})"
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CDC_MOD
+            == 0
+        )
+        .select("doc_id", F.col("pos").cast("long").alias("pos"))
+    )
+    cut = cut_hash.unionByName(
+        s.filter(F.col("len") >= 1).select(
+            "doc_id", F.col("len").alias("pos")
+        )
+    ).distinct()
+    ch = cut.withColumn(
+        "a",
+        F.coalesce(
+            F.lag("pos").over(
+                Window.partitionBy("doc_id").orderBy("pos")
+            ),
+            F.lit(0).cast("long"),
+        )
+        + 1,
+    ).withColumnRenamed("pos", "b")
+    chunks = ch.join(s, "doc_id").select(
+        "doc_id",
+        "source",
+        (F.col("b") - F.col("a") + 1).cast("long").alias("clen"),
+        F.md5(
+            F.expr("substr(s, CAST(a AS INT), CAST(b - a + 1 AS INT))")
+        ).alias("h"),
+    )
+    freq = chunks.groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return (
+        chunks.join(freq, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.countDistinct("h").cast("long").alias("n_distinct_chunks"),
+            F.sum("clen").cast("long").alias("n_chars"),
+            F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_chunks"),
+            F.sum(F.when(F.col("c") >= 2, F.col("clen")).otherwise(0))
+            .cast("long")
+            .alias("dup_char_mass"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_distinct_chunks",
+            "n_chars",
+            "n_dup_chunks",
+            "dup_char_mass",
+            (
+                F.col("dup_char_mass").cast("double")
+                / F.col("n_chars").cast("double")
+            ).alias("dup_char_ratio"),
+            (
+                F.col("n_chars").cast("double") / F.col("n_chunks")
+            ).alias("avg_chunk_len"),
+        )
+        .orderBy("source")
+    )
+
+
+#: Retrieval-evaluation geometry: a FIXED query panel (constant at
+#: every scale — the probe cost is Q*N with Q pinned), cutoff k=10,
+#: and nano-quantized integer DCG weights round(1e9/log2(i+1)) so DCG
+#: is an exact integer sum (the discount table is part of the
+#: operator's contract; both engines read the same literals).
+_RETR_QUERY_IDS = (7, 13, 23, 31, 43)
+_RETR_K = 10
+_DCG_W = (
+    1000000000, 630929754, 500000000, 430676558, 386852807,
+    356207187, 333333333, 315464877, 301029996, 289064826,
+)
+_RETR_IDCG = sum((_RETR_K + 1 - j) * _DCG_W[j - 1]
+                 for j in range(1, _RETR_K + 1))
+
+
+@register(
+    "llm_retrieval_eval_report",
+    oracle=rf"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe,
+             list_transform(embedding,
+               v -> {_SQL_ISCALE.format(v="v")}) AS qx
+      FROM embeddings
+      WHERE vec_id IN ({", ".join(str(i) for i in _RETR_QUERY_IDS)})
+    ),
+    cand AS (
+      SELECT q.qid, e.vec_id AS vid,
+             CAST({_sql_int_dot("e.embedding", "q.qe")} AS DOUBLE)
+               / (sqrt(CAST({_sql_int_dot("e.embedding", "e.embedding")}
+                       AS DOUBLE))
+                  * sqrt(CAST({_sql_int_dot("q.qe", "q.qe")} AS DOUBLE)))
+               AS cosine,
+             CAST(list_aggregate(list_transform(
+                    list_zip(list_transform(e.embedding,
+                               v -> {_SQL_ISCALE.format(v="v")}), q.qx),
+                    p -> CASE WHEN (p[1] >= 0) <> (p[2] >= 0)
+                              THEN 1 ELSE 0 END), 'sum') AS BIGINT)
+               AS hamming
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.qid
+    ),
+    truth AS (
+      SELECT qid, vid,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY cosine DESC, vid) AS BIGINT) AS truth_rank
+      FROM cand QUALIFY truth_rank <= {_RETR_K}
+    ),
+    sysr AS (
+      SELECT qid, vid,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY hamming, vid) AS BIGINT) AS sys_rank
+      FROM cand QUALIFY sys_rank <= {_RETR_K}
+    ),
+    jn AS (
+      SELECT s.qid, s.sys_rank,
+             CASE WHEN t.truth_rank IS NULL THEN 0
+                  ELSE {_RETR_K} + 1 - t.truth_rank END AS rel,
+             ([{", ".join(str(w) for w in _DCG_W)}])[s.sys_rank] AS w
+      FROM sysr s LEFT JOIN truth t
+        ON t.qid = s.qid AND t.vid = s.vid
+    ),
+    nc AS (SELECT CAST(COUNT(*) - 1 AS BIGINT) AS n_candidates
+           FROM embeddings),
+    m AS (
+      SELECT qid,
+             CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hits,
+             CAST(COALESCE(MIN(CASE WHEN rel > 0 THEN sys_rank END), 0)
+               AS BIGINT) AS first_hit_rank,
+             CAST(SUM(rel * w) AS BIGINT) AS dcg
+      FROM jn GROUP BY qid
+    )
+    SELECT m.qid AS query_vec_id, nc.n_candidates, m.n_hits,
+           CAST(m.n_hits AS DOUBLE) / {_RETR_K} AS recall_at_k,
+           m.first_hit_rank,
+           CASE WHEN m.first_hit_rank = 0 THEN 0.0
+                ELSE 1.0 / CAST(m.first_hit_rank AS DOUBLE) END AS mrr,
+           m.dcg,
+           CAST(m.dcg AS DOUBLE) / {float(_RETR_IDCG)} AS ndcg
+    FROM m CROSS JOIN nc
+    ORDER BY query_vec_id
+    """,
+)
+def llm_retrieval_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F134: RETRIEVAL EVALUATION — recall@k, MRR and nDCG@k of the
+    sign-bit Hamming retriever (the F90 codec) against exact-cosine
+    ground truth, per query of a fixed panel. The family's missing
+    closing bracket: J18 measures bucketed-ANN recall against a truth
+    SAMPLE, F102 sweeps bucket widths — this is the standard graded-
+    relevance IR readout (the one a retrieval stack reports before a
+    codec swap ships) computed over the corpus itself, with truth =
+    exact int-dot cosine top-k and graded relevance 11-truth_rank.
+
+    Exactness: both rankings order by bitwise-identical keys (the
+    exact int-dot cosine double / the integer Hamming distance) with
+    vec_id tie-breaks, so ranks are integers and identical across
+    engines; DCG uses nano-quantized integer discount weights
+    round(1e9/log2(i+1)) — a literal table shared by both engines —
+    making DCG an exact integer sum and nDCG one division by the
+    constant ideal (graded relevance is bounded by construction, so
+    IDCG is a literal too). MRR/recall are single divisions of exact
+    ints; first_hit_rank=0 encodes "no truth member retrieved"
+    (NULL-free cross-engine).
+
+    Scale shape: the Q-row query panel broadcasts (Q FIXED at
+    {len(_RETR_QUERY_IDS)} — the eval cost is Q*N scoring rows in one
+    codegen map stage, linear in the corpus); per-query top-k via
+    rank-window over qid partitions (Q bounded; at 10^9 vectors each
+    panel query would TakeOrdered against the S20/S22 stores instead
+    of the float scan — the F90 discipline). Metrics aggregate
+    O(Q*k) rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(
+        F.col("vec_id").isin(*_RETR_QUERY_IDS)
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.transform("embedding", _iscale).alias("qx"),
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            F.transform("embedding", _iscale),
+            F.col("qx"),
+            lambda a, b: ((a >= 0) != (b >= 0)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cand = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("vid"),
+            (
+                _int_dot("embedding", "qe").cast("double")
+                / (
+                    F.sqrt(_int_dot("embedding", "embedding").cast("double"))
+                    * F.sqrt(_int_dot("qe", "qe").cast("double"))
+                )
+            ).alias("cosine"),
+            ham.alias("hamming"),
+        )
+        .localCheckpoint()  # one Q*N scoring pass feeds both rankings
+    )
+    truth = (
+        cand.withColumn(
+            "truth_rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("qid").orderBy(
+                    F.desc("cosine"), F.col("vid")
+                )
+            )
+            .cast("long"),
+        )
+        .filter(F.col("truth_rank") <= _RETR_K)
+        .select("qid", "vid", "truth_rank")
+    )
+    sysr = (
+        cand.withColumn(
+            "sys_rank",
+            F.row_number()
+            .over(Window.partitionBy("qid").orderBy("hamming", "vid"))
+            .cast("long"),
+        )
+        .filter(F.col("sys_rank") <= _RETR_K)
+        .select("qid", "vid", "sys_rank")
+    )
+    warr = F.array(*[F.lit(w).cast("long") for w in _DCG_W])
+    jn = sysr.join(truth, ["qid", "vid"], "left").select(
+        "qid",
+        "sys_rank",
+        F.when(F.col("truth_rank").isNull(), F.lit(0).cast("long"))
+        .otherwise(F.lit(_RETR_K + 1) - F.col("truth_rank"))
+        .alias("rel"),
+        F.element_at(warr, F.col("sys_rank").cast("int")).alias("w"),
+    )
+    nc = emb.agg(
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_candidates")
+    )
+    m = jn.groupBy("qid").agg(
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hits"),
+        F.coalesce(
+            F.min(F.when(F.col("rel") > 0, F.col("sys_rank"))),
+            F.lit(0).cast("long"),
+        )
+        .cast("long")
+        .alias("first_hit_rank"),
+        F.sum(F.col("rel") * F.col("w")).cast("long").alias("dcg"),
+    )
+    return (
+        m.crossJoin(F.broadcast(nc))
+        .select(
+            F.col("qid").alias("query_vec_id"),
+            "n_candidates",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.lit(_RETR_K)).alias(
+                "recall_at_k"
+            ),
+            "first_hit_rank",
+            F.when(F.col("first_hit_rank") == 0, F.lit(0.0))
+            .otherwise(
+                F.lit(1.0) / F.col("first_hit_rank").cast("double")
+            )
+            .alias("mrr"),
+            "dcg",
+            (
+                F.col("dcg").cast("double") / F.lit(float(_RETR_IDCG))
+            ).alias("ndcg"),
+        )
+        .orderBy("query_vec_id")
+    )

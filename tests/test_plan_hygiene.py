@@ -99,6 +99,8 @@ _NESTED_LOOP_ALLOWED = {
     "agg_kaplan_meier_reorder",    # 1-row censor-anchor (corpus max date) broadcast
     "agg_return_rate_fdr_bh",      # 1-row totals + 1-row BH-cutoff broadcasts onto O(nations)
     "agg_event_weekday_mutual_info",  # 1-row total + two 1-row entropy broadcasts onto O(cells)
+    "llm_isotonic_quality_calibration",  # O(B<=11) bounded bin-axis triangle joins + 1-row SSE broadcast
+    "llm_retrieval_eval_report",   # fixed Q-row query-panel broadcast (knn-join shape) + 1-row count
 }
 
 #: Queries whose fn() triggers side effects/execution rather than just

@@ -603,13 +603,12 @@ def test_round16_rotation_queries_have_driver_rows():
 
 
 #: Round-17 rotation contract (VERDICT r16 "Next round #1-#3"), as
-#: AMENDED by session 2: the four changed-plan/oracle witnesses, 23 of
-#: the 40-query r10 cohort (session 2 displaced
-#: window_rolling_7day_revenue / stream_hourly_ohlc /
-#: agg_idle_rich_customers to the r18 forced set to make room for its
-#: newborns), the three never-windowed rows-only debuts, the 13
-#: round-17-born operators, and the 3 session-2-born statistics
-#: operators hold window slots.
+#: AMENDED by session 2: the four changed-plan/oracle witnesses, 20 of
+#: the 40-query r10 cohort (session 2 displaced 6 — the BPE pair,
+#: langid confusion, rolling-7day, hourly OHLC, idle-rich — to the
+#: r18 forced set to make room for its newborns), the three
+#: never-windowed rows-only debuts, the 13 round-17-born operators,
+#: and the 6 session-2-born operators hold window slots.
 _ROTATED_IN_R17 = [
     "agg_mann_whitney_u",
     "agg_ks_two_sample",
@@ -635,9 +634,6 @@ _ROTATED_IN_R17 = [
     "window_session_stats_batch",
     "llm_bigram_surprisal_docs",
     "llm_zipf_slope_report",
-    "llm_bpe_train_merges",
-    "llm_bpe_segment_vocab",
-    "llm_langid_confusion_matrix",
     "stream_stateful_running_totals",
     "agg_percentile_prices_approx",
     "llm_ml_minhash_join",
@@ -657,6 +653,9 @@ _ROTATED_IN_R17 = [
     "agg_kaplan_meier_reorder",
     "agg_return_rate_fdr_bh",
     "agg_event_weekday_mutual_info",
+    "llm_isotonic_quality_calibration",
+    "llm_cdc_chunk_dedup",
+    "llm_retrieval_eval_report",
 ]
 
 
