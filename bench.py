@@ -386,6 +386,13 @@ HEADLINE = [
     "layout_bloom_sizing_audit",
     "llm_source_loo_quality_shift",
     "llm_embedding_top_pc_power",
+    # round 17 session 2 (append-only)
+    "agg_kaplan_meier_reorder",
+    "agg_return_rate_fdr_bh",
+    "agg_event_weekday_mutual_info",
+    "llm_isotonic_quality_calibration",
+    "llm_cdc_chunk_dedup",
+    "llm_retrieval_eval_report",
 ]
 
 
