@@ -8625,32 +8625,50 @@ def agg_return_rate_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract. Ranks tie-break on n_name; the step-up cutoff k* is an
     integer MAX over the bounded axis.
 
-    Scale shape: the corpus work is ONE lineitem->orders->customer
-    join reduced by a map-side-combinable per-nation aggregate;
-    everything after (z, p, rank, BH) runs on the O(nations) axis
-    with two 1-row broadcasts (totals, k*). At 10^9 segments the
+    Scale shape: aggregates pushed BELOW every join — lineitems roll
+    up to order grain with a map-side combine BEFORE the orders
+    shuffle (the join is then 1:1 on the order key, ~4x fewer shuffle
+    rows), the joined rows roll up to customer grain before the
+    customer join, and only O(customers) rows ever reach the nation
+    rollup; everything after (z, p, rank, BH) runs on the O(nations)
+    axis with two 1-row broadcasts (totals, k*). At 10^9 segments the
     rank/threshold step would shard by the two-level prefix-scan
     discipline (_prefix_sums); at the real 25-segment axis a single
     bounded window is the right plan.
     """
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    # Aggregate BELOW the join: the per-order rollup collapses ~4
+    # lineitems/order with a map-side combine BEFORE the shuffle, so
+    # the orders join moves order-grain rows (1:1 on the key), not raw
+    # lineitems; the custkey rollup repeats the trick before the
+    # customer join. Totals are identical integer sums in any
+    # grouping order, so the output is bit-for-bit unchanged.
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+    )
+    li_g = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("ln"),
+        F.sum("ret").cast("long").alias("lr"),
+    )
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    j = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .select(
-            "n_name",
-            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias(
-                "ret"
-            ),
+    cust_g = (
+        li_g.join(o, li_g.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("ln").cast("long").alias("cn"),
+            F.sum("lr").cast("long").alias("cr"),
         )
     )
-    g = j.groupBy("n_name").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("ret").cast("long").alias("r"),
+    g = (
+        cust_g.join(c, cust_g.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum("cn").cast("long").alias("n"),
+            F.sum("cr").cast("long").alias("r"),
+        )
     )
     tot = g.agg(
         F.sum("n").cast("long").alias("nn"),
