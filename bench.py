@@ -393,6 +393,7 @@ HEADLINE = [
     "llm_isotonic_quality_calibration",
     "llm_cdc_chunk_dedup",
     "llm_retrieval_eval_report",
+    "agg_logrank_reorder_by_segment",
 ]
 
 

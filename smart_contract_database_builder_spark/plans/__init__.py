@@ -32,25 +32,25 @@ from . import streaming_batch  # noqa: E402,F401
 #: A72 oracle eta_sq grand term → VARCHAR hop) and the substring
 #: dedup TRANSFORM whose anchor stream now derives from the shared
 #: tokenized relation (single documents scan), (b) the four standing
-#: family witnesses, (c) 20 of the 40-query r10-evidence cohort (the
-#: freshness floor binds at r18; session 2 displaced 6 of the
-#: original 26, so 20 are guard-forced next round), (d) three
+#: family witnesses, (c) 19 of the 40-query r10-evidence cohort (the
+#: freshness floor binds at r18; session 2 displaced 7 of the
+#: original 26, so 21 are guard-forced next round), (d) three
 #: never-windowed rows-only
 #: queries (VERDICT r16 #3: the streaming-state and sketch families'
 #: turn), (e) the 13 round-17-born operators (11 oracled + the
 #: rows-only power-iteration PC and the true-streaming near-dup
-#: admission witness, VERDICT r16 #2), and (f) the 6 r17-SESSION-2
+#: admission witness, VERDICT r16 #2), and (f) the 7 r17-SESSION-2
 #: newborns (KM survival, BH-FDR, mutual information, isotonic
-#: calibration, CDC chunk dedup, retrieval eval), which take the
-#: slots of 6 r10-cohort queries displaced to the r18 forced set.
-#: 4+4+20+3+13+6 = EXACTLY 50.
+#: calibration, CDC chunk dedup, retrieval eval, log-rank test),
+#: which take the slots of 7 r10-cohort queries displaced to the r18
+#: forced set. 4+4+19+3+13+7 = EXACTLY 50.
 #: Everything rotated out (the r16 window's other 39 queries) is
 #: driver-green in CORRECTNESS_r16 with plan code unchanged since,
 #: and stays under the pytest oracle sweep
 #: (tests/test_oracle_parity.py).
 #:
-#: ROUND-18 ROTATION LEDGER: the guard forces the REMAINING 20 r10-
-#: evidence queries (the 6 session-2-displaced queries at the head of
+#: ROUND-18 ROTATION LEDGER: the guard forces the REMAINING 21 r10-
+#: evidence queries (the 7 session-2-displaced queries at the head of
 #: _OVERFLOW + the 14-query tail of the _OVERFLOW r10 block below) at
 #: r18 — window them first, then r18 newborns/witnesses; after that
 #: the oldest evidence is the r11 cohort (43 queries, floor r19),
@@ -68,8 +68,8 @@ _PRIORITY = [
     "ref_extract_functions",
     "stream_true_tumbling_availablenow",
     "llm_exact_dedup_documents",
-    # --- freshness rotation: 20 of the 40-query r10-evidence cohort
-    # (newest driver row r10; floor at r18; session 2 displaced 6 of
+    # --- freshness rotation: 19 of the 40-query r10-evidence cohort
+    # (newest driver row r10; floor at r18; session 2 displaced 7 of
     # the original 26 to the r18 forced set) ---
     "llm_ann_hyperplane_buckets",
     "llm_ann_bucketed_cosine_pairs",
@@ -90,7 +90,6 @@ _PRIORITY = [
     "agg_rfm_segments",
     "window_session_stats_batch",
     "llm_bigram_surprisal_docs",
-    "llm_zipf_slope_report",
     # --- rows-only evidence debut (VERDICT r16 #3): never-windowed
     # streaming-state/sketch queries; the driver records a rows-only
     # check (their correctness lives in pytest) ---
@@ -133,6 +132,10 @@ _PRIORITY = [
     "llm_isotonic_quality_calibration",
     "llm_cdc_chunk_dedup",
     "llm_retrieval_eval_report",
+    # --- SESSION-2 AMENDMENT part 3: the log-rank test (A84, the
+    # survival family's two-sample comparison) takes the slot of
+    # llm_zipf_slope_report (r10 evidence, floor r18) ---
+    "agg_logrank_reorder_by_segment",
 ]
 
 #: Operators registered straight into _OVERFLOW in the round that
@@ -153,7 +156,7 @@ _BORN_IN_OVERFLOW: set[str] = set()
 #: this list consciously — whatever sits here trades driver-visible
 #: correctness evidence for a slot.
 _OVERFLOW = [
-    # r17 SESSION-2 displacement: 6 r10-evidence queries give their
+    # r17 SESSION-2 displacement: 7 r10-evidence queries give their
     # window slots to the session-2 newborns above; they join the 14
     # already-ledgered r10-cohort queries in the r18 forced set
     # (newest driver row r10; freshness floor binds at r18)
@@ -163,6 +166,7 @@ _OVERFLOW = [
     "llm_bpe_train_merges",
     "llm_bpe_segment_vocab",
     "llm_langid_confusion_matrix",
+    "llm_zipf_slope_report",
     # r17 rotation: the r16 window's changed-plan witness, the
     # 10-query r8 remainder, the 14 r15-session-2 newborns, and the
     # 14 other r16-born operators — every one driver-green in

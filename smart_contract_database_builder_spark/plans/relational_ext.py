@@ -8942,3 +8942,214 @@ def agg_event_weekday_mutual_info(
         )
         .orderBy("event_type", "weekday")
     )
+
+
+#: Log-rank segmentation: group 1 = this marketing segment's
+#: customers, group 2 = everyone else. Quantization scale for the
+#: order-unspecified (O-E) and variance sums: integer nano-units.
+_LOGRANK_SEG = "BUILDING"
+_LR_SCALE = "1000000000.0"
+
+
+@register(
+    "agg_logrank_reorder_by_segment",
+    oracle=f"""
+    WITH base AS (
+      SELECT o.o_custkey AS ck, CAST(o.o_orderdate AS DATE) AS d,
+             o.o_orderkey AS k,
+             CASE WHEN c.c_mktsegment = '{_LOGRANK_SEG}' THEN 1
+                  ELSE 0 END AS g
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    mx AS (SELECT MAX(d) AS mxd FROM base),
+    seq AS (
+      SELECT ck, g, d, LEAD(d) OVER (PARTITION BY ck ORDER BY d, k) AS nd
+      FROM base
+    ),
+    durs AS (
+      SELECT g,
+             CASE WHEN nd IS NULL THEN date_diff('day', d, m.mxd)
+                  ELSE date_diff('day', d, nd) END AS t,
+             CASE WHEN nd IS NULL THEN 0 ELSE 1 END AS ev
+      FROM seq CROSS JOIN mx m
+    ),
+    ag AS (
+      SELECT CAST(t AS BIGINT) AS t,
+             CAST(SUM(CASE WHEN g = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1,
+             CAST(SUM(CASE WHEN g = 0 THEN ev ELSE 0 END) AS BIGINT) AS d2,
+             CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+             CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a2
+      FROM durs GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d1, d2,
+             CAST(SUM(a1) OVER (ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n1,
+             CAST(SUM(a2) OVER (ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n2
+      FROM ag
+    ),
+    ev AS (
+      SELECT t, n1, n2, d1, d2,
+             (CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE))
+               / CAST(n1 + n2 AS DOUBLE) AS e1,
+             CAST(floor((CAST(d1 AS DOUBLE)
+               - (CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE))
+                 / CAST(n1 + n2 AS DOUBLE)) * {_LR_SCALE}) AS BIGINT)
+               AS oeq,
+             CAST(floor((CASE WHEN n1 + n2 <= 1 THEN 0.0
+               ELSE ((CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE))
+                     / CAST(n1 + n2 AS DOUBLE))
+                    * (CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                    * (CAST(n1 + n2 - d1 - d2 AS DOUBLE)
+                       / CAST(n1 + n2 - 1 AS DOUBLE)) END)
+               * {_LR_SCALE}) AS BIGINT) AS vq
+      FROM risk WHERE d1 + d2 > 0
+    ),
+    st AS (
+      SELECT CAST(SUM(oeq) AS BIGINT) AS oq, CAST(SUM(vq) AS BIGINT) AS vvq,
+             CAST(COUNT(*) AS BIGINT) AS n_times
+      FROM ev
+    )
+    SELECT e.t AS t_days, e.n1 AS n1_at_risk, e.n2 AS n2_at_risk,
+           e.d1 AS d1_events, e.d2 AS d2_events, e.e1 AS e1_expected,
+           CAST(s.oq AS DOUBLE) / {_LR_SCALE} AS o_minus_e,
+           CAST(s.vvq AS DOUBLE) / {_LR_SCALE} AS variance,
+           (CAST(s.oq AS DOUBLE) / {_LR_SCALE})
+             * (CAST(s.oq AS DOUBLE) / {_LR_SCALE})
+             / (CAST(s.vvq AS DOUBLE) / {_LR_SCALE}) AS chi_sq,
+           s.n_times
+    FROM ev e CROSS JOIN st s
+    ORDER BY t_days
+    """,
+)
+def agg_logrank_reorder_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A84: LOG-RANK TEST — does the {_LOGRANK_SEG} marketing
+    segment's reorder survival differ from everyone else's? The
+    standard two-sample censored-data comparison completing the A81
+    family: per pooled event time, each group's at-risk and event
+    counts, group 1's hypergeometric expectation E1 = d*n1/n, and the
+    Mantel-Haenszel chi-square ((sum(O1-E1))^2 / sum(V)) attached to
+    every row. KM (A81) DESCRIBES each curve; this says whether the
+    gap clears noise — what decides a segment-targeted retention
+    intervention. Censoring handled exactly as A81 (tails after each
+    customer's last order).
+
+    Exactness: at-risk curves are reverse cumulative INTEGER sums per
+    group over the bounded gap axis; E1 and the per-time variance
+    term are fixed IEEE chains on exact int64 counts (kept in doubles
+    because d*n1*n2*(n-d) overflows int64 at the 100x probe); the two
+    order-unspecified sums (O-E, V) follow the quantized-sum
+    discipline in integer nano-units. The n<=1 variance guard is
+    identical on both engines.
+
+    Scale shape: ONE orders-customer equi-join (customer side pruned
+    to 2 columns) -> per-customer lag window on the uniform key ->
+    hash agg onto the bounded (gap-day) axis with map-side combine;
+    the risk windows, quantized sums, and the statistic all run on
+    O(days) rows with two 1-row broadcasts (censor anchor, the
+    pooled statistic).
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.col("o_orderkey").alias("k"),
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_mktsegment") == _LOGRANK_SEG, 1)
+        .otherwise(0)
+        .alias("g"),
+    )
+    base = o.join(c, o.ck == c.c_custkey).select("ck", "g", "d", "k")
+    mx = base.agg(F.max("d").alias("mxd"))
+    nd = F.lead("d").over(Window.partitionBy("ck").orderBy("d", "k"))
+    seq = base.select("ck", "g", "d", nd.alias("nd"))
+    durs = seq.crossJoin(F.broadcast(mx)).select(
+        "g",
+        F.when(
+            F.col("nd").isNull(), F.datediff(F.col("mxd"), F.col("d"))
+        )
+        .otherwise(F.datediff(F.col("nd"), F.col("d")))
+        .alias("t"),
+        F.when(F.col("nd").isNull(), 0).otherwise(1).alias("ev"),
+    )
+    ag = durs.groupBy(F.col("t").cast("long").alias("t")).agg(
+        F.sum(F.when(F.col("g") == 1, F.col("ev")).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum(F.when(F.col("g") == 0, F.col("ev")).otherwise(0))
+        .cast("long")
+        .alias("d2"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("a1"),
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("a2"),
+    )
+    wdesc = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = ag.select(
+        "t",
+        "d1",
+        "d2",
+        F.sum("a1").over(wdesc).cast("long").alias("n1"),
+        F.sum("a2").over(wdesc).cast("long").alias("n2"),
+    )
+    scale = float(_LR_SCALE)
+    dtot = (F.col("d1") + F.col("d2")).cast("double")
+    ntot = (F.col("n1") + F.col("n2")).cast("double")
+    e1 = dtot * F.col("n1").cast("double") / ntot
+    vterm = F.when(
+        (F.col("n1") + F.col("n2")) <= 1, F.lit(0.0)
+    ).otherwise(
+        (dtot * F.col("n1").cast("double") / ntot)
+        * (F.col("n2").cast("double") / ntot)
+        * (
+            (F.col("n1") + F.col("n2") - F.col("d1") - F.col("d2")).cast(
+                "double"
+            )
+            / (F.col("n1") + F.col("n2") - 1).cast("double")
+        )
+    )
+    ev = risk.filter(F.col("d1") + F.col("d2") > 0).select(
+        "t",
+        "n1",
+        "n2",
+        "d1",
+        "d2",
+        e1.alias("e1"),
+        F.floor((F.col("d1").cast("double") - e1) * F.lit(scale))
+        .cast("long")
+        .alias("oeq"),
+        F.floor(vterm * F.lit(scale)).cast("long").alias("vq"),
+    ).localCheckpoint()  # bounded axis; feeds the stat and the rows
+    st = ev.agg(
+        F.sum("oeq").cast("long").alias("oq"),
+        F.sum("vq").cast("long").alias("vvq"),
+        F.count(F.lit(1)).cast("long").alias("n_times"),
+    )
+    oe = F.col("oq").cast("double") / F.lit(scale)
+    vv = F.col("vvq").cast("double") / F.lit(scale)
+    return (
+        ev.crossJoin(F.broadcast(st))
+        .select(
+            F.col("t").alias("t_days"),
+            F.col("n1").alias("n1_at_risk"),
+            F.col("n2").alias("n2_at_risk"),
+            F.col("d1").alias("d1_events"),
+            F.col("d2").alias("d2_events"),
+            F.col("e1").alias("e1_expected"),
+            oe.alias("o_minus_e"),
+            vv.alias("variance"),
+            (oe * oe / vv).alias("chi_sq"),
+            "n_times",
+        )
+        .orderBy("t_days")
+    )

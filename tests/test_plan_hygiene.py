@@ -101,6 +101,7 @@ _NESTED_LOOP_ALLOWED = {
     "agg_event_weekday_mutual_info",  # 1-row total + two 1-row entropy broadcasts onto O(cells)
     "llm_isotonic_quality_calibration",  # O(B<=11) bounded bin-axis triangle joins + 1-row SSE broadcast
     "llm_retrieval_eval_report",   # fixed Q-row query-panel broadcast (knn-join shape) + 1-row count
+    "agg_logrank_reorder_by_segment",  # 1-row censor-anchor + 1-row pooled-statistic broadcasts
 }
 
 #: Queries whose fn() triggers side effects/execution rather than just

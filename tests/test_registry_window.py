@@ -603,12 +603,12 @@ def test_round16_rotation_queries_have_driver_rows():
 
 
 #: Round-17 rotation contract (VERDICT r16 "Next round #1-#3"), as
-#: AMENDED by session 2: the four changed-plan/oracle witnesses, 20 of
-#: the 40-query r10 cohort (session 2 displaced 6 — the BPE pair,
-#: langid confusion, rolling-7day, hourly OHLC, idle-rich — to the
-#: r18 forced set to make room for its newborns), the three
+#: AMENDED by session 2: the four changed-plan/oracle witnesses, 19 of
+#: the 40-query r10 cohort (session 2 displaced 7 — the BPE pair,
+#: langid confusion, zipf slope, rolling-7day, hourly OHLC, idle-rich
+#: — to the r18 forced set to make room for its newborns), the three
 #: never-windowed rows-only debuts, the 13 round-17-born operators,
-#: and the 6 session-2-born operators hold window slots.
+#: and the 7 session-2-born operators hold window slots.
 _ROTATED_IN_R17 = [
     "agg_mann_whitney_u",
     "agg_ks_two_sample",
@@ -633,7 +633,6 @@ _ROTATED_IN_R17 = [
     "agg_rfm_segments",
     "window_session_stats_batch",
     "llm_bigram_surprisal_docs",
-    "llm_zipf_slope_report",
     "stream_stateful_running_totals",
     "agg_percentile_prices_approx",
     "llm_ml_minhash_join",
@@ -656,6 +655,7 @@ _ROTATED_IN_R17 = [
     "llm_isotonic_quality_calibration",
     "llm_cdc_chunk_dedup",
     "llm_retrieval_eval_report",
+    "agg_logrank_reorder_by_segment",
 ]
 
 

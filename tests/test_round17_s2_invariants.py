@@ -2,8 +2,9 @@
 Kaplan-Meier reorder survival, the Benjamini-Hochberg return-rate
 screen, the event/weekday mutual-information report, the isotonic
 quality calibration (textbook pool-adjacent-violators vs the minimax
-join formulation), the content-defined-chunking dedup audit, and the
-retrieval-evaluation report.
+join formulation), the content-defined-chunking dedup audit, the
+retrieval-evaluation report, and the log-rank two-sample survival
+test (plus its partition law against the pooled KM table).
 
 Twins recompute each operator independently (exact integers + Python
 IEEE doubles — the same fixed chains both engines evaluate), so they
@@ -410,3 +411,81 @@ def test_retrieval_eval_pure_python_twin(spark):
     for e in expected.values():
         assert 0.0 <= e["ndcg"] <= 1.0
         assert (e["ndcg"] > 0) == (e["n_hits"] > 0)
+
+
+# ---------------------------------------------------------------------------
+# A84 log-rank: full pure-Python recompute + relation to A81
+# ---------------------------------------------------------------------------
+
+
+def test_logrank_pure_python_twin(spark):
+    rows = _duck(
+        "SELECT o.o_custkey, CAST(o.o_orderdate AS DATE), o.o_orderkey, "
+        "CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END "
+        "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
+        "ORDER BY o.o_custkey, 2, 3"
+    )
+    by_cust: dict[int, tuple[int, list]] = {}
+    for ck, d, _k, g in rows:
+        by_cust.setdefault(ck, (g, []))[1].append(d)
+    mxd = max(d for _, d, _k, _g in rows)
+    from collections import Counter
+
+    d_t = {1: Counter(), 0: Counter()}  # events per group
+    a_t = {1: Counter(), 0: Counter()}  # all durations per group
+    for g, ds in by_cust.values():
+        for a, b in zip(ds, ds[1:]):
+            d_t[g][(b - a).days] += 1
+            a_t[g][(b - a).days] += 1
+        a_t[g][(mxd - ds[-1]).days] += 1
+    all_t = sorted(set(a_t[1]) | set(a_t[0]))
+    n1, n2, acc1, acc2 = {}, {}, 0, 0
+    for t in reversed(all_t):
+        acc1 += a_t[1].get(t, 0)
+        acc2 += a_t[0].get(t, 0)
+        n1[t], n2[t] = acc1, acc2
+    scale = 1e9
+    oq = vq = 0
+    exp1 = {}
+    ev_times = [
+        t for t in all_t if d_t[1].get(t, 0) + d_t[0].get(t, 0) > 0
+    ]
+    for t in ev_times:
+        d1, d2 = d_t[1].get(t, 0), d_t[0].get(t, 0)
+        dd, nn = d1 + d2, n1[t] + n2[t]
+        e1 = (float(dd) * n1[t]) / nn
+        exp1[t] = e1
+        oq += math.floor((d1 - e1) * scale)
+        v = (
+            0.0
+            if nn <= 1
+            else ((float(dd) * n1[t]) / nn)
+            * (n2[t] / float(nn))
+            * ((nn - dd) / float(nn - 1))
+        )
+        vq += math.floor(v * scale)
+    chi = (oq / scale) * (oq / scale) / (vq / scale)
+    got = _run(spark, "agg_logrank_reorder_by_segment")
+    assert list(got["t_days"]) == ev_times
+    for _, r in got.iterrows():
+        t = int(r["t_days"])
+        assert int(r["n1_at_risk"]) == n1[t]
+        assert int(r["n2_at_risk"]) == n2[t]
+        assert int(r["d1_events"]) == d_t[1].get(t, 0)
+        assert int(r["d2_events"]) == d_t[0].get(t, 0)
+        assert float(r["e1_expected"]) == exp1[t]
+        assert float(r["o_minus_e"]) == oq / scale
+        assert float(r["variance"]) == vq / scale
+        assert float(r["chi_sq"]) == chi
+        assert int(r["n_times"]) == len(ev_times)
+    # family law: the pooled at-risk/event counts are EXACTLY A81's
+    # (the two-sample split partitions the one-sample table)
+    km = _run(spark, "agg_kaplan_meier_reorder")
+    pooled = {
+        int(r["t_days"]): (int(r["n_at_risk"]), int(r["n_events"]))
+        for _, r in km.iterrows()
+    }
+    for _, r in got.iterrows():
+        t = int(r["t_days"])
+        assert int(r["n1_at_risk"]) + int(r["n2_at_risk"]) == pooled[t][0]
+        assert int(r["d1_events"]) + int(r["d2_events"]) == pooled[t][1]
