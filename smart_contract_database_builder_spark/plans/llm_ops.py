@@ -18254,11 +18254,13 @@ def llm_incremental_substring_admission(
 _CAL_BIN_PERMILLE = 100
 
 
-@register(
-    "llm_quality_dup_calibration",
-    oracle=rf"""
-    WITH {_sql_neardup_pairs_ctes()},
-    dup AS (
+def _sql_cal_lab_ctes() -> str:
+    """dup/q/lab oracle CTEs shared by F126 (calibration curve) and
+    F132 (isotonic fit of it): verified near-dup membership from the
+    S24 pair store x stopword-permille quality bin. ONE definition so
+    the two operators' bin axes can never silently diverge. Expects
+    the ``jac`` CTE from ``_sql_neardup_pairs_ctes`` in scope."""
+    return rf"""dup AS (
       SELECT DISTINCT doc_id FROM (
         SELECT doc_a AS doc_id FROM jac WHERE jaccard >= {_SPILL_J}
         UNION ALL
@@ -18275,7 +18277,52 @@ _CAL_BIN_PERMILLE = 100
     lab AS (
       SELECT q.bin, CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END AS is_dup
       FROM q LEFT JOIN dup ON dup.doc_id = q.doc_id
-    ),
+    )"""
+
+
+def _quality_dup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bin, is_dup) per token-bearing document — the Spark twin of
+    ``_sql_cal_lab_ctes``, shared by F126/F132 so the isotonic fit
+    calibrates EXACTLY the relation the curve reports. Scale shape:
+    the pair work is the write-time S24 store; this is O(|pairs|) for
+    the label plus one tokenize pass for the bins and a key join."""
+    pairs = _ngram_jaccard_pairs_stored(spark, sf_dir).filter(
+        F.col("jaccard") >= F.lit(float(_SPILL_J))
+    )
+    dup = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup_", F.lit(1))
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("t")
+    )
+    nstop = F.size(F.filter(F.col("t"), lambda x: x.isin(*_STOPWORDS)))
+    q = (
+        docs.filter(F.size("t") > 0)
+        .select(
+            "doc_id",
+            (1000 * nstop).cast("long").alias("nstop1000"),
+            F.size("t").cast("long").alias("ntok"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"(nstop1000 div ntok) div {_CAL_BIN_PERMILLE}").alias(
+                "bin"
+            ),
+        )
+    )
+    return q.join(dup, "doc_id", "left").select(
+        "bin", F.coalesce("is_dup_", F.lit(0)).alias("is_dup")
+    )
+
+
+@register(
+    "llm_quality_dup_calibration",
+    oracle=rf"""
+    WITH {_sql_neardup_pairs_ctes()},
+    {_sql_cal_lab_ctes()},
     tot AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
              CAST(SUM(is_dup) AS BIGINT) AS n_dup_all
@@ -18316,36 +18363,7 @@ def llm_quality_dup_calibration(
     for the bins, a key join, and an O(bins) rollup. Nothing
     all-pairs, nothing corpus-proportional after the label join.
     """
-    pairs = _ngram_jaccard_pairs_stored(spark, sf_dir).filter(
-        F.col("jaccard") >= F.lit(float(_SPILL_J))
-    )
-    dup = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-        .withColumn("is_dup_", F.lit(1))
-    )
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", _tokens().alias("t")
-    )
-    nstop = F.size(F.filter(F.col("t"), lambda x: x.isin(*_STOPWORDS)))
-    q = (
-        docs.filter(F.size("t") > 0)
-        .select(
-            "doc_id",
-            (1000 * nstop).cast("long").alias("nstop1000"),
-            F.size("t").cast("long").alias("ntok"),
-        )
-        .select(
-            "doc_id",
-            F.expr(f"(nstop1000 div ntok) div {_CAL_BIN_PERMILLE}").alias(
-                "bin"
-            ),
-        )
-    )
-    lab = q.join(dup, "doc_id", "left").select(
-        "bin", F.coalesce("is_dup_", F.lit(0)).alias("is_dup")
-    )
+    lab = _quality_dup_labels(spark, sf_dir)
     tot = lab.agg(
         F.count(F.lit(1)).cast("long").alias("n_all"),
         F.sum("is_dup").cast("long").alias("n_dup_all"),
@@ -19042,24 +19060,7 @@ _ISO_SCALE = "1000000000000.0"
     "llm_isotonic_quality_calibration",
     oracle=rf"""
     WITH {_sql_neardup_pairs_ctes()},
-    dup AS (
-      SELECT DISTINCT doc_id FROM (
-        SELECT doc_a AS doc_id FROM jac WHERE jaccard >= {_SPILL_J}
-        UNION ALL
-        SELECT doc_b AS doc_id FROM jac WHERE jaccard >= {_SPILL_J}
-      )
-    ),
-    q AS (
-      SELECT doc_id,
-             (1000 * len(list_filter(t, x -> x IN ({_SQL_STOPWORDS})))
-              // len(t)) // {_CAL_BIN_PERMILLE} AS bin
-      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
-      WHERE len(t) > 0
-    ),
-    lab AS (
-      SELECT q.bin, CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END AS is_dup
-      FROM q LEFT JOIN dup ON dup.doc_id = q.doc_id
-    ),
+    {_sql_cal_lab_ctes()},
     b AS (
       SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(is_dup) AS BIGINT) AS d
@@ -19139,36 +19140,7 @@ def llm_isotonic_quality_calibration(
     runs on any bounded bucket axis; PAVA's linear scan is the driver-
     side alternative only when B stops being bounded.
     """
-    pairs = _ngram_jaccard_pairs_stored(spark, sf_dir).filter(
-        F.col("jaccard") >= F.lit(float(_SPILL_J))
-    )
-    dup = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-        .withColumn("is_dup_", F.lit(1))
-    )
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", _tokens().alias("t")
-    )
-    nstop = F.size(F.filter(F.col("t"), lambda x: x.isin(*_STOPWORDS)))
-    q = (
-        docs.filter(F.size("t") > 0)
-        .select(
-            "doc_id",
-            (1000 * nstop).cast("long").alias("nstop1000"),
-            F.size("t").cast("long").alias("ntok"),
-        )
-        .select(
-            "doc_id",
-            F.expr(f"(nstop1000 div ntok) div {_CAL_BIN_PERMILLE}").alias(
-                "bin"
-            ),
-        )
-    )
-    lab = q.join(dup, "doc_id", "left").select(
-        "bin", F.coalesce("is_dup_", F.lit(0)).alias("is_dup")
-    )
+    lab = _quality_dup_labels(spark, sf_dir)
     b = (
         lab.groupBy(F.col("bin").cast("long").alias("bin"))
         .agg(
@@ -19657,7 +19629,9 @@ def llm_retrieval_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rel"),
         F.element_at(warr, F.col("sys_rank").cast("int")).alias("w"),
     )
-    nc = emb.agg(
+    # count off the already-checkpointed quantized relation (same
+    # cardinality as the source) — no second parquet scan
+    nc = d2.agg(
         (F.count(F.lit(1)) - 1).cast("long").alias("n_candidates")
     )
     m = jn.groupBy("qid").agg(

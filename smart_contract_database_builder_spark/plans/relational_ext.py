@@ -8335,25 +8335,80 @@ def join_er_duplicate_listings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "agg_kaplan_meier_reorder",
-    oracle="""
-    WITH RECURSIVE base AS (
-      SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d,
-             o_orderkey AS k
-      FROM orders
-    ),
+def _sql_reorder_durs(seg: str | None = None) -> str:
+    """base/mx/seq/durs oracle CTEs shared by A81 (no group) and A84
+    (customer-segment group flag ``g``): per-customer reorder gaps as
+    event durations plus the right-censored tail after each customer's
+    last order. ONE definition so the censoring rule can never diverge
+    between the KM table and the log-rank split of it."""
+    cols = ("o.o_custkey AS ck, CAST(o.o_orderdate AS DATE) AS d, "
+            "o.o_orderkey AS k")
+    if seg is None:
+        base = f"base AS (SELECT {cols} FROM orders o)"
+        g = ""
+    else:
+        base = (
+            f"base AS (SELECT {cols}, CASE WHEN c.c_mktsegment = '{seg}' "
+            "THEN 1 ELSE 0 END AS g FROM orders o "
+            "JOIN customer c ON c.c_custkey = o.o_custkey)"
+        )
+        g = "g, "
+    return f"""{base},
     mx AS (SELECT MAX(d) AS mxd FROM base),
     seq AS (
-      SELECT ck, d, LEAD(d) OVER (PARTITION BY ck ORDER BY d, k) AS nd
+      SELECT ck, {g}d, LEAD(d) OVER (PARTITION BY ck ORDER BY d, k) AS nd
       FROM base
     ),
     durs AS (
-      SELECT CASE WHEN nd IS NULL THEN date_diff('day', d, m.mxd)
+      SELECT {g}CASE WHEN nd IS NULL THEN date_diff('day', d, m.mxd)
                   ELSE date_diff('day', d, nd) END AS t,
              CASE WHEN nd IS NULL THEN 0 ELSE 1 END AS ev
       FROM seq CROSS JOIN mx m
-    ),
+    )"""
+
+
+def _reorder_durations(
+    spark: SparkSession, sf_dir: str, seg: str | None = None
+) -> DataFrame:
+    """(t, ev[, g]) reorder-gap durations with right-censored tails —
+    the Spark twin of ``_sql_reorder_durs``, shared by A81/A84 so the
+    log-rank partition law holds by construction, not by discipline.
+    Scale shape: one orders scan (plus a 2-column customer join when a
+    segment flag is requested) -> per-customer lag window on the
+    uniform key -> one 1-row censor-anchor broadcast."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.col("o_orderkey").alias("k"),
+    )
+    if seg is None:
+        base = o
+        gcols = []
+    else:
+        c = _t(spark, sf_dir, "customer").select(
+            "c_custkey",
+            F.when(F.col("c_mktsegment") == seg, 1).otherwise(0).alias("g"),
+        )
+        base = o.join(c, o.ck == c.c_custkey).select("ck", "g", "d", "k")
+        gcols = ["g"]
+    mx = base.agg(F.max("d").alias("mxd"))
+    nd = F.lead("d").over(Window.partitionBy("ck").orderBy("d", "k"))
+    seq = base.select("ck", *gcols, "d", nd.alias("nd"))
+    return seq.crossJoin(F.broadcast(mx)).select(
+        *gcols,
+        F.when(
+            F.col("nd").isNull(), F.datediff(F.col("mxd"), F.col("d"))
+        )
+        .otherwise(F.datediff(F.col("nd"), F.col("d")))
+        .alias("t"),
+        F.when(F.col("nd").isNull(), 0).otherwise(1).alias("ev"),
+    )
+
+
+@register(
+    "agg_kaplan_meier_reorder",
+    oracle=f"""
+    WITH RECURSIVE {_sql_reorder_durs()},
     ag AS (
       SELECT CAST(t AS BIGINT) AS t, CAST(SUM(ev) AS BIGINT) AS d_t,
              CAST(SUM(1 - ev) AS BIGINT) AS c_t
@@ -8415,22 +8470,7 @@ def agg_kaplan_meier_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     censor anchor (corpus max date) is the only broadcast. At 10^9
     customers the gap axis is still ~2.5k rows.
     """
-    base = _t(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("ck"),
-        F.col("o_orderdate").cast("date").alias("d"),
-        F.col("o_orderkey").alias("k"),
-    )
-    mx = base.agg(F.max("d").alias("mxd"))
-    nd = F.lead("d").over(Window.partitionBy("ck").orderBy("d", "k"))
-    seq = base.select("ck", "d", nd.alias("nd"))
-    durs = seq.crossJoin(F.broadcast(mx)).select(
-        F.when(
-            F.col("nd").isNull(), F.datediff(F.col("mxd"), F.col("d"))
-        )
-        .otherwise(F.datediff(F.col("nd"), F.col("d")))
-        .alias("t"),
-        F.when(F.col("nd").isNull(), 0).otherwise(1).alias("ev"),
-    )
+    durs = _reorder_durations(spark, sf_dir)
     ag = durs.groupBy(F.col("t").cast("long").alias("t")).agg(
         F.sum("ev").cast("long").alias("d_t"),
         F.sum(1 - F.col("ev")).cast("long").alias("c_t"),
@@ -8954,25 +8994,7 @@ _LR_SCALE = "1000000000.0"
 @register(
     "agg_logrank_reorder_by_segment",
     oracle=f"""
-    WITH base AS (
-      SELECT o.o_custkey AS ck, CAST(o.o_orderdate AS DATE) AS d,
-             o.o_orderkey AS k,
-             CASE WHEN c.c_mktsegment = '{_LOGRANK_SEG}' THEN 1
-                  ELSE 0 END AS g
-      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
-    ),
-    mx AS (SELECT MAX(d) AS mxd FROM base),
-    seq AS (
-      SELECT ck, g, d, LEAD(d) OVER (PARTITION BY ck ORDER BY d, k) AS nd
-      FROM base
-    ),
-    durs AS (
-      SELECT g,
-             CASE WHEN nd IS NULL THEN date_diff('day', d, m.mxd)
-                  ELSE date_diff('day', d, nd) END AS t,
-             CASE WHEN nd IS NULL THEN 0 ELSE 1 END AS ev
-      FROM seq CROSS JOIN mx m
-    ),
+    WITH {_sql_reorder_durs(_LOGRANK_SEG)},
     ag AS (
       SELECT CAST(t AS BIGINT) AS t,
              CAST(SUM(CASE WHEN g = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1,
@@ -9054,30 +9076,7 @@ def agg_logrank_reorder_by_segment(
     O(days) rows with two 1-row broadcasts (censor anchor, the
     pooled statistic).
     """
-    o = _t(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("ck"),
-        F.col("o_orderdate").cast("date").alias("d"),
-        F.col("o_orderkey").alias("k"),
-    )
-    c = _t(spark, sf_dir, "customer").select(
-        "c_custkey",
-        F.when(F.col("c_mktsegment") == _LOGRANK_SEG, 1)
-        .otherwise(0)
-        .alias("g"),
-    )
-    base = o.join(c, o.ck == c.c_custkey).select("ck", "g", "d", "k")
-    mx = base.agg(F.max("d").alias("mxd"))
-    nd = F.lead("d").over(Window.partitionBy("ck").orderBy("d", "k"))
-    seq = base.select("ck", "g", "d", nd.alias("nd"))
-    durs = seq.crossJoin(F.broadcast(mx)).select(
-        "g",
-        F.when(
-            F.col("nd").isNull(), F.datediff(F.col("mxd"), F.col("d"))
-        )
-        .otherwise(F.datediff(F.col("nd"), F.col("d")))
-        .alias("t"),
-        F.when(F.col("nd").isNull(), 0).otherwise(1).alias("ev"),
-    )
+    durs = _reorder_durations(spark, sf_dir, _LOGRANK_SEG)
     ag = durs.groupBy(F.col("t").cast("long").alias("t")).agg(
         F.sum(F.when(F.col("g") == 1, F.col("ev")).otherwise(0))
         .cast("long")
