@@ -17065,39 +17065,21 @@ def llm_dedup_grain_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = fan_out_if_narrow(
         docs.select("doc_id", "source", _tokens().alias("t"))
     )
-    # span grain (F32 semantics, positions shifted to 1-based)
-    sg = toked.select(
-        "doc_id",
-        "t",
-        F.explode(
-            F.when(
-                F.size("t") >= _SPAN_N,
-                F.sequence(F.lit(0), F.size("t") - _SPAN_N),
-            ).otherwise(F.array().cast("array<int>"))
-        ).alias("p"),
-    ).select(
-        "doc_id",
-        "p",
-        F.md5(
-            F.concat_ws(" ", F.slice("t", F.col("p") + 1, _SPAN_N))
-        ).alias("h"),
-    )
-    okey_s = F.struct(F.col("doc_id").alias("d"), F.col("p").alias("p"))
-    scanon = sg.groupBy("h").agg(
-        F.count(F.lit(1)).alias("cnt"), F.min(okey_s).alias("fk")
-    )
-    scov = (
-        sg.join(scanon, "h")
-        .filter((F.col("cnt") >= 2) & (okey_s != F.col("fk")))
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("p") + 1, F.col("p") + _SPAN_N)
-            ).alias("pos"),
-        )
-        .distinct()
-    )
-    # substring grain (F124 semantics)
+    # r17 OPT: with _SPAN_N == _SUBSTR_K == 8 the two grains hash the
+    # SAME 8-token windows — the span grain at 0-based p covers tokens
+    # p+1..p+8 and hashes slice(t, p+1, 8); the substring grain at
+    # 1-based pos = p+1 covers pos..pos+7 and hashes the identical
+    # concat — so ONE gram stream feeds both masks. Moreover the
+    # substring condition (distinct docs >= 2) implies the span
+    # condition (occurrences >= 2), so the substring removal set is a
+    # SUBSET of the span set: removed_both == removed_substr and
+    # removed_either == removed_span, and the full-outer position join
+    # of the two masks collapses into one aggregation carrying a
+    # cross-doc flag. countDistinct(doc) >= 2 is computed as
+    # min(doc) != max(doc), keeping the hash agg single-phase
+    # (one exchange on the gram key instead of the two a distinct
+    # aggregate plans; guide §2.3/§2.4).
+    assert _SPAN_N == _SUBSTR_K  # the collapse below relies on it
     grams = toked.select(
         "doc_id",
         F.posexplode(_word_ngrams(F.col("t"), _SUBSTR_K)).alias(
@@ -17106,51 +17088,50 @@ def llm_dedup_grain_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", (F.col("p0") + 1).alias("pos"), F.md5("gram").alias("gh")
     )
-    okey_u = F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))
-    ssh = (
+    okey = F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))
+    canon = (
         grams.groupBy("gh")
         .agg(
-            F.countDistinct("doc_id").alias("nd"),
-            F.min(okey_u).alias("fk"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(okey).alias("fk"),
+            (F.min("doc_id") != F.max("doc_id")).alias("xdoc"),
         )
-        .filter(F.col("nd") >= 2)
-        .select("gh", "fk")
+        .filter(F.col("cnt") >= 2)
+        .select("gh", "fk", "xdoc")
     )
-    ucov = (
-        grams.join(ssh, "gh")
-        .filter(okey_u != F.col("fk"))
+    # every non-canonical occurrence of a repeated gram is span-removed;
+    # those of cross-doc grams are additionally substring-removed
+    cov = (
+        grams.join(canon, "gh")
+        .filter(okey != F.col("fk"))
         .select(
             "doc_id",
             F.explode(
                 F.sequence("pos", F.col("pos") + (_SUBSTR_K - 1))
             ).alias("pos"),
+            F.col("xdoc").cast("int").alias("sub"),
         )
-        .distinct()
     )
-    s = scov.select(
-        F.col("doc_id").alias("sd"), F.col("pos").alias("sp")
-    ).withColumn("in_span", F.lit(1))
-    u = ucov.select(
-        F.col("doc_id").alias("ud"), F.col("pos").alias("up")
-    ).withColumn("in_sub", F.lit(1))
-    allpos = s.join(
-        u, (F.col("sd") == F.col("ud")) & (F.col("sp") == F.col("up")), "full"
-    ).select(
-        F.coalesce("sd", "ud").alias("doc_id"),
-        F.coalesce("in_span", F.lit(0)).alias("in_span"),
-        F.coalesce("in_sub", F.lit(0)).alias("in_sub"),
+    # one exchange on doc_id serves the position-dedup AND the per-doc
+    # rollup (hash partitioning on doc_id satisfies both groupings)
+    pos_mask = (
+        cov.repartition("doc_id")
+        .groupBy("doc_id", "pos")
+        .agg(F.max("sub").alias("in_sub"))
+    )
+    per_doc = pos_mask.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_pos"),
+        F.sum("in_sub").alias("n_sub"),
     )
     src = docs.select("doc_id", "source")
     per_src = (
-        allpos.join(src, "doc_id")
+        per_doc.join(src, "doc_id")
         .groupBy("source")
         .agg(
-            F.sum("in_span").cast("long").alias("removed_span"),
-            F.sum("in_sub").cast("long").alias("removed_substr"),
-            F.sum(F.col("in_span") * F.col("in_sub"))
-            .cast("long")
-            .alias("removed_both"),
-            F.count(F.lit(1)).cast("long").alias("removed_either"),
+            F.sum("n_pos").cast("long").alias("removed_span"),
+            F.sum("n_sub").cast("long").alias("removed_substr"),
+            F.sum("n_sub").cast("long").alias("removed_both"),
+            F.sum("n_pos").cast("long").alias("removed_either"),
         )
     )
     tot = toked.groupBy("source").agg(
