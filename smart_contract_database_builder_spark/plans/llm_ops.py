@@ -11603,13 +11603,14 @@ def llm_setsim_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     so they never enter prefixes — the hot-key/stop-word hazard that
     forces a bucket cap on the LSH path is pruned by construction
     here, and the length gate (t·|a| <= |b| <= |a|/t, cross-
-    multiplied) runs inside the prefix join. Cost model vs LSH: one
-    extra corpus aggregate (the df ranks) and a wider candidate set
-    in exchange for exact recall — the measured trade
+    multiplied) runs inside the prefix join, followed by PPJoin
+    positional filtering on the surviving pairs. Cost model vs LSH:
+    one extra corpus aggregate (the df ranks) and a wider candidate
+    set in exchange for exact recall — the measured trade
     ``llm_ann_recall_report`` quantifies from the other side. All
     joins are key-equi joins on uniform shingle ranks; the verify
-    stage touches |candidates| x |shingles-per-doc| rows, never the
-    corpus square.
+    stage touches |candidates| rows each carrying two per-doc shingle
+    sets (bounded by doc length), never the corpus square.
 
     Exactness: counts, ranks and both gates are integers; the one
     double division is bitwise on equal inputs. Ties in the rarity
@@ -11658,18 +11659,45 @@ def llm_setsim_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pos"),
         )
     )
-    prefix = ordered.filter(
-        F.col("pos")
-        <= F.col("n") - F.floor((n_ * F.col("n") + d_ - 1) / d_) + 1
-    ).select("doc_id", "s", "n")
+    # r17 OPT (guide §2.4/§5): the prefix relation used to be
+    # recomputed per self-join side — TWO copies of the dfs aggregate,
+    # the sizes join and the per-doc window in one plan. Materialize it
+    # once (same in-query store discipline as ``sh`` above) and feed
+    # both sides from the checkpoint.
+    prefix = (
+        ordered.filter(
+            F.col("pos")
+            <= F.col("n") - F.floor((n_ * F.col("n") + d_ - 1) / d_) + 1
+        )
+        .select("doc_id", "s", "n", "pos")
+        .localCheckpoint(eager=True)
+    )
     a = prefix.select(
-        F.col("doc_id").alias("doc_a"), "s", F.col("n").alias("na")
+        F.col("doc_id").alias("doc_a"),
+        "s",
+        F.col("n").alias("na"),
+        F.col("pos").alias("pa"),
     )
     b = prefix.select(
         F.col("doc_id").alias("doc_b"),
         F.col("s").alias("s_b"),
         F.col("n").alias("nb"),
+        F.col("pos").alias("pb"),
     )
+    # r17 OPT (guide §2.3): carry the per-doc sizes THROUGH the
+    # candidate pairs (they are functions of doc_a/doc_b, so the
+    # distinct cardinality is unchanged) instead of re-aggregating
+    # ``sh`` into sizes twice more and sort-merge-joining them back
+    # onto the verified pairs — two joins and two corpus aggregates
+    # fewer. Additionally apply PPJoin POSITIONAL FILTERING (Xiao et
+    # al. 2008): per-doc prefix positions follow the GLOBAL (df, s)
+    # order, so a pair's first common shingle in global order sits at
+    # (min pa, min pb) across its matches, every other common shingle
+    # lies after it in BOTH docs, and the true overlap is bounded by
+    # 1 + min(na - min_pa, nb - min_pb). Pairs whose bound already
+    # fails the threshold gate never reach the exact verify (prunes a
+    # large share of candidates). Recall is untouched — only pairs
+    # that provably cannot pass are dropped.
     cand = (
         a.join(
             b,
@@ -11678,29 +11706,50 @@ def llm_setsim_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (n_ * F.col("na") <= d_ * F.col("nb"))
             & (n_ * F.col("nb") <= d_ * F.col("na")),
         )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    x, y = sh.alias("x"), sh.alias("y").hint("merge")
-    shared = (
-        cand.hint("merge")
-        .join(x, F.col("doc_a") == F.col("x.doc_id"))
-        .join(
-            y,
-            (F.col("doc_b") == F.col("y.doc_id"))
-            & (F.col("y.s") == F.col("x.s")),
+        .select("doc_a", "doc_b", "na", "nb", "pa", "pb")
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.min("pa").alias("mpa"), F.min("pb").alias("mpb"))
+        .withColumn(
+            "ub",
+            F.lit(1)
+            + F.least(
+                F.col("na") - F.col("mpa"), F.col("nb") - F.col("mpb")
+            ),
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("o"))
-    )
-    sa = sizes.alias("sa").hint("merge")
-    sb = sizes.alias("sb").hint("merge")
-    return (
-        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .filter(
+            d_ * F.col("ub")
+            >= n_ * (F.col("na") + F.col("nb") - F.col("ub"))
+        )
+        .select("doc_a", "doc_b", "na", "nb")
+    )
+    # r17 OPT (guide §2.3): verify with per-doc shingle SETS instead of
+    # exploded per-shingle rows. The old verify streamed every shingle
+    # of every candidate doc through two sort-merge joins —
+    # |candidates| × |shingles-per-doc| rows, each sorted twice. A
+    # doc's distinct shingle set is bounded by its length, so it packs
+    # into one array row; attaching two arrays per candidate pair and
+    # intersecting them in-row moves the same bytes at 1/|shingles|
+    # the row count and drops both verify sorts. The overlap count o
+    # (array_intersect of two duplicate-free arrays) is the same
+    # integer, so the gate and the one double divide are unchanged.
+    docsets = sh.groupBy("doc_id").agg(F.collect_list("s").alias("ss"))
+    da = docsets.select(F.col("doc_id").alias("da"), F.col("ss").alias("ssa"))
+    db = docsets.select(F.col("doc_id").alias("db"), F.col("ss").alias("ssb"))
+    shared = (
+        cand.join(da, F.col("doc_a") == F.col("da"))
+        .join(db, F.col("doc_b") == F.col("db"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "na",
+            "nb",
+            F.size(F.array_intersect("ssa", "ssb")).alias("o"),
+        )
+    )
+    return (
+        shared.filter(
             d_ * F.col("o")
-            >= n_ * (F.col("sa.n") + F.col("sb.n") - F.col("o"))
+            >= n_ * (F.col("na") + F.col("nb") - F.col("o"))
         )
         .select(
             "doc_a",
@@ -11708,7 +11757,7 @@ def llm_setsim_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o").cast("long").alias("n_shared"),
             (
                 F.col("o").cast("double")
-                / (F.col("sa.n") + F.col("sb.n") - F.col("o"))
+                / (F.col("na") + F.col("nb") - F.col("o"))
             ).alias("jaccard"),
         )
     )
