@@ -2163,9 +2163,15 @@ def ann_cosine_pairs(
         F.lit(0).cast("long"),
         lambda a, v: a + v,
     )
+    # Materialize the encode ONCE: ann_cosine_pairs_from_rows reads the
+    # encoded relation three times (bucket sizes + both join sides), and
+    # without the checkpoint each read re-ran the 64 fixed-point casts,
+    # the plane dots and the self-norm per row. One pass + three cheap
+    # re-reads replaces three encode passes (the store variants already
+    # get this for free by reading the encode from disk).
     n = b.select(
         "vec_id", "sv", "bucket", F.sqrt(dot_self.cast("double")).alias("nrm")
-    )
+    ).localCheckpoint()
     return ann_cosine_pairs_from_rows(n, bucket_cap)
 
 
@@ -3319,6 +3325,12 @@ def llm_ann_multitable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tb"),
     ).select("vec_id", "sv", "nrm", "tb.tbl", "tb.bucket")
+    # Materialize the encode+bucket pass ONCE: `b` feeds three subtrees
+    # (bucket sizes, both self-join sides) and each recomputed the 64
+    # fixed-point casts plus _ANN_TABLES×_N_PLANES plane dots per row.
+    # One pass + three re-reads replaces three encode passes; the 3×
+    # exploded relation is the same one the join shuffles anyway.
+    b = b.localCheckpoint()
     ok = (
         b.groupBy("tbl", "bucket")
         .agg(F.count(F.lit(1)).alias("bsz"))
@@ -4888,9 +4900,13 @@ def llm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-EXT: EXACT frequent terms (count > N/_HH_K) via the two-pass
     sketch-then-verify scheme — the distributed form of Misra-Gries
     heavy hitters. Pass 1 runs a MERGEABLE Misra-Gries summary per
-    partition inside ``mapInPandas`` (Arrow batches; per batch a
-    vectorized value_counts merges into the running summary, with the
-    (size+1)-th-largest-count subtraction on overflow). Pigeonhole +
+    partition inside ``mapInPandas`` over xxhash64(term) — int64
+    hashes, not strings, cross the Python boundary (Arrow batches; per
+    batch a vectorized value_counts merges into the running summary,
+    with the (size+1)-th-largest-count subtraction on overflow; hash
+    collisions only add mass, so the superset guarantee survives and
+    pass 2's exact term counts discard any collision-borne
+    candidate). Pigeonhole +
     the MG error bound (undercount ≤ n_p/(sketch+1), sketch = 2k)
     guarantee the per-partition candidate union is a SUPERSET of every
     term with global count > N/k — so pass 2's exact count of the
@@ -4917,14 +4933,14 @@ def llm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def mg_partition(batches):
         # Fully vectorized merge (VERDICT r6 nit #1): the running
-        # summary is a term-indexed int64 Series; each Arrow batch
+        # summary is a hash-indexed int64 Series; each Arrow batch
         # merges via index-aligned add (no per-term Python loop) and
         # overflow trims by subtracting the (size+1)-th-largest count —
         # the decrement-all step of Misra-Gries, batched.
         run = pd.Series(dtype="int64")
         total = 0
         for pdf in batches:
-            vc = pdf["term"].value_counts()
+            vc = pdf["h"].value_counts()
             total += int(vc.sum())
             run = run.add(vc, fill_value=0).astype("int64")
             if len(run) > sketch_size:
@@ -4933,16 +4949,27 @@ def llm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 run = run[run > 0]
         yield pd.DataFrame(
             {
-                "term": list(run.index) + [None],
+                "h": pd.array(
+                    list(run.index) + [None], dtype="Int64"
+                ),
                 "total": [0] * len(run) + [total],
             }
         )
 
-    summaries = toked.mapInPandas(mg_partition, "term string, total long")
-    cands = summaries.filter(F.col("term").isNotNull()).select("term").distinct()
+    # The sketch pass runs over xxhash64(term) — 8 bytes/token across
+    # the Python boundary instead of the token string (guide §4: the
+    # boundary cost is the bytes you ship). Collisions only ADD hash
+    # mass, so the candidate superset property is preserved; pass 2
+    # counts the actual terms exactly and the final threshold filter
+    # removes any collision-borne false candidates.
+    hashed = toked.select(F.xxhash64("term").alias("h"))
+    summaries = hashed.mapInPandas(mg_partition, "h long, total long")
+    cands = summaries.filter(F.col("h").isNotNull()).select("h").distinct()
     n_total = summaries.agg(F.sum("total").alias("n"))
     counts = (
-        toked.join(F.broadcast(cands), "term", "left_semi")
+        toked.join(
+            F.broadcast(cands), F.xxhash64("term") == F.col("h"), "left_semi"
+        )
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -5043,9 +5070,13 @@ def llm_minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFr
     """
     docs = load_table(spark, sf_dir, "documents")
     toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
+    # The distinct shingle relation feeds THREE subtrees (per-doc sizes
+    # and both sides of the intersection join); each recompute was a
+    # full tokenize + shingle explode + distinct pass over the corpus.
+    # Materialize once — the relation the joins shuffle anyway.
     sh = toked.select(
         "doc_id", F.explode(_word_ngrams(F.col("t"))).alias("s")
-    ).distinct()
+    ).distinct().localCheckpoint()
     sig = minhash_sigs_stored(spark, sf_dir)
     cand = minhash_candidate_pairs_stored(spark, sf_dir).select(
         "doc_a", "doc_b"
@@ -5285,12 +5316,16 @@ def llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(st.select(F.col("n").alias("v")))
         .distinct()
     )
+    # O(distinct counts) rows, but referenced by FOUR broadcast joins
+    # below — without the checkpoint each broadcast build re-ran the
+    # 4-way union of aggregates over `big` plus the libm-ln Python
+    # stage. One materialization, four cheap re-reads.
     ln_table = vals.select(
         "v",
         F.floor(ln_udf(F.col("v").cast("double")) * _LN_MICRO)
         .cast("long")
         .alias("q"),
-    )
+    ).localCheckpoint()
 
     def q_of(col, alias):
         t = ln_table.alias(alias)
@@ -5726,7 +5761,7 @@ def llm_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     samp = scaled.select(
         "vec_id", "sv", F.sqrt(dot_self.cast("double")).alias("nrm")
-    )
+    ).localCheckpoint()  # bounded (_RECALL_K rows); feeds 3 subtrees
     x, y = samp.alias("x"), samp.alias("y")
     pair_dot = F.aggregate(
         F.zip_with("x.sv", "y.sv", lambda a_, b_: a_ * b_),
@@ -5734,6 +5769,11 @@ def llm_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a_, v: a_ + v,
     )
     cosine = pair_dot.cast("double") / (F.col("x.nrm") * F.col("y.nrm"))
+    # The quadratic truth sample materializes ONCE (it fed two separate
+    # count aggregations before — the sample self-join ran twice), and
+    # n_true/n_caught collapse into a single pass: a left join against
+    # the (unique-per-pair) candidate relation marks hits, so the
+    # semi-join + third aggregation disappear.
     truth = (
         x.join(F.broadcast(y), F.col("x.vec_id") < F.col("y.vec_id"))
         .filter(cosine >= _NEAR_DUP_COSINE)
@@ -5741,14 +5781,17 @@ def llm_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x.vec_id").alias("vec_a"),
             F.col("y.vec_id").alias("vec_b"),
         )
+        .localCheckpoint()
     )
-    caught = truth.join(cand, ["vec_a", "vec_b"], "left_semi")
+    tc = truth.join(
+        cand.withColumn("hit", F.lit(1)), ["vec_a", "vec_b"], "left"
+    ).agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(F.coalesce("hit", F.lit(0))).alias("n_caught"),
+    )
     n_samp = samp.agg(F.count(F.lit(1)).alias("sample_size"))
-    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
-    n_caught = caught.agg(F.count(F.lit(1)).alias("n_caught"))
     return (
-        n_samp.crossJoin(F.broadcast(n_true))
-        .crossJoin(F.broadcast(n_caught))
+        n_samp.crossJoin(F.broadcast(tc))
         .select(
             F.col("sample_size").cast("long"),
             F.col("n_true").cast("long"),
@@ -10321,10 +10364,11 @@ def llm_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits with no shared state.
 
     Scale shape: the projection is a per-row map (K=16 zip_with folds
-    inside whole-stage codegen, no shuffle); the pair sample joins on
-    ``vec_id + 1`` — an equi-join both engines hash-partition, linear
-    in the corpus, and at 100 TB the natural choice is id-range
-    bucketing so consecutive ids co-locate and the exchange vanishes.
+    inside whole-stage codegen, no shuffle, computed ONCE per row); the
+    consecutive-id pair sample reunites through one hash agg on the
+    pair id (each row plays both pair roles), linear in the corpus,
+    and at 100 TB the natural choice is id-range bucketing so
+    consecutive ids co-locate and the exchange vanishes.
     A full-pair audit would be quadratic by construction; the
     consecutive sample is the standard unbiased stand-in (ids carry no
     geometric order).
@@ -10350,8 +10394,35 @@ def llm_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in range(_JL_K)
     ]
     p = q.select("vec_id", "q", *proj_cols)
-    a = p.alias("a")
-    b = p.alias("b")
+    # Pair formation WITHOUT the self-join: the join recomputed the
+    # whole encode subtree (64 fixed-point casts + 16 projection folds
+    # per row) once per side and shuffled twice. Instead each encoded
+    # row plays both roles of the consecutive-id pair — role 0 of pair
+    # vec_id, role 1 of pair vec_id−1 — and ONE hash agg on the pair id
+    # reunites them: encode runs once, one Exchange instead of two.
+    v = F.struct("vec_id", "q", *[f"p{k}" for k in range(_JL_K)])
+    sides = p.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("vec_id").alias("pid"), F.lit(0).alias("role")
+                ),
+                F.struct(
+                    (F.col("vec_id") - 1).alias("pid"),
+                    F.lit(1).alias("role"),
+                ),
+            )
+        ).alias("r"),
+        v.alias("v"),
+    )
+    pairs = (
+        sides.groupBy(F.col("r.pid").alias("pid"))
+        .agg(
+            F.max(F.when(F.col("r.role") == 0, F.col("v"))).alias("a"),
+            F.max(F.when(F.col("r.role") == 1, F.col("v"))).alias("b"),
+        )
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+    )
     orig_d2 = F.aggregate(
         F.zip_with(
             F.col("a.q"),
@@ -10359,7 +10430,7 @@ def llm_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x, y: (x - y) * (x - y),
         ),
         F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+        lambda acc, v_: acc + v_,
     )
     proj_d2 = None
     for k in range(_JL_K):
@@ -10368,8 +10439,7 @@ def llm_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         proj_d2 = term if proj_d2 is None else proj_d2 + term
     return (
-        a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1)
-        .select(
+        pairs.select(
             F.col("a.vec_id").alias("vec_id_a"),
             F.col("b.vec_id").alias("vec_id_b"),
             orig_d2.alias("orig_d2"),
@@ -13916,7 +13986,11 @@ def llm_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     sv = emb.select(
         "vec_id", F.transform("embedding", lambda x: _iscale(x)).alias("sv")
     )
-    cell_rows = ivf_quantized_cells(emb)
+    # O(cells) rows, but each recompute was a full 64-way posexplode +
+    # two-level agg over the corpus — and this relation feeds THREE
+    # subtrees (the broadcast centroid list, the cell count, the axis
+    # join). Materialize once.
+    cell_rows = ivf_quantized_cells(emb).localCheckpoint()
     cells = cell_rows.agg(
         F.collect_list(F.struct("cell", "centroid")).alias("cells")
     )

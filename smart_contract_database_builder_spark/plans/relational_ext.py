@@ -4386,19 +4386,28 @@ def agg_orders_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame
         # identically)
         F.greatest(F.to_date("o_orderdate"), F.col("e")).alias("e"),
     )
-    opened = spans.groupBy(F.col("s").alias("d")).agg(
-        F.count(F.lit(1)).alias("n_opened"), F.lit(0).alias("n_closed")
+    # Each span contributes its two sweep deltas from ONE pass (an
+    # in-row 2-explode), so the lineitem close-date agg and the orders
+    # join run once instead of once per delta kind.
+    deltas = spans.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("s").alias("d"),
+                    F.lit(1).alias("o"),
+                    F.lit(0).alias("c"),
+                ),
+                F.struct(
+                    F.date_add("e", 1).alias("d"),
+                    F.lit(0).alias("o"),
+                    F.lit(1).alias("c"),
+                ),
+            )
+        ).alias("x")
     )
-    closed = spans.groupBy(F.date_add("e", 1).alias("d")).agg(
-        F.lit(0).alias("n_opened"), F.count(F.lit(1)).alias("n_closed")
-    )
-    daily = (
-        opened.unionByName(closed)
-        .groupBy("d")
-        .agg(
-            F.sum("n_opened").cast("long").alias("n_opened"),
-            F.sum("n_closed").cast("long").alias("n_closed"),
-        )
+    daily = deltas.groupBy(F.col("x.d").alias("d")).agg(
+        F.sum("x.o").cast("long").alias("n_opened"),
+        F.sum("x.c").cast("long").alias("n_closed"),
     )
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     return daily.select(
@@ -6423,26 +6432,31 @@ def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("g") * 4 + F.col("rw.j")).cast("long").alias("rep"),
         _pois1_col(F.col("rw.u")).alias("w"),
     )
+    # Every order contributes exactly one row to each replicate, so each
+    # (region, rep) group already knows the region's exact order count
+    # and cents total — the point estimates ride along in the replicate
+    # agg and the second base scan (orders⋈customer re-join + region
+    # agg) disappears. sum/count here equal the original per-region
+    # values bit-for-bit; the mean divides in the same order.
     rmeans = reps.groupBy("region", "rep").agg(
         (
             F.sum(F.col("w") * F.col("cents")).cast("double")
             / F.sum("w")
-        ).alias("m")
+        ).alias("m"),
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum("cents").cast("long").alias("s0"),
     )
     w_rn = Window.partitionBy("region").orderBy("m", "rep")
     rr = rmeans.select(
-        "region", "m", F.row_number().over(w_rn).alias("rn")
-    )
-    pt = base.groupBy("region").agg(
-        F.count(F.lit(1)).cast("long").alias("n_orders"),
-        (
-            F.sum("cents").cast("double") / F.count(F.lit(1)) / F.lit(100)
-        ).alias("mean_value"),
+        "region", "m", "n0", "s0", F.row_number().over(w_rn).alias("rn")
     )
     return (
-        pt.join(rr, "region")
-        .groupBy("region", "n_orders", "mean_value")
+        rr.groupBy("region")
         .agg(
+            F.max("n0").alias("n_orders"),
+            (
+                F.max("s0").cast("double") / F.max("n0") / F.lit(100)
+            ).alias("mean_value"),
             (
                 F.max(F.when(F.col("rn") == _BOOT_LO, F.col("m")))
                 / F.lit(100)
