@@ -2375,9 +2375,12 @@ def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.transform("embedding", lambda x: _iscale(x)).alias("sv")
     )
     # one row: the packed quantized cell table [(cell, centroid), ...]
+    # 1 packed row, but its build is a full corpus posexplode+agg and
+    # it is embedded in two DIFFERENT broadcast subtrees (the query row
+    # and the corpus assignment) — materialize once.
     cells = ivf_quantized_cells(emb).agg(
         F.collect_list(F.struct("cell", "centroid")).alias("cells")
-    )
+    ).localCheckpoint()
 
     def best_cell(vec: Column) -> Column:
         # lexicographic struct min == ORDER BY d2, cell LIMIT 1
@@ -2590,9 +2593,12 @@ def llm_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sv = emb.select(
         "vec_id", F.transform("embedding", lambda x: _iscale(x)).alias("sv")
     )
+    # 1 packed row, but its build is a full corpus posexplode+agg and
+    # it is embedded in two DIFFERENT broadcast subtrees (the query row
+    # and the corpus assignment) — materialize once.
     cells = ivf_quantized_cells(emb).agg(
         F.collect_list(F.struct("cell", "centroid")).alias("cells")
-    )
+    ).localCheckpoint()
 
     q = (
         sv.filter(F.col("vec_id") == _QUERY_VEC_ID)
@@ -6939,9 +6945,12 @@ def llm_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sv = emb.select(
         "vec_id", F.transform("embedding", lambda x: _iscale(x)).alias("sv")
     )
+    # 1 packed row, but its build is a full corpus posexplode+agg and
+    # it is embedded in two DIFFERENT broadcast subtrees (the query row
+    # and the corpus assignment) — materialize once.
     cells = ivf_quantized_cells(emb).agg(
         F.collect_list(F.struct("cell", "centroid")).alias("cells")
-    )
+    ).localCheckpoint()
 
     def cell_dists(vec: Column) -> Column:
         return F.array_sort(
@@ -9331,11 +9340,23 @@ def llm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.substring(F.md5("s"), 1, _DSIR_PREF).alias("b")
     ).localCheckpoint(eager=True)
     is_tgt = (F.col("doc_id") % _DECON_MOD) == _DECON_REM
-    tgt = g.filter(is_tgt).groupBy("b").agg(F.count(F.lit(1)).alias("tc"))
-    srcg = g.filter(~is_tgt)
-    src = srcg.groupBy("b").agg(F.count(F.lit(1)).alias("sc"))
-    tt = tgt.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("tt"))
-    st = src.agg(F.coalesce(F.sum("sc"), F.lit(0)).alias("st"))
+    # ONE bucket census carries both sides (target and raw counts per
+    # bucket) — the previous shape aggregated the gram relation five
+    # times (tgt, src, their two totals re-deriving each, and the
+    # per-doc pass); now it is two passes (census + per-doc) plus
+    # O(buckets) arithmetic.
+    bc = (
+        g.groupBy("b")
+        .agg(
+            F.sum(is_tgt.cast("long")).alias("tc"),
+            F.sum((~is_tgt).cast("long")).alias("sc"),
+        )
+        .localCheckpoint()
+    )
+    tot = bc.agg(
+        F.coalesce(F.sum("tc"), F.lit(0)).alias("tt"),
+        F.coalesce(F.sum("sc"), F.lit(0)).alias("st"),
+    )
     ln = _ln_libm()
 
     def _ln_fp(num, den):
@@ -9344,21 +9365,24 @@ def llm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
 
     w = (
-        src.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(tt))
-        .crossJoin(F.broadcast(st))
+        bc.filter(F.col("sc") >= 1)
+        .crossJoin(F.broadcast(tot))
         .select(
             "b",
             (
                 _ln_fp(
-                    F.coalesce(F.col("tc"), F.lit(0)) + 1,
+                    F.col("tc") + 1,
                     F.col("tt") + _DSIR_BUCKETS,
                 )
                 - _ln_fp(F.col("sc") + 1, F.col("st") + _DSIR_BUCKETS)
             ).alias("w_fp"),
         )
     )
-    dc = srcg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    dc = (
+        g.filter(~is_tgt)
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     return (
         dc.join(F.broadcast(w), "b")
         .groupBy("doc_id")
@@ -9867,18 +9891,26 @@ def llm_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax is deterministic on both engines.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # The tokenize + md5-bucket stream feeds FIVE subtrees (bucket
+    # domain, lang axis, train counts, train totals, held-out counts);
+    # materialize it once. The per-lang total then DERIVES from the
+    # O(langs×buckets) count relation instead of a second train pass.
     tok = fan_out_if_narrow(
         docs.select("doc_id", "lang", F.explode(_tokens()).alias("term"))
     ).select(
         "doc_id", "lang", F.substring(F.md5("term"), 1, _NB_PREF).alias("b")
-    )
+    ).localCheckpoint()
     is_held = (F.col("doc_id") % _NB_MOD) == _NB_REM
     train = tok.filter(~is_held)
     heldout = tok.filter(is_held)
     dom = tok.select("b").distinct()
     langs = train.select("lang").distinct()
-    cnt = train.groupBy("lang", "b").agg(F.count(F.lit(1)).alias("c"))
-    tot = train.groupBy("lang").agg(F.count(F.lit(1)).alias("t"))
+    cnt = (
+        train.groupBy("lang", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()  # O(langs × buckets); feeds the grid + totals
+    )
+    tot = cnt.groupBy("lang").agg(F.sum("c").alias("t"))
     ln = _ln_libm()
     w = (
         langs.crossJoin(dom)
@@ -12392,8 +12424,10 @@ def llm_incremental_embedding_admission(
     )
     # _emb_bucket_rows is the SHARED encode (defined with the S23
     # store below): the store writer runs the same expressions, so
-    # the stored read path is bit-identical to this twin.
-    n = _emb_bucket_rows(emb, n_planes)
+    # the stored read path is bit-identical to this twin. Materialize
+    # it once — four subtrees read it (corpus bucket sizes, both probe
+    # sides, the final admitted join) and each would re-encode.
+    n = _emb_bucket_rows(emb, n_planes).localCheckpoint()
     is_batch = (F.col("vec_id") % _INC_ND_MOD) == _INC_ND_REM
     corpus = n.filter(~is_batch)
     batch = n.filter(is_batch)
@@ -13202,7 +13236,10 @@ def llm_incremental_embedding_admission_stored(
     )
     is_batch = (F.col("vec_id") % _INC_ND_MOD) == _INC_ND_REM
     corpus = emb_buckets_stored(spark, sf_dir, n_planes).filter(~is_batch)
-    batch = _emb_bucket_rows(emb.filter(is_batch), n_planes)
+    # The batch-side encode feeds two subtrees (the probe join and the
+    # final admitted/left join); materialize the small batch slice once
+    # instead of re-encoding it per consumer.
+    batch = _emb_bucket_rows(emb.filter(is_batch), n_planes).localCheckpoint()
     ok = (
         corpus.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("bsz"))
@@ -13660,6 +13697,10 @@ def llm_semantic_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda st: st["s"],
         ).alias("cs")
     )
+    # Three consumers (the median agg, the MAD agg, the final report)
+    # read the scored relation; each recompute was a full encode +
+    # centroid agg + two decimal(38,0) dot folds per row. Materialize
+    # the 3-column scores once.
     cosr = sv.join(F.broadcast(cent), "label").select(
         "vec_id",
         "label",
@@ -13670,7 +13711,7 @@ def llm_semantic_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.sqrt(_dec_dot("cs", "cs").cast("double"))
             )
         ).alias("cos_c"),
-    )
+    ).localCheckpoint()
     med = cosr.groupBy("label").agg(
         F.expr("percentile(cos_c, 0.5D)").alias("med")
     )
@@ -15758,7 +15799,7 @@ def llm_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(ln_udf(F.col("v").cast("double")) * _LN_MICRO)
         .cast("long")
         .alias("ln_micro"),
-    )
+    ).localCheckpoint()  # O(distinct counts); read by 3 broadcast joins
     sl_bg = (
         big.join(F.broadcast(ln_table), big.c12 == ln_table.v)
         .groupBy("lang")

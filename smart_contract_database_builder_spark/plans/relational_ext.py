@@ -7552,10 +7552,11 @@ def agg_theilsen_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation); OLS comes from exact integer sums (Σxy widened to
     decimal(38,0)/HUGEINT with the VARCHAR-hop read).
 
-    Scale shape: O(days) hash agg → bounded O(days²) pair join → hash
-    agg on DISTINCT quantized slopes → the two-level bucketed prefix
-    scan (`_prefix_sums`) for the rank lookup — no global per-pair
-    sort anywhere, and nothing grows with corpus rows.
+    Scale shape: O(days) hash agg → bounded O(days²) pair join,
+    materialized once → an O(buckets) census agg → the rank lookup
+    resolves ONE bucket (the one holding the median rank) — no global
+    per-pair sort, no full-width prefix window, and nothing grows with
+    corpus rows.
     """
     daily = _daily_rev(spark, sf_dir).localCheckpoint()
     a = daily.select(F.col("d").alias("da"), F.col("cents").alias("ca"))
@@ -7564,17 +7565,52 @@ def agg_theilsen_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("cb") - F.col("ca")) * _SEN_SCALE).alias("num"),
         F.datediff("db", "da").cast("long").alias("dd"),
     )
+    # The O(days²) slope relation is bounded by the date domain at any
+    # corpus size; materialize it ONCE — both the bucket census and the
+    # median-bucket drill-down read it. (The previous form hash-agged
+    # all ~days²/2 NEARLY-DISTINCT quantized slopes and ran full-width
+    # prefix windows over them twice — the rank lookup only ever needs
+    # ONE bucket's rows resolved.)
     sl = p.select(
         F.expr("(num - pmod(num, dd)) div dd").alias("slope_q")
-    )
-    g = sl.groupBy("slope_q").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
     ).localCheckpoint()
-    cum = _prefix_sums(g, "slope_q", [("c", "f", True)])
-    m = g.agg(F.sum("c").cast("long").alias("m"))
+    bkt = F.floor(F.col("slope_q") / F.lit(_RANK_BUCKET))
+    bsum = (
+        sl.groupBy(bkt.alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()  # O(slope range / bucket width) rows
+    )
+    m = bsum.agg(F.sum("c").cast("long").alias("m"))
+    w_b = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    # the single bucket holding the lower-median rank, with the count
+    # of slopes in all buckets before it
+    medb = (
+        bsum.select(
+            "b",
+            "c",
+            F.coalesce(F.sum("c").over(w_b), F.lit(0)).alias("pre"),
+        )
+        .crossJoin(F.broadcast(m))
+        .filter(F.col("pre") + F.col("c") >= F.expr("(m + 1) div 2"))
+        .orderBy("b")
+        .limit(1)
+        .select("b", "pre", F.expr("(m + 1) div 2").alias("target"))
+    )
+    inb = (
+        sl.join(F.broadcast(medb), bkt == F.col("b"))
+        .groupBy("slope_q", "pre", "target")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w_s = Window.orderBy("slope_q").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     med = (
-        cum.crossJoin(F.broadcast(m))
-        .filter(F.col("f") >= F.expr("(m + 1) div 2"))
+        inb.select(
+            "slope_q",
+            (F.col("pre") + F.sum("c").over(w_s)).alias("f"),
+            "target",
+        )
+        .filter(F.col("f") >= F.col("target"))
         .agg(F.min("slope_q").alias("sen_q"))
     )
     di = F.datediff("d", F.lit(_ANOVA_EPOCH).cast("date")).cast("long")
