@@ -4586,7 +4586,7 @@ def llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(ln_udf(F.col("v").cast("double")) * _LN_MICRO)
         .cast("long")
         .alias("ln_micro"),
-    )
+    ).localCheckpoint()  # O(distinct counts); read by 2 broadcast joins
     scored = (
         pairs.join(F.broadcast(ln_table), pairs.c == ln_table.v)
         .groupBy("doc_id")
@@ -12424,10 +12424,11 @@ def llm_incremental_embedding_admission(
     )
     # _emb_bucket_rows is the SHARED encode (defined with the S23
     # store below): the store writer runs the same expressions, so
-    # the stored read path is bit-identical to this twin. Materialize
-    # it once — four subtrees read it (corpus bucket sizes, both probe
-    # sides, the final admitted join) and each would re-encode.
-    n = _emb_bucket_rows(emb, n_planes).localCheckpoint()
+    # the stored read path is bit-identical to this twin. NOT
+    # materialized: the parquet-scan count in this plan vs the stored
+    # twin's is the pinned store-read invariant
+    # (tests/test_annbucket_store.py).
+    n = _emb_bucket_rows(emb, n_planes)
     is_batch = (F.col("vec_id") % _INC_ND_MOD) == _INC_ND_REM
     corpus = n.filter(~is_batch)
     batch = n.filter(is_batch)
@@ -13236,10 +13237,10 @@ def llm_incremental_embedding_admission_stored(
     )
     is_batch = (F.col("vec_id") % _INC_ND_MOD) == _INC_ND_REM
     corpus = emb_buckets_stored(spark, sf_dir, n_planes).filter(~is_batch)
-    # The batch-side encode feeds two subtrees (the probe join and the
-    # final admitted/left join); materialize the small batch slice once
-    # instead of re-encoding it per consumer.
-    batch = _emb_bucket_rows(emb.filter(is_batch), n_planes).localCheckpoint()
+    # Batch-side encode stays lineage-visible: the pinned store-read
+    # invariant counts this plan's parquet scans against the twin's
+    # (tests/test_annbucket_store.py).
+    batch = _emb_bucket_rows(emb.filter(is_batch), n_planes)
     ok = (
         corpus.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("bsz"))

@@ -4540,10 +4540,14 @@ def agg_brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
+    # (order, brand) distinct feeds FOUR subtrees (brand counts, order
+    # total, both self-join sides); each recompute was a lineitem⋈part
+    # join + distinct. Materialize once.
     ob = (
         li.join(part, li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("brand"))
         .distinct()
+        .localCheckpoint()
     )
     bc = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("n"))
     tot = ob.agg(F.countDistinct("o").alias("n_orders"))

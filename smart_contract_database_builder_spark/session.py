@@ -37,6 +37,12 @@ _DEFAULTS = {
     # Auto-broadcast threshold: 64 MiB. The TPC-H-ish dims (region, nation,
     # supplier, part, customer) stay broadcastable far past sf100.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Let the planner pick shuffled-hash over sort-merge when the build
+    # side fits (optimization guide §9): skips the per-partition sort,
+    # and AQE's skew/coalesce handling still applies. Size gating is the
+    # broadcast threshold above, so a `-1` threshold (the tests' way of
+    # forcing shuffle joins) still yields sort-merge.
+    "spark.sql.join.preferSortMergeJoin": "false",
 }
 
 
