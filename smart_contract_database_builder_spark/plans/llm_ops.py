@@ -1198,6 +1198,10 @@ def llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         toked.select("doc_id", F.explode(_word_ngrams(F.col("t"))).alias("s"))
         .distinct()
     )
+    # NOT checkpointed (neither sh nor sizes): A/B-measured negative
+    # both ways — the merge-hinted verify joins re-exchange the
+    # shingle stream regardless, so an eager materialization job only
+    # serializes a DAG whose subtrees otherwise overlap.
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # candidates from the S21 band store: the signature MIN-aggregate
     # never runs at query time; the shingle relation above feeds only
@@ -4144,6 +4148,10 @@ def llm_decontaminate_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
+    # NOT checkpointed: the per-benchmark readers carry doc_id-slice
+    # filters that Catalyst pushes BELOW the explode, so each
+    # "recompute" explodes only its slice — materializing the full
+    # stream costs more than the partial recomputes (A/B-measured).
     grams = toked.select(
         "doc_id", F.explode(_word_ngrams(F.col("t"), _DECON_N)).alias("g")
     )
@@ -15574,6 +15582,10 @@ def llm_decontaminate_ngram_sweep(
         )
 
     tagged = F.flatten(F.array(*[_tag(n) for n in _DECON_SWEEP_NS]))
+    # NOT checkpointed: the benchmark side's doc_id-slice filter
+    # pushes below the explode (it fans out ~1/MOD of the corpus), so
+    # materializing the full tagged stream for the two readers costs
+    # more than the sliced recomputes (A/B-measured 1.79 vs 2.14 s).
     grams = toked.select(
         "doc_id", F.explode(tagged).alias("x")
     ).select("doc_id", "x.n", "x.g")
@@ -16629,13 +16641,19 @@ def _substr_shared_runs(grams: DataFrame) -> DataFrame:
     run_len). Two anchors at positions p < q merge into one covered run
     iff q - p <= K (their [.,.+K-1] intervals overlap or touch), so the
     union length is max(pos) - min(pos) + K per merged group."""
-    sh = (
-        grams.groupBy("gh")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gh")
+    # "Shared" = gram seen in >= 2 distinct docs ⟺ min(doc_id) !=
+    # max(doc_id) within the gram's partition. Resolving it with two
+    # unordered window aggregates over ONE gh exchange computes the
+    # corpus-scale gram stream ONCE; the former doc-frequency agg +
+    # join-back rebuilt it per consumer (and at scale the join-back is
+    # a second full-stream shuffle — the shared-gh set is corpus-sized).
+    wg = Window.partitionBy("gh")
+    sp = (
+        grams.withColumn("mn", F.min("doc_id").over(wg))
+        .withColumn("mx", F.max("doc_id").over(wg))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("doc_id", "source", "pos")
     )
-    sp = grams.join(sh, "gh").select("doc_id", "source", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev = F.lag("pos").over(w)
     fl = sp.select(
@@ -16782,7 +16800,12 @@ def llm_substring_run_histogram(
     zero-run corpus emits zero rows on BOTH engines — grouped
     aggregates, no axis to anchor).
     """
-    runs = _substr_shared_runs(_substr_gram_positions(spark, sf_dir))
+    # The run relation (tiny: shared positions merged per doc) feeds
+    # BOTH the total and the histogram; materialize it once instead of
+    # re-running the whole gram pipeline per consumer.
+    runs = _substr_shared_runs(
+        _substr_gram_positions(spark, sf_dir)
+    ).localCheckpoint()
     tot = runs.agg(F.sum("run_len").alias("dup_total"))
     return (
         runs.groupBy("run_len")
@@ -16888,19 +16911,24 @@ def llm_substring_pair_maxrun(
     no skew.
     """
     grams = _substr_gram_positions(spark, sf_dir)
-    okg = (
-        grams.groupBy("gh")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter((F.col("nd") >= 2) & (F.col("nd") <= _SUBSTR_DF_CAP))
-        .select("gh")
-    )
+    # Doc-frequency gate without the agg + join-back (which computed
+    # the gram stream twice): dense_rank over doc_id within the gram's
+    # partition, its max IS the exact distinct-doc count, and all
+    # three windows ride ONE gh exchange. The surviving occurrence
+    # relation is bounded on both axes (df cap × pos cap), so it is
+    # materialized once for the two self-join sides instead of
+    # re-running the gram pipeline per side.
+    wnd = Window.partitionBy("gh").orderBy("doc_id")
+    wg = Window.partitionBy("gh")
     wocc = Window.partitionBy("gh", "doc_id").orderBy("pos")
     occ = (
-        grams.join(okg, "gh")
-        .select("gh", "doc_id", "pos")
+        grams.withColumn("dr", F.dense_rank().over(wnd))
+        .withColumn("nd", F.max("dr").over(wg))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= _SUBSTR_DF_CAP))
         .withColumn("rn", F.row_number().over(wocc))
         .filter(F.col("rn") <= _SUBSTR_POS_CAP)
-        .drop("rn")
+        .select("gh", "doc_id", "pos")
+        .localCheckpoint()
     )
     a = occ.select(
         "gh", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa")
@@ -17086,13 +17114,18 @@ def substring_dedup_trim(docs: DataFrame) -> DataFrame:
         F.md5("gram").alias("gh"),
     )
     okey = F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))
-    sh = grams.groupBy("gh").agg(
-        F.countDistinct("doc_id").alias("nd"),
-        F.min(okey).alias("first_key"),
-    ).filter(F.col("nd") >= 2).select("gh", "first_key")
+    # Canonical selection without the agg + join-back (which computed
+    # the gram stream twice): the globally-first occurrence and the
+    # cross-doc test (min(doc_id) != max(doc_id) ⟺ doc frequency >= 2)
+    # are window aggregates over ONE gh exchange.
+    wg = Window.partitionBy("gh")
     removable = (
-        grams.join(sh, "gh")
-        .filter(okey != F.col("first_key"))
+        grams.withColumn("mn", F.min("doc_id").over(wg))
+        .withColumn("mx", F.max("doc_id").over(wg))
+        .withColumn("first_key", F.min(okey).over(wg))
+        .filter(
+            (F.col("mn") != F.col("mx")) & (okey != F.col("first_key"))
+        )
         .select("doc_id", "pos")
     )
     cov = (
@@ -18354,24 +18387,26 @@ def llm_incremental_substring_admission(
     tagged = grams.select(
         "doc_id", "source", "gh", src_num.alias("src_num")
     )
-    corpus = (
-        tagged.filter(F.col("src_num") < _INCR_EXISTING_MAX)
-        .select("gh")
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
+    # "Anchor occurs in the standing corpus" ⟺ the gram's minimum
+    # src_num over the WHOLE stream falls below the batch boundary —
+    # one window aggregate over one gh exchange replaces the
+    # corpus-distinct + left-join shape, which computed the gram
+    # stream once per side. hit is functionally determined by gh, so
+    # carrying it through the batch distinct leaves the per-doc
+    # distinct-anchor counts untouched.
+    wg = Window.partitionBy("gh")
     batch = (
-        tagged.filter(F.col("src_num") >= _INCR_EXISTING_MAX)
-        .select("doc_id", "source", "gh")
+        tagged.withColumn(
+            "hit",
+            (F.min("src_num").over(wg) < _INCR_EXISTING_MAX).cast("int"),
+        )
+        .filter(F.col("src_num") >= _INCR_EXISTING_MAX)
+        .select("doc_id", "source", "gh", "hit")
         .distinct()
     )
-    scored = (
-        batch.join(corpus, "gh", "left")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_anchors"),
-            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
-        )
+    scored = batch.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_anchors"),
+        F.sum("hit").cast("long").alias("n_hits"),
     )
     docs = load_table(spark, sf_dir, "documents")
     roster = docs.select("doc_id", "source").filter(
@@ -19541,11 +19576,15 @@ def llm_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substr(s, CAST(a AS INT), CAST(b - a + 1 AS INT))")
         ).alias("h"),
     )
-    freq = chunks.groupBy("h").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    # Corpus chunk frequency as a count-over-window on the content
+    # hash: one exchange on the uniform key, and the chunk pipeline
+    # (cut fan-out + boundary window + slice join) is computed ONCE —
+    # the former frequency agg + join-back re-ran it per side.
+    counted = chunks.withColumn(
+        "c", F.count(F.lit(1)).over(Window.partitionBy("h"))
     )
     return (
-        chunks.join(freq, "h")
+        counted
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_chunks"),
