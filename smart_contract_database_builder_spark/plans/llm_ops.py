@@ -2987,14 +2987,16 @@ def llm_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(_word_ngrams(F.col("t"), _SPAN_N)).alias("g"),
     ).select("doc_id", F.md5("g").alias("h"))
-    dup = (
-        grams.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
-    )
+    # "Gram in >= 2 distinct docs" ⟺ min(doc_id) != max(doc_id) within
+    # the gram's partition: two unordered window aggregates over ONE
+    # h exchange compute the gram stream once — the former dup-gram
+    # agg + join-back re-ran the tokenize+explode+md5 pipeline per
+    # consumer and shuffled the stream a second time for the join.
+    wh = Window.partitionBy("h")
     per_doc = (
-        grams.join(dup, "h")
+        grams.withColumn("mn", F.min("doc_id").over(wh))
+        .withColumn("mx", F.max("doc_id").over(wh))
+        .filter(F.col("mn") != F.col("mx"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_dup"))
     )
@@ -3469,12 +3471,15 @@ def span_dedup_trim(docs: DataFrame) -> DataFrame:
     # min merges map-side like any agg and cannot overflow, unlike an
     # arithmetic doc_id*K + p composite key
     okey = F.struct(F.col("doc_id").alias("d"), F.col("p").alias("p"))
-    canon = grams.groupBy("h").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.min(okey).alias("first_key"),
-    )
+    # Occurrence count and canonical first occurrence as window
+    # aggregates over ONE h exchange (cnt counts ALL occurrences —
+    # within-doc repeats trim at this grain, unlike the substring
+    # family's distinct-doc gate): the former agg + join-back computed
+    # the gram stream once per consumer and shuffled it twice.
+    wh = Window.partitionBy("h")
     removable = (
-        grams.join(canon, "h")
+        grams.withColumn("cnt", F.count(F.lit(1)).over(wh))
+        .withColumn("first_key", F.min(okey).over(wh))
         .filter((F.col("cnt") >= 2) & (okey != F.col("first_key")))
         .select("doc_id", "p")
     )
