@@ -26,33 +26,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.tables import load_table
+from .materialize import pin
 from .registry import QUERIES, register
 
-
-def fan_out_if_narrow(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to the cluster's parallelism — but ONLY
-    when the upstream scan yields fewer partitions than cores.
-
-    Why it exists: a CPU-heavy map-side kernel (the 8-way min-md5
-    MinHash partial aggregate, the fixed-point ANN rescale) runs in the
-    SCAN stage, before any exchange — so its parallelism is the scan's
-    split count, not the cluster's. A handful of small parquet files
-    (or any unsplittable input: gzip, one mega row-group) pins millions
-    of hash evaluations to a few tasks while the rest of the cluster
-    idles. Fanning out the *pre-explode* rows costs one shuffle of the
-    raw documents — the cheapest relation in the pipeline — and buys
-    full-width execution of everything downstream of it.
-
-    At 100 TB the scan arrives in thousands of splits and this helper
-    is an explicit no-op (the condition, not the operator, is the
-    contract: it never ADDS an exchange to a plan that is already
-    wide). Round-robin keeps sizes uniform regardless of doc-id
-    distribution; results are partitioning-independent.
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+# Shared with relational_ext (the bootstrap digest fan-out): lives in
+# materialize.py; re-exported here because ~40 call sites predate the move.
+from .materialize import fan_out_if_narrow  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -2172,10 +2151,17 @@ def ann_cosine_pairs(
     # without the checkpoint each read re-ran the 64 fixed-point casts,
     # the plane dots and the self-norm per row. One pass + three cheap
     # re-reads replaces three encode passes (the store variants already
-    # get this for free by reading the encode from disk).
-    n = b.select(
-        "vec_id", "sv", "bucket", F.sqrt(dot_self.cast("double")).alias("nrm")
-    ).localCheckpoint()
+    # get this for free by reading the encode from disk). r18 (VERDICT
+    # #1): the encode is CORPUS-PROPORTIONAL (one row per vector) ⇒
+    # reliable pin(), not executor-local blocks.
+    n = pin(
+        b.select(
+            "vec_id",
+            "sv",
+            "bucket",
+            F.sqrt(dot_self.cast("double")).alias("nrm"),
+        )
+    )
     return ann_cosine_pairs_from_rows(n, bucket_cap)
 
 
@@ -3341,8 +3327,10 @@ def llm_ann_multitable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (bucket sizes, both self-join sides) and each recomputed the 64
     # fixed-point casts plus _ANN_TABLES×_N_PLANES plane dots per row.
     # One pass + three re-reads replaces three encode passes; the 3×
-    # exploded relation is the same one the join shuffles anyway.
-    b = b.localCheckpoint()
+    # exploded relation is the same one the join shuffles anyway. r18
+    # (VERDICT #1): corpus-proportional (_ANN_TABLES rows per vector) ⇒
+    # reliable pin(), not executor-local blocks.
+    b = pin(b)
     ok = (
         b.groupBy("tbl", "bucket")
         .agg(F.count(F.lit(1)).alias("bsz"))
@@ -5092,10 +5080,16 @@ def llm_minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFr
     # The distinct shingle relation feeds THREE subtrees (per-doc sizes
     # and both sides of the intersection join); each recompute was a
     # full tokenize + shingle explode + distinct pass over the corpus.
-    # Materialize once — the relation the joins shuffle anyway.
-    sh = toked.select(
-        "doc_id", F.explode(_word_ngrams(F.col("t"))).alias("s")
-    ).distinct().localCheckpoint()
+    # Materialize once — the relation the joins shuffle anyway. r18
+    # (VERDICT #1): the relation is CORPUS-PROPORTIONAL, so it goes to
+    # the reliable checkpoint dir via pin(), not executor-local blocks —
+    # at 100 TB a lost executor re-reads instead of failing the query,
+    # and the bytes live where capacity is provisioned.
+    sh = pin(
+        toked.select(
+            "doc_id", F.explode(_word_ngrams(F.col("t"))).alias("s")
+        ).distinct()
+    )
     sig = minhash_sigs_stored(spark, sf_dir)
     cand = minhash_candidate_pairs_stored(spark, sf_dir).select(
         "doc_a", "doc_b"
@@ -5778,9 +5772,14 @@ def llm_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda a, v: a + v,
     )
+    # r18 (VERDICT #3): no materialization — the relation is _RECALL_K
+    # rows behind a pushed-down `vec_id < K` parquet filter, so each of
+    # its 3 consumers re-reads a metadata-pruned scan for less than a
+    # checkpoint's job-submission cost (the r17 eager checkpoint here
+    # was one of the two overheads behind the 0.90× driver regression).
     samp = scaled.select(
         "vec_id", "sv", F.sqrt(dot_self.cast("double")).alias("nrm")
-    ).localCheckpoint()  # bounded (_RECALL_K rows); feeds 3 subtrees
+    )
     x, y = samp.alias("x"), samp.alias("y")
     pair_dot = F.aggregate(
         F.zip_with("x.sv", "y.sv", lambda a_, b_: a_ * b_),
@@ -5788,11 +5787,12 @@ def llm_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a_, v: a_ + v,
     )
     cosine = pair_dot.cast("double") / (F.col("x.nrm") * F.col("y.nrm"))
-    # The quadratic truth sample materializes ONCE (it fed two separate
-    # count aggregations before — the sample self-join ran twice), and
-    # n_true/n_caught collapse into a single pass: a left join against
-    # the (unique-per-pair) candidate relation marks hits, so the
-    # semi-join + third aggregation disappear.
+    # The truth sample feeds exactly ONE consumer since the r17
+    # single-pass hit-marking rewrite (a left join against the
+    # unique-per-pair candidate relation marks hits, so n_true/n_caught
+    # collapse into one aggregation) — so the r17 eager checkpoint of it
+    # bought nothing and cost a job submission per call (VERDICT #3,
+    # the other half of the 0.90× regression). Leave it lazy.
     truth = (
         x.join(F.broadcast(y), F.col("x.vec_id") < F.col("y.vec_id"))
         .filter(cosine >= _NEAR_DUP_COSINE)
@@ -5800,7 +5800,6 @@ def llm_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x.vec_id").alias("vec_a"),
             F.col("y.vec_id").alias("vec_b"),
         )
-        .localCheckpoint()
     )
     tc = truth.join(
         cand.withColumn("hit", F.lit(1)), ["vec_a", "vec_b"], "left"
@@ -8128,8 +8127,12 @@ def llm_bigram_surprisal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "w1", "w2")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
     )
+    # r18 (VERDICT #1): corpus-proportional ⇒ reliable pin() (file
+    # lifecycle still ContextCleaner-reclaimed via the engine's
+    # cleanCheckpoints conf, so the r8 persist-leak concern stays
+    # addressed; executor loss now re-reads instead of failing).
+    db = pin(db)
     big = db.groupBy("w1", "w2").agg(F.sum("c").alias("c12"))
     uni = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = big.agg(F.countDistinct("w2").alias("v"))
@@ -8915,15 +8918,23 @@ def gram_moment_relations(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     partials = vec.mapInPandas(
         gram_partials, "i long, j long, pp long, n long"
     )
-    prod = (
-        partials.filter(F.col("j") >= 0)
-        .groupBy("i", "j")
-        .agg(F.sum("pp").alias("pp"))
+    # r18 (guide §1.2/§2.3): ONE (i, j)-keyed aggregate carries both
+    # moment families (the per-dim sums ride the sentinel j = -1 rows),
+    # where the r17 form aggregated `partials` twice — and every
+    # consumer of the returned pair (covariance's join, mahalanobis,
+    # top-pc-power's two collects) re-ran the full-corpus Arrow matmul
+    # per subtree. The aggregated relation is BOUNDED — O(D²) = 2,144
+    # rows at D=64 regardless of corpus size — so an executor-local
+    # localCheckpoint is the right materialization class: the corpus
+    # pass runs exactly once, every consumer reads ≤2.2k rows.
+    mom = (
+        partials.groupBy("i", "j")
+        .agg(F.sum("pp").alias("pp"), F.sum("n").alias("n"))
+        .localCheckpoint()
     )
-    sums = (
-        partials.filter(F.col("j") == -1)
-        .groupBy("i")
-        .agg(F.sum("pp").alias("s"), F.sum("n").alias("n"))
+    prod = mom.filter(F.col("j") >= 0).select("i", "j", "pp")
+    sums = mom.filter(F.col("j") == -1).select(
+        "i", F.col("pp").alias("s"), "n"
     )
     return prod, sums
 
@@ -9343,15 +9354,24 @@ def llm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
-    # localCheckpoint: the hashed-bigram relation feeds THREE
-    # aggregates (target buckets, raw buckets, per-doc buckets) —
-    # left lazy, the explode + md5 pass re-executes per consumer
-    # (the setsim lesson; measured 2.65 s -> 1.99 s clean-session).
-    g = toked.select(
-        "doc_id", F.explode(_word_ngrams(F.col("t"), 2)).alias("s")
-    ).select(
-        "doc_id", F.substring(F.md5("s"), 1, _DSIR_PREF).alias("b")
-    ).localCheckpoint(eager=True)
+    # r18 (VERDICT #1, guide §2.3/§5): every consumer (bucket census,
+    # per-doc pass) works from (doc, bucket) COUNTS, so aggregate the
+    # hashed-bigram stream ONCE at that grain — the map-side partial
+    # aggregate collapses the stream to ≤{buckets} rows per doc before
+    # the exchange, and what gets materialized is the collapsed count
+    # relation, not the full bigram stream the r17 form
+    # localCheckpoint-ed to executor-local blocks. pin() writes it to
+    # the reliable checkpoint dir (executor loss re-reads, not fails).
+    g = pin(
+        toked.select(
+            "doc_id", F.explode(_word_ngrams(F.col("t"), 2)).alias("s")
+        )
+        .select(
+            "doc_id", F.substring(F.md5("s"), 1, _DSIR_PREF).alias("b")
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     is_tgt = (F.col("doc_id") % _DECON_MOD) == _DECON_REM
     # ONE bucket census carries both sides (target and raw counts per
     # bucket) — the previous shape aggregated the gram relation five
@@ -9361,8 +9381,8 @@ def llm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc = (
         g.groupBy("b")
         .agg(
-            F.sum(is_tgt.cast("long")).alias("tc"),
-            F.sum((~is_tgt).cast("long")).alias("sc"),
+            F.sum(F.when(is_tgt, F.col("c")).otherwise(0)).alias("tc"),
+            F.sum(F.when(~is_tgt, F.col("c")).otherwise(0)).alias("sc"),
         )
         .localCheckpoint()
     )
@@ -9391,11 +9411,7 @@ def llm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w_fp"),
         )
     )
-    dc = (
-        g.filter(~is_tgt)
-        .groupBy("doc_id", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    dc = g.filter(~is_tgt).select("doc_id", "b", "c")
     return (
         dc.join(F.broadcast(w), "b")
         .groupBy("doc_id")
@@ -9904,23 +9920,36 @@ def llm_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax is deterministic on both engines.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # The tokenize + md5-bucket stream feeds FIVE subtrees (bucket
-    # domain, lang axis, train counts, train totals, held-out counts);
-    # materialize it once. The per-lang total then DERIVES from the
-    # O(langs×buckets) count relation instead of a second train pass.
-    tok = fan_out_if_narrow(
-        docs.select("doc_id", "lang", F.explode(_tokens()).alias("term"))
-    ).select(
-        "doc_id", "lang", F.substring(F.md5("term"), 1, _NB_PREF).alias("b")
-    ).localCheckpoint()
-    is_held = (F.col("doc_id") % _NB_MOD) == _NB_REM
-    train = tok.filter(~is_held)
-    heldout = tok.filter(is_held)
-    dom = tok.select("b").distinct()
-    langs = train.select("lang").distinct()
-    cnt = (
-        train.groupBy("lang", "b")
+    # r18 (VERDICT #1, guide §2.3/§5): the five former consumers of the
+    # tokenize + md5-bucket stream (bucket domain, lang axis, train
+    # counts, train totals, held-out counts) all derive from ONE
+    # aggregation at the finest grain any of them needs — (doc, lang,
+    # bucket) counts. The partial (map-side) aggregate collapses the
+    # token stream to ≤{buckets} rows per doc BEFORE the exchange, and
+    # what gets materialized for reuse is that collapsed count relation,
+    # not the full token stream the r17 form localCheckpoint-ed to
+    # executor-local disk. pin() writes it to the RELIABLE checkpoint
+    # dir, so at cluster scale an executor loss re-reads instead of
+    # killing the query.
+    g = pin(
+        fan_out_if_narrow(
+            docs.select("doc_id", "lang", F.explode(_tokens()).alias("term"))
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.substring(F.md5("term"), 1, _NB_PREF).alias("b"),
+        )
+        .groupBy("doc_id", "lang", "b")
         .agg(F.count(F.lit(1)).alias("c"))
+    )
+    is_held = (F.col("doc_id") % _NB_MOD) == _NB_REM
+    train_g = g.filter(~is_held)
+    dom = g.select("b").distinct()
+    langs = train_g.select("lang").distinct()
+    cnt = (
+        train_g.groupBy("lang", "b")
+        .agg(F.sum("c").alias("c"))
         .localCheckpoint()  # O(langs × buckets); feeds the grid + totals
     )
     tot = cnt.groupBy("lang").agg(F.sum("c").alias("t"))
@@ -9943,9 +9972,9 @@ def llm_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lp_fp"),
         )
     )
-    dc = heldout.groupBy(
-        "doc_id", F.col("lang").alias("true_lang"), "b"
-    ).agg(F.count(F.lit(1)).alias("c"))
+    dc = g.filter(is_held).select(
+        "doc_id", F.col("lang").alias("true_lang"), "b", "c"
+    )
     scores = (
         dc.join(F.broadcast(w.withColumnRenamed("lang", "cand_lang")), "b")
         .groupBy("doc_id", "true_lang", "cand_lang")
@@ -10588,8 +10617,15 @@ def llm_code_switch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     reported fraction (exact-int division, bitwise cross-engine).
     """
     docs = load_table(spark, sf_dir, "documents")
+    # r18 (VERDICT #8, guide §2.6): the sentence split + four
+    # higher-order lexicon scans are pure per-row CPU in the SCAN
+    # stage — parallelism = the documents parquet split count (one
+    # split at bench SF; the query scaled 0.88× from 8→32 cores
+    # because a single task did all the classifying). Fan the raw doc
+    # rows out to cluster width first; no-op once the scan is wide.
     sent = (
-        docs.select(
+        fan_out_if_narrow(docs.select("doc_id", "text"))
+        .select(
             "doc_id",
             F.explode(F.split(F.lower(F.col("text")), r"[.!?]+")).alias("f"),
         )
@@ -11737,18 +11773,19 @@ def llm_setsim_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_, d_ = _SSJ_T_NUM, _SSJ_T_DEN
     docs = load_table(spark, sf_dir, "documents")
     toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
-    # localCheckpoint: this relation feeds FIVE consumers (sizes, df
+    # Materialized once: this relation feeds FIVE consumers (sizes, df
     # ranks, prefix ordering, both verify sides) — left lazy, the
     # tokenize → 3-gram transform → distinct pass re-executes per
     # branch (it is also one of the two fixes that took the clean-session
     # cost from 6.2 s to ~2 s; the other is the rank-free prefix
     # ordering below). In
     # production the shingle relation is store-paid (S21 discipline);
-    # this materialization is the in-query equivalent.
-    sh = (
+    # this materialization is the in-query equivalent. r18 (VERDICT #1):
+    # corpus-proportional ⇒ reliable checkpoint via pin(), not
+    # executor-local blocks.
+    sh = pin(
         toked.select("doc_id", F.explode(_word_ngrams(F.col("t"))).alias("s"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # Global rarity order WITHOUT a global rank: (df, s) IS a total
@@ -11779,13 +11816,11 @@ def llm_setsim_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the sizes join and the per-doc window in one plan. Materialize it
     # once (same in-query store discipline as ``sh`` above) and feed
     # both sides from the checkpoint.
-    prefix = (
+    prefix = pin(
         ordered.filter(
             F.col("pos")
             <= F.col("n") - F.floor((n_ * F.col("n") + d_ - 1) / d_) + 1
-        )
-        .select("doc_id", "s", "n", "pos")
-        .localCheckpoint(eager=True)
+        ).select("doc_id", "s", "n", "pos")
     )
     a = prefix.select(
         F.col("doc_id").alias("doc_a"),
@@ -13714,18 +13749,21 @@ def llm_semantic_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Three consumers (the median agg, the MAD agg, the final report)
     # read the scored relation; each recompute was a full encode +
     # centroid agg + two decimal(38,0) dot folds per row. Materialize
-    # the 3-column scores once.
-    cosr = sv.join(F.broadcast(cent), "label").select(
-        "vec_id",
-        "label",
-        (
-            _dec_dot("x", "cs").cast("double")
-            / (
-                F.sqrt(F.col("xx").cast("double"))
-                * F.sqrt(_dec_dot("cs", "cs").cast("double"))
-            )
-        ).alias("cos_c"),
-    ).localCheckpoint()
+    # the 3-column scores once. r18 (VERDICT #1): one row per vector ⇒
+    # corpus-proportional ⇒ reliable pin().
+    cosr = pin(
+        sv.join(F.broadcast(cent), "label").select(
+            "vec_id",
+            "label",
+            (
+                _dec_dot("x", "cs").cast("double")
+                / (
+                    F.sqrt(F.col("xx").cast("double"))
+                    * F.sqrt(_dec_dot("cs", "cs").cast("double"))
+                )
+            ).alias("cos_c"),
+        )
+    )
     med = cosr.groupBy("label").agg(
         F.expr("percentile(cos_c, 0.5D)").alias("med")
     )
@@ -16808,9 +16846,9 @@ def llm_substring_run_histogram(
     # The run relation (tiny: shared positions merged per doc) feeds
     # BOTH the total and the histogram; materialize it once instead of
     # re-running the whole gram pipeline per consumer.
-    runs = _substr_shared_runs(
-        _substr_gram_positions(spark, sf_dir)
-    ).localCheckpoint()
+    runs = pin(  # r18: duplicated-mass-proportional => reliable pin()
+        _substr_shared_runs(_substr_gram_positions(spark, sf_dir))
+    )
     tot = runs.agg(F.sum("run_len").alias("dup_total"))
     return (
         runs.groupBy("run_len")
@@ -16933,8 +16971,10 @@ def llm_substring_pair_maxrun(
         .withColumn("rn", F.row_number().over(wocc))
         .filter(F.col("rn") <= _SUBSTR_POS_CAP)
         .select("gh", "doc_id", "pos")
-        .localCheckpoint()
     )
+    # r18: bounded per gram but the gram axis is corpus-proportional
+    # => reliable pin(), not executor-local blocks (VERDICT #1).
+    occ = pin(occ)
     a = occ.select(
         "gh", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa")
     )
@@ -17282,7 +17322,14 @@ def llm_dedup_grain_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min(doc) != max(doc), keeping the hash agg single-phase
     # (one exchange on the gram key instead of the two a distinct
     # aggregate plans; guide §2.3/§2.4).
-    assert _SPAN_N == _SUBSTR_K  # the collapse below relies on it
+    if _SPAN_N != _SUBSTR_K:  # the collapse below relies on it; a bare
+        # assert would be stripped under `python -O` and silently produce
+        # wrong removed_span/removed_either if the constants diverged
+        raise ValueError(
+            f"llm_dedup_grain_overlap's single-stream collapse requires "
+            f"_SPAN_N == _SUBSTR_K (got {_SPAN_N} != {_SUBSTR_K}); "
+            "restore the two-pipeline form if the grains diverge"
+        )
     grams = toked.select(
         "doc_id",
         F.posexplode(_word_ngrams(F.col("t"), _SUBSTR_K)).alias(
@@ -18934,8 +18981,10 @@ def llm_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .select(F.md5("text").alias("h"))
         .distinct()
-        .localCheckpoint()  # one scan feeds every width + the count
     )
+    # r18: one 128-bit key per distinct content => corpus-proportional
+    # => reliable pin() (VERDICT #1).
+    ct = pin(ct)
     d = ct.agg(F.count(F.lit(1)).cast("long").alias("n_contents"))
     nd = (
         load_table(spark, sf_dir, "documents")
@@ -19525,8 +19574,11 @@ def llm_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .withColumn("len", F.length("s").cast("long"))
-        .localCheckpoint()  # one scan feeds the cut fan-out and chunk slice
     )
+    # r18: per-doc capped TEXT payload => the heaviest corpus-
+    # proportional materialization in the file => reliable pin()
+    # (VERDICT #1: executor-local disk may simply not fit this one).
+    s = pin(s)
     cut_hash = (
         fan_out_if_narrow(s)
         .select(
@@ -19751,8 +19803,9 @@ def llm_retrieval_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("embedding", _iscale).alias("x"),
         )
         .withColumn("dd", norm2)
-        .localCheckpoint()  # one quantize pass feeds panel rows + pairs
     )
+    # r18: one row per vector => corpus-proportional => reliable pin().
+    d2 = pin(d2)
     q = d2.filter(F.col("vid").isin(*_RETR_QUERY_IDS)).select(
         F.col("vid").alias("qid"),
         F.col("x").alias("qx"),
@@ -19784,8 +19837,9 @@ def llm_retrieval_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
             ham.alias("hamming"),
         )
-        .localCheckpoint()  # one Q*N scoring pass feeds both rankings
     )
+    # r18: Q*N rows (Q fixed) => corpus-proportional => reliable pin().
+    cand = pin(cand)
     truth = (
         cand.withColumn(
             "truth_rank",

@@ -13,6 +13,7 @@ from pyspark.sql.window import Window
 
 from ..functions.numeric import dec, dsum, dsum_expr
 from ..sources.tables import load_table
+from .materialize import fan_out_if_narrow, pin
 from .registry import register
 
 
@@ -3640,14 +3641,9 @@ def agg_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     a double ratio of exact ints.
     """
     li = _t(spark, sf_dir, "lineitem")
-    arms = None
-    for det, dep in _FD_PAIRS:
-        per_det = (
-            li.select(det, dep)
-            .groupBy(det)
-            .agg(F.countDistinct(dep).alias("n_dep"))
-        )
-        arm = per_det.agg(
+
+    def _profile(per_det: DataFrame, det: str, dep: str) -> DataFrame:
+        return per_det.agg(
             F.lit(f"{det} -> {dep}").alias("fd"),
             F.count(F.lit(1)).cast("long").alias("n_det_values"),
             F.sum((F.col("n_dep") > 1).cast("int"))
@@ -3659,8 +3655,38 @@ def agg_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count(F.lit(1)).cast("double")
             ).alias("violation_frac"),
         )
-        arms = arm if arms is None else arms.unionByName(arm)
-    return arms
+
+    # r18 (VERDICT #7, guide §2.3/§2.4): the partkey→suppkey and
+    # suppkey→partkey arms profile the SAME column pair from opposite
+    # ends, so one shared distinct-(partkey, suppkey) relation serves
+    # both — each arm's count-distinct-per-determinant is just a row
+    # count per key over the deduped pairs. One lineitem scan and one
+    # pair-dedup exchange replace two scans and two countDistinct
+    # shuffles. The pair relation is catalog-proportional (bounded by
+    # |part×supplier| sourcing pairs, not fact rows) but still grows
+    # with the dataset ⇒ reliable pin(), not executor-local blocks.
+    ok = (
+        li.select("l_orderkey", "l_suppkey")
+        .groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_dep"))
+    )
+    ps_pairs = pin(li.select("l_partkey", "l_suppkey").distinct())
+    a1 = _profile(ok, "l_orderkey", "l_suppkey")
+    a2 = _profile(
+        ps_pairs.groupBy("l_partkey").agg(
+            F.count(F.lit(1)).alias("n_dep")
+        ),
+        "l_partkey",
+        "l_suppkey",
+    )
+    a3 = _profile(
+        ps_pairs.groupBy("l_suppkey").agg(
+            F.count(F.lit(1)).alias("n_dep")
+        ),
+        "l_suppkey",
+        "l_partkey",
+    )
+    return a1.unionByName(a2).unionByName(a3)
 
 
 @register(
@@ -4543,11 +4569,11 @@ def agg_brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (order, brand) distinct feeds FOUR subtrees (brand counts, order
     # total, both self-join sides); each recompute was a lineitem⋈part
     # join + distinct. Materialize once.
-    ob = (
+    ob = pin(  # r18: one row per order×brand ⇒ fact-proportional ⇒
+        # reliable pin(), not executor-local blocks (VERDICT #1)
         li.join(part, li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("brand"))
         .distinct()
-        .localCheckpoint()
     )
     bc = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("n"))
     tot = ob.agg(F.countDistinct("o").alias("n_orders"))
@@ -6411,7 +6437,15 @@ def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             for g in range(_BOOT_R // 4)
         ]
     )
-    s1 = base.select(
+    # r18 (VERDICT #6, guide §2.6): the 8-digest × 4-window fan-out is
+    # pure per-row CPU that runs in the SCAN stage — its parallelism is
+    # the orders parquet split count (ONE split at bench SF), which is
+    # why the query was the slowest in the tier and sped up only 1.15×
+    # from 8→32 cores. Fan the narrow (region, orderkey, cents) rows
+    # out to cluster width first: one cheap shuffle of the pre-explode
+    # rows buys full-width md5/conv execution; a no-op once the scan is
+    # wide (100 TB arrives in thousands of splits).
+    s1 = fan_out_if_narrow(base).select(
         "region", "cents", F.posexplode(digs).alias("g", "digest")
     )
     windows = F.array(
@@ -8129,30 +8163,57 @@ def agg_quantile_treatment_effect(
         F.sum("c1").cast("long").alias("n1"),
         F.sum("c2").cast("long").alias("n2"),
     )
-    qs = spark.createDataFrame([(q,) for q in _QTE_DECILES], "q int")
-    base = cum.crossJoin(F.broadcast(n)).crossJoin(F.broadcast(qs))
-    v1 = (
-        base.filter(F.col("f1") >= F.expr("(q * n1 + 99) div 100"))
-        .groupBy("q")
-        .agg(F.min("cents").alias("c1v"))
+    # r18 (VERDICT #4, guide §2.3/§2.4): the decile axis is a
+    # COMPILE-TIME constant, so the old 9× crossJoin row expansion —
+    # consumed TWICE (v1/v2 each re-filtered and re-aggregated it) and
+    # re-joined at the end — collapses into 18 conditional MINs in ONE
+    # ungrouped aggregate over the cum relation (min over a filter ≡
+    # min of a when/otherwise-null), un-pivoted back to 9 rows by a
+    # 1-row explode. One pass instead of two, no q-keyed exchange, no
+    # v1⋈v2 join; every threshold stays exact integer arithmetic.
+    base = cum.crossJoin(F.broadcast(n))
+    mins = base.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("f1") >= F.expr(f"({q} * n1 + 99) div 100"),
+                    F.col("cents"),
+                )
+            ).alias(f"c1_{q}")
+            for q in _QTE_DECILES
+        ],
+        *[
+            F.min(
+                F.when(
+                    F.col("f2") >= F.expr(f"({q} * n2 + 99) div 100"),
+                    F.col("cents"),
+                )
+            ).alias(f"c2_{q}")
+            for q in _QTE_DECILES
+        ],
     )
-    v2 = (
-        base.filter(F.col("f2") >= F.expr("(q * n2 + 99) div 100"))
-        .groupBy("q")
-        .agg(F.min("cents").alias("c2v"))
+    rows = mins.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).cast("long").alias("pct"),
+                        F.col(f"c1_{q}").alias("c1v"),
+                        F.col(f"c2_{q}").alias("c2v"),
+                    )
+                    for q in _QTE_DECILES
+                ]
+            )
+        ).alias("r")
     )
-    return (
-        v1.join(v2, "q")
-        .select(
-            F.col("q").cast("long").alias("pct"),
-            (F.col("c1v").cast("double") / 100).alias("v_urgent"),
-            (F.col("c2v").cast("double") / 100).alias("v_other"),
-            ((F.col("c1v") - F.col("c2v")).cast("double") / 100).alias(
-                "qte"
-            ),
-        )
-        .orderBy("pct")
-    )
+    return rows.select(
+        F.col("r.pct").alias("pct"),
+        (F.col("r.c1v").cast("double") / 100).alias("v_urgent"),
+        (F.col("r.c2v").cast("double") / 100).alias("v_other"),
+        ((F.col("r.c1v") - F.col("r.c2v")).cast("double") / 100).alias(
+            "qte"
+        ),
+    ).orderBy("pct")
 
 
 # ---------------------------------------------------------------------------

@@ -43,6 +43,10 @@ _DEFAULTS = {
     # broadcast threshold above, so a `-1` threshold (the tests' way of
     # forcing shuffle joins) still yields sort-merge.
     "spark.sql.join.preferSortMergeJoin": "false",
+    # Reliable-checkpoint hygiene for plans/materialize.pin(): reclaim
+    # checkpoint files when their RDD is GC'd instead of leaking them
+    # into the scratch dir for the JVM's lifetime.
+    "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
 }
 
 
