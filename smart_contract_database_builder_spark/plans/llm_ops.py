@@ -11799,7 +11799,16 @@ def llm_setsim_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same prefix sets, same candidates; one global sort and one
     # vocabulary-wide join fewer (6.2 s → ~2 s clean-session).
     dfs = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    ordered = (
+    # r17 OPT (guide §2.4/§5): the ordered relation used to be
+    # recomputed per self-join side — TWO copies of the dfs aggregate,
+    # the sizes join and the per-doc window in one plan. r18 (VERDICT
+    # #9): materialize at the ORDERED grain, one step above r17's
+    # prefix grain — checkpoints preserve physical partitioning, and
+    # the window leaves `ordered` hash-partitioned by doc_id, so the
+    # verify stage's docsets aggregate below consumes it EXCHANGE-FREE
+    # (the r17 form re-shuffled the full shingle stream by doc_id a
+    # second time), while the prefix sides read it as a cheap filter.
+    ordered = pin(
         sh.join(dfs, "s")
         .join(sizes, "doc_id")
         .select(
@@ -11811,17 +11820,10 @@ def llm_setsim_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pos"),
         )
     )
-    # r17 OPT (guide §2.4/§5): the prefix relation used to be
-    # recomputed per self-join side — TWO copies of the dfs aggregate,
-    # the sizes join and the per-doc window in one plan. Materialize it
-    # once (same in-query store discipline as ``sh`` above) and feed
-    # both sides from the checkpoint.
-    prefix = pin(
-        ordered.filter(
-            F.col("pos")
-            <= F.col("n") - F.floor((n_ * F.col("n") + d_ - 1) / d_) + 1
-        ).select("doc_id", "s", "n", "pos")
-    )
+    prefix = ordered.filter(
+        F.col("pos")
+        <= F.col("n") - F.floor((n_ * F.col("n") + d_ - 1) / d_) + 1
+    ).select("doc_id", "s", "n", "pos")
     a = prefix.select(
         F.col("doc_id").alias("doc_a"),
         "s",
@@ -11882,7 +11884,10 @@ def llm_setsim_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the row count and drops both verify sorts. The overlap count o
     # (array_intersect of two duplicate-free arrays) is the same
     # integer, so the gate and the one double divide are unchanged.
-    docsets = sh.groupBy("doc_id").agg(F.collect_list("s").alias("ss"))
+    # `ordered` is already hash-partitioned by doc_id (see above), so
+    # this aggregate plans with NO Exchange — r17's form paid a second
+    # full-stream shuffle of `sh` here.
+    docsets = ordered.groupBy("doc_id").agg(F.collect_list("s").alias("ss"))
     da = docsets.select(F.col("doc_id").alias("da"), F.col("ss").alias("ssa"))
     db = docsets.select(F.col("doc_id").alias("db"), F.col("ss").alias("ssb"))
     shared = (
@@ -15613,7 +15618,6 @@ def llm_decontaminate_ngram_sweep(
     divide.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toked = fan_out_if_narrow(docs.select("doc_id", _tokens().alias("t")))
     def _tag(n: int) -> Column:
         # NB: a two-argument transform lambda would receive
         # (element, INDEX) — n must be captured in a real closure
@@ -15625,28 +15629,49 @@ def llm_decontaminate_ngram_sweep(
         )
 
     tagged = F.flatten(F.array(*[_tag(n) for n in _DECON_SWEEP_NS]))
-    # NOT checkpointed: the benchmark side's doc_id-slice filter
-    # pushes below the explode (it fans out ~1/MOD of the corpus), so
-    # materializing the full tagged stream for the two readers costs
-    # more than the sliced recomputes (A/B-measured 1.79 vs 2.14 s).
-    grams = toked.select(
-        "doc_id", F.explode(tagged).alias("x")
-    ).select("doc_id", "x.n", "x.g")
+
+    def _grams(src: DataFrame) -> DataFrame:
+        return src.select(
+            "doc_id", F.explode(tagged).alias("x")
+        ).select("doc_id", "x.n", "x.g")
+
+    # NOT checkpointed: materializing the tagged stream for the two
+    # readers costs more than the sliced recomputes (r17 A/B 1.79 vs
+    # 2.14 s at 8 cores; RE-MEASURED at 32 cores this round per VERDICT
+    # #4: materialized 4.81 s vs lazy 2.90 s in the same window — the
+    # decision holds harder at 32). The r18 change is to the SUBTREE
+    # SHAPES instead (the query anti-scaled 0.60× from 8→32 cores):
+    # the BENCH side is eval-suite-sized and feeds a driver collect
+    # (broadcast build), so it skips the cluster-width fan-out — fewer
+    # tiny stages beat wider ones below the scheduling floor — while
+    # the CORPUS side filters its 4/5 slice BEFORE the fan-out
+    # exchange, so the bench docs are never shuffled with it. At
+    # 100 TB both sides' scans arrive wide and the fan-out is a no-op
+    # either way (the fan_out_if_narrow contract).
     is_bench = (F.col("doc_id") % _DECON_MOD) == _DECON_REM
+    tok_cols = docs.select("doc_id", _tokens().alias("t"))
     bench = (
-        grams.filter(is_bench).select("n", "g").distinct()
+        _grams(tok_cols.filter(is_bench))
+        .select("n", "g")
+        .distinct()
         .withColumn("hit", F.lit(1))
     )
     n_corpus_docs = docs.filter(
         (F.col("doc_id") % _DECON_MOD) != _DECON_REM
     ).agg(F.count(F.lit(1)).alias("n_corpus"))
+    # TWO-LEVEL aggregate, never COUNT(DISTINCT doc) + COUNT(*) in one
+    # agg (which plans an Expand that duplicates every joined gram row
+    # — the unique_ngram_ratio lesson): level 1 collapses to (n, doc)
+    # hit counts with map-side combine, level 2 is O(docs) per size.
     hit_counts = (
-        grams.filter(~is_bench)
+        _grams(fan_out_if_narrow(tok_cols.filter(~is_bench)))
         .join(F.broadcast(bench), ["n", "g"], "inner")
+        .groupBy("n", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("n")
         .agg(
-            F.countDistinct("doc_id").cast("long").alias("n_flagged_docs"),
-            F.count(F.lit(1)).cast("long").alias("n_hit_occurrences"),
+            F.count(F.lit(1)).cast("long").alias("n_flagged_docs"),
+            F.sum("c").cast("long").alias("n_hit_occurrences"),
         )
     )
     # The oracle's UNION ALL of ungrouped aggregates emits one row per

@@ -82,11 +82,35 @@ def fan_out_if_narrow(df: DataFrame) -> DataFrame:
     return df
 
 
+def _reliable_wanted(df: DataFrame) -> bool:
+    """Reliable checkpoint on a real cluster manager; executor-local
+    blocks under ``local[*]``.
+
+    The hazard ``pin`` exists for — a lost executor invalidating
+    lineage-truncated executor-local blocks mid-query — does not exist
+    in local mode: driver and executor share one process, so "executor
+    loss" is job death either way, and the reliable write would buy
+    only a serialize-to-disk round trip per call (~0.5-1 s per
+    corpus-proportional relation at bench SF, measured). On yarn/k8s/
+    standalone the write goes to the configured checkpoint dir
+    (replicated FS) and executor loss re-reads instead of failing.
+    ``spark.scdb.materialize.reliable`` overrides either way (tests
+    pin both modes).
+    """
+    conf = df.sparkSession.conf.get("spark.scdb.materialize.reliable", None)
+    if conf is not None:
+        return conf.lower() == "true"
+    return not df.sparkSession.sparkContext.master.startswith("local")
+
+
 def pin(df: DataFrame) -> DataFrame:
     """Materialize a corpus-proportional, multi-consumer relation once,
-    recoverably (see module docstring). Eager: the relation computes
-    here, exactly once, and every consumer reads the checkpoint files.
+    recoverably at cluster scale (see module docstring). Eager: the
+    relation computes here, exactly once, and every consumer reads the
+    materialized blocks/files.
     """
+    if not _reliable_wanted(df):
+        return df.localCheckpoint(eager=True)
     _ensure_checkpoint_dir(df)
     # Persist across the checkpoint write so the lineage runs once
     # (count job fills the cache, the checkpoint writer re-reads it),
