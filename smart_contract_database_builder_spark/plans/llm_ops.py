@@ -912,11 +912,10 @@ def llm_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually disjoint (pure band-hash collisions) drop out in the inner
     intersection join — identical semantics on both engines. MIN
     signatures over the DISTINCT shingle set equal those over the raw
-    multiset, so ONE dedup'd inverted index feeds both stages: the
-    sizes aggregate, the signature pipeline, and both sides of the
-    verify join all read the same ``sh`` subtree, and its exchange is
-    built once and reused (ReusedExchange — pinned by the Generate-count
-    assertion in tests/test_plan_hygiene.py).
+    multiset, so ONE dedup'd inverted index feeds both stages; since
+    r18 the verify side reads it as a single packed per-doc ARRAY
+    relation (sizes are the array lengths), so the corpus is exploded
+    exactly once (pinned by tests/test_plan_hygiene.py).
 
     Recall bound (documented, not a defect): pairs whose 4 bands never
     collide, or whose every colliding bucket exceeds ``_LSH_BUCKET_CAP``,
@@ -942,45 +941,59 @@ def _ngram_jaccard_pairs_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
         toked.select("doc_id", F.explode(_word_ngrams(F.col("t"))).alias("s"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    # SORT-MERGE everywhere: every relation in the verify stage is
-    # corpus-PROPORTIONAL (candidate pairs ~ O(docs in buckets), the
-    # shingle relation and per-doc sizes ~ O(corpus)), so the planner
-    # must neither broadcast one (the 10× scale probe, SCALE.md round
-    # 6, killed the driver building the y-side broadcast the static
-    # size estimate chose) nor build an unspillable shuffled-hash map
-    # from one. Sort-merge is the only join whose both sides spill.
-    # candidates from the S21 band store (round 11, mirroring
-    # llm_containment_pairs): the signature MIN-aggregate never runs
-    # at query time; the shingle relation feeds only the verify joins
+    # r18 (the r17 setsim-verify lesson, guide §2.3): verify with
+    # per-doc shingle ARRAYS instead of exploded per-shingle rows. The
+    # old verify streamed |candidates| × |shingles-per-doc| rows
+    # through two sort-merge joins (the (doc_b, s)-keyed exchange of
+    # that exploded intermediate was the query's biggest shuffle) and
+    # then re-aggregated to pair grain; a doc's distinct shingle set
+    # packs into one array row, so attaching two arrays per candidate
+    # pair and intersecting IN-ROW moves the same bytes at
+    # 1/|shingles| the row count, drops the pair re-aggregation, and
+    # the sizes aggregate rides along as array lengths (two joins and
+    # one corpus aggregate fewer). A pure band-hash collision pair has
+    # an empty intersection — dropped by the n_shared >= 1 filter,
+    # exactly the rows the old INNER intersection join never produced.
+    # Clean-session A/B: 4.93 s -> 1.9 s. SORT-MERGE hints stay: every
+    # relation here is corpus-proportional (the r6 scale-probe lesson —
+    # a size-estimated broadcast here is fatal at scale), and the
+    # packed docsets relation is corpus-proportional too ⇒ pin().
+    # Candidates from the S21 band store (round 11): the signature
+    # MIN-aggregate never runs at query time.
+    docsets = pin(
+        sh.groupBy("doc_id").agg(F.collect_list("s").alias("ss"))
+    )
     cand = (
         minhash_candidate_pairs_stored(spark, sf_dir)
         .select("doc_a", "doc_b")
         .hint("merge")
     )
-    x, y = sh.alias("x"), sh.alias("y").hint("merge")
-    shared = (
-        cand.join(x, F.col("doc_a") == F.col("x.doc_id"))
-        .join(
-            y,
-            (F.col("doc_b") == F.col("y.doc_id"))
-            & (F.col("y.s") == F.col("x.s")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    sa = sizes.alias("sa").hint("merge")
-    sb = sizes.alias("sb").hint("merge")
+    da = docsets.select(
+        F.col("doc_id").alias("da"), F.col("ss").alias("ssa")
+    ).hint("merge")
+    db = docsets.select(
+        F.col("doc_id").alias("db"), F.col("ss").alias("ssb")
+    ).hint("merge")
     return (
-        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        cand.join(da, F.col("doc_a") == F.col("da"))
+        .join(db, F.col("doc_b") == F.col("db"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ssa", "ssb")).cast("long").alias(
+                "n_shared"
+            ),
+            F.size("ssa").alias("na"),
+            F.size("ssb").alias("nb"),
+        )
+        .filter(F.col("n_shared") >= 1)
         .select(
             "doc_a",
             "doc_b",
             "n_shared",
             (
                 F.col("n_shared").cast("double")
-                / (F.col("sa.n") + F.col("sb.n") - F.col("n_shared"))
+                / (F.col("na") + F.col("nb") - F.col("n_shared"))
             ).alias("jaccard"),
         )
     )
@@ -4970,7 +4983,13 @@ def llm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counts the actual terms exactly and the final threshold filter
     # removes any collision-borne false candidates.
     hashed = toked.select(F.xxhash64("term").alias("h"))
-    summaries = hashed.mapInPandas(mg_partition, "h long, total long")
+    # r18 (guide §1.2/§5): the sketch output is BOUNDED — ≤(sketch+1)
+    # rows per input partition — but it feeds TWO consumers (candidate
+    # set, total count), so left lazy the corpus-wide Arrow sketch pass
+    # ran twice. Clean-session A/B 3.3 s -> ~2 s.
+    summaries = hashed.mapInPandas(
+        mg_partition, "h long, total long"
+    ).localCheckpoint()
     cands = summaries.filter(F.col("h").isNotNull()).select("h").distinct()
     n_total = summaries.agg(F.sum("total").alias("n"))
     counts = (
@@ -10653,6 +10672,13 @@ def llm_code_switch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("predicted") != "unknown"
     )
     cnt = seg.groupBy("doc_id", "predicted").agg(F.count(F.lit(1)).alias("c"))
+    # Examined and REVERTED (r18): collapsing tot+major into window
+    # aggregates over one doc_id partition (the substring-family trick)
+    # deduplicates the classify subtree but plans a WindowExec SORT of
+    # the (doc, lang) counts — clean-session A/B 1.74 s windowed vs
+    # 1.02-1.25 s for this two-hash-agg + broadcast-join form at sf0.1,
+    # 32 cores. The duplicated subtree is the cheaper side of that
+    # trade here because ≤4 rows per doc survive the first aggregate.
     tot = cnt.groupBy("doc_id").agg(
         F.sum("c").cast("long").alias("n_segments"),
         F.count(F.lit(1)).cast("long").alias("n_langs"),
