@@ -9939,36 +9939,40 @@ def llm_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax is deterministic on both engines.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # r18 (VERDICT #1, guide §2.3/§5): the five former consumers of the
-    # tokenize + md5-bucket stream (bucket domain, lang axis, train
-    # counts, train totals, held-out counts) all derive from ONE
-    # aggregation at the finest grain any of them needs — (doc, lang,
-    # bucket) counts. The partial (map-side) aggregate collapses the
-    # token stream to ≤{buckets} rows per doc BEFORE the exchange, and
-    # what gets materialized for reuse is that collapsed count relation,
-    # not the full token stream the r17 form localCheckpoint-ed to
-    # executor-local disk. pin() writes it to the RELIABLE checkpoint
-    # dir, so at cluster scale an executor loss re-reads instead of
-    # killing the query.
-    g = pin(
+    # The tokenize + md5-bucket stream feeds FIVE subtrees (bucket
+    # domain, lang axis, train counts, train totals, held-out counts);
+    # materialize it once — pin(): corpus-proportional, so at cluster
+    # scale it goes to the reliable checkpoint dir (VERDICT #1), while
+    # locally it stays an executor-local checkpoint. The per-lang total
+    # DERIVES from the O(langs×buckets) count relation instead of a
+    # second train pass.
+    #
+    # Examined and REVERTED (r18): collapsing the five consumers onto
+    # one (doc, lang, bucket) COUNT aggregate measured faster in clean
+    # sessions (2.7 s vs 4.9 s) but built a ~0.75M-group hash aggregate
+    # over the full token stream whose heap wake slowed every
+    # SUBSEQUENT query in a warm shared session by 1.5-2× (sequence
+    # A/B: the next four queries' total 4.8 s with this r17 shape,
+    # 9.4-10.3 s with either count-grain variant) — a net loss for the
+    # 304-query warm bench the driver runs. The token-stream
+    # materialization is the cheaper citizen of a long session.
+    tok = pin(
         fan_out_if_narrow(
             docs.select("doc_id", "lang", F.explode(_tokens()).alias("term"))
-        )
-        .select(
+        ).select(
             "doc_id",
             "lang",
             F.substring(F.md5("term"), 1, _NB_PREF).alias("b"),
         )
-        .groupBy("doc_id", "lang", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
     )
     is_held = (F.col("doc_id") % _NB_MOD) == _NB_REM
-    train_g = g.filter(~is_held)
-    dom = g.select("b").distinct()
-    langs = train_g.select("lang").distinct()
+    train = tok.filter(~is_held)
+    heldout = tok.filter(is_held)
+    dom = tok.select("b").distinct()
+    langs = train.select("lang").distinct()
     cnt = (
-        train_g.groupBy("lang", "b")
-        .agg(F.sum("c").alias("c"))
+        train.groupBy("lang", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint()  # O(langs × buckets); feeds the grid + totals
     )
     tot = cnt.groupBy("lang").agg(F.sum("c").alias("t"))
@@ -9991,9 +9995,9 @@ def llm_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lp_fp"),
         )
     )
-    dc = g.filter(is_held).select(
-        "doc_id", F.col("lang").alias("true_lang"), "b", "c"
-    )
+    dc = heldout.groupBy(
+        "doc_id", F.col("lang").alias("true_lang"), "b"
+    ).agg(F.count(F.lit(1)).alias("c"))
     scores = (
         dc.join(F.broadcast(w.withColumnRenamed("lang", "cand_lang")), "b")
         .groupBy("doc_id", "true_lang", "cand_lang")
